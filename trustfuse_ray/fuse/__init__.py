@@ -1,0 +1,49 @@
+"""Fusion model registry (reference: settings.MODEL_MAP,
+`/root/reference/settings.py:70-108`)."""
+
+from trustfuse_ray.fuse.base import FusionModel, pack_facts, run_fusion
+from trustfuse_ray.fuse.crh import CRH
+from trustfuse_ray.fuse.truthfinder import TruthFinder
+from trustfuse_ray.fuse.voting import Voting
+
+
+def _lazy_models():
+    from trustfuse_ray.fuse.accu import Accu
+    from trustfuse_ray.fuse.catd import CATD
+    from trustfuse_ray.fuse.gtm import GTM
+    from trustfuse_ray.fuse.kdem import KDEm
+    from trustfuse_ray.fuse.slimfast import SLiMFast
+
+    return {"ACCU": Accu, "CATD": CATD, "GTM": GTM, "KDEm": KDEm,
+            "SLIMFAST": SLiMFast}
+
+
+def model_map() -> dict:
+    m = {"Voting": Voting, "CRH": CRH, "TruthFinder": TruthFinder}
+    try:
+        m.update(_lazy_models())
+    except ImportError:
+        pass  # later waves not present yet
+    return m
+
+
+MODEL_PARAMETERS = {
+    "Voting": {},
+    "CRH": {"max_itr": 10},
+    "TruthFinder": {"max_itr": 10},
+    "CATD": {},
+    "GTM": {},
+    "KDEm": {},
+    "ACCU": {},
+    "SLIMFAST": {},
+}
+
+
+def make_model(name: str, **overrides) -> FusionModel:
+    params = dict(MODEL_PARAMETERS.get(name, {}))
+    params.update(overrides)
+    return model_map()[name](**params)
+
+
+__all__ = ["FusionModel", "pack_facts", "run_fusion", "Voting", "CRH",
+           "TruthFinder", "make_model", "model_map", "MODEL_PARAMETERS"]

@@ -1,0 +1,454 @@
+"""Distributed fusion infrastructure (SURVEY.md §7.4).
+
+The reference's fusion models all share one shape
+(`/root/reference/trustfuse/models/model.py:49-63`): a claim matrix grouped by
+fact = (entity, attr), plus a *global per-source* weight vector, co-iterated
+≤ ~10–100 rounds.  The distributed re-expression:
+
+1. ONE shuffle packs the long claim table into per-fact rows
+   (``pack_facts``: groupby (bucket_id, entity) → one packed row per
+   (entity, attr)), materialized once and reused every round.
+2. Each round is a stateless ``map_batches`` over packed facts that
+   (a) recomputes the per-fact truth from the broadcast global state —
+   truth is a pure function of the weights, so it is never stored — and
+   (b) pre-combines per-source partial statistics *inside the task*
+   (combiner), emitting one row per (bucket, source) per batch.
+3. A tiny ``groupby(bucket_id, source).sum()`` (KB-scale) is pulled to the
+   driver, which applies the model's reduce step and broadcasts the new
+   state into the next round's UDF closure.
+4. A final ``map_batches`` emits the fused triple table.
+
+Claims within a fact are kept in ascending ``claim_id`` order — the engine's
+deterministic stand-in for the reference's nondeterministic ``set()``
+iteration order (SURVEY.md §7.5 tie-breaking).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+N_CHANNELS = 4  # per-source partial-stat channels (models use a prefix)
+
+
+@dataclass
+class Fact:
+    bucket_id: int
+    entity: str
+    attr: str
+    vtype: str
+    src_idx: np.ndarray      # int32, per claim
+    values: np.ndarray       # object (str) or float64, per claim
+    claim_ids: np.ndarray    # int64, per claim
+
+    @property
+    def is_numeric(self) -> bool:
+        return self.values.dtype.kind == "f"
+
+
+class FusionModel:
+    """Protocol for reference-faithful fusion models.
+
+    State is a dict per bucket (tiny: O(#sources) numpy arrays).  Rounds run
+    until ``n_rounds`` or until ``reduce`` reports convergence.
+    """
+
+    name: str = "base"
+    numeric_only: bool = False
+    n_rounds: int = 1
+
+    def initial_state(self, sources: list[str], counts: np.ndarray) -> dict:
+        raise NotImplementedError
+
+    def fact_stats(self, fact: Fact, state: dict) -> np.ndarray | None:
+        """Per-source partial stats for one fact: array [k_claims? no —
+        returns matrix (N_CHANNELS, n_sources)-sparse as (idx, stats) or a
+        dense accumulation into ``out``]; models implement ``accumulate``."""
+        raise NotImplementedError
+
+    def accumulate(self, fact: Fact, state: dict, out: np.ndarray) -> None:
+        """Add this fact's per-source partials into ``out``
+        (shape (N_CHANNELS, n_sources))."""
+        raise NotImplementedError
+
+    def reduce(self, state: dict, stats: np.ndarray, counts: np.ndarray,
+               round_no: int) -> tuple[dict, bool]:
+        """Combine global stats → new state; returns (state, converged)."""
+        raise NotImplementedError
+
+    def fact_truth(self, fact: Fact, state: dict) -> tuple[list, float]:
+        """Final truth values (list, multi-truth capable) + confidence."""
+        raise NotImplementedError
+
+    def weights(self, state: dict) -> np.ndarray:
+        return state["w"]
+
+
+# ---------------------------------------------------------------------------
+# packing
+# ---------------------------------------------------------------------------
+
+
+def _pack_entity_group(batch: pa.Table) -> pa.Table:
+    """One (bucket_id, entity) group → one packed row per attr.
+
+    Dedups exact repeated (source, value) assertions keeping the lowest
+    claim_id (reference dedups identical re-assertions at dataset
+    construction, `/root/reference/dataset_generation/generate_buckets.py:182-189`).
+    """
+    order = pc.sort_indices(batch, sort_keys=[("claim_id", "ascending")])
+    batch = batch.take(order)
+    bucket_id = batch["bucket_id"][0].as_py()
+    entity = batch["entity"][0].as_py()
+    attrs = batch["attr"].to_pylist()
+    sources = batch["source"].to_pylist()
+    vstr = batch["value_str"].to_pylist()
+    vnum = batch["value_num"].to_pylist()
+    vtype = batch["value_type"].to_pylist()
+    cids = batch["claim_id"].to_pylist()
+
+    per_attr: dict[str, dict] = {}
+    for a, s, sv, nv, t, cid in zip(attrs, sources, vstr, vnum, vtype, cids):
+        d = per_attr.setdefault(
+            a, {"vtype": t, "src": [], "vs": [], "vn": [], "cid": [],
+                "seen": set()})
+        key = (s, sv)
+        if key in d["seen"]:
+            continue
+        d["seen"].add(key)
+        d["src"].append(s)
+        d["vs"].append(sv)
+        d["vn"].append(nv)
+        d["cid"].append(cid)
+
+    rows = {"bucket_id": [], "entity": [], "attr": [], "value_type": [],
+            "sources": [], "values_str": [], "values_num": [], "claim_ids": []}
+    for a in sorted(per_attr):
+        d = per_attr[a]
+        rows["bucket_id"].append(bucket_id)
+        rows["entity"].append(entity)
+        rows["attr"].append(a)
+        rows["value_type"].append(d["vtype"])
+        rows["sources"].append(d["src"])
+        rows["values_str"].append(d["vs"])
+        rows["values_num"].append(d["vn"])
+        rows["claim_ids"].append(d["cid"])
+    return pa.table(
+        {
+            "bucket_id": pa.array(rows["bucket_id"], pa.int32()),
+            "entity": pa.array(rows["entity"], pa.string()),
+            "attr": pa.array(rows["attr"], pa.string()),
+            "value_type": pa.array(rows["value_type"], pa.string()),
+            "sources": pa.array(rows["sources"], pa.list_(pa.string())),
+            "values_str": pa.array(rows["values_str"], pa.list_(pa.string())),
+            "values_num": pa.array(rows["values_num"], pa.list_(pa.float64())),
+            "claim_ids": pa.array(rows["claim_ids"], pa.list_(pa.int64())),
+        }
+    )
+
+
+def pack_facts(claims, numeric_only: bool = False):
+    """Long claims Dataset → packed facts Dataset (the single fusion shuffle).
+
+    ``numeric_only`` mirrors ``focus_on_attributes(action="type_selection")``
+    for numeric models (`/root/reference/trustfuse/models/model.py:41-45`):
+    only quantity attrs with parseable numbers enter the claim matrix.
+    """
+    if numeric_only:
+        claims = claims.filter(
+            expr="value_type = 'quantity' and value_num is not null")
+    return claims.groupby(["bucket_id", "entity"]).map_groups(
+        _pack_entity_group, batch_format="pyarrow"
+    )
+
+
+def iter_facts(batch: pa.Table, src_index: dict[int, dict[str, int]]
+               ) -> Iterator[Fact]:
+    bid_col = batch["bucket_id"].to_pylist()
+    ent_col = batch["entity"].to_pylist()
+    attr_col = batch["attr"].to_pylist()
+    vt_col = batch["value_type"].to_pylist()
+    src_col = batch["sources"].to_pylist()
+    vs_col = batch["values_str"].to_pylist()
+    vn_col = batch["values_num"].to_pylist()
+    cid_col = batch["claim_ids"].to_pylist()
+    for bid, ent, attr, vt, srcs, vss, vns, cids in zip(
+        bid_col, ent_col, attr_col, vt_col, src_col, vs_col, vn_col, cid_col
+    ):
+        smap = src_index[bid]
+        idx = np.array([smap[s] for s in srcs], dtype=np.int32)
+        if vt == "quantity" and all(v is not None for v in vns):
+            vals = np.array(vns, dtype=np.float64)
+        else:
+            vals = np.array(vss, dtype=object)
+        yield Fact(bid, ent, attr, vt, idx,
+                   vals, np.array(cids, dtype=np.int64))
+
+
+# ---------------------------------------------------------------------------
+# per-bucket source index + per-source fact counts (tiny driver-side tables)
+# ---------------------------------------------------------------------------
+
+
+def source_stats(packed) -> tuple[dict[int, list[str]], dict[int, np.ndarray]]:
+    """Distinct sources per bucket + per-source fact participation counts
+    (the reference's ``count`` vector, `model.py:178-182`: +1 per fact a
+    source appears in, duplicates within a fact counted once... reference
+    adds +1 per *claim* via count[src]: replicate per-claim)."""
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        acc: dict[tuple[int, str], int] = {}
+        for bid, srcs in zip(batch["bucket_id"].to_pylist(),
+                             batch["sources"].to_pylist()):
+            for s in srcs:
+                k = (bid, s)
+                acc[k] = acc.get(k, 0) + 1
+        return pa.table(
+            {
+                "bucket_id": pa.array([k[0] for k in acc], pa.int32()),
+                "source": pa.array([k[1] for k in acc], pa.string()),
+                "n": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    small = (
+        packed.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["bucket_id", "source"]).sum("n")
+        .take_all()
+    )
+    sources: dict[int, list[str]] = {}
+    counts_map: dict[int, dict[str, int]] = {}
+    for row in small:
+        bid = row["bucket_id"]
+        sources.setdefault(bid, []).append(row["source"])
+        counts_map.setdefault(bid, {})[row["source"]] = row["sum(n)"]
+    counts: dict[int, np.ndarray] = {}
+    for bid in sources:
+        sources[bid].sort()
+        counts[bid] = np.array([counts_map[bid][s] for s in sources[bid]],
+                               dtype=np.float64)
+    return sources, counts
+
+
+# ---------------------------------------------------------------------------
+# the iterative runner
+# ---------------------------------------------------------------------------
+
+
+class _StatsFn:
+    def __init__(self, model: FusionModel, state: dict[int, dict],
+                 src_index: dict[int, dict[str, int]],
+                 n_sources: dict[int, int]):
+        self.model = model
+        self.state = state
+        self.src_index = src_index
+        self.n_sources = n_sources
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
+                for bid, n in self.n_sources.items()}
+        touched = set()
+        for fact in iter_facts(batch, self.src_index):
+            self.model.accumulate(fact, self.state[fact.bucket_id],
+                                  outs[fact.bucket_id])
+            touched.add(fact.bucket_id)
+        rows_b, rows_s, chans = [], [], [[] for _ in range(N_CHANNELS)]
+        for bid in touched:
+            srcs = sorted(self.src_index[bid], key=self.src_index[bid].get)
+            for j, s in enumerate(srcs):
+                rows_b.append(bid)
+                rows_s.append(s)
+                for c in range(N_CHANNELS):
+                    chans[c].append(outs[bid][c, j])
+        cols = {
+            "bucket_id": pa.array(rows_b, pa.int32()),
+            "source": pa.array(rows_s, pa.string()),
+        }
+        for c in range(N_CHANNELS):
+            cols[f"s{c}"] = pa.array(chans[c], pa.float64())
+        return pa.table(cols)
+
+
+class _EmitFn:
+    def __init__(self, model: FusionModel, state: dict[int, dict],
+                 src_index: dict[int, dict[str, int]]):
+        self.model = model
+        self.state = state
+        self.src_index = src_index
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("bucket_id", "entity", "attr", "value_str",
+                                "value_num", "value_type", "conf", "n_claims",
+                                "winner_claim_id")}
+        for fact in iter_facts(batch, self.src_index):
+            values, conf = self.model.fact_truth(
+                fact, self.state[fact.bucket_id])
+            for v in values:
+                if v is None:
+                    continue
+                if isinstance(v, (int, float, np.floating)):
+                    vs, vn = _fmt_num(float(v)), float(v)
+                else:
+                    vs, vn = str(v), None
+                # lineage: the winning claim's id (first claim asserting v)
+                win = -1
+                for cid, cv in zip(fact.claim_ids, fact.values):
+                    if (cv == v) if not isinstance(v, float) else (
+                            isinstance(cv, float) and cv == v):
+                        win = int(cid)
+                        break
+                rows["bucket_id"].append(fact.bucket_id)
+                rows["entity"].append(fact.entity)
+                rows["attr"].append(fact.attr)
+                rows["value_str"].append(vs)
+                rows["value_num"].append(vn)
+                rows["value_type"].append(fact.vtype)
+                rows["conf"].append(float(conf))
+                rows["n_claims"].append(len(fact.claim_ids))
+                rows["winner_claim_id"].append(win)
+        return pa.table(
+            {
+                "bucket_id": pa.array(rows["bucket_id"], pa.int32()),
+                "entity": pa.array(rows["entity"], pa.string()),
+                "attr": pa.array(rows["attr"], pa.string()),
+                "value_str": pa.array(rows["value_str"], pa.string()),
+                "value_num": pa.array(rows["value_num"], pa.float64()),
+                "value_type": pa.array(rows["value_type"], pa.string()),
+                "conf": pa.array(rows["conf"], pa.float64()),
+                "n_claims": pa.array(rows["n_claims"], pa.int32()),
+                "winner_claim_id": pa.array(rows["winner_claim_id"], pa.int64()),
+            }
+        )
+
+
+def _fmt_num(v: float) -> str:
+    return str(int(v)) if float(v).is_integer() else repr(v)
+
+
+def run_fusion(claims, model: FusionModel, materialize: bool = True,
+               local_threshold: int = 200_000):
+    """claims Dataset + model → (triples Dataset, weights per bucket).
+
+    Returns ``(triples_ds, weights)`` where weights is
+    ``{bucket_id: {source: weight}}`` (the reference's
+    ``unified_result["weights"]``, `model.py:228-229`).
+
+    Iteration strategy is size-adaptive: the per-round exchange is tiny
+    (per-source sums), so when the packed fact table is small enough to fit
+    on the driver the rounds run locally on one Arrow table (no per-round
+    task overhead); above ``local_threshold`` facts the rounds run as
+    distributed map_batches passes over the materialized packed Dataset.
+    Both paths execute the identical model code (tests assert equality).
+    """
+    packed = pack_facts(claims, numeric_only=model.numeric_only)
+    if materialize:
+        packed = packed.materialize()  # reused by every round — pay once
+
+    if local_threshold and packed.count() <= local_threshold:
+        return _run_fusion_local(packed, model)
+
+    sources, counts = source_stats(packed)
+    src_index = {bid: {s: i for i, s in enumerate(srcs)}
+                 for bid, srcs in sources.items()}
+    n_sources = {bid: len(srcs) for bid, srcs in sources.items()}
+    state = {bid: model.initial_state(sources[bid], counts[bid])
+             for bid in sources}
+
+    for r in range(model.n_rounds):
+        stats_tbl = (
+            packed.map_batches(
+                _StatsFn, batch_format="pyarrow", zero_copy_batch=True,
+                fn_constructor_kwargs=dict(
+                    model=model, state=state, src_index=src_index,
+                    n_sources=n_sources),
+                concurrency=None,
+            )
+            .groupby(["bucket_id", "source"])
+            .sum([f"s{c}" for c in range(N_CHANNELS)])
+            .take_all()
+        )
+        stats = {bid: np.zeros((N_CHANNELS, n_sources[bid]))
+                 for bid in n_sources}
+        for row in stats_tbl:
+            bid = row["bucket_id"]
+            j = src_index[bid][row["source"]]
+            for c in range(N_CHANNELS):
+                stats[bid][c, j] = row[f"sum(s{c})"]
+        all_conv = True
+        for bid in state:
+            state[bid], conv = model.reduce(state[bid], stats[bid],
+                                            counts[bid], r)
+            all_conv = all_conv and conv
+        if all_conv:
+            break
+
+    triples = packed.map_batches(
+        _EmitFn, batch_format="pyarrow", zero_copy_batch=True,
+        fn_constructor_kwargs=dict(model=model, state=state,
+                                   src_index=src_index),
+    )
+    weights = {
+        bid: {s: float(model.weights(state[bid])[i])
+              for s, i in src_index[bid].items()}
+        for bid in src_index
+    }
+    return triples, weights
+
+
+def _run_fusion_local(packed, model: FusionModel):
+    """Small-data fast path: same model code, rounds iterate over one local
+    Arrow table; returns (triples Dataset, weights)."""
+    import ray
+    import ray.data as rd
+
+    tbl = pa.concat_tables(ray.get(packed.to_arrow_refs()))
+
+    # source index + counts
+    sources: dict[int, list[str]] = {}
+    counts_map: dict[int, dict[str, int]] = {}
+    for bid, srcs in zip(tbl["bucket_id"].to_pylist(),
+                         tbl["sources"].to_pylist()):
+        sset = sources.setdefault(bid, [])
+        cm = counts_map.setdefault(bid, {})
+        for s in srcs:
+            if s not in cm:
+                sset.append(s)
+            cm[s] = cm.get(s, 0) + 1
+    src_index = {}
+    counts = {}
+    for bid in sources:
+        sources[bid].sort()
+        src_index[bid] = {s: i for i, s in enumerate(sources[bid])}
+        counts[bid] = np.array([counts_map[bid][s] for s in sources[bid]],
+                               dtype=np.float64)
+    n_sources = {bid: len(s) for bid, s in sources.items()}
+
+    facts = list(iter_facts(tbl, src_index)) if len(tbl) else []
+    state = {bid: model.initial_state(sources[bid], counts[bid])
+             for bid in sources}
+    for r in range(model.n_rounds):
+        outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
+                for bid, n in n_sources.items()}
+        for fact in facts:
+            model.accumulate(fact, state[fact.bucket_id],
+                             outs[fact.bucket_id])
+        all_conv = True
+        for bid in state:
+            state[bid], conv = model.reduce(state[bid], outs[bid],
+                                            counts[bid], r)
+            all_conv = all_conv and conv
+        if all_conv:
+            break
+
+    emit = _EmitFn(model, state, src_index)
+    triples_tbl = emit(tbl)
+    weights = {
+        bid: {s: float(model.weights(state[bid])[i])
+              for s, i in src_index[bid].items()}
+        for bid in src_index
+    }
+    return rd.from_arrow(triples_tbl), weights

@@ -1,0 +1,88 @@
+"""CRH conflict resolution, faithful to
+`/root/reference/trustfuse/models/crh.py:8-103` (params from
+`/root/reference/settings.py:82-85`: max_itr=10; tol/eps defaults 1e-3/0.1).
+
+Math per round r (reference ``_fuse`` loop):
+  w   = update_w(truth_{r-1})   — per-source −log normalized loss share
+  truth_r = update_truth(w)      — snap-to-claim weighted argmax/argmin
+with truth_0 = Voting init (mode/median).  Truth is a pure function of the
+weights, so the distributed rounds only exchange the per-source loss sums
+(channel s0); truth is recomputed inside each map task.
+
+Faithful quirks kept:
+* sources with zero accumulated loss get weight 0 (``rtn[rtn>0]`` mask,
+  crh.py:61);
+* numeric loss normalized by max(std(claims), eps) per fact;
+* no convergence test — exactly max_itr rounds (err check is commented out
+  in the reference).
+Deterministic tie-break (SURVEY.md §7.5): distinct categorical values are
+scanned in sorted order, so argmax ties pick the lexicographically smallest
+(the reference's ``list(set(...))`` order is nondeterministic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from trustfuse_ray.fuse.base import Fact, FusionModel
+from trustfuse_ray.fuse.voting import categorical_mode
+
+
+class CRH(FusionModel):
+    name = "crh"
+
+    def __init__(self, max_itr: int = 10, eps: float = 0.1):
+        self.n_rounds = max_itr
+        self.eps = eps
+
+    def initial_state(self, sources, counts):
+        n = len(sources)
+        return {"w": np.ones(n) / max(n, 1), "use_init_truth": True}
+
+    # -- truth given current state (pure) ---------------------------------
+    def _truth(self, fact: Fact, state):
+        if state["use_init_truth"]:
+            if fact.is_numeric:
+                return float(np.median(fact.values))
+            return categorical_mode(fact.values)[0]
+        return self._update_truth(fact, state["w"])[0]
+
+    def _update_truth(self, fact: Fact, w):
+        wi = w[fact.src_idx]
+        if fact.is_numeric:
+            v = fact.values
+            denom = max(float(np.std(v)), self.eps)
+            # candidates = claimed values in claim order (crh.py:80-86)
+            loss = ((v[:, None] - v[None, :]) ** 2) / denom  # cand x claims
+            scores = loss @ wi
+            j = int(np.argmin(scores))
+            return float(v[j]), 1.0 / (1.0 + float(scores[j]))
+        vals = fact.values.astype(str)
+        uniq = np.unique(vals)  # sorted → deterministic argmax tie-break
+        scores = np.array([(wi * (vals == u)).sum() for u in uniq])
+        j = int(np.argmax(scores))
+        tot = float(scores.sum())
+        return str(uniq[j]), float(scores[j]) / tot if tot > 0 else 0.0
+
+    # -- distributed protocol --------------------------------------------
+    def accumulate(self, fact: Fact, state, out):
+        truth = self._truth(fact, state)
+        if fact.is_numeric:
+            v = fact.values
+            denom = max(float(np.std(v)), self.eps)
+            loss = ((v - truth) ** 2) / denom
+        else:
+            loss = (fact.values.astype(str) != truth).astype(np.float64)
+        np.add.at(out[0], fact.src_idx, loss)
+
+    def reduce(self, state, stats, counts, round_no):
+        rtn = stats[0].copy()
+        tmp = rtn.sum()
+        if tmp > 0:
+            mask = rtn > 0
+            rtn[mask] = -np.log(rtn[mask] / tmp)
+        return {"w": rtn, "use_init_truth": False}, False
+
+    def fact_truth(self, fact: Fact, state):
+        v, conf = self._update_truth(fact, state["w"])
+        return [v], conf

@@ -1,0 +1,82 @@
+"""Per-conversation turn reassembly.
+
+North-rule requirement: ``groupby(conv_id)`` with explicit sort on
+``turn_idx``, preserving the per-turn text-equality invariant (the input
+files store turns shuffled within a conversation).  Reference analog: the
+global timestamp sort before bucketization
+(`/root/reference/dataset_generation/generate_buckets.py:156-157`) — here the
+sort is *per conversation inside its group task*, never a global sort.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class TurnOrderError(ValueError):
+    pass
+
+
+def _reassemble_group(batch: pa.Table) -> pa.Table:
+    order = pc.sort_indices(batch, sort_keys=[("turn_idx", "ascending")])
+    batch = batch.take(order)
+    conv_id = batch["conv_id"][0].as_py()
+    idx = batch["turn_idx"].to_pylist()
+    if len(set(idx)) != len(idx):
+        raise TurnOrderError(f"duplicate turn_idx in {conv_id}")
+    texts = batch["text"].to_pylist()
+    if any(t is None for t in texts):
+        raise TurnOrderError(f"null turn text in {conv_id}")
+    transcript = "\n".join(texts)
+    # per-turn text-equality fingerprint: hash over (turn_idx, text) in order
+    h = hashlib.sha256()
+    for i, t in zip(idx, texts):
+        h.update(str(i).encode())
+        h.update(b"\x00")
+        h.update(t.encode())
+        h.update(b"\x01")
+    return pa.table(
+        {
+            "conv_id": pa.array([conv_id], pa.string()),
+            "n_turns": pa.array([len(idx)], pa.int32()),
+            "first_ts": pa.array([batch["ts"][0].as_py()], pa.timestamp("us")),
+            "last_ts": pa.array([batch["ts"][-1].as_py()], pa.timestamp("us")),
+            "transcript": pa.array([transcript], pa.string()),
+            "turn_fingerprint": pa.array([h.hexdigest()], pa.string()),
+        }
+    )
+
+
+def assemble_conversations(transcripts):
+    """transcripts Dataset → one row per conversation, turn order restored.
+
+    The shuffle key is ``conv_id``; conversations are small (≤ dozens of
+    turns) so per-group work is trivial and skew-free.
+    """
+    return transcripts.groupby("conv_id").map_groups(
+        _reassemble_group, batch_format="pyarrow"
+    )
+
+
+def turn_fingerprints(transcripts):
+    """Order-insensitive per-conversation fingerprint computed WITHOUT the
+    shuffle (vectorized xor-of-row-hashes inside map_batches) — used by tests
+    to verify the reassembly path did not mutate any turn text."""
+
+    def _batch(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        idx = batch["turn_idx"].to_pylist()
+        txt = batch["text"].to_pylist()
+        out_c, out_h = [], []
+        for c, i, t in zip(conv, idx, txt):
+            d = hashlib.sha256(f"{i}\x00{t}".encode()).digest()[:8]
+            out_c.append(c)
+            out_h.append(int.from_bytes(d, "big") & 0x7FFFFFFFFFFFFFFF)
+        return pa.table({"conv_id": pa.array(out_c, pa.string()),
+                         "h": pa.array(out_h, pa.int64())})
+
+    per_turn = transcripts.map_batches(_batch, batch_format="pyarrow")
+    return per_turn.groupby("conv_id").sum("h")

@@ -1,0 +1,102 @@
+"""Entity linking + value canonicalization: mentions → canonical claims IR.
+
+Reference analog: the QID/label LMDB hashmap lookup used during dataset
+construction (`/root/reference/dataset_generation/generate_conflicting_dataset.py:496-515`,
+`/root/reference/trustfuse/models/utils.py:19-24`) — a side index loaded once
+per worker.  Here the alias index is broadcast once via ``ray.put`` and each
+actor of the pool dereferences it in ``__init__`` (never re-shipped per
+batch); value canonicalization applies the type-driven kernels from
+``canon.py`` (the reference's config-driven ``data_preprocessing``,
+`preprocessing.py:57-83`).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from trustfuse_ray.stages import canon
+
+
+def load_alias_map(path: str) -> dict[str, str]:
+    t = pq.read_table(path)
+    return dict(zip(t["alias"].to_pylist(), t["entity"].to_pylist()))
+
+
+class EntityLinkerCanon:
+    """Actor-pool stage: alias-dict linking + type-driven canonicalization.
+
+    State (alias index, attribute-type map) is resolved once per actor in
+    ``__init__``.  Ray Data stores actor-pool constructor args in the object
+    store once and each actor fetches them at construction — that IS the
+    broadcast path (never re-shipped per batch).  Passing an ObjectRef and
+    calling ``ray.get`` inside ``__init__`` deadlocks under the actor-pool
+    operator (ray#53727), so the index is passed by value or by path.
+    """
+
+    def __init__(self, alias_ref, attr_types: dict[str, str],
+                 bucket_id: int = 0):
+        if isinstance(alias_ref, str):
+            alias_ref = load_alias_map(alias_ref)
+        self.alias_map = alias_ref
+        self.attr_types = dict(attr_types)
+        self.bucket_id = bucket_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mention = pc.utf8_trim_whitespace(batch["mention"])
+        # dict-map via pandas (C-level hash map lookup), miss → surface form
+        ment_s = pd.Series(mention.to_pylist(), dtype=object)
+        entity = ment_s.map(self.alias_map).fillna(ment_s)
+
+        attr = batch["attr"]
+        raw = batch["raw_value"]
+        trimmed = pc.utf8_trim_whitespace(raw)
+
+        vtype = pd.Series(attr.to_pylist(), dtype=object).map(
+            self.attr_types).fillna("string")
+        is_q = pa.array((vtype == "quantity").to_numpy(copy=False))
+
+        # quantity: strip thousands separators, parse float
+        no_commas = pc.replace_substring(trimmed, ",", "")
+        value_num = canon.extract_number_with_commas(trimmed)
+        value_str = pc.if_else(is_q, no_commas, trimmed)
+        value_num = pc.if_else(is_q, value_num,
+                               pa.nulls(len(batch), pa.float64()))
+
+        return pa.table(
+            {
+                "claim_id": batch["claim_id"],
+                "bucket_id": pa.array([self.bucket_id] * len(batch), pa.int32()),
+                "source": batch["source"],
+                "entity": pa.array(entity.tolist(), pa.string()),
+                "attr": attr,
+                "value_str": value_str,
+                "value_num": value_num,
+                "value_type": pa.array(vtype.tolist(), pa.string()),
+                "raw_value": raw,
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+            }
+        )
+
+
+def link_and_canonicalize(mentions, alias_src, attr_types: dict[str, str],
+                          bucket_id: int = 0, concurrency: int | tuple = (1, 8),
+                          batch_size: int = 4096):
+    """mentions Dataset → canonical CLAIMS Dataset (broadcast side index)."""
+    if isinstance(alias_src, str):
+        alias_src = load_alias_map(alias_src)
+    return mentions.map_batches(
+        EntityLinkerCanon,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "alias_ref": alias_src,
+            "attr_types": attr_types,
+            "bucket_id": bucket_id,
+        },
+    )

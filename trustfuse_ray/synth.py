@@ -1,0 +1,247 @@
+"""Deterministic synthetic transcript corpus (the engine's primary input).
+
+BASELINE.json's input_hint mandates Parquet transcript tables
+``(conv_id, turn_idx, role, text, tool, ts)``.  The driver's testdata has no
+transcript table, so we synthesize one deterministically (seed=42, no wall
+clock) per scale factor, mirroring how the reference constructs conflicting
+claims for its Book/Flight corpora (per-source accuracy with wrong-value
+pools, cf. /root/reference/data/input_trustfuse/book/conflicting_data/ and
+FIXTURES.md F1):
+
+* each turn's ``text`` embeds 0–3 templated claim sentences
+  ``"The <attr> of <mention> is <value>."``;
+* the claiming *source* is the ``role:tool`` pair (reference column `Source`);
+* each source asserts the true value with per-source accuracy in
+  [0.55, 0.95], else a wrong value from a small per-fact pool;
+* a few hot entities get ~50x claim volume (skew / salting path);
+* subject *mentions* are alias surface forms (exercise entity linking);
+* quantity values are formatted with thousands separators and occasional
+  stray spaces (exercise canonicalization kernels).
+
+Everything (transcripts, alias table, golden truth, attribute types) is
+written under a cache dir keyed by the scale name; generation is pure given
+(seed, n_conv) so reruns are byte-stable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+BASE_TS = np.datetime64("2026-01-01T00:00:00", "us")
+
+ROLES = ("user", "assistant", "tool")
+TOOLS = (
+    "search", "wiki", "db", "kb", "web", "crawler",
+    "scraper", "api", "cache", "index", "feed", "",
+)
+STRING_ATTRS = ("color", "capital", "category", "status")
+QUANTITY_ATTRS = ("population", "height", "price")
+ENTITY_ATTRS = ("neighbor",)
+ATTRS = STRING_ATTRS + QUANTITY_ATTRS + ENTITY_ATTRS
+ATTR_TYPES = {
+    **{a: "string" for a in STRING_ATTRS},
+    **{a: "quantity" for a in QUANTITY_ATTRS},
+    **{a: "entity" for a in ENTITY_ATTRS},
+}
+
+# Claim sentence grammar shared with the extractor and the DuckDB oracle.
+CLAIM_SENTENCE_RE = r"The ([a-z_]+) of ([A-Za-z0-9_ ]+?) is ([A-Za-z0-9_, ]+?)\."
+
+N_CONV_BY_SF = {"sf0.001": 160, "sf0.01": 1600, "sf0.1": 16000}
+FILLERS = (
+    "Let me check that for you",
+    "Here is what I found",
+    "Searching the knowledge base now",
+    "That matches the earlier record",
+    "I will verify this claim",
+)
+
+
+def sf_name(sf_dir: str) -> str:
+    return Path(sf_dir).name or "sf0.001"
+
+
+def cache_dir(sf_dir: str, root: str = "/tmp/trustfuse_ray_data") -> str:
+    return os.path.join(root, sf_name(sf_dir))
+
+
+def _entity_names(n: int) -> list[str]:
+    return [f"E{i:05d}" for i in range(n)]
+
+
+def _aliases_for(entity: str) -> list[str]:
+    i = int(entity[1:])
+    return [entity, f"entity {i}", f"node {i} prime"]
+
+
+def generate(sf_dir: str, root: str = "/tmp/trustfuse_ray_data",
+             n_conv: int | None = None, n_files: int = 8) -> str:
+    """Generate (or reuse) the synthetic corpus for a scale dir; returns its path."""
+    out = cache_dir(sf_dir, root)
+    marker = os.path.join(out, "_SUCCESS")
+    if n_conv is None:
+        n_conv = N_CONV_BY_SF.get(sf_name(sf_dir), 200)
+    stamp = f"seed={SEED} n_conv={n_conv} v3"
+    if os.path.exists(marker) and Path(marker).read_text() == stamp:
+        return out
+    os.makedirs(os.path.join(out, "transcripts"), exist_ok=True)
+
+    rng = np.random.default_rng(SEED)
+    n_entities = max(40, n_conv // 4)
+    entities = _entity_names(n_entities)
+    n_hot = 3  # hot entities: ~50x claim volume
+
+    # --- ground truth: one true value per (entity, attr) --------------------
+    truth_rows = {"entity": [], "attr": [], "value_str": [], "value_num": [],
+                  "value_type": []}
+    true_str = {}   # (ei, attr) -> canonical string value
+    true_num = {}   # (ei, attr) -> int value (quantity)
+    for ei in range(n_entities):
+        for attr in ATTRS:
+            t = ATTR_TYPES[attr]
+            if t == "quantity":
+                v = int(rng.integers(100, 10_000_000))
+                true_num[(ei, attr)] = v
+                s = str(v)
+                vn = float(v)
+            elif t == "entity":
+                s = entities[int(rng.integers(0, n_entities))]
+                vn = None
+            else:
+                s = f"{attr}_v{int(rng.integers(0, 4))}"
+                vn = None
+            true_str[(ei, attr)] = s
+            truth_rows["entity"].append(entities[ei])
+            truth_rows["attr"].append(attr)
+            truth_rows["value_str"].append(s)
+            truth_rows["value_num"].append(vn)
+            truth_rows["value_type"].append(t)
+
+    def wrong_values(ei: int, attr: str) -> list[str]:
+        t = ATTR_TYPES[attr]
+        if t == "quantity":
+            v = true_num[(ei, attr)]
+            return [str(max(1, v // 2)), str(v * 2 + 1), str(v * 10 + 3)]
+        if t == "entity":
+            return [entities[(ei + k) % n_entities] for k in (1, 2, 3)]
+        tv = true_str[(ei, attr)]
+        pool = [f"{attr}_v{j}" for j in range(6)]
+        return [p for p in pool if p != tv][:3]
+
+    # --- sources with per-source accuracy -----------------------------------
+    sources = []
+    for role in ROLES:
+        for tool in TOOLS:
+            if role == "user" and tool:
+                continue
+            if role != "user" and not tool:
+                continue
+            sources.append(f"{role}:{tool}")
+    src_acc = {s: float(a) for s, a in
+               zip(sources, rng.uniform(0.55, 0.95, size=len(sources)))}
+
+    # --- conversations ------------------------------------------------------
+    turns_per_conv = rng.integers(4, 17, size=n_conv)
+    conv_ids, turn_idxs, roles_c, texts, tools_c, tss = [], [], [], [], [], []
+    # entity sampling weights: hot entities dominate
+    w = np.ones(n_entities)
+    w[:n_hot] = 50.0
+    w /= w.sum()
+
+    n_turns_total = int(turns_per_conv.sum())
+    ent_pool = rng.choice(n_entities, size=n_turns_total * 3, p=w)
+    attr_pool = rng.integers(0, len(ATTRS), size=n_turns_total * 3)
+    nclaims_pool = rng.choice(4, size=n_turns_total, p=[0.25, 0.35, 0.25, 0.15])
+    role_pool = rng.integers(0, 3, size=n_turns_total)
+    tool_pool = rng.integers(0, len(TOOLS) - 1, size=n_turns_total)
+    lie_pool = rng.random(size=n_turns_total * 3)
+    alias_pool = rng.integers(0, 3, size=n_turns_total * 3)
+    wrong_pick = rng.integers(0, 3, size=n_turns_total * 3)
+    filler_pool = rng.integers(0, len(FILLERS), size=n_turns_total)
+    spacey = rng.random(size=n_turns_total * 3)
+
+    p = 0  # claim cursor
+    g = 0  # turn cursor
+    for ci in range(n_conv):
+        cid = f"conv-{ci:06d}"
+        k = int(turns_per_conv[ci])
+        # shuffled turn order within the file exercises reassembly (FIXTURES F1)
+        order = rng.permutation(k)
+        for local_i in range(k):
+            ti = int(order[local_i])
+            role = ROLES[role_pool[g]]
+            tool = "" if role == "user" else TOOLS[tool_pool[g]]
+            source_ok = role != "user"
+            nc = int(nclaims_pool[g]) if source_ok else 0
+            sents = [FILLERS[filler_pool[g]] + "."]
+            src = f"{role}:{tool}"
+            for _ in range(nc):
+                ei = int(ent_pool[p])
+                attr = ATTRS[attr_pool[p] % len(ATTRS)]
+                if lie_pool[p] < src_acc[src]:
+                    val = true_str[(ei, attr)]
+                else:
+                    val = wrong_values(ei, attr)[wrong_pick[p]]
+                if ATTR_TYPES[attr] == "quantity" and len(val) > 3:
+                    # thousands separators in the surface form
+                    val = f"{int(val):,}"
+                if spacey[p] < 0.15:
+                    val = val + " "  # stray trailing space pre-period
+                mention = _aliases_for(entities[ei])[alias_pool[p]]
+                sents.append(f"The {attr} of {mention} is {val}.")
+                p += 1
+            conv_ids.append(cid)
+            turn_idxs.append(ti)
+            roles_c.append(role)
+            tools_c.append(tool)
+            texts.append(" ".join(sents))
+            tss.append(BASE_TS + np.timedelta64(ci * 3600 + ti * 7, "s"))
+            g += 1
+
+    table = pa.table(
+        {
+            "conv_id": pa.array(conv_ids, pa.string()),
+            "turn_idx": pa.array(turn_idxs, pa.int32()),
+            "role": pa.array(roles_c, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array(tools_c, pa.string()),
+            "ts": pa.array(tss, pa.timestamp("us")),
+        }
+    )
+    # one file per hash partition of conv_id → resumable, parallel read
+    part = np.array([hash_conv(c) % n_files for c in conv_ids])
+    for f in range(n_files):
+        pq.write_table(table.filter(pa.array(part == f)),
+                       os.path.join(out, "transcripts", f"part-{f:05d}.parquet"))
+
+    pq.write_table(pa.table({k: pa.array(v) for k, v in truth_rows.items()}),
+                   os.path.join(out, "truth.parquet"))
+    al_alias, al_ent = [], []
+    for e in entities:
+        for a in _aliases_for(e):
+            al_alias.append(a)
+            al_ent.append(e)
+    pq.write_table(pa.table({"alias": al_alias, "entity": al_ent}),
+                   os.path.join(out, "aliases.parquet"))
+    pq.write_table(
+        pa.table({"source": list(src_acc), "acc": list(src_acc.values())}),
+        os.path.join(out, "source_acc.parquet"))
+    with open(os.path.join(out, "attr_types.json"), "w") as fh:
+        json.dump(ATTR_TYPES, fh)
+    Path(marker).write_text(stamp)
+    return out
+
+
+def hash_conv(conv_id: str) -> int:
+    """Stable conversation hash (no PYTHONHASHSEED dependence)."""
+    h = 2166136261
+    for ch in conv_id.encode():
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
+    return h
