@@ -1,0 +1,93 @@
+"""Extraction + reassembly stages (north-rule invariant checks)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from trustfuse_ray.stages.assemble import (TurnOrderError,
+                                           assemble_conversations)
+from trustfuse_ray.stages.extract import TripleExtractor, extract_triples
+
+
+def _transcripts(rows):
+    return ray.data.from_arrow(pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "tool": pa.array([r[4] for r in rows], pa.string()),
+        "ts": pa.array([np.datetime64("2026-01-01", "us")] * len(rows)),
+    }))
+
+
+def test_extractor_parses_claims():
+    ex = TripleExtractor()
+    batch = _transcripts([
+        ("c1", 0, "assistant", "Hello. The color of E00001 is red.", "wiki"),
+        ("c1", 1, "user", "The color of E00001 is blue.", ""),  # user: skipped
+        ("c1", 2, "tool", "The population of node 3 prime is 1,234. "
+                          "The color of E00002 is green .", "db"),
+        ("c1", 3, "tool", "no claims here", "db"),
+    ]).take_all()
+    tbl = pa.Table.from_pylist(batch)
+    out = ex(tbl)
+    rows = out.to_pylist()
+    assert len(rows) == 3
+    assert rows[0]["source"] == "assistant:wiki"
+    assert rows[0]["attr"] == "color" and rows[0]["raw_value"] == "red"
+    assert rows[1]["mention"] == "node 3 prime"
+    assert rows[1]["raw_value"] == "1,234"
+    assert rows[2]["raw_value"] == "green "  # trailing space kept raw
+    # claim ids are distinct + stable
+    assert len({r["claim_id"] for r in rows}) == 3
+    assert ex(tbl)["claim_id"].to_pylist() == out["claim_id"].to_pylist()
+
+
+def test_extract_dataset_stage():
+    ds = _transcripts([
+        ("c1", 0, "assistant", "The color of X is red.", "wiki"),
+        ("c2", 0, "assistant", "nothing", "wiki"),
+    ])
+    out = extract_triples(ds, concurrency=(1, 2)).take_all()
+    assert len(out) == 1
+
+
+def test_assemble_restores_turn_order():
+    ds = _transcripts([
+        ("c1", 2, "user", "t2", ""),
+        ("c1", 0, "user", "t0", ""),
+        ("c1", 1, "user", "t1", ""),
+        ("c2", 0, "user", "only", ""),
+    ])
+    rows = {r["conv_id"]: r for r in assemble_conversations(ds).take_all()}
+    assert rows["c1"]["transcript"] == "t0\nt1\nt2"
+    assert rows["c1"]["n_turns"] == 3
+    assert rows["c2"]["transcript"] == "only"
+
+
+def test_assemble_rejects_duplicate_turns():
+    ds = _transcripts([
+        ("c1", 0, "user", "a", ""),
+        ("c1", 0, "user", "b", ""),
+    ])
+    with pytest.raises(Exception) as ei:
+        assemble_conversations(ds).take_all()
+    assert "duplicate turn_idx" in str(ei.value)
+
+
+def test_turn_equality_invariant_on_synth(synth_dir):
+    """Per-turn text equality under stable turn ordering: reassembling the
+    shuffled synthetic transcripts and re-splitting yields the original
+    (conv_id, turn_idx, text) set exactly."""
+    ds = ray.data.read_parquet(synth_dir + "/transcripts")
+    original = {(r["conv_id"], r["turn_idx"]): r["text"]
+                for r in ds.take_all()}
+    reassembled = assemble_conversations(ds).take_all()
+    rebuilt = {}
+    for conv in reassembled:
+        # transcripts were joined in turn order; texts contain no newlines
+        for i, txt in enumerate(conv["transcript"].split("\n")):
+            rebuilt[(conv["conv_id"], sorted(
+                ti for (c, ti) in original if c == conv["conv_id"])[i])] = txt
+    assert rebuilt == original

@@ -25,6 +25,7 @@ iteration order (SURVEY.md §7.5 tie-breaking).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Iterator
 
@@ -239,90 +240,79 @@ def source_stats(packed) -> tuple[dict[int, list[str]], dict[int, np.ndarray]]:
 # ---------------------------------------------------------------------------
 
 
-class _StatsFn:
-    def __init__(self, model: FusionModel, state: dict[int, dict],
+def _stats_batch(batch: pa.Table, *, model: FusionModel,
+                 state: dict[int, dict],
                  src_index: dict[int, dict[str, int]],
-                 n_sources: dict[int, int]):
-        self.model = model
-        self.state = state
-        self.src_index = src_index
-        self.n_sources = n_sources
+                 n_sources: dict[int, int]) -> pa.Table:
+    """One distributed round over one batch: accumulate per-source partials
+    pre-combined inside the task (one output row per (bucket, source))."""
+    outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
+            for bid, n in n_sources.items()}
+    touched = set()
+    for fact in iter_facts(batch, src_index):
+        model.accumulate(fact, state[fact.bucket_id], outs[fact.bucket_id])
+        touched.add(fact.bucket_id)
+    rows_b, rows_s, chans = [], [], [[] for _ in range(N_CHANNELS)]
+    for bid in touched:
+        srcs = sorted(src_index[bid], key=src_index[bid].get)
+        for j, s in enumerate(srcs):
+            rows_b.append(bid)
+            rows_s.append(s)
+            for c in range(N_CHANNELS):
+                chans[c].append(outs[bid][c, j])
+    cols = {
+        "bucket_id": pa.array(rows_b, pa.int32()),
+        "source": pa.array(rows_s, pa.string()),
+    }
+    for c in range(N_CHANNELS):
+        cols[f"s{c}"] = pa.array(chans[c], pa.float64())
+    return pa.table(cols)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
-                for bid, n in self.n_sources.items()}
-        touched = set()
-        for fact in iter_facts(batch, self.src_index):
-            self.model.accumulate(fact, self.state[fact.bucket_id],
-                                  outs[fact.bucket_id])
-            touched.add(fact.bucket_id)
-        rows_b, rows_s, chans = [], [], [[] for _ in range(N_CHANNELS)]
-        for bid in touched:
-            srcs = sorted(self.src_index[bid], key=self.src_index[bid].get)
-            for j, s in enumerate(srcs):
-                rows_b.append(bid)
-                rows_s.append(s)
-                for c in range(N_CHANNELS):
-                    chans[c].append(outs[bid][c, j])
-        cols = {
-            "bucket_id": pa.array(rows_b, pa.int32()),
-            "source": pa.array(rows_s, pa.string()),
+
+def _emit_batch(batch: pa.Table, *, model: FusionModel,
+                state: dict[int, dict],
+                src_index: dict[int, dict[str, int]]) -> pa.Table:
+    rows = {k: [] for k in ("bucket_id", "entity", "attr", "value_str",
+                            "value_num", "value_type", "conf", "n_claims",
+                            "winner_claim_id")}
+    for fact in iter_facts(batch, src_index):
+        values, conf = model.fact_truth(fact, state[fact.bucket_id])
+        for v in values:
+            if v is None:
+                continue
+            if isinstance(v, (int, float, np.floating)):
+                vs, vn = _fmt_num(float(v)), float(v)
+            else:
+                vs, vn = str(v), None
+            # lineage: the winning claim's id (first claim asserting v)
+            win = -1
+            for cid, cv in zip(fact.claim_ids, fact.values):
+                if (cv == v) if not isinstance(v, float) else (
+                        isinstance(cv, float) and cv == v):
+                    win = int(cid)
+                    break
+            rows["bucket_id"].append(fact.bucket_id)
+            rows["entity"].append(fact.entity)
+            rows["attr"].append(fact.attr)
+            rows["value_str"].append(vs)
+            rows["value_num"].append(vn)
+            rows["value_type"].append(fact.vtype)
+            rows["conf"].append(float(conf))
+            rows["n_claims"].append(len(fact.claim_ids))
+            rows["winner_claim_id"].append(win)
+    return pa.table(
+        {
+            "bucket_id": pa.array(rows["bucket_id"], pa.int32()),
+            "entity": pa.array(rows["entity"], pa.string()),
+            "attr": pa.array(rows["attr"], pa.string()),
+            "value_str": pa.array(rows["value_str"], pa.string()),
+            "value_num": pa.array(rows["value_num"], pa.float64()),
+            "value_type": pa.array(rows["value_type"], pa.string()),
+            "conf": pa.array(rows["conf"], pa.float64()),
+            "n_claims": pa.array(rows["n_claims"], pa.int32()),
+            "winner_claim_id": pa.array(rows["winner_claim_id"], pa.int64()),
         }
-        for c in range(N_CHANNELS):
-            cols[f"s{c}"] = pa.array(chans[c], pa.float64())
-        return pa.table(cols)
-
-
-class _EmitFn:
-    def __init__(self, model: FusionModel, state: dict[int, dict],
-                 src_index: dict[int, dict[str, int]]):
-        self.model = model
-        self.state = state
-        self.src_index = src_index
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = {k: [] for k in ("bucket_id", "entity", "attr", "value_str",
-                                "value_num", "value_type", "conf", "n_claims",
-                                "winner_claim_id")}
-        for fact in iter_facts(batch, self.src_index):
-            values, conf = self.model.fact_truth(
-                fact, self.state[fact.bucket_id])
-            for v in values:
-                if v is None:
-                    continue
-                if isinstance(v, (int, float, np.floating)):
-                    vs, vn = _fmt_num(float(v)), float(v)
-                else:
-                    vs, vn = str(v), None
-                # lineage: the winning claim's id (first claim asserting v)
-                win = -1
-                for cid, cv in zip(fact.claim_ids, fact.values):
-                    if (cv == v) if not isinstance(v, float) else (
-                            isinstance(cv, float) and cv == v):
-                        win = int(cid)
-                        break
-                rows["bucket_id"].append(fact.bucket_id)
-                rows["entity"].append(fact.entity)
-                rows["attr"].append(fact.attr)
-                rows["value_str"].append(vs)
-                rows["value_num"].append(vn)
-                rows["value_type"].append(fact.vtype)
-                rows["conf"].append(float(conf))
-                rows["n_claims"].append(len(fact.claim_ids))
-                rows["winner_claim_id"].append(win)
-        return pa.table(
-            {
-                "bucket_id": pa.array(rows["bucket_id"], pa.int32()),
-                "entity": pa.array(rows["entity"], pa.string()),
-                "attr": pa.array(rows["attr"], pa.string()),
-                "value_str": pa.array(rows["value_str"], pa.string()),
-                "value_num": pa.array(rows["value_num"], pa.float64()),
-                "value_type": pa.array(rows["value_type"], pa.string()),
-                "conf": pa.array(rows["conf"], pa.float64()),
-                "n_claims": pa.array(rows["n_claims"], pa.int32()),
-                "winner_claim_id": pa.array(rows["winner_claim_id"], pa.int64()),
-            }
-        )
+    )
 
 
 def _fmt_num(v: float) -> str:
@@ -361,11 +351,9 @@ def run_fusion(claims, model: FusionModel, materialize: bool = True,
     for r in range(model.n_rounds):
         stats_tbl = (
             packed.map_batches(
-                _StatsFn, batch_format="pyarrow", zero_copy_batch=True,
-                fn_constructor_kwargs=dict(
-                    model=model, state=state, src_index=src_index,
-                    n_sources=n_sources),
-                concurrency=None,
+                functools.partial(_stats_batch, model=model, state=state,
+                                  src_index=src_index, n_sources=n_sources),
+                batch_format="pyarrow", zero_copy_batch=True,
             )
             .groupby(["bucket_id", "source"])
             .sum([f"s{c}" for c in range(N_CHANNELS)])
@@ -387,9 +375,9 @@ def run_fusion(claims, model: FusionModel, materialize: bool = True,
             break
 
     triples = packed.map_batches(
-        _EmitFn, batch_format="pyarrow", zero_copy_batch=True,
-        fn_constructor_kwargs=dict(model=model, state=state,
-                                   src_index=src_index),
+        functools.partial(_emit_batch, model=model, state=state,
+                          src_index=src_index),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     weights = {
         bid: {s: float(model.weights(state[bid])[i])
@@ -444,8 +432,8 @@ def _run_fusion_local(packed, model: FusionModel):
         if all_conv:
             break
 
-    emit = _EmitFn(model, state, src_index)
-    triples_tbl = emit(tbl)
+    triples_tbl = _emit_batch(tbl, model=model, state=state,
+                              src_index=src_index)
     weights = {
         bid: {s: float(model.weights(state[bid])[i])
               for s, i in src_index[bid].items()}
