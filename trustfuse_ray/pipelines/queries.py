@@ -1,0 +1,411 @@
+"""Driver-facing query registry: each entry is one operator/pipeline from
+SURVEY.md §2 (plus the training-data operators), runnable on an ``sf_dir``
+and — where ANSI-SQL-expressible — paired with a DuckDB oracle in
+``oracle_sql_map`` (same column names, deterministic tie-breaks on both
+sides).  Transcript-derived queries run over the deterministic synthetic
+corpus for that sf (synth.generate); their oracles read the same cached
+Parquet via read_parquet()."""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from trustfuse_ray import synth
+from trustfuse_ray.fuse import make_model, run_fusion
+from trustfuse_ray.pipelines.kg import build_claims, read_transcripts
+from trustfuse_ray.stages import ann, dedup, text
+from trustfuse_ray.stages.assemble import assemble_conversations
+from trustfuse_ray.stages.extract import extract_triples
+from trustfuse_ray.stages.windows import sessionize
+
+QUANTITY_ATTRS = tuple(a for a, t in synth.ATTR_TYPES.items()
+                       if t == "quantity")
+ENTITY_ATTRS = tuple(a for a, t in synth.ATTR_TYPES.items() if t == "entity")
+
+# regex shared with the DuckDB oracle (RE2-compatible)
+SQL_PAT = r"The ([a-z_]+) of ([A-Za-z0-9_ ]+?) is ([A-Za-z0-9_, ]+?)\."
+
+
+def _tbl(sf_dir: str, name: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries (synthetic transcript corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_mentions(sf_dir: str):
+    data_dir = synth.generate(sf_dir)
+    ds = read_transcripts(data_dir)
+    return extract_triples(ds).drop_columns(["claim_id"])
+
+
+def q_link_canon_claims(sf_dir: str):
+    data_dir = synth.generate(sf_dir)
+    return build_claims(data_dir).select_columns(
+        ["conv_id", "turn_idx", "source", "entity", "attr", "value_str",
+         "value_num", "value_type"])
+
+
+def q_assemble_conversations(sf_dir: str):
+    data_dir = synth.generate(sf_dir)
+    ds = read_transcripts(data_dir)
+    return assemble_conversations(ds).select_columns(
+        ["conv_id", "n_turns", "transcript"])
+
+
+def q_dedup_claims(sf_dir: str):
+    data_dir = synth.generate(sf_dir)
+    claims = build_claims(data_dir)
+    out = claims.groupby(["source", "entity", "attr", "value_str"]).count()
+    return out.rename_columns({"count()": "n"})
+
+
+def q_fuse(sf_dir: str, model: str = "Voting"):
+    data_dir = synth.generate(sf_dir)
+    claims = build_claims(data_dir)
+    triples, _ = run_fusion(claims, make_model(model))
+    return triples
+
+
+def q_fuse_voting_sqlable(sf_dir: str):
+    """Voting output shaped for SQL comparison: quantity facts carry the
+    median in value_num (value_str NULL), categorical facts the mode in
+    value_str (value_num NULL)."""
+    triples = q_fuse(sf_dir, "Voting")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_q = pc.equal(batch["value_type"], "quantity")
+        return pa.table({
+            "entity": batch["entity"],
+            "attr": batch["attr"],
+            "value_str": pc.if_else(is_q, pa.nulls(len(batch), pa.string()),
+                                    batch["value_str"]),
+            "value_num": batch["value_num"],
+        })
+
+    return triples.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_fuse_weights(sf_dir: str, model: str = "CRH"):
+    data_dir = synth.generate(sf_dir)
+    claims = build_claims(data_dir)
+    _, weights = run_fusion(claims, make_model(model))
+    rows = [(b, s, w) for b, m in weights.items() for s, w in m.items()]
+    rows.sort()
+    return pa.table({
+        "bucket_id": pa.array([r[0] for r in rows], pa.int32()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "weight": pa.array([r[2] for r in rows], pa.float64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Relational operator coverage (driver testdata tables)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped aggregate over lineitem (groupby + multi-agg)."""
+    li = _tbl(sf_dir, "lineitem")
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), batch["l_tax"]))
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "l_quantity": batch["l_quantity"],
+            "l_extendedprice": batch["l_extendedprice"],
+            "disc_price": disc,
+            "charge": charge,
+        })
+
+    agg = (li.map_batches(_derive, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .sum(["l_quantity", "l_extendedprice", "disc_price", "charge"]))
+    return agg.rename_columns({
+        "sum(l_quantity)": "sum_qty",
+        "sum(l_extendedprice)": "sum_base_price",
+        "sum(disc_price)": "sum_disc_price",
+        "sum(charge)": "sum_charge",
+    })
+
+
+def q_top_customers(sf_dir: str):
+    """orders ⋈ customer → top 10 by revenue (hash join + sort + limit)."""
+    orders = _tbl(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"])
+    cust = _tbl(sf_dir, "customer").select_columns(["c_custkey", "c_name"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    # join keeps the left key column only
+    top = (joined.groupby(["o_custkey", "c_name"]).sum("o_totalprice")
+           .rename_columns({"sum(o_totalprice)": "revenue",
+                            "o_custkey": "c_custkey"})
+           .sort("revenue", descending=True).limit(10))
+    return top.select_columns(["c_custkey", "c_name", "revenue"])
+
+
+def q_events_sessionize(sf_dir: str):
+    return sessionize(_tbl(sf_dir, "events"), gap_minutes=30.0)
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_fingerprint(sf_dir: str):
+    return text.doc_fingerprints(_tbl(sf_dir, "documents"))
+
+
+def q_dedup_exact_docs(sf_dir: str):
+    fps = text.doc_fingerprints(_tbl(sf_dir, "documents"))
+    return (fps.groupby("fp").min("doc_id")
+            .rename_columns({"min(doc_id)": "doc_id"}))
+
+
+def q_text_quality(sf_dir: str):
+    return text.quality_stats(_tbl(sf_dir, "documents"))
+
+
+def q_lang_id(sf_dir: str):
+    return text.lang_id(_tbl(sf_dir, "documents"))
+
+
+def q_token_count(sf_dir: str):
+    return _tbl(sf_dir, "documents").map_batches(
+        text.token_count_bpeish, batch_format="pyarrow")
+
+
+def q_rolling_fp(sf_dir: str):
+    return _tbl(sf_dir, "documents").map_batches(
+        text.rolling_fp_batch, batch_format="pyarrow")
+
+
+def q_minhash_pairs(sf_dir: str):
+    return dedup.minhash_lsh_pairs(
+        _tbl(sf_dir, "documents"), threshold=0.5).rename_columns(
+            {"max(jaccard_est)": "jaccard_est"})
+
+
+def q_simhash_pairs(sf_dir: str):
+    return dedup.simhash_near_pairs(
+        _tbl(sf_dir, "documents"), max_hamming=3).rename_columns(
+            {"min(hamming)": "hamming"})
+
+
+def q_ann_topk(sf_dir: str):
+    emb = _tbl(sf_dir, "embeddings")
+    queries = [r for r in
+               emb.filter(expr="vec_id < 5").take_all()]
+    queries.sort(key=lambda r: r["vec_id"])
+    return ann.brute_topk(emb, queries, k=10)
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+
+def queries_map():
+    return {
+        "kg_extract_mentions": q_extract_mentions,
+        "kg_link_canon_claims": q_link_canon_claims,
+        "kg_assemble_conversations": q_assemble_conversations,
+        "kg_dedup_claims": q_dedup_claims,
+        "kg_fuse_voting": q_fuse_voting_sqlable,
+        "kg_fuse_crh": functools.partial(q_fuse, model="CRH"),
+        "kg_fuse_truthfinder": functools.partial(q_fuse, model="TruthFinder"),
+        "kg_weights_crh": functools.partial(q_fuse_weights, model="CRH"),
+        "q1_pricing_summary": q1_pricing_summary,
+        "top_customers": q_top_customers,
+        "events_sessionize": q_events_sessionize,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "token_count": q_token_count,
+        "rolling_fp": q_rolling_fp,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+    }
+
+
+def _claims_cte(cache: str) -> str:
+    """Shared SQL CTE: extraction + linking + canonicalization over the
+    cached synthetic transcripts (mirrors extract.py + link.py)."""
+    qlist = ", ".join(f"'{a}'" for a in QUANTITY_ATTRS)
+    elist = ", ".join(f"'{a}'" for a in ENTITY_ATTRS)
+    return f"""
+z AS (
+  SELECT conv_id, turn_idx, role || ':' || coalesce(tool,'') AS source,
+         unnest(list_zip(
+           regexp_extract_all(text, '{SQL_PAT}', 1),
+           regexp_extract_all(text, '{SQL_PAT}', 2),
+           regexp_extract_all(text, '{SQL_PAT}', 3))) AS m
+  FROM read_parquet('{cache}/transcripts/*.parquet')
+  WHERE role IN ('assistant','tool')
+),
+mz AS (
+  SELECT conv_id, turn_idx, source, m[2] AS mention, m[1] AS attr,
+         m[3] AS raw_value
+  FROM z
+),
+claims AS (
+  SELECT mz.conv_id, mz.turn_idx, mz.source,
+         coalesce(al.entity, trim(mz.mention)) AS entity,
+         mz.attr,
+         CASE WHEN mz.attr IN ({qlist})
+              THEN replace(trim(mz.raw_value), ',', '')
+              ELSE trim(mz.raw_value) END AS value_str,
+         CASE WHEN mz.attr IN ({qlist})
+              THEN CAST(replace(trim(mz.raw_value), ',', '') AS DOUBLE)
+              END AS value_num,
+         CASE WHEN mz.attr IN ({qlist}) THEN 'quantity'
+              WHEN mz.attr IN ({elist}) THEN 'entity'
+              ELSE 'string' END AS value_type
+  FROM mz
+  LEFT JOIN read_parquet('{cache}/aliases.parquet') al
+    ON trim(mz.mention) = al.alias
+)"""
+
+
+def oracle_sql_map(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    cache = synth.generate(sf_dir)
+    qlist = ", ".join(f"'{a}'" for a in QUANTITY_ATTRS)
+    return {
+        "kg_extract_mentions": f"""
+WITH z AS (
+  SELECT conv_id, turn_idx, role || ':' || coalesce(tool,'') AS source,
+         unnest(list_zip(
+           regexp_extract_all(text, '{SQL_PAT}', 1),
+           regexp_extract_all(text, '{SQL_PAT}', 2),
+           regexp_extract_all(text, '{SQL_PAT}', 3))) AS m
+  FROM read_parquet('{cache}/transcripts/*.parquet')
+  WHERE role IN ('assistant','tool')
+)
+SELECT conv_id, turn_idx, source, m[2] AS mention, m[1] AS attr,
+       m[3] AS raw_value
+FROM z""",
+        "kg_link_canon_claims": f"""
+WITH {_claims_cte(cache)}
+SELECT conv_id, turn_idx, source, entity, attr, value_str, value_num,
+       value_type
+FROM claims""",
+        "kg_assemble_conversations": f"""
+SELECT conv_id, CAST(count(*) AS INT) AS n_turns,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS transcript
+FROM read_parquet('{cache}/transcripts/*.parquet')
+GROUP BY conv_id""",
+        "kg_dedup_claims": f"""
+WITH {_claims_cte(cache)}
+SELECT source, entity, attr, value_str, count(*) AS n
+FROM claims
+GROUP BY 1, 2, 3, 4""",
+        "kg_fuse_voting": f"""
+WITH {_claims_cte(cache)},
+dedup AS (
+  SELECT DISTINCT source, entity, attr, value_str, value_num, value_type
+  FROM claims
+),
+cat AS (
+  SELECT entity, attr, value_str, count(*) AS c
+  FROM dedup WHERE value_type <> 'quantity'
+  GROUP BY 1, 2, 3
+),
+catw AS (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM cat
+)
+SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num
+FROM catw WHERE rn = 1
+UNION ALL
+SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str,
+       median(value_num) AS value_num
+FROM dedup WHERE value_type = 'quantity'
+GROUP BY 1, 2""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus""",
+        "top_customers": """
+SELECT c_custkey, c_name, sum(o_totalprice) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC
+LIMIT 10""",
+        "events_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+g AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts
+FROM g
+GROUP BY user_id, sid""",
+        "doc_fingerprint": """
+SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents""",
+        "dedup_exact_docs": """
+SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
+FROM documents GROUP BY 1""",
+        "text_quality": r"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+         AS n_tokens,
+       CAST((length(lower(text)) - length(replace(lower(text), 'the', '')))
+            / 3 AS BIGINT) AS the_count
+FROM documents""",
+        "ann_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sc
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id, sc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sc DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+       round(sc, 6) AS score
+FROM r WHERE rank <= 10""",
+    }

@@ -1,0 +1,137 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once via
+``ray.put`` and every map task does one float64 matmul per batch against it
+(never re-shipped per batch); per-query global top-k is a tiny groupby over
+per-batch partial top-ks.
+
+Scale path: LSH-bucketed variant (random-hyperplane signatures → groupby
+bucket → in-bucket brute force), which turns the all-pairs matmul into a
+hash-partitioned shuffle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+
+def _as_matrix(rows: list, col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r[col], dtype=np.float64) for r in rows])
+    return ids, mat
+
+
+def _topk_partial(batch: pa.Table, *, query_ref, k: int) -> pa.Table:
+    qids, qmat = ray.get(query_ref) if isinstance(
+        query_ref, ray.ObjectRef) else query_ref
+    ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in batch["embedding"].to_pylist()])
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+    mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = qn @ mn.T  # queries x batch
+    out_q, out_v, out_s = [], [], []
+    kk = min(k, sims.shape[1])
+    for qi in range(sims.shape[0]):
+        row = sims[qi]
+        part = np.argpartition(-row, kk - 1)[:kk]
+        for j in part:
+            out_q.append(int(qids[qi]))
+            out_v.append(int(ids[j]))
+            out_s.append(float(row[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "vec_id": pa.array(out_v, pa.int64()),
+                     "score": pa.array(out_s, pa.float64())})
+
+
+def _topk_merge(batch: pa.Table, *, k: int) -> pa.Table:
+    qid = batch["query_id"][0].as_py()
+    vid = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
+    sc = np.array(batch["score"].to_pylist(), dtype=np.float64)
+    order = np.lexsort((vid, -sc))[:k]  # score desc, vec_id asc tie-break
+    return pa.table({
+        "query_id": pa.array([qid] * len(order), pa.int64()),
+        "vec_id": pa.array(vid[order], pa.int64()),
+        "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        "score": pa.array(np.round(sc[order], 6), pa.float64()),
+    })
+
+
+def brute_topk(embeddings, queries, k: int = 10, batch_size: int = 4096):
+    """embeddings Dataset × query rows (list of {vec_id, embedding}) →
+    (query_id, vec_id, rank, score) top-k by cosine."""
+    q = _as_matrix(queries)
+    query_ref = ray.put(q)
+    partial = embeddings.map_batches(
+        functools.partial(_topk_partial, query_ref=query_ref, k=k),
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+    return partial.groupby("query_id").map_groups(
+        functools.partial(_topk_merge, k=k), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed variant (scale path)
+# ---------------------------------------------------------------------------
+
+
+class HyperplaneLSH:
+    """Random-hyperplane signatures; state (the projection matrix) built once
+    per actor from a fixed seed."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((n_planes, dim))
+
+    def bucket_of(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes.T) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in batch["embedding"].to_pylist()])
+        return batch.append_column(
+            "bucket", pa.array(self.bucket_of(mat).astype(np.int64)))
+
+
+def lsh_topk(embeddings, queries, k: int = 10, n_planes: int = 8,
+             concurrency=(1, 4)):
+    """ANN via hyperplane LSH: only corpus vectors sharing the query's bucket
+    are scored (probing the exact bucket; multi-probe is a param away).
+    Recall < 1 by construction — compare against brute_topk in tests."""
+    dim = len(queries[0]["embedding"])
+    lsh = HyperplaneLSH(dim, n_planes)
+    qids, qmat = _as_matrix(queries)
+    qbuckets = lsh.bucket_of(qmat)
+    by_bucket: dict[int, list[int]] = {}
+    for i, b in enumerate(qbuckets):
+        by_bucket.setdefault(int(b), []).append(i)
+    qref = ray.put((qids, qmat, by_bucket))
+
+    bucketed = embeddings.map_batches(
+        HyperplaneLSH, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"dim": dim, "n_planes": n_planes})
+
+    def _score_bucket(batch: pa.Table) -> pa.Table:
+        ids_, mat_, byb = ray.get(qref) if isinstance(
+            qref, ray.ObjectRef) else qref
+        bucket = int(batch["bucket"][0].as_py())
+        qs = byb.get(bucket)
+        if not qs:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        sub = [{"vec_id": ids_[i], "embedding": mat_[i]} for i in qs]
+        sids, smat = _as_matrix(sub)
+        return _topk_partial(batch.drop_columns(["bucket"]),
+                             query_ref=(sids, smat), k=k)
+
+    partial = bucketed.groupby("bucket").map_groups(
+        _score_bucket, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(
+        functools.partial(_topk_merge, k=k), batch_format="pyarrow")

@@ -1,0 +1,142 @@
+"""Text-analysis operators over document tables (large-scale training-data
+pipeline components): fingerprinting, quality stats, language ID, token
+counting.  All vectorized per Arrow batch; no per-row Python except where a
+hash library call is inherently scalar (md5 per doc — C-speed)."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = re.compile(r"\s+")
+
+# tiny per-language stopword marker sets (n-gram-free heuristic langid)
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it"},
+    "fr": {"le", "la", "les", "et", "de", "est", "que", "une"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "zu"},
+    "es": {"el", "la", "los", "y", "de", "es", "que", "una"},
+}
+
+
+def canonical_text(arr: pa.Array) -> pa.Array:
+    return pc.utf8_lower(pc.utf8_trim_whitespace(arr))
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """(doc_id, fp): md5 of lower(trim(text)) — exact-dedup key."""
+    canon = canonical_text(batch[text_col]).to_pylist()
+    fps = [hashlib.md5((t or "").encode()).hexdigest() for t in canon]
+    return pa.table({id_col: batch[id_col],
+                     "fp": pa.array(fps, pa.string())})
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Quality stats per doc: char count, whitespace token count, 'the'
+    occurrence count (stopword-density proxy).  Definitions chosen to be
+    exactly reproducible in ANSI SQL (driver oracle)."""
+    text = batch[text_col]
+    n_chars = pc.utf8_length(text)
+    tokens = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    n_tokens = pc.list_value_length(tokens)
+    low = pc.utf8_lower(text)
+    removed = pc.replace_substring(low, "the", "")
+    the_count = pc.divide(
+        pc.subtract(pc.utf8_length(low), pc.utf8_length(removed)), 3)
+    return pa.table({
+        id_col: batch[id_col],
+        "n_chars": pc.cast(n_chars, pa.int64()),
+        "n_tokens": pc.cast(n_tokens, pa.int64()),
+        "the_count": pc.cast(the_count, pa.int64()),
+    })
+
+
+class LangIdScorer:
+    """Actor-pool language ID: marker-set membership scoring.
+
+    Marker tables are built once per actor (``__init__``); scoring is a
+    token-set intersection per doc."""
+
+    def __init__(self, markers: dict[str, set[str]] | None = None):
+        self.markers = {k: frozenset(v)
+                        for k, v in (markers or _LANG_MARKERS).items()}
+        self.langs = sorted(self.markers)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = canonical_text(batch["text"]).to_pylist()
+        preds, scores = [], []
+        for t in texts:
+            toks = set(_WS.split(t)) if t else set()
+            best_lang, best = "und", 0
+            for lang in self.langs:  # sorted → deterministic tie-break
+                hit = len(toks & self.markers[lang])
+                if hit > best:
+                    best, best_lang = hit, lang
+            preds.append(best_lang)
+            scores.append(best)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "lang_pred": pa.array(preds, pa.string()),
+                         "marker_hits": pa.array(scores, pa.int64())})
+
+
+def token_count_bpeish(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """BPE-ish token estimate: GPT-2-style pre-tokenizer regex pieces."""
+    rx = re.compile(r"\w+|[^\w\s]")
+    texts = batch[text_col].to_pylist()
+    n = [len(rx.findall(t or "")) for t in texts]
+    return pa.table({id_col: batch[id_col],
+                     "n_bpeish_tokens": pa.array(n, pa.int64())})
+
+
+def rolling_fingerprint(text: str, window: int = 16,
+                        mod: int = (1 << 61) - 1, base: int = 257) -> int:
+    """Rolling (Rabin-Karp) document fingerprint: min rolling hash over
+    character windows — stable under local edits outside the min window."""
+    data = text.encode()
+    if len(data) <= window:
+        h = 0
+        for b in data:
+            h = (h * base + b) % mod
+        return h
+    h = 0
+    pw = pow(base, window - 1, mod)
+    best = None
+    for i, b in enumerate(data):
+        if i >= window:
+            h = (h - data[i - window] * pw) % mod
+        h = (h * base + b) % mod
+        if i >= window - 1:
+            best = h if best is None else min(best, h)
+    return best
+
+
+def rolling_fp_batch(batch: pa.Table) -> pa.Table:
+    texts = canonical_text(batch["text"]).to_pylist()
+    return pa.table({
+        "doc_id": batch["doc_id"],
+        "rolling_fp": pa.array([rolling_fingerprint(t or "") for t in texts],
+                               pa.int64()),
+    })
+
+
+def doc_fingerprints(docs, **kw):
+    return docs.map_batches(fingerprint_batch, batch_format="pyarrow",
+                            zero_copy_batch=True, **kw)
+
+
+def quality_stats(docs, **kw):
+    return docs.map_batches(quality_batch, batch_format="pyarrow",
+                            zero_copy_batch=True, **kw)
+
+
+def lang_id(docs, concurrency=(1, 4), **kw):
+    return docs.map_batches(LangIdScorer, batch_format="pyarrow",
+                            zero_copy_batch=True, concurrency=concurrency,
+                            **kw)

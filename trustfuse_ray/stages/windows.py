@@ -1,0 +1,113 @@
+"""Temporal windowing operators.
+
+Reference analog: bucketization of the Wikidata modification stream —
+per-entity session windows with a close rule and self-correction grace
+(`/root/reference/dataset_generation/generate_buckets.py:71-74,171-242`;
+SURVEY.md §2.9).  Expressed as ``groupby(key).map_groups`` with an in-group
+timestamp sort — never a global sort.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _sessionize_group(batch: pa.Table, *, ts_col: str, key_col: str,
+                      id_col: str, gap_us: int) -> pa.Table:
+    order = pc.sort_indices(batch, sort_keys=[(ts_col, "ascending"),
+                                              (id_col, "ascending")])
+    batch = batch.take(order)
+    key = batch[key_col][0].as_py()
+    ts = batch[ts_col].cast(pa.int64()).to_numpy()
+    brk = np.ones(len(ts), dtype=np.int64)
+    if len(ts) > 1:
+        brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+    sid = np.cumsum(brk)  # 1-based session ids, per key
+    out_key, out_sid, out_n, out_s, out_e = [], [], [], [], []
+    for s in np.unique(sid):
+        m = sid == s
+        out_key.append(key)
+        out_sid.append(int(s))
+        out_n.append(int(m.sum()))
+        out_s.append(int(ts[m].min()))
+        out_e.append(int(ts[m].max()))
+    return pa.table({
+        key_col: pa.array(out_key),
+        "session_id": pa.array(out_sid, pa.int64()),
+        "n_events": pa.array(out_n, pa.int64()),
+        "start_ts": pa.array(out_s, pa.int64()).cast(pa.timestamp("us")),
+        "end_ts": pa.array(out_e, pa.int64()).cast(pa.timestamp("us")),
+    })
+
+
+def sessionize(events, key_col: str = "user_id", ts_col: str = "ts",
+               id_col: str = "event_id", gap_minutes: float = 30.0):
+    """Per-key session windows: a session closes when the gap to the next
+    event exceeds ``gap_minutes``.  One shuffle on ``key_col``."""
+    return events.groupby(key_col).map_groups(
+        functools.partial(_sessionize_group, ts_col=ts_col, key_col=key_col,
+                          id_col=id_col,
+                          gap_us=int(gap_minutes * 60 * 1_000_000)),
+        batch_format="pyarrow")
+
+
+def _bucketize_group(batch: pa.Table, *, entity_col: str, source_col: str,
+                     attr_col: str, ts_col: str, delta_us: int,
+                     alpha_us: int) -> pa.Table:
+    """Reference bucket-closing rule per entity
+    (`generate_buckets.py:171-242`): replay modifications in ts order; a
+    bucket closes when a source re-asserts a property it already populated
+    in the open bucket AND the elapsed time since the bucket opened exceeds
+    ``delta`` — unless the re-assertion is the source correcting itself
+    within the ``alpha`` grace window (update-in-place, no close)."""
+    order = pc.sort_indices(batch, sort_keys=[(ts_col, "ascending")])
+    batch = batch.take(order)
+    ts = batch[ts_col].cast(pa.int64()).to_numpy()
+    srcs = batch[source_col].to_pylist()
+    attrs = batch[attr_col].to_pylist()
+    bucket = np.zeros(len(ts), dtype=np.int32)
+    cur = 0
+    open_ts = ts[0] if len(ts) else 0
+    seen: dict[tuple[str, str], int] = {}  # (source, attr) -> last ts
+    for i in range(len(ts)):
+        key = (srcs[i], attrs[i])
+        if key in seen:
+            if ts[i] - seen[key] <= alpha_us:
+                pass  # self-correction grace: stay in bucket
+            elif ts[i] - open_ts > delta_us:
+                cur += 1
+                open_ts = ts[i]
+                seen = {}
+        bucket[i] = cur
+        seen[key] = ts[i]
+    out = batch.append_column("bucket_id_w", pa.array(bucket, pa.int32()))
+    return out
+
+
+def bucketize_claims(claims, delta_days: float = 730.0,
+                     alpha_days: float = 10.0, entity_col: str = "entity",
+                     source_col: str = "source", attr_col: str = "attr",
+                     ts_col: str = "ts"):
+    """Assign session-window bucket ids per entity (reference §2.9
+    semantics); adds a ``bucket_id_w`` column."""
+    day_us = 86_400_000_000
+    return claims.groupby(entity_col).map_groups(
+        functools.partial(_bucketize_group, entity_col=entity_col,
+                          source_col=source_col, attr_col=attr_col,
+                          ts_col=ts_col, delta_us=int(delta_days * day_us),
+                          alpha_us=int(alpha_days * day_us)),
+        batch_format="pyarrow")
+
+
+def cumulative_known_entities(claims, value_col: str = "entity",
+                              bucket_col: str = "bucket_id"):
+    """`dataset.py:84-95` compute_known_entities re-expressed: per bucket,
+    the distinct values; cumulative union = all values with
+    min(bucket) < b.  Returns (value, first_bucket) — membership test is
+    ``first_bucket < b`` (predicate, never a materialized cumulative set)."""
+    return (claims.groupby(value_col).min(bucket_col)
+            .rename_columns({f"min({bucket_col})": "first_bucket"}))
