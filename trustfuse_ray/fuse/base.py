@@ -94,17 +94,27 @@ class FusionModel:
 # ---------------------------------------------------------------------------
 
 
-def _pack_entity_group(batch: pa.Table) -> pa.Table:
-    """One (bucket_id, entity) group → one packed row per attr.
+def _fnv64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode():
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def _pack_partition(batch: pa.Table) -> pa.Table:
+    """One entity-hash partition → packed rows for every (bucket_id, entity,
+    attr) fact it contains, in one vectorized-ish pass (no per-entity task
+    overhead — a partition holds hundreds of entities).
 
     Dedups exact repeated (source, value) assertions keeping the lowest
     claim_id (reference dedups identical re-assertions at dataset
-    construction, `/root/reference/dataset_generation/generate_buckets.py:182-189`).
-    """
+    construction, `/root/reference/dataset_generation/generate_buckets.py:182-189`);
+    claims within a fact are ordered by ascending claim_id (deterministic
+    stand-in for the reference's insertion order)."""
     order = pc.sort_indices(batch, sort_keys=[("claim_id", "ascending")])
     batch = batch.take(order)
-    bucket_id = batch["bucket_id"][0].as_py()
-    entity = batch["entity"][0].as_py()
+    bids = batch["bucket_id"].to_pylist()
+    ents = batch["entity"].to_pylist()
     attrs = batch["attr"].to_pylist()
     sources = batch["source"].to_pylist()
     vstr = batch["value_str"].to_pylist()
@@ -112,11 +122,13 @@ def _pack_entity_group(batch: pa.Table) -> pa.Table:
     vtype = batch["value_type"].to_pylist()
     cids = batch["claim_id"].to_pylist()
 
-    per_attr: dict[str, dict] = {}
-    for a, s, sv, nv, t, cid in zip(attrs, sources, vstr, vnum, vtype, cids):
-        d = per_attr.setdefault(
-            a, {"vtype": t, "src": [], "vs": [], "vn": [], "cid": [],
-                "seen": set()})
+    facts: dict[tuple, dict] = {}
+    for b, e, a, s, sv, nv, t, cid in zip(bids, ents, attrs, sources, vstr,
+                                          vnum, vtype, cids):
+        d = facts.get((b, e, a))
+        if d is None:
+            d = facts[(b, e, a)] = {"vtype": t, "src": [], "vs": [],
+                                    "vn": [], "cid": [], "seen": set()}
         key = (s, sv)
         if key in d["seen"]:
             continue
@@ -126,34 +138,40 @@ def _pack_entity_group(batch: pa.Table) -> pa.Table:
         d["vn"].append(nv)
         d["cid"].append(cid)
 
-    rows = {"bucket_id": [], "entity": [], "attr": [], "value_type": [],
-            "sources": [], "values_str": [], "values_num": [], "claim_ids": []}
-    for a in sorted(per_attr):
-        d = per_attr[a]
-        rows["bucket_id"].append(bucket_id)
-        rows["entity"].append(entity)
-        rows["attr"].append(a)
-        rows["value_type"].append(d["vtype"])
-        rows["sources"].append(d["src"])
-        rows["values_str"].append(d["vs"])
-        rows["values_num"].append(d["vn"])
-        rows["claim_ids"].append(d["cid"])
+    keys = sorted(facts)
     return pa.table(
         {
-            "bucket_id": pa.array(rows["bucket_id"], pa.int32()),
-            "entity": pa.array(rows["entity"], pa.string()),
-            "attr": pa.array(rows["attr"], pa.string()),
-            "value_type": pa.array(rows["value_type"], pa.string()),
-            "sources": pa.array(rows["sources"], pa.list_(pa.string())),
-            "values_str": pa.array(rows["values_str"], pa.list_(pa.string())),
-            "values_num": pa.array(rows["values_num"], pa.list_(pa.float64())),
-            "claim_ids": pa.array(rows["claim_ids"], pa.list_(pa.int64())),
+            "bucket_id": pa.array([k[0] for k in keys], pa.int32()),
+            "entity": pa.array([k[1] for k in keys], pa.string()),
+            "attr": pa.array([k[2] for k in keys], pa.string()),
+            "value_type": pa.array([facts[k]["vtype"] for k in keys],
+                                   pa.string()),
+            "sources": pa.array([facts[k]["src"] for k in keys],
+                                pa.list_(pa.string())),
+            "values_str": pa.array([facts[k]["vs"] for k in keys],
+                                   pa.list_(pa.string())),
+            "values_num": pa.array([facts[k]["vn"] for k in keys],
+                                   pa.list_(pa.float64())),
+            "claim_ids": pa.array([facts[k]["cid"] for k in keys],
+                                  pa.list_(pa.int64())),
         }
     )
 
 
-def pack_facts(claims, numeric_only: bool = False):
+def _add_partition_col(batch: pa.Table, *, n_parts: int) -> pa.Table:
+    part = [_fnv64(f"{b}|{e}") % n_parts
+            for b, e in zip(batch["bucket_id"].to_pylist(),
+                            batch["entity"].to_pylist())]
+    return batch.append_column("fact_part", pa.array(part, pa.int32()))
+
+
+def pack_facts(claims, numeric_only: bool = False, n_parts: int = 128):
     """Long claims Dataset → packed facts Dataset (the single fusion shuffle).
+
+    The shuffle key is hash(bucket_id, entity) bucketed into ``n_parts``
+    partitions — every fact's claims land in one partition, and partition-
+    level packing amortizes per-group overhead over hundreds of entities.
+    At cluster scale ``n_parts`` should be ~2-4x total cores.
 
     ``numeric_only`` mirrors ``focus_on_attributes(action="type_selection")``
     for numeric models (`/root/reference/trustfuse/models/model.py:41-45`):
@@ -162,9 +180,11 @@ def pack_facts(claims, numeric_only: bool = False):
     if numeric_only:
         claims = claims.filter(
             expr="value_type = 'quantity' and value_num is not null")
-    return claims.groupby(["bucket_id", "entity"]).map_groups(
-        _pack_entity_group, batch_format="pyarrow"
-    )
+    keyed = claims.map_batches(
+        functools.partial(_add_partition_col, n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return keyed.groupby("fact_part").map_groups(
+        _pack_partition, batch_format="pyarrow")
 
 
 def iter_facts(batch: pa.Table, src_index: dict[int, dict[str, int]]
@@ -250,6 +270,8 @@ def _stats_batch(batch: pa.Table, *, model: FusionModel,
             for bid, n in n_sources.items()}
     touched = set()
     for fact in iter_facts(batch, src_index):
+        if model.numeric_only and not fact.is_numeric:
+            continue
         model.accumulate(fact, state[fact.bucket_id], outs[fact.bucket_id])
         touched.add(fact.bucket_id)
     rows_b, rows_s, chans = [], [], [[] for _ in range(N_CHANNELS)]
@@ -276,6 +298,8 @@ def _emit_batch(batch: pa.Table, *, model: FusionModel,
                             "value_num", "value_type", "conf", "n_claims",
                             "winner_claim_id")}
     for fact in iter_facts(batch, src_index):
+        if model.numeric_only and not fact.is_numeric:
+            continue
         values, conf = model.fact_truth(fact, state[fact.bucket_id])
         for v in values:
             if v is None:
@@ -320,21 +344,33 @@ def _fmt_num(v: float) -> str:
 
 
 def run_fusion(claims, model: FusionModel, materialize: bool = True,
-               local_threshold: int = 200_000):
+               local_threshold: int = 20_000):
     """claims Dataset + model → (triples Dataset, weights per bucket).
 
     Returns ``(triples_ds, weights)`` where weights is
     ``{bucket_id: {source: weight}}`` (the reference's
     ``unified_result["weights"]``, `model.py:228-229`).
+    """
+    packed = pack_facts(claims, numeric_only=model.numeric_only)
+    return run_fusion_packed(packed, model, materialize=materialize,
+                             local_threshold=local_threshold)
+
+
+def run_fusion_packed(packed, model: FusionModel, materialize: bool = True,
+                      local_threshold: int = 20_000):
+    """Fusion over a pre-packed fact Dataset (pack once, fuse with several
+    models — the reference UI's compare-models loop without re-shuffling).
 
     Iteration strategy is size-adaptive: the per-round exchange is tiny
     (per-source sums), so when the packed fact table is small enough to fit
     on the driver the rounds run locally on one Arrow table (no per-round
     task overhead); above ``local_threshold`` facts the rounds run as
     distributed map_batches passes over the materialized packed Dataset.
-    Both paths execute the identical model code (tests assert equality).
+    Both paths execute the identical model code (tests assert equality), and
+    both emit the triple table distributed.
     """
-    packed = pack_facts(claims, numeric_only=model.numeric_only)
+    if model.numeric_only:
+        packed = packed.filter(expr="value_type = 'quantity'")
     if materialize:
         packed = packed.materialize()  # reused by every round — pay once
 
@@ -391,7 +427,6 @@ def _run_fusion_local(packed, model: FusionModel):
     """Small-data fast path: same model code, rounds iterate over one local
     Arrow table; returns (triples Dataset, weights)."""
     import ray
-    import ray.data as rd
 
     tbl = pa.concat_tables(ray.get(packed.to_arrow_refs()))
 
@@ -416,6 +451,8 @@ def _run_fusion_local(packed, model: FusionModel):
     n_sources = {bid: len(s) for bid, s in sources.items()}
 
     facts = list(iter_facts(tbl, src_index)) if len(tbl) else []
+    if model.numeric_only:
+        facts = [f for f in facts if f.is_numeric]
     state = {bid: model.initial_state(sources[bid], counts[bid])
              for bid in sources}
     for r in range(model.n_rounds):
@@ -432,11 +469,16 @@ def _run_fusion_local(packed, model: FusionModel):
         if all_conv:
             break
 
-    triples_tbl = _emit_batch(tbl, model=model, state=state,
-                              src_index=src_index)
+    # truth emission stays distributed (per-fact truth recompute is the
+    # dominant cost; the packed Dataset is already materialized)
+    triples = packed.map_batches(
+        functools.partial(_emit_batch, model=model, state=state,
+                          src_index=src_index),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
     weights = {
         bid: {s: float(model.weights(state[bid])[i])
               for s, i in src_index[bid].items()}
         for bid in src_index
     }
-    return rd.from_arrow(triples_tbl), weights
+    return triples, weights
