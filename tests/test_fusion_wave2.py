@@ -1,0 +1,124 @@
+"""Parity for the second-wave fusion models (CATD, GTM, KDEm, ACCU,
+SLiMFast, LTM) vs the sequential reference-math oracles."""
+
+import numpy as np
+import pytest
+
+from tests import reference_oracle as oracle
+from tests.test_fusion_parity import (build_fixture, claims_ds,
+                                      engine_truths, oracle_inputs)
+from trustfuse_ray.fuse import make_model
+from trustfuse_ray.fuse.ltm import run_ltm
+
+
+def numeric_inputs(facts, sources):
+    keys = sorted(k for k, v in facts.items() if v[2] == "quantity")
+    index = [list(facts[k][0]) for k in keys]
+    claim = [np.array(facts[k][1], dtype=float) for k in keys]
+    count = np.zeros(len(sources))
+    for idx in index:
+        np.add.at(count, idx, 1)
+    return keys, index, claim, count
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_catd_parity(seed):
+    rows, facts, sources = build_fixture(seed)
+    got, w = engine_truths(claims_ds(rows), make_model("CATD"))
+    keys, index, claim, count = numeric_inputs(facts, sources)
+    want, want_w = oracle.catd_fuse(index, claim, count, len(sources))
+    assert set(got) == set(keys)
+    for k, t in zip(keys, want):
+        assert got[k] == pytest.approx(t)
+    np.testing.assert_allclose([w[s] for s in sources], want_w, rtol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_gtm_parity(seed):
+    rows, facts, sources = build_fixture(seed)
+    got, w = engine_truths(claims_ds(rows), make_model("GTM"))
+    keys, index, claim, count = numeric_inputs(facts, sources)
+    want, want_sigma = oracle.gtm_fuse(index, claim, len(sources))
+    for k, t in zip(keys, want):
+        assert got[k] == pytest.approx(t), (k, got[k], t)
+    np.testing.assert_allclose([w[s] for s in sources], want_sigma,
+                               rtol=1e-9)
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_kdem_weights_parity(seed):
+    rows, facts, sources = build_fixture(seed)
+    got, w = engine_truths(claims_ds(rows), make_model("KDEm"))
+    keys, index, claim, count = numeric_inputs(facts, sources)
+    want_c, _w_m = oracle.kdem_fuse(index, claim, count, len(sources))
+    np.testing.assert_allclose([w[s] for s in sources], want_c, rtol=1e-9)
+    # engine triples snap to claimed values
+    for k in keys:
+        assert any(got[k] == pytest.approx(float(v))
+                   for v in facts[k][1])
+
+
+@pytest.mark.parametrize("seed", [7, 21])
+def test_accu_parity(seed):
+    rows, facts, sources = build_fixture(seed)
+    init = {s: 0.5 + 0.09 * i for i, s in enumerate(sources)}
+    got, w = engine_truths(claims_ds(rows),
+                           make_model("ACCU", max_itr=20, init_acc=init))
+    keys, index, claim, types, count = oracle_inputs(facts, sources)
+    want, want_acc = oracle.accu_fuse(index, claim, len(sources),
+                                      [init[s] for s in sources],
+                                      max_itr=20)
+    for k, t in zip(keys, want):
+        if isinstance(t, int) and t == 0 and not isinstance(t, bool):
+            # reference quirk: all scores ≤ −1 → integer-0 sentinel truth
+            # (accu.py:110-116); the engine emits no triple for such facts
+            assert k not in got
+            continue
+        gv = got[k]
+        if isinstance(t, (float, np.floating)):
+            assert gv == pytest.approx(float(t)), (k, gv, t)
+        else:
+            assert gv == t, (k, gv, t)
+    np.testing.assert_allclose([w[s] for s in sources], want_acc, rtol=1e-12)
+
+
+def test_slimfast_runs_and_collapses_accuracy():
+    rows, facts, sources = build_fixture(7)
+    got, w = engine_truths(claims_ds(rows), make_model("SLIMFAST"))
+    # default single shared feature → identical accuracy for every source
+    vals = set(round(v, 12) for v in w.values())
+    assert len(vals) == 1
+    # truths are claimed values
+    for k, (idx, claim, vtype) in facts.items():
+        if vtype == "quantity":
+            assert any(got[k] == pytest.approx(float(v)) for v in claim)
+        else:
+            assert got[k] in set(claim)
+
+
+def test_ltm_multi_truth_deterministic():
+    rows = []
+    cid = 0
+    # e1/shape: 4 sources say A, 1 says B → A should be accepted
+    for s, v in [("s0", "A"), ("s1", "A"), ("s2", "A"), ("s3", "A"),
+                 ("s4", "B")]:
+        rows.append({"claim_id": cid, "bucket_id": 0, "source": s,
+                     "entity": "e1", "attr": "shape", "value_str": v,
+                     "value_num": None, "value_type": "string",
+                     "raw_value": v, "conv_id": "c", "turn_idx": 0})
+        cid += 1
+    ds = claims_ds(rows)
+    out1 = sorted((r["entity"], r["value_str"])
+                  for r in run_ltm(ds, max_itr=20, burnin=8).take_all())
+    out2 = sorted((r["entity"], r["value_str"])
+                  for r in run_ltm(ds, max_itr=20, burnin=8).take_all())
+    assert out1 == out2  # seeded RNG → reproducible
+    assert ("e1", "A") in out1
+    vals = {v for _, v in out1}
+    assert vals <= {"A", "B"}
+    quality = run_ltm(ds, max_itr=20, burnin=8,
+                      output="quality").take_all()
+    assert {q["source"] for q in quality} == {"s0", "s1", "s2", "s3", "s4"}
+    for q in quality:
+        assert 0.0 < q["recall"] < 1.0
+        assert 0.0 < q["specificity"] < 1.0

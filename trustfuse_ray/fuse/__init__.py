@@ -7,24 +7,16 @@ from trustfuse_ray.fuse.truthfinder import TruthFinder
 from trustfuse_ray.fuse.voting import Voting
 
 
-def _lazy_models():
+def model_map() -> dict:
     from trustfuse_ray.fuse.accu import Accu
     from trustfuse_ray.fuse.catd import CATD
     from trustfuse_ray.fuse.gtm import GTM
     from trustfuse_ray.fuse.kdem import KDEm
     from trustfuse_ray.fuse.slimfast import SLiMFast
 
-    return {"ACCU": Accu, "CATD": CATD, "GTM": GTM, "KDEm": KDEm,
+    return {"Voting": Voting, "CRH": CRH, "TruthFinder": TruthFinder,
+            "ACCU": Accu, "CATD": CATD, "GTM": GTM, "KDEm": KDEm,
             "SLIMFAST": SLiMFast}
-
-
-def model_map() -> dict:
-    m = {"Voting": Voting, "CRH": CRH, "TruthFinder": TruthFinder}
-    try:
-        m.update(_lazy_models())
-    except ImportError:
-        pass  # later waves not present yet
-    return m
 
 
 MODEL_PARAMETERS = {

@@ -94,6 +94,15 @@ class FusionModel:
 # ---------------------------------------------------------------------------
 
 
+def _numeric_claims_only(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.and_(pc.equal(batch["value_type"], "quantity"),
+                                pc.is_valid(batch["value_num"])))
+
+
+def _quantity_facts_only(batch: pa.Table) -> pa.Table:
+    return batch.filter(pc.equal(batch["value_type"], "quantity"))
+
+
 def _fnv64(s: str) -> int:
     h = 0xCBF29CE484222325
     for ch in s.encode():
@@ -178,8 +187,9 @@ def pack_facts(claims, numeric_only: bool = False, n_parts: int = 128):
     only quantity attrs with parseable numbers enter the claim matrix.
     """
     if numeric_only:
-        claims = claims.filter(
-            expr="value_type = 'quantity' and value_num is not null")
+        claims = claims.map_batches(_numeric_claims_only,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
     keyed = claims.map_batches(
         functools.partial(_add_partition_col, n_parts=n_parts),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -370,7 +380,9 @@ def run_fusion_packed(packed, model: FusionModel, materialize: bool = True,
     both emit the triple table distributed.
     """
     if model.numeric_only:
-        packed = packed.filter(expr="value_type = 'quantity'")
+        packed = packed.map_batches(_quantity_facts_only,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
     if materialize:
         packed = packed.materialize()  # reused by every round — pay once
 

@@ -96,6 +96,20 @@ def q_fuse_voting_sqlable(sf_dir: str):
     return triples.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_fuse_ltm(sf_dir: str):
+    from trustfuse_ray.fuse.ltm import run_ltm
+
+    data_dir = synth.generate(sf_dir)
+    return run_ltm(build_claims(data_dir))
+
+
+def q_ltm_quality(sf_dir: str):
+    from trustfuse_ray.fuse.ltm import run_ltm
+
+    data_dir = synth.generate(sf_dir)
+    return run_ltm(build_claims(data_dir), output="quality")
+
+
 def q_fuse_weights(sf_dir: str, model: str = "CRH"):
     data_dir = synth.generate(sf_dir)
     claims = build_claims(data_dir)
@@ -229,6 +243,13 @@ def queries_map():
         "kg_fuse_voting": q_fuse_voting_sqlable,
         "kg_fuse_crh": functools.partial(q_fuse, model="CRH"),
         "kg_fuse_truthfinder": functools.partial(q_fuse, model="TruthFinder"),
+        "kg_fuse_accu": functools.partial(q_fuse, model="ACCU"),
+        "kg_fuse_slimfast": functools.partial(q_fuse, model="SLIMFAST"),
+        "kg_fuse_catd": functools.partial(q_fuse, model="CATD"),
+        "kg_fuse_gtm": functools.partial(q_fuse, model="GTM"),
+        "kg_fuse_kdem": functools.partial(q_fuse, model="KDEm"),
+        "kg_fuse_ltm": q_fuse_ltm,
+        "kg_ltm_source_quality": q_ltm_quality,
         "kg_weights_crh": functools.partial(q_fuse_weights, model="CRH"),
         "q1_pricing_summary": q1_pricing_summary,
         "top_customers": q_top_customers,
@@ -381,6 +402,11 @@ SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents""",
         "dedup_exact_docs": """
 SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
 FROM documents GROUP BY 1""",
+        "token_count": r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+         AS n_bpeish_tokens
+FROM documents""",
         "text_quality": r"""
 SELECT doc_id,
        length(text) AS n_chars,

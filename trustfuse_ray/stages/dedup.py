@@ -24,6 +24,7 @@ import struct
 import numpy as np
 import pyarrow as pa
 
+from trustfuse_ray.stages.common import hash_group_apply
 from trustfuse_ray.stages.text import canonical_text
 
 _WORD = re.compile(r"\w+")
@@ -138,9 +139,9 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
     banded = sigs.map_batches(
         functools.partial(_band_rows, bands=bands, rows=rows),
         batch_format="pyarrow", zero_copy_batch=True)
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        functools.partial(_bucket_pairs, threshold=threshold),
-        batch_format="pyarrow")
+    pairs = hash_group_apply(
+        banded, ["band", "band_hash"],
+        functools.partial(_bucket_pairs, threshold=threshold))
     # same pair can surface from several bands → keep one
     return pairs.groupby(["doc_a", "doc_b"]).max("jaccard_est")
 
@@ -242,9 +243,9 @@ def simhash_near_pairs(docs, max_hamming: int = 3, blocks: int = 4):
                           zero_copy_batch=True)
     sliced = sh.map_batches(functools.partial(_slices, blocks=blocks),
                             batch_format="pyarrow")
-    pairs = sliced.groupby(["block", "key"]).map_groups(
-        functools.partial(_verify, max_hamming=max_hamming),
-        batch_format="pyarrow")
+    pairs = hash_group_apply(
+        sliced, ["block", "key"],
+        functools.partial(_verify, max_hamming=max_hamming))
     return pairs.groupby(["doc_a", "doc_b"]).min("hamming")
 
 
