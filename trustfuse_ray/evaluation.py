@@ -1,0 +1,249 @@
+"""Evaluation metrics — distributed re-expression of
+`/root/reference/trustfuse/evaluation/evaluation.py:121-349` (``get_metrics``)
+with the same set semantics and edge cases:
+
+* tuples = distinct (entity, value) pairs per (bucket, attr), list cells
+  exploded (``col2tuples``, evaluation.py:108-118);
+* IT and DPP restricted to entities present in GT (evaluation.py:191-196);
+* tp = |GT∩IT|, fp = |IT−GT|, tn = |(DPP−GT)−IT|, fn = |(DPP−IT)∩GT|
+  (evaluation.py:211-214) — note fn requires the tuple to have been claimed;
+* precision = 1 when fp == 0 (evaluation.py:72-74); recall/accuracy/F1 with
+  zero-denominator → 0; completion rate = |IT∩GT|/|GT| (evaluation.py:240-244);
+* per-attr and per-bucket metrics, dataset micro totals, median/var/mean of
+  per-bucket P and R (evaluation.py:281-312);
+* specificity from partial-order coefficient tables, wrong values −1 in
+  "negative" mode (evaluation.py:24-58).
+
+Distributed shape: one union of flagged tuple tables → groupby(tuple).max
+flags → vectorized per-tuple contribution → groupby(bucket, attr).sum →
+tiny per-attr table on the driver for rollups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _flagged(ds, flag: str, cols: dict[str, str]) -> "ray.data.Dataset":
+    """Project ds to (bucket_id, attr, entity, value, gt/it/dpp flags)."""
+
+    def _b(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        bucket = (batch[cols["bucket_id"]] if cols.get("bucket_id")
+                  else pa.array([0] * n, pa.int32()))
+        val = pc.cast(batch[cols["value"]], pa.string())
+        out = pa.table({
+            "bucket_id": pc.cast(bucket, pa.int32()),
+            "attr": batch[cols["attr"]],
+            "entity": batch[cols["entity"]],
+            "value": val,
+        })
+        for f in ("gt", "it", "dpp"):
+            out = out.append_column(
+                f, pa.array([1 if f == flag else 0] * n, pa.int8()))
+        return out.filter(pc.is_valid(val))
+
+    return ds.map_batches(_b, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _counts_per_attr(flags) -> list[dict]:
+    """(bucket, attr, entity, value, gt|it|dpp) rows → per (bucket, attr)
+    tp/fp/tn/fn/gt_size/hit counts."""
+    tuples = flags.groupby(["bucket_id", "attr", "entity", "value"]).max(
+        ["gt", "it", "dpp"])
+
+    def _contrib(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch["max(gt)"], dtype=bool)
+        i = np.asarray(batch["max(it)"], dtype=bool)
+        d = np.asarray(batch["max(dpp)"], dtype=bool)
+        return pa.table({
+            "bucket_id": batch["bucket_id"],
+            "attr": batch["attr"],
+            "tp": pa.array((g & i).astype(np.int64)),
+            "fp": pa.array((i & ~g).astype(np.int64)),
+            "tn": pa.array((d & ~g & ~i).astype(np.int64)),
+            "fn": pa.array((d & ~i & g).astype(np.int64)),
+            "gt_n": pa.array(g.astype(np.int64)),
+            "hit": pa.array((g & i).astype(np.int64)),
+        })
+
+    per_attr = (tuples.map_batches(_contrib, batch_format="pyarrow")
+                .groupby(["bucket_id", "attr"])
+                .sum(["tp", "fp", "tn", "fn", "gt_n", "hit"]))
+    return per_attr.take_all()
+
+
+def compute_precision(tp, fp):
+    return 1 if fp == 0 else tp / (tp + fp)
+
+
+def compute_recall(tp, fn):
+    return tp / (tp + fn) if (tp + fn) > 0 else 0
+
+
+def compute_accuracy(tp, fp, tn, fn):
+    tot = tp + tn + fp + fn
+    return (tp + tn) / tot if tot > 0 else 0
+
+
+def compute_f1(r, p):
+    return 2 * r * p / (r + p) if (r + p) > 0 else 0
+
+
+def get_metrics(triples, gt, claims,
+                triples_cols=None, gt_cols=None, claims_cols=None,
+                partial_orders: dict | None = None,
+                specificity_mode: str = "negative") -> dict:
+    """triples/gt/claims Datasets → nested metrics dict (reference shape).
+
+    ``gt`` drives the entity restriction: IT/DPP tuples whose entity is not
+    in GT are dropped (broadcast entity set — GT is curated/small by
+    construction).  ``partial_orders``: {attr: {value: coeff}} for the
+    specificity metric.
+    """
+    triples_cols = triples_cols or {"bucket_id": "bucket_id", "attr": "attr",
+                                    "entity": "entity", "value": "value_str"}
+    gt_cols = gt_cols or {"bucket_id": None, "attr": "attr",
+                          "entity": "entity", "value": "value_str"}
+    claims_cols = claims_cols or {"bucket_id": "bucket_id", "attr": "attr",
+                                  "entity": "entity", "value": "value_str"}
+
+    gt_f = _flagged(gt, "gt", gt_cols).materialize()
+    gt_entities = set(gt_f.unique("entity"))
+
+    def _restrict(ds):
+        def _b(batch: pa.Table) -> pa.Table:
+            mask = pa.array([e in gt_entities
+                             for e in batch["entity"].to_pylist()])
+            return batch.filter(mask)
+        return ds.map_batches(_b, batch_format="pyarrow")
+
+    it_f = _restrict(_flagged(triples, "it", triples_cols))
+    dpp_f = _restrict(_flagged(claims, "dpp", claims_cols))
+    flags = gt_f.union(it_f).union(dpp_f)
+    rows = _counts_per_attr(flags)
+
+    # specificity needs the IT−GT split per attr: reuse the tuple table
+    spec_rows = None
+    if partial_orders:
+        tuples = flags.groupby(["bucket_id", "attr", "entity", "value"]).max(
+            ["gt", "it"]).take_all()
+        spec_acc: dict[tuple, list] = {}
+        for t in tuples:
+            if not t["max(it)"]:
+                continue
+            key = (t["bucket_id"], t["attr"])
+            po = partial_orders.get(t["attr"])
+            s = spec_acc.setdefault(key, [0.0, 0])  # [specificity, n_ordered]
+            if not t["max(gt)"]:
+                if specificity_mode == "negative":
+                    s[0] -= 1.0
+            elif po is not None and t["value"] in po:
+                s[0] += po[t["value"]]
+                s[1] += 1
+        spec_rows = spec_acc
+
+    metrics = {"buckets": {}}
+    ov = dict(tp=0, fp=0, tn=0, fn=0)
+    per_bucket: dict[int, dict] = {}
+    for r in rows:
+        bid, attr = r["bucket_id"], r["attr"]
+        b = per_bucket.setdefault(
+            bid, {"attributes": {}, "tp": 0, "fp": 0, "tn": 0, "fn": 0,
+                  "c_rate": 0.0, "spec": 0.0, "spec_n": 0})
+        tp, fp = r["sum(tp)"], r["sum(fp)"]
+        tn, fn = r["sum(tn)"], r["sum(fn)"]
+        p = compute_precision(tp, fp)
+        rc = compute_recall(tp, fn)
+        c_rate = (r["sum(hit)"] / r["sum(gt_n)"]) if r["sum(gt_n)"] else 0
+        attr_spec = None
+        if spec_rows is not None and (bid, attr) in spec_rows:
+            s, n_ord = spec_rows[(bid, attr)]
+            attr_spec = s / n_ord if n_ord > 0 else None
+            if attr_spec is not None:
+                b["spec"] += s / n_ord
+                b["spec_n"] += n_ord
+        b["attributes"][attr] = {
+            "p": p, "r": rc,
+            "acc": compute_accuracy(tp, fp, tn, fn),
+            "f1_score": compute_f1(rc, p),
+            "c_rate": c_rate,
+            "specificity": attr_spec,
+        }
+        for k, v in (("tp", tp), ("fp", fp), ("tn", tn), ("fn", fn)):
+            b[k] += v
+            ov[k] += v
+        b["c_rate"] += c_rate
+
+    for bid, b in per_bucket.items():
+        n_attr = len(b["attributes"])
+        b_p = compute_precision(b["tp"], b["fp"])
+        b_r = compute_recall(b["tp"], b["fn"])
+        metrics["buckets"][bid] = {
+            "attributes": b["attributes"],
+            "b_p": b_p, "b_r": b_r,
+            "b_acc": compute_accuracy(b["tp"], b["fp"], b["tn"], b["fn"]),
+            "b_f1_score": compute_f1(b_r, b_p),
+            "c_rate": b["c_rate"] / n_attr if n_attr else 0,
+            "specificity": (b["spec"] / b["spec_n"]
+                            if b["spec_n"] > 0 else None),
+        }
+
+    ov_p = compute_precision(ov["tp"], ov["fp"])
+    ov_r = compute_recall(ov["tp"], ov["fn"])
+    bp = [metrics["buckets"][b]["b_p"] for b in metrics["buckets"]] or [0]
+    br = [metrics["buckets"][b]["b_r"] for b in metrics["buckets"]] or [0]
+    metrics.update({
+        "ov_p": ov_p, "ov_r": ov_r,
+        "ov_acc": compute_accuracy(ov["tp"], ov["fp"], ov["tn"], ov["fn"]),
+        "ov_f1_score": compute_f1(ov_r, ov_p),
+        "c_rate": (sum(metrics["buckets"][b]["c_rate"]
+                       for b in metrics["buckets"])
+                   / len(metrics["buckets"])) if metrics["buckets"] else 0,
+        "ov_p_median": float(np.median(bp)),
+        "ov_p_var": float(np.var(bp)),
+        "ov_p_avg": float(np.mean(bp)),
+        "ov_r_median": float(np.median(br)),
+        "ov_r_var": float(np.var(br)),
+        "ov_r_avg": float(np.mean(br)),
+    })
+    return metrics
+
+
+def compute_mnad(triples, gt, attribute_types: dict[str, str]) -> float | None:
+    """Mean Normalized Absolute Distance for quantity attributes
+    (evaluation.py:355-385 semantics: per attr, MAE of GT vs fused values on
+    common entities, normalized by the variance of the absolute errors;
+    var == 0 → plain MAE).  The reference's ``ts_arr = ts_arr[0]`` scalar
+    collapse (evaluation.py:375) only runs without crashing for single-row
+    merges; we compute the element-wise form."""
+    t_rows = triples.select_columns(
+        ["entity", "attr", "value_num"]).take_all()
+    g_rows = gt.select_columns(["entity", "attr", "value_num"]).take_all()
+    fused = {(r["entity"], r["attr"]): r["value_num"] for r in t_rows
+             if r["value_num"] is not None}
+    mae_tot, n_attr = 0.0, 0
+    by_attr: dict[str, list] = {}
+    for r in g_rows:
+        attr = r["attr"]
+        if attribute_types.get(attr) != "quantity":
+            continue
+        if r["value_num"] is None:
+            continue
+        f = fused.get((r["entity"], attr))
+        if f is None:
+            continue
+        by_attr.setdefault(attr, []).append((r["value_num"], f))
+    for attr, pairs in by_attr.items():
+        g = np.array([p[0] for p in pairs])
+        f = np.array([p[1] for p in pairs])
+        err = np.abs(g - f)
+        var = float(np.var(err))
+        mae = float(np.mean(err))
+        mae_tot += mae if var == 0 else mae / var
+        n_attr += 1
+    return mae_tot / n_attr if n_attr else None

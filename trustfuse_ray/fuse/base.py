@@ -440,7 +440,21 @@ def _run_fusion_local(packed, model: FusionModel):
     Arrow table; returns (triples Dataset, weights)."""
     import ray
 
-    tbl = pa.concat_tables(ray.get(packed.to_arrow_refs()))
+    blocks = [t for t in ray.get(packed.to_arrow_refs()) if len(t)]
+    if blocks:
+        # unify list-field naming (item vs element) across block provenances
+        tbl = pa.concat_tables([t.cast(blocks[0].schema) for t in blocks])
+    else:
+        tbl = _pack_partition(pa.table({
+            "claim_id": pa.array([], pa.int64()),
+            "bucket_id": pa.array([], pa.int32()),
+            "entity": pa.array([], pa.string()),
+            "attr": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "value_str": pa.array([], pa.string()),
+            "value_num": pa.array([], pa.float64()),
+            "value_type": pa.array([], pa.string()),
+        }))
 
     # source index + counts
     sources: dict[int, list[str]] = {}

@@ -39,6 +39,85 @@ def build_claims(data_dir: str, concurrency: int | tuple = (1, 8)):
         concurrency=concurrency)
 
 
+def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
+                              concurrency: int | tuple = (1, 8),
+                              max_partitions: int | None = None,
+                              **model_kwargs) -> dict:
+    """Checkpointed flagship pipeline.
+
+    Stage A (embarrassingly parallel per transcript file): extract + link →
+    ``out_dir/claims/part={p}`` + manifest.  A resumed run skips partitions
+    whose manifest is complete for the same input file.  ``max_partitions``
+    lets tests simulate a mid-run kill.
+
+    Stage B (global): fusion over all completed claim partitions →
+    ``out_dir/triples`` + manifest carrying triple counts + source weights
+    (weights are global across partitions, as in the reference).
+    Returns a summary dict.
+    """
+    import glob
+    import time as _time
+
+    from trustfuse_ray.state import checkpoint as ckpt
+
+    with open(os.path.join(data_dir, "attr_types.json")) as fh:
+        attr_types = json.load(fh)
+    alias_path = os.path.join(data_dir, "aliases.parquet")
+    files = sorted(glob.glob(os.path.join(data_dir, "transcripts",
+                                          "*.parquet")))
+    claims_root = os.path.join(out_dir, "claims")
+    done, skipped = [], []
+    for p, f in enumerate(files):
+        if max_partitions is not None and len(done) + len(skipped) \
+                >= max_partitions:
+            break
+        fp = ckpt.file_fingerprint(f)
+        if ckpt.is_complete(claims_root, p, fp):
+            skipped.append(p)
+            continue
+        t0 = _time.perf_counter()
+        ds = ray.data.read_parquet(f)
+        mentions = extract_triples(ds, concurrency=concurrency)
+        claims = link_and_canonicalize(mentions, alias_path, attr_types,
+                                       concurrency=concurrency)
+        part_dir = ckpt.partition_dir(claims_root, p)
+        claims = claims.materialize()
+        claims.write_parquet(part_dir)
+        ckpt.write_manifest(claims_root, p, fp, rows=claims.count(),
+                            wall_secs=_time.perf_counter() - t0,
+                            metrics={"input_file": os.path.basename(f)})
+        done.append(p)
+
+    summary = {"claims_partitions_done": done,
+               "claims_partitions_skipped": skipped,
+               "total_partitions": len(files)}
+    if max_partitions is not None and len(done) + len(skipped) < len(files):
+        summary["status"] = "partial"
+        return summary
+
+    triples_root = os.path.join(out_dir, "triples")
+    all_fp = "|".join(ckpt.file_fingerprint(f) for f in files)
+    if ckpt.is_complete(triples_root, 0, all_fp):
+        summary["status"] = "complete"
+        summary["triples_skipped"] = True
+        return summary
+    t0 = _time.perf_counter()
+    # directory read; the _manifests/ sidecar is ignored (underscore prefix)
+    claims_all = ray.data.read_parquet(claims_root)
+    triples, weights = run_fusion(claims_all,
+                                  make_model(model, **model_kwargs))
+    triples = triples.materialize()
+    triples.write_parquet(ckpt.partition_dir(triples_root, 0))
+    ckpt.write_manifest(
+        triples_root, 0, all_fp, rows=triples.count(),
+        wall_secs=_time.perf_counter() - t0,
+        metrics={"model": model,
+                 "source_weights": {str(b): w for b, w in weights.items()}})
+    summary["status"] = "complete"
+    summary["triples"] = triples.count()
+    return summary
+
+
 def run_kg_pipeline(sf_dir: str, model: str = "CRH", out_dir: str | None = None,
                     concurrency: int | tuple = (1, 8), **model_kwargs):
     """Full pipeline over the synthetic corpus for ``sf_dir``.
