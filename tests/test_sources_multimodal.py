@@ -1,0 +1,118 @@
+"""Static TSV source + melt, cumulative bucket predicate, multimodal
+plumbing, scale_units group stage."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from trustfuse_ray.fuse import Voting, run_fusion
+from trustfuse_ray.sources.static import (cumulative_bucket_view,
+                                          melt_to_claims, read_static_tsv)
+from trustfuse_ray.stages.multimodal import (DecoderPool,
+                                             extract_media_features,
+                                             frame_sample,
+                                             synth_media_from_docs)
+
+HEADERS = ["Source", "ISBN", "Title", "Authors"]
+
+
+@pytest.fixture()
+def tsv_dir(tmp_path):
+    d = tmp_path / "conflicting_data"
+    d.mkdir()
+    # bucket 0: trailing junk column (reference Book quirk)
+    (d / "b0.txt").write_text(
+        "src1\t111\tDiving In\tA. Smith; B. Jones\tJUNK\n"
+        "src2\t111\tDivingIn \tA. Smith\tJUNK\n"
+        "src1\t222\tOther\tC. Lee\tJUNK\n", encoding="ISO-8859-1")
+    (d / "b1.txt").write_text(
+        "src1\t111\tDiving In\tA. Smith; B. Jones\tX\n",
+        encoding="ISO-8859-1")
+    return str(d)
+
+
+def test_read_static_tsv_buckets_and_junk(tsv_dir):
+    ds = read_static_tsv(tsv_dir, HEADERS)
+    rows = ds.take_all()
+    assert len(rows) == 4
+    assert set(rows[0]) == set(HEADERS) | {"bucket_id"}
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket_id"], []).append(r)
+    assert len(by_bucket[0]) == 3 and len(by_bucket[1]) == 1
+
+
+def test_melt_and_fuse_static(tsv_dir):
+    ds = read_static_tsv(tsv_dir, HEADERS)
+    claims = melt_to_claims(ds, entity_col="ISBN",
+                            attrs=["Title", "Authors"],
+                            attribute_types={"Title": "string",
+                                             "Authors": "string"})
+    rows = claims.take_all()
+    assert all(r["entity"] in ("111", "222") for r in rows)
+    assert any(r["value_str"] == "DivingIn" for r in rows)  # trimmed
+    triples, _ = run_fusion(claims, Voting())
+    got = {(r["bucket_id"], r["entity"], r["attr"]): r["value_str"]
+           for r in triples.take_all()}
+    assert got[(0, "111", "Title")] == "Diving In"  # 1-1 tie → lexicographic
+    assert got[(1, "111", "Authors")] == "A. Smith; B. Jones"
+
+
+def test_cumulative_bucket_view(tsv_dir):
+    ds = read_static_tsv(tsv_dir, HEADERS)
+    claims = melt_to_claims(ds, entity_col="ISBN", attrs=["Title"],
+                            attribute_types={"Title": "string"})
+    assert cumulative_bucket_view(claims, 0).count() == 3
+    assert cumulative_bucket_view(claims, 1).count() == 4
+
+
+def test_multimodal_plumbing():
+    docs = ray.data.from_items(
+        [{"doc_id": i, "text": f"document body {i} " * (i + 1)}
+         for i in range(10)])
+    media = synth_media_from_docs(docs)
+    feats = extract_media_features(media, concurrency=(1, 2),
+                                   batch_size=4).take_all()
+    assert len(feats) == 10
+    assert all(len(f["features"]) == 16 for f in feats)
+    # deterministic across runs
+    feats2 = extract_media_features(synth_media_from_docs(docs),
+                                    concurrency=(1, 2),
+                                    batch_size=4).take_all()
+    a = {f["media_id"]: f["features"] for f in feats}
+    b = {f["media_id"]: f["features"] for f in feats2}
+    assert a == b
+    frames = frame_sample(media).take_all()
+    assert {f["media_id"] for f in frames} == set(range(10))
+
+    with pytest.raises(NotImplementedError):
+        DecoderPool(codec="real")._decode(b"FAKE" + b"\0" * 20)
+
+
+def test_scale_units_stage_groups():
+    """scale_units as groupby(entity).map_groups (order/group-sensitive,
+    SURVEY §7.5)."""
+    import pyarrow as pa
+
+    from trustfuse_ray.stages.canon import scale_units_group
+
+    rows = []
+    for e, vals in (("A", ["1,000", "1.05", "980"]),
+                    ("B", ["5", "5000", "4.8"])):
+        for v in vals:
+            rows.append({"entity": e, "Volume": v})
+    ds = ray.data.from_items(rows)
+
+    def _grp(batch: pa.Table) -> pa.Table:
+        vals = np.array(batch["Volume"].to_pylist(), dtype=object)
+        scaled = scale_units_group(vals)
+        return pa.table({"entity": batch["entity"],
+                         "Volume": pa.array([float(x) for x in scaled])})
+
+    out = ds.groupby("entity").map_groups(_grp, batch_format="pyarrow")
+    by_e = {}
+    for r in out.take_all():
+        by_e.setdefault(r["entity"], []).append(r["Volume"])
+    for vals in by_e.values():
+        arr = np.array(vals)
+        assert np.all(np.abs(np.log10(arr / np.median(arr))) <= 0.8)

@@ -174,6 +174,24 @@ def _add_partition_col(batch: pa.Table, *, n_parts: int) -> pa.Table:
     return batch.append_column("fact_part", pa.array(part, pa.int32()))
 
 
+def _combine_dedup(batch: pa.Table) -> pa.Table:
+    """Per-block combiner: dedup (bucket, source, entity, attr, value) keeping
+    the lowest claim_id BEFORE the pack shuffle.  This is the hot-entity skew
+    guard: a source spamming the same triple millions of times contributes at
+    most one row per block to the shuffle, so post-shuffle fact sizes are
+    bounded by #sources x #distinct-values regardless of input skew
+    (SURVEY.md §7.3 salting note; exact dedup per
+    `/root/reference/dataset_generation/generate_buckets.py:182-189`)."""
+    import pandas as pd
+
+    df = batch.to_pandas()
+    df = df.sort_values("claim_id", kind="stable").drop_duplicates(
+        subset=["bucket_id", "source", "entity", "attr", "value_str"],
+        keep="first")
+    return pa.Table.from_pandas(df, preserve_index=False,
+                                schema=batch.schema)
+
+
 def pack_facts(claims, numeric_only: bool = False, n_parts: int = 128):
     """Long claims Dataset → packed facts Dataset (the single fusion shuffle).
 
@@ -190,6 +208,8 @@ def pack_facts(claims, numeric_only: bool = False, n_parts: int = 128):
         claims = claims.map_batches(_numeric_claims_only,
                                     batch_format="pyarrow",
                                     zero_copy_batch=True)
+    claims = claims.map_batches(_combine_dedup, batch_format="pyarrow",
+                                zero_copy_batch=True)
     keyed = claims.map_batches(
         functools.partial(_add_partition_col, n_parts=n_parts),
         batch_format="pyarrow", zero_copy_batch=True)

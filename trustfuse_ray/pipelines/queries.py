@@ -96,6 +96,14 @@ def q_fuse_voting_sqlable(sf_dir: str):
     return triples.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_voting_salted(sf_dir: str):
+    from trustfuse_ray.fuse.voting import salted_categorical_voting
+
+    data_dir = synth.generate(sf_dir)
+    out = salted_categorical_voting(build_claims(data_dir))
+    return out.select_columns(["entity", "attr", "value_str", "n_votes"])
+
+
 def q_fuse_ltm(sf_dir: str):
     from trustfuse_ray.fuse.ltm import run_ltm
 
@@ -221,6 +229,26 @@ def q_simhash_pairs(sf_dir: str):
             {"min(hamming)": "hamming"})
 
 
+def q_multimodal_features(sf_dir: str):
+    from trustfuse_ray.stages.multimodal import (extract_media_features,
+                                                 synth_media_from_docs)
+
+    media = synth_media_from_docs(_tbl(sf_dir, "documents"))
+    return extract_media_features(media, batch_size=128)
+
+
+def q_bucketize_claims(sf_dir: str):
+    """Temporal session-window bucketization of claims (reference
+    generate_buckets closing rule); returns per-(entity, window) counts."""
+    from trustfuse_ray.stages.windows import bucketize_claims
+
+    data_dir = synth.generate(sf_dir)
+    claims = build_claims(data_dir)
+    bucketed = bucketize_claims(claims, delta_days=0.05, alpha_days=0.01)
+    return (bucketed.groupby(["entity", "bucket_id_w"]).count()
+            .rename_columns({"count()": "n_claims"}))
+
+
 def q_ann_topk(sf_dir: str):
     emb = _tbl(sf_dir, "embeddings")
     queries = [r for r in
@@ -241,6 +269,7 @@ def queries_map():
         "kg_assemble_conversations": q_assemble_conversations,
         "kg_dedup_claims": q_dedup_claims,
         "kg_fuse_voting": q_fuse_voting_sqlable,
+        "kg_voting_salted": q_voting_salted,
         "kg_fuse_crh": functools.partial(q_fuse, model="CRH"),
         "kg_fuse_truthfinder": functools.partial(q_fuse, model="TruthFinder"),
         "kg_fuse_accu": functools.partial(q_fuse, model="ACCU"),
@@ -263,6 +292,8 @@ def queries_map():
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
+        "multimodal_features": q_multimodal_features,
+        "kg_bucketize_claims": q_bucketize_claims,
     }
 
 
@@ -361,6 +392,23 @@ SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str,
        median(value_num) AS value_num
 FROM dedup WHERE value_type = 'quantity'
 GROUP BY 1, 2""",
+        "kg_voting_salted": f"""
+WITH {_claims_cte(cache)},
+ded AS (
+  SELECT DISTINCT entity, attr, value_str, source
+  FROM claims WHERE value_type <> 'quantity'
+),
+cnt AS (
+  SELECT entity, attr, value_str, count(*) AS n_votes
+  FROM ded GROUP BY 1, 2, 3
+),
+w AS (
+  SELECT entity, attr, value_str, n_votes,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY n_votes DESC, value_str ASC) AS rn
+  FROM cnt
+)
+SELECT entity, attr, value_str, n_votes FROM w WHERE rn = 1""",
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,

@@ -1,0 +1,142 @@
+"""Static conflicting-dataset sources — the reference's folder-of-TSV
+layout (`/root/reference/trustfuse/conflicting_dataset/dataset.py:269-334`):
+headerless ISO-8859-1 TSV files, one temporal bucket per file, configured
+header lists (`/root/reference/settings.py:27-66`), junk trailing columns
+dropped.  Re-expressed as ``ray.data.read_csv`` with explicit Arrow CSV
+options + a wide→long melt into the engine claim IR (replacing
+``Model.transform_data``'s per-row loops, `model.py:121-167`, with a
+vectorized unpivot)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.csv
+
+import ray.data
+
+from trustfuse_ray.stages.common import fnv64
+
+
+def read_static_tsv(data_dir: str, headers: list[str], sep: str = "\t",
+                    encoding: str = "ISO-8859-1"):
+    """Read a conflicting_data/ or ground_truth/ folder: one bucket per file
+    (bucket ids follow sorted filename order, as the reference's dict
+    insertion order does).  Extra trailing columns beyond ``headers`` are
+    dropped (dataset.py:302-310)."""
+    files = sorted(glob.glob(os.path.join(data_dir, "*")))
+    bucket_of = {os.path.abspath(f): i for i, f in enumerate(files)}
+
+    # probe the first line for the real column count (the reference reads
+    # then drops the junk trailing column, dataset.py:302-310)
+    with open(files[0], encoding=encoding) as fh:
+        ncols = len(fh.readline().rstrip("\n").split(sep))
+    spare = [f"__junk{i}" for i in range(max(0, ncols - len(headers)))]
+    names = list(headers) + spare
+    ds = ray.data.read_csv(
+        files,
+        read_options=pa.csv.ReadOptions(column_names=names,
+                                        encoding=encoding),
+        parse_options=pa.csv.ParseOptions(delimiter=sep),
+        convert_options=pa.csv.ConvertOptions(
+            column_types={n: pa.string() for n in names}),
+        include_paths=True,
+    )
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        paths = [bucket_of.get(os.path.abspath(p), 0)
+                 for p in batch["path"].to_pylist()]
+        keep = batch.select(list(headers))
+        return keep.append_column("bucket_id", pa.array(paths, pa.int32()))
+
+    return ds.map_batches(_finish, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def melt_to_claims(wide, entity_col: str, attrs: list[str],
+                   attribute_types: dict[str, str],
+                   source_col: str = "Source"):
+    """Wide per-source rows → long claim IR (one row per non-null
+    (source, entity, attr, value)).  claim_id is a content hash — stable
+    across partitionings; exact duplicate claims collide intentionally
+    (they dedup anyway, `generate_buckets.py:182-189` semantics)."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.canon import extract_number_with_commas
+
+    def _melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        n = len(batch)
+        src = batch[source_col]
+        ent = pc.cast(batch[entity_col], pa.string())
+        bucket = batch["bucket_id"] if "bucket_id" in batch.column_names \
+            else pa.array([0] * n, pa.int32())
+        for attr in attrs:
+            if attr not in batch.column_names:
+                continue
+            val = pc.cast(batch[attr], pa.string())
+            vtype = attribute_types.get(attr, "string")
+            if vtype == "quantity":
+                vnum = extract_number_with_commas(val)
+                vstr = pc.replace_substring(pc.utf8_trim_whitespace(val),
+                                            ",", "")
+            else:
+                vnum = pa.nulls(n, pa.float64())
+                vstr = pc.utf8_trim_whitespace(val)
+            cid = [fnv64(f"{b}|{s}|{e}|{attr}|{v}") if v is not None else 0
+                   for b, s, e, v in zip(bucket.to_pylist(),
+                                         src.to_pylist(),
+                                         ent.to_pylist(),
+                                         val.to_pylist())]
+            t = pa.table({
+                "claim_id": pa.array(cid, pa.int64()),
+                "bucket_id": pc.cast(bucket, pa.int32()),
+                "source": pc.cast(src, pa.string()),
+                "entity": ent,
+                "attr": pa.array([attr] * n, pa.string()),
+                "value_str": vstr,
+                "value_num": vnum,
+                "value_type": pa.array([vtype] * n, pa.string()),
+                "raw_value": val,
+                "conv_id": pa.array([""] * n, pa.string()),
+                "turn_idx": pa.array([0] * n, pa.int32()),
+            })
+            parts.append(t.filter(pc.is_valid(val)))
+        if not parts:
+            return _empty_claims()
+        return pa.concat_tables(parts)
+
+    return wide.map_batches(_melt, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _empty_claims() -> pa.Table:
+    return pa.table({
+        "claim_id": pa.array([], pa.int64()),
+        "bucket_id": pa.array([], pa.int32()),
+        "source": pa.array([], pa.string()),
+        "entity": pa.array([], pa.string()),
+        "attr": pa.array([], pa.string()),
+        "value_str": pa.array([], pa.string()),
+        "value_num": pa.array([], pa.float64()),
+        "value_type": pa.array([], pa.string()),
+        "raw_value": pa.array([], pa.string()),
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+    })
+
+
+def cumulative_bucket_view(claims, up_to_bucket: int):
+    """The WikiConflict cumulative-bucket semantics
+    (`dataset.py:362-379`: bucket b concatenates all previous buckets) as a
+    PREDICATE (bucket_id <= b) — never a physical concat, avoiding the
+    reference's quadratic memory growth (SURVEY.md §7.5)."""
+    import pyarrow.compute as pc
+
+    def _f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch["bucket_id"], up_to_bucket))
+
+    return claims.map_batches(_f, batch_format="pyarrow",
+                              zero_copy_batch=True)

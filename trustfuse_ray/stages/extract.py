@@ -50,10 +50,11 @@ class TripleExtractor:
         role = batch["role"].to_pylist()
         tool = batch["tool"].to_pylist()
         text = batch["text"].to_pylist()
+        ts = batch["ts"].to_pylist()
 
-        o_conv, o_turn, o_src, o_mention, o_attr, o_val, o_cid = \
-            [], [], [], [], [], [], []
-        for c, t, r, tl, tx in zip(conv, turn, role, tool, text):
+        o_conv, o_turn, o_src, o_mention, o_attr, o_val, o_cid, o_ts = \
+            [], [], [], [], [], [], [], []
+        for c, t, r, tl, tx, tstamp in zip(conv, turn, role, tool, text, ts):
             if r not in self.claim_roles:
                 continue
             src = f"{r}:{tl or ''}"
@@ -66,6 +67,7 @@ class TripleExtractor:
                 o_attr.append(attr)
                 o_val.append(raw)
                 o_cid.append(fnv64(f"{c}|{t}|{seq}"))
+                o_ts.append(tstamp)
         return pa.table(
             {
                 "conv_id": pa.array(o_conv, pa.string()),
@@ -75,6 +77,7 @@ class TripleExtractor:
                 "attr": pa.array(o_attr, pa.string()),
                 "raw_value": pa.array(o_val, pa.string()),
                 "claim_id": pa.array(o_cid, pa.int64()),
+                "ts": pa.array(o_ts, pa.timestamp("us")),
             }
         )
 

@@ -78,6 +78,7 @@ class EntityLinkerCanon:
                 "raw_value": raw,
                 "conv_id": batch["conv_id"],
                 "turn_idx": batch["turn_idx"],
+                "ts": batch["ts"],
             }
         )
 
