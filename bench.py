@@ -20,6 +20,36 @@ import sys
 import time
 
 
+def _run_kg_only(sf_dir: str, num_cpus: int) -> dict:
+    """Headline pipeline only (extract → link → pack → CRH fusion → write):
+    the unit the scaling criterion measures."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             log_to_driver=False)
+    from trustfuse_ray import synth
+    from trustfuse_ray.fuse import make_model
+    from trustfuse_ray.fuse.base import FusionSession, pack_facts
+    from trustfuse_ray.pipelines.kg import build_claims
+
+    data_dir = synth.generate(sf_dir)
+    t0 = time.perf_counter()
+    claims = build_claims(data_dir).materialize()
+    session = FusionSession(pack_facts(claims))
+    try:
+        triples, _ = session.run(make_model("CRH"))
+        triples.write_parquet("/tmp/trustfuse_ray_bench/scaling_triples")
+        n = triples.count()
+    finally:
+        session.close()
+    secs = time.perf_counter() - t0
+    out = {"kg_secs": round(secs, 3), "triples": n,
+           "claims": claims.count(), "num_cpus": num_cpus,
+           "triples_per_sec": round(n / secs, 1)}
+    ray.shutdown()
+    return out
+
+
 def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -27,7 +57,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
              log_to_driver=False)
     from trustfuse_ray import synth
     from trustfuse_ray.fuse import make_model
-    from trustfuse_ray.fuse.base import pack_facts, run_fusion_packed
+    from trustfuse_ray.fuse.base import FusionSession, pack_facts
     from trustfuse_ray.pipelines.kg import build_claims
     from trustfuse_ray.pipelines import queries as Q
     from trustfuse_ray.stages.dedup import minhash_lsh_pairs
@@ -46,18 +76,21 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     claims = timed("kg_extract_link",
                    lambda: build_claims(data_dir).materialize())
     counts["claims"] = claims.count()
-    packed = timed("pack_facts", lambda: pack_facts(claims).materialize())
-
-    for model in ("Voting", "CRH", "TruthFinder"):
-        def _fuse(m=model):
-            triples, _ = run_fusion_packed(packed, make_model(m),
-                                           materialize=False)
-            return triples.materialize()
-        t = timed(f"fuse_{model.lower()}", _fuse)
-        counts[f"triples_{model.lower()}"] = t.count()
-        if model == "CRH":
-            timed("write_triples", lambda: t.write_parquet(
-                os.path.join("/tmp/trustfuse_ray_bench", "triples")))
+    # pack once, fuse all models over one persistent session
+    session = timed("pack_facts",
+                    lambda: FusionSession(pack_facts(claims)))
+    try:
+        for model in ("Voting", "CRH", "TruthFinder"):
+            def _fuse(m=model):
+                triples, _ = session.run(make_model(m))
+                return triples
+            t = timed(f"fuse_{model.lower()}", _fuse)
+            counts[f"triples_{model.lower()}"] = t.count()
+            if model == "CRH":
+                timed("write_triples", lambda: t.write_parquet(
+                    os.path.join("/tmp/trustfuse_ray_bench", "triples")))
+    finally:
+        session.close()
 
     timed("minhash_dedup", lambda: minhash_lsh_pairs(
         Q._tbl(sf_dir, "documents"), threshold=0.5).materialize())
@@ -93,34 +126,35 @@ def main():
         print(json.dumps(_run_benchmarks(sf_dir, num_cpus)))
         return
 
+    if "--_kg_single" in sys.argv:
+        print(json.dumps(_run_kg_only(sf_dir, num_cpus)))
+        return
+
     if "--scaling" in sys.argv:
+        # N vs 4N cluster-size stand-in: the headline KG pipeline in fresh
+        # processes at two parallelism pairs (2→8 and 8→32 CPUs); efficiency
+        # = (throughput@4N / throughput@N) / 4
         results = {}
-        for cpus in (8, 32):
+        for cpus in (2, 8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                        GRAFT_SF_DIR=sf_dir)
             out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--_single"],
+                [sys.executable, os.path.abspath(__file__), "--_kg_single"],
                 env=env, capture_output=True, text=True, check=True)
             results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
-        kg8 = (results[8]["queries"]["kg_extract_link"]
-               + results[8]["queries"]["pack_facts"]
-               + results[8]["queries"]["fuse_crh"])
-        kg32 = (results[32]["queries"]["kg_extract_link"]
-                + results[32]["queries"]["pack_facts"]
-                + results[32]["queries"]["fuse_crh"])
-        tp8 = results[8]["triples"] / kg8
-        tp32 = results[32]["triples"] / kg32
+        tp = {c: results[c]["triples_per_sec"] for c in results}
         print(json.dumps({
-            "metric": "kg pipeline scaling efficiency 8→32 cpus",
-            "value": round((tp32 / tp8) / 4, 3),
+            "metric": "kg pipeline throughput scaling efficiency (N→4N)",
+            "value": round((tp[8] / tp[2]) / 4, 3),
             "unit": "efficiency",
-            "sf": results[8]["sf"],
-            "throughput_8cpu_triples_per_sec": round(tp8, 1),
-            "throughput_32cpu_triples_per_sec": round(tp32, 1),
-            "total_secs_8cpu": results[8]["value"],
-            "total_secs_32cpu": results[32]["value"],
-            "queries_8cpu": results[8]["queries"],
-            "queries_32cpu": results[32]["queries"],
+            "sf": os.path.basename(sf_dir.rstrip("/")),
+            "pairs": {
+                "2→8": round((tp[8] / tp[2]) / 4, 3),
+                "8→32": round((tp[32] / tp[8]) / 4, 3),
+            },
+            "throughput_triples_per_sec": tp,
+            "kg_secs": {c: results[c]["kg_secs"] for c in results},
+            "triples": results[8]["triples"],
         }))
         return
 

@@ -53,7 +53,7 @@ def crh_fuse(index, claim, n_sources, max_itr=10, eps=0.1):
                 loss_i = (c - t) ** 2 / max(np.std(c), eps)
             else:
                 loss_i = (c.astype(str) != t).astype(float)
-            np.add.at(loss, idx, loss_i)
+            loss[np.asarray(idx)] = loss[np.asarray(idx)] + loss_i
         tot = loss.sum()
         w = loss.copy()
         if tot > 0:
@@ -112,8 +112,8 @@ def truthfinder_fuse(index, claim, types, n_sources, max_itr=10, rho=0.5,
         ssum = np.zeros(n_sources)
         cnt = np.zeros(n_sources)
         for idx, s in zip(index, s_set):
-            np.add.at(ssum, idx, s)
-            np.add.at(cnt, idx, 1.0)
+            ssum[np.asarray(idx)] = ssum[np.asarray(idx)] + s
+            cnt[np.asarray(idx)] = cnt[np.asarray(idx)] + 1.0
         t = np.zeros(n_sources)
         t[cnt > 0] = ssum[cnt > 0] / cnt[cnt > 0]
         tau = np.where(t >= 1, np.log(1e10), -np.log(np.clip(1 - t, 1e-300,
@@ -132,7 +132,7 @@ def catd_fuse(index, claim, count, n_sources, tol=0.1, max_itr=10):
         w_old = w.copy()
         loss = np.zeros(n_sources)
         for idx, c, t in zip(index, claim, truth):
-            np.add.at(loss, idx, (c - t) ** 2)
+            loss[np.asarray(idx)] = loss[np.asarray(idx)] + (c - t) ** 2
         w = loss.copy()
         pos = w > 0
         w[pos] = chi2_cdf(0.025, count[pos]) / w[pos]
@@ -171,8 +171,8 @@ def gtm_fuse(index, claim, n_sources, tol=1e-3, max_itr=99, alpha=10.0,
         num = np.zeros(n_sources)
         cnt = np.zeros(n_sources)
         for c, idx, t in zip(cn, ik, truth):
-            np.add.at(num, idx, 2 * beta + (c - t) ** 2)
-            np.add.at(cnt, idx, 1.0)
+            num[idx] = num[idx] + 2 * beta + (c - t) ** 2
+            cnt[idx] = cnt[idx] + 1.0
         return num / (2 * (alpha + 1) + cnt)
 
     def expectation(sig):
@@ -222,7 +222,8 @@ def kdem_fuse(index, claim, count, n_sources, tol=1e-5, max_itr=99):
     def update_c(norms):
         rtn = np.zeros(n_sources)
         for idx, nm in zip(index, norms):
-            np.add.at(rtn, idx, nm / len(idx))
+            ai = np.asarray(idx)
+            rtn[ai] = rtn[ai] + nm / len(idx)
         tmp = rtn.sum()
         c = rtn.copy()
         if tmp > 0:

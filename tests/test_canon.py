@@ -73,8 +73,12 @@ def test_extract_authors():
 
 
 @settings(max_examples=200, deadline=None)
-@given(st.text(max_size=30))
+@given(st.text(st.characters(min_codepoint=32, max_codepoint=126),
+               max_size=30))
 def test_extract_number_batch_matches_scalar(s):
+    # ASCII domain: Arrow RE2's \d is ASCII-only while Python re matches
+    # Unicode digits — documented deviation in canon._extract_float; the
+    # reference corpora are ISO-8859-1/ASCII
     scalar = canon.extract_number_scalar(s)
     batch = canon.extract_number(pa.array([s], pa.string())).to_pylist()[0]
     if scalar is None:

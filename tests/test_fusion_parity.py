@@ -74,7 +74,7 @@ def oracle_inputs(facts, sources):
     types = [facts[k][2] for k in keys]
     count = np.zeros(len(sources))
     for idx in index:
-        np.add.at(count, idx, 1)
+        count[np.asarray(idx)] = count[np.asarray(idx)] + 1
     return keys, index, claim, types, count
 
 

@@ -17,7 +17,7 @@ def numeric_inputs(facts, sources):
     claim = [np.array(facts[k][1], dtype=float) for k in keys]
     count = np.zeros(len(sources))
     for idx in index:
-        np.add.at(count, idx, 1)
+        count[np.asarray(idx)] = count[np.asarray(idx)] + 1
     return keys, index, claim, count
 
 

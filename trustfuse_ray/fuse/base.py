@@ -174,6 +174,17 @@ def _add_partition_col(batch: pa.Table, *, n_parts: int) -> pa.Table:
     return batch.append_column("fact_part", pa.array(part, pa.int32()))
 
 
+PACK_COLS = ("claim_id", "bucket_id", "source", "entity", "attr",
+             "value_str", "value_num", "value_type")
+
+
+def _project_pack_cols(batch: pa.Table) -> pa.Table:
+    """Prune to the columns packing needs BEFORE the shuffle — lineage
+    columns (raw_value, conv_id, turn_idx, ts) never leave the map side;
+    reverse mapping recovers them later via the claim_id join."""
+    return batch.select([c for c in PACK_COLS if c in batch.column_names])
+
+
 def _combine_dedup(batch: pa.Table) -> pa.Table:
     """Per-block combiner: dedup (bucket, source, entity, attr, value) keeping
     the lowest claim_id BEFORE the pack shuffle.  This is the hot-entity skew
@@ -208,6 +219,8 @@ def pack_facts(claims, numeric_only: bool = False, n_parts: int = 128):
         claims = claims.map_batches(_numeric_claims_only,
                                     batch_format="pyarrow",
                                     zero_copy_batch=True)
+    claims = claims.map_batches(_project_pack_cols, batch_format="pyarrow",
+                                zero_copy_batch=True)
     claims = claims.map_batches(_combine_dedup, batch_format="pyarrow",
                                 zero_copy_batch=True)
     keyed = claims.map_batches(
@@ -247,15 +260,15 @@ def iter_facts(batch: pa.Table, src_index: dict[int, dict[str, int]]
 
 def source_stats(packed) -> tuple[dict[int, list[str]], dict[int, np.ndarray]]:
     """Distinct sources per bucket + per-source fact participation counts
-    (the reference's ``count`` vector, `model.py:178-182`: +1 per fact a
-    source appears in, duplicates within a fact counted once... reference
-    adds +1 per *claim* via count[src]: replicate per-claim)."""
+    (the reference's ``count`` vector, `model.py:178-182`:
+    ``count[src] = count[src] + 1`` with fancy indexing — duplicate source
+    indices collapse, so it is +1 per fact the source appears in)."""
 
     def _partials(batch: pa.Table) -> pa.Table:
         acc: dict[tuple[int, str], int] = {}
         for bid, srcs in zip(batch["bucket_id"].to_pylist(),
                              batch["sources"].to_pylist()):
-            for s in srcs:
+            for s in set(srcs):  # fancy-index collapse: +1 per fact
                 k = (bid, s)
                 acc[k] = acc.get(k, 0) + 1
         return pa.table(
@@ -324,10 +337,15 @@ def _stats_batch(batch: pa.Table, *, model: FusionModel,
 def _emit_batch(batch: pa.Table, *, model: FusionModel,
                 state: dict[int, dict],
                 src_index: dict[int, dict[str, int]]) -> pa.Table:
+    return _emit_facts(iter_facts(batch, src_index), model, state)
+
+
+def _emit_facts(facts, model: FusionModel,
+                state: dict[int, dict]) -> pa.Table:
     rows = {k: [] for k in ("bucket_id", "entity", "attr", "value_str",
                             "value_num", "value_type", "conf", "n_claims",
                             "winner_claim_id")}
-    for fact in iter_facts(batch, src_index):
+    for fact in facts:
         if model.numeric_only and not fact.is_numeric:
             continue
         values, conf = model.fact_truth(fact, state[fact.bucket_id])
@@ -373,6 +391,239 @@ def _fmt_num(v: float) -> str:
     return str(int(v)) if float(v).is_integer() else repr(v)
 
 
+def _make_fact_shard():
+    """Lazily define the shard actor (keeps module import ray-free)."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class FactShard:
+        """Holds one shard of packed fact blocks for a whole FusionSession:
+        blocks are fetched zero-copy from the object store once, parsed into
+        Fact structs once, then served to every round of every model.
+
+        num_cpus=0: the pool is the ONLY computation running during fusion
+        rounds, and reserving CPUs would deadlock any Dataset execution the
+        caller runs while the session is open."""
+
+        def __init__(self, block_refs):
+            import ray as _r
+            self.tables = [t for t in _r.get(list(block_refs)) if len(t)]
+            self.facts: list[Fact] = []
+
+        def counts(self) -> dict:
+            """(bid, source) -> [facts_all, facts_quantity_numeric]; +1 per
+            fact per source (reference fancy-index collapse,
+            model.py:178-182)."""
+            acc: dict[tuple[int, str], list] = {}
+            for t in self.tables:
+                for bid, srcs, vt, vns in zip(t["bucket_id"].to_pylist(),
+                                              t["sources"].to_pylist(),
+                                              t["value_type"].to_pylist(),
+                                              t["values_num"].to_pylist()):
+                    is_q = vt == "quantity" and all(v is not None
+                                                    for v in vns)
+                    for src in set(srcs):
+                        c = acc.setdefault((bid, src), [0.0, 0.0])
+                        c[0] += 1
+                        if is_q:
+                            c[1] += 1
+            return acc
+
+        def parse(self, src_index) -> int:
+            self.facts = []
+            for t in self.tables:
+                self.facts.extend(iter_facts(t, src_index))
+            self.tables = []  # blocks no longer needed
+            return len(self.facts)
+
+        def stats(self, model, state, n_sources) -> dict:
+            outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
+                    for bid, n in n_sources.items()}
+            for fact in self.facts:
+                if model.numeric_only and not fact.is_numeric:
+                    continue
+                model.accumulate(fact, state[fact.bucket_id],
+                                 outs[fact.bucket_id])
+            return outs
+
+        def emit(self, model, state) -> pa.Table:
+            return _emit_facts(self.facts, model, state)
+
+    return FactShard
+
+
+class FusionSession:
+    """Pack once, fuse many models (the reference UI's compare-models loop,
+    `/root/reference/app.py:660-687`, without re-shuffling).
+
+    Size-adaptive iterate strategy:
+
+    * ≤ ``local_threshold`` facts: the packed table is pulled to the driver
+      once; rounds are plain loops (no per-round task overhead).
+    * larger: the packed blocks are dealt once to a pool of raw Ray
+      fact-shard actors (the documented raw-actor exception for iterative
+      global state) — every round is one ms-scale RPC per shard returning a
+      tiny per-source matrix, avoiding a fresh streaming-executor launch
+      (~0.5 s fixed) per round.
+
+    Both paths run identical model code; tests assert equality.
+    """
+
+    def __init__(self, packed, local_threshold: int = 20_000,
+                 materialize: bool = True):
+        import ray
+
+        if materialize:
+            packed = packed.materialize()
+        self.packed = packed
+        self.n_facts = packed.count()
+        self.use_actors = self.n_facts > local_threshold
+        self.actors = []
+        self._tbl = None
+        self._facts = None
+
+        if self.use_actors:
+            refs = packed.to_arrow_refs()
+            n_cpus = int(ray.cluster_resources().get("CPU", 8))
+            n_actors = max(1, min(n_cpus, len(refs)))
+            shards = [refs[i::n_actors] for i in range(n_actors)]
+            FactShard = _make_fact_shard()
+            self.actors = [FactShard.remote(sh) for sh in shards]
+            parts = ray.get([a.counts.remote() for a in self.actors])
+            agg: dict[tuple, list] = {}
+            for part in parts:
+                for k, v in part.items():
+                    c = agg.setdefault(k, [0.0, 0.0])
+                    c[0] += v[0]
+                    c[1] += v[1]
+        else:
+            blocks = [t for t in ray.get(packed.to_arrow_refs()) if len(t)]
+            if blocks:
+                # unify list-field naming (item vs element) across sources
+                self._tbl = pa.concat_tables(
+                    [t.cast(blocks[0].schema) for t in blocks])
+            else:
+                self._tbl = _empty_packed()
+            agg = {}
+            for bid, srcs, vt, vns in zip(
+                    self._tbl["bucket_id"].to_pylist(),
+                    self._tbl["sources"].to_pylist(),
+                    self._tbl["value_type"].to_pylist(),
+                    self._tbl["values_num"].to_pylist()):
+                is_q = vt == "quantity" and all(v is not None for v in vns)
+                for src in set(srcs):
+                    c = agg.setdefault((bid, src), [0.0, 0.0])
+                    c[0] += 1
+                    if is_q:
+                        c[1] += 1
+
+        self.sources: dict[int, list[str]] = {}
+        for bid, src in agg:
+            self.sources.setdefault(bid, []).append(src)
+        for bid in self.sources:
+            self.sources[bid] = sorted(set(self.sources[bid]))
+        self.src_index = {bid: {s: i for i, s in enumerate(srcs)}
+                          for bid, srcs in self.sources.items()}
+        self.n_sources = {bid: len(srcs)
+                          for bid, srcs in self.sources.items()}
+        self.counts_all = {bid: np.array([agg[(bid, s)][0] for s in srcs])
+                           for bid, srcs in self.sources.items()}
+        self.counts_q = {bid: np.array([agg[(bid, s)][1] for s in srcs])
+                         for bid, srcs in self.sources.items()}
+        if self.use_actors:
+            ray.get([a.parse.remote(self.src_index) for a in self.actors])
+        else:
+            self._facts = (list(iter_facts(self._tbl, self.src_index))
+                           if len(self._tbl) else [])
+
+    # -- internals --------------------------------------------------------
+    def _round_stats(self, model, state):
+        import ray
+
+        if self.use_actors:
+            parts = ray.get([a.stats.remote(model, state, self.n_sources)
+                             for a in self.actors])
+        else:
+            outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
+                    for bid, n in self.n_sources.items()}
+            for fact in self._facts:
+                if model.numeric_only and not fact.is_numeric:
+                    continue
+                model.accumulate(fact, state[fact.bucket_id],
+                                 outs[fact.bucket_id])
+            parts = [outs]
+        stats = {bid: np.zeros((N_CHANNELS, n))
+                 for bid, n in self.n_sources.items()}
+        for part in parts:
+            for bid, m in part.items():
+                stats[bid] += m
+        return stats
+
+    def run(self, model: FusionModel):
+        """→ (triples Dataset, weights {bucket: {source: w}}).
+
+        For numeric-only models the per-source ``count`` vector and the
+        reported weights cover only sources with ≥1 numeric quantity fact —
+        the reference's source set after ``focus_on_attributes``
+        type-selection (model.py:41-45)."""
+        import ray
+        import ray.data as rd
+
+        counts = self.counts_q if model.numeric_only else self.counts_all
+        state = {bid: model.initial_state(self.sources[bid], counts[bid])
+                 for bid in self.sources}
+        for r in range(model.n_rounds):
+            stats = self._round_stats(model, state)
+            all_conv = True
+            for bid in state:
+                state[bid], conv = model.reduce(state[bid], stats[bid],
+                                                counts[bid], r)
+                all_conv = all_conv and conv
+            if all_conv:
+                break
+
+        if self.use_actors:
+            refs = [a.emit.remote(model, state) for a in self.actors]
+            ray.wait(refs, num_returns=len(refs))
+            triples = rd.from_arrow_refs(refs)
+        else:
+            triples = rd.from_arrow(
+                _emit_facts(self._facts, model, state))
+        weights = {
+            bid: {s: float(model.weights(state[bid])[i])
+                  for s, i in self.src_index[bid].items()
+                  if counts[bid][i] > 0}
+            for bid in self.src_index
+        }
+        return triples, weights
+
+    def close(self):
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def _empty_packed() -> pa.Table:
+    return _pack_partition(pa.table({
+        "claim_id": pa.array([], pa.int64()),
+        "bucket_id": pa.array([], pa.int32()),
+        "entity": pa.array([], pa.string()),
+        "attr": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "value_str": pa.array([], pa.string()),
+        "value_num": pa.array([], pa.float64()),
+        "value_type": pa.array([], pa.string()),
+    }))
+
+
 def run_fusion(claims, model: FusionModel, materialize: bool = True,
                local_threshold: int = 20_000):
     """claims Dataset + model → (triples Dataset, weights per bucket).
@@ -388,143 +639,12 @@ def run_fusion(claims, model: FusionModel, materialize: bool = True,
 
 def run_fusion_packed(packed, model: FusionModel, materialize: bool = True,
                       local_threshold: int = 20_000):
-    """Fusion over a pre-packed fact Dataset (pack once, fuse with several
-    models — the reference UI's compare-models loop without re-shuffling).
-
-    Iteration strategy is size-adaptive: the per-round exchange is tiny
-    (per-source sums), so when the packed fact table is small enough to fit
-    on the driver the rounds run locally on one Arrow table (no per-round
-    task overhead); above ``local_threshold`` facts the rounds run as
-    distributed map_batches passes over the materialized packed Dataset.
-    Both paths execute the identical model code (tests assert equality), and
-    both emit the triple table distributed.
-    """
+    """One-shot fusion over a pre-packed fact Dataset (see FusionSession
+    for the pack-once / fuse-many-models form)."""
     if model.numeric_only:
         packed = packed.map_batches(_quantity_facts_only,
                                     batch_format="pyarrow",
                                     zero_copy_batch=True)
-    if materialize:
-        packed = packed.materialize()  # reused by every round — pay once
-
-    if local_threshold and packed.count() <= local_threshold:
-        return _run_fusion_local(packed, model)
-
-    sources, counts = source_stats(packed)
-    src_index = {bid: {s: i for i, s in enumerate(srcs)}
-                 for bid, srcs in sources.items()}
-    n_sources = {bid: len(srcs) for bid, srcs in sources.items()}
-    state = {bid: model.initial_state(sources[bid], counts[bid])
-             for bid in sources}
-
-    for r in range(model.n_rounds):
-        stats_tbl = (
-            packed.map_batches(
-                functools.partial(_stats_batch, model=model, state=state,
-                                  src_index=src_index, n_sources=n_sources),
-                batch_format="pyarrow", zero_copy_batch=True,
-            )
-            .groupby(["bucket_id", "source"])
-            .sum([f"s{c}" for c in range(N_CHANNELS)])
-            .take_all()
-        )
-        stats = {bid: np.zeros((N_CHANNELS, n_sources[bid]))
-                 for bid in n_sources}
-        for row in stats_tbl:
-            bid = row["bucket_id"]
-            j = src_index[bid][row["source"]]
-            for c in range(N_CHANNELS):
-                stats[bid][c, j] = row[f"sum(s{c})"]
-        all_conv = True
-        for bid in state:
-            state[bid], conv = model.reduce(state[bid], stats[bid],
-                                            counts[bid], r)
-            all_conv = all_conv and conv
-        if all_conv:
-            break
-
-    triples = packed.map_batches(
-        functools.partial(_emit_batch, model=model, state=state,
-                          src_index=src_index),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    weights = {
-        bid: {s: float(model.weights(state[bid])[i])
-              for s, i in src_index[bid].items()}
-        for bid in src_index
-    }
-    return triples, weights
-
-
-def _run_fusion_local(packed, model: FusionModel):
-    """Small-data fast path: same model code, rounds iterate over one local
-    Arrow table; returns (triples Dataset, weights)."""
-    import ray
-
-    blocks = [t for t in ray.get(packed.to_arrow_refs()) if len(t)]
-    if blocks:
-        # unify list-field naming (item vs element) across block provenances
-        tbl = pa.concat_tables([t.cast(blocks[0].schema) for t in blocks])
-    else:
-        tbl = _pack_partition(pa.table({
-            "claim_id": pa.array([], pa.int64()),
-            "bucket_id": pa.array([], pa.int32()),
-            "entity": pa.array([], pa.string()),
-            "attr": pa.array([], pa.string()),
-            "source": pa.array([], pa.string()),
-            "value_str": pa.array([], pa.string()),
-            "value_num": pa.array([], pa.float64()),
-            "value_type": pa.array([], pa.string()),
-        }))
-
-    # source index + counts
-    sources: dict[int, list[str]] = {}
-    counts_map: dict[int, dict[str, int]] = {}
-    for bid, srcs in zip(tbl["bucket_id"].to_pylist(),
-                         tbl["sources"].to_pylist()):
-        sset = sources.setdefault(bid, [])
-        cm = counts_map.setdefault(bid, {})
-        for s in srcs:
-            if s not in cm:
-                sset.append(s)
-            cm[s] = cm.get(s, 0) + 1
-    src_index = {}
-    counts = {}
-    for bid in sources:
-        sources[bid].sort()
-        src_index[bid] = {s: i for i, s in enumerate(sources[bid])}
-        counts[bid] = np.array([counts_map[bid][s] for s in sources[bid]],
-                               dtype=np.float64)
-    n_sources = {bid: len(s) for bid, s in sources.items()}
-
-    facts = list(iter_facts(tbl, src_index)) if len(tbl) else []
-    if model.numeric_only:
-        facts = [f for f in facts if f.is_numeric]
-    state = {bid: model.initial_state(sources[bid], counts[bid])
-             for bid in sources}
-    for r in range(model.n_rounds):
-        outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
-                for bid, n in n_sources.items()}
-        for fact in facts:
-            model.accumulate(fact, state[fact.bucket_id],
-                             outs[fact.bucket_id])
-        all_conv = True
-        for bid in state:
-            state[bid], conv = model.reduce(state[bid], outs[bid],
-                                            counts[bid], r)
-            all_conv = all_conv and conv
-        if all_conv:
-            break
-
-    # truth emission stays distributed (per-fact truth recompute is the
-    # dominant cost; the packed Dataset is already materialized)
-    triples = packed.map_batches(
-        functools.partial(_emit_batch, model=model, state=state,
-                          src_index=src_index),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    weights = {
-        bid: {s: float(model.weights(state[bid])[i])
-              for s, i in src_index[bid].items()}
-        for bid in src_index
-    }
-    return triples, weights
+    with FusionSession(packed, local_threshold=local_threshold,
+                       materialize=materialize) as session:
+        return session.run(model)

@@ -38,7 +38,8 @@ class CATD(FusionModel):
 
     def accumulate(self, fact: Fact, state, out):
         t = self._truth(fact, state)
-        np.add.at(out[0], fact.src_idx, (fact.values - t) ** 2)
+        # reference fancy-index collapse (catd.py:43)
+        out[0][fact.src_idx] = out[0][fact.src_idx] + (fact.values - t) ** 2
 
     def reduce(self, state, stats, counts, round_no):
         w_old = state["w"]

@@ -73,7 +73,9 @@ class CRH(FusionModel):
             loss = ((v - truth) ** 2) / denom
         else:
             loss = (fact.values.astype(str) != truth).astype(np.float64)
-        np.add.at(out[0], fact.src_idx, loss)
+        # reference pattern rtn[idx] = rtn[idx] + loss (crh.py:49,53):
+        # duplicate source indices COLLAPSE to the last occurrence
+        out[0][fact.src_idx] = out[0][fact.src_idx] + loss
 
     def reduce(self, state, stats, counts, round_no):
         rtn = stats[0].copy()

@@ -83,8 +83,9 @@ class GTM(FusionModel):
             resid2 = (cn - t_new) ** 2
             out[2, 0] += (t_new - t_old) ** 2
             out[3, 0] += t_old ** 2
-        np.add.at(out[0], ik, 2 * self.beta + resid2)
-        np.add.at(out[1], ik, 1.0)
+        # reference fancy-index collapse (gtm.py:65-68)
+        out[0][ik] = out[0][ik] + 2 * self.beta + resid2
+        out[1][ik] = out[1][ik] + 1.0
 
     def reduce(self, state, stats, counts, round_no):
         sigma = stats[0] / (2 * (self.alpha + 1) + stats[1])

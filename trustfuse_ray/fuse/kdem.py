@@ -93,7 +93,9 @@ class KDEm(FusionModel):
 
     def accumulate(self, fact: Fact, state, out):
         _w, nm = self._replay_w(fact, state["c_hist"])
-        np.add.at(out[0], fact.src_idx, nm / len(fact.src_idx))
+        # reference fancy-index collapse (kdem.py:106)
+        out[0][fact.src_idx] = (out[0][fact.src_idx]
+                                + nm / len(fact.src_idx))
 
     def reduce(self, state, stats, counts, round_no):
         rtn = stats[0]

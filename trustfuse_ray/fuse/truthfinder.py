@@ -81,8 +81,10 @@ class TruthFinder(FusionModel):
 
     def accumulate(self, fact: Fact, state, out):
         s = self._claim_scores(fact, state["tau"])
-        np.add.at(out[0], fact.src_idx, s)
-        np.add.at(out[1], fact.src_idx, 1.0)
+        # reference fancy-index collapse (truthfinder.py:48-49): a source
+        # appearing twice in a fact contributes only its LAST claim's s
+        out[0][fact.src_idx] = out[0][fact.src_idx] + s
+        out[1][fact.src_idx] = out[1][fact.src_idx] + 1.0
 
     def reduce(self, state, stats, counts, round_no):
         t = np.zeros_like(stats[0])

@@ -28,7 +28,7 @@ def read_transcripts(data_dir: str):
     return ray.data.read_parquet(os.path.join(data_dir, "transcripts"))
 
 
-def build_claims(data_dir: str, concurrency: int | tuple = (1, 8)):
+def build_claims(data_dir: str, concurrency: int | tuple | None = None):
     """transcripts → canonical long claim table (extraction + linking)."""
     with open(os.path.join(data_dir, "attr_types.json")) as fh:
         attr_types = json.load(fh)
@@ -40,7 +40,7 @@ def build_claims(data_dir: str, concurrency: int | tuple = (1, 8)):
 
 
 def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
-                              concurrency: int | tuple = (1, 8),
+                              concurrency: int | tuple | None = None,
                               max_partitions: int | None = None,
                               **model_kwargs) -> dict:
     """Checkpointed flagship pipeline.
@@ -119,7 +119,7 @@ def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
 
 
 def run_kg_pipeline(sf_dir: str, model: str = "CRH", out_dir: str | None = None,
-                    concurrency: int | tuple = (1, 8), **model_kwargs):
+                    concurrency: int | tuple | None = None, **model_kwargs):
     """Full pipeline over the synthetic corpus for ``sf_dir``.
 
     Returns (triples Dataset, weights dict). If ``out_dir`` is given the

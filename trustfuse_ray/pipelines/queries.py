@@ -45,7 +45,7 @@ def _tbl(sf_dir: str, name: str):
 def q_extract_mentions(sf_dir: str):
     data_dir = synth.generate(sf_dir)
     ds = read_transcripts(data_dir)
-    return extract_triples(ds).drop_columns(["claim_id"])
+    return extract_triples(ds).drop_columns(["claim_id", "ts"])
 
 
 def q_link_canon_claims(sf_dir: str):

@@ -116,8 +116,10 @@ def _extract_float(arr: pa.Array, rx: re.Pattern, strip_commas: bool) -> pa.Arra
     """Vectorized first-number extraction.
 
     pyarrow's extract_regex covers the common case; rows where the Arrow
-    RE2 kernel finds nothing fall back to None (RE2/`re` agree on these
-    patterns — property-tested in tests/test_canon.py).
+    RE2 kernel finds nothing yield None.  Known deviation: RE2's ``\\d`` is
+    ASCII-only while the reference's Python ``re`` matches Unicode digits
+    (e.g. float('١') == 1.0) — irrelevant for the reference's ISO-8859-1
+    corpora; property-tested over ASCII in tests/test_canon.py.
     """
     named = f"(?P<v>{rx.pattern})"
     s = pc.cast(arr, pa.string())

@@ -16,6 +16,19 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def auto_pool(lo: int | None = None) -> tuple[int, int]:
+    """Default actor-pool bounds: max scales to the cluster's CPUs; min is
+    a quarter of that so heavy stages don't wait on autoscaler ramp-up."""
+    try:
+        import ray
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    if lo is None:
+        lo = max(1, n // 4)
+    return (lo, max(4, n))
+
+
 def fnv64(s: str) -> int:
     h = 0xCBF29CE484222325
     for ch in s.encode():

@@ -82,9 +82,12 @@ class TripleExtractor:
         )
 
 
-def extract_triples(transcripts, concurrency: int | tuple = (1, 8),
+def extract_triples(transcripts, concurrency: int | tuple | None = None,
                     batch_size: int = 2048):
     """transcripts Dataset → mentions Dataset (actor pool, Arrow batches)."""
+    if concurrency is None:
+        from trustfuse_ray.stages.common import auto_pool
+        concurrency = auto_pool()
     return transcripts.map_batches(
         TripleExtractor,
         batch_format="pyarrow",

@@ -84,9 +84,13 @@ class EntityLinkerCanon:
 
 
 def link_and_canonicalize(mentions, alias_src, attr_types: dict[str, str],
-                          bucket_id: int = 0, concurrency: int | tuple = (1, 8),
+                          bucket_id: int = 0,
+                          concurrency: int | tuple | None = None,
                           batch_size: int = 4096):
     """mentions Dataset → canonical CLAIMS Dataset (broadcast side index)."""
+    if concurrency is None:
+        from trustfuse_ray.stages.common import auto_pool
+        concurrency = auto_pool()
     if isinstance(alias_src, str):
         alias_src = load_alias_map(alias_src)
     return mentions.map_batches(

@@ -54,7 +54,7 @@ ATTR_TYPES = {
 # Claim sentence grammar shared with the extractor and the DuckDB oracle.
 CLAIM_SENTENCE_RE = r"The ([a-z_]+) of ([A-Za-z0-9_ ]+?) is ([A-Za-z0-9_, ]+?)\."
 
-N_CONV_BY_SF = {"sf0.001": 160, "sf0.01": 1600, "sf0.1": 16000}
+N_CONV_BY_SF = {"sf0.001": 160, "sf0.01": 1600, "sf0.1": 128000}
 FILLERS = (
     "Let me check that for you",
     "Here is what I found",
@@ -82,13 +82,15 @@ def _aliases_for(entity: str) -> list[str]:
 
 
 def generate(sf_dir: str, root: str = "/tmp/trustfuse_ray_data",
-             n_conv: int | None = None, n_files: int = 8) -> str:
+             n_conv: int | None = None, n_files: int | None = None) -> str:
     """Generate (or reuse) the synthetic corpus for a scale dir; returns its path."""
     out = cache_dir(sf_dir, root)
     marker = os.path.join(out, "_SUCCESS")
     if n_conv is None:
         n_conv = N_CONV_BY_SF.get(sf_name(sf_dir), 200)
-    stamp = f"seed={SEED} n_conv={n_conv} v3"
+    if n_files is None:
+        n_files = 32 if n_conv >= 32000 else 8
+    stamp = f"seed={SEED} n_conv={n_conv} v5 files={n_files}"
     if os.path.exists(marker) and Path(marker).read_text() == stamp:
         return out
     os.makedirs(os.path.join(out, "transcripts"), exist_ok=True)
