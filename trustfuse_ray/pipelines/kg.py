@@ -29,13 +29,14 @@ def read_transcripts(data_dir: str):
 
 
 def build_claims(data_dir: str, concurrency: int | tuple | None = None):
-    """transcripts → canonical long claim table (extraction + linking)."""
+    """transcripts → canonical long claim table (fused extract+link stage)."""
+    from trustfuse_ray.stages.link import extract_link_canonicalize
+
     with open(os.path.join(data_dir, "attr_types.json")) as fh:
         attr_types = json.load(fh)
     transcripts = read_transcripts(data_dir)
-    mentions = extract_triples(transcripts, concurrency=concurrency)
-    return link_and_canonicalize(
-        mentions, os.path.join(data_dir, "aliases.parquet"), attr_types,
+    return extract_link_canonicalize(
+        transcripts, os.path.join(data_dir, "aliases.parquet"), attr_types,
         concurrency=concurrency)
 
 
@@ -76,10 +77,10 @@ def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
             skipped.append(p)
             continue
         t0 = _time.perf_counter()
+        from trustfuse_ray.stages.link import extract_link_canonicalize
         ds = ray.data.read_parquet(f)
-        mentions = extract_triples(ds, concurrency=concurrency)
-        claims = link_and_canonicalize(mentions, alias_path, attr_types,
-                                       concurrency=concurrency)
+        claims = extract_link_canonicalize(ds, alias_path, attr_types,
+                                           concurrency=concurrency)
         part_dir = ckpt.partition_dir(claims_root, p)
         claims = claims.materialize()
         claims.write_parquet(part_dir)
