@@ -229,6 +229,40 @@ def q_simhash_pairs(sf_dir: str):
             {"min(hamming)": "hamming"})
 
 
+def q_embedding_near_pairs(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ τ)."""
+    import pyarrow.compute as pc
+
+    out = dedup.embedding_near_pairs(_tbl(sf_dir, "embeddings"),
+                                     threshold=0.40)
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": batch["doc_a"],
+            "doc_b": batch["doc_b"],
+            "cosine": pc.round(batch["cosine"], ndigits=6),
+        })
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+def q_lsh_topk(sf_dir: str):
+    """Hyperplane-LSH bucketed ANN (the scale path; recall < 1 by design)."""
+    emb = _tbl(sf_dir, "embeddings")
+    queries = sorted(emb.filter(expr="vec_id < 5").take_all(),
+                     key=lambda r: r["vec_id"])
+    return ann.lsh_topk(emb, queries, k=10)
+
+
+def q_top_sources(sf_dir: str, model: str = "CRH", n: int = 10):
+    """Top-N sources by fused weight (reference app.py:735-752 top_n)."""
+    import ray.data
+
+    tbl = q_fuse_weights(sf_dir, model=model)
+    return (ray.data.from_arrow(tbl)
+            .sort("weight", descending=True).limit(n))
+
+
 def q_multimodal_features(sf_dir: str):
     from trustfuse_ray.stages.multimodal import (extract_media_features,
                                                  synth_media_from_docs)
@@ -292,6 +326,9 @@ def queries_map():
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
+        "ann_lsh_topk": q_lsh_topk,
+        "embedding_near_pairs": q_embedding_near_pairs,
+        "kg_top_sources": q_top_sources,
         "multimodal_features": q_multimodal_features,
         "kg_bucketize_claims": q_bucketize_claims,
     }
@@ -463,6 +500,13 @@ SELECT doc_id,
        CAST((length(lower(text)) - length(replace(lower(text), 'the', '')))
             / 3 AS BIGINT) AS the_count
 FROM documents""",
+        "embedding_near_pairs": """
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                             b.embedding::DOUBLE[]) >= 0.40""",
         "ann_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
