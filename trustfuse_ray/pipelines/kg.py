@@ -61,33 +61,48 @@ def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
 
     from trustfuse_ray.state import checkpoint as ckpt
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from trustfuse_ray.stages.link import extract_link_canonicalize
+
     with open(os.path.join(data_dir, "attr_types.json")) as fh:
         attr_types = json.load(fh)
     alias_path = os.path.join(data_dir, "aliases.parquet")
     files = sorted(glob.glob(os.path.join(data_dir, "transcripts",
                                           "*.parquet")))
     claims_root = os.path.join(out_dir, "claims")
-    done, skipped = [], []
+    done, skipped, pending = [], [], []
     for p, f in enumerate(files):
         if max_partitions is not None and len(done) + len(skipped) \
-                >= max_partitions:
+                + len(pending) >= max_partitions:
             break
         fp = ckpt.file_fingerprint(f)
         if ckpt.is_complete(claims_root, p, fp):
             skipped.append(p)
-            continue
+        else:
+            pending.append((p, f, fp))
+
+    def _do_partition(job):
+        p, f, fp = job
         t0 = _time.perf_counter()
-        from trustfuse_ray.stages.link import extract_link_canonicalize
         ds = ray.data.read_parquet(f)
-        claims = extract_link_canonicalize(ds, alias_path, attr_types,
-                                           concurrency=concurrency)
-        part_dir = ckpt.partition_dir(claims_root, p)
-        claims = claims.materialize()
-        claims.write_parquet(part_dir)
+        claims = extract_link_canonicalize(
+            ds, alias_path, attr_types,
+            concurrency=concurrency or (1, 4)).materialize()
+        claims.write_parquet(ckpt.partition_dir(claims_root, p))
         ckpt.write_manifest(claims_root, p, fp, rows=claims.count(),
                             wall_secs=_time.perf_counter() - t0,
                             metrics={"input_file": os.path.basename(f)})
-        done.append(p)
+        return p
+
+    # a few concurrent partition pipelines keep the cluster busy while
+    # preserving per-partition manifests (each partition stays an
+    # independently restartable unit)
+    if pending:
+        from trustfuse_ray.stages.common import ensure_fsspec_http_stub
+        ensure_fsspec_http_stub()
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            done = sorted(pool.map(_do_partition, pending))
 
     summary = {"claims_partitions_done": done,
                "claims_partitions_skipped": skipped,

@@ -16,6 +16,33 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def ensure_fsspec_http_stub() -> None:
+    """Make ``from fsspec.implementations.http import HTTPFileSystem`` safe
+    under concurrent threads.
+
+    This environment has fsspec but no aiohttp, so that import fails with
+    ModuleNotFoundError — which Ray's path resolution catches — but a failed
+    import is retried on EVERY call, and two threads racing the retry can
+    observe a partially-initialized module and raise a bare ImportError that
+    Ray does NOT catch.  Installing a sentinel module (class never
+    instantiated without HTTP paths) makes the import idempotent."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ModuleNotFoundError:
+        import sys
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # pragma: no cover - sentinel only
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+    except ImportError:
+        pass  # partially imported by a concurrent thread; leave as is
+
+
 def auto_pool(lo: int | None = None) -> tuple[int, int]:
     """Default actor-pool bounds: max scales to the cluster's CPUs; min is
     a quarter of that so heavy stages don't wait on autoscaler ramp-up."""
