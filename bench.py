@@ -92,8 +92,11 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     finally:
         session.close()
 
-    timed("minhash_dedup", lambda: minhash_lsh_pairs(
-        Q._tbl(sf_dir, "documents"), threshold=0.5).materialize())
+    docs_path = synth.generate_documents(sf_dir)  # planted-dup corpus
+    import ray.data as _rd
+    minhash_pairs = timed("minhash_dedup", lambda: minhash_lsh_pairs(
+        _rd.read_parquet(docs_path), threshold=0.6).materialize())
+    counts["near_dup_pairs"] = minhash_pairs.count()
     timed("sessionize", lambda: sessionize(
         Q._tbl(sf_dir, "events")).materialize())
     timed("q1_pricing_summary",

@@ -1,0 +1,62 @@
+"""Dedup operators against the planted-duplicate synthetic document corpus
+(FIXTURES-style oracle: the generator records which docs are duplicates)."""
+
+import pyarrow.parquet as pq
+import ray.data
+
+from trustfuse_ray import synth
+from trustfuse_ray.stages import text
+from trustfuse_ray.stages.dedup import (minhash_clusters, minhash_lsh_pairs,
+                                        ngram_jaccard, simhash_near_pairs)
+
+
+def _corpus():
+    path = synth.generate_documents("/root/testdata/sf0.001")
+    t = pq.read_table(path)
+    ds = ray.data.read_parquet(path)
+    truth_pairs = {(r["dup_of"], r["doc_id"])
+                   for r in t.to_pylist() if r["dup_of"] >= 0}
+    exact = {(r["dup_of"], r["doc_id"])
+             for r in t.to_pylist() if r["kind"] == "exact_dup"}
+    return ds, truth_pairs, exact, t
+
+
+def test_minhash_finds_planted_near_dups():
+    ds, truth, exact, t = _corpus()
+    pairs = minhash_lsh_pairs(ds, threshold=0.6).take_all()
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs}
+    # transitive chains (dup of a dup) may link to the chain root instead;
+    # require ≥90% direct recall of planted pairs
+    hit = sum(1 for p in truth if p in found)
+    assert hit / len(truth) >= 0.9, (hit, len(truth))
+    # verified estimates are honest: planted near-dups share most shingles
+    texts = t["text"].to_pylist()
+    for p in pairs:
+        if (p["doc_a"], p["doc_b"]) in truth:
+            jac = ngram_jaccard(texts[p["doc_a"]], texts[p["doc_b"]])
+            assert jac >= 0.5
+
+
+def test_exact_dedup_on_planted():
+    ds, truth, exact, t = _corpus()
+    fps = text.doc_fingerprints(ds)
+    keep = fps.groupby("fp").min("doc_id")
+    n_groups = keep.count()
+    # every exact dup collapses into its source's group
+    assert n_groups == ds.count() - len(exact)
+
+
+def test_simhash_finds_exact_dups():
+    ds, truth, exact, t = _corpus()
+    pairs = simhash_near_pairs(ds, max_hamming=3)
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs.take_all()}
+    hit = sum(1 for p in exact if p in found)
+    assert hit / max(1, len(exact)) >= 0.9
+
+
+def test_minhash_clusters_group_dup_families():
+    ds, truth, exact, t = _corpus()
+    parent = minhash_clusters(ds, threshold=0.6)
+    # every exact dup lands in the same cluster as its source
+    for src, dup in exact:
+        assert parent.get(dup, dup) == parent.get(src, src)

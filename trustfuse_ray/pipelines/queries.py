@@ -217,6 +217,22 @@ def q_rolling_fp(sf_dir: str):
         text.rolling_fp_batch, batch_format="pyarrow")
 
 
+def q_minhash_pairs_synth(sf_dir: str):
+    """MinHash near-dup pairs over the planted-duplicate synthetic corpus
+    (meaningful scale: 1k–40k docs)."""
+    path = synth.generate_documents(sf_dir)
+    return dedup.minhash_lsh_pairs(
+        ray.data.read_parquet(path), threshold=0.6).rename_columns(
+            {"max(jaccard_est)": "jaccard_est"})
+
+
+def q_dedup_exact_synth(sf_dir: str):
+    path = synth.generate_documents(sf_dir)
+    fps = text.doc_fingerprints(ray.data.read_parquet(path))
+    return (fps.groupby("fp").min("doc_id")
+            .rename_columns({"min(doc_id)": "doc_id"}))
+
+
 def q_minhash_pairs(sf_dir: str):
     return dedup.minhash_lsh_pairs(
         _tbl(sf_dir, "documents"), threshold=0.5).rename_columns(
@@ -324,6 +340,8 @@ def queries_map():
         "token_count": q_token_count,
         "rolling_fp": q_rolling_fp,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_pairs_synth": q_minhash_pairs_synth,
+        "dedup_exact_synth": q_dedup_exact_synth,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_lsh_topk,
@@ -500,6 +518,10 @@ SELECT doc_id,
        CAST((length(lower(text)) - length(replace(lower(text), 'the', '')))
             / 3 AS BIGINT) AS the_count
 FROM documents""",
+        "dedup_exact_synth": f"""
+SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
+FROM read_parquet('{synth.generate_documents(sf_dir)}')
+GROUP BY 1""",
         "embedding_near_pairs": """
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -69,7 +69,8 @@ def _add_part(batch: pa.Table, *, keys: list[str], n_parts: int) -> pa.Table:
     return batch.append_column("__part", pa.array(part, pa.int32()))
 
 
-def _apply_groups(batch: pa.Table, *, keys: list[str], fn) -> pa.Table:
+def _apply_groups(batch: pa.Table, *, keys: list[str], fn,
+                  min_group_size: int = 1) -> pa.Table:
     batch = batch.drop_columns(["__part"])
     order = pc.sort_indices(
         batch, sort_keys=[(k, "ascending") for k in keys])
@@ -80,7 +81,8 @@ def _apply_groups(batch: pa.Table, *, keys: list[str], fn) -> pa.Table:
     start = 0
     for i in range(1, n + 1):
         if i == n or any(c[i] != c[start] for c in cols):
-            outs.append(fn(batch.slice(start, i - start)))
+            if i - start >= min_group_size:
+                outs.append(fn(batch.slice(start, i - start)))
             start = i
     outs = [o for o in outs if o is not None and len(o)]
     if not outs:
@@ -88,12 +90,16 @@ def _apply_groups(batch: pa.Table, *, keys: list[str], fn) -> pa.Table:
     return pa.concat_tables(outs)
 
 
-def hash_group_apply(ds, keys: list[str], fn, n_parts: int = 64):
+def hash_group_apply(ds, keys: list[str], fn, n_parts: int = 64,
+                     min_group_size: int = 1):
     """groupby(keys).map_groups(fn) with one hash shuffle and partition-level
-    group iteration.  ``fn`` receives one pa.Table per key group."""
+    group iteration.  ``fn`` receives one pa.Table per key group; groups
+    smaller than ``min_group_size`` are skipped (e.g. singleton LSH buckets
+    can never produce a pair)."""
     keyed = ds.map_batches(
         functools.partial(_add_part, keys=keys, n_parts=n_parts),
         batch_format="pyarrow", zero_copy_batch=True)
     return keyed.groupby("__part").map_groups(
-        functools.partial(_apply_groups, keys=keys, fn=fn),
+        functools.partial(_apply_groups, keys=keys, fn=fn,
+                          min_group_size=min_group_size),
         batch_format="pyarrow")

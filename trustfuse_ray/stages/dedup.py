@@ -64,8 +64,13 @@ class MinHasher:
         sh = shingles(text, self.k)
         if not sh:
             return np.full(self.num, self.PRIME, dtype=np.uint64)
-        base = np.array([_stable_hash64(s) & 0x7FFFFFFF for s in sh],
-                        dtype=np.uint64)
+        # vectorized stable shingle hashing (pandas hash_array is a C
+        # SipHash with a fixed key — deterministic across processes)
+        import pandas as pd
+
+        base = (pd.util.hash_array(
+            np.array([s.decode() for s in sh], dtype=object))
+            & np.uint64(0x7FFFFFFF)).astype(np.uint64)
         # (a*x + b) mod p per permutation, vectorized over shingles (uint64)
         vals = (self.a[:, None] * base[None, :] + self.b[:, None]) % self.PRIME
         return vals.min(axis=1)
@@ -73,43 +78,79 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = canonical_text(batch["text"]).to_pylist()
         sigs = [self.signature(t or "") for t in texts]
+        # int32 storage: values < 2^31, halves the band-shuffle bytes
         return pa.table({
             "doc_id": batch["doc_id"],
-            "minhash": pa.array([s.astype(np.int64).tolist() for s in sigs],
-                                pa.list_(pa.int64())),
+            "minhash": pa.array([s.astype(np.int32).tolist() for s in sigs],
+                                pa.list_(pa.int32())),
         })
 
 
+_HASHER_CACHE: dict = {}
+
+
+def _sig_batch(batch: pa.Table, *, num_hashes: int, shingle_k: int,
+               seed: int = 7) -> pa.Table:
+    """Task-pool signature stage with a per-process MinHasher memo: the
+    permutation table is tiny, so warm task workers beat dedicated actor
+    spin-up (32 fresh actor processes cost multiple seconds); the state is
+    still built once per worker process."""
+    key = (num_hashes, shingle_k, seed)
+    h = _HASHER_CACHE.get(key)
+    if h is None:
+        h = _HASHER_CACHE[key] = MinHasher(num_hashes, shingle_k, seed)
+    return h(batch)
+
+
 def _band_rows(batch: pa.Table, *, bands: int, rows: int) -> pa.Table:
-    doc_ids, band_ids, band_hash, sigs = [], [], [], []
+    """(doc_id, band, band_hash) only — signatures do NOT ride the shuffle
+    (they are broadcast once; ~640k x 300B rows would otherwise dominate)."""
+    doc_ids, band_ids, band_hash = [], [], []
     for did, sig in zip(batch["doc_id"].to_pylist(),
                         batch["minhash"].to_pylist()):
         for b in range(bands):
             chunk = sig[b * rows:(b + 1) * rows]
-            h = _stable_hash64(struct.pack(f"<{rows}q", *chunk))
+            h = _stable_hash64(struct.pack(f"<{rows}i", *chunk))
             doc_ids.append(did)
             band_ids.append(b)
             band_hash.append(h & 0x7FFFFFFFFFFFFFFF)
-            sigs.append(sig)
     return pa.table({
         "doc_id": pa.array(doc_ids, pa.int64()),
         "band": pa.array(band_ids, pa.int32()),
         "band_hash": pa.array(band_hash, pa.int64()),
-        "minhash": pa.array(sigs, pa.list_(pa.int64())),
     })
 
 
-def _bucket_pairs(batch: pa.Table, *, threshold: float) -> pa.Table:
-    """One LSH bucket group → verified candidate pairs (signature Jaccard)."""
+_BCAST_CACHE: dict = {}
+
+
+def _resolve_broadcast(ref):
+    """Per-process memo of ray.get on a broadcast ref (the object itself is
+    zero-copy shared memory; the memo only skips repeated handle churn)."""
+    import ray
+
+    if not isinstance(ref, ray.ObjectRef):
+        return ref
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
+def _bucket_pairs(batch: pa.Table, *, threshold: float, sig_ref) -> pa.Table:
+    """One LSH bucket group → verified candidate pairs (signature Jaccard
+    against the broadcast signature matrix)."""
+    ids_arr, sig_mat = _resolve_broadcast(sig_ref)
     ids = batch["doc_id"].to_pylist()
-    sigs = [np.array(s) for s in batch["minhash"].to_pylist()]
+    pos = np.searchsorted(ids_arr, ids)
     out_a, out_b, est = [], [], []
     n = len(ids)
     for i in range(n):
+        si = sig_mat[pos[i]]
         for j in range(i + 1, n):
             if ids[i] == ids[j]:
                 continue
-            sim = float((sigs[i] == sigs[j]).mean())
+            sim = float((si == sig_mat[pos[j]]).mean())
             if sim >= threshold:
                 a, b = sorted((ids[i], ids[j]))
                 out_a.append(a)
@@ -125,23 +166,45 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
                       concurrency=(1, 8)):
     """documents → near-duplicate pairs (doc_a < doc_b, jaccard_est).
 
-    shingle→minhash (actor pool) → band explode → groupby(band, band_hash)
-    → per-bucket pair verification → global pair dedup (groupby max est).
+    shingle→minhash (actor pool) → signature matrix broadcast via ray.put
+    (64 x int32 per doc: ~0.25 GB per million docs; shard the broadcast
+    beyond that) → (band, band_hash, doc_id) shuffle → per-bucket pair
+    verification against the broadcast → global pair dedup.
     """
     rows = num_hashes // bands
     import functools
 
+    import ray
+
+    # single-file corpora read as a handful of blocks; re-split so the
+    # signature stage actually fans out
+    n_cpus = int(ray.cluster_resources().get("CPU", 8))
+    docs = docs.repartition(2 * n_cpus)
     sigs = docs.map_batches(
-        MinHasher, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"num_hashes": num_hashes,
-                               "shingle_k": shingle_k})
+        functools.partial(_sig_batch, num_hashes=num_hashes,
+                          shingle_k=shingle_k),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    blocks = [t for t in ray.get(sigs.to_arrow_refs()) if len(t)]
+    if blocks:
+        ids = np.concatenate([np.asarray(t["doc_id"]) for t in blocks])
+        mat = np.concatenate(
+            [np.asarray(t["minhash"].combine_chunks().flatten())
+             .reshape(len(t), num_hashes) for t in blocks])
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+    else:
+        ids = np.array([], dtype=np.int64)
+        mat = np.zeros((0, num_hashes), dtype=np.int32)
+    sig_ref = ray.put((ids, mat))
+
     banded = sigs.map_batches(
         functools.partial(_band_rows, bands=bands, rows=rows),
         batch_format="pyarrow", zero_copy_batch=True)
     pairs = hash_group_apply(
         banded, ["band", "band_hash"],
-        functools.partial(_bucket_pairs, threshold=threshold))
+        functools.partial(_bucket_pairs, threshold=threshold,
+                          sig_ref=sig_ref),
+        min_group_size=2)
     # same pair can surface from several bands → keep one
     return pairs.groupby(["doc_a", "doc_b"]).max("jaccard_est")
 
@@ -245,7 +308,8 @@ def simhash_near_pairs(docs, max_hamming: int = 3, blocks: int = 4):
                             batch_format="pyarrow")
     pairs = hash_group_apply(
         sliced, ["block", "key"],
-        functools.partial(_verify, max_hamming=max_hamming))
+        functools.partial(_verify, max_hamming=max_hamming),
+        min_group_size=2)
     return pairs.groupby(["doc_a", "doc_b"]).min("hamming")
 
 

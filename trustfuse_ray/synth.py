@@ -241,6 +241,61 @@ def generate(sf_dir: str, root: str = "/tmp/trustfuse_ray_data",
     return out
 
 
+N_DOCS_BY_SF = {"sf0.001": 1000, "sf0.01": 5000, "sf0.1": 40000}
+
+
+def generate_documents(sf_dir: str, root: str = "/tmp/trustfuse_ray_data",
+                       n_docs: int | None = None) -> str:
+    """Deterministic synthetic document corpus with PLANTED duplicates for
+    the dedup operators: ~2% exact copies and ~5% near-duplicates (a few
+    word substitutions) of earlier docs.  Returns the parquet path."""
+    out = cache_dir(sf_dir, root)
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "docs_synth.parquet")
+    marker = os.path.join(out, "_DOCS_SUCCESS")
+    if n_docs is None:
+        n_docs = N_DOCS_BY_SF.get(sf_name(sf_dir), 1000)
+    stamp = f"seed={SEED} n_docs={n_docs} v1"
+    if os.path.exists(marker) and Path(marker).read_text() == stamp:
+        return path
+
+    rng = np.random.default_rng(SEED + 1)
+    vocab = [f"w{i:03d}" for i in range(500)]
+    texts: list[str] = []
+    kind: list[str] = []
+    dup_of: list[int] = []
+    for i in range(n_docs):
+        r = rng.random()
+        if i > 10 and r < 0.02:  # exact duplicate
+            j = int(rng.integers(0, i))
+            texts.append(texts[j])
+            kind.append("exact_dup")
+            dup_of.append(j)
+        elif i > 10 and r < 0.07:  # near duplicate: few substitutions
+            j = int(rng.integers(0, i))
+            words = texts[j].split()
+            for _ in range(max(1, len(words) // 25)):
+                words[int(rng.integers(0, len(words)))] = \
+                    vocab[int(rng.integers(0, len(vocab)))]
+            texts.append(" ".join(words))
+            kind.append("near_dup")
+            dup_of.append(j)
+        else:
+            ln = int(rng.integers(40, 150))
+            idx = rng.integers(0, len(vocab), size=ln)
+            texts.append(" ".join(vocab[k] for k in idx))
+            kind.append("original")
+            dup_of.append(-1)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "kind": pa.array(kind, pa.string()),
+        "dup_of": pa.array(dup_of, pa.int64()),
+    }), path)
+    Path(marker).write_text(stamp)
+    return path
+
+
 def hash_conv(conv_id: str) -> int:
     """Stable conversation hash (no PYTHONHASHSEED dependence)."""
     h = 2166136261
