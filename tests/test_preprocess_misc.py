@@ -119,6 +119,20 @@ def test_embedding_near_pairs_finds_planted_dup():
     assert any((p["doc_a"], p["doc_b"]) == (3, 10) for p in pairs)
 
 
+def test_ivf_topk_recall_vs_brute():
+    ds, mat = _emb_ds(n=400)
+    queries = sorted(ds.filter(expr="vec_id < 3").take_all(),
+                     key=lambda r: r["vec_id"])
+    brute = ann.brute_topk(ds, queries, k=5).take_all()
+    ivf = ann.ivf_topk(ds, queries, k=5, n_lists=8, nprobe=8)  # ≡ brute
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    v = {(r["query_id"], r["vec_id"]) for r in ivf.take_all()}
+    assert b == v  # nprobe == n_lists probes every list → exact
+    ivf2 = ann.ivf_topk(ds, queries, k=5, n_lists=8, nprobe=3).take_all()
+    v2 = {(r["query_id"], r["vec_id"]) for r in ivf2}
+    assert len(b & v2) / len(b) >= 0.4  # partial probe → partial recall
+
+
 def test_lsh_topk_recall_vs_brute():
     ds, mat = _emb_ds(n=400)
     queries = sorted(ds.filter(expr="vec_id < 3").take_all(),

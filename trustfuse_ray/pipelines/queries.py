@@ -270,6 +270,14 @@ def q_lsh_topk(sf_dir: str):
     return ann.lsh_topk(emb, queries, k=10)
 
 
+def q_ivf_topk(sf_dir: str):
+    """IVF-list ANN (distributed k-means coarse quantizer + nprobe)."""
+    emb = _tbl(sf_dir, "embeddings")
+    queries = sorted(emb.filter(expr="vec_id < 5").take_all(),
+                     key=lambda r: r["vec_id"])
+    return ann.ivf_topk(emb, queries, k=10, n_lists=16, nprobe=6)
+
+
 def q_top_sources(sf_dir: str, model: str = "CRH", n: int = 10):
     """Top-N sources by fused weight (reference app.py:735-752 top_n)."""
     import ray.data
@@ -345,6 +353,7 @@ def queries_map():
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_lsh_topk,
+        "ann_ivf_topk": q_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "kg_top_sources": q_top_sources,
         "multimodal_features": q_multimodal_features,

@@ -75,6 +75,112 @@ def brute_topk(embeddings, queries, k: int = 10, batch_size: int = 4096):
 
 
 # ---------------------------------------------------------------------------
+# IVF variant (scale path #2): coarse k-means lists + nprobe search
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(embeddings, n_lists: int = 16, n_iters: int = 3,
+                        sample_size: int = 4096, seed: int = 5):
+    """Coarse quantizer trained distributed: seeded sample initializes the
+    centroids, then ``n_iters`` Lloyd rounds where each map task emits only
+    per-centroid partial (sum, count) — the same broadcast-iterate shape as
+    the fusion rounds (per-round exchange is n_lists x dim floats)."""
+    sample = embeddings.limit(sample_size).take_all()
+    rng = np.random.default_rng(seed)
+    _ids, mat = _as_matrix(sample)
+    init = rng.choice(len(mat), size=min(n_lists, len(mat)), replace=False)
+    centroids = mat[np.sort(init)].copy()
+
+    for _ in range(n_iters):
+        ref = ray.put(centroids)
+
+        def _partial(batch: pa.Table, *, cref) -> pa.Table:
+            cents = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+            m = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in batch["embedding"].to_pylist()])
+            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            k, dim = cents.shape
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k)
+            np.add.at(sums, assign, m)
+            np.add.at(counts, assign, 1)
+            return pa.table({
+                "list_id": pa.array(range(k), pa.int32()),
+                "vsum": pa.array(sums.tolist(),
+                                 pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.float64()),
+            })
+
+        parts = embeddings.map_batches(
+            functools.partial(_partial, cref=ref),
+            batch_format="pyarrow", zero_copy_batch=True).take_all()
+        k, dim = centroids.shape
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        for r in parts:
+            sums[r["list_id"]] += np.asarray(r["vsum"])
+            counts[r["list_id"]] += r["n"]
+        nz = counts > 0
+        centroids[nz] = sums[nz] / counts[nz, None]
+    return centroids
+
+
+def ivf_topk(embeddings, queries, k: int = 10, n_lists: int = 16,
+             nprobe: int = 4, centroids: np.ndarray | None = None):
+    """IVF ANN: assign corpus vectors to their nearest centroid list
+    (one groupby shuffle), score each query only against its ``nprobe``
+    closest lists.  Recall grows with nprobe (nprobe=n_lists ≡ brute)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(embeddings, n_lists=n_lists)
+    cref = ray.put(centroids)
+
+    def _assign(batch: pa.Table, *, cref) -> pa.Table:
+        cents = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch["embedding"].to_pylist()])
+        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "list_id", pa.array(d.argmin(axis=1).astype(np.int32)))
+
+    qids, qmat = _as_matrix(queries)
+    qd = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe_lists = np.argsort(qd, axis=1)[:, :nprobe]
+    by_list: dict[int, list[int]] = {}
+    for qi in range(len(qids)):
+        for li in probe_lists[qi]:
+            by_list.setdefault(int(li), []).append(qi)
+    qref = ray.put((qids, qmat, by_list))
+
+    assigned = embeddings.map_batches(
+        functools.partial(_assign, cref=cref),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def _score_list(group: pa.Table) -> pa.Table:
+        ids_, mat_, byl = ray.get(qref) if isinstance(
+            qref, ray.ObjectRef) else qref
+        qs = None
+        if len(group):
+            li = int(group["list_id"][0].as_py())
+            qs = byl.get(li)
+        if not qs:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        sub = [{"vec_id": ids_[i], "embedding": mat_[i]} for i in qs]
+        sids, smat = _as_matrix(sub)
+        return _topk_partial(group.drop_columns(["list_id"]),
+                             query_ref=(sids, smat), k=k)
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    partial = hash_group_apply(assigned, ["list_id"], _score_list,
+                               n_parts=max(8, n_lists))
+    return partial.groupby("query_id").map_groups(
+        functools.partial(_topk_merge, k=k), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # LSH-bucketed variant (scale path)
 # ---------------------------------------------------------------------------
 
