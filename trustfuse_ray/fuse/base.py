@@ -110,7 +110,7 @@ def _fnv64(s: str) -> int:
     return h & 0x7FFFFFFFFFFFFFFF
 
 
-def _pack_partition(batch: pa.Table) -> pa.Table:
+def _pack_partition(batch: pa.Table, dedup: bool = True) -> pa.Table:
     """One entity-hash partition → packed rows for every (bucket_id, entity,
     attr) fact it contains, in one vectorized-ish pass (no per-entity task
     overhead — a partition holds hundreds of entities).
@@ -139,9 +139,10 @@ def _pack_partition(batch: pa.Table) -> pa.Table:
             d = facts[(b, e, a)] = {"vtype": t, "src": [], "vs": [],
                                     "vn": [], "cid": [], "seen": set()}
         key = (s, sv)
-        if key in d["seen"]:
-            continue
-        d["seen"].add(key)
+        if dedup:
+            if key in d["seen"]:
+                continue
+            d["seen"].add(key)
         d["src"].append(s)
         d["vs"].append(sv)
         d["vn"].append(nv)
@@ -203,7 +204,8 @@ def _combine_dedup(batch: pa.Table) -> pa.Table:
                                 schema=batch.schema)
 
 
-def pack_facts(claims, numeric_only: bool = False, n_parts: int = 128):
+def pack_facts(claims, numeric_only: bool = False, n_parts: int = 128,
+               dedup_claims: bool = True):
     """Long claims Dataset → packed facts Dataset (the single fusion shuffle).
 
     The shuffle key is hash(bucket_id, entity) bucketed into ``n_parts``
@@ -214,20 +216,35 @@ def pack_facts(claims, numeric_only: bool = False, n_parts: int = 128):
     ``numeric_only`` mirrors ``focus_on_attributes(action="type_selection")``
     for numeric models (`/root/reference/trustfuse/models/model.py:41-45`):
     only quantity attrs with parseable numbers enter the claim matrix.
+
+    ``dedup_claims``: the engine's default drops exact repeated
+    (source, value) assertions (the reference's own dataset-construction
+    dedup, `generate_buckets.py:182-189`, and the hot-entity skew guard).
+    The reference's STATIC corpora (Book/Flight/Stock) keep duplicates in
+    fusion — pass False for exact static-corpus parity (duplicates then
+    boost truth votes while the fancy-index collapse still drops them from
+    per-source weight sums, exactly as in the reference).
     """
     if numeric_only:
         claims = claims.map_batches(_numeric_claims_only,
                                     batch_format="pyarrow",
                                     zero_copy_batch=True)
+    # a null value is "no claim" (the reference skips NaN cells,
+    # model.py:145)
+    claims = claims.map_batches(
+        lambda b: b.filter(pc.is_valid(b["value_str"])),
+        batch_format="pyarrow", zero_copy_batch=True)
     claims = claims.map_batches(_project_pack_cols, batch_format="pyarrow",
                                 zero_copy_batch=True)
-    claims = claims.map_batches(_combine_dedup, batch_format="pyarrow",
-                                zero_copy_batch=True)
+    if dedup_claims:
+        claims = claims.map_batches(_combine_dedup, batch_format="pyarrow",
+                                    zero_copy_batch=True)
     keyed = claims.map_batches(
         functools.partial(_add_partition_col, n_parts=n_parts),
         batch_format="pyarrow", zero_copy_batch=True)
     return keyed.groupby("fact_part").map_groups(
-        _pack_partition, batch_format="pyarrow")
+        functools.partial(_pack_partition, dedup=dedup_claims),
+        batch_format="pyarrow")
 
 
 def iter_facts(batch: pa.Table, src_index: dict[int, dict[str, int]]
@@ -625,14 +642,15 @@ def _empty_packed() -> pa.Table:
 
 
 def run_fusion(claims, model: FusionModel, materialize: bool = True,
-               local_threshold: int = 20_000):
+               local_threshold: int = 20_000, dedup_claims: bool = True):
     """claims Dataset + model → (triples Dataset, weights per bucket).
 
     Returns ``(triples_ds, weights)`` where weights is
     ``{bucket_id: {source: weight}}`` (the reference's
     ``unified_result["weights"]``, `model.py:228-229`).
     """
-    packed = pack_facts(claims, numeric_only=model.numeric_only)
+    packed = pack_facts(claims, numeric_only=model.numeric_only,
+                        dedup_claims=dedup_claims)
     return run_fusion_packed(packed, model, materialize=materialize,
                              local_threshold=local_threshold)
 

@@ -25,14 +25,24 @@ def read_static_tsv(data_dir: str, headers: list[str], sep: str = "\t",
     """Read a conflicting_data/ or ground_truth/ folder: one bucket per file
     (bucket ids follow sorted filename order, as the reference's dict
     insertion order does).  Extra trailing columns beyond ``headers`` are
-    dropped (dataset.py:302-310)."""
+    dropped (dataset.py:302-310).  Ragged files (rows with missing trailing
+    fields, e.g. the reference Book corpus) fall back to a pandas reader —
+    curated corpora are small; a custom Datasource would distribute this."""
     files = sorted(glob.glob(os.path.join(data_dir, "*")))
     bucket_of = {os.path.abspath(f): i for i, f in enumerate(files)}
 
-    # probe the first line for the real column count (the reference reads
-    # then drops the junk trailing column, dataset.py:302-310)
+    # probe for the real column count and raggedness (the reference reads
+    # with pandas then drops the junk trailing column, dataset.py:302-310)
+    counts = set()
     with open(files[0], encoding=encoding) as fh:
-        ncols = len(fh.readline().rstrip("\n").split(sep))
+        for i, line in enumerate(fh):
+            counts.add(len(line.rstrip("\n").split(sep)))
+            if i > 5000:
+                break
+    ncols = max(counts)
+    if len(counts) > 1:
+        return _read_static_tsv_pandas(files, bucket_of, headers, sep,
+                                       encoding)
     spare = [f"__junk{i}" for i in range(max(0, ncols - len(headers)))]
     names = list(headers) + spare
     ds = ray.data.read_csv(
@@ -53,6 +63,26 @@ def read_static_tsv(data_dir: str, headers: list[str], sep: str = "\t",
 
     return ds.map_batches(_finish, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def _read_static_tsv_pandas(files, bucket_of, headers, sep, encoding):
+    import pandas as pd
+
+    tables = []
+    for f in files:
+        df = pd.read_csv(f, header=None, sep=sep, encoding=encoding,
+                         dtype=str)
+        df = df.iloc[:, :len(headers)]
+        df.columns = list(headers)[:df.shape[1]]
+        for h in headers[df.shape[1]:]:
+            df[h] = None
+        df["bucket_id"] = bucket_of[os.path.abspath(f)]
+        tables.append(pa.Table.from_pandas(df, preserve_index=False))
+    tbl = pa.concat_tables([t.cast(tables[0].schema) for t in tables])
+    tbl = tbl.set_column(tbl.schema.get_field_index("bucket_id"),
+                         "bucket_id",
+                         tbl["bucket_id"].cast(pa.int32()))
+    return ray.data.from_arrow(tbl)
 
 
 def melt_to_claims(wide, entity_col: str, attrs: list[str],
