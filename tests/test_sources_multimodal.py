@@ -35,7 +35,8 @@ def test_read_static_tsv_buckets_and_junk(tsv_dir):
     ds = read_static_tsv(tsv_dir, HEADERS)
     rows = ds.take_all()
     assert len(rows) == 4
-    assert set(rows[0]) == set(HEADERS) | {"bucket_id"}
+    # __row: row-order column for reference-faithful claim ids
+    assert set(rows[0]) == set(HEADERS) | {"bucket_id", "__row"}
     by_bucket = {}
     for r in rows:
         by_bucket.setdefault(r["bucket_id"], []).append(r)

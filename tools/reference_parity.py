@@ -1,37 +1,89 @@
 """Head-to-head parity: run the REFERENCE TrustFuse implementation on its
-own Book corpus (with light stubs for its missing UI deps) and our engine on
-the same files, then compare fused truths — the north rule's "matches the
+own corpora (with light stubs for its missing UI deps) and our engine on the
+same files, then compare fused truths — the north rule's "matches the
 reference's emitted triples on its own test inputs, P/R ≥ 0.95".
 
-Usage: python tools/reference_parity.py [model]   (model ∈ Voting|CRH|TruthFinder)
+Usage: python tools/reference_parity.py [CRH|TruthFinder] [book|flight]
 
-Known benign divergences (tolerated by the 0.95 gate):
-* the reference's ``set()`` iteration makes its own tie-breaks run-dependent;
-  ours are deterministic (lexicographic);
-* the reference keeps duplicate (source, value) re-assertions inside one
-  bucket; we dedup them (its own dataset-construction semantics,
-  generate_buckets.py:182-189).
+Flight runs on a one-day subset (the full 31-bucket corpus only multiplies
+identical work through the reference's per-entity pandas scans).
+
+Known benign divergence tolerated by the 0.95 gate: the reference's
+``set()`` iteration makes its own tie-breaks run-dependent; ours are
+deterministic (lexicographic).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import types
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF = "/root/reference"
-BOOK = os.path.join(REF, "data/input_trustfuse/book")
-BOOK_HEADER = ["Source", "ISBN", "Title", "Author list"]
-BOOK_HEADER_GT = ["ISBN", "Author list"]
-ATTR_TYPES = {"Title": "string", "Author list": "string"}
+
+DATASETS = {
+    "book": {
+        "folder": os.path.join(REF, "data/input_trustfuse/book"),
+        "headers": ["Source", "ISBN", "Title", "Author list"],
+        "entity_col": "ISBN",
+        "attr_types": {"Title": "string", "Author list": "string"},
+        "config_ref": {"modify_structure": {"extract_authors": {
+            "attributes": ["Author list"]}},
+            "modify_data": {"focus_on_attributes": {
+                "attributes": ["Author list"], "action": "custom"}}},
+        "config_ours": [{"function": "extract_authors",
+                         "attributes": ["Author list"],
+                         "modify_structure": True}],
+        "focus": ["Author list"],
+        "headers_gt": ["ISBN", "Author list"],
+    },
+    "flight": {
+        "folder": None,  # built as a one-day subset below
+        "headers": ["Source", "Flights#", "Scheduled departure",
+                    "Actual departure", "Departure gate",
+                    "Scheduled arrival", "Actual arrival", "Arrival gate"],
+        "entity_col": "Flights#",
+        "attr_types": {"Actual arrival": "quantity",
+                       "Scheduled departure": "quantity",
+                       "Actual departure": "quantity",
+                       "Scheduled arrival": "quantity",
+                       "Departure gate": "string",
+                       "Arrival gate": "string"},
+        "config_ref": {"modify_data": {
+            "transform_date": {"attributes": [
+                "Scheduled departure", "Actual departure",
+                "Scheduled arrival", "Actual arrival"]},
+            "remove_space": {"attributes": ["string"],
+                             "action": "type_selection"}}},
+        "config_ours": [
+            {"function": "transform_date",
+             "attributes": ["Scheduled departure", "Actual departure",
+                            "Scheduled arrival", "Actual arrival"]},
+            {"function": "remove_space", "attributes": ["string"],
+             "action": "type_selection"}],
+        "focus": None,
+    },
+}
+
+
+def _flight_subset() -> str:
+    day = "20111201.txt"
+    root = "/tmp/ref_flight_subset"
+    for sub in ("conflicting_data", "ground_truth"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+        shutil.copy(
+            os.path.join(REF, "data/input_trustfuse/flight", sub, day),
+            os.path.join(root, sub, day))
+    return root
 
 
 def _stub_reference_deps():
     """Fake the reference's UI-only imports (tqdm/tabulate/networkx/pyvis)
-    so its core dataset+model code runs here."""
+    and scipy so its core dataset+model code runs here."""
     def passthrough(it=None, *a, **kw):
         return it
 
@@ -81,25 +133,24 @@ def _stub_reference_deps():
     sys.modules.setdefault("scipy.stats", stats)
 
 
-def run_reference(model_name: str):
+def run_reference(model_name: str, spec: dict):
     _stub_reference_deps()
     sys.path.insert(0, REF)
     from trustfuse.conflicting_dataset.dataset import StaticDataset
-
-    with open(os.path.join(
-            REF, "data/configurations/crh/book/"
-                 "preprocess_configuration.json")) as fh:
-        config = json.load(fh)
 
     class _P:  # progress shim with .tqdm
         @staticmethod
         def tqdm(it, *a, **kw):
             return it
 
-    ds = StaticDataset(BOOK, headers=(BOOK_HEADER, BOOK_HEADER_GT),
-                       entity_col_name="ISBN", attribute_types=ATTR_TYPES)
-    ds.apply_data_preprocessing(config, progress=_P)
-    ds.apply_metadata_preprocessing(config, progress=_P)
+    headers_gt = spec.get("headers_gt") or [h for h in spec["headers"]
+                                            if h != "Source"]
+    ds = StaticDataset(spec["folder"],
+                       headers=(spec["headers"], headers_gt),
+                       entity_col_name=spec["entity_col"],
+                       attribute_types=spec["attr_types"])
+    ds.apply_data_preprocessing(spec["config_ref"], progress=_P)
+    ds.apply_metadata_preprocessing(spec["config_ref"], progress=_P)
 
     if model_name == "CRH":
         from trustfuse.models.crh import CRH as RefModel
@@ -120,7 +171,7 @@ def run_reference(model_name: str):
     return truths
 
 
-def run_ours(model_name: str):
+def run_ours(model_name: str, spec: dict):
     import ray
 
     if not ray.is_initialized():
@@ -131,38 +182,57 @@ def run_ours(model_name: str):
     from trustfuse_ray.stages.preprocess import (apply_preprocessing,
                                                  focus_attributes)
 
-    wide = read_static_tsv(os.path.join(BOOK, "conflicting_data"),
-                           BOOK_HEADER)
-    claims = melt_to_claims(wide, entity_col="ISBN",
-                            attrs=["Title", "Author list"],
-                            attribute_types=ATTR_TYPES)
-    config = [{"function": "extract_authors", "attributes": ["Author list"],
-               "modify_structure": True}]
-    claims = apply_preprocessing(claims, config)
-    claims = focus_attributes(claims, attributes=["Author list"])
-    triples, weights = run_fusion(claims, make_model(model_name),
-                                  dedup_claims=False)
+    attrs = [h for h in spec["headers"]
+             if h not in ("Source", spec["entity_col"])]
+    wide = read_static_tsv(os.path.join(spec["folder"], "conflicting_data"),
+                           spec["headers"])
+    claims = melt_to_claims(wide, entity_col=spec["entity_col"], attrs=attrs,
+                            attribute_types=spec["attr_types"])
+    claims = apply_preprocessing(claims, spec["config_ours"],
+                                 attr_types=spec["attr_types"])
+    if spec["focus"]:
+        claims = focus_attributes(claims, attributes=spec["focus"])
+    triples, _w = run_fusion(claims, make_model(model_name),
+                             dedup_claims=False)
+    def norm_entity(e: str) -> str:
+        # pandas int-parses digits-only entity keys in the reference
+        return (e.lstrip("0") or "0") if e.isdigit() else e
+
     ours = {}
     for r in triples.take_all():
-        # pandas int-parses zero-padded ISBNs in the reference; normalize
-        ours.setdefault((r["entity"].lstrip("0") or "0", r["attr"]),
+        ours.setdefault((norm_entity(r["entity"]), r["attr"]),
                         []).append(r["value_str"])
     return ours
 
 
 def main():
     model_name = sys.argv[1] if len(sys.argv) > 1 else "CRH"
-    ref = run_reference(model_name)
-    ref = {(e.lstrip("0") or "0", a): v for (e, a), v in ref.items()}
-    ours = run_ours(model_name)
+    ds_name = sys.argv[2] if len(sys.argv) > 2 else "book"
+    spec = dict(DATASETS[ds_name])
+    if ds_name == "flight":
+        spec["folder"] = _flight_subset()
+
+    ref = run_reference(model_name, spec)
+    ref = {((e.lstrip("0") or "0") if e.isdigit() else e, a): v
+           for (e, a), v in ref.items()}
+    ours = run_ours(model_name, spec)
+
+    def _norm(vals):
+        out = set()
+        for v in vals:
+            try:
+                out.add(repr(float(v)))
+            except (TypeError, ValueError):
+                out.add(str(v))
+        return out
 
     common = set(ref) & set(ours)
-    agree = sum(1 for k in common if set(ours[k]) & set(ref[k]))
-    tp = agree
-    p = tp / len(ours) if ours else 0
-    r = tp / len(ref) if ref else 0
+    agree = sum(1 for k in common if _norm(ours[k]) & _norm(ref[k]))
+    p = agree / len(ours) if ours else 0
+    r = agree / len(ref) if ref else 0
     print(json.dumps({
         "model": model_name,
+        "dataset": ds_name,
         "reference_facts": len(ref),
         "engine_facts": len(ours),
         "common_keys": len(common),

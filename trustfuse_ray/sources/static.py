@@ -21,28 +21,27 @@ from trustfuse_ray.stages.common import fnv64
 
 
 def read_static_tsv(data_dir: str, headers: list[str], sep: str = "\t",
-                    encoding: str = "ISO-8859-1"):
+                    encoding: str = "ISO-8859-1", engine: str = "pandas"):
     """Read a conflicting_data/ or ground_truth/ folder: one bucket per file
     (bucket ids follow sorted filename order, as the reference's dict
     insertion order does).  Extra trailing columns beyond ``headers`` are
-    dropped (dataset.py:302-310).  Ragged files (rows with missing trailing
-    fields, e.g. the reference Book corpus) fall back to a pandas reader —
-    curated corpora are small; a custom Datasource would distribute this."""
+    dropped (dataset.py:302-310).
+
+    Default engine is the pandas reader, which matches the reference's
+    parsing exactly (ragged rows → NaN, empty fields → NaN) and emits a
+    ``__row`` order column so downstream claim ids preserve the reference's
+    row order (its tie-breaks depend on it).  These curated corpora are
+    small; engine="arrow" gives the distributed reader for big regular
+    TSVs."""
     files = sorted(glob.glob(os.path.join(data_dir, "*")))
     bucket_of = {os.path.abspath(f): i for i, f in enumerate(files)}
 
-    # probe for the real column count and raggedness (the reference reads
-    # with pandas then drops the junk trailing column, dataset.py:302-310)
-    counts = set()
-    with open(files[0], encoding=encoding) as fh:
-        for i, line in enumerate(fh):
-            counts.add(len(line.rstrip("\n").split(sep)))
-            if i > 5000:
-                break
-    ncols = max(counts)
-    if len(counts) > 1:
+    if engine == "pandas":
         return _read_static_tsv_pandas(files, bucket_of, headers, sep,
                                        encoding)
+
+    with open(files[0], encoding=encoding) as fh:
+        ncols = len(fh.readline().rstrip("\n").split(sep))
     spare = [f"__junk{i}" for i in range(max(0, ncols - len(headers)))]
     names = list(headers) + spare
     ds = ray.data.read_csv(
@@ -51,7 +50,10 @@ def read_static_tsv(data_dir: str, headers: list[str], sep: str = "\t",
                                         encoding=encoding),
         parse_options=pa.csv.ParseOptions(delimiter=sep),
         convert_options=pa.csv.ConvertOptions(
-            column_types={n: pa.string() for n in names}),
+            column_types={n: pa.string() for n in names},
+            # pandas (the reference reader) turns empty fields into NaN;
+            # Arrow would otherwise yield "" and create phantom claims
+            strings_can_be_null=True),
         include_paths=True,
     )
 
@@ -77,6 +79,7 @@ def _read_static_tsv_pandas(files, bucket_of, headers, sep, encoding):
         for h in headers[df.shape[1]:]:
             df[h] = None
         df["bucket_id"] = bucket_of[os.path.abspath(f)]
+        df["__row"] = range(len(df))  # preserves the reference's row order
         tables.append(pa.Table.from_pandas(df, preserve_index=False))
     tbl = pa.concat_tables([t.cast(tables[0].schema) for t in tables])
     tbl = tbl.set_column(tbl.schema.get_field_index("bucket_id"),
@@ -89,9 +92,15 @@ def melt_to_claims(wide, entity_col: str, attrs: list[str],
                    attribute_types: dict[str, str],
                    source_col: str = "Source"):
     """Wide per-source rows → long claim IR (one row per non-null
-    (source, entity, attr, value)).  claim_id is a content hash — stable
-    across partitionings; exact duplicate claims collide intentionally
-    (they dedup anyway, `generate_buckets.py:182-189` semantics)."""
+    (source, entity, attr, value)).
+
+    claim_id: when the wide table carries a ``__row`` column (the pandas
+    static reader emits one) ids are ORDER-PRESERVING —
+    ((bucket·2^30 + row)·64 + attr_idx)·256 — so claim order inside every
+    fact equals the reference's row-major order (its tie-breaks at
+    saturated scores depend on it, e.g. TruthFinder's argmax over s==1.0
+    claims).  Otherwise a content hash (stable across partitionings; exact
+    duplicates collide intentionally — they dedup anyway)."""
     import pyarrow.compute as pc
 
     from trustfuse_ray.stages.canon import extract_number_with_commas
@@ -103,7 +112,9 @@ def melt_to_claims(wide, entity_col: str, attrs: list[str],
         ent = pc.cast(batch[entity_col], pa.string())
         bucket = batch["bucket_id"] if "bucket_id" in batch.column_names \
             else pa.array([0] * n, pa.int32())
-        for attr in attrs:
+        rows = (batch["__row"].to_pylist()
+                if "__row" in batch.column_names else None)
+        for attr_idx, attr in enumerate(attrs):
             if attr not in batch.column_names:
                 continue
             val = pc.cast(batch[attr], pa.string())
@@ -115,11 +126,16 @@ def melt_to_claims(wide, entity_col: str, attrs: list[str],
             else:
                 vnum = pa.nulls(n, pa.float64())
                 vstr = pc.utf8_trim_whitespace(val)
-            cid = [fnv64(f"{b}|{s}|{e}|{attr}|{v}") if v is not None else 0
-                   for b, s, e, v in zip(bucket.to_pylist(),
-                                         src.to_pylist(),
-                                         ent.to_pylist(),
-                                         val.to_pylist())]
+            if rows is not None:
+                cid = [((b * (1 << 30) + r) * 64 + attr_idx) * 256
+                       for b, r in zip(bucket.to_pylist(), rows)]
+            else:
+                cid = [fnv64(f"{b}|{s}|{e}|{attr}|{v}")
+                       if v is not None else 0
+                       for b, s, e, v in zip(bucket.to_pylist(),
+                                             src.to_pylist(),
+                                             ent.to_pylist(),
+                                             val.to_pylist())]
             t = pa.table({
                 "claim_id": pa.array(cid, pa.int64()),
                 "bucket_id": pc.cast(bucket, pa.int32()),

@@ -60,13 +60,16 @@ def _apply_step(batch: pa.Table, *, kernel_name: str, attrs: set[str],
             continue
         v = fn(cols["value_str"][i])
         values = v if (modify_structure and isinstance(v, list)) else [v]
-        for vv in values:
+        for j, vv in enumerate(values):
             for c in cols:
                 if c == "value_str":
                     out[c].append(None if vv is None else str(vv))
                 elif c == "value_num":
                     out[c].append(float(vv) if isinstance(vv, (int, float))
                                   and not isinstance(vv, bool) else None)
+                elif c == "claim_id" and len(values) > 1:
+                    # keep exploded values order-adjacent and distinct
+                    out[c].append(cols[c][i] + j)
                 else:
                     out[c].append(cols[c][i])
     return pa.table({c: pa.array(out[c], batch.schema.field(c).type)
