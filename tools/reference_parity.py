@@ -158,7 +158,16 @@ def run_reference(model_name: str, spec: dict):
     elif model_name == "TruthFinder":
         from trustfuse.models.truthfinder import TruthFinder as RefModel
         model = RefModel(ds, progress=_P, max_itr=10)
+    elif model_name == "CATD":
+        from trustfuse.models.catd import CATD as RefModel
+        model = RefModel(ds, progress=_P, numeric=True)
+    elif model_name == "GTM":
+        from trustfuse.models.gtm import GTM as RefModel
+        model = RefModel(ds, progress=_P, numeric=True)
     else:
+        # ACCU/SLiMFast/LTM are unseeded-random in the reference; KDEm's
+        # truth/weight slots hold per-source scores (documented quirk) —
+        # no meaningful head-to-head is possible for those
         raise SystemExit(f"unsupported reference model {model_name}")
 
     truths = {}
