@@ -100,6 +100,16 @@ def _stub_reference_deps():
     class DiGraph:  # only used by DynamicDataset partial orders
         def __init__(self, *a, **kw):
             self._node = {}
+            self._edges = []
+
+        def add_node(self, nid, **attrs):
+            self._node[nid] = attrs
+
+        def add_edges_from(self, edges, **kw):
+            self._edges.extend(edges)
+
+        def __contains__(self, nid):
+            return nid in self._node
 
     nx.DiGraph = DiGraph
     sys.modules.setdefault("networkx", nx)
@@ -214,9 +224,93 @@ def run_ours(model_name: str, spec: dict):
     return ours
 
 
+def run_reference_wikiconflict(model_name: str):
+    _stub_reference_deps()
+    sys.path.insert(0, REF)
+    import trustfuse.conflicting_dataset.dataset as ref_dataset
+    from trustfuse.conflicting_dataset.dataset import DynamicDataset
+
+    def _complete_gt_compat(prev_df, next_df, entity_name):
+        # dataset.py:36-51 semantics; `.loc[mask, col] = [list]` breaks on
+        # modern pandas (GT-only path, model outputs unaffected)
+        import pandas as pd
+        row = prev_df[prev_df["Entity"] == entity_name]
+        if row.empty:
+            return
+        data = row.iloc[0].to_dict()
+        idxs = next_df.index[next_df["Entity"] == entity_name]
+        for col, value in data.items():
+            if col == "Entity" or not len(idxs):
+                continue
+            if col in next_df.columns:
+                cur = next_df[col].loc[idxs[0]]
+                if not isinstance(cur, list) and pd.isna(cur):
+                    for i in idxs:
+                        next_df.at[i, col] = value
+            else:
+                for i in idxs:
+                    next_df.at[i, col] = value
+
+    ref_dataset.complete_gt = _complete_gt_compat
+
+    class _P:
+        @staticmethod
+        def tqdm(it, *a, **kw):
+            return it
+
+    path = os.path.join(REF, "data/input_trustfuse/wikiconflict/"
+                             "monuments_in_paris/wikiconflict_subset.pkl")
+    ds = DynamicDataset(path, entity_as="string", entity_col_name="Entity",
+                        attribute_types={})
+    ds.make_post_preprocess_copy()
+    from trustfuse.models.crh import CRH as RefModel
+    model = RefModel(ds, progress=_P, max_itr=10)
+    truths = {}
+    for bid, inputs in model.model_input.items():
+        results = model.fuse(ds, bid, inputs, progress=_P)
+        for e, attrs in results[bid]["truth"].items():
+            for a, vals in attrs.items():
+                if vals and vals != [None]:
+                    truths[(bid, str(e), a)] = [str(v) for v in vals]
+    return truths
+
+
+def run_ours_wikiconflict(model_name: str):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 log_to_driver=False)
+    from trustfuse_ray.fuse import make_model, run_fusion
+    from trustfuse_ray.sources.wikiconflict import (load_wikiconflict,
+                                                    window_claims)
+
+    path = os.path.join(REF, "data/input_trustfuse/wikiconflict/"
+                             "monuments_in_paris/wikiconflict_subset.pkl")
+    claims, _gt, _po, tuple_attrs = load_wikiconflict(path)
+    claims = claims.materialize()
+    n_buckets = max(r["bucket_id"] for r in
+                    claims.select_columns(["bucket_id"]).take_all()) + 1
+    ours = {}
+    for b in range(n_buckets):
+        triples, _w = run_fusion(window_claims(claims, b),
+                                 make_model(model_name), dedup_claims=False)
+        for r in triples.take_all():
+            if r["attr"] in tuple_attrs:
+                continue  # the reference emits no truth for tuple values
+            ours.setdefault((b, r["entity"], r["attr"]),
+                            []).append(r["value_str"])
+    return ours
+
+
 def main():
     model_name = sys.argv[1] if len(sys.argv) > 1 else "CRH"
     ds_name = sys.argv[2] if len(sys.argv) > 2 else "book"
+    if ds_name == "wikiconflict":
+        ref = run_reference_wikiconflict(model_name)
+        ours = run_ours_wikiconflict(model_name)
+        _report(model_name, ds_name, ref, ours)
+        return
     spec = dict(DATASETS[ds_name])
     if ds_name == "flight":
         spec["folder"] = _flight_subset()
@@ -226,6 +320,10 @@ def main():
            for (e, a), v in ref.items()}
     ours = run_ours(model_name, spec)
 
+    _report(model_name, ds_name, ref, ours)
+
+
+def _report(model_name, ds_name, ref, ours):
     def _norm(vals):
         out = set()
         for v in vals:
