@@ -169,9 +169,14 @@ def _pack_partition(batch: pa.Table, dedup: bool = True) -> pa.Table:
 
 
 def _add_partition_col(batch: pa.Table, *, n_parts: int) -> pa.Table:
-    part = [_fnv64(f"{b}|{e}") % n_parts
-            for b, e in zip(batch["bucket_id"].to_pylist(),
-                            batch["entity"].to_pylist())]
+    # vectorized stable hash (pandas SipHash with a fixed key) over the
+    # (bucket, entity) shuffle key — a per-row Python hash is ~10x slower
+    import pandas as pd
+
+    ent = batch["entity"].to_pandas().astype(str)
+    key = batch["bucket_id"].to_pandas().astype(str).str.cat(ent, sep="|")
+    part = (pd.util.hash_array(key.to_numpy(dtype=object))
+            % np.uint64(n_parts)).astype(np.int32)
     return batch.append_column("fact_part", pa.array(part, pa.int32()))
 
 

@@ -118,6 +118,31 @@ def q_ltm_quality(sf_dir: str):
     return run_ltm(build_claims(data_dir), output="quality")
 
 
+def q_pipeline_metrics(sf_dir: str, model: str = "CRH"):
+    """End-to-end evaluation vs the synthetic corpus's golden truth table:
+    per-attribute precision/recall/F1 + completion rate, overall row last
+    (the reference fusion_pipeline.py metrics printout as a table)."""
+    from trustfuse_ray import evaluation
+
+    data_dir = synth.generate(sf_dir)
+    claims = build_claims(data_dir).materialize()
+    triples, _ = run_fusion(claims, make_model(model))
+    gt = ray.data.read_parquet(os.path.join(data_dir, "truth.parquet"))
+    m = evaluation.get_metrics(triples, gt, claims)
+    rows = []
+    for attr, a in sorted(m["buckets"][0]["attributes"].items()):
+        rows.append((attr, a["p"], a["r"], a["f1_score"], a["c_rate"]))
+    rows.append(("__overall__", m["ov_p"], m["ov_r"], m["ov_f1_score"],
+                 m["c_rate"]))
+    return pa.table({
+        "attr": pa.array([r[0] for r in rows], pa.string()),
+        "p": pa.array([float(r[1]) for r in rows], pa.float64()),
+        "r": pa.array([float(r[2]) for r in rows], pa.float64()),
+        "f1": pa.array([float(r[3]) for r in rows], pa.float64()),
+        "c_rate": pa.array([float(r[4]) for r in rows], pa.float64()),
+    })
+
+
 def q_fuse_weights(sf_dir: str, model: str = "CRH"):
     data_dir = synth.generate(sf_dir)
     claims = build_claims(data_dir)
@@ -338,6 +363,7 @@ def queries_map():
         "kg_fuse_ltm": q_fuse_ltm,
         "kg_ltm_source_quality": q_ltm_quality,
         "kg_weights_crh": functools.partial(q_fuse_weights, model="CRH"),
+        "kg_metrics_crh": functools.partial(q_pipeline_metrics, model="CRH"),
         "q1_pricing_summary": q1_pricing_summary,
         "top_customers": q_top_customers,
         "events_sessionize": q_events_sessionize,
