@@ -5,10 +5,11 @@ deterministic synthetic transcript corpus for $GRAFT_SF_DIR (default
 /root/testdata/sf0.1), plus representative operator pipelines.  Prints ONE
 JSON line.
 
-``--scaling``: runs the headline pipeline twice in fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and reports throughput at both
-plus scaling efficiency = (T8/T32)/4 — the sandbox stand-in for N vs 4N
-cluster nodes (BASELINE.md).
+``--scaling``: runs the headline pipeline in fresh processes at
+num_cpus=2/8/32 on the same input (best of 2 runs per leg — the sandbox
+host is shared and single runs vary) and reports throughput per leg plus
+the N→4N scaling efficiency for the 2→8 and 8→32 pairs — the sandbox
+stand-in for N vs 4N cluster nodes (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -34,7 +35,12 @@ def _run_kg_only(sf_dir: str, num_cpus: int) -> dict:
 
     data_dir = synth.generate(sf_dir)
     t0 = time.perf_counter()
-    claims = build_claims(data_dir).materialize()
+    # fixed-size extract pool: autoscaler ramp-up is nondeterministic and
+    # adds run-to-run variance at small CPU counts.  Size so the 0.75-CPU
+    # actors always leave ≥1 CPU for the read tasks (2-CPU deadlock guard).
+    pool = max(1, int((num_cpus - 1) / 0.75))
+    claims = build_claims(data_dir,
+                          concurrency=(pool, pool)).materialize()
     session = FusionSession(pack_facts(claims))
     try:
         triples, _ = session.run(make_model("CRH"))
@@ -137,14 +143,22 @@ def main():
         # N vs 4N cluster-size stand-in: the headline KG pipeline in fresh
         # processes at two parallelism pairs (2→8 and 8→32 CPUs); efficiency
         # = (throughput@4N / throughput@N) / 4
+        # best-of-2 per leg: this sandbox host is shared and single runs
+        # vary ±40%; the best run is the least-interfered measurement
         results = {}
         for cpus in (2, 8, 32):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                       GRAFT_SF_DIR=sf_dir)
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--_kg_single"],
-                env=env, capture_output=True, text=True, check=True)
-            results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+            best = None
+            for _ in range(2):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                           GRAFT_SF_DIR=sf_dir)
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--_kg_single"],
+                    env=env, capture_output=True, text=True, check=True)
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+                if best is None or r["kg_secs"] < best["kg_secs"]:
+                    best = r
+            results[cpus] = best
         tp = {c: results[c]["triples_per_sec"] for c in results}
         print(json.dumps({
             "metric": "kg pipeline throughput scaling efficiency (N→4N)",
