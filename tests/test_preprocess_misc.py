@@ -75,6 +75,21 @@ def test_focus_attributes():
     assert focus_attributes(ds, types=["quantity"]).count() == 1
 
 
+def test_apply_scale_units_stage():
+    from trustfuse_ray.stages.preprocess import apply_scale_units
+
+    rows = []
+    for i, v in enumerate(["1,000", "1.2", "950", "1100000"]):
+        rows.append((i, 0, f"s{i}", "AAPL", "Volume", v, None, "quantity"))
+    rows.append((9, 0, "s9", "AAPL", "Name", "apple", None, "string"))
+    out = apply_scale_units(_claims(rows), ["Volume"]).take_all()
+    vols = np.array([r["value_num"] for r in out if r["attr"] == "Volume"])
+    assert len(vols) == 4
+    assert np.all(np.abs(np.log10(vols / np.median(vols))) <= 0.8)
+    # non-target attrs pass through untouched
+    assert [r["value_str"] for r in out if r["attr"] == "Name"] == ["apple"]
+
+
 def test_complete_gt_coalesce():
     gt = _claims([
         (1, 0, "", "e1", "pop", "100", None, "quantity"),

@@ -106,6 +106,47 @@ def apply_preprocessing(claims, config: list[dict],
     return claims
 
 
+def apply_scale_units(claims, attributes: list[str],
+                      lower_factor: float = -0.8, upper_factor: float = 0.8,
+                      max_itr: int = 10, n_parts: int = 64):
+    """`preprocessing.py:176-225` scale_units as a distributed group stage:
+    per (bucket, entity, attr) group, iteratively multiply values by 10/0.1
+    until all lie within 10^±0.8 of the group median (unit harmonization —
+    the reference Stock config's metadata preprocessor).  Order/group-
+    sensitive → one hash-partitioned shuffle on the group key
+    (SURVEY.md §7.5)."""
+    from trustfuse_ray.stages.canon import scale_units_group
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    attrs = set(attributes)
+
+    def _grp(group: pa.Table) -> pa.Table:
+        if not len(group) or group["attr"][0].as_py() not in attrs:
+            return group
+        vals = np.array(group["value_str"].to_pylist(), dtype=object)
+        scaled = scale_units_group(vals, lower_factor=lower_factor,
+                                   upper_factor=upper_factor,
+                                   max_itr=max_itr)
+        vs, vn = [], []
+        for x in scaled:
+            if x is None:
+                vs.append(None)
+                vn.append(None)
+            else:
+                f = float(x)
+                vs.append(str(int(f)) if f.is_integer() else repr(f))
+                vn.append(f)
+        group = group.set_column(
+            group.schema.get_field_index("value_str"), "value_str",
+            pa.array(vs, pa.string()))
+        return group.set_column(
+            group.schema.get_field_index("value_num"), "value_num",
+            pa.array(vn, pa.float64()))
+
+    return hash_group_apply(claims, ["bucket_id", "entity", "attr"], _grp,
+                            n_parts=n_parts)
+
+
 def complete_gt(gt, entity_col: str = "entity", bucket_col: str = "bucket_id"):
     """`dataset.py:36-51` complete_gt: fill an entity's missing GT attrs in
     bucket b from earlier buckets (last-non-null coalesce over ordered
