@@ -427,10 +427,16 @@ def _make_fact_shard():
         rounds, and reserving CPUs would deadlock any Dataset execution the
         caller runs while the session is open."""
 
-        def __init__(self, block_refs):
+        def __init__(self, block_refs=None):
+            self.tables = []
+            self.facts: list[Fact] = []
+            if block_refs is not None:
+                self.load(block_refs)
+
+        def load(self, block_refs) -> int:
             import ray as _r
             self.tables = [t for t in _r.get(list(block_refs)) if len(t)]
-            self.facts: list[Fact] = []
+            return len(self.tables)
 
         def counts(self) -> dict:
             """(bid, source) -> [facts_all, facts_quantity_numeric]; +1 per
@@ -495,6 +501,12 @@ class FusionSession:
                  materialize: bool = True):
         import ray
 
+        # spin the (num_cpus=0) shard pool up CONCURRENTLY with the pack
+        # shuffle — actor process startup costs seconds and needs no data
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        FactShard = _make_fact_shard()
+        warm = [FactShard.remote() for _ in range(n_cpus)]
+
         if materialize:
             packed = packed.materialize()
         self.packed = packed
@@ -506,11 +518,13 @@ class FusionSession:
 
         if self.use_actors:
             refs = packed.to_arrow_refs()
-            n_cpus = int(ray.cluster_resources().get("CPU", 8))
             n_actors = max(1, min(n_cpus, len(refs)))
+            self.actors = warm[:n_actors]
+            for a in warm[n_actors:]:
+                ray.kill(a)
             shards = [refs[i::n_actors] for i in range(n_actors)]
-            FactShard = _make_fact_shard()
-            self.actors = [FactShard.remote(sh) for sh in shards]
+            ray.get([a.load.remote(sh)
+                     for a, sh in zip(self.actors, shards)])
             parts = ray.get([a.counts.remote() for a in self.actors])
             agg: dict[tuple, list] = {}
             for part in parts:
@@ -519,6 +533,8 @@ class FusionSession:
                     c[0] += v[0]
                     c[1] += v[1]
         else:
+            for a in warm:  # local path: the warm pool is not needed
+                ray.kill(a)
             blocks = [t for t in ray.get(packed.to_arrow_refs()) if len(t)]
             if blocks:
                 # unify list-field naming (item vs element) across sources
