@@ -6,17 +6,20 @@ fact = (entity, attr), plus a *global per-source* weight vector, co-iterated
 ≤ ~10–100 rounds.  The distributed re-expression:
 
 1. ONE shuffle packs the long claim table into per-fact rows
-   (``pack_facts``: groupby (bucket_id, entity) → one packed row per
-   (entity, attr)), materialized once and reused every round.
-2. Each round is a stateless ``map_batches`` over packed facts that
-   (a) recomputes the per-fact truth from the broadcast global state —
-   truth is a pure function of the weights, so it is never stored — and
-   (b) pre-combines per-source partial statistics *inside the task*
-   (combiner), emitting one row per (bucket, source) per batch.
-3. A tiny ``groupby(bucket_id, source).sum()`` (KB-scale) is pulled to the
-   driver, which applies the model's reduce step and broadcasts the new
-   state into the next round's UDF closure.
-4. A final ``map_batches`` emits the fused triple table.
+   (``pack_facts``: hash(bucket_id, entity) partitioning → one packed row
+   per (entity, attr)), materialized once and reused by every round of
+   every model (``FusionSession``).
+2. Each round recomputes the per-fact truth from the broadcast global
+   state — truth is a pure function of the weights, so it is never
+   stored — and pre-combines per-source partial statistics inside the
+   shard (combiner): one tiny (N_CHANNELS × n_sources) matrix per shard.
+3. The driver sums the KB-scale partials, applies the model's reduce step
+   and broadcasts the new state into the next round.  Small packed tables
+   iterate on the driver; large ones on a persistent pool of fact-shard
+   actors (the documented raw-actor exception for iterative global state —
+   a round is one ms-scale RPC per shard, not a streaming-executor launch).
+4. A final pass over the shards emits the fused triple table back into a
+   Dataset.
 
 Claims within a fact are kept in ascending ``claim_id`` order — the engine's
 deterministic stand-in for the reference's nondeterministic ``set()``
@@ -63,12 +66,6 @@ class FusionModel:
     n_rounds: int = 1
 
     def initial_state(self, sources: list[str], counts: np.ndarray) -> dict:
-        raise NotImplementedError
-
-    def fact_stats(self, fact: Fact, state: dict) -> np.ndarray | None:
-        """Per-source partial stats for one fact: array [k_claims? no —
-        returns matrix (N_CHANNELS, n_sources)-sparse as (idx, stats) or a
-        dense accumulation into ``out``]; models implement ``accumulate``."""
         raise NotImplementedError
 
     def accumulate(self, fact: Fact, state: dict, out: np.ndarray) -> None:
@@ -273,87 +270,6 @@ def iter_facts(batch: pa.Table, src_index: dict[int, dict[str, int]]
             vals = np.array(vss, dtype=object)
         yield Fact(bid, ent, attr, vt, idx,
                    vals, np.array(cids, dtype=np.int64))
-
-
-# ---------------------------------------------------------------------------
-# per-bucket source index + per-source fact counts (tiny driver-side tables)
-# ---------------------------------------------------------------------------
-
-
-def source_stats(packed) -> tuple[dict[int, list[str]], dict[int, np.ndarray]]:
-    """Distinct sources per bucket + per-source fact participation counts
-    (the reference's ``count`` vector, `model.py:178-182`:
-    ``count[src] = count[src] + 1`` with fancy indexing — duplicate source
-    indices collapse, so it is +1 per fact the source appears in)."""
-
-    def _partials(batch: pa.Table) -> pa.Table:
-        acc: dict[tuple[int, str], int] = {}
-        for bid, srcs in zip(batch["bucket_id"].to_pylist(),
-                             batch["sources"].to_pylist()):
-            for s in set(srcs):  # fancy-index collapse: +1 per fact
-                k = (bid, s)
-                acc[k] = acc.get(k, 0) + 1
-        return pa.table(
-            {
-                "bucket_id": pa.array([k[0] for k in acc], pa.int32()),
-                "source": pa.array([k[1] for k in acc], pa.string()),
-                "n": pa.array(list(acc.values()), pa.int64()),
-            }
-        )
-
-    small = (
-        packed.map_batches(_partials, batch_format="pyarrow")
-        .groupby(["bucket_id", "source"]).sum("n")
-        .take_all()
-    )
-    sources: dict[int, list[str]] = {}
-    counts_map: dict[int, dict[str, int]] = {}
-    for row in small:
-        bid = row["bucket_id"]
-        sources.setdefault(bid, []).append(row["source"])
-        counts_map.setdefault(bid, {})[row["source"]] = row["sum(n)"]
-    counts: dict[int, np.ndarray] = {}
-    for bid in sources:
-        sources[bid].sort()
-        counts[bid] = np.array([counts_map[bid][s] for s in sources[bid]],
-                               dtype=np.float64)
-    return sources, counts
-
-
-# ---------------------------------------------------------------------------
-# the iterative runner
-# ---------------------------------------------------------------------------
-
-
-def _stats_batch(batch: pa.Table, *, model: FusionModel,
-                 state: dict[int, dict],
-                 src_index: dict[int, dict[str, int]],
-                 n_sources: dict[int, int]) -> pa.Table:
-    """One distributed round over one batch: accumulate per-source partials
-    pre-combined inside the task (one output row per (bucket, source))."""
-    outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
-            for bid, n in n_sources.items()}
-    touched = set()
-    for fact in iter_facts(batch, src_index):
-        if model.numeric_only and not fact.is_numeric:
-            continue
-        model.accumulate(fact, state[fact.bucket_id], outs[fact.bucket_id])
-        touched.add(fact.bucket_id)
-    rows_b, rows_s, chans = [], [], [[] for _ in range(N_CHANNELS)]
-    for bid in touched:
-        srcs = sorted(src_index[bid], key=src_index[bid].get)
-        for j, s in enumerate(srcs):
-            rows_b.append(bid)
-            rows_s.append(s)
-            for c in range(N_CHANNELS):
-                chans[c].append(outs[bid][c, j])
-    cols = {
-        "bucket_id": pa.array(rows_b, pa.int32()),
-        "source": pa.array(rows_s, pa.string()),
-    }
-    for c in range(N_CHANNELS):
-        cols[f"s{c}"] = pa.array(chans[c], pa.float64())
-    return pa.table(cols)
 
 
 def _emit_batch(batch: pa.Table, *, model: FusionModel,
