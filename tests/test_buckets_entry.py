@@ -76,3 +76,23 @@ def test_driver_entry_contract():
     assert len(q) >= 25
     assert set(o) <= set(q)  # every oracle key has a query
     assert len(o) >= 12
+
+
+def test_pipeline_determinism(synth_dir):
+    """Two runs of the flagship pipeline produce byte-identical fused
+    triples and weights (hash-seeded randomness, deterministic tie-breaks,
+    order-insensitive reductions)."""
+    from trustfuse_ray.pipelines.kg import build_claims
+
+    def run_once():
+        claims = build_claims(synth_dir)
+        triples, weights = run_fusion(claims, CRH(max_itr=10))
+        rows = sorted(
+            (r["entity"], r["attr"], r["value_str"], round(r["conf"], 12))
+            for r in triples.take_all())
+        return rows, {s: round(w, 12) for s, w in weights[0].items()}
+
+    r1, w1 = run_once()
+    r2, w2 = run_once()
+    assert r1 == r2
+    assert w1 == w2
