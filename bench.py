@@ -143,22 +143,21 @@ def main():
         # N vs 4N cluster-size stand-in: the headline KG pipeline in fresh
         # processes at two parallelism pairs (2→8 and 8→32 CPUs); efficiency
         # = (throughput@4N / throughput@N) / 4
-        # best-of-2 per leg: this sandbox host is shared and single runs
-        # vary ±40%; the best run is the least-interfered measurement
+        # best-of-2 per leg, legs INTERLEAVED (2,8,32,2,8,32): this sandbox
+        # host is shared and single runs vary ±40%; interleaving makes every
+        # leg sample both ambient-load windows so the pair ratios aren't
+        # biased by one leg landing in a busy period
         results = {}
-        for cpus in (2, 8, 32):
-            best = None
-            for _ in range(2):
-                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                           GRAFT_SF_DIR=sf_dir)
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--_kg_single"],
-                    env=env, capture_output=True, text=True, check=True)
-                r = json.loads(out.stdout.strip().splitlines()[-1])
-                if best is None or r["kg_secs"] < best["kg_secs"]:
-                    best = r
-            results[cpus] = best
+        for cpus in (2, 8, 32, 2, 8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
+                       GRAFT_SF_DIR=sf_dir)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--_kg_single"],
+                env=env, capture_output=True, text=True, check=True)
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            if cpus not in results or r["kg_secs"] < results[cpus]["kg_secs"]:
+                results[cpus] = r
         tp = {c: results[c]["triples_per_sec"] for c in results}
         print(json.dumps({
             "metric": "kg pipeline throughput scaling efficiency (N→4N)",
