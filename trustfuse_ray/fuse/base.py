@@ -29,7 +29,7 @@ iteration order (SURVEY.md §7.5 tie-breaking).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import Iterator
 
 import numpy as np
@@ -48,6 +48,11 @@ class Fact:
     src_idx: np.ndarray      # int32, per claim
     values: np.ndarray       # object (str) or float64, per claim
     claim_ids: np.ndarray    # int64, per claim
+    # per-fact kernel memo (round-invariant precomputations, e.g.
+    # TruthFinder's pairwise similarity matrix).  Facts are parsed once per
+    # FusionSession and live for all rounds, so anything that depends only
+    # on the claim values is computed exactly once here.
+    cache: dict = field(default_factory=dict, compare=False, repr=False)
 
     @property
     def is_numeric(self) -> bool:
@@ -100,69 +105,49 @@ def _quantity_facts_only(batch: pa.Table) -> pa.Table:
     return batch.filter(pc.equal(batch["value_type"], "quantity"))
 
 
-def _fnv64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s.encode():
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h & 0x7FFFFFFFFFFFFFFF
+_PACKED_ORDER = ("bucket_id", "entity", "attr", "value_type", "sources",
+                 "values_str", "values_num", "claim_ids")
 
 
 def _pack_partition(batch: pa.Table, dedup: bool = True) -> pa.Table:
     """One entity-hash partition → packed rows for every (bucket_id, entity,
-    attr) fact it contains, in one vectorized-ish pass (no per-entity task
-    overhead — a partition holds hundreds of entities).
+    attr) fact it contains — fully Arrow-native (sort + ordered hash
+    group-by with list/first aggregation; no per-row Python).
 
     Dedups exact repeated (source, value) assertions keeping the lowest
     claim_id (reference dedups identical re-assertions at dataset
     construction, `/root/reference/dataset_generation/generate_buckets.py:182-189`);
     claims within a fact are ordered by ascending claim_id (deterministic
-    stand-in for the reference's insertion order)."""
-    order = pc.sort_indices(batch, sort_keys=[("claim_id", "ascending")])
-    batch = batch.take(order)
-    bids = batch["bucket_id"].to_pylist()
-    ents = batch["entity"].to_pylist()
-    attrs = batch["attr"].to_pylist()
-    sources = batch["source"].to_pylist()
-    vstr = batch["value_str"].to_pylist()
-    vnum = batch["value_num"].to_pylist()
-    vtype = batch["value_type"].to_pylist()
-    cids = batch["claim_id"].to_pylist()
-
-    facts: dict[tuple, dict] = {}
-    for b, e, a, s, sv, nv, t, cid in zip(bids, ents, attrs, sources, vstr,
-                                          vnum, vtype, cids):
-        d = facts.get((b, e, a))
-        if d is None:
-            d = facts[(b, e, a)] = {"vtype": t, "src": [], "vs": [],
-                                    "vn": [], "cid": [], "seen": set()}
-        key = (s, sv)
-        if dedup:
-            if key in d["seen"]:
-                continue
-            d["seen"].add(key)
-        d["src"].append(s)
-        d["vs"].append(sv)
-        d["vn"].append(nv)
-        d["cid"].append(cid)
-
-    keys = sorted(facts)
-    return pa.table(
-        {
-            "bucket_id": pa.array([k[0] for k in keys], pa.int32()),
-            "entity": pa.array([k[1] for k in keys], pa.string()),
-            "attr": pa.array([k[2] for k in keys], pa.string()),
-            "value_type": pa.array([facts[k]["vtype"] for k in keys],
-                                   pa.string()),
-            "sources": pa.array([facts[k]["src"] for k in keys],
-                                pa.list_(pa.string())),
-            "values_str": pa.array([facts[k]["vs"] for k in keys],
-                                   pa.list_(pa.string())),
-            "values_num": pa.array([facts[k]["vn"] for k in keys],
-                                   pa.list_(pa.float64())),
-            "claim_ids": pa.array([facts[k]["cid"] for k in keys],
-                                  pa.list_(pa.int64())),
-        }
-    )
+    stand-in for the reference's insertion order — ``use_threads=False``
+    makes the group-by scan order-preserving)."""
+    if "fact_part" in batch.column_names:
+        batch = batch.drop_columns(["fact_part"])
+    batch = batch.take(
+        pc.sort_indices(batch, sort_keys=[("claim_id", "ascending")]))
+    if dedup:
+        batch = pa.TableGroupBy(
+            batch, ["bucket_id", "entity", "attr", "source", "value_str"],
+            use_threads=False,
+        ).aggregate([("value_num", "first"), ("value_type", "first"),
+                     ("claim_id", "first")])
+        batch = batch.rename_columns(
+            [c.removesuffix("_first") for c in batch.column_names])
+        batch = batch.take(
+            pc.sort_indices(batch, sort_keys=[("claim_id", "ascending")]))
+    g = pa.TableGroupBy(
+        batch, ["bucket_id", "entity", "attr"], use_threads=False,
+    ).aggregate([("value_type", "first"), ("source", "list"),
+                 ("value_str", "list"), ("value_num", "list"),
+                 ("claim_id", "list")])
+    _renames = {
+        "value_type_first": "value_type", "source_list": "sources",
+        "value_str_list": "values_str", "value_num_list": "values_num",
+        "claim_id_list": "claim_ids"}
+    g = g.rename_columns([_renames.get(c, c) for c in g.column_names])
+    g = g.take(pc.sort_indices(
+        g, sort_keys=[("bucket_id", "ascending"), ("entity", "ascending"),
+                      ("attr", "ascending")]))
+    return g.select(list(_PACKED_ORDER))
 
 
 def _add_partition_col(batch: pa.Table, *, n_parts: int) -> pa.Table:
@@ -196,14 +181,15 @@ def _combine_dedup(batch: pa.Table) -> pa.Table:
     bounded by #sources x #distinct-values regardless of input skew
     (SURVEY.md §7.3 salting note; exact dedup per
     `/root/reference/dataset_generation/generate_buckets.py:182-189`)."""
-    import pandas as pd
-
-    df = batch.to_pandas()
-    df = df.sort_values("claim_id", kind="stable").drop_duplicates(
-        subset=["bucket_id", "source", "entity", "attr", "value_str"],
-        keep="first")
-    return pa.Table.from_pandas(df, preserve_index=False,
-                                schema=batch.schema)
+    cols = batch.column_names
+    keys = ["bucket_id", "source", "entity", "attr", "value_str"]
+    batch = batch.take(
+        pc.sort_indices(batch, sort_keys=[("claim_id", "ascending")]))
+    out = pa.TableGroupBy(batch, keys, use_threads=False).aggregate(
+        [(c, "first") for c in cols if c not in keys])
+    out = out.rename_columns(
+        [c.removesuffix("_first") for c in out.column_names])
+    return out.select(cols)
 
 
 def pack_facts(claims, numeric_only: bool = False, n_parts: int = 128,

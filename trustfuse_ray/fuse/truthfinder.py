@@ -41,43 +41,50 @@ class TruthFinder(FusionModel):
         tau0 = -np.log(1 - np.ones(n) * 0.9)
         return {"tau": tau0, "tau_prev": tau0.copy()}
 
+    # -- round-invariant per-fact precomputation --------------------------
+    def _prep(self, fact: Fact):
+        """(eq, inv, sim) for a fact — depends only on the claim values,
+        which never change across rounds, so it is computed once per fact
+        and memoized on ``fact.cache`` (the pairwise Jaro matrix was the
+        O(m² × rounds) hot spot; now O(m²) once)."""
+        key = ("tf", self.base)
+        prep = fact.cache.get(key)
+        if prep is not None:
+            return prep
+        vals = fact.values if fact.is_numeric else fact.values.astype(str)
+        claim_set, inv = np.unique(vals, return_inverse=True)
+        m = len(claim_set)
+        eq = np.zeros((m, len(vals)), dtype=np.float64)
+        eq[inv, np.arange(len(vals))] = 1.0
+        if fact.vtype == "quantity" and fact.is_numeric:
+            # includes the k == j term (reference quirk, truthfinder.py:94)
+            sim = np.exp(-np.abs(claim_set[None, :] - claim_set[:, None])) \
+                - self.base
+        elif fact.vtype in ("string", "entity"):
+            # excludes k == j (truthfinder.py:87-92): zero diagonal
+            sim = np.zeros((m, m))
+            for j in range(m):
+                sj = str(claim_set[j])
+                for k in range(j + 1, m):
+                    v = np.exp(-jaro_similarity(sj, str(claim_set[k]))) \
+                        - self.base
+                    sim[j, k] = sim[k, j] = v
+        else:
+            sim = None  # other declared types: tmp stays sigma
+        prep = fact.cache[key] = (eq, inv, sim)
+        return prep
+
     # -- update_claim for one fact (truthfinder.py:57-100) ----------------
     def _claim_scores(self, fact: Fact, tau: np.ndarray) -> np.ndarray:
-        ti = tau[fact.src_idx]
-        if fact.is_numeric:
-            vals = fact.values
-            claim_set = np.unique(vals)
-            eq = vals[None, :] == claim_set[:, None]  # distinct x claims
+        eq, inv, sim = self._prep(fact)
+        sigma = eq @ tau[fact.src_idx]  # per distinct value: Σ supporter tau
+        if sim is None:
+            tmp = sigma
         else:
-            vals = fact.values.astype(str)
-            claim_set = np.unique(vals)
-            eq = vals[None, :] == claim_set[:, None]
-        sigma = eq @ ti  # per distinct value: Σ tau of supporting sources
-        tmp = sigma.copy()
-        m = len(claim_set)
-        if fact.vtype == "quantity" and fact.is_numeric:
-            # includes k == j term (reference quirk)
-            sim = np.exp(-np.abs(claim_set[None, :] - claim_set[:, None]))
             tmp = ((1 - self.rho * (1 - self.base)) * sigma
-                   + self.rho * ((sim - self.base) @ sigma))
-        elif fact.vtype in ("string", "entity"):
-            for j in range(m):
-                loss_sum = 0.0
-                for k in range(m):
-                    if k != j:
-                        loss_sum += sigma[k] * (
-                            np.exp(-jaro_similarity(str(claim_set[j]),
-                                                    str(claim_set[k])))
-                            - self.base)
-                tmp[j] = ((1 - self.rho * (1 - self.base)) * sigma[j]
-                          + self.rho * loss_sum)
-        # other declared types: tmp stays sigma (reference leaves tmp_i copy)
+                   + self.rho * (sim @ sigma))
         s_distinct = 1.0 / (1.0 + np.exp(-self.gamma * tmp))
-        # scatter back to claims
-        s = np.zeros(len(vals))
-        for j in range(m):
-            s[eq[j]] = s_distinct[j]
-        return s
+        return s_distinct[inv]  # scatter back to claims
 
     def accumulate(self, fact: Fact, state, out):
         s = self._claim_scores(fact, state["tau"])

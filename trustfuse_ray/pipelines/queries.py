@@ -167,6 +167,12 @@ def q_fuse_weights(sf_dir: str, model: str = "CRH"):
 # ---------------------------------------------------------------------------
 
 
+Q1_SCALE = 1_000_000  # fixed-point micro-units: float sums are order-
+# dependent in the last ulp (blocks sum in nondeterministic order), so both
+# the engine and the DuckDB oracle sum exact int64 micro-units and divide
+# once at the end — bit-identical, order-independent results.
+
+
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped aggregate over lineitem (groupby + multi-agg)."""
     li = _tbl(sf_dir, "lineitem")
@@ -176,24 +182,42 @@ def q1_pricing_summary(sf_dir: str):
         disc = pc.multiply(batch["l_extendedprice"],
                            pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         charge = pc.multiply(disc, pc.add(pa.scalar(1.0), batch["l_tax"]))
+
+        def fx(col):
+            return pc.cast(pc.round(
+                pc.multiply(col, pa.scalar(float(Q1_SCALE))),
+                round_mode="half_towards_infinity"), pa.int64())
+
         return pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
-            "l_quantity": batch["l_quantity"],
-            "l_extendedprice": batch["l_extendedprice"],
-            "disc_price": disc,
-            "charge": charge,
+            "qty_fx": fx(batch["l_quantity"]),
+            "price_fx": fx(batch["l_extendedprice"]),
+            "disc_fx": fx(disc),
+            "charge_fx": fx(charge),
         })
 
     agg = (li.map_batches(_derive, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
-           .sum(["l_quantity", "l_extendedprice", "disc_price", "charge"]))
-    return agg.rename_columns({
-        "sum(l_quantity)": "sum_qty",
-        "sum(l_extendedprice)": "sum_base_price",
-        "sum(disc_price)": "sum_disc_price",
-        "sum(charge)": "sum_charge",
-    })
+           .sum(["qty_fx", "price_fx", "disc_fx", "charge_fx"]))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pa.scalar(float(Q1_SCALE))
+
+        def un(c):
+            return pc.divide(pc.cast(batch[c], pa.float64()), s)
+
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "sum_qty": un("sum(qty_fx)"),
+            "sum_base_price": un("sum(price_fx)"),
+            "sum_disc_price": un("sum(disc_fx)"),
+            "sum_charge": un("sum(charge_fx)"),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
 
 
 def q_top_customers(sf_dir: str):
@@ -504,12 +528,16 @@ w AS (
   FROM cnt
 )
 SELECT entity, attr, value_str, n_votes FROM w WHERE rn = 1""",
-        "q1_pricing_summary": """
+        "q1_pricing_summary": f"""
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
-       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge
+       sum(CAST(round(l_quantity * {Q1_SCALE}) AS BIGINT))
+         / {Q1_SCALE}.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * {Q1_SCALE}) AS BIGINT))
+         / {Q1_SCALE}.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
+                AS BIGINT)) / {Q1_SCALE}.0 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * {Q1_SCALE}) AS BIGINT)) / {Q1_SCALE}.0 AS sum_charge
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus""",
         "top_customers": """

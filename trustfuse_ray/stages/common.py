@@ -64,8 +64,16 @@ def fnv64(s: str) -> int:
 
 
 def _add_part(batch: pa.Table, *, keys: list[str], n_parts: int) -> pa.Table:
-    cols = [batch[k].to_pylist() for k in keys]
-    part = [fnv64("|".join(map(str, vals))) % n_parts for vals in zip(*cols)]
+    # vectorized stable partition hash (pandas SipHash with a fixed key over
+    # the "|"-joined key string) — same pattern as fuse.base._add_partition_col
+    import pandas as pd
+
+    joined = None
+    for k in keys:
+        col = batch[k].cast(pa.string()).to_pandas().astype(str)
+        joined = col if joined is None else joined.str.cat(col, sep="|")
+    part = (pd.util.hash_array(joined.to_numpy(dtype=object))
+            % np.uint64(n_parts)).astype(np.int32)
     return batch.append_column("__part", pa.array(part, pa.int32()))
 
 
@@ -75,15 +83,22 @@ def _apply_groups(batch: pa.Table, *, keys: list[str], fn,
     order = pc.sort_indices(
         batch, sort_keys=[(k, "ascending") for k in keys])
     batch = batch.take(order)
-    cols = [batch[k].to_pylist() for k in keys]
     n = len(batch)
+    if n == 0:
+        return fn(batch)
+    # vectorized group-boundary detection: a row starts a new group when ANY
+    # key column differs from the previous row (column-wise compare — no
+    # joined-string collisions possible)
+    neq = np.zeros(n - 1, dtype=bool)
+    for k in keys:
+        col = np.asarray(batch[k].to_pandas(), dtype=object)
+        neq |= col[1:] != col[:-1]
+    starts = np.concatenate(([0], np.nonzero(neq)[0] + 1))
+    ends = np.concatenate((starts[1:], [n]))
     outs = []
-    start = 0
-    for i in range(1, n + 1):
-        if i == n or any(c[i] != c[start] for c in cols):
-            if i - start >= min_group_size:
-                outs.append(fn(batch.slice(start, i - start)))
-            start = i
+    for s, e in zip(starts, ends):
+        if e - s >= min_group_size:
+            outs.append(fn(batch.slice(s, e - s)))
     outs = [o for o in outs if o is not None and len(o)]
     if not outs:
         return fn(batch.slice(0, 0))
