@@ -60,3 +60,32 @@ def test_minhash_clusters_group_dup_families():
     # every exact dup lands in the same cluster as its source
     for src, dup in exact:
         assert parent.get(dup, dup) == parent.get(src, src)
+
+
+def test_ivf_near_pairs_planted_at_scale():
+    """1e5+ vectors through the IVF-bucketed near-pair path (no take_all of
+    the corpus, no corpus-sized broadcast): planted near-dup recall >= 0.9."""
+    import numpy as np
+    import pyarrow as pa
+
+    from trustfuse_ray.stages.dedup import embedding_near_pairs
+
+    rng = np.random.default_rng(42)
+    n_base, n_dup, dim = 100_000, 400, 16
+    base = rng.standard_normal((n_base, dim))
+    dup_src = rng.choice(n_base, size=n_dup, replace=False)
+    dups = base[dup_src] + 0.02 * rng.standard_normal((n_dup, dim))
+    mat = np.vstack([base, dups]).astype(np.float32)
+    ids = np.arange(n_base + n_dup, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.reshape(-1)), dim),
+    })
+    ds = ray.data.from_arrow(tbl).repartition(16)
+    # > max_broadcast_rows -> routes through ivf_near_pairs
+    pairs = embedding_near_pairs(ds, threshold=0.95, n_lists=64, nassign=2)
+    found = {(p["doc_a"], p["doc_b"]) for p in pairs.take_all()}
+    truth = {(int(s), int(n_base + i)) for i, s in enumerate(dup_src)}
+    hit = sum(1 for p in truth if p in found)
+    assert hit / len(truth) >= 0.9, (hit, len(truth))

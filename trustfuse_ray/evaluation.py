@@ -220,30 +220,60 @@ def compute_mnad(triples, gt, attribute_types: dict[str, str]) -> float | None:
     common entities, normalized by the variance of the absolute errors;
     var == 0 → plain MAE).  The reference's ``ts_arr = ts_arr[0]`` scalar
     collapse (evaluation.py:375) only runs without crashing for single-row
-    merges; we compute the element-wise form."""
-    t_rows = triples.select_columns(
-        ["entity", "attr", "value_num"]).take_all()
+    merges; we compute the element-wise form.
+
+    Distributed shape: GT is curated/small → broadcast as a lookup dict
+    (``ray.put`` once, read per task); the fused-triple table STREAMS
+    through ``map_batches`` emitting per-attr sufficient statistics
+    (n, Σ|err|, Σerr²) which a tiny ``groupby(attr).sum`` reduces — the
+    triple table is never materialized on the driver."""
+    import ray
+
     g_rows = gt.select_columns(["entity", "attr", "value_num"]).take_all()
-    fused = {(r["entity"], r["attr"]): r["value_num"] for r in t_rows
-             if r["value_num"] is not None}
-    mae_tot, n_attr = 0.0, 0
-    by_attr: dict[str, list] = {}
+    gmap: dict[tuple, list] = {}
     for r in g_rows:
-        attr = r["attr"]
-        if attribute_types.get(attr) != "quantity":
+        if (attribute_types.get(r["attr"]) == "quantity"
+                and r["value_num"] is not None):
+            gmap.setdefault((r["entity"], r["attr"]), []).append(
+                float(r["value_num"]))
+    if not gmap:
+        return None
+    gref = ray.put(gmap)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        m = ray.get(gref)
+        attrs_out, errs = [], []
+        for e, a, v in zip(batch["entity"].to_pylist(),
+                           batch["attr"].to_pylist(),
+                           batch["value_num"].to_pylist()):
+            if v is None:
+                continue
+            # inner-merge semantics: one error per (GT row × fused row)
+            for gv in m.get((e, a), ()):
+                attrs_out.append(a)
+                errs.append(abs(gv - float(v)))
+        err = np.asarray(errs, dtype=np.float64)
+        return pa.table({
+            "attr": pa.array(attrs_out, pa.string()),
+            "n": pa.array(np.ones(len(err), dtype=np.int64)),
+            "s": pa.array(err),
+            "s2": pa.array(err * err),
+        })
+
+    agg = (triples.select_columns(["entity", "attr", "value_num"])
+           .map_batches(_stats, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("attr").sum(["n", "s", "s2"]).take_all())
+    mae_tot, n_attr = 0.0, 0
+    for r in agg:
+        n, s, s2 = r["sum(n)"], r["sum(s)"], r["sum(s2)"]
+        if not n:
             continue
-        if r["value_num"] is None:
-            continue
-        f = fused.get((r["entity"], attr))
-        if f is None:
-            continue
-        by_attr.setdefault(attr, []).append((r["value_num"], f))
-    for attr, pairs in by_attr.items():
-        g = np.array([p[0] for p in pairs])
-        f = np.array([p[1] for p in pairs])
-        err = np.abs(g - f)
-        var = float(np.var(err))
-        mae = float(np.mean(err))
+        mae = s / n
+        var = max(0.0, s2 / n - mae * mae)
+        # one-pass variance: treat round-off dust as the reference's
+        # exact-zero branch
+        if var <= 1e-12 * max(1.0, mae * mae):
+            var = 0.0
         mae_tot += mae if var == 0 else mae / var
         n_attr += 1
     return mae_tot / n_attr if n_attr else None

@@ -277,8 +277,7 @@ def q_minhash_pairs_synth(sf_dir: str):
     (meaningful scale: 1k–40k docs)."""
     path = synth.generate_documents(sf_dir)
     return dedup.minhash_lsh_pairs(
-        ray.data.read_parquet(path), threshold=0.6).rename_columns(
-            {"max(jaccard_est)": "jaccard_est"})
+        ray.data.read_parquet(path), threshold=0.6)
 
 
 def q_dedup_exact_synth(sf_dir: str):
@@ -289,9 +288,7 @@ def q_dedup_exact_synth(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    return dedup.minhash_lsh_pairs(
-        _tbl(sf_dir, "documents"), threshold=0.5).rename_columns(
-            {"max(jaccard_est)": "jaccard_est"})
+    return dedup.minhash_lsh_pairs(_tbl(sf_dir, "documents"), threshold=0.5)
 
 
 def q_simhash_pairs(sf_dir: str):

@@ -121,44 +121,53 @@ def _band_rows(batch: pa.Table, *, bands: int, rows: int) -> pa.Table:
     })
 
 
-_BCAST_CACHE: dict = {}
-
-
-def _resolve_broadcast(ref):
-    """Per-process memo of ray.get on a broadcast ref (the object itself is
-    zero-copy shared memory; the memo only skips repeated handle churn)."""
-    import ray
-
-    if not isinstance(ref, ray.ObjectRef):
-        return ref
-    key = ref.hex()
-    if key not in _BCAST_CACHE:
-        _BCAST_CACHE[key] = ray.get(ref)
-    return _BCAST_CACHE[key]
-
-
-def _bucket_pairs(batch: pa.Table, *, threshold: float, sig_ref) -> pa.Table:
-    """One LSH bucket group → verified candidate pairs (signature Jaccard
-    against the broadcast signature matrix)."""
-    ids_arr, sig_mat = _resolve_broadcast(sig_ref)
-    ids = batch["doc_id"].to_pylist()
-    pos = np.searchsorted(ids_arr, ids)
-    out_a, out_b, est = [], [], []
+def _bucket_cand_pairs(batch: pa.Table) -> pa.Table:
+    """One LSH bucket group → candidate pairs (ids only — signatures do not
+    enter the bucket shuffle OR the driver; verification happens after a
+    hash join back to the signature table)."""
+    ids = np.unique(np.asarray(batch["doc_id"], dtype=np.int64))
     n = len(ids)
-    for i in range(n):
-        si = sig_mat[pos[i]]
-        for j in range(i + 1, n):
-            if ids[i] == ids[j]:
-                continue
-            sim = float((si == sig_mat[pos[j]]).mean())
-            if sim >= threshold:
-                a, b = sorted((ids[i], ids[j]))
-                out_a.append(a)
-                out_b.append(b)
-                est.append(sim)
-    return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                     "doc_b": pa.array(out_b, pa.int64()),
-                     "jaccard_est": pa.array(est, pa.float64())})
+    if n < 2:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64())})
+    ai, bj = np.triu_indices(n, k=1)
+    return pa.table({"doc_a": pa.array(ids[ai], pa.int64()),
+                     "doc_b": pa.array(ids[bj], pa.int64())})
+
+
+def _sig_bin(batch: pa.Table, *, num_hashes: int, col: str) -> pa.Table:
+    """(doc_id, minhash list<int32>) → (doc_id, <col> binary) — Acero hash
+    joins reject list-typed payload columns, so the fixed-width signature
+    rides the join as packed little-endian bytes (vectorized encode via
+    from_buffers; no per-row Python)."""
+    n = len(batch)
+    flat = np.ascontiguousarray(
+        np.asarray(batch["minhash"].combine_chunks().flatten(),
+                   dtype=np.int32))
+    width = num_hashes * 4
+    offsets = pa.py_buffer((np.arange(n + 1, dtype=np.int32)
+                            * width).tobytes())
+    data = pa.py_buffer(flat.tobytes())
+    arr = pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
+    return pa.table({"doc_id": batch["doc_id"], col: arr})
+
+
+def _verify_sig_pairs(batch: pa.Table, *, num_hashes: int,
+                      threshold: float) -> pa.Table:
+    """(doc_a, doc_b, sig_a, sig_b) → rows with signature-Jaccard ≥
+    threshold (vectorized: fixed-width signatures reshape to a matrix)."""
+    n = len(batch)
+    a = np.frombuffer(b"".join(batch["sig_a"].to_pylist()),
+                      dtype=np.int32).reshape(n, num_hashes)
+    b = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
+                      dtype=np.int32).reshape(n, num_hashes)
+    sim = (a == b).mean(axis=1)
+    keep = sim >= threshold
+    return pa.table({
+        "doc_a": batch["doc_a"].filter(pa.array(keep)),
+        "doc_b": batch["doc_b"].filter(pa.array(keep)),
+        "jaccard_est": pa.array(sim[keep], pa.float64()),
+    })
 
 
 def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
@@ -166,10 +175,16 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
                       concurrency=(1, 8)):
     """documents → near-duplicate pairs (doc_a < doc_b, jaccard_est).
 
-    shingle→minhash (actor pool) → signature matrix broadcast via ray.put
-    (64 x int32 per doc: ~0.25 GB per million docs; shard the broadcast
-    beyond that) → (band, band_hash, doc_id) shuffle → per-bucket pair
-    verification against the broadcast → global pair dedup.
+    Fully shuffle-local (nothing is materialized on the driver and no
+    broadcast grows with corpus size — the 100-TB shape):
+
+    1. shingle→minhash signatures (warm task pool, vectorized)
+    2. (band, band_hash, doc_id) rows → bucket shuffle → candidate pairs
+       (ids only; a band row is 20 bytes regardless of num_hashes)
+    3. global pair dedup (same pair surfaces from several bands)
+    4. hash join the deduped candidates back to the signature table
+       (signatures travel only for candidate docs) → vectorized
+       signature-Jaccard verify ≥ threshold
     """
     rows = num_hashes // bands
     import functools
@@ -184,29 +199,29 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
         functools.partial(_sig_batch, num_hashes=num_hashes,
                           shingle_k=shingle_k),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
-    blocks = [t for t in ray.get(sigs.to_arrow_refs()) if len(t)]
-    if blocks:
-        ids = np.concatenate([np.asarray(t["doc_id"]) for t in blocks])
-        mat = np.concatenate(
-            [np.asarray(t["minhash"].combine_chunks().flatten())
-             .reshape(len(t), num_hashes) for t in blocks])
-        order = np.argsort(ids)
-        ids, mat = ids[order], mat[order]
-    else:
-        ids = np.array([], dtype=np.int64)
-        mat = np.zeros((0, num_hashes), dtype=np.int32)
-    sig_ref = ray.put((ids, mat))
 
     banded = sigs.map_batches(
         functools.partial(_band_rows, bands=bands, rows=rows),
         batch_format="pyarrow", zero_copy_batch=True)
-    pairs = hash_group_apply(
-        banded, ["band", "band_hash"],
-        functools.partial(_bucket_pairs, threshold=threshold,
-                          sig_ref=sig_ref),
-        min_group_size=2)
-    # same pair can surface from several bands → keep one
-    return pairs.groupby(["doc_a", "doc_b"]).max("jaccard_est")
+    cands = hash_group_apply(banded, ["band", "band_hash"],
+                             _bucket_cand_pairs, min_group_size=2)
+    cands = (cands.groupby(["doc_a", "doc_b"]).count()
+             .drop_columns(["count()"]))
+    n_join = max(2, n_cpus)
+    sig_a = sigs.map_batches(
+        functools.partial(_sig_bin, num_hashes=num_hashes, col="sig_a"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    sig_b = sigs.map_batches(
+        functools.partial(_sig_bin, num_hashes=num_hashes, col="sig_b"),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = cands.join(sig_a, join_type="inner", num_partitions=n_join,
+                   on=("doc_a",), right_on=("doc_id",))
+    j = j.join(sig_b, join_type="inner", num_partitions=n_join,
+               on=("doc_b",), right_on=("doc_id",))
+    return j.map_batches(
+        functools.partial(_verify_sig_pairs, num_hashes=num_hashes,
+                          threshold=threshold),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def minhash_clusters(docs, **kw):
@@ -327,10 +342,23 @@ def ngram_jaccard(a: str, b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def embedding_near_pairs(emb, threshold: float = 0.95, block: int = 2048):
-    """Embedding-cosine near-dup pairs via blocked matmul inside map_batches
-    against a normalized broadcast matrix (fine up to ~1e5 vectors; the
-    IVF-bucketed variant in ann.py is the scale path)."""
+def embedding_near_pairs(emb, threshold: float = 0.95, block: int = 2048,
+                         max_broadcast_rows: int = 50_000, **ivf_kw):
+    """Embedding-cosine near-dup pairs (vec_a < vec_b, cosine ≥ threshold).
+
+    Size-adaptive: corpora up to ``max_broadcast_rows`` use the EXACT path
+    (normalized matrix broadcast once via ray.put, blocked matmul per
+    batch); larger corpora route through :func:`ivf_near_pairs` — an
+    IVF-bucketed shuffle whose driver/worker memory is bounded by list
+    size, not corpus size (recall < 1 by construction; multi-assign
+    recovers pairs near list boundaries)."""
+    n = emb.count()
+    if n > max_broadcast_rows:
+        return ivf_near_pairs(emb, threshold=threshold, **ivf_kw)
+    return _brute_near_pairs(emb, threshold, block)
+
+
+def _brute_near_pairs(emb, threshold: float, block: int):
     import ray
 
     all_rows = emb.select_columns(["vec_id", "embedding"]).take_all()
@@ -357,3 +385,77 @@ def embedding_near_pairs(emb, threshold: float = 0.95, block: int = 2048):
 
     return emb.map_batches(_pairs, batch_format="pyarrow",
                            zero_copy_batch=True, batch_size=block)
+
+
+def _assign_lists(batch: pa.Table, *, cref, nassign: int) -> pa.Table:
+    """Multi-assign each vector to its ``nassign`` nearest centroids —
+    near-pairs whose members straddle one list boundary still co-locate in
+    the runner-up list."""
+    import ray
+
+    cents = ray.get(cref) if not isinstance(cref, np.ndarray) else cref
+    n = len(batch)
+    mat = np.asarray(batch["embedding"].combine_chunks().flatten(),
+                     dtype=np.float64).reshape(n, -1)
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    nearest = np.argsort(d, axis=1)[:, :nassign]  # n x nassign
+    ids = np.asarray(batch["vec_id"], dtype=np.int64)
+    rep_ids = np.repeat(ids, nassign)
+    rep_lists = nearest.reshape(-1).astype(np.int32)
+    rep_mat = np.repeat(mat, nassign, axis=0)
+    return pa.table({
+        "list_id": pa.array(rep_lists),
+        "vec_id": pa.array(rep_ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(rep_mat.reshape(-1)), mat.shape[1]),
+    })
+
+
+def _list_near_pairs(group: pa.Table, *, threshold: float) -> pa.Table:
+    """All-pairs cosine within one IVF list (in-group matmul; list sizes are
+    bounded by n/n_lists × nassign, so the quadratic term never sees the
+    whole corpus)."""
+    n = len(group)
+    ids = np.asarray(group["vec_id"], dtype=np.int64)
+    mat = np.asarray(group["embedding"].combine_chunks().flatten(),
+                     dtype=np.float64).reshape(n, -1)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = mat @ mat.T
+    ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+    a, b = ids[ai], ids[bj]
+    swap = a > b
+    a2 = np.where(swap, b, a)
+    b2 = np.where(swap, a, b)
+    keep = a2 != b2  # same vec via two lists in one group can't pair itself
+    return pa.table({"doc_a": pa.array(a2[keep], pa.int64()),
+                     "doc_b": pa.array(b2[keep], pa.int64()),
+                     "cos_part": pa.array(sims[ai, bj][keep], pa.float64())})
+
+
+def ivf_near_pairs(emb, threshold: float = 0.9, n_lists: int = 64,
+                   nassign: int = 2, n_parts: int | None = None):
+    """Near-pair search through IVF lists (the 100-TB shape shared with
+    ann.train_ivf_centroids): coarse k-means centroids (per-round exchange
+    n_lists × dim) → multi-assign shuffle keyed by list_id → in-list
+    all-pairs matmul → pair dedup.  Nothing is materialized on the driver
+    and no broadcast grows with corpus size."""
+    import functools as _ft
+
+    import ray
+
+    from trustfuse_ray.stages.ann import train_ivf_centroids
+
+    centroids = train_ivf_centroids(emb, n_lists=n_lists)
+    cref = ray.put(centroids)
+    assigned = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _ft.partial(_assign_lists, cref=cref, nassign=nassign),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if n_parts is None:
+        n_parts = max(16, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    pairs = hash_group_apply(
+        assigned, ["list_id"],
+        _ft.partial(_list_near_pairs, threshold=threshold),
+        n_parts=min(n_parts, n_lists), min_group_size=2)
+    # the same pair can surface from up to nassign shared lists → keep one
+    return (pairs.groupby(["doc_a", "doc_b"]).max("cos_part")
+            .rename_columns({"max(cos_part)": "cosine"}))
