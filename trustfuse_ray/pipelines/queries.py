@@ -151,6 +151,88 @@ def q_pipeline_metrics(sf_dir: str, model: str = "CRH"):
     })
 
 
+def _single_value_claims(claims):
+    """Claims restricted to (entity, attr, source) groups asserting exactly
+    one distinct value.  On this projection CRH's duplicate-source collapse
+    quirk (fuse/crh.py accumulate: numpy fancy-index assignment keeps only
+    the LAST claim of a source within a fact, an order that depends on
+    hashed claim_ids) can never trigger — which makes one full CRH round
+    exactly ANSI-SQL-expressible for the driver's oracle gate."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _keep(g: pa.Table) -> pa.Table:
+        if len(pc.unique(g["value_str"])) == 1:
+            return g
+        return g.slice(0, 0)
+
+    claims = claims.map_batches(
+        lambda b: b.filter(pc.is_valid(b["value_str"])),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return hash_group_apply(claims, ["entity", "attr", "source"], _keep)
+
+
+_CRH1_CACHE: dict[str, tuple] = {}
+
+
+def _crh1(sf_dir: str):
+    """(triples, weights) of CRH max_itr=1 over the single-value claim
+    projection — shared by the three oracle-checked CRH1 queries."""
+    got = _CRH1_CACHE.get(sf_dir)
+    if got is None:
+        claims = _single_value_claims(cached_claims(sf_dir))
+        triples, weights = run_fusion(claims, make_model("CRH", max_itr=1))
+        got = _CRH1_CACHE[sf_dir] = (triples.materialize(), weights)
+    return got
+
+
+def q_weights_crh1(sf_dir: str):
+    """One-round CRH source weights (oracle-checked; weights rounded to 6
+    digits on both sides — loss sums are float and block-order drifts the
+    last ulp)."""
+    _, weights = _crh1(sf_dir)
+    rows = sorted((s, round(w, 6)) for m in weights.values()
+                  for s, w in m.items())
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "weight": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
+def q_top_sources_crh1(sf_dir: str, n: int = 10):
+    """Top-N sources by one-round CRH weight (reference app.py:735-752
+    top_n) — deterministic (weight desc, source asc) cut on both sides."""
+    tbl = q_weights_crh1(sf_dir)
+    rows = sorted(zip(tbl["source"].to_pylist(), tbl["weight"].to_pylist()),
+                  key=lambda r: (-r[1], r[0]))[:n]
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "weight": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
+def q_fuse_crh1(sf_dir: str):
+    """One-round CRH fused truth, voting-shaped for SQL comparison."""
+    triples, _ = _crh1(sf_dir)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_q = pc.equal(batch["value_type"], "quantity")
+        has_num = pc.and_(is_q, pc.is_valid(batch["value_num"]))
+        return pa.table({
+            "entity": batch["entity"],
+            "attr": batch["attr"],
+            "value_str": pc.if_else(has_num,
+                                    pa.nulls(len(batch), pa.string()),
+                                    batch["value_str"]),
+            "value_num": pc.if_else(has_num, batch["value_num"],
+                                    pa.nulls(len(batch), pa.float64())),
+        })
+
+    return triples.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_fuse_weights(sf_dir: str, model: str = "CRH"):
     _, weights = run_fusion(cached_claims(sf_dir), make_model(model))
     rows = [(b, s, w) for b, m in weights.items() for s, w in m.items()]
@@ -389,6 +471,9 @@ def queries_map():
         "kg_fuse_ltm": q_fuse_ltm,
         "kg_ltm_source_quality": q_ltm_quality,
         "kg_weights_crh": functools.partial(q_fuse_weights, model="CRH"),
+        "kg_weights_crh1": q_weights_crh1,
+        "kg_top_sources_crh1": q_top_sources_crh1,
+        "kg_fuse_crh1": q_fuse_crh1,
         "kg_metrics_crh": functools.partial(q_pipeline_metrics, model="CRH"),
         "q1_pricing_summary": q1_pricing_summary,
         "top_customers": q_top_customers,
@@ -450,6 +535,55 @@ claims AS (
   LEFT JOIN read_parquet('{cache}/aliases.parquet') al
     ON trim(mz.mention) = al.alias
 )"""
+
+
+def _crh1_cte(cache: str) -> str:
+    """Shared SQL CTEs: one exact CRH round (init truth = mode/median →
+    per-claim loss → per-source −log weight share) over the single-value
+    claim projection (see ``_single_value_claims`` for why the projection
+    makes this exactly expressible).  Mirrors fuse/crh.py."""
+    return f"""
+{_claims_cte(cache)},
+cl AS (SELECT * FROM claims WHERE value_str IS NOT NULL),
+d AS (SELECT DISTINCT entity, attr, source, value_str, value_num,
+             value_type FROM cl),
+sv AS (SELECT entity, attr, source FROM d GROUP BY 1, 2, 3
+       HAVING count(DISTINCT value_str) = 1),
+f AS (SELECT d.* FROM d JOIN sv USING (entity, attr, source)),
+fact AS (
+  SELECT entity, attr,
+         bool_and(value_type = 'quantity'
+                  AND value_num IS NOT NULL) AS isnum,
+         median(value_num) AS med,
+         greatest(coalesce(stddev_pop(value_num), 0), 0.1) AS denom
+  FROM f GROUP BY 1, 2),
+catmode AS (
+  SELECT entity, attr, value_str AS truth0 FROM (
+    SELECT entity, attr, value_str,
+           row_number() OVER (PARTITION BY entity, attr
+                              ORDER BY c DESC, value_str ASC) AS rn
+    FROM (SELECT entity, attr, value_str, count(*) AS c
+          FROM f GROUP BY 1, 2, 3)) WHERE rn = 1),
+loss AS (
+  SELECT f.source,
+         CASE WHEN fa.isnum
+              THEN (f.value_num - fa.med) * (f.value_num - fa.med)
+                   / fa.denom
+              ELSE CASE WHEN f.value_str = cm.truth0
+                        THEN 0.0 ELSE 1.0 END
+         END AS l
+  FROM f JOIN fact fa USING (entity, attr)
+  LEFT JOIN catmode cm USING (entity, attr)),
+rtn AS (SELECT source, sum(l) AS r FROM loss GROUP BY source),
+tot AS (SELECT sum(r) AS t FROM rtn),
+w AS (SELECT source,
+             CASE WHEN r > 0 AND t > 0 THEN -ln(r / t) ELSE 0.0 END
+               AS weight
+      FROM rtn, tot)"""
+
+
+_ROLLING_PW = ", ".join(
+    f"({k}, {pow(257, k, (1 << 31) - 1)})" for k in range(16))
 
 
 def oracle_sql_map(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
@@ -583,6 +717,92 @@ SELECT doc_id,
        CAST((length(lower(text)) - length(replace(lower(text), 'the', '')))
             / 3 AS BIGINT) AS the_count
 FROM documents""",
+        "kg_weights_crh1": f"""
+WITH {_crh1_cte(cache)}
+SELECT source, round(weight, 6) AS weight FROM w""",
+        "kg_top_sources_crh1": f"""
+WITH {_crh1_cte(cache)}
+SELECT source, round(weight, 6) AS weight FROM w
+ORDER BY round(weight, 6) DESC, source LIMIT 10""",
+        "kg_fuse_crh1": f"""
+WITH {_crh1_cte(cache)},
+fw AS (SELECT f.*, w.weight FROM f JOIN w USING (source)),
+catsc AS (
+  SELECT fw.entity, fw.attr, fw.value_str, sum(fw.weight) AS sc
+  FROM fw JOIN fact fa USING (entity, attr)
+  WHERE NOT fa.isnum GROUP BY 1, 2, 3),
+cat1 AS (SELECT entity, attr, value_str FROM (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY sc DESC, value_str ASC) AS rn
+  FROM catsc) WHERE rn = 1),
+numagg AS (
+  SELECT fw.entity, fw.attr, sum(fw.weight) AS s0,
+         sum(fw.weight * fw.value_num) AS s1,
+         sum(fw.weight * fw.value_num * fw.value_num) AS s2
+  FROM fw JOIN fact fa USING (entity, attr)
+  WHERE fa.isnum GROUP BY 1, 2),
+numsc AS (
+  SELECT fw.entity, fw.attr, fw.value_num,
+         (fw.value_num * fw.value_num * na.s0
+          - 2 * fw.value_num * na.s1 + na.s2) / fa.denom AS sc
+  FROM fw JOIN numagg na USING (entity, attr)
+  JOIN fact fa USING (entity, attr)),
+num1 AS (SELECT entity, attr, value_num FROM (
+  SELECT entity, attr, value_num,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY sc ASC, value_num ASC) AS rn
+  FROM numsc) WHERE rn = 1)
+SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num FROM cat1
+UNION ALL
+SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str, value_num
+FROM num1""",
+        "simhash_pairs": r"""
+WITH c AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+tok AS (SELECT doc_id, unnest(regexp_extract_all(t, '\w+')) AS tk FROM c),
+th AS (SELECT doc_id, md5_number_lower(tk) AS h FROM tok),
+bits AS (
+  SELECT th.doc_id, b.b,
+         sum(CASE WHEN (th.h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th, generate_series(0, 63) b(b)
+  GROUP BY th.doc_id, b.b),
+shv AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0
+                  THEN CASE WHEN b = 63 THEN -9223372036854775808
+                       ELSE (1::BIGINT << b) END
+                  ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id),
+sh AS (SELECT c.doc_id, coalesce(shv.simhash, 0) AS simhash
+       FROM c LEFT JOIN shv USING (doc_id))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+        "rolling_fp": f"""
+WITH pw(k, p) AS (VALUES {_ROLLING_PW}),
+c AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+lng AS (SELECT doc_id, t, length(t) AS len FROM c),
+wins AS (
+  SELECT doc_id, t, unnest(generate_series(1, len - 15)) AS i
+  FROM lng WHERE len > 16),
+wh AS (
+  SELECT w.doc_id, w.i,
+         sum(ord(substr(w.t, w.i + 15 - pw.k, 1))::BIGINT * pw.p)
+           % 2147483647 AS h
+  FROM wins w CROSS JOIN pw
+  GROUP BY w.doc_id, w.i),
+long_fp AS (SELECT doc_id, min(h) AS rolling_fp FROM wh GROUP BY doc_id),
+short_fp AS (
+  SELECT l.doc_id,
+         coalesce(sum(ord(substr(l.t, l.len - pw.k, 1))::BIGINT * pw.p)
+                  % 2147483647, 0) AS rolling_fp
+  FROM lng l LEFT JOIN pw ON pw.k < l.len
+  WHERE l.len <= 16
+  GROUP BY l.doc_id)
+SELECT doc_id, rolling_fp FROM long_fp
+UNION ALL
+SELECT doc_id, rolling_fp FROM short_fp""",
         "dedup_exact_synth": f"""
 SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
 FROM read_parquet('{synth.generate_documents(sf_dir)}')

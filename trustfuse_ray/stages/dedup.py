@@ -249,20 +249,37 @@ def minhash_clusters(docs, **kw):
 # ---------------------------------------------------------------------------
 
 
+_MD5_TOKEN_CACHE: dict[str, int] = {}
+
+
+def _md5_token64(tok: str) -> int:
+    """Lower 64 bits of md5 (little-endian of digest bytes 8..16) — chosen
+    to equal DuckDB's ``md5_number_lower`` so simhash is SQL-expressible
+    (driver oracle).  Per-process memo: real corpora reuse tokens heavily."""
+    h = _MD5_TOKEN_CACHE.get(tok)
+    if h is None:
+        if len(_MD5_TOKEN_CACHE) > (1 << 20):
+            _MD5_TOKEN_CACHE.clear()
+        h = _MD5_TOKEN_CACHE[tok] = struct.unpack(
+            "<Q", hashlib.md5(tok.encode()).digest()[8:16])[0]
+    return h
+
+
 def simhash64(text: str) -> int:
     toks = _WORD.findall(text)
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = _stable_hash64(t.encode())
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    from collections import Counter
+
+    cnt = Counter(toks)
+    hs = np.fromiter((_md5_token64(t) for t in cnt), dtype=np.uint64,
+                     count=len(cnt))
+    w = np.fromiter(cnt.values(), dtype=np.int64, count=len(cnt))
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    acc = ((2 * bits - 1) * w[:, None]).sum(axis=0)
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    return int(powers[acc > 0].sum(dtype=np.uint64))
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
@@ -270,7 +287,9 @@ def simhash_batch(batch: pa.Table) -> pa.Table:
     hs = [simhash64(t or "") for t in texts]
     return pa.table({
         "doc_id": batch["doc_id"],
-        "simhash": pa.array([h - (1 << 63) if h >= (1 << 63) else h
+        # two's-complement signed view (int64 storage; XOR/Hamming and the
+        # SQL oracle's BIGINT agree bit-for-bit)
+        "simhash": pa.array([h - (1 << 64) if h >= (1 << 63) else h
                              for h in hs], pa.int64()),
     })
 

@@ -95,26 +95,30 @@ def token_count_bpeish(batch: pa.Table, text_col: str = "text",
                      "n_bpeish_tokens": pa.array(n, pa.int64())})
 
 
+ROLLING_MOD = (1 << 31) - 1  # products stay < 2^39 → vectorizable in
+ROLLING_BASE = 257           # uint64 AND SQL BIGINT (driver oracle)
+
+
 def rolling_fingerprint(text: str, window: int = 16,
-                        mod: int = (1 << 61) - 1, base: int = 257) -> int:
-    """Rolling (Rabin-Karp) document fingerprint: min rolling hash over
-    character windows — stable under local edits outside the min window."""
-    data = text.encode()
-    if len(data) <= window:
-        h = 0
-        for b in data:
-            h = (h * base + b) % mod
-        return h
-    h = 0
-    pw = pow(base, window - 1, mod)
-    best = None
-    for i, b in enumerate(data):
-        if i >= window:
-            h = (h - data[i - window] * pw) % mod
-        h = (h * base + b) % mod
-        if i >= window - 1:
-            best = h if best is None else min(best, h)
-    return best
+                        mod: int = ROLLING_MOD,
+                        base: int = ROLLING_BASE) -> int:
+    """Rolling (Rabin-Karp) document fingerprint: min polynomial hash over
+    byte windows — stable under local edits outside the min window.
+    Fully vectorized: window hash = Σ_j b[i+j]·base^(w−1−j) mod p over a
+    numpy sliding-window view (no per-byte Python loop)."""
+    data = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n == 0:
+        return 0
+    if n <= window:
+        p = np.array([pow(base, n - 1 - j, mod) for j in range(n)],
+                     dtype=np.uint64)
+        return int((data * p).sum() % mod)
+    p = np.array([pow(base, window - 1 - j, mod) for j in range(window)],
+                 dtype=np.uint64)
+    wins = np.lib.stride_tricks.sliding_window_view(data, window)
+    hs = (wins * p[None, :]).sum(axis=1) % mod
+    return int(hs.min())
 
 
 def rolling_fp_batch(batch: pa.Table) -> pa.Table:
