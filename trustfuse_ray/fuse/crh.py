@@ -39,40 +39,64 @@ class CRH(FusionModel):
         n = len(sources)
         return {"w": np.ones(n) / max(n, 1), "use_init_truth": True}
 
-    # -- truth given current state (pure) ---------------------------------
-    def _truth(self, fact: Fact, state):
-        if state["use_init_truth"]:
-            if fact.is_numeric:
-                return float(np.median(fact.values))
-            return categorical_mode(fact.values)[0]
-        return self._update_truth(fact, state["w"])[0]
-
-    def _update_truth(self, fact: Fact, w):
-        wi = w[fact.src_idx]
+    # -- round-invariant per-fact precomputation --------------------------
+    def _prep(self, fact: Fact):
+        """Round-invariant per-fact pieces, computed once and memoized on
+        ``fact.cache`` (facts live for all rounds of a FusionSession):
+        numeric → (init median, candidate loss matrix (v_j−v_i)²/denom);
+        categorical → (init mode, sorted distinct values, inverse index,
+        support matrix)."""
+        key = ("crh", self.eps)
+        prep = fact.cache.get(key)
+        if prep is not None:
+            return prep
         if fact.is_numeric:
             v = fact.values
             denom = max(float(np.std(v)), self.eps)
             # candidates = claimed values in claim order (crh.py:80-86)
-            loss = ((v[:, None] - v[None, :]) ** 2) / denom  # cand x claims
-            scores = loss @ wi
+            lossmat = ((v[:, None] - v[None, :]) ** 2) / denom
+            prep = ("num", float(np.median(v)), lossmat, denom)
+        else:
+            vals = fact.values.astype(str)
+            uniq, inv = np.unique(vals, return_inverse=True)
+            eq = np.zeros((len(uniq), len(vals)), dtype=np.float64)
+            eq[inv, np.arange(len(vals))] = 1.0
+            prep = ("cat", categorical_mode(fact.values)[0], uniq, inv, eq)
+        fact.cache[key] = prep
+        return prep
+
+    def _update_truth(self, fact: Fact, w):
+        wi = w[fact.src_idx]
+        prep = self._prep(fact)
+        if prep[0] == "num":
+            lossmat = prep[2]
+            scores = lossmat @ wi
             j = int(np.argmin(scores))
-            return float(v[j]), 1.0 / (1.0 + float(scores[j]))
-        vals = fact.values.astype(str)
-        uniq = np.unique(vals)  # sorted → deterministic argmax tie-break
-        scores = np.array([(wi * (vals == u)).sum() for u in uniq])
+            return float(fact.values[j]), 1.0 / (1.0 + float(scores[j])), j
+        _, _, uniq, _inv, eq = prep
+        scores = eq @ wi  # uniq sorted → deterministic argmax tie-break
         j = int(np.argmax(scores))
         tot = float(scores.sum())
-        return str(uniq[j]), float(scores[j]) / tot if tot > 0 else 0.0
+        return (str(uniq[j]),
+                float(scores[j]) / tot if tot > 0 else 0.0, j)
 
     # -- distributed protocol --------------------------------------------
     def accumulate(self, fact: Fact, state, out):
-        truth = self._truth(fact, state)
-        if fact.is_numeric:
-            v = fact.values
-            denom = max(float(np.std(v)), self.eps)
-            loss = ((v - truth) ** 2) / denom
+        prep = self._prep(fact)
+        if state["use_init_truth"]:
+            if prep[0] == "num":
+                _, med, _, denom = prep
+                loss = ((fact.values - med) ** 2) / denom
+            else:
+                _, mode, uniq, inv, _ = prep
+                loss = (inv != int(np.searchsorted(uniq, mode))
+                        ).astype(np.float64)
         else:
-            loss = (fact.values.astype(str) != truth).astype(np.float64)
+            truth, _, j = self._update_truth(fact, state["w"])
+            if prep[0] == "num":
+                loss = prep[2][j]  # (v_j − v_i)²/denom row of the winner
+            else:
+                loss = (prep[3] != j).astype(np.float64)
         # reference pattern rtn[idx] = rtn[idx] + loss (crh.py:49,53):
         # duplicate source indices COLLAPSE to the last occurrence
         out[0][fact.src_idx] = out[0][fact.src_idx] + loss
@@ -86,5 +110,5 @@ class CRH(FusionModel):
         return {"w": rtn, "use_init_truth": False}, False
 
     def fact_truth(self, fact: Fact, state):
-        v, conf = self._update_truth(fact, state["w"])
+        v, conf, _ = self._update_truth(fact, state["w"])
         return [v], conf

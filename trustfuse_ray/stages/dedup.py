@@ -121,25 +121,42 @@ def _band_rows(batch: pa.Table, *, bands: int, rows: int) -> pa.Table:
     })
 
 
-def _bucket_cand_pairs(batch: pa.Table) -> pa.Table:
+def _pair_row_table(doc_a: np.ndarray, doc_b: np.ndarray, key: np.ndarray,
+                    mask: int, sig_a=None) -> pa.Table:
+    """Rows in the shared attach-shuffle schema (kind 0 = candidate pair,
+    keyed and pre-partitioned so the attach stage is a bare
+    union → groupby, no extra map stages)."""
+    n = len(doc_a)
+    return pa.table({
+        "kind": pa.array(np.zeros(n, dtype=np.int8)),
+        "key": pa.array(key, type=pa.int64()),
+        "doc_a": pa.array(doc_a, type=pa.int64()),
+        "doc_b": pa.array(doc_b, type=pa.int64()),
+        "sig": pa.nulls(n, pa.binary()),
+        "sig_a": (pa.nulls(n, pa.binary()) if sig_a is None else sig_a),
+        "__p": pa.array((key & mask).astype(np.int32)),
+    })
+
+
+def _bucket_cand_pairs(batch: pa.Table, *, mask: int) -> pa.Table:
     """One LSH bucket group → candidate pairs (ids only — signatures do not
-    enter the bucket shuffle OR the driver; verification happens after a
-    hash join back to the signature table)."""
+    enter the bucket shuffle OR the driver; verification happens after the
+    candidates are co-partitioned back with the signature table)."""
     ids = np.unique(np.asarray(batch["doc_id"], dtype=np.int64))
     n = len(ids)
     if n < 2:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
+        z = np.array([], dtype=np.int64)
+        return _pair_row_table(z, z, z, mask)
     ai, bj = np.triu_indices(n, k=1)
-    return pa.table({"doc_a": pa.array(ids[ai], pa.int64()),
-                     "doc_b": pa.array(ids[bj], pa.int64())})
+    return _pair_row_table(ids[ai], ids[bj], ids[ai], mask)
 
 
-def _sig_bin(batch: pa.Table, *, num_hashes: int, col: str) -> pa.Table:
-    """(doc_id, minhash list<int32>) → (doc_id, <col> binary) — Acero hash
-    joins reject list-typed payload columns, so the fixed-width signature
-    rides the join as packed little-endian bytes (vectorized encode via
-    from_buffers; no per-row Python)."""
+def _sig_bin(batch: pa.Table, *, num_hashes: int, mask: int) -> pa.Table:
+    """(doc_id, minhash list<int32>) → signature rows in the shared
+    attach-shuffle schema (kind 1): the fixed-width signature packed as
+    little-endian bytes (vectorized encode via from_buffers), pre-keyed and
+    pre-partitioned on doc_id so both attach passes reuse this table
+    verbatim."""
     n = len(batch)
     flat = np.ascontiguousarray(
         np.asarray(batch["minhash"].combine_chunks().flatten(),
@@ -149,23 +166,69 @@ def _sig_bin(batch: pa.Table, *, num_hashes: int, col: str) -> pa.Table:
                             * width).tobytes())
     data = pa.py_buffer(flat.tobytes())
     arr = pa.Array.from_buffers(pa.binary(), n, [None, offsets, data])
-    return pa.table({"doc_id": batch["doc_id"], col: arr})
+    key = np.asarray(batch["doc_id"], dtype=np.int64)
+    return pa.table({
+        "kind": pa.array(np.ones(n, dtype=np.int8)),
+        "key": pa.array(key),
+        "doc_a": pa.nulls(n, pa.int64()),
+        "doc_b": pa.nulls(n, pa.int64()),
+        "sig": arr,
+        "sig_a": pa.nulls(n, pa.binary()),
+        "__p": pa.array((key & mask).astype(np.int32)),
+    })
 
 
-def _verify_sig_pairs(batch: pa.Table, *, num_hashes: int,
-                      threshold: float) -> pa.Table:
-    """(doc_a, doc_b, sig_a, sig_b) → rows with signature-Jaccard ≥
-    threshold (vectorized: fixed-width signatures reshape to a matrix)."""
-    n = len(batch)
-    a = np.frombuffer(b"".join(batch["sig_a"].to_pylist()),
+def _split_kinds(g: pa.Table):
+    import pyarrow.compute as pc
+
+    is_sig = pc.equal(g["kind"], 1)
+    return g.filter(is_sig), g.filter(pc.invert(is_sig))
+
+
+def _sig_lut(sig_rows: pa.Table, keys: list) -> pa.Array:
+    lut = dict(zip(sig_rows["key"].to_pylist(),
+                   sig_rows["sig"].to_pylist()))
+    return pa.array([lut.get(k) for k in keys], pa.binary())
+
+
+def _attach_a(g: pa.Table, *, mask: int) -> pa.Table:
+    """Partition keyed by doc_a: dedup candidate pairs (a pair surfaces once
+    per shared band and its whole group lands here — no dedicated dedup
+    shuffle) and attach sig_a from the partition-local signature rows; emit
+    re-keyed on doc_b for the second pass."""
+    sig_rows, cand = _split_kinds(g.drop_columns(["__p"]))
+    if not len(cand):
+        z = np.array([], dtype=np.int64)
+        return _pair_row_table(z, z, z, mask)
+    uniq = np.unique(np.stack(
+        [np.asarray(cand["doc_a"], dtype=np.int64),
+         np.asarray(cand["doc_b"], dtype=np.int64)], axis=1), axis=0)
+    sig_a = _sig_lut(sig_rows, uniq[:, 0].tolist())
+    return _pair_row_table(uniq[:, 0], uniq[:, 1], uniq[:, 1], mask,
+                           sig_a=sig_a)
+
+
+def _attach_b_verify(g: pa.Table, *, num_hashes: int,
+                     threshold: float) -> pa.Table:
+    """Partition keyed by doc_b: attach sig_b and verify signature-Jaccard
+    ≥ threshold, fully vectorized (fixed-width signatures reshape to a
+    matrix)."""
+    sig_rows, cand = _split_kinds(g.drop_columns(["__p"]))
+    n = len(cand)
+    if not n:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard_est": pa.array([], pa.float64())})
+    sig_b = _sig_lut(sig_rows, cand["key"].to_pylist())
+    a = np.frombuffer(b"".join(cand["sig_a"].to_pylist()),
                       dtype=np.int32).reshape(n, num_hashes)
-    b = np.frombuffer(b"".join(batch["sig_b"].to_pylist()),
+    b = np.frombuffer(b"".join(sig_b.to_pylist()),
                       dtype=np.int32).reshape(n, num_hashes)
     sim = (a == b).mean(axis=1)
     keep = sim >= threshold
     return pa.table({
-        "doc_a": batch["doc_a"].filter(pa.array(keep)),
-        "doc_b": batch["doc_b"].filter(pa.array(keep)),
+        "doc_a": cand["doc_a"].filter(pa.array(keep)),
+        "doc_b": cand["doc_b"].filter(pa.array(keep)),
         "jaccard_est": pa.array(sim[keep], pa.float64()),
     })
 
@@ -200,28 +263,33 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
                           shingle_k=shingle_k),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    banded = sigs.map_batches(
+    n_parts = 1 << max(3, (n_cpus - 1).bit_length())
+    mask = n_parts - 1
+    # the exchange phase moves KB-scale rows; a sort exchange costs
+    # O(map_blocks × reduce_blocks) in scheduling/transfers, so coalesce to
+    # data-proportional block counts (~50k docs per block) instead of the
+    # CPU-proportional fan-out the signature stage needed
+    n_docs = sigs.count()
+    xblocks = max(8, -(-n_docs // 50_000))
+    sigs_x = sigs.repartition(xblocks)
+    banded = sigs_x.map_batches(
         functools.partial(_band_rows, bands=bands, rows=rows),
         batch_format="pyarrow", zero_copy_batch=True)
-    cands = hash_group_apply(banded, ["band", "band_hash"],
-                             _bucket_cand_pairs, min_group_size=2)
-    cands = (cands.groupby(["doc_a", "doc_b"]).count()
-             .drop_columns(["count()"]))
-    n_join = max(2, n_cpus)
-    sig_a = sigs.map_batches(
-        functools.partial(_sig_bin, num_hashes=num_hashes, col="sig_a"),
-        batch_format="pyarrow", zero_copy_batch=True)
-    sig_b = sigs.map_batches(
-        functools.partial(_sig_bin, num_hashes=num_hashes, col="sig_b"),
-        batch_format="pyarrow", zero_copy_batch=True)
-    j = cands.join(sig_a, join_type="inner", num_partitions=n_join,
-                   on=("doc_a",), right_on=("doc_id",))
-    j = j.join(sig_b, join_type="inner", num_partitions=n_join,
-               on=("doc_b",), right_on=("doc_id",))
-    return j.map_batches(
-        functools.partial(_verify_sig_pairs, num_hashes=num_hashes,
-                          threshold=threshold),
-        batch_format="pyarrow", zero_copy_batch=True)
+    cands = hash_group_apply(
+        banded, ["band", "band_hash"],
+        functools.partial(_bucket_cand_pairs, mask=mask), min_group_size=2,
+        n_parts=n_parts)
+    sig_bin_ds = sigs_x.map_batches(
+        functools.partial(_sig_bin, num_hashes=num_hashes, mask=mask),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # each attach pass is a bare union → groupby(__p): rows arrive pre-keyed
+    # and pre-partitioned from their producing stages (no extra map stages,
+    # and the same materialized signature table serves both passes)
+    j = (cands.union(sig_bin_ds).groupby("__p").map_groups(
+        functools.partial(_attach_a, mask=mask), batch_format="pyarrow"))
+    return (j.union(sig_bin_ds).groupby("__p").map_groups(
+        functools.partial(_attach_b_verify, num_hashes=num_hashes,
+                          threshold=threshold), batch_format="pyarrow"))
 
 
 def minhash_clusters(docs, **kw):
