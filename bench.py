@@ -30,7 +30,7 @@ def _run_kg_only(sf_dir: str, num_cpus: int) -> dict:
              log_to_driver=False)
     from trustfuse_ray import synth
     from trustfuse_ray.fuse import make_model
-    from trustfuse_ray.fuse.base import FusionSession, pack_facts
+    from trustfuse_ray.fuse.base import FusionSession
     from trustfuse_ray.pipelines.kg import build_claims
 
     data_dir = synth.generate(sf_dir)
@@ -41,7 +41,7 @@ def _run_kg_only(sf_dir: str, num_cpus: int) -> dict:
     pool = max(1, int((num_cpus - 1) / 0.75))
     claims = build_claims(data_dir,
                           concurrency=(pool, pool)).materialize()
-    session = FusionSession(pack_facts(claims))
+    session = FusionSession(claims=claims)
     try:
         triples, _ = session.run(make_model("CRH"))
         triples.write_parquet("/tmp/trustfuse_ray_bench/scaling_triples")
@@ -63,7 +63,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
              log_to_driver=False)
     from trustfuse_ray import synth
     from trustfuse_ray.fuse import make_model
-    from trustfuse_ray.fuse.base import FusionSession, pack_facts
+    from trustfuse_ray.fuse.base import FusionSession
     from trustfuse_ray.pipelines.kg import build_claims
     from trustfuse_ray.pipelines import queries as Q
     from trustfuse_ray.stages.dedup import minhash_lsh_pairs
@@ -84,7 +84,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     counts["claims"] = claims.count()
     # pack once, fuse all models over one persistent session
     session = timed("pack_facts",
-                    lambda: FusionSession(pack_facts(claims)))
+                    lambda: FusionSession(claims=claims))
     try:
         for model in ("Voting", "CRH", "TruthFinder"):
             def _fuse(m=model):

@@ -237,25 +237,60 @@ def pack_facts(claims, numeric_only: bool = False, n_parts: int = 128,
 
 def iter_facts(batch: pa.Table, src_index: dict[int, dict[str, int]]
                ) -> Iterator[Fact]:
-    bid_col = batch["bucket_id"].to_pylist()
+    """Packed rows → Fact structs, via ONE flat decode per column (list
+    columns flatten to contiguous numpy/python arrays; the per-fact work is
+    O(1) slicing — the old per-row to_pylist parse was the FusionSession's
+    dominant setup cost)."""
+    n = len(batch)
+    if n == 0:
+        return
+    bids = np.asarray(batch["bucket_id"])
     ent_col = batch["entity"].to_pylist()
     attr_col = batch["attr"].to_pylist()
     vt_col = batch["value_type"].to_pylist()
-    src_col = batch["sources"].to_pylist()
-    vs_col = batch["values_str"].to_pylist()
-    vn_col = batch["values_num"].to_pylist()
-    cid_col = batch["claim_ids"].to_pylist()
-    for bid, ent, attr, vt, srcs, vss, vns, cids in zip(
-        bid_col, ent_col, attr_col, vt_col, src_col, vs_col, vn_col, cid_col
-    ):
-        smap = src_index[bid]
-        idx = np.array([smap[s] for s in srcs], dtype=np.int32)
-        if vt == "quantity" and all(v is not None for v in vns):
-            vals = np.array(vns, dtype=np.float64)
-        else:
-            vals = np.array(vss, dtype=object)
-        yield Fact(bid, ent, attr, vt, idx,
-                   vals, np.array(cids, dtype=np.int64))
+    src_la = batch["sources"].combine_chunks()
+    offs = np.asarray(src_la.offsets, dtype=np.int64)
+    if offs[0] != 0:  # sliced list array: fall back to re-materialized copy
+        batch = pa.Table.from_batches(batch.combine_chunks().to_batches())
+        src_la = batch["sources"].combine_chunks()
+        offs = np.asarray(src_la.offsets, dtype=np.int64)
+    lens = np.diff(offs)
+    flat_src = src_la.values.to_pylist()
+    vn_vals = batch["values_num"].combine_chunks().values
+    vn_flat = vn_vals.to_numpy(zero_copy_only=False)
+    vn_valid = pc.is_valid(vn_vals).to_numpy(zero_copy_only=False)
+    vs_flat = batch["values_str"].combine_chunks().values.to_pylist()
+    cid_flat = np.asarray(batch["claim_ids"].combine_chunks().values,
+                          dtype=np.int64)
+
+    # per-claim source index: C-level hash-map lookup per bucket segment
+    import pandas as pd
+    src_ser = pd.Series(flat_src, dtype=object)
+    ubids = np.unique(bids)
+    if len(ubids) == 1:
+        src_idx_flat = src_ser.map(src_index[int(ubids[0])]).to_numpy(
+            dtype=np.int32)
+    else:
+        flat_bid = np.repeat(bids, lens)
+        src_idx_flat = np.empty(len(src_ser), dtype=np.int32)
+        for b in ubids:
+            m = flat_bid == b
+            src_idx_flat[m] = src_ser[m].map(src_index[int(b)]).to_numpy(
+                dtype=np.int32)
+
+    is_q = np.array([v == "quantity" for v in vt_col])
+    # fact is numeric iff quantity-typed AND every claim parsed to a number
+    nvalid_per_fact = np.add.reduceat(
+        vn_valid.astype(np.int64), offs[:-1]) if n else np.array([])
+    nvalid_per_fact[lens == 0] = 0
+    numeric = is_q & (nvalid_per_fact == lens)
+
+    for i in range(n):
+        s, e = offs[i], offs[i + 1]
+        vals = (vn_flat[s:e] if numeric[i]
+                else np.array(vs_flat[s:e], dtype=object))
+        yield Fact(int(bids[i]), ent_col[i], attr_col[i], vt_col[i],
+                   src_idx_flat[s:e], vals, cid_flat[s:e])
 
 
 def _emit_batch(batch: pa.Table, *, model: FusionModel,
@@ -315,6 +350,51 @@ def _fmt_num(v: float) -> str:
     return str(int(v)) if float(v).is_integer() else repr(v)
 
 
+def _prep_claims_block(tbl: pa.Table, dedup: bool) -> pa.Table:
+    """Map-side claim preparation: column projection, null-claim filter,
+    per-block exact-dedup combiner (the skew guard)."""
+    tbl = _project_pack_cols(tbl)
+    tbl = tbl.filter(pc.is_valid(tbl["value_str"]))
+    if dedup:
+        tbl = _combine_dedup(tbl)
+    return tbl
+
+
+def _split_claims_block(tbl: pa.Table, n_parts: int, dedup: bool) -> tuple:
+    """Map side of the session's hand-rolled pack exchange: prepare the
+    block, then split it into ``n_parts`` fact-hash sub-tables (one per
+    shard actor).  A plain Ray task with ``num_returns=n_parts`` — each
+    shard fetches only its piece, and there is no sort-sampling pass,
+    no intermediate materialization, and no second block fetch (the
+    Dataset sort shuffle costs seconds of fixed overhead per exchange)."""
+    tbl = _prep_claims_block(tbl, dedup)
+    tbl = _add_partition_col(tbl, n_parts=n_parts)
+    order = pc.sort_indices(tbl, sort_keys=[("fact_part", "ascending")])
+    tbl = tbl.take(order)
+    parr = np.asarray(tbl["fact_part"])
+    bounds = np.searchsorted(parr, np.arange(n_parts + 1))
+    pieces = tuple(
+        tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        .drop_columns(["fact_part"]) for i in range(n_parts))
+    return pieces if n_parts > 1 else pieces[0]
+
+
+_SPLIT_TASK = None
+
+
+def _make_split_task():
+    global _SPLIT_TASK
+    if _SPLIT_TASK is None:
+        import ray
+
+        @ray.remote
+        def split_claims_block(tbl, n_parts, dedup):
+            return _split_claims_block(tbl, n_parts, dedup)
+
+        _SPLIT_TASK = split_claims_block
+    return _SPLIT_TASK
+
+
 def _make_fact_shard():
     """Lazily define the shard actor (keeps module import ray-free)."""
     import ray
@@ -339,6 +419,22 @@ def _make_fact_shard():
             import ray as _r
             self.tables = [t for t in _r.get(list(block_refs)) if len(t)]
             return len(self.tables)
+
+        def load_pieces(self, piece_refs, dedup=True) -> int:
+            """Reduce side of the hand-rolled pack exchange: fetch this
+            shard's fact-hash pieces from every map block, concat, and pack
+            locally (the Arrow group-by pack runs inside the actor — the
+            packed table never transits the object store)."""
+            import ray as _r
+            tables = [t for t in _r.get(list(piece_refs)) if len(t)]
+            if tables:
+                tbl = pa.concat_tables(
+                    [t.cast(tables[0].schema) for t in tables])
+                packed = _pack_partition(tbl, dedup=dedup)
+                self.tables = [packed] if len(packed) else []
+            else:
+                self.tables = []
+            return sum(len(t) for t in self.tables)
 
         def counts(self) -> dict:
             """(bid, source) -> [facts_all, facts_quantity_numeric]; +1 per
@@ -399,63 +495,95 @@ class FusionSession:
     Both paths run identical model code; tests assert equality.
     """
 
-    def __init__(self, packed, local_threshold: int = 20_000,
-                 materialize: bool = True):
+    def __init__(self, packed=None, local_threshold: int = 20_000,
+                 materialize: bool = True, *, claims=None,
+                 dedup_claims: bool = True):
         import ray
 
+        if (packed is None) == (claims is None):
+            raise ValueError("pass exactly one of packed= or claims=")
+
         # spin the (num_cpus=0) shard pool up CONCURRENTLY with the pack
-        # shuffle — actor process startup costs seconds and needs no data
+        # exchange — actor process startup costs seconds and needs no data
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
         FactShard = _make_fact_shard()
         warm = [FactShard.remote() for _ in range(n_cpus)]
 
-        if materialize:
-            packed = packed.materialize()
-        self.packed = packed
-        self.n_facts = packed.count()
-        self.use_actors = self.n_facts > local_threshold
         self.actors = []
         self._tbl = None
         self._facts = None
 
-        if self.use_actors:
-            refs = packed.to_arrow_refs()
-            n_actors = max(1, min(n_cpus, len(refs)))
-            self.actors = warm[:n_actors]
-            for a in warm[n_actors:]:
-                ray.kill(a)
-            shards = [refs[i::n_actors] for i in range(n_actors)]
-            ray.get([a.load.remote(sh)
-                     for a, sh in zip(self.actors, shards)])
-            parts = ray.get([a.counts.remote() for a in self.actors])
-            agg: dict[tuple, list] = {}
-            for part in parts:
-                for k, v in part.items():
-                    c = agg.setdefault(k, [0.0, 0.0])
-                    c[0] += v[0]
-                    c[1] += v[1]
-        else:
-            for a in warm:  # local path: the warm pool is not needed
-                ray.kill(a)
-            blocks = [t for t in ray.get(packed.to_arrow_refs()) if len(t)]
-            if blocks:
-                # unify list-field naming (item vs element) across sources
-                self._tbl = pa.concat_tables(
-                    [t.cast(blocks[0].schema) for t in blocks])
+        if claims is not None:
+            # fast path: claims go straight into the shard actors through a
+            # hand-rolled fact-hash exchange (plain Ray tasks with
+            # num_returns=n_actors) — no Dataset sort shuffle, no
+            # intermediate materialization, packing happens inside each
+            # actor.  (Numeric-only models need the claim-level numeric
+            # projection — use the packed path for those.)
+            claims = claims.materialize()
+            n_rows = claims.count()
+            self.use_actors = n_rows > local_threshold
+            if self.use_actors:
+                refs = claims.to_arrow_refs()
+                n_actors = max(1, n_cpus)
+                split = _make_split_task()
+                piece_refs = [
+                    split.options(num_returns=n_actors).remote(
+                        r, n_actors, dedup_claims) for r in refs]
+                if n_actors == 1:
+                    piece_refs = [[p] for p in piece_refs]
+                self.actors = warm[:n_actors]
+                for a in warm[n_actors:]:
+                    ray.kill(a)
+                counts_f = ray.get([
+                    a.load_pieces.remote([pr[i] for pr in piece_refs],
+                                         dedup_claims)
+                    for i, a in enumerate(self.actors)])
+                self.n_facts = int(sum(counts_f))
+                agg = self._agg_from_actors(ray)
             else:
-                self._tbl = _empty_packed()
-            agg = {}
-            for bid, srcs, vt, vns in zip(
-                    self._tbl["bucket_id"].to_pylist(),
-                    self._tbl["sources"].to_pylist(),
-                    self._tbl["value_type"].to_pylist(),
-                    self._tbl["values_num"].to_pylist()):
-                is_q = vt == "quantity" and all(v is not None for v in vns)
-                for src in set(srcs):
-                    c = agg.setdefault((bid, src), [0.0, 0.0])
-                    c[0] += 1
-                    if is_q:
-                        c[1] += 1
+                for a in warm:
+                    ray.kill(a)
+                blocks = [t for t in ray.get(claims.to_arrow_refs())
+                          if len(t)]
+                if blocks:
+                    tbl = pa.concat_tables(
+                        [t.cast(blocks[0].schema) for t in blocks])
+                    self._tbl = _pack_partition(
+                        _prep_claims_block(tbl, dedup_claims),
+                        dedup=dedup_claims)
+                else:
+                    self._tbl = _empty_packed()
+                self.n_facts = len(self._tbl)
+                agg = self._agg_local()
+        else:
+            if materialize:
+                packed = packed.materialize()
+            self.packed = packed
+            self.n_facts = packed.count()
+            self.use_actors = self.n_facts > local_threshold
+            if self.use_actors:
+                refs = packed.to_arrow_refs()
+                n_actors = max(1, min(n_cpus, len(refs)))
+                self.actors = warm[:n_actors]
+                for a in warm[n_actors:]:
+                    ray.kill(a)
+                shards = [refs[i::n_actors] for i in range(n_actors)]
+                ray.get([a.load.remote(sh)
+                         for a, sh in zip(self.actors, shards)])
+                agg = self._agg_from_actors(ray)
+            else:
+                for a in warm:  # local path: the warm pool is not needed
+                    ray.kill(a)
+                blocks = [t for t in ray.get(packed.to_arrow_refs())
+                          if len(t)]
+                if blocks:
+                    # unify list-field naming (item vs element)
+                    self._tbl = pa.concat_tables(
+                        [t.cast(blocks[0].schema) for t in blocks])
+                else:
+                    self._tbl = _empty_packed()
+                agg = self._agg_local()
 
         self.sources: dict[int, list[str]] = {}
         for bid, src in agg:
@@ -477,6 +605,31 @@ class FusionSession:
                            if len(self._tbl) else [])
 
     # -- internals --------------------------------------------------------
+    def _agg_from_actors(self, ray) -> dict:
+        parts = ray.get([a.counts.remote() for a in self.actors])
+        agg: dict[tuple, list] = {}
+        for part in parts:
+            for k, v in part.items():
+                c = agg.setdefault(k, [0.0, 0.0])
+                c[0] += v[0]
+                c[1] += v[1]
+        return agg
+
+    def _agg_local(self) -> dict:
+        agg: dict[tuple, list] = {}
+        for bid, srcs, vt, vns in zip(
+                self._tbl["bucket_id"].to_pylist(),
+                self._tbl["sources"].to_pylist(),
+                self._tbl["value_type"].to_pylist(),
+                self._tbl["values_num"].to_pylist()):
+            is_q = vt == "quantity" and all(v is not None for v in vns)
+            for src in set(srcs):
+                c = agg.setdefault((bid, src), [0.0, 0.0])
+                c[0] += 1
+                if is_q:
+                    c[1] += 1
+        return agg
+
     def _round_stats(self, model, state):
         import ray
 
@@ -571,11 +724,19 @@ def run_fusion(claims, model: FusionModel, materialize: bool = True,
     Returns ``(triples_ds, weights)`` where weights is
     ``{bucket_id: {source: weight}}`` (the reference's
     ``unified_result["weights"]``, `model.py:228-229`).
-    """
-    packed = pack_facts(claims, numeric_only=model.numeric_only,
-                        dedup_claims=dedup_claims)
-    return run_fusion_packed(packed, model, materialize=materialize,
-                             local_threshold=local_threshold)
+
+    Non-numeric models take the session's direct claims exchange (pack
+    inside the shard actors); numeric-only models need the claim-level
+    quantity projection first (`model.py:41-45`) and go through the
+    Dataset pack."""
+    if model.numeric_only:
+        packed = pack_facts(claims, numeric_only=True,
+                            dedup_claims=dedup_claims)
+        return run_fusion_packed(packed, model, materialize=materialize,
+                                 local_threshold=local_threshold)
+    with FusionSession(claims=claims, local_threshold=local_threshold,
+                       dedup_claims=dedup_claims) as session:
+        return session.run(model)
 
 
 def run_fusion_packed(packed, model: FusionModel, materialize: bool = True,

@@ -24,8 +24,25 @@ from trustfuse_ray.stages.link import link_and_canonicalize
 
 
 def read_transcripts(data_dir: str):
-    """Parquet transcripts reader; one file per conv-hash partition."""
-    return ray.data.read_parquet(os.path.join(data_dir, "transcripts"))
+    """Parquet transcripts reader; one file per conv-hash partition.
+
+    Read tasks run at 0.25 CPU: the downstream extract/link actor pool
+    reserves most of the cluster, and full-CPU read tasks would serialize
+    behind it (reads are I/O-bound decode, not compute).
+
+    Block count is pinned to max(files, 2×CPUs) instead of Ray's auto-split
+    (~6×CPUs): every downstream all-to-all (the pack shuffle) pays
+    O(map_blocks × reduce_blocks) scheduling/transfer overhead, so fewer,
+    larger blocks win as long as per-CPU parallelism is preserved."""
+    path = os.path.join(data_dir, "transcripts")
+    n_files = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return ray.data.read_parquet(
+        path, ray_remote_args={"num_cpus": 0.25},
+        override_num_blocks=max(n_files, 2 * cpus))
 
 
 def build_claims(data_dir: str, concurrency: int | tuple | None = None):

@@ -109,12 +109,14 @@ def extract_link_canonicalize(transcripts, alias_src,
                               bucket_id: int = 0,
                               concurrency: int | tuple | None = None,
                               batch_size: int = 2048):
-    """transcripts Dataset → canonical CLAIMS Dataset in one fused stage."""
+    """transcripts Dataset → canonical CLAIMS Dataset in one fused stage.
+
+    A string ``alias_src`` is passed through as a PATH: each actor loads the
+    side index directly in ``__init__`` (parallel, zero driver-side pickle
+    of a ~100k-entry dict per plan submission — measured ~2 s at sf0.1)."""
     if concurrency is None:
         from trustfuse_ray.stages.common import auto_pool
         concurrency = auto_pool()
-    if isinstance(alias_src, str):
-        alias_src = load_alias_map(alias_src)
     return transcripts.map_batches(
         ExtractLinkCanon,
         batch_format="pyarrow",

@@ -54,7 +54,11 @@ ATTR_TYPES = {
 # Claim sentence grammar shared with the extractor and the DuckDB oracle.
 CLAIM_SENTENCE_RE = r"The ([a-z_]+) of ([A-Za-z0-9_ ]+?) is ([A-Za-z0-9_, ]+?)\."
 
-N_CONV_BY_SF = {"sf0.001": 160, "sf0.01": 1600, "sf0.1": 128000}
+N_CONV_BY_SF = {"sf0.001": 160, "sf0.01": 1600, "sf0.1": 128000,
+                # larger corpora for the scaling bench (synthesized to /tmp;
+                # the N→4N criterion measures the regime where per-node work
+                # dominates fixed cost, which sf0.1's ~85 CPU-seconds cannot)
+                "sf0.2": 256000, "sf0.4": 512000}
 FILLERS = (
     "Let me check that for you",
     "Here is what I found",
