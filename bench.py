@@ -147,10 +147,18 @@ def main():
         # host is shared and single runs vary ±40%; interleaving makes every
         # leg sample both ambient-load windows so the pair ratios aren't
         # biased by one leg landing in a busy period
+        #
+        # scaling legs default to the 2x corpus (sf0.2, synthesized
+        # deterministically to /tmp): the criterion measures the regime a
+        # real cluster sits in (per-node work >> fixed cost) — sf0.1 runs
+        # ~85 CPU-seconds of real work, which a 32-CPU session finishes
+        # faster than its fixed session/exchange costs
+        scaling_sf = os.environ.get("GRAFT_SCALING_SF_DIR",
+                                    "/root/testdata/sf0.2")
         results = {}
         for cpus in (2, 8, 32, 2, 8, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
-                       GRAFT_SF_DIR=sf_dir)
+                       GRAFT_SF_DIR=scaling_sf)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--_kg_single"],
@@ -163,7 +171,7 @@ def main():
             "metric": "kg pipeline throughput scaling efficiency (N→4N)",
             "value": round((tp[8] / tp[2]) / 4, 3),
             "unit": "efficiency",
-            "sf": os.path.basename(sf_dir.rstrip("/")),
+            "sf": os.path.basename(scaling_sf.rstrip("/")),
             "pairs": {
                 "2→8": round((tp[8] / tp[2]) / 4, 3),
                 "8→32": round((tp[32] / tp[8]) / 4, 3),

@@ -61,7 +61,10 @@ class SLiMFast(FusionModel):
 
     def initial_state(self, sources, counts):
         if self.init_acc is not None:
-            acc = np.array([self.init_acc[s] for s in sources])
+            if isinstance(self.init_acc, dict):
+                acc = np.array([self.init_acc[s] for s in sources])
+            else:  # scalar pin (e.g. reference head-to-head)
+                acc = np.full(len(sources), float(self.init_acc))
         else:
             acc = np.array([seeded_init_acc(0, s) for s in sources])
         return {"acc": acc, "w_feat": 0.0, "w": acc}
