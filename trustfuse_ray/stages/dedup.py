@@ -76,14 +76,45 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Batch-vectorized signatures: ONE hash_array call and ONE
+        (num_hashes × total_shingles) permutation pass for the whole batch,
+        then a per-doc segmented min (``np.minimum.reduceat``).  Shingles are
+        NOT deduplicated per doc — min over the multiset equals min over the
+        set — so the values are identical to :meth:`signature`'s."""
+        import pandas as pd
+
         texts = canonical_text(batch["text"]).to_pylist()
-        sigs = [self.signature(t or "") for t in texts]
+        all_sh: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        k = self.k
+        for i, t in enumerate(texts):
+            toks = _WORD.findall(t or "")
+            if not toks:
+                counts[i] = 0
+                continue
+            if len(toks) < k:
+                all_sh.append(" ".join(toks))
+                counts[i] = 1
+            else:
+                all_sh.extend(" ".join(toks[j:j + k])
+                              for j in range(len(toks) - k + 1))
+                counts[i] = len(toks) - k + 1
+        sig_mat = np.full((len(texts), self.num), self.PRIME,
+                          dtype=np.uint64)
+        if all_sh:
+            base = (pd.util.hash_array(np.array(all_sh, dtype=object))
+                    & np.uint64(0x7FFFFFFF)).astype(np.uint64)
+            vals = (self.a[:, None] * base[None, :]
+                    + self.b[:, None]) % self.PRIME
+            nz = counts > 0
+            starts = (np.cumsum(counts) - counts)[nz]
+            sig_mat[nz] = np.minimum.reduceat(vals, starts, axis=1).T
         # int32 storage: values < 2^31, halves the band-shuffle bytes
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "minhash": pa.array([s.astype(np.int32).tolist() for s in sigs],
-                                pa.list_(pa.int32())),
-        })
+        flat = sig_mat.astype(np.int32).ravel()
+        n = len(texts)
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * self.num)
+        arr = pa.ListArray.from_arrays(offsets, pa.array(flat))
+        return pa.table({"doc_id": batch["doc_id"], "minhash": arr})
 
 
 _HASHER_CACHE: dict = {}
@@ -102,22 +133,35 @@ def _sig_batch(batch: pa.Table, *, num_hashes: int, shingle_k: int,
     return h(batch)
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (deterministic, uint64 in/out)."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _band_rows(batch: pa.Table, *, bands: int, rows: int) -> pa.Table:
     """(doc_id, band, band_hash) only — signatures do NOT ride the shuffle
-    (they are broadcast once; ~640k x 300B rows would otherwise dominate)."""
-    doc_ids, band_ids, band_hash = [], [], []
-    for did, sig in zip(batch["doc_id"].to_pylist(),
-                        batch["minhash"].to_pylist()):
-        for b in range(bands):
-            chunk = sig[b * rows:(b + 1) * rows]
-            h = _stable_hash64(struct.pack(f"<{rows}i", *chunk))
-            doc_ids.append(did)
-            band_ids.append(b)
-            band_hash.append(h & 0x7FFFFFFFFFFFFFFF)
+    (they are broadcast once; ~640k x 300B rows would otherwise dominate).
+    The band hash is a vectorized splitmix64 fold over the band's ``rows``
+    signature ints — an internal bucketing key only (two docs collide in a
+    band iff their band slices are equal, which the fold preserves up to
+    64-bit collision odds)."""
+    n = len(batch)
+    sig = np.asarray(batch["minhash"].combine_chunks().flatten(),
+                     dtype=np.int64).reshape(n, bands, rows)
+    acc = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows):
+        acc = _mix64(acc ^ sig[:, :, r].astype(np.uint64))
+    doc_ids = np.repeat(np.asarray(batch["doc_id"], dtype=np.int64), bands)
+    band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
     return pa.table({
-        "doc_id": pa.array(doc_ids, pa.int64()),
-        "band": pa.array(band_ids, pa.int32()),
-        "band_hash": pa.array(band_hash, pa.int64()),
+        "doc_id": pa.array(doc_ids),
+        "band": pa.array(band_ids),
+        "band_hash": pa.array((acc.ravel()
+                               & np.uint64(0x7FFFFFFFFFFFFFFF))
+                              .astype(np.int64)),
     })
 
 
@@ -254,24 +298,30 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
 
     import ray
 
-    # single-file corpora read as a handful of blocks; re-split so the
-    # signature stage actually fans out
+    # count first: on a freshly-read parquet dataset this is metadata-only
+    # (no execution), and it sizes both fan-outs below
+    n_docs = docs.count()
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    docs = docs.repartition(2 * n_cpus)
-    sigs = docs.map_batches(
-        functools.partial(_sig_batch, num_hashes=num_hashes,
-                          shingle_k=shingle_k),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # single-file corpora read as a handful of blocks; re-split so the
+    # signature stage actually fans out (but never below ~150 docs/block —
+    # tiny blocks pay pure task overhead)
+    sig_blocks = max(1, min(2 * n_cpus, n_docs // 150))
+    docs = docs.repartition(sig_blocks)
 
     n_parts = 1 << max(3, (n_cpus - 1).bit_length())
     mask = n_parts - 1
     # the exchange phase moves KB-scale rows; a sort exchange costs
     # O(map_blocks × reduce_blocks) in scheduling/transfers, so coalesce to
     # data-proportional block counts (~50k docs per block) instead of the
-    # CPU-proportional fan-out the signature stage needed
-    n_docs = sigs.count()
+    # CPU-proportional fan-out the signature stage needed.  sigs_x is
+    # materialized ONCE here — two consumers (band rows + signature rows)
+    # read it, so leaving it lazy would recompute the signature stage twice.
     xblocks = max(8, -(-n_docs // 50_000))
-    sigs_x = sigs.repartition(xblocks)
+    sigs_x = docs.map_batches(
+        functools.partial(_sig_batch, num_hashes=num_hashes,
+                          shingle_k=shingle_k),
+        batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(xblocks).materialize()
     banded = sigs_x.map_batches(
         functools.partial(_band_rows, bands=bands, rows=rows),
         batch_format="pyarrow", zero_copy_batch=True)
