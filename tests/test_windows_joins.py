@@ -1,0 +1,72 @@
+"""Tumbling-window aggregate + as-of join unit tests (hand-computed
+expectations on crafted event tables)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+US = 1_000_000
+HOUR = 3600 * US
+
+
+def _events(rows):
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+    }))
+
+
+def test_windowed_aggregate_basic():
+    from trustfuse_ray.stages.windows import windowed_aggregate
+
+    ev = _events([
+        (1, 10 * US, 7, "view", 1.5),
+        (2, 20 * US, 7, "view", 2.25),
+        (3, HOUR + 5 * US, 7, "view", 4.0),   # next window
+        (4, 30 * US, 9, "view", 10.0),        # other key, first window
+    ])
+    out = {(r["user_id"], r["window_us"]): (r["n_events"], r["sum_value"])
+           for r in windowed_aggregate(ev).take_all()}
+    assert out == {
+        (7, 0): (2, 3.75),
+        (7, HOUR): (1, 4.0),
+        (9, 0): (1, 10.0),
+    }
+
+
+def test_windowed_aggregate_partials_merge_across_blocks():
+    """The same (key, window) split across input blocks must merge to one
+    row — exercises the map-side partial + global combine."""
+    from trustfuse_ray.stages.windows import windowed_aggregate
+
+    rows = [(i, (i % 5) * US, 1, "view", 1.0) for i in range(100)]
+    ev = _events(rows).repartition(8)
+    out = windowed_aggregate(ev).take_all()
+    assert len(out) == 1
+    assert out[0]["n_events"] == 100
+    assert out[0]["sum_value"] == 100.0
+
+
+def test_asof_join_last():
+    from trustfuse_ray.stages.joins import asof_join_last
+
+    ev = _events([
+        (1, 10 * US, 7, "click", 0.0),
+        (2, 20 * US, 7, "purchase", 5.0),   # -> click at 10
+        (3, 30 * US, 7, "click", 0.0),
+        (4, 30 * US, 7, "purchase", 5.0),   # tie: click at SAME ts counts
+        (5, 40 * US, 9, "purchase", 5.0),   # no click for user 9 -> NULL
+        (6, 50 * US, 8, "click", 0.0),      # user with clicks only: no row
+    ])
+    out = {r["event_id"]: r["asof_ts"]
+           for r in asof_join_last(ev).take_all()}
+    as_us = {k: (None if v is None else
+                 int(v.timestamp() * US) if hasattr(v, "timestamp") else v)
+             for k, v in out.items()}
+    assert set(out) == {2, 4, 5}
+    assert as_us[2] == 10 * US
+    assert as_us[4] == 30 * US
+    assert as_us[5] is None

@@ -23,7 +23,8 @@ from trustfuse_ray.pipelines.kg import build_claims, read_transcripts
 from trustfuse_ray.stages import ann, dedup, text
 from trustfuse_ray.stages.assemble import assemble_conversations
 from trustfuse_ray.stages.extract import extract_triples
-from trustfuse_ray.stages.windows import sessionize
+from trustfuse_ray.stages.joins import asof_join_last
+from trustfuse_ray.stages.windows import sessionize, windowed_aggregate
 
 QUANTITY_ATTRS = tuple(a for a, t in synth.ATTR_TYPES.items()
                        if t == "quantity")
@@ -321,6 +322,18 @@ def q_events_sessionize(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events"), gap_minutes=30.0)
 
 
+def q_events_windowed_agg(sf_dir: str):
+    """Tumbling 1-hour window aggregate per user (map-side partials +
+    one small shuffle)."""
+    return windowed_aggregate(_tbl(sf_dir, "events"), window_s=3600)
+
+
+def q_events_asof_join(sf_dir: str):
+    """As-of join: each purchase gets the ts of the user's latest click at
+    or before it (DuckDB ASOF LEFT JOIN is the oracle)."""
+    return asof_join_last(_tbl(sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators (documents / embeddings tables)
 # ---------------------------------------------------------------------------
@@ -429,6 +442,29 @@ def q_multimodal_features(sf_dir: str):
     return extract_media_features(media, batch_size=128)
 
 
+def q_multimodal_frames(sf_dir: str):
+    """Frame sampling over opaque media payloads (video decode analog):
+    the Ray-side plumbing (binary schema, flat_map row expansion) is real;
+    frames are emitted hex-encoded so the driver's CSV hash is stable.  The
+    oracle recomputes the byte windows in SQL (VARCHAR slicing — exact here
+    because the synthetic corpus is pure ASCII, verified at registration)."""
+    from trustfuse_ray.stages.multimodal import (frame_sample,
+                                                 synth_media_from_docs)
+
+    fr = frame_sample(synth_media_from_docs(_tbl(sf_dir, "documents")))
+
+    def _hx(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["media_id"],
+            "frame_idx": batch["frame_idx"],
+            "frame_hex": pa.array(
+                [(b or b"").hex() for b in batch["frame"].to_pylist()],
+                pa.string()),
+        })
+
+    return fr.map_batches(_hx, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_bucketize_claims(sf_dir: str):
     """Temporal session-window bucketization of claims (reference
     generate_buckets closing rule); returns per-(entity, window) counts."""
@@ -478,6 +514,8 @@ def queries_map():
         "q1_pricing_summary": q1_pricing_summary,
         "top_customers": q_top_customers,
         "events_sessionize": q_events_sessionize,
+        "events_windowed_agg": q_events_windowed_agg,
+        "events_asof_join": q_events_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact_docs": q_dedup_exact_docs,
         "text_quality": q_text_quality,
@@ -494,6 +532,7 @@ def queries_map():
         "embedding_near_pairs": q_embedding_near_pairs,
         "kg_top_sources": q_top_sources,
         "multimodal_features": q_multimodal_features,
+        "multimodal_frames": q_multimodal_frames,
         "kg_bucketize_claims": q_bucketize_claims,
     }
 
@@ -677,6 +716,58 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue DESC
 LIMIT 10""",
+        "multimodal_frames": r"""
+WITH m AS (
+  SELECT doc_id AS media_id, coalesce(text,'') AS t,
+         length(coalesce(text,'')) AS L
+  FROM documents
+),
+p AS (SELECT media_id, t, L, greatest(1, least(8, L // 1024 + 1)) AS n
+      FROM m),
+s AS (SELECT media_id, t, L, n, greatest(1, L // n) AS step FROM p)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       lower(hex(encode(substr(t, CAST(i*step+1 AS INT), 64))))
+         AS frame_hex
+FROM s, LATERAL unnest(range(0, n)) AS u(i)""",
+        "events_windowed_agg": """
+SELECT user_id,
+       (epoch_us(ts) // 3600000000) * 3600000000 AS window_us,
+       count(*) AS n_events,
+       sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
+FROM events
+GROUP BY 1, 2""",
+        "events_asof_join": """
+SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts""",
+        "lang_id": r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))
+           AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    len(list_intersect(toks,
+        ['der','die','und','das','ist','nicht','ein','zu'])) AS h_de,
+    len(list_intersect(toks,
+        ['the','and','of','to','is','in','that','it'])) AS h_en,
+    len(list_intersect(toks,
+        ['el','la','los','y','de','es','que','una'])) AS h_es,
+    len(list_intersect(toks,
+        ['le','la','les','et','de','est','que','une'])) AS h_fr
+  FROM d
+)
+SELECT doc_id,
+  CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+       WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+       WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+       WHEN h_es >= h_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  CAST(greatest(h_de,h_en,h_es,h_fr) AS BIGINT) AS marker_hits
+FROM h""",
         "events_sessionize": """
 WITH e AS (
   SELECT user_id, event_id, ts,

@@ -1,0 +1,79 @@
+"""As-of (temporal) join — an operator Ray Data's Dataset API lacks.
+
+Semantics: for every LEFT event, attach the timestamp of the most recent
+RIGHT event with the same key and ``right.ts <= left.ts`` (DuckDB
+``ASOF LEFT JOIN`` semantics; the driver oracle uses exactly that).
+
+Expressed as a composition the streaming executor can pipeline: one hash
+shuffle on the key, then a per-partition in-group timestamp sort and a
+vectorized ``np.searchsorted`` merge — never a global sort.  Partitioning
+assumption (documented per the north-star): one key's history must fit in a
+partition task; keys are independent, so skew is bounded by the hottest
+single key, same as sessionize.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from trustfuse_ray.stages.common import hash_group_apply
+
+
+def _asof_group(batch: pa.Table, *, key_col: str, ts_col: str,
+                type_col: str, left_type: str, right_type: str,
+                id_col: str) -> pa.Table | None:
+    is_left = pc.equal(batch[type_col], left_type)
+    left = batch.filter(is_left)
+    if not len(left):
+        # schema-stable empty output (a group of only right-type rows, and
+        # the group-apply empty-partition fallback, both land here)
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], batch.schema.field(key_col).type),
+            ts_col: pa.array([], pa.timestamp("us")),
+            "asof_ts": pa.array([], pa.timestamp("us")),
+        })
+    right = batch.filter(pc.equal(batch[type_col], right_type))
+    lts = left[ts_col].cast(pa.int64()).to_numpy()
+    out_ts = np.full(len(left), np.iinfo(np.int64).min, dtype=np.int64)
+    if len(right):
+        rts = np.sort(right[ts_col].cast(pa.int64()).to_numpy())
+        idx = np.searchsorted(rts, lts, side="right") - 1
+        hit = idx >= 0
+        out_ts[hit] = rts[idx[hit]]
+    matched = pa.array(out_ts != np.iinfo(np.int64).min)
+    asof_ts = pc.if_else(matched,
+                         pa.array(out_ts, pa.int64()).cast(pa.timestamp("us")),
+                         pa.nulls(len(left), pa.timestamp("us")))
+    return pa.table({
+        id_col: left[id_col],
+        key_col: left[key_col],
+        ts_col: left[ts_col],
+        "asof_ts": asof_ts,
+    })
+
+
+def asof_join_last(events, left_type: str = "purchase",
+                   right_type: str = "click", key_col: str = "user_id",
+                   ts_col: str = "ts", type_col: str = "event_type",
+                   id_col: str = "event_id", n_parts: int = 64):
+    """events → one row per ``left_type`` event with ``asof_ts`` = ts of the
+    latest ``right_type`` event at or before it for the same key (NULL when
+    none).  Columns are pruned before the shuffle."""
+    def _prefilter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(
+            batch[type_col], value_set=pa.array([left_type, right_type])))
+
+    pruned = events.select_columns(
+        [id_col, key_col, ts_col, type_col]).map_batches(
+        _prefilter, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_group_apply(
+        pruned, [key_col],
+        functools.partial(_asof_group, key_col=key_col, ts_col=ts_col,
+                          type_col=type_col, left_type=left_type,
+                          right_type=right_type, id_col=id_col),
+        n_parts=n_parts)

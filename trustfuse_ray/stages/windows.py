@@ -111,3 +111,54 @@ def cumulative_known_entities(claims, value_col: str = "entity",
     ``first_bucket < b`` (predicate, never a materialized cumulative set)."""
     return (claims.groupby(value_col).min(bucket_col)
             .rename_columns({f"min({bucket_col})": "first_bucket"}))
+
+
+def _window_partial(batch: pa.Table, *, key_col: str, ts_col: str,
+                    value_col: str, window_us: int,
+                    fx_scale: int) -> pa.Table:
+    """Map-side partial for the tumbling-window aggregate: derive the window
+    id and pre-aggregate (count, fixed-point sum) INSIDE the block, so the
+    shuffle moves one row per (key, window) per block — not one per event.
+    Fixed-point sums make the global combine order-independent (same trick
+    as q1_pricing_summary; float sums drift with block order)."""
+    ts_us = batch[ts_col].cast(pa.int64())
+    win = pc.multiply(pc.divide(ts_us, pa.scalar(window_us, pa.int64())),
+                      pa.scalar(window_us, pa.int64()))
+    v_fx = pc.cast(pc.round(
+        pc.multiply(batch[value_col], pa.scalar(float(fx_scale))),
+        round_mode="half_towards_infinity"), pa.int64())
+    t = pa.table({key_col: batch[key_col], "window_us": win,
+                  "v_fx": v_fx,
+                  "n": pa.array(np.ones(len(batch), dtype=np.int64))})
+    return (pa.TableGroupBy(t, [key_col, "window_us"])
+            .aggregate([("v_fx", "sum"), ("n", "sum")])
+            .rename_columns([key_col, "window_us", "v_fx", "n"]))
+
+
+def windowed_aggregate(events, key_col: str = "user_id", ts_col: str = "ts",
+                       value_col: str = "value", window_s: int = 3600,
+                       fx_scale: int = 10_000):
+    """Tumbling-window aggregate per key: (key, window_us, n_events,
+    sum_value).  One small shuffle over pre-aggregated partials — the
+    100-TB shape (the wide exchange carries at most
+    #keys × #windows × #blocks rows, not #events)."""
+    partial = events.select_columns(
+        [key_col, ts_col, value_col]).map_batches(
+        functools.partial(_window_partial, key_col=key_col, ts_col=ts_col,
+                          value_col=value_col,
+                          window_us=int(window_s) * 1_000_000,
+                          fx_scale=fx_scale),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial.groupby([key_col, "window_us"]).sum(["v_fx", "n"])
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch[key_col],
+            "window_us": batch["window_us"],
+            "n_events": batch["sum(n)"],
+            "sum_value": pc.divide(
+                pc.cast(batch["sum(v_fx)"], pa.float64()),
+                pa.scalar(float(fx_scale))),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
