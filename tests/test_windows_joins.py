@@ -70,3 +70,19 @@ def test_asof_join_last():
     assert as_us[2] == 10 * US
     assert as_us[4] == 30 * US
     assert as_us[5] is None
+
+
+def test_connected_components_chain_and_clique():
+    import pyarrow as pa
+    from trustfuse_ray.stages.graph import connected_components
+
+    # chain 1-2-3-4 (needs >1 propagation round) + clique {10,11,12} + edge
+    # 20-21; component label must be the min node id of the component
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([2, 3, 4, 10, 10, 11, 21], pa.int64()),
+        "dst": pa.array([1, 2, 3, 11, 12, 12, 20], pa.int64()),
+    }))
+    labels = {r["node"]: r["label"]
+              for r in connected_components(edges).take_all()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1,
+                      10: 10, 11: 10, 12: 10, 20: 20, 21: 20}

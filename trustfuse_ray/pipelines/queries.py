@@ -375,6 +375,15 @@ def q_minhash_pairs_synth(sf_dir: str):
         ray.data.read_parquet(path), threshold=0.6)
 
 
+def q_minhash_clusters_synth(sf_dir: str):
+    """Near-dup clusters over the planted-dup corpus: LSH pairs →
+    distributed connected components (join-free min-label propagation —
+    no driver-side union-find)."""
+    path = synth.generate_documents(sf_dir)
+    return dedup.minhash_cluster_labels(
+        ray.data.read_parquet(path), threshold=0.6)
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -524,6 +533,7 @@ def queries_map():
         "rolling_fp": q_rolling_fp,
         "minhash_pairs": q_minhash_pairs,
         "minhash_pairs_synth": q_minhash_pairs_synth,
+        "minhash_clusters_synth": q_minhash_clusters_synth,
         "dedup_exact_synth": q_dedup_exact_synth,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,

@@ -342,24 +342,23 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
                           threshold=threshold), batch_format="pyarrow"))
 
 
+def minhash_cluster_labels(docs, **kw):
+    """Near-dup clusters as a Dataset(node, label): distributed connected
+    components (min-label propagation, `graph.connected_components`) over
+    the LSH pair list — the pair list and the labels both stay distributed,
+    so adversarial duplicate mass cannot blow up the driver."""
+    from trustfuse_ray.stages.graph import connected_components
+
+    pairs = minhash_lsh_pairs(docs, **kw)
+    return connected_components(pairs, src="doc_a", dst="doc_b")
+
+
 def minhash_clusters(docs, **kw):
-    """Near-dup clusters: connected components approximated by min-neighbor
-    propagation on the pair list (2 rounds — sufficient for dup clusters,
-    which are overwhelmingly cliques/stars in practice)."""
-    pairs = minhash_lsh_pairs(docs, **kw).take_all()
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for p in pairs:
-        a, b = find(p["doc_a"]), find(p["doc_b"])
-        if a != b:
-            parent[max(a, b)] = min(a, b)
-    return {x: find(x) for x in parent}
+    """Dict view of :func:`minhash_cluster_labels` (node → component min
+    id).  Collects only the clustered nodes — fine for result inspection;
+    pipelines at scale should consume the labels Dataset directly."""
+    return {r["node"]: r["label"]
+            for r in minhash_cluster_labels(docs, **kw).take_all()}
 
 
 # ---------------------------------------------------------------------------
