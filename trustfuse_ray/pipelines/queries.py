@@ -234,6 +234,50 @@ def q_fuse_crh1(sf_dir: str):
     return triples.map_batches(_shape, batch_format="pyarrow")
 
 
+_TF1_CACHE: dict[str, tuple] = {}
+
+
+def _tf1(sf_dir: str):
+    """(triples, weights) of TruthFinder max_itr=1 over the single-value
+    claim projection.  On that projection each source asserts exactly one
+    claim per fact, so the reference's fancy-index source collapse
+    (truthfinder.py:48-49) can never trigger, and the round-1 source
+    trust — computed from UNIFORM initial tau, so argmax ties in the truth
+    are irrelevant to the WEIGHTS — is exactly ANSI-SQL-expressible
+    (DuckDB ``jaro_similarity`` bit-matches the repo kernel except the
+    empty-vs-empty pair, guarded in the oracle)."""
+    got = _TF1_CACHE.get(sf_dir)
+    if got is None:
+        claims = _single_value_claims(cached_claims(sf_dir))
+        triples, weights = run_fusion(
+            claims, make_model("TruthFinder", max_itr=1))
+        got = _TF1_CACHE[sf_dir] = (triples.materialize(), weights)
+    return got
+
+
+def q_weights_tf1(sf_dir: str):
+    """One-round TruthFinder source trust (oracle-checked; rounded to 6
+    digits on both sides, same policy as kg_weights_crh1)."""
+    _, weights = _tf1(sf_dir)
+    rows = sorted((s, round(w, 6)) for m in weights.values()
+                  for s, w in m.items())
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "weight": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
+def q_top_sources_tf1(sf_dir: str, n: int = 10):
+    """Top-N sources by one-round TruthFinder trust."""
+    tbl = q_weights_tf1(sf_dir)
+    rows = sorted(zip(tbl["source"].to_pylist(), tbl["weight"].to_pylist()),
+                  key=lambda r: (-r[1], r[0]))[:n]
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "weight": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
 def q_fuse_weights(sf_dir: str, model: str = "CRH"):
     _, weights = run_fusion(cached_claims(sf_dir), make_model(model))
     rows = [(b, s, w) for b, m in weights.items() for s, w in m.items()]
@@ -518,6 +562,8 @@ def queries_map():
         "kg_weights_crh": functools.partial(q_fuse_weights, model="CRH"),
         "kg_weights_crh1": q_weights_crh1,
         "kg_top_sources_crh1": q_top_sources_crh1,
+        "kg_weights_tf1": q_weights_tf1,
+        "kg_top_sources_tf1": q_top_sources_tf1,
         "kg_fuse_crh1": q_fuse_crh1,
         "kg_metrics_crh": functools.partial(q_pipeline_metrics, model="CRH"),
         "q1_pricing_summary": q1_pricing_summary,
@@ -629,6 +675,73 @@ w AS (SELECT source,
              CASE WHEN r > 0 AND t > 0 THEN -ln(r / t) ELSE 0.0 END
                AS weight
       FROM rtn, tot)"""
+
+
+def _tf1_cte(cache: str) -> str:
+    """Shared SQL CTEs: one exact TruthFinder round — uniform initial tau
+    = −ln(0.1) = ln(10); per distinct value tmp = (1−rho)·sigma +
+    rho·Σ sim·sigma' (strings: exp(−jaro), diagonal EXCLUDED; numeric
+    quantities: exp(−|Δ|), diagonal INCLUDED; unparsed quantities: sigma
+    alone); per-claim s = σ(gamma·tmp); per-source trust t = avg(s) →
+    tau₁ = −ln(1−t).  Over the single-value projection (see ``_tf1``),
+    mirrors fuse/truthfinder.py with rho=0.5, gamma=0.3."""
+    return f"""
+{_claims_cte(cache)},
+cl AS (SELECT * FROM claims WHERE value_str IS NOT NULL),
+d AS (SELECT DISTINCT entity, attr, source, value_str, value_num,
+             value_type FROM cl),
+sv AS (SELECT entity, attr, source FROM d GROUP BY 1, 2, 3
+       HAVING count(DISTINCT value_str) = 1),
+f AS (SELECT d.* FROM d JOIN sv USING (entity, attr, source)),
+fact AS (SELECT entity, attr, min(value_type) AS vtype,
+         bool_and(value_type = 'quantity'
+                  AND value_num IS NOT NULL) AS isnum
+         FROM f GROUP BY 1, 2),
+str_vals AS (SELECT f.entity, f.attr, f.value_str AS v, count(*) AS c
+       FROM f JOIN fact USING (entity, attr)
+       WHERE fact.vtype IN ('string','entity') GROUP BY 1, 2, 3),
+str_tmp AS (SELECT a.entity, a.attr, a.v,
+         0.5*a.c*ln(10) + 0.5*coalesce(sum(
+            exp(-(CASE WHEN a.v = '' AND b.v = '' THEN 1.0
+                       ELSE jaro_similarity(a.v, b.v) END))
+            * b.c * ln(10)), 0) AS tmp
+       FROM str_vals a LEFT JOIN str_vals b
+         ON a.entity = b.entity AND a.attr = b.attr AND a.v <> b.v
+       GROUP BY a.entity, a.attr, a.v, a.c),
+num_vals AS (SELECT f.entity, f.attr, f.value_num AS v, count(*) AS c
+       FROM f JOIN fact USING (entity, attr)
+       WHERE fact.isnum GROUP BY 1, 2, 3),
+num_tmp AS (SELECT a.entity, a.attr, a.v,
+         0.5*a.c*ln(10) + 0.5*sum(exp(-abs(a.v - b.v)) * b.c * ln(10))
+           AS tmp
+       FROM num_vals a JOIN num_vals b
+         ON a.entity = b.entity AND a.attr = b.attr
+       GROUP BY a.entity, a.attr, a.v, a.c),
+qc_tmp AS (SELECT f.entity, f.attr, f.value_str AS v,
+           count(*)*ln(10) AS tmp
+       FROM f JOIN fact USING (entity, attr)
+       WHERE fact.vtype = 'quantity' AND NOT fact.isnum GROUP BY 1, 2, 3),
+s_str AS (SELECT f.source, 1.0/(1.0+exp(-0.3*t.tmp)) AS s
+       FROM f JOIN fact USING (entity, attr)
+       JOIN str_tmp t ON t.entity = f.entity AND t.attr = f.attr
+                     AND t.v = f.value_str
+       WHERE fact.vtype IN ('string','entity')),
+s_num AS (SELECT f.source, 1.0/(1.0+exp(-0.3*t.tmp)) AS s
+       FROM f JOIN fact USING (entity, attr)
+       JOIN num_tmp t ON t.entity = f.entity AND t.attr = f.attr
+                     AND t.v = f.value_num
+       WHERE fact.isnum),
+s_qc AS (SELECT f.source, 1.0/(1.0+exp(-0.3*t.tmp)) AS s
+       FROM f JOIN fact USING (entity, attr)
+       JOIN qc_tmp t ON t.entity = f.entity AND t.attr = f.attr
+                    AND t.v = f.value_str
+       WHERE fact.vtype = 'quantity' AND NOT fact.isnum),
+sall AS (SELECT * FROM s_str UNION ALL SELECT * FROM s_num
+         UNION ALL SELECT * FROM s_qc),
+tsrc AS (SELECT source, avg(s) AS t FROM sall GROUP BY source),
+w AS (SELECT source,
+             CASE WHEN t >= 1 THEN ln(1e10) ELSE -ln(1-t) END AS weight
+      FROM tsrc)"""
 
 
 _ROLLING_PW = ", ".join(
@@ -823,6 +936,13 @@ WITH {_crh1_cte(cache)}
 SELECT source, round(weight, 6) AS weight FROM w""",
         "kg_top_sources_crh1": f"""
 WITH {_crh1_cte(cache)}
+SELECT source, round(weight, 6) AS weight FROM w
+ORDER BY round(weight, 6) DESC, source LIMIT 10""",
+        "kg_weights_tf1": f"""
+WITH {_tf1_cte(cache)}
+SELECT source, round(weight, 6) AS weight FROM w""",
+        "kg_top_sources_tf1": f"""
+WITH {_tf1_cte(cache)}
 SELECT source, round(weight, 6) AS weight FROM w
 ORDER BY round(weight, 6) DESC, source LIMIT 10""",
         "kg_fuse_crh1": f"""
