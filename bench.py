@@ -35,12 +35,9 @@ def _run_kg_only(sf_dir: str, num_cpus: int) -> dict:
 
     data_dir = synth.generate(sf_dir)
     t0 = time.perf_counter()
-    # fixed-size extract pool: autoscaler ramp-up is nondeterministic and
-    # adds run-to-run variance at small CPU counts.  Size so the 0.75-CPU
-    # actors always leave ≥1 CPU for the read tasks (2-CPU deadlock guard).
-    pool = max(1, int((num_cpus - 1) / 0.75))
-    claims = build_claims(data_dir,
-                          concurrency=(pool, pool)).materialize()
+    # extract+link runs on the warm task pool (per-process memoized state,
+    # stages/link.py::_extract_link_batch) — no actor spin-up to size
+    claims = build_claims(data_dir).materialize()
     session = FusionSession(claims=claims)
     try:
         triples, _ = session.run(make_model("CRH"))
@@ -54,6 +51,30 @@ def _run_kg_only(sf_dir: str, num_cpus: int) -> dict:
            "triples_per_sec": round(n / secs, 1)}
     ray.shutdown()
     return out
+
+
+def _cpu_probe(n_procs: int) -> float:
+    """Measured work-units/sec this host ACTUALLY delivers at ``n_procs``
+    concurrency (fixed numpy kernel per process).  The sandbox shares its
+    physical cores with other tenants, so the nominal 8→32 CPU step often
+    yields far less than 4× hardware — this probe, run in the same ambient
+    window as each scaling leg, measures that ceiling so the pipeline's
+    efficiency can be reported both raw and normalized to it."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def _work(_):
+        a = np.arange(1_000_000, dtype=np.float64)
+        x = 0.0
+        for _i in range(30):
+            x += float(np.sin(a).sum())
+        return x
+
+    t0 = time.perf_counter()
+    with mp.Pool(n_procs) as p:
+        p.map(_work, range(n_procs))
+    return round(n_procs / (time.perf_counter() - t0), 2)
 
 
 def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
@@ -157,6 +178,7 @@ def main():
                                     "/root/testdata/sf0.2")
         results = {}
         for cpus in (2, 8, 32, 2, 8, 32):
+            probe = _cpu_probe(cpus)  # hardware ceiling, same ambient window
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus),
                        GRAFT_SF_DIR=scaling_sf)
             out = subprocess.run(
@@ -164,18 +186,30 @@ def main():
                  "--_kg_single"],
                 env=env, capture_output=True, text=True, check=True)
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            r["cpu_probe"] = probe
             if cpus not in results or r["kg_secs"] < results[cpus]["kg_secs"]:
                 results[cpus] = r
         tp = {c: results[c]["triples_per_sec"] for c in results}
+        probes = {c: results[c]["cpu_probe"] for c in results}
+
+        def eff(lo, hi):
+            return round((tp[hi] / tp[lo]) / 4, 3)
+
+        def hw_eff(lo, hi):
+            # pipeline speedup normalized by what the shared host's
+            # hardware itself delivered for the same concurrency step
+            hw = probes[hi] / probes[lo]
+            return round((tp[hi] / tp[lo]) / hw, 3) if hw > 0 else None
+
         print(json.dumps({
             "metric": "kg pipeline throughput scaling efficiency (N→4N)",
-            "value": round((tp[8] / tp[2]) / 4, 3),
+            "value": eff(2, 8),
             "unit": "efficiency",
             "sf": os.path.basename(scaling_sf.rstrip("/")),
-            "pairs": {
-                "2→8": round((tp[8] / tp[2]) / 4, 3),
-                "8→32": round((tp[32] / tp[8]) / 4, 3),
-            },
+            "pairs": {"2→8": eff(2, 8), "8→32": eff(8, 32)},
+            "pairs_vs_hw_ceiling": {"2→8": hw_eff(2, 8),
+                                    "8→32": hw_eff(8, 32)},
+            "cpu_probe_units_per_sec": probes,
             "throughput_triples_per_sec": tp,
             "kg_secs": {c: results[c]["kg_secs"] for c in results},
             "triples": results[8]["triples"],
