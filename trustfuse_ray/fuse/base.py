@@ -389,7 +389,16 @@ def _make_split_task():
 
         @ray.remote
         def split_claims_block(tbl, n_parts, dedup):
-            return _split_claims_block(tbl, n_parts, dedup)
+            pieces = _split_claims_block(tbl, n_parts, dedup)
+            if n_parts == 1:
+                pieces = (pieces,)
+            # ray.put each piece into PLASMA explicitly.  Returned via
+            # num_returns they would be "small" objects living in the
+            # DRIVER's in-process store, and the n_blocks × n_actors piece
+            # fetches would all serialize through the driver's RPC thread —
+            # measured ~16 s of the pack exchange at 64×32.  Plasma-put
+            # pieces are fetched straight from shared memory.
+            return [ray.put(p) for p in pieces]
 
         _SPLIT_TASK = split_claims_block
     return _SPLIT_TASK
@@ -527,11 +536,10 @@ class FusionSession:
                 refs = claims.to_arrow_refs()
                 n_actors = max(1, n_cpus)
                 split = _make_split_task()
-                piece_refs = [
-                    split.options(num_returns=n_actors).remote(
-                        r, n_actors, dedup_claims) for r in refs]
-                if n_actors == 1:
-                    piece_refs = [[p] for p in piece_refs]
+                # each split task plasma-puts its pieces and returns the
+                # (tiny) ref list; the driver only relays refs, never data
+                piece_refs = ray.get([
+                    split.remote(r, n_actors, dedup_claims) for r in refs])
                 self.actors = warm[:n_actors]
                 for a in warm[n_actors:]:
                     ray.kill(a)
