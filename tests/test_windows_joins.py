@@ -86,3 +86,27 @@ def test_connected_components_chain_and_clique():
               for r in connected_components(edges).take_all()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1,
                       10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_property_graph_edges_and_networkx():
+    import pyarrow as pa
+    from trustfuse_ray.stages.graph import property_graph_edges, to_networkx
+
+    triples = rd.from_arrow(pa.table({
+        "entity": ["Paris", "Paris", "Lyon"],
+        "attr": ["country", "population", "country"],
+        "value_str": ["France", None, "France"],
+        "value_num": [None, 2.1e6, None],
+    }))
+    edges = property_graph_edges(triples).to_pandas()
+    assert len(edges) == 6  # 2 layers x 3 triples
+    l1 = edges[edges.layer == 1]
+    assert set(l1.src) == {"Paris", "Lyon"}
+    assert "Paris#country" in set(l1.dst_str)
+    l2 = edges[edges.layer == 2]
+    pop = l2[l2.src == "Paris#population"].iloc[0]
+    assert pop.dst_num == 2.1e6 and pop.dst_str is None
+    g = to_networkx(pa.Table.from_pandas(edges))
+    # entity -> attr-node -> value chain exists
+    assert g.has_edge("Paris", "Paris#country")
+    assert g.has_edge("Paris#country", "France")

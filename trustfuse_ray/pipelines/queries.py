@@ -108,6 +108,14 @@ def q_fuse_voting_sqlable(sf_dir: str):
     return triples.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_property_graph(sf_dir: str):
+    """Voting-fused triples → property-graph edge table (the reference's
+    visualization graph build, minus the pyvis rendering)."""
+    from trustfuse_ray.stages.graph import property_graph_edges
+
+    return property_graph_edges(q_fuse_voting_sqlable(sf_dir))
+
+
 def q_voting_salted(sf_dir: str):
     from trustfuse_ray.fuse.voting import salted_categorical_voting
 
@@ -550,6 +558,7 @@ def queries_map():
         "kg_dedup_claims": q_dedup_claims,
         "kg_fuse_voting": q_fuse_voting_sqlable,
         "kg_voting_salted": q_voting_salted,
+        "kg_property_graph": q_property_graph,
         "kg_fuse_crh": functools.partial(q_fuse, model="CRH"),
         "kg_fuse_truthfinder": functools.partial(q_fuse, model="TruthFinder"),
         "kg_fuse_accu": functools.partial(q_fuse, model="ACCU"),
@@ -804,6 +813,40 @@ SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str,
        median(value_num) AS value_num
 FROM dedup WHERE value_type = 'quantity'
 GROUP BY 1, 2""",
+        "kg_property_graph": f"""
+WITH {_claims_cte(cache)},
+dedup AS (
+  SELECT DISTINCT source, entity, attr, value_str, value_num, value_type
+  FROM claims
+),
+cat AS (
+  SELECT entity, attr, value_str, count(*) AS c
+  FROM dedup WHERE value_type <> 'quantity'
+  GROUP BY 1, 2, 3
+),
+catw AS (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM cat
+),
+fused AS (
+  SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num
+  FROM catw WHERE rn = 1
+  UNION ALL
+  SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str,
+         median(value_num) AS value_num
+  FROM dedup WHERE value_type = 'quantity'
+  GROUP BY 1, 2
+)
+SELECT entity AS src, entity || '#' || attr AS dst_str,
+       CAST(NULL AS DOUBLE) AS dst_num, attr AS attribute,
+       CAST(1 AS INT) AS layer
+FROM fused
+UNION ALL
+SELECT entity || '#' || attr AS src, value_str AS dst_str,
+       value_num AS dst_num, attr AS attribute, CAST(2 AS INT) AS layer
+FROM fused""",
         "kg_voting_salted": f"""
 WITH {_claims_cte(cache)},
 ded AS (

@@ -110,3 +110,56 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
         prev_sum = cur_sum
     return (state.filter(expr="kind == 1")
             .select_columns(["node", "label"]))
+
+
+def property_graph_edges(triples, entity_col: str = "entity",
+                         attr_col: str = "attr"):
+    """Fused triples → property-graph edge table, the data-processing half
+    of the reference's ``visualization.visualize``
+    (`/root/reference/trustfuse/visualization/visualization.py:80-126`):
+    entity node → per-(entity, attribute) intermediate node → value node.
+
+    Deviation (documented): node ids are deterministic strings (``entity``,
+    ``entity + '#' + attr``, the value itself) instead of the reference's
+    enumeration-order integer concat, which depends on Python set iteration
+    order.  Pure map over the triple stream — no shuffle, no driver-side
+    graph object; rendering (networkx/pyvis) stays a small-result,
+    driver-side option (`to_networkx`)."""
+    import pyarrow.compute as pc
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ent = batch[entity_col].cast(pa.string())
+        attr = batch[attr_col].cast(pa.string())
+        anode = pc.binary_join_element_wise(ent, attr, "#")
+        layer1 = pa.table({
+            "src": ent, "dst_str": anode,
+            "dst_num": pa.nulls(n, pa.float64()),
+            "attribute": attr,
+            "layer": pa.array(np.full(n, 1, dtype=np.int32)),
+        })
+        layer2 = pa.table({
+            "src": anode, "dst_str": batch["value_str"],
+            "dst_num": batch["value_num"],
+            "attribute": attr,
+            "layer": pa.array(np.full(n, 2, dtype=np.int32)),
+        })
+        return pa.concat_tables([layer1, layer2])
+
+    return triples.map_batches(_edges, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+
+def to_networkx(edges: pa.Table):
+    """Small-result driver-side graph build (import-gated): mirrors the
+    reference's nx.DiGraph assembly for rendering/inspection.  pyvis HTML
+    rendering is out of scope in this environment (module absent)."""
+    import networkx as nx
+
+    g = nx.DiGraph()
+    for row in edges.to_pylist():
+        dst = (row["dst_str"] if row["dst_str"] is not None
+               else repr(row["dst_num"]))
+        g.add_edge(row["src"], dst, attribute=row["attribute"],
+                   layer=row["layer"])
+    return g
