@@ -31,7 +31,7 @@ def main():
 
     t0 = time.perf_counter()
     claims = build_claims(data_dir).materialize()
-    sections.append(("extract + link + canonicalize (fused actor pool)",
+    sections.append(("extract + link + canonicalize (fused warm-task pool)",
                      time.perf_counter() - t0, claims.stats()))
 
     t0 = time.perf_counter()
