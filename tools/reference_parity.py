@@ -95,24 +95,27 @@ def _stub_reference_deps():
     tab.tabulate = lambda *a, **kw: ""
     sys.modules.setdefault("tabulate", tab)
 
-    nx = types.ModuleType("networkx")
+    try:
+        import networkx  # noqa: F401 — real module present; use it
+    except ModuleNotFoundError:
+        nx = types.ModuleType("networkx")
 
-    class DiGraph:  # only used by DynamicDataset partial orders
-        def __init__(self, *a, **kw):
-            self._node = {}
-            self._edges = []
+        class DiGraph:  # only used by DynamicDataset partial orders
+            def __init__(self, *a, **kw):
+                self._node = {}
+                self._edges = []
 
-        def add_node(self, nid, **attrs):
-            self._node[nid] = attrs
+            def add_node(self, nid, **attrs):
+                self._node[nid] = attrs
 
-        def add_edges_from(self, edges, **kw):
-            self._edges.extend(edges)
+            def add_edges_from(self, edges, **kw):
+                self._edges.extend(edges)
 
-        def __contains__(self, nid):
-            return nid in self._node
+            def __contains__(self, nid):
+                return nid in self._node
 
-    nx.DiGraph = DiGraph
-    sys.modules.setdefault("networkx", nx)
+        nx.DiGraph = DiGraph
+        sys.modules.setdefault("networkx", nx)
 
     pyvis = types.ModuleType("pyvis")
     pyvis_net = types.ModuleType("pyvis.network")

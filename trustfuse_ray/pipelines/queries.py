@@ -242,6 +242,41 @@ def q_fuse_crh1(sf_dir: str):
     return triples.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_metrics_crh1(sf_dir: str):
+    """Per-attribute precision/recall/F1/completion of ONE-round CRH over
+    the categorical attributes vs the synthetic golden truth — puts the
+    §2.6 evaluation operators (tuple set semantics, fp==0→p=1 quirk,
+    completion rate) under the driver's SQL oracle gate.  Categorical only:
+    quantity truths are _fmt_num-formatted floats whose shortest-repr
+    serialization is not portable to SQL (this corpus has no unparsed
+    quantities, so value_type <> 'quantity' ≡ NOT fact.isnum)."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray import evaluation
+
+    def _cat(ds):
+        return ds.map_batches(
+            lambda b: b.filter(pc.invert(pc.equal(b["value_type"],
+                                                  "quantity"))),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    data_dir = synth.generate(sf_dir)
+    triples, _ = _crh1(sf_dir)
+    claims = _single_value_claims(cached_claims(sf_dir))
+    gt = ray.data.read_parquet(os.path.join(data_dir, "truth.parquet"))
+    m = evaluation.get_metrics(_cat(triples), _cat(gt), _cat(claims))
+    rows = [(attr, round(a["p"], 6), round(a["r"], 6),
+             round(a["f1_score"], 6), round(a["c_rate"], 6))
+            for attr, a in sorted(m["buckets"][0]["attributes"].items())]
+    return pa.table({
+        "attr": pa.array([r[0] for r in rows], pa.string()),
+        "p": pa.array([r[1] for r in rows], pa.float64()),
+        "r": pa.array([r[2] for r in rows], pa.float64()),
+        "f1": pa.array([r[3] for r in rows], pa.float64()),
+        "c_rate": pa.array([r[4] for r in rows], pa.float64()),
+    })
+
+
 _TF1_CACHE: dict[str, tuple] = {}
 
 
@@ -575,6 +610,7 @@ def queries_map():
         "kg_top_sources_tf1": q_top_sources_tf1,
         "kg_fuse_crh1": q_fuse_crh1,
         "kg_metrics_crh": functools.partial(q_pipeline_metrics, model="CRH"),
+        "kg_metrics_crh1": q_metrics_crh1,
         "q1_pricing_summary": q1_pricing_summary,
         "top_customers": q_top_customers,
         "events_sessionize": q_events_sessionize,
@@ -981,6 +1017,53 @@ SELECT source, round(weight, 6) AS weight FROM w""",
 WITH {_crh1_cte(cache)}
 SELECT source, round(weight, 6) AS weight FROM w
 ORDER BY round(weight, 6) DESC, source LIMIT 10""",
+        "kg_metrics_crh1": f"""
+WITH {_crh1_cte(cache)},
+fw AS (SELECT f.*, w.weight FROM f JOIN w USING (source)),
+catsc AS (
+  SELECT fw.entity, fw.attr, fw.value_str, sum(fw.weight) AS sc
+  FROM fw JOIN fact fa USING (entity, attr)
+  WHERE NOT fa.isnum GROUP BY 1, 2, 3),
+cat1 AS (SELECT entity, attr, value_str FROM (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY sc DESC, value_str ASC) AS rn
+  FROM catsc) WHERE rn = 1),
+gt AS (SELECT entity, attr, value_str
+       FROM read_parquet('{cache}/truth.parquet')
+       WHERE value_type <> 'quantity' AND value_str IS NOT NULL),
+gtents AS (SELECT DISTINCT entity FROM gt),
+it AS (SELECT c1.entity, c1.attr, c1.value_str
+       FROM cat1 c1 JOIN gtents USING (entity)),
+dpp AS (SELECT DISTINCT f.entity, f.attr, f.value_str
+        FROM f JOIN gtents USING (entity)
+        JOIN fact fa USING (entity, attr) WHERE NOT fa.isnum),
+flags AS (
+  SELECT entity, attr, value_str,
+         max(g) AS g, max(i) AS i, max(d) AS d
+  FROM (SELECT entity, attr, value_str, 1 AS g, 0 AS i, 0 AS d FROM gt
+        UNION ALL
+        SELECT entity, attr, value_str, 0, 1, 0 FROM it
+        UNION ALL
+        SELECT entity, attr, value_str, 0, 0, 1 FROM dpp)
+  GROUP BY 1, 2, 3),
+cnt AS (SELECT attr,
+        sum(g*i) AS tp, sum(i*(1-g)) AS fp,
+        sum(d*(1-g)*(1-i)) AS tn, sum(d*(1-i)*g) AS fn,
+        sum(g) AS gt_n, sum(g*i) AS hit
+        FROM flags GROUP BY attr),
+met AS (SELECT attr,
+        CASE WHEN fp = 0 THEN 1.0
+             ELSE tp / CAST(tp + fp AS DOUBLE) END AS p,
+        CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE)
+             ELSE 0.0 END AS r,
+        CASE WHEN gt_n > 0 THEN hit / CAST(gt_n AS DOUBLE)
+             ELSE 0.0 END AS c_rate
+        FROM cnt)
+SELECT attr, round(p, 6) AS p, round(r, 6) AS r,
+       round(CASE WHEN r + p > 0 THEN 2*r*p/(r+p) ELSE 0.0 END, 6) AS f1,
+       round(c_rate, 6) AS c_rate
+FROM met""",
         "kg_weights_tf1": f"""
 WITH {_tf1_cte(cache)}
 SELECT source, round(weight, 6) AS weight FROM w""",
