@@ -538,6 +538,34 @@ def q_multimodal_features(sf_dir: str):
     return extract_media_features(media, batch_size=128)
 
 
+def q_multimodal_features_long(sf_dir: str):
+    """Fake-codec features in oracle-comparable long form: one row per
+    (media_id, dim_idx) carrying the QUANTIZED uint16 feature (no float
+    division — integers hash identically on both sides).  The SQL oracle
+    recomputes the md5 chain per document."""
+    from trustfuse_ray.stages.multimodal import (DecoderPool,
+                                                 synth_media_from_docs)
+
+    media = synth_media_from_docs(_tbl(sf_dir, "documents"))
+
+    class _Long(DecoderPool):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["media_id"], dtype=np.int64)
+            qs = np.stack([self._decode_raw(p)
+                           for p in batch["payload"].to_pylist()])
+            n, d = qs.shape
+            return pa.table({
+                "media_id": pa.array(np.repeat(ids, d)),
+                "dim_idx": pa.array(np.tile(np.arange(d, dtype=np.int32),
+                                            n)),
+                "q": pa.array(qs.ravel().astype(np.int32)),
+            })
+
+    return media.map_batches(_Long, batch_format="pyarrow",
+                             zero_copy_batch=True, batch_size=128,
+                             concurrency=(1, 4))
+
+
 def q_multimodal_frames(sf_dir: str):
     """Frame sampling over opaque media payloads (video decode analog):
     the Ray-side plumbing (binary schema, flat_map row expansion) is real;
@@ -633,6 +661,7 @@ def queries_map():
         "embedding_near_pairs": q_embedding_near_pairs,
         "kg_top_sources": q_top_sources,
         "multimodal_features": q_multimodal_features,
+        "multimodal_features_long": q_multimodal_features_long,
         "multimodal_frames": q_multimodal_frames,
         "kg_bucketize_claims": q_bucketize_claims,
     }
@@ -918,6 +947,17 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue DESC
 LIMIT 10""",
+        "multimodal_features_long": r"""
+WITH m AS (SELECT doc_id AS media_id, coalesce(text,'') AS t
+           FROM documents),
+h AS (SELECT media_id, md5('0' || t) || md5('1' || t) AS hx FROM m),
+hexmap AS (SELECT CAST(i AS INT) AS v, printf('%02x', i) AS hh
+           FROM range(0, 256) r(i))
+SELECT h.media_id, CAST(i AS INT) AS dim_idx,
+       lo.v + 256 * hi.v AS q
+FROM h, range(0, 16) r(i)
+JOIN hexmap lo ON lo.hh = substr(h.hx, CAST(4*i+1 AS INT), 2)
+JOIN hexmap hi ON hi.hh = substr(h.hx, CAST(4*i+3 AS INT), 2)""",
         "multimodal_frames": r"""
 WITH m AS (
   SELECT doc_id AS media_id, coalesce(text,'') AS t,

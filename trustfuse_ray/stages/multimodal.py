@@ -72,17 +72,25 @@ class DecoderPool:
         # once-per-actor setup (stands in for model/codec load)
         self._proj_seed = 1234567
 
-    def _decode(self, payload: bytes) -> np.ndarray:
+    def _decode_raw(self, payload: bytes) -> np.ndarray:
+        """Quantized (uint16) pseudo-features from an md5 chain over the
+        body — md5 (not blake2b) so the driver's DuckDB oracle can recompute
+        the exact values in SQL (`multimodal_features_long`)."""
         if self.codec == "real":
             raise NotImplementedError(
                 "real image/audio decode requires codec libraries not "
                 "present in this environment; use codec='fake'")
         tag, w, h = struct.unpack("<4sII", payload[:12])
         body = payload[12:]
-        # deterministic pseudo-features from a content digest
-        dg = hashlib.blake2b(body, digest_size=self.dim * 2).digest()
-        feats = np.frombuffer(dg, dtype=np.uint16).astype(np.float32)
-        return feats / 65535.0
+        dg = b""
+        i = 0
+        while len(dg) < self.dim * 2:
+            dg += hashlib.md5(str(i).encode() + body).digest()
+            i += 1
+        return np.frombuffer(dg[:self.dim * 2], dtype="<u2")
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        return self._decode_raw(payload).astype(np.float32) / 65535.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
