@@ -674,7 +674,8 @@ def _claims_cte(cache: str) -> str:
     elist = ", ".join(f"'{a}'" for a in ENTITY_ATTRS)
     return f"""
 z AS (
-  SELECT conv_id, turn_idx, role || ':' || coalesce(tool,'') AS source,
+  SELECT conv_id, turn_idx, ts,
+         role || ':' || coalesce(tool,'') AS source,
          unnest(list_zip(
            regexp_extract_all(text, '{SQL_PAT}', 1),
            regexp_extract_all(text, '{SQL_PAT}', 2),
@@ -683,12 +684,12 @@ z AS (
   WHERE role IN ('assistant','tool')
 ),
 mz AS (
-  SELECT conv_id, turn_idx, source, m[2] AS mention, m[1] AS attr,
+  SELECT conv_id, turn_idx, ts, source, m[2] AS mention, m[1] AS attr,
          m[3] AS raw_value
   FROM z
 ),
 claims AS (
-  SELECT mz.conv_id, mz.turn_idx, mz.source,
+  SELECT mz.conv_id, mz.turn_idx, mz.ts, mz.source,
          coalesce(al.entity, trim(mz.mention)) AS entity,
          mz.attr,
          CASE WHEN mz.attr IN ({qlist})
@@ -947,6 +948,48 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue DESC
 LIMIT 10""",
+        "kg_bucketize_claims": f"""
+WITH RECURSIVE {_claims_cte(cache)},
+ordered AS (
+  SELECT entity, source, attr, epoch_us(ts) AS tus,
+         row_number() OVER (PARTITION BY entity
+                            ORDER BY ts, source, attr) AS rn
+  FROM claims
+),
+rec AS (
+  -- exact replay of the reference bucket-closing rule
+  -- (generate_buckets.py:171-242 semantics; windows.py::_bucketize_group):
+  -- per entity walk rows in (ts, source, attr) order carrying
+  -- (bucket, open_ts, seen[(source,attr)→last ts]) as recursive state
+  SELECT entity, rn, 0 AS cur, tus AS open_ts,
+         [{{'s': source, 'a': attr, 't': tus}}] AS seen,
+         0 AS bucket
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.entity, o.rn,
+         r.cur + CASE WHEN cl THEN 1 ELSE 0 END,
+         CASE WHEN cl THEN o.tus ELSE r.open_ts END,
+         CASE WHEN cl THEN [{{'s': o.source, 'a': o.attr, 't': o.tus}}]
+              ELSE list_append(
+                list_filter(r.seen,
+                            x -> NOT (x.s = o.source AND x.a = o.attr)),
+                {{'s': o.source, 'a': o.attr, 't': o.tus}}) END,
+         r.cur + CASE WHEN cl THEN 1 ELSE 0 END
+  FROM rec r
+  JOIN ordered o ON o.entity = r.entity AND o.rn = r.rn + 1,
+  LATERAL (
+    SELECT list_max(list_transform(
+             list_filter(r.seen,
+                         x -> x.s = o.source AND x.a = o.attr),
+             x -> x.t)) AS hit_ts) ht,
+  LATERAL (
+    SELECT (ht.hit_ts IS NOT NULL
+            AND NOT (o.tus - ht.hit_ts <= {int(0.01 * 86_400_000_000)})
+            AND o.tus - r.open_ts > {int(0.05 * 86_400_000_000)})
+           AS cl) c
+)
+SELECT entity, CAST(bucket AS INT) AS bucket_id_w, count(*) AS n_claims
+FROM rec GROUP BY 1, 2""",
         "multimodal_features_long": r"""
 WITH m AS (SELECT doc_id AS media_id, coalesce(text,'') AS t
            FROM documents),

@@ -64,7 +64,13 @@ def _bucketize_group(batch: pa.Table, *, entity_col: str, source_col: str,
     in the open bucket AND the elapsed time since the bucket opened exceeds
     ``delta`` — unless the re-assertion is the source correcting itself
     within the ``alpha`` grace window (update-in-place, no close)."""
-    order = pc.sort_indices(batch, sort_keys=[(ts_col, "ascending")])
+    # deterministic replay order: ts ties broken by (source, attr) — rows
+    # equal on all three are interchangeable for the rule's state, so this
+    # fixes the output without changing the semantics (and lets the DuckDB
+    # oracle reproduce the exact same scan)
+    order = pc.sort_indices(batch, sort_keys=[
+        (ts_col, "ascending"), (source_col, "ascending"),
+        (attr_col, "ascending")])
     batch = batch.take(order)
     ts = batch[ts_col].cast(pa.int64()).to_numpy()
     srcs = batch[source_col].to_pylist()
