@@ -79,7 +79,8 @@ def _add_part(batch: pa.Table, *, keys: list[str], n_parts: int) -> pa.Table:
 
 def _apply_groups(batch: pa.Table, *, keys: list[str], fn,
                   min_group_size: int = 1) -> pa.Table:
-    batch = batch.drop_columns(["__part"])
+    if "__part" in batch.column_names:
+        batch = batch.drop_columns(["__part"])
     order = pc.sort_indices(
         batch, sort_keys=[(k, "ascending") for k in keys])
     batch = batch.take(order)
@@ -118,3 +119,48 @@ def hash_group_apply(ds, keys: list[str], fn, n_parts: int = 64,
         functools.partial(_apply_groups, keys=keys, fn=fn,
                           min_group_size=min_group_size),
         batch_format="pyarrow")
+
+
+def plasma_exchange(inputs, fn, n_parts: int, part_col: str = "__p"):
+    """Hand-rolled hash exchange for PRE-PARTITIONED rows: ``inputs`` is a
+    list of Datasets whose rows already carry ``part_col`` in [0, n_parts);
+    returns a Dataset of ``fn(partition_table)`` outputs.
+
+    Ray Data's ``groupby`` runs a sample+sort exchange with ~1-2 s fixed
+    cost per call; when the partition id is already computed this two-wave
+    task exchange (split each block → ``ray.put`` pieces into plasma →
+    gather+apply per partition) does the same data movement with plain
+    tasks and no sort.  The pieces are plasma-put explicitly — small task
+    returns would live in the driver's in-process store and every gather
+    fetch would serialize through the driver (the pack-exchange lesson,
+    fuse/base.py::_make_split_task)."""
+    import ray
+    import ray.data as rd
+
+    @ray.remote
+    def _split(tbl: pa.Table):
+        import pyarrow.compute as pc_
+
+        order = pc_.sort_indices(tbl, sort_keys=[(part_col, "ascending")])
+        tbl = tbl.take(order)
+        parr = np.asarray(tbl[part_col], dtype=np.int64)
+        bounds = np.searchsorted(parr, np.arange(n_parts + 1))
+        return [ray.put(tbl.slice(bounds[i], bounds[i + 1] - bounds[i]))
+                for i in range(n_parts)]
+
+    @ray.remote
+    def _gather(piece_refs):
+        # every piece is a (possibly empty) slice carrying the full schema,
+        # so fn always sees a typed table and returns a typed result
+        tables = ray.get(list(piece_refs))
+        tbl = pa.concat_tables(
+            [t.cast(tables[0].schema) for t in tables])
+        return fn(tbl.drop_columns([part_col]))
+
+    block_refs = []
+    for ds in inputs:
+        block_refs.extend(ds.materialize().to_arrow_refs())
+    piece_lists = ray.get([_split.remote(r) for r in block_refs])
+    out_refs = [_gather.remote([pl[p] for pl in piece_lists])
+                for p in range(n_parts)]
+    return rd.from_arrow_refs(out_refs)

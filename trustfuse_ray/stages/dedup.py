@@ -141,7 +141,8 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def _band_rows(batch: pa.Table, *, bands: int, rows: int) -> pa.Table:
+def _band_rows(batch: pa.Table, *, bands: int, rows: int,
+               mask: int = 0) -> pa.Table:
     """(doc_id, band, band_hash) only — signatures do NOT ride the shuffle
     (they are broadcast once; ~640k x 300B rows would otherwise dominate).
     The band hash is a vectorized splitmix64 fold over the band's ``rows``
@@ -156,12 +157,13 @@ def _band_rows(batch: pa.Table, *, bands: int, rows: int) -> pa.Table:
         acc = _mix64(acc ^ sig[:, :, r].astype(np.uint64))
     doc_ids = np.repeat(np.asarray(batch["doc_id"], dtype=np.int64), bands)
     band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+    bh = (acc.ravel() & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
     return pa.table({
         "doc_id": pa.array(doc_ids),
         "band": pa.array(band_ids),
-        "band_hash": pa.array((acc.ravel()
-                               & np.uint64(0x7FFFFFFFFFFFFFFF))
-                              .astype(np.int64)),
+        "band_hash": pa.array(bh),
+        # partition id for the bucket exchange (band_hash is already mixed)
+        "__p": pa.array((bh & mask).astype(np.int32)),
     })
 
 
@@ -240,7 +242,9 @@ def _attach_a(g: pa.Table, *, mask: int) -> pa.Table:
     per shared band and its whole group lands here — no dedicated dedup
     shuffle) and attach sig_a from the partition-local signature rows; emit
     re-keyed on doc_b for the second pass."""
-    sig_rows, cand = _split_kinds(g.drop_columns(["__p"]))
+    if "__p" in g.column_names:
+        g = g.drop_columns(["__p"])
+    sig_rows, cand = _split_kinds(g)
     if not len(cand):
         z = np.array([], dtype=np.int64)
         return _pair_row_table(z, z, z, mask)
@@ -257,7 +261,9 @@ def _attach_b_verify(g: pa.Table, *, num_hashes: int,
     """Partition keyed by doc_b: attach sig_b and verify signature-Jaccard
     ≥ threshold, fully vectorized (fixed-width signatures reshape to a
     matrix)."""
-    sig_rows, cand = _split_kinds(g.drop_columns(["__p"]))
+    if "__p" in g.column_names:
+        g = g.drop_columns(["__p"])
+    sig_rows, cand = _split_kinds(g)
     n = len(cand)
     if not n:
         return pa.table({"doc_a": pa.array([], pa.int64()),
@@ -323,23 +329,33 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
         batch_format="pyarrow", zero_copy_batch=True
     ).repartition(xblocks).materialize()
     banded = sigs_x.map_batches(
-        functools.partial(_band_rows, bands=bands, rows=rows),
+        functools.partial(_band_rows, bands=bands, rows=rows, mask=mask),
         batch_format="pyarrow", zero_copy_batch=True)
-    cands = hash_group_apply(
-        banded, ["band", "band_hash"],
-        functools.partial(_bucket_cand_pairs, mask=mask), min_group_size=2,
-        n_parts=n_parts)
     sig_bin_ds = sigs_x.map_batches(
         functools.partial(_sig_bin, num_hashes=num_hashes, mask=mask),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
-    # each attach pass is a bare union → groupby(__p): rows arrive pre-keyed
-    # and pre-partitioned from their producing stages (no extra map stages,
-    # and the same materialized signature table serves both passes)
-    j = (cands.union(sig_bin_ds).groupby("__p").map_groups(
-        functools.partial(_attach_a, mask=mask), batch_format="pyarrow"))
-    return (j.union(sig_bin_ds).groupby("__p").map_groups(
+    # three hash exchanges (bucket → attach sig_a → attach sig_b + verify),
+    # all over PRE-PARTITIONED rows — run on the two-wave plasma exchange
+    # (plain tasks, no sort sampling): Ray's groupby sort exchange costs
+    # ~1-2 s fixed PER CALL, which dominated this pipeline at every scale
+    # where the band rows fit in memory
+    from trustfuse_ray.stages.common import _apply_groups, plasma_exchange
+
+    cands = plasma_exchange(
+        [banded],
+        functools.partial(_apply_groups, keys=["band", "band_hash"],
+                          fn=functools.partial(_bucket_cand_pairs,
+                                               mask=mask),
+                          min_group_size=2),
+        n_parts=n_parts)
+    j = plasma_exchange([cands, sig_bin_ds],
+                        functools.partial(_attach_a, mask=mask),
+                        n_parts=n_parts)
+    return plasma_exchange(
+        [j, sig_bin_ds],
         functools.partial(_attach_b_verify, num_hashes=num_hashes,
-                          threshold=threshold), batch_format="pyarrow"))
+                          threshold=threshold),
+        n_parts=n_parts)
 
 
 def minhash_cluster_labels(docs, **kw):

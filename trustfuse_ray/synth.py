@@ -255,11 +255,14 @@ def generate_documents(sf_dir: str, root: str = "/tmp/trustfuse_ray_data",
     word substitutions) of earlier docs.  Returns the parquet path."""
     out = cache_dir(sf_dir, root)
     os.makedirs(out, exist_ok=True)
-    path = os.path.join(out, "docs_synth.parquet")
+    # sharded directory (one row group per ~2.5k docs): a single-file,
+    # single-row-group corpus reads as ONE Ray block, serializing every
+    # downstream stage behind a repartition of the full text payload
+    path = os.path.join(out, "docs_synth")
     marker = os.path.join(out, "_DOCS_SUCCESS")
     if n_docs is None:
         n_docs = N_DOCS_BY_SF.get(sf_name(sf_dir), 1000)
-    stamp = f"seed={SEED} n_docs={n_docs} v1"
+    stamp = f"seed={SEED} n_docs={n_docs} v2-sharded"
     if os.path.exists(marker) and Path(marker).read_text() == stamp:
         return path
 
@@ -290,12 +293,18 @@ def generate_documents(sf_dir: str, root: str = "/tmp/trustfuse_ray_data",
             texts.append(" ".join(vocab[k] for k in idx))
             kind.append("original")
             dup_of.append(-1)
-    pq.write_table(pa.table({
+    tbl = pa.table({
         "doc_id": pa.array(range(n_docs), pa.int64()),
         "text": pa.array(texts, pa.string()),
         "kind": pa.array(kind, pa.string()),
         "dup_of": pa.array(dup_of, pa.int64()),
-    }), path)
+    })
+    os.makedirs(path, exist_ok=True)
+    shard = 2500
+    n_shards = max(1, -(-n_docs // shard))
+    for s in range(n_shards):
+        pq.write_table(tbl.slice(s * shard, shard),
+                       os.path.join(path, f"part-{s:05d}.parquet"))
     Path(marker).write_text(stamp)
     return path
 
