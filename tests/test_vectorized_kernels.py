@@ -1,0 +1,79 @@
+"""Batched shard kernels (fuse/vectorized.py) vs the per-fact accumulate
+loop: stats must agree to float-roundoff on mixed random facts with
+duplicate sources (the fancy-index collapse quirk) across several rounds.
+TruthFinder is expected bitwise-equal; CRH within 1e-12 (BLAS dgemv vs
+left-to-right segmented sums round differently on tied candidate rows,
+which never changes the winning value — asserted directly)."""
+
+import numpy as np
+
+from trustfuse_ray.fuse.base import Fact, N_CHANNELS, _batched_stats
+from trustfuse_ray.fuse.crh import CRH
+from trustfuse_ray.fuse.truthfinder import TruthFinder
+
+
+def _random_facts(seed=3, n=300, n_src=12):
+    rng = np.random.default_rng(seed)
+    facts = []
+    for i in range(n):
+        m = int(rng.integers(1, 8))
+        src = rng.integers(0, n_src, size=m).astype(np.int32)
+        if rng.random() < 0.5:
+            vals = rng.integers(0, 4, size=m).astype(np.float64)
+            vt = "quantity"
+        else:
+            vals = np.array([f"v{int(x)}" for x in
+                             rng.integers(0, 4, size=m)], dtype=object)
+            vt = "string" if rng.random() < 0.7 else "entity"
+        facts.append(Fact(0, f"e{i}", "a", vt, src, vals,
+                          np.arange(m, dtype=np.int64)))
+    return facts, n_src
+
+
+def _compare(Model, tol):
+    facts, n_src = _random_facts()
+    model = Model()
+    state = {0: model.initial_state([f"s{i}" for i in range(n_src)],
+                                    np.ones(n_src))}
+    cache = {}
+    for rnd in range(3):
+        out_loop = {0: np.zeros((N_CHANNELS, n_src))}
+        for f in facts:
+            model.accumulate(f, state[0], out_loop[0])
+        out_batch = _batched_stats(facts, model, state, {0: n_src}, cache)
+        assert out_batch is not None, "model lost its batched kernel"
+        assert np.abs(out_loop[0] - out_batch[0]).max() <= tol
+        state[0], _ = model.reduce(state[0], out_loop[0],
+                                   np.ones(n_src), rnd)
+
+
+def test_crh_batched_matches_loop():
+    _compare(CRH, 1e-12)
+
+
+def test_truthfinder_batched_matches_loop():
+    _compare(TruthFinder, 0.0)
+
+
+def test_crh_batched_winner_value_invariant():
+    """Candidate-row score ties only ever flip between rows claiming the
+    SAME value (identical loss rows), so truth emission is unaffected."""
+    from trustfuse_ray.fuse import vectorized as V
+
+    rng = np.random.default_rng(3)
+    facts, n_src = _random_facts()
+    nums = [f for f in facts if f.is_numeric]
+    model = CRH()
+    w = rng.random(n_src)
+    st = V.build_crh_batch(model, nums)
+    num = st["num"]
+    contrib = num["lossflat"] * w[num["colsrc"]]
+    scores = np.add.reduceat(contrib, num["row_starts"])
+    mn = np.minimum.reduceat(scores, num["fact_row_starts"])
+    jrow = V._seg_first_arg(mn, scores, num["fact_row_starts"],
+                            num["m_per_fact"], is_min=True)
+    j_batch = jrow - num["fact_row_starts"]
+    for fi, f in enumerate(nums):
+        _, _, lossmat, _ = model._prep(f)
+        j_loop = int(np.argmin(lossmat @ w[f.src_idx]))
+        assert f.values[j_loop] == f.values[j_batch[fi]]

@@ -235,6 +235,31 @@ def pack_facts(claims, numeric_only: bool = False, n_parts: int = 128,
         batch_format="pyarrow")
 
 
+def _batched_stats(facts, model, state, n_sources, cache: dict):
+    """Shard-level vectorized stats for models exposing a batched kernel
+    (fuse/vectorized.py); returns None → caller falls back to the per-fact
+    accumulate loop.  Structures are built once per (model hyperparams,
+    bucket) and reused across all rounds."""
+    if getattr(model, "build_batch", None) is None:
+        return None
+    key = model.batch_key()
+    structs = cache.get(key)
+    if structs is None:
+        by_bid: dict[int, list] = {}
+        for f in facts:
+            if model.numeric_only and not f.is_numeric:
+                continue
+            by_bid.setdefault(f.bucket_id, []).append(f)
+        structs = cache[key] = {bid: model.build_batch(fl)
+                                for bid, fl in by_bid.items()}
+    outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
+            for bid, n in n_sources.items()}
+    for bid, st in structs.items():
+        if st is not None:
+            model.accumulate_batch(st, state[bid], outs[bid])
+    return outs
+
+
 def iter_facts(batch: pa.Table, src_index: dict[int, dict[str, int]]
                ) -> Iterator[Fact]:
     """Packed rows → Fact structs, via ONE flat decode per column (list
@@ -421,6 +446,7 @@ def _make_fact_shard():
         def __init__(self, block_refs=None):
             self.tables = []
             self.facts: list[Fact] = []
+            self._vcache: dict = {}
             if block_refs is not None:
                 self.load(block_refs)
 
@@ -466,12 +492,17 @@ def _make_fact_shard():
 
         def parse(self, src_index) -> int:
             self.facts = []
+            self._vcache = {}
             for t in self.tables:
                 self.facts.extend(iter_facts(t, src_index))
             self.tables = []  # blocks no longer needed
             return len(self.facts)
 
         def stats(self, model, state, n_sources) -> dict:
+            outs = _batched_stats(self.facts, model, state, n_sources,
+                                  self._vcache)
+            if outs is not None:
+                return outs
             outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
                     for bid, n in n_sources.items()}
             for fact in self.facts:
@@ -645,13 +676,18 @@ class FusionSession:
             parts = ray.get([a.stats.remote(model, state, self.n_sources)
                              for a in self.actors])
         else:
-            outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
-                    for bid, n in self.n_sources.items()}
-            for fact in self._facts:
-                if model.numeric_only and not fact.is_numeric:
-                    continue
-                model.accumulate(fact, state[fact.bucket_id],
-                                 outs[fact.bucket_id])
+            if not hasattr(self, "_vcache"):
+                self._vcache = {}
+            outs = _batched_stats(self._facts, model, state,
+                                  self.n_sources, self._vcache)
+            if outs is None:
+                outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
+                        for bid, n in self.n_sources.items()}
+                for fact in self._facts:
+                    if model.numeric_only and not fact.is_numeric:
+                        continue
+                    model.accumulate(fact, state[fact.bucket_id],
+                                     outs[fact.bucket_id])
             parts = [outs]
         stats = {bid: np.zeros((N_CHANNELS, n))
                  for bid, n in self.n_sources.items()}

@@ -101,6 +101,20 @@ class CRH(FusionModel):
         # duplicate source indices COLLAPSE to the last occurrence
         out[0][fact.src_idx] = out[0][fact.src_idx] + loss
 
+    # -- batched shard kernel (fuse/vectorized.py) ------------------------
+    def batch_key(self):
+        return ("crh", self.eps)
+
+    def build_batch(self, facts):
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.build_crh_batch(self, facts)
+
+    def accumulate_batch(self, st, state, out):
+        from trustfuse_ray.fuse import vectorized as V
+
+        V.crh_accumulate_batch(self, st, state, out)
+
     def reduce(self, state, stats, counts, round_no):
         rtn = stats[0].copy()
         tmp = rtn.sum()

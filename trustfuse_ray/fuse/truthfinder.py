@@ -93,6 +93,20 @@ class TruthFinder(FusionModel):
         out[0][fact.src_idx] = out[0][fact.src_idx] + s
         out[1][fact.src_idx] = out[1][fact.src_idx] + 1.0
 
+    # -- batched shard kernel (fuse/vectorized.py) ------------------------
+    def batch_key(self):
+        return ("tf", self.base, self.rho, self.gamma)
+
+    def build_batch(self, facts):
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.build_tf_batch(self, facts)
+
+    def accumulate_batch(self, st, state, out):
+        from trustfuse_ray.fuse import vectorized as V
+
+        V.tf_accumulate_batch(self, st, state, out)
+
     def reduce(self, state, stats, counts, round_no):
         t = np.zeros_like(stats[0])
         mask = stats[1] > 0

@@ -1,0 +1,266 @@
+"""Shard-level batched accumulate kernels for the round-loop hot path.
+
+The per-round cost of the iterative models is ``model.accumulate`` called
+once per fact — ~40 µs of numpy small-array overhead per call, which at
+250k facts × 10 rounds dominates fusion wall time.  These kernels run ONE
+segmented-numpy pass per shard per round over flattened claim structures
+built once per (shard, model) and reused across all rounds.
+
+Faithfulness notes:
+* per-value-group score sums run over claims in their original claim order
+  within the group (stable sort), which is bitwise-identical to the per-fact
+  ``eq @ w`` dot (the interleaved zero terms of the dot change nothing);
+* argmax/argmin tie-breaks replicate numpy's first-occurrence rule via the
+  masked-minimum-index trick;
+* the reference's duplicate-source collapse (``out[idx] = out[idx] + v``
+  fancy-index assignment keeps the LAST claim of a source within a fact,
+  model.py:178-182) is reproduced exactly by a precomputed last-occurrence
+  mask + ``np.add.at``.
+
+Models opt in by defining ``build_batch(facts)`` → struct and
+``accumulate_batch(struct, state, out)``; shards fall back to the per-fact
+loop for everything else.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BIG = np.iinfo(np.int64).max
+
+
+def _keep_last_mask(claim_fact: np.ndarray, src_o: np.ndarray) -> np.ndarray:
+    """True for the LAST occurrence of each (fact, source) pair, in original
+    claim order."""
+    n = len(src_o)
+    keep = np.ones(n, dtype=bool)
+    if n > 1:
+        # a claim is NOT kept if a LATER claim in the same fact has the same
+        # source.  Stable sort by (fact, src); within each (fact, src) run
+        # only the last element survives.
+        order = np.lexsort((np.arange(n), src_o, claim_fact))
+        cf, so = claim_fact[order], src_o[order]
+        last_in_run = np.ones(n, dtype=bool)
+        same_next = (cf[:-1] == cf[1:]) & (so[:-1] == so[1:])
+        last_in_run[:-1] = ~same_next
+        keep[order] = last_in_run
+    return keep
+
+
+def _seg_first_arg(extreme_per_seg, values, seg_starts, counts, *,
+                   is_min: bool) -> np.ndarray:
+    """Index (global) of the FIRST element attaining the segment extreme —
+    numpy argmin/argmax first-occurrence semantics, segmented."""
+    rep = np.repeat(extreme_per_seg, counts)
+    hit = values == rep
+    cand = np.where(hit, np.arange(len(values), dtype=np.int64), _BIG)
+    return np.minimum.reduceat(cand, seg_starts)
+
+
+def build_cat_struct(facts, get_groups):
+    """Common builder for distinct-value-group models.
+
+    ``get_groups(fact)`` → (uniq_sorted, inv) for the fact.  Returns None if
+    ``facts`` is empty."""
+    if not facts:
+        return None
+    src_list, cf_list, vg_list = [], [], []
+    vg_counts = []          # value groups per fact
+    base = 0
+    for fi, fact in enumerate(facts):
+        uniq, inv = get_groups(fact)
+        m = len(fact.src_idx)
+        src_list.append(fact.src_idx.astype(np.int64))
+        cf_list.append(np.full(m, fi, dtype=np.int64))
+        vg_list.append(inv.astype(np.int64) + base)
+        vg_counts.append(len(uniq))
+        base += len(uniq)
+    src_o = np.concatenate(src_list)
+    claim_fact = np.concatenate(cf_list)
+    vg_o = np.concatenate(vg_list)
+    n_vg = base
+    perm = np.argsort(vg_o, kind="stable")
+    vg_sorted = vg_o[perm]
+    vg_starts = np.searchsorted(vg_sorted, np.arange(n_vg))
+    vg_counts = np.asarray(vg_counts, dtype=np.int64)
+    vgf_starts = np.concatenate(([0], np.cumsum(vg_counts)[:-1]))
+    return {
+        "src_o": src_o, "claim_fact": claim_fact, "vg_o": vg_o,
+        "perm": perm, "vg_starts": vg_starts,
+        "vgf_starts": vgf_starts, "vg_counts": vg_counts,
+        "keep": _keep_last_mask(claim_fact, src_o),
+        "n_vg": n_vg, "n_facts": len(facts),
+    }
+
+
+# ---------------------------------------------------------------------------
+# CRH
+# ---------------------------------------------------------------------------
+
+
+def build_crh_batch(model, facts):
+    """CRH per-shard structures: categorical facts (distinct-value groups +
+    init-mode group) and numeric facts (flattened candidate loss matrices +
+    init loss)."""
+    cats = [f for f in facts if not f.is_numeric]
+    nums = [f for f in facts if f.is_numeric]
+
+    def groups(fact):
+        prep = model._prep(fact)       # ("cat", mode, uniq, inv, eq)
+        return prep[2], prep[3]
+
+    cat = build_cat_struct(cats, groups)
+    if cat is not None:
+        mode_vg = np.empty(len(cats), dtype=np.int64)
+        for fi, fact in enumerate(cats):
+            _, mode, uniq, _inv, _eq = model._prep(fact)
+            mode_vg[fi] = cat["vgf_starts"][fi] + int(
+                np.searchsorted(uniq, mode))
+        cat["mode_vg"] = mode_vg
+
+    num = None
+    if nums:
+        src_list, cf_list, loss_list, colsrc_list, init_list = \
+            [], [], [], [], []
+        m_per_fact = []
+        for fi, fact in enumerate(nums):
+            _, med, lossmat, denom = model._prep(fact)
+            m = len(fact.src_idx)
+            src_list.append(fact.src_idx.astype(np.int64))
+            cf_list.append(np.full(m, fi, dtype=np.int64))
+            loss_list.append(lossmat.ravel())
+            colsrc_list.append(np.tile(fact.src_idx.astype(np.int64), m))
+            init_list.append(((fact.values - med) ** 2) / denom)
+            m_per_fact.append(m)
+        m_per_fact = np.asarray(m_per_fact, dtype=np.int64)
+        n_rows = int(m_per_fact.sum())
+        row_m = np.repeat(m_per_fact, m_per_fact)     # m of each row's fact
+        row_starts = np.concatenate(([0], np.cumsum(row_m)[:-1]))
+        fact_row_starts = np.concatenate(
+            ([0], np.cumsum(m_per_fact)[:-1]))
+        block_starts = np.concatenate(
+            ([0], np.cumsum(m_per_fact ** 2)[:-1]))
+        src_o = np.concatenate(src_list)
+        claim_fact = np.concatenate(cf_list)
+        claim_local = np.concatenate(
+            [np.arange(m, dtype=np.int64) for m in m_per_fact])
+        num = {
+            "src_o": src_o, "claim_fact": claim_fact,
+            "lossflat": np.concatenate(loss_list),
+            "colsrc": np.concatenate(colsrc_list),
+            "row_starts": row_starts,
+            "fact_row_starts": fact_row_starts,
+            "block_starts": block_starts,
+            "m_per_fact": m_per_fact,
+            "claim_local": claim_local,
+            "init_loss": np.concatenate(init_list),
+            "keep": _keep_last_mask(claim_fact, src_o),
+            "n_rows": n_rows,
+        }
+    return {"cat": cat, "num": num}
+
+
+def crh_accumulate_batch(model, st, state, out):
+    w = state["w"]
+    init = state["use_init_truth"]
+    cat = st["cat"]
+    if cat is not None:
+        if init:
+            j_claim = cat["mode_vg"][cat["claim_fact"]]
+        else:
+            wi = w[cat["src_o"][cat["perm"]]]
+            s_vg = np.add.reduceat(wi, cat["vg_starts"])
+            mx = np.maximum.reduceat(s_vg, cat["vgf_starts"])
+            j = _seg_first_arg(mx, s_vg, cat["vgf_starts"],
+                               cat["vg_counts"], is_min=False)
+            j_claim = j[cat["claim_fact"]]
+        loss = (cat["vg_o"] != j_claim).astype(np.float64)
+        k = cat["keep"]
+        np.add.at(out[0], cat["src_o"][k], loss[k])
+    num = st["num"]
+    if num is not None:
+        if init:
+            loss = num["init_loss"]
+        else:
+            contrib = num["lossflat"] * w[num["colsrc"]]
+            scores = np.add.reduceat(contrib, num["row_starts"])
+            mn = np.minimum.reduceat(scores, num["fact_row_starts"])
+            jrow = _seg_first_arg(mn, scores, num["fact_row_starts"],
+                                  num["m_per_fact"], is_min=True)
+            j_local = jrow - num["fact_row_starts"]
+            start = num["block_starts"] + j_local * num["m_per_fact"]
+            loss = num["lossflat"][start[num["claim_fact"]]
+                                   + num["claim_local"]]
+        k = num["keep"]
+        np.add.at(out[0], num["src_o"][k], loss[k])
+
+
+# ---------------------------------------------------------------------------
+# TruthFinder
+# ---------------------------------------------------------------------------
+
+
+def build_tf_batch(model, facts):
+    """TruthFinder per-shard structures: one value-group struct over ALL
+    facts plus flattened pairwise similarity blocks (rows = value groups)
+    for facts that have them (sim is None for declared-quantity facts whose
+    values failed numeric parse)."""
+    if not facts:
+        return None
+
+    def groups(fact):
+        eq, inv, _sim = model._prep(fact)
+        return np.arange(eq.shape[0]), inv   # only sizes matter here
+
+    st = build_cat_struct(list(facts), groups)
+    if st is None:
+        return None
+    # sim blocks: row-major per fact over its value groups
+    sim_list, colvg_list = [], []
+    has_sim = np.zeros(st["n_vg"], dtype=bool)
+    simrow_starts_list = []
+    pos = 0
+    for fi, fact in enumerate(facts):
+        _eq, _inv, sim = model._prep(fact)
+        mv = int(st["vg_counts"][fi])
+        base = int(st["vgf_starts"][fi])
+        if sim is not None and mv:
+            sim_list.append(sim.ravel())
+            colvg_list.append(np.tile(
+                np.arange(base, base + mv, dtype=np.int64), mv))
+            simrow_starts_list.append(
+                pos + np.arange(mv, dtype=np.int64) * mv)
+            has_sim[base:base + mv] = True
+            pos += mv * mv
+    st["has_sim"] = has_sim
+    if sim_list:
+        st["simflat"] = np.concatenate(sim_list)
+        st["colvg"] = np.concatenate(colvg_list)
+        st["simrow_starts"] = np.concatenate(simrow_starts_list)
+    else:
+        st["simflat"] = None
+    return st
+
+
+def tf_claim_scores_batch(model, st, tau):
+    """Per-claim s for the whole shard (one segmented pass) — the batched
+    form of TruthFinder._claim_scores."""
+    tau_perm = tau[st["src_o"][st["perm"]]]
+    sigma_vg = np.add.reduceat(tau_perm, st["vg_starts"]) \
+        if st["n_vg"] else np.zeros(0)
+    tmp = sigma_vg.copy()
+    if st["simflat"] is not None:
+        contrib = st["simflat"] * sigma_vg[st["colvg"]]
+        simsum = np.add.reduceat(contrib, st["simrow_starts"])
+        hs = st["has_sim"]
+        coef = 1.0 - model.rho * (1.0 - model.base)
+        tmp[hs] = coef * sigma_vg[hs] + model.rho * simsum
+    s_vg = 1.0 / (1.0 + np.exp(-model.gamma * tmp))
+    return s_vg[st["vg_o"]]
+
+
+def tf_accumulate_batch(model, st, state, out):
+    s_claim = tf_claim_scores_batch(model, st, state["tau"])
+    k = st["keep"]
+    np.add.at(out[0], st["src_o"][k], s_claim[k])
+    np.add.at(out[1], st["src_o"][k], 1.0)
