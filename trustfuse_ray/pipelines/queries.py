@@ -358,7 +358,7 @@ def q1_pricing_summary(sf_dir: str):
                 pc.multiply(col, pa.scalar(float(Q1_SCALE))),
                 round_mode="half_towards_infinity"), pa.int64())
 
-        return pa.table({
+        t = pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
             "qty_fx": fx(batch["l_quantity"]),
@@ -366,6 +366,14 @@ def q1_pricing_summary(sf_dir: str):
             "disc_fx": fx(disc),
             "charge_fx": fx(charge),
         })
+        # map-side partial combine (exact: fixed-point ints) — the wide
+        # exchange carries ≤ #groups rows per block, not #lineitems
+        g = pa.TableGroupBy(
+            t, ["l_returnflag", "l_linestatus"], use_threads=False
+        ).aggregate([("qty_fx", "sum"), ("price_fx", "sum"),
+                     ("disc_fx", "sum"), ("charge_fx", "sum")])
+        return g.rename_columns(
+            [c.removesuffix("_sum") for c in g.column_names])
 
     agg = (li.map_batches(_derive, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
