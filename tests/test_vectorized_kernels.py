@@ -77,3 +77,39 @@ def test_crh_batched_winner_value_invariant():
         _, _, lossmat, _ = model._prep(f)
         j_loop = int(np.argmin(lossmat @ w[f.src_idx]))
         assert f.values[j_loop] == f.values[j_batch[fi]]
+
+
+def _numeric_facts(seed=5, n=250, n_src=10):
+    rng = np.random.default_rng(seed)
+    facts = []
+    for i in range(n):
+        m = int(rng.integers(1, 8))
+        src = rng.integers(0, n_src, size=m).astype(np.int32)
+        vals = (rng.integers(0, 5, size=m).astype(np.float64)
+                + rng.random(m).round(2))
+        facts.append(Fact(0, f"e{i}", "a", "quantity", src, vals,
+                          np.arange(m, dtype=np.int64)))
+    return facts, n_src
+
+
+def _compare_numeric(Model, tol, rounds=3):
+    facts, n_src = _numeric_facts()
+    model = Model()
+    state = {0: model.initial_state([f"s{i}" for i in range(n_src)],
+                                    np.full(n_src, 30.0))}
+    cache = {}
+    for rnd in range(rounds):
+        out_loop = {0: np.zeros((N_CHANNELS, n_src))}
+        for f in facts:
+            model.accumulate(f, state[0], out_loop[0])
+        out_batch = _batched_stats(facts, model, state, {0: n_src}, cache)
+        assert out_batch is not None
+        assert np.abs(out_loop[0] - out_batch[0]).max() <= tol
+        state[0], _ = model.reduce(state[0], out_loop[0],
+                                   np.full(n_src, 30.0), rnd)
+
+
+def test_gtm_batched_matches_loop():
+    from trustfuse_ray.fuse.gtm import GTM
+
+    _compare_numeric(GTM, 1e-9, rounds=4)

@@ -41,6 +41,13 @@ class CATD(FusionModel):
         # reference fancy-index collapse (catd.py:43)
         out[0][fact.src_idx] = out[0][fact.src_idx] + (fact.values - t) ** 2
 
+    # NOTE: no batched shard kernel on purpose — CATD's per-fact truth uses
+    # a BLAS dot whose summation order segmented sums cannot reproduce, and
+    # sources with ≈0 loss amplify that last-ulp difference unboundedly in
+    # w = chi2/loss (observed 10%+ weight drift on a zero-loss source).
+    # The fuse/vectorized.py kernel exists (build_catd_batch) for engines
+    # that accept sum-order-normalized weights.
+
     def reduce(self, state, stats, counts, round_no):
         w_old = state["w"]
         loss = stats[0]

@@ -87,6 +87,21 @@ class GTM(FusionModel):
         out[0][ik] = out[0][ik] + 2 * self.beta + resid2
         out[1][ik] = out[1][ik] + 1.0
 
+    # -- batched shard kernel (fuse/vectorized.py) ------------------------
+    def batch_key(self):
+        return ("gtm", self.delta0, self.mu0, self.sigma0, self.alpha,
+                self.beta)
+
+    def build_batch(self, facts):
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.build_gtm_batch(self, facts)
+
+    def accumulate_batch(self, st, state, out):
+        from trustfuse_ray.fuse import vectorized as V
+
+        V.gtm_accumulate_batch(self, st, state, out)
+
     def reduce(self, state, stats, counts, round_no):
         sigma = stats[0] / (2 * (self.alpha + 1) + stats[1])
         new = {"sigma": sigma, "sigma_prev": state["sigma"],

@@ -264,3 +264,106 @@ def tf_accumulate_batch(model, st, state, out):
     k = st["keep"]
     np.add.at(out[0], st["src_o"][k], s_claim[k])
     np.add.at(out[1], st["src_o"][k], 1.0)
+
+
+# ---------------------------------------------------------------------------
+# CATD (numeric-only: per-fact weighted-mean truth, squared loss)
+# ---------------------------------------------------------------------------
+
+
+def build_catd_batch(model, facts):
+    nums = [f for f in facts if f.is_numeric]
+    if not nums:
+        return None
+    src_list, cf_list, val_list, med = [], [], [], []
+    counts = []
+    for fi, fact in enumerate(nums):
+        m = len(fact.src_idx)
+        src_list.append(fact.src_idx.astype(np.int64))
+        cf_list.append(np.full(m, fi, dtype=np.int64))
+        val_list.append(fact.values.astype(np.float64))
+        med.append(float(np.median(fact.values)))
+        counts.append(m)
+    counts = np.asarray(counts, dtype=np.int64)
+    src_o = np.concatenate(src_list)
+    claim_fact = np.concatenate(cf_list)
+    return {
+        "src_o": src_o, "claim_fact": claim_fact,
+        "values": np.concatenate(val_list),
+        "fact_starts": np.concatenate(([0], np.cumsum(counts)[:-1])),
+        "median": np.asarray(med),
+        "keep": _keep_last_mask(claim_fact, src_o),
+    }
+
+
+def catd_accumulate_batch(model, st, state, out):
+    if state["first"]:
+        t_f = st["median"]
+    else:
+        wi = state["w"][st["src_o"]]
+        num = np.add.reduceat(wi * st["values"], st["fact_starts"])
+        den = np.add.reduceat(wi, st["fact_starts"])
+        t_f = num / den
+    loss = (st["values"] - t_f[st["claim_fact"]]) ** 2
+    k = st["keep"]
+    np.add.at(out[0], st["src_o"][k], loss[k])
+
+
+# ---------------------------------------------------------------------------
+# GTM (numeric-only EM; channels 0/1 per source, 2/3 scalar convergence)
+# ---------------------------------------------------------------------------
+
+
+def build_gtm_batch(model, facts):
+    nums = [f for f in facts if f.is_numeric]
+    rows = []
+    for fact in nums:
+        prior, sigma_e, cn, ik = model._prep(fact)
+        if len(cn):
+            rows.append((prior, cn, ik))
+    if not rows:
+        return None
+    src_list, cf_list, cn_list, prior = [], [], [], []
+    counts = []
+    for fi, (p, cn, ik) in enumerate(rows):
+        src_list.append(ik.astype(np.int64))
+        cf_list.append(np.full(len(cn), fi, dtype=np.int64))
+        cn_list.append(cn.astype(np.float64))
+        prior.append(p)
+        counts.append(len(cn))
+    counts = np.asarray(counts, dtype=np.int64)
+    src_o = np.concatenate(src_list)
+    claim_fact = np.concatenate(cf_list)
+    return {
+        "src_o": src_o, "claim_fact": claim_fact,
+        "cn": np.concatenate(cn_list),
+        "fact_starts": np.concatenate(([0], np.cumsum(counts)[:-1])),
+        "prior": np.asarray(prior),
+        "keep": _keep_last_mask(claim_fact, src_o),
+    }
+
+
+def _gtm_expect_batch(model, st, sigma):
+    s2 = sigma[st["src_o"]] ** 2
+    num = (model.mu0 / model.sigma0 ** 2
+           + np.add.reduceat(st["cn"] / s2, st["fact_starts"]))
+    den = (1.0 / model.sigma0 ** 2
+           + np.add.reduceat(1.0 / s2, st["fact_starts"]))
+    return num / den
+
+
+def gtm_accumulate_batch(model, st, state, out):
+    r = state["round"]
+    if r == 0:
+        resid2 = (st["cn"] - st["prior"][st["claim_fact"]]) ** 2
+    else:
+        t_new = _gtm_expect_batch(model, st, state["sigma"])
+        t_old = (st["prior"] if r == 1
+                 else _gtm_expect_batch(model, st, state["sigma_prev"]))
+        resid2 = (st["cn"] - t_new[st["claim_fact"]]) ** 2
+        out[2, 0] += float(np.sum((t_new - t_old) ** 2))
+        out[3, 0] += float(np.sum(t_old ** 2))
+    k = st["keep"]
+    np.add.at(out[0], st["src_o"][k],
+              (2 * model.beta + resid2)[k])
+    np.add.at(out[1], st["src_o"][k], 1.0)
