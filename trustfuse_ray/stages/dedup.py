@@ -305,14 +305,20 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
     import ray
 
     # count first: on a freshly-read parquet dataset this is metadata-only
-    # (no execution), and it sizes both fan-outs below
+    # (no execution), and it sizes the fan-outs below
     n_docs = docs.count()
     n_cpus = int(ray.cluster_resources().get("CPU", 8))
-    # single-file corpora read as a handful of blocks; re-split so the
-    # signature stage actually fans out (but never below ~150 docs/block —
-    # tiny blocks pay pure task overhead)
-    sig_blocks = max(1, min(2 * n_cpus, n_docs // 150))
-    docs = docs.repartition(sig_blocks)
+    # the signature map parallelizes over the READ's blocks; repartition
+    # (an exchange of the full text payload — measured 4-10 s vs 1 s at
+    # 40k docs) only when the source is a big unsharded file that would
+    # otherwise read as a handful of blocks
+    try:
+        n_files = len(docs.input_files())
+    except Exception:
+        n_files = n_cpus
+    if n_docs > 20_000 and n_files < max(2, n_cpus // 4):
+        docs = docs.repartition(min(2 * n_cpus, max(1, n_docs // 150)))
+    sig_batch_size = max(200, n_docs // (2 * n_cpus))
 
     n_parts = 1 << max(3, (n_cpus - 1).bit_length())
     mask = n_parts - 1
@@ -326,7 +332,8 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
     sigs_x = docs.map_batches(
         functools.partial(_sig_batch, num_hashes=num_hashes,
                           shingle_k=shingle_k),
-        batch_format="pyarrow", zero_copy_batch=True
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=sig_batch_size,
     ).repartition(xblocks).materialize()
     banded = sigs_x.map_batches(
         functools.partial(_band_rows, bands=bands, rows=rows, mask=mask),
