@@ -1243,7 +1243,7 @@ UNION ALL
 SELECT doc_id, rolling_fp FROM short_fp""",
         "dedup_exact_synth": f"""
 SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
-FROM read_parquet('{synth.generate_documents(sf_dir)}')
+FROM read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')
 GROUP BY 1""",
         "embedding_near_pairs": """
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
