@@ -53,6 +53,16 @@ def _run_kg_only(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
+def _probe_work(_):
+    import numpy as np
+
+    a = np.arange(1_000_000, dtype=np.float64)
+    x = 0.0
+    for _i in range(30):
+        x += float(np.sin(a).sum())
+    return x
+
+
 def _cpu_probe(n_procs: int) -> float:
     """Measured work-units/sec this host ACTUALLY delivers at ``n_procs``
     concurrency (fixed numpy kernel per process).  The sandbox shares its
@@ -62,18 +72,9 @@ def _cpu_probe(n_procs: int) -> float:
     efficiency can be reported both raw and normalized to it."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    def _work(_):
-        a = np.arange(1_000_000, dtype=np.float64)
-        x = 0.0
-        for _i in range(30):
-            x += float(np.sin(a).sum())
-        return x
-
     t0 = time.perf_counter()
     with mp.Pool(n_procs) as p:
-        p.map(_work, range(n_procs))
+        p.map(_probe_work, range(n_procs))
     return round(n_procs / (time.perf_counter() - t0), 2)
 
 
