@@ -85,6 +85,20 @@ class Accu(FusionModel):
             if v == truth:
                 out[0, s] += 1.0
 
+    # -- batched shard kernel (fuse/vectorized.py) ------------------------
+    def batch_key(self):
+        return ("accu",)
+
+    def build_batch(self, facts):
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.build_accu_batch(self, facts)
+
+    def accumulate_batch(self, st, state, out):
+        from trustfuse_ray.fuse import vectorized as V
+
+        V.accu_accumulate_batch(self, st, state, out)
+
     def reduce(self, state, stats, counts, round_no):
         tot = np.maximum(stats[1], 1.0)
         acc = stats[0] / tot

@@ -367,3 +367,79 @@ def gtm_accumulate_batch(model, st, state, out):
     np.add.at(out[0], st["src_o"][k],
               (2 * model.beta + resid2)[k])
     np.add.at(out[1], st["src_o"][k], 1.0)
+
+
+# ---------------------------------------------------------------------------
+# ACCU (100-round Bayesian vote; appearance-order structures)
+# ---------------------------------------------------------------------------
+
+
+def build_accu_batch(model, facts):
+    """ACCU per-shard structures.  Faithfulness requires APPEARANCE order,
+    not sorted order: observations are (source → last value) pairs in first-
+    appearance order (accu.py convert_input), score sums add in obs order
+    within each value, and ties pick the FIRST-inserted value.  The
+    all-scores ≤ −1 sentinel (best_v stays the int 0) is kept via a
+    precomputed zero-value group per fact."""
+    from trustfuse_ray.fuse.accu import fact_observations
+
+    if not facts:
+        return None
+    src_list, vg_list, cf_list = [], [], []
+    vg_counts, zero_vg, nobs = [], [], []
+    base = 0
+    for fi, fact in enumerate(facts):
+        obs = fact_observations(fact)
+        vids: dict = {}
+        z = -1
+        for s, v in obs:
+            if v not in vids:
+                vids[v] = len(vids)
+                try:
+                    if v == 0:
+                        z = vids[v]
+                except Exception:
+                    pass
+            src_list.append(s)
+            vg_list.append(base + vids[v])
+            cf_list.append(fi)
+        vg_counts.append(len(vids))
+        zero_vg.append(base + z if z >= 0 else -1)
+        nobs.append(len(obs))
+        base += len(vids)
+    src_o = np.asarray(src_list, dtype=np.int64)
+    vg_o = np.asarray(vg_list, dtype=np.int64)
+    claim_fact = np.asarray(cf_list, dtype=np.int64)
+    vg_counts = np.asarray(vg_counts, dtype=np.int64)
+    perm = np.argsort(vg_o, kind="stable")
+    vg_starts = np.searchsorted(vg_o[perm], np.arange(base))
+    vgf_starts = np.concatenate(([0], np.cumsum(vg_counts)[:-1]))
+    return {
+        "src_o": src_o, "vg_o": vg_o, "claim_fact": claim_fact,
+        "perm": perm, "vg_starts": vg_starts,
+        "vgf_starts": vgf_starts, "vg_counts": vg_counts,
+        "zero_vg": np.asarray(zero_vg, dtype=np.int64),
+        "single": vg_counts == 1,      # n_distinct == 1 facts
+        "n_dist_claim": vg_counts[claim_fact],
+        "n_vg": base,
+    }
+
+
+def accu_accumulate_batch(model, st, state, out):
+    acc = state["acc"]
+    # per-obs log term (n>1 facts); n==1 facts score 1.0 (assignment quirk)
+    nd = st["n_dist_claim"].astype(np.float64)
+    term = np.log(np.maximum(nd - 1.0, 1.0) * acc[st["src_o"]]
+                  / (1.0 - acc[st["src_o"]]))
+    s_vg = np.add.reduceat(term[st["perm"]], st["vg_starts"]) \
+        if st["n_vg"] else np.zeros(0)
+    # winner per fact: first-inserted value with max score, only if > -1
+    mx = np.maximum.reduceat(s_vg, st["vgf_starts"])
+    win = _seg_first_arg(mx, s_vg, st["vgf_starts"], st["vg_counts"],
+                         is_min=False)
+    none_win = mx <= -1.0
+    win = np.where(none_win, st["zero_vg"], win)   # sentinel: int 0 truth
+    win = np.where(st["single"], st["vgf_starts"], win)  # n==1: the value
+    correct = (st["vg_o"] == win[st["claim_fact"]]).astype(np.float64)
+    np.add.at(out[0], st["src_o"], correct)
+    np.add.at(out[1], st["src_o"], 1.0)
