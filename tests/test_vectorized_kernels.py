@@ -132,3 +132,22 @@ def test_accu_batched_matches_loop():
         assert np.array_equal(out_loop[0], out_batch[0])
         state[0], _ = model.reduce(state[0], out_loop[0],
                                    np.ones(n_src), rnd)
+
+
+def test_slimfast_batched_matches_loop():
+    from trustfuse_ray.fuse.slimfast import SLiMFast
+
+    facts, n_src = _random_facts(seed=17)
+    model = SLiMFast()
+    state = {0: model.initial_state([f"s{i}" for i in range(n_src)],
+                                    np.ones(n_src))}
+    cache = {}
+    for rnd in range(3):
+        out_loop = {0: np.zeros((N_CHANNELS, n_src))}
+        for f in facts:
+            model.accumulate(f, state[0], out_loop[0])
+        out_batch = _batched_stats(facts, model, state, {0: n_src}, cache)
+        assert out_batch is not None
+        assert np.array_equal(out_loop[0], out_batch[0])
+        state[0], _ = model.reduce(state[0], out_loop[0],
+                                   np.ones(n_src), rnd)

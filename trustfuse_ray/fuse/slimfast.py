@@ -77,6 +77,21 @@ class SLiMFast(FusionModel):
             if v == truth:
                 out[0, s] += 1.0
 
+
+    # -- batched shard kernel (fuse/vectorized.py) ------------------------
+    def batch_key(self):
+        return ("slimfast",)
+
+    def build_batch(self, facts):
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.build_accu_batch(self, facts)
+
+    def accumulate_batch(self, st, state, out):
+        from trustfuse_ray.fuse import vectorized as V
+
+        V.slimfast_accumulate_batch(self, st, state, out)
+
     def reduce(self, state, stats, counts, round_no):
         w = state["w_feat"]
         n_corr = stats[0].sum()

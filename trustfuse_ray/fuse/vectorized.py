@@ -443,3 +443,22 @@ def accu_accumulate_batch(model, st, state, out):
     correct = (st["vg_o"] == win[st["claim_fact"]]).astype(np.float64)
     np.add.at(out[0], st["src_o"], correct)
     np.add.at(out[1], st["src_o"], 1.0)
+
+
+def slimfast_accumulate_batch(model, st, state, out):
+    """SLiMFast shares ACCU's appearance-order structures; its vote has NO
+    ≤−1 sentinel — the winner is always the first-inserted max-score value
+    (Python ``max`` over the insertion-ordered dict, slimfast.py:140)."""
+    acc = state["acc"]
+    nd = st["n_dist_claim"].astype(np.float64)
+    term = np.log(np.maximum(nd - 1.0, 1.0) * acc[st["src_o"]]
+                  / (1.0 - acc[st["src_o"]]))
+    s_vg = np.add.reduceat(term[st["perm"]], st["vg_starts"]) \
+        if st["n_vg"] else np.zeros(0)
+    mx = np.maximum.reduceat(s_vg, st["vgf_starts"])
+    win = _seg_first_arg(mx, s_vg, st["vgf_starts"], st["vg_counts"],
+                         is_min=False)
+    win = np.where(st["single"], st["vgf_starts"], win)
+    correct = (st["vg_o"] == win[st["claim_fact"]]).astype(np.float64)
+    np.add.at(out[0], st["src_o"], correct)
+    np.add.at(out[1], st["src_o"], 1.0)
