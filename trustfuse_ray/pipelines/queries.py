@@ -1238,9 +1238,9 @@ short_fp AS (
   FROM lng l LEFT JOIN pw ON pw.k < l.len
   WHERE l.len <= 16
   GROUP BY l.doc_id)
-SELECT doc_id, rolling_fp FROM long_fp
+SELECT doc_id, CAST(rolling_fp AS BIGINT) AS rolling_fp FROM long_fp
 UNION ALL
-SELECT doc_id, rolling_fp FROM short_fp""",
+SELECT doc_id, CAST(rolling_fp AS BIGINT) AS rolling_fp FROM short_fp""",
         "dedup_exact_synth": f"""
 SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
 FROM read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')
