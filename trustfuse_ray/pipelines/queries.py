@@ -182,25 +182,34 @@ def _single_value_claims(claims):
     return hash_group_apply(claims, ["entity", "attr", "source"], _keep)
 
 
-_CRH1_CACHE: dict[str, tuple] = {}
+_CRH1_CACHE: dict[tuple, tuple] = {}
 
 
-def _crh1(sf_dir: str):
-    """(triples, weights) of CRH max_itr=1 over the single-value claim
-    projection — shared by the three oracle-checked CRH1 queries."""
-    got = _CRH1_CACHE.get(sf_dir)
+def _crhn(sf_dir: str, rounds: int):
+    """(triples, weights) of CRH max_itr=``rounds`` over the single-value
+    claim projection — shared by the oracle-checked CRH queries.  On the
+    projection every round is exactly ANSI-SQL-expressible (see
+    ``_crh_cte``), so the FULL reference fixed point (crh.py max_itr=10,
+    no convergence exit) sits under the driver's hash gate."""
+    got = _CRH1_CACHE.get((sf_dir, rounds))
     if got is None:
         claims = _single_value_claims(cached_claims(sf_dir))
-        triples, weights = run_fusion(claims, make_model("CRH", max_itr=1))
-        got = _CRH1_CACHE[sf_dir] = (triples.materialize(), weights)
+        triples, weights = run_fusion(
+            claims, make_model("CRH", max_itr=rounds))
+        got = _CRH1_CACHE[(sf_dir, rounds)] = (triples.materialize(),
+                                               weights)
     return got
 
 
-def q_weights_crh1(sf_dir: str):
-    """One-round CRH source weights (oracle-checked; weights rounded to 6
-    digits on both sides — loss sums are float and block-order drifts the
-    last ulp)."""
-    _, weights = _crh1(sf_dir)
+def _crh1(sf_dir: str):
+    return _crhn(sf_dir, 1)
+
+
+def q_weights_crhn(sf_dir: str, rounds: int = 1):
+    """CRH source weights after ``rounds`` iterations (oracle-checked;
+    weights rounded to 6 digits on both sides — loss sums are float and
+    block-order drifts the last ulp)."""
+    _, weights = _crhn(sf_dir, rounds)
     rows = sorted((s, round(w, 6)) for m in weights.values()
                   for s, w in m.items())
     return pa.table({
@@ -209,10 +218,14 @@ def q_weights_crh1(sf_dir: str):
     })
 
 
-def q_top_sources_crh1(sf_dir: str, n: int = 10):
-    """Top-N sources by one-round CRH weight (reference app.py:735-752
-    top_n) — deterministic (weight desc, source asc) cut on both sides."""
-    tbl = q_weights_crh1(sf_dir)
+def q_weights_crh1(sf_dir: str):
+    return q_weights_crhn(sf_dir, 1)
+
+
+def q_top_sources_crhn(sf_dir: str, rounds: int = 1, n: int = 10):
+    """Top-N sources by CRH weight (reference app.py:735-752 top_n) —
+    deterministic (weight desc, source asc) cut on both sides."""
+    tbl = q_weights_crhn(sf_dir, rounds)
     rows = sorted(zip(tbl["source"].to_pylist(), tbl["weight"].to_pylist()),
                   key=lambda r: (-r[1], r[0]))[:n]
     return pa.table({
@@ -221,9 +234,14 @@ def q_top_sources_crh1(sf_dir: str, n: int = 10):
     })
 
 
-def q_fuse_crh1(sf_dir: str):
-    """One-round CRH fused truth, voting-shaped for SQL comparison."""
-    triples, _ = _crh1(sf_dir)
+def q_top_sources_crh1(sf_dir: str, n: int = 10):
+    return q_top_sources_crhn(sf_dir, 1, n)
+
+
+def q_fuse_crhn(sf_dir: str, rounds: int = 1):
+    """CRH fused truth after ``rounds`` iterations, voting-shaped for SQL
+    comparison."""
+    triples, _ = _crhn(sf_dir, rounds)
 
     def _shape(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -242,8 +260,12 @@ def q_fuse_crh1(sf_dir: str):
     return triples.map_batches(_shape, batch_format="pyarrow")
 
 
-def q_metrics_crh1(sf_dir: str):
-    """Per-attribute precision/recall/F1/completion of ONE-round CRH over
+def q_fuse_crh1(sf_dir: str):
+    return q_fuse_crhn(sf_dir, 1)
+
+
+def q_metrics_crhn(sf_dir: str, rounds: int = 1):
+    """Per-attribute precision/recall/F1/completion of ``rounds``-round CRH over
     the categorical attributes vs the synthetic golden truth — puts the
     §2.6 evaluation operators (tuple set semantics, fp==0→p=1 quirk,
     completion rate) under the driver's SQL oracle gate.  Categorical only:
@@ -261,7 +283,7 @@ def q_metrics_crh1(sf_dir: str):
             batch_format="pyarrow", zero_copy_batch=True)
 
     data_dir = synth.generate(sf_dir)
-    triples, _ = _crh1(sf_dir)
+    triples, _ = _crhn(sf_dir, rounds)
     claims = _single_value_claims(cached_claims(sf_dir))
     gt = ray.data.read_parquet(os.path.join(data_dir, "truth.parquet"))
     m = evaluation.get_metrics(_cat(triples), _cat(gt), _cat(claims))
@@ -275,6 +297,10 @@ def q_metrics_crh1(sf_dir: str):
         "f1": pa.array([r[3] for r in rows], pa.float64()),
         "c_rate": pa.array([r[4] for r in rows], pa.float64()),
     })
+
+
+def q_metrics_crh1(sf_dir: str):
+    return q_metrics_crhn(sf_dir, 1)
 
 
 _TF1_CACHE: dict[str, tuple] = {}
@@ -630,7 +656,11 @@ def queries_map():
         "kg_fuse_voting": q_fuse_voting_sqlable,
         "kg_voting_salted": q_voting_salted,
         "kg_property_graph": q_property_graph,
-        "kg_fuse_crh": functools.partial(q_fuse, model="CRH"),
+        # full reference fixed point (crh.py max_itr=10) over the
+        # single-value projection — every round SQL-unrolled in the oracle;
+        # the full-claims variant (duplicate-source collapse quirk included)
+        # stays covered by tests/reference_oracle.py + tools/reference_parity
+        "kg_fuse_crh": functools.partial(q_fuse_crhn, rounds=10),
         "kg_fuse_truthfinder": functools.partial(q_fuse, model="TruthFinder"),
         "kg_fuse_accu": functools.partial(q_fuse, model="ACCU"),
         "kg_fuse_slimfast": functools.partial(q_fuse, model="SLIMFAST"),
@@ -639,13 +669,13 @@ def queries_map():
         "kg_fuse_kdem": functools.partial(q_fuse, model="KDEm"),
         "kg_fuse_ltm": q_fuse_ltm,
         "kg_ltm_source_quality": q_ltm_quality,
-        "kg_weights_crh": functools.partial(q_fuse_weights, model="CRH"),
+        "kg_weights_crh": functools.partial(q_weights_crhn, rounds=10),
         "kg_weights_crh1": q_weights_crh1,
         "kg_top_sources_crh1": q_top_sources_crh1,
         "kg_weights_tf1": q_weights_tf1,
         "kg_top_sources_tf1": q_top_sources_tf1,
         "kg_fuse_crh1": q_fuse_crh1,
-        "kg_metrics_crh": functools.partial(q_pipeline_metrics, model="CRH"),
+        "kg_metrics_crh": functools.partial(q_metrics_crhn, rounds=10),
         "kg_metrics_crh1": q_metrics_crh1,
         "q1_pricing_summary": q1_pricing_summary,
         "top_customers": q_top_customers,
@@ -667,7 +697,7 @@ def queries_map():
         "ann_lsh_topk": q_lsh_topk,
         "ann_ivf_topk": q_ivf_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
-        "kg_top_sources": q_top_sources,
+        "kg_top_sources": functools.partial(q_top_sources_crhn, rounds=10),
         "multimodal_features": q_multimodal_features,
         "multimodal_features_long": q_multimodal_features_long,
         "multimodal_frames": q_multimodal_frames,
@@ -715,20 +745,23 @@ claims AS (
 )"""
 
 
-def _crh1_cte(cache: str) -> str:
-    """Shared SQL CTEs: one exact CRH round (init truth = mode/median →
-    per-claim loss → per-source −log weight share) over the single-value
-    claim projection (see ``_single_value_claims`` for why the projection
-    makes this exactly expressible).  Mirrors fuse/crh.py."""
-    return f"""
+def _crh_cte(cache: str, rounds: int = 1) -> str:
+    """Shared SQL CTEs: ``rounds`` exact CRH iterations over the
+    single-value claim projection (see ``_single_value_claims`` for why the
+    projection makes this exactly expressible).  Mirrors fuse/crh.py;
+    reference crh.py:8-103 runs exactly max_itr rounds with NO convergence
+    exit, so the unroll is mechanical — each round r repeats the proven
+    round-1 block with the recurrence truth←w_{r-1}, loss←truth,
+    w_r←−log loss share.  Ends with CTE ``w`` = round-``rounds`` weights."""
+    parts = [f"""
 {_claims_cte(cache)},
 cl AS (SELECT * FROM claims WHERE value_str IS NOT NULL),
-d AS (SELECT DISTINCT entity, attr, source, value_str, value_num,
-             value_type FROM cl),
+d AS MATERIALIZED (SELECT DISTINCT entity, attr, source, value_str,
+             value_num, value_type FROM cl),
 sv AS (SELECT entity, attr, source FROM d GROUP BY 1, 2, 3
        HAVING count(DISTINCT value_str) = 1),
-f AS (SELECT d.* FROM d JOIN sv USING (entity, attr, source)),
-fact AS (
+f AS MATERIALIZED (SELECT d.* FROM d JOIN sv USING (entity, attr, source)),
+fact AS MATERIALIZED (
   SELECT entity, attr,
          bool_and(value_type = 'quantity'
                   AND value_num IS NOT NULL) AS isnum,
@@ -754,10 +787,144 @@ loss AS (
   LEFT JOIN catmode cm USING (entity, attr)),
 rtn AS (SELECT source, sum(l) AS r FROM loss GROUP BY source),
 tot AS (SELECT sum(r) AS t FROM rtn),
-w AS (SELECT source,
+w1 AS MATERIALIZED (SELECT source,
              CASE WHEN r > 0 AND t > 0 THEN -ln(r / t) ELSE 0.0 END
                AS weight
-      FROM rtn, tot)"""
+      FROM rtn, tot)"""]
+    for r in range(2, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+fw{r} AS MATERIALIZED (SELECT f.*, w{p}.weight
+  FROM f JOIN w{p} USING (source)),
+catsc{r} AS (
+  SELECT fw{r}.entity, fw{r}.attr, fw{r}.value_str,
+         sum(fw{r}.weight) AS sc
+  FROM fw{r} JOIN fact fa USING (entity, attr)
+  WHERE NOT fa.isnum GROUP BY 1, 2, 3),
+catwin{r} AS (SELECT entity, attr, value_str AS win FROM (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY sc DESC, value_str ASC) AS rn
+  FROM catsc{r}) WHERE rn = 1),
+numagg{r} AS (
+  SELECT fw{r}.entity, fw{r}.attr, sum(fw{r}.weight) AS s0,
+         sum(fw{r}.weight * fw{r}.value_num) AS s1,
+         sum(fw{r}.weight * fw{r}.value_num * fw{r}.value_num) AS s2
+  FROM fw{r} JOIN fact fa USING (entity, attr)
+  WHERE fa.isnum GROUP BY 1, 2),
+numwin{r} AS (SELECT entity, attr, value_num AS win FROM (
+  SELECT f.entity, f.attr, f.value_num,
+         row_number() OVER (PARTITION BY f.entity, f.attr
+             ORDER BY (f.value_num * f.value_num * na.s0
+                       - 2 * f.value_num * na.s1 + na.s2) ASC,
+                      f.value_num ASC) AS rn
+  FROM f JOIN numagg{r} na USING (entity, attr)) WHERE rn = 1),
+loss{r} AS (
+  SELECT f.source,
+         CASE WHEN fa.isnum
+              THEN (f.value_num - nw.win) * (f.value_num - nw.win)
+                   / fa.denom
+              ELSE CASE WHEN f.value_str = cw.win THEN 0.0 ELSE 1.0 END
+         END AS l
+  FROM f JOIN fact fa USING (entity, attr)
+  LEFT JOIN numwin{r} nw USING (entity, attr)
+  LEFT JOIN catwin{r} cw USING (entity, attr)),
+rtn{r} AS (SELECT source, sum(l) AS r FROM loss{r} GROUP BY source),
+tot{r} AS (SELECT sum(r) AS t FROM rtn{r}),
+w{r} AS MATERIALIZED (SELECT source,
+             CASE WHEN r > 0 AND t > 0 THEN -ln(r / t) ELSE 0.0 END
+               AS weight
+      FROM rtn{r}, tot{r})""")
+    parts.append(f""",
+w AS (SELECT source, weight FROM w{max(rounds, 1)})""")
+    return "".join(parts)
+
+
+def _crh1_cte(cache: str) -> str:
+    return _crh_cte(cache, 1)
+
+
+_CRH_TRUTH_TAIL = """
+fw AS (SELECT f.*, w.weight FROM f JOIN w USING (source)),
+catsc AS (
+  SELECT fw.entity, fw.attr, fw.value_str, sum(fw.weight) AS sc
+  FROM fw JOIN fact fa USING (entity, attr)
+  WHERE NOT fa.isnum GROUP BY 1, 2, 3),
+cat1 AS (SELECT entity, attr, value_str FROM (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY sc DESC, value_str ASC) AS rn
+  FROM catsc) WHERE rn = 1),
+numagg AS (
+  SELECT fw.entity, fw.attr, sum(fw.weight) AS s0,
+         sum(fw.weight * fw.value_num) AS s1,
+         sum(fw.weight * fw.value_num * fw.value_num) AS s2
+  FROM fw JOIN fact fa USING (entity, attr)
+  WHERE fa.isnum GROUP BY 1, 2),
+numsc AS (
+  SELECT fw.entity, fw.attr, fw.value_num,
+         (fw.value_num * fw.value_num * na.s0
+          - 2 * fw.value_num * na.s1 + na.s2) / fa.denom AS sc
+  FROM fw JOIN numagg na USING (entity, attr)
+  JOIN fact fa USING (entity, attr)),
+num1 AS (SELECT entity, attr, value_num FROM (
+  SELECT entity, attr, value_num,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY sc ASC, value_num ASC) AS rn
+  FROM numsc) WHERE rn = 1)"""
+
+
+def _crh_metrics_tail(cache: str) -> str:
+    """CTE tail: §2.6 evaluation (tuple-set tp/fp/tn/fn, fp==0→p=1,
+    completion rate) of the categorical CRH truth in ``cat1`` vs the
+    synthetic golden truth — appended after ``_crh_cte`` + the truth
+    selection CTEs.  Includes its own final SELECT."""
+    return f"""
+fw AS (SELECT f.*, w.weight FROM f JOIN w USING (source)),
+catsc AS (
+  SELECT fw.entity, fw.attr, fw.value_str, sum(fw.weight) AS sc
+  FROM fw JOIN fact fa USING (entity, attr)
+  WHERE NOT fa.isnum GROUP BY 1, 2, 3),
+cat1 AS (SELECT entity, attr, value_str FROM (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY sc DESC, value_str ASC) AS rn
+  FROM catsc) WHERE rn = 1),
+gt AS (SELECT entity, attr, value_str
+       FROM read_parquet('{cache}/truth.parquet')
+       WHERE value_type <> 'quantity' AND value_str IS NOT NULL),
+gtents AS (SELECT DISTINCT entity FROM gt),
+it AS (SELECT c1.entity, c1.attr, c1.value_str
+       FROM cat1 c1 JOIN gtents USING (entity)),
+dpp AS (SELECT DISTINCT f.entity, f.attr, f.value_str
+        FROM f JOIN gtents USING (entity)
+        JOIN fact fa USING (entity, attr) WHERE NOT fa.isnum),
+flags AS (
+  SELECT entity, attr, value_str,
+         max(g) AS g, max(i) AS i, max(d) AS d
+  FROM (SELECT entity, attr, value_str, 1 AS g, 0 AS i, 0 AS d FROM gt
+        UNION ALL
+        SELECT entity, attr, value_str, 0, 1, 0 FROM it
+        UNION ALL
+        SELECT entity, attr, value_str, 0, 0, 1 FROM dpp)
+  GROUP BY 1, 2, 3),
+cnt AS (SELECT attr,
+        sum(g*i) AS tp, sum(i*(1-g)) AS fp,
+        sum(d*(1-g)*(1-i)) AS tn, sum(d*(1-i)*g) AS fn,
+        sum(g) AS gt_n, sum(g*i) AS hit
+        FROM flags GROUP BY attr),
+met AS (SELECT attr,
+        CASE WHEN fp = 0 THEN 1.0
+             ELSE tp / CAST(tp + fp AS DOUBLE) END AS p,
+        CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE)
+             ELSE 0.0 END AS r,
+        CASE WHEN gt_n > 0 THEN hit / CAST(gt_n AS DOUBLE)
+             ELSE 0.0 END AS c_rate
+        FROM cnt)
+SELECT attr, round(p, 6) AS p, round(r, 6) AS r,
+       round(CASE WHEN r + p > 0 THEN 2*r*p/(r+p) ELSE 0.0 END, 6) AS f1,
+       round(c_rate, 6) AS c_rate
+FROM met"""
 
 
 def _tf1_cte(cache: str) -> str:
@@ -771,11 +938,11 @@ def _tf1_cte(cache: str) -> str:
     return f"""
 {_claims_cte(cache)},
 cl AS (SELECT * FROM claims WHERE value_str IS NOT NULL),
-d AS (SELECT DISTINCT entity, attr, source, value_str, value_num,
-             value_type FROM cl),
+d AS MATERIALIZED (SELECT DISTINCT entity, attr, source, value_str,
+             value_num, value_type FROM cl),
 sv AS (SELECT entity, attr, source FROM d GROUP BY 1, 2, 3
        HAVING count(DISTINCT value_str) = 1),
-f AS (SELECT d.* FROM d JOIN sv USING (entity, attr, source)),
+f AS MATERIALIZED (SELECT d.* FROM d JOIN sv USING (entity, attr, source)),
 fact AS (SELECT entity, attr, min(value_type) AS vtype,
          bool_and(value_type = 'quantity'
                   AND value_num IS NOT NULL) AS isnum
@@ -1102,59 +1269,23 @@ SELECT doc_id,
             / 3 AS BIGINT) AS the_count
 FROM documents""",
         "kg_weights_crh1": f"""
-WITH {_crh1_cte(cache)}
+WITH {_crh_cte(cache, 1)}
+SELECT source, round(weight, 6) AS weight FROM w""",
+        "kg_weights_crh": f"""
+WITH {_crh_cte(cache, 10)}
 SELECT source, round(weight, 6) AS weight FROM w""",
         "kg_top_sources_crh1": f"""
-WITH {_crh1_cte(cache)}
+WITH {_crh_cte(cache, 1)}
+SELECT source, round(weight, 6) AS weight FROM w
+ORDER BY round(weight, 6) DESC, source LIMIT 10""",
+        "kg_top_sources": f"""
+WITH {_crh_cte(cache, 10)}
 SELECT source, round(weight, 6) AS weight FROM w
 ORDER BY round(weight, 6) DESC, source LIMIT 10""",
         "kg_metrics_crh1": f"""
-WITH {_crh1_cte(cache)},
-fw AS (SELECT f.*, w.weight FROM f JOIN w USING (source)),
-catsc AS (
-  SELECT fw.entity, fw.attr, fw.value_str, sum(fw.weight) AS sc
-  FROM fw JOIN fact fa USING (entity, attr)
-  WHERE NOT fa.isnum GROUP BY 1, 2, 3),
-cat1 AS (SELECT entity, attr, value_str FROM (
-  SELECT entity, attr, value_str,
-         row_number() OVER (PARTITION BY entity, attr
-                            ORDER BY sc DESC, value_str ASC) AS rn
-  FROM catsc) WHERE rn = 1),
-gt AS (SELECT entity, attr, value_str
-       FROM read_parquet('{cache}/truth.parquet')
-       WHERE value_type <> 'quantity' AND value_str IS NOT NULL),
-gtents AS (SELECT DISTINCT entity FROM gt),
-it AS (SELECT c1.entity, c1.attr, c1.value_str
-       FROM cat1 c1 JOIN gtents USING (entity)),
-dpp AS (SELECT DISTINCT f.entity, f.attr, f.value_str
-        FROM f JOIN gtents USING (entity)
-        JOIN fact fa USING (entity, attr) WHERE NOT fa.isnum),
-flags AS (
-  SELECT entity, attr, value_str,
-         max(g) AS g, max(i) AS i, max(d) AS d
-  FROM (SELECT entity, attr, value_str, 1 AS g, 0 AS i, 0 AS d FROM gt
-        UNION ALL
-        SELECT entity, attr, value_str, 0, 1, 0 FROM it
-        UNION ALL
-        SELECT entity, attr, value_str, 0, 0, 1 FROM dpp)
-  GROUP BY 1, 2, 3),
-cnt AS (SELECT attr,
-        sum(g*i) AS tp, sum(i*(1-g)) AS fp,
-        sum(d*(1-g)*(1-i)) AS tn, sum(d*(1-i)*g) AS fn,
-        sum(g) AS gt_n, sum(g*i) AS hit
-        FROM flags GROUP BY attr),
-met AS (SELECT attr,
-        CASE WHEN fp = 0 THEN 1.0
-             ELSE tp / CAST(tp + fp AS DOUBLE) END AS p,
-        CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE)
-             ELSE 0.0 END AS r,
-        CASE WHEN gt_n > 0 THEN hit / CAST(gt_n AS DOUBLE)
-             ELSE 0.0 END AS c_rate
-        FROM cnt)
-SELECT attr, round(p, 6) AS p, round(r, 6) AS r,
-       round(CASE WHEN r + p > 0 THEN 2*r*p/(r+p) ELSE 0.0 END, 6) AS f1,
-       round(c_rate, 6) AS c_rate
-FROM met""",
+WITH {_crh_cte(cache, 1)},{_crh_metrics_tail(cache)}""",
+        "kg_metrics_crh": f"""
+WITH {_crh_cte(cache, 10)},{_crh_metrics_tail(cache)}""",
         "kg_weights_tf1": f"""
 WITH {_tf1_cte(cache)}
 SELECT source, round(weight, 6) AS weight FROM w""",
@@ -1163,34 +1294,13 @@ WITH {_tf1_cte(cache)}
 SELECT source, round(weight, 6) AS weight FROM w
 ORDER BY round(weight, 6) DESC, source LIMIT 10""",
         "kg_fuse_crh1": f"""
-WITH {_crh1_cte(cache)},
-fw AS (SELECT f.*, w.weight FROM f JOIN w USING (source)),
-catsc AS (
-  SELECT fw.entity, fw.attr, fw.value_str, sum(fw.weight) AS sc
-  FROM fw JOIN fact fa USING (entity, attr)
-  WHERE NOT fa.isnum GROUP BY 1, 2, 3),
-cat1 AS (SELECT entity, attr, value_str FROM (
-  SELECT entity, attr, value_str,
-         row_number() OVER (PARTITION BY entity, attr
-                            ORDER BY sc DESC, value_str ASC) AS rn
-  FROM catsc) WHERE rn = 1),
-numagg AS (
-  SELECT fw.entity, fw.attr, sum(fw.weight) AS s0,
-         sum(fw.weight * fw.value_num) AS s1,
-         sum(fw.weight * fw.value_num * fw.value_num) AS s2
-  FROM fw JOIN fact fa USING (entity, attr)
-  WHERE fa.isnum GROUP BY 1, 2),
-numsc AS (
-  SELECT fw.entity, fw.attr, fw.value_num,
-         (fw.value_num * fw.value_num * na.s0
-          - 2 * fw.value_num * na.s1 + na.s2) / fa.denom AS sc
-  FROM fw JOIN numagg na USING (entity, attr)
-  JOIN fact fa USING (entity, attr)),
-num1 AS (SELECT entity, attr, value_num FROM (
-  SELECT entity, attr, value_num,
-         row_number() OVER (PARTITION BY entity, attr
-                            ORDER BY sc ASC, value_num ASC) AS rn
-  FROM numsc) WHERE rn = 1)
+WITH {_crh_cte(cache, 1)},{_CRH_TRUTH_TAIL}
+SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num FROM cat1
+UNION ALL
+SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str, value_num
+FROM num1""",
+        "kg_fuse_crh": f"""
+WITH {_crh_cte(cache, 10)},{_CRH_TRUTH_TAIL}
 SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num FROM cat1
 UNION ALL
 SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str, value_num
