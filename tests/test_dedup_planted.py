@@ -62,6 +62,31 @@ def test_minhash_clusters_group_dup_families():
         assert parent.get(dup, dup) == parent.get(src, src)
 
 
+def test_minhash_adversarial_identical_bucket():
+    """≥10⁴ identical docs — one degenerate LSH bucket per band — must not
+    emit O(n²) candidate pairs (the pre-cap code would build 5×10⁷ rows
+    here): the star+chain cap bounds emission to O(n), and connected
+    components over the capped pair list still collapse every copy into one
+    cluster."""
+    import numpy as np
+    import pyarrow as pa
+
+    from trustfuse_ray.stages.dedup import minhash_lsh_pairs
+    from trustfuse_ray.stages.graph import connected_components
+
+    n = 10_000
+    boiler = ("the same boilerplate paragraph repeated verbatim in every "
+              "document of this adversarial corpus to force one giant "
+              "lsh bucket")
+    tbl = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "text": pa.array([boiler] * n)})
+    ds = ray.data.from_arrow(tbl).repartition(8)
+    pairs = minhash_lsh_pairs(ds, threshold=0.6).materialize()
+    assert pairs.count() <= 4 * n  # star+chain: 2n−3 unique pairs
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+    assert len({r["label"] for r in labels.take_all()}) == 1
+
+
 def test_ivf_near_pairs_planted_at_scale():
     """1e5+ vectors through the IVF-bucketed near-pair path (no take_all of
     the corpus, no corpus-sized broadcast): planted near-dup recall >= 0.9."""

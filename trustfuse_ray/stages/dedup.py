@@ -184,7 +184,19 @@ def _pair_row_table(doc_a: np.ndarray, doc_b: np.ndarray, key: np.ndarray,
     })
 
 
-def _bucket_cand_pairs(batch: pa.Table, *, mask: int) -> pa.Table:
+BUCKET_STAR_CAP = 512
+"""Above this bucket size, all-pairs emission is O(n²) — a single
+mass-duplicated boilerplate bucket of 10⁵ docs would emit 5×10⁹ candidate
+rows and kill the attach shuffle.  Oversized buckets switch to star
+(bucket-min representative × every member) + adjacent-chain pairs: O(n)
+candidates whose transitive closure still covers the clique in the
+connected-components pass; verification filters hash-collision members
+pair-by-pair (a non-duplicate that only chained through a degenerate
+bucket loses that edge — documented recall trade on adversarial input)."""
+
+
+def _bucket_cand_pairs(batch: pa.Table, *, mask: int,
+                       cap: int = BUCKET_STAR_CAP) -> pa.Table:
     """One LSH bucket group → candidate pairs (ids only — signatures do not
     enter the bucket shuffle OR the driver; verification happens after the
     candidates are co-partitioned back with the signature table)."""
@@ -193,8 +205,14 @@ def _bucket_cand_pairs(batch: pa.Table, *, mask: int) -> pa.Table:
     if n < 2:
         z = np.array([], dtype=np.int64)
         return _pair_row_table(z, z, z, mask)
-    ai, bj = np.triu_indices(n, k=1)
-    return _pair_row_table(ids[ai], ids[bj], ids[ai], mask)
+    if n <= cap:
+        ai, bj = np.triu_indices(n, k=1)
+        return _pair_row_table(ids[ai], ids[bj], ids[ai], mask)
+    # degenerate bucket: star (min-id rep) + chain — 2n−3 pairs, ids sorted
+    # so doc_a < doc_b everywhere
+    a = np.concatenate([np.full(n - 1, ids[0], dtype=np.int64), ids[1:-1]])
+    b = np.concatenate([ids[1:], ids[2:]])
+    return _pair_row_table(a, b, a, mask)
 
 
 def _sig_bin(batch: pa.Table, *, num_hashes: int, mask: int) -> pa.Table:
