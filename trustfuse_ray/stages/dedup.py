@@ -441,15 +441,55 @@ def simhash64(text: str) -> int:
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
+    """Batch-vectorized simhash (the MinHasher pattern): one token md5 pass
+    over the batch's UNIQUE tokens (memoized across batches), then a
+    (total_occurrences × 64) sign accumulation collapsed per doc with one
+    segmented ``np.add.reduceat``.  Values are identical to
+    :func:`simhash64`'s — the per-doc Counter weighting equals summing
+    ±1 per occurrence."""
     texts = canonical_text(batch["text"]).to_pylist()
-    hs = [simhash64(t or "") for t in texts]
+    toks_per_doc = [_WORD.findall(t or "") for t in texts]
+    counts = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+    n = len(texts)
+    hs_u = np.zeros(n, dtype=np.uint64)
+    total = int(counts.sum())
+    if total:
+        flat_toks = np.empty(total, dtype=object)
+        pos = 0
+        for toks in toks_per_doc:
+            flat_toks[pos:pos + len(toks)] = toks
+            pos += len(toks)
+        uniq, inv = np.unique(flat_toks, return_inverse=True)
+        uh = np.fromiter((_md5_token64(t) for t in uniq.tolist()),
+                         dtype=np.uint64, count=len(uniq))
+        # ±1 bit matrix per UNIQUE token (n_uniq × 64, int8), gathered per
+        # occurrence via inv — keeps the big tensor at 1 byte/cell
+        bits_u = ((uh[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                  & np.uint64(1)).astype(np.int8)
+        pm = (2 * bits_u - 1)[inv]  # (total × 64) int8
+        nz = counts > 0
+        starts = (np.cumsum(counts) - counts)[nz]
+        acc = np.zeros((n, 64), dtype=np.int64)
+        acc[nz] = np.add.reduceat(pm, starts, axis=0, dtype=np.int64)
+        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        hs_u = ((acc > 0) * powers).sum(axis=1, dtype=np.uint64)
     return pa.table({
         "doc_id": batch["doc_id"],
         # two's-complement signed view (int64 storage; XOR/Hamming and the
         # SQL oracle's BIGINT agree bit-for-bit)
-        "simhash": pa.array([h - (1 << 64) if h >= (1 << 63) else h
-                             for h in hs], pa.int64()),
+        "simhash": pa.array(hs_u.view(np.int64)),
     })
+
+
+_POP8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                      axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count): byte
+    lookup table summed over the 8 bytes of each word."""
+    b = x.reshape(-1).view(np.uint8)
+    return _POP8[b].reshape(*x.shape, 8).sum(axis=-1, dtype=np.int64)
 
 
 def simhash_near_pairs(docs, max_hamming: int = 3, blocks: int = 4):
@@ -460,39 +500,50 @@ def simhash_near_pairs(docs, max_hamming: int = 3, blocks: int = 4):
     import functools
 
     def _slices(batch: pa.Table, *, blocks: int) -> pa.Table:
-        ids, blk, key, sh = [], [], [], []
         width = 64 // blocks
-        mask = (1 << width) - 1
-        for did, h in zip(batch["doc_id"].to_pylist(),
-                          batch["simhash"].to_pylist()):
-            uh = h & 0xFFFFFFFFFFFFFFFF
-            for b in range(blocks):
-                ids.append(did)
-                blk.append(b)
-                key.append((uh >> (b * width)) & mask)
-                sh.append(h)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "block": pa.array(blk, pa.int32()),
-                         "key": pa.array(key, pa.int64()),
-                         "simhash": pa.array(sh, pa.int64())})
+        n = len(batch)
+        h = np.ascontiguousarray(np.asarray(batch["simhash"],
+                                            dtype=np.int64))
+        uh = h.view(np.uint64)
+        shifts = np.arange(blocks, dtype=np.uint64) * np.uint64(width)
+        keys = ((uh[:, None] >> shifts[None, :])
+                & np.uint64((1 << width) - 1)).astype(np.int64)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return pa.table({"doc_id": pa.array(np.repeat(ids, blocks)),
+                         "block": pa.array(np.tile(
+                             np.arange(blocks, dtype=np.int32), n)),
+                         "key": pa.array(keys.ravel()),
+                         "simhash": pa.array(np.repeat(h, blocks))})
 
-    def _verify(batch: pa.Table, *, max_hamming: int) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        hs = batch["simhash"].to_pylist()
-        out_a, out_b, dist = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = bin((hs[i] ^ hs[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if d <= max_hamming:
-                    a, b = sorted((ids[i], ids[j]))
-                    out_a.append(a)
-                    out_b.append(b)
-                    dist.append(d)
-        return pa.table({"doc_a": pa.array(out_a, pa.int64()),
-                         "doc_b": pa.array(out_b, pa.int64()),
-                         "hamming": pa.array(dist, pa.int64())})
+    def _verify(batch: pa.Table, *, max_hamming: int,
+                cap: int = BUCKET_STAR_CAP) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        hs = np.ascontiguousarray(np.asarray(batch["simhash"],
+                                             dtype=np.int64))
+        uniq_ids, idx = np.unique(ids, return_index=True)
+        m = len(uniq_ids)
+        if m < 2:
+            z = np.array([], dtype=np.int64)
+            return pa.table({"doc_a": pa.array(z), "doc_b": pa.array(z),
+                             "hamming": pa.array(z)})
+        uh = np.ascontiguousarray(hs[idx]).view(np.uint64)
+        if m <= cap:
+            d = _popcount64(uh[:, None] ^ uh[None, :])
+            ai, bj = np.nonzero(np.triu(d <= max_hamming, k=1))
+            da = d[ai, bj]
+        else:
+            # degenerate slice bucket (mass duplication): star+chain — O(m)
+            # pairs; transitive closure over the groupby-min output still
+            # links the clique (same policy as _bucket_cand_pairs)
+            sa = np.concatenate([np.zeros(m - 1, dtype=np.int64),
+                                 np.arange(1, m - 1)])
+            sb = np.concatenate([np.arange(1, m), np.arange(2, m)])
+            d = _popcount64(uh[sa] ^ uh[sb])
+            keep = d <= max_hamming
+            ai, bj, da = sa[keep], sb[keep], d[keep]
+        return pa.table({"doc_a": pa.array(uniq_ids[ai]),
+                         "doc_b": pa.array(uniq_ids[bj]),
+                         "hamming": pa.array(da)})
 
     sh = docs.map_batches(simhash_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
