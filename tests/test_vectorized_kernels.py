@@ -151,3 +151,68 @@ def test_slimfast_batched_matches_loop():
         assert np.array_equal(out_loop[0], out_batch[0])
         state[0], _ = model.reduce(state[0], out_loop[0],
                                    np.ones(n_src), rnd)
+
+
+def _random_claims_table(seed=5, n_claims=4000, n_src=15):
+    import pyarrow as pa
+    rng = np.random.default_rng(seed)
+    ent = [f"e{int(x)}" for x in rng.integers(0, 400, size=n_claims)]
+    attr = [f"a{int(x)}" for x in rng.integers(0, 3, size=n_claims)]
+    vt = np.where(rng.random(n_claims) < 0.4, "quantity", "string")
+    vs, vn = [], []
+    for i in range(n_claims):
+        if vt[i] == "quantity" and rng.random() < 0.9:
+            x = float(rng.integers(0, 9))
+            vs.append(str(int(x)))
+            vn.append(x)
+        else:
+            vs.append(f"v{int(rng.integers(0, 5))}")
+            vn.append(None)  # quantity fact with an unparsed claim
+    return pa.table({
+        "claim_id": pa.array(np.arange(n_claims), pa.int64()),
+        "bucket_id": pa.array(rng.integers(0, 3, size=n_claims), pa.int32()),
+        "entity": pa.array(ent), "attr": pa.array(attr),
+        "source": pa.array([f"s{int(x)}" for x in
+                            rng.integers(0, n_src, size=n_claims)]),
+        "value_str": pa.array(vs), "value_num": pa.array(vn, pa.float64()),
+        "value_type": pa.array(vt.tolist()),
+    })
+
+
+def test_counts_table_matches_row_loop():
+    """Vectorized (bid, source) fact counts == the per-row reference loop
+    (+1 per fact per DISTINCT source; quantity channel only when every
+    claim parsed numeric)."""
+    from trustfuse_ray.fuse.base import _counts_table, _pack_partition
+
+    packed = _pack_partition(_random_claims_table())
+    ref: dict = {}
+    for bid, srcs, vt, vns in zip(packed["bucket_id"].to_pylist(),
+                                  packed["sources"].to_pylist(),
+                                  packed["value_type"].to_pylist(),
+                                  packed["values_num"].to_pylist()):
+        is_q = vt == "quantity" and all(v is not None for v in vns)
+        for src in set(srcs):
+            c = ref.setdefault((bid, src), [0.0, 0.0])
+            c[0] += 1
+            if is_q:
+                c[1] += 1
+    got = _counts_table(packed)
+    assert got == ref
+    # sliced table (nonzero list offsets) must agree too
+    half = packed.slice(len(packed) // 3, len(packed) // 2)
+    ref_h = {}
+    for bid, srcs, vt, vns in zip(half["bucket_id"].to_pylist(),
+                                  half["sources"].to_pylist(),
+                                  half["value_type"].to_pylist(),
+                                  half["values_num"].to_pylist()):
+        is_q = vt == "quantity" and all(v is not None for v in vns)
+        for src in set(srcs):
+            c = ref_h.setdefault((bid, src), [0.0, 0.0])
+            c[0] += 1
+            if is_q:
+                c[1] += 1
+    assert _counts_table(half) == ref_h
+    import pyarrow as pa
+    empty = packed.slice(0, 0)
+    assert _counts_table(empty) == {}

@@ -318,6 +318,49 @@ def iter_facts(batch: pa.Table, src_index: dict[int, dict[str, int]]
                    src_idx_flat[s:e], vals, cid_flat[s:e])
 
 
+def _counts_table(t: pa.Table) -> dict[tuple[int, str], list]:
+    """(bid, source) -> [facts_all, facts_quantity_numeric] for one packed
+    table — the reference's fancy-index collapse (+1 per fact per DISTINCT
+    source, model.py:178-182) as one segmented pass: flatten the sources
+    list column, dictionary-encode, dedup (fact, source) occurrence pairs
+    with one np.unique, then bincount by (bucket, source)."""
+    n = len(t)
+    if n == 0:
+        return {}
+    bids = np.asarray(t["bucket_id"], dtype=np.int64)
+    src_col = t["sources"].combine_chunks()
+    lens = np.asarray(pc.list_value_length(src_col), dtype=np.int64)
+    enc = pc.dictionary_encode(pc.list_flatten(src_col))
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    uniq_src = enc.dictionary.to_pylist()
+    ncodes = max(len(uniq_src), 1)
+    if not len(codes):
+        return {}
+    fact_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    # distinct (fact, source) pairs
+    pairs = np.unique(fact_idx * ncodes + codes)
+    pf, pcode = pairs // ncodes, pairs % ncodes
+    # fact is quantity-numeric iff type == quantity and EVERY value parsed
+    is_qf = np.asarray(pc.equal(t["value_type"], "quantity"),
+                       dtype=bool)
+    flat_valid = np.asarray(
+        pc.is_valid(pc.list_flatten(t["values_num"].combine_chunks())),
+        dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    nz = lens > 0
+    validcnt = np.zeros(n, dtype=np.int64)
+    if nz.any():
+        validcnt[nz] = np.add.reduceat(flat_valid, starts[nz])
+    is_q = is_qf & (validcnt == lens)
+    # aggregate pair counts by (bucket, source)
+    bkey = bids[pf] * ncodes + pcode
+    ub, inv = np.unique(bkey, return_inverse=True)
+    c_all = np.bincount(inv).astype(np.float64)
+    c_q = np.bincount(inv, weights=is_q[pf].astype(np.float64))
+    return {(int(k // ncodes), uniq_src[int(k % ncodes)]):
+            [float(c_all[i]), float(c_q[i])] for i, k in enumerate(ub)}
+
+
 def _emit_batch(batch: pa.Table, *, model: FusionModel,
                 state: dict[int, dict],
                 src_index: dict[int, dict[str, int]]) -> pa.Table:
@@ -472,22 +515,14 @@ def _make_fact_shard():
             return sum(len(t) for t in self.tables)
 
         def counts(self) -> dict:
-            """(bid, source) -> [facts_all, facts_quantity_numeric]; +1 per
-            fact per source (reference fancy-index collapse,
-            model.py:178-182)."""
+            """(bid, source) -> [facts_all, facts_quantity_numeric]
+            (vectorized; see :func:`_counts_table`)."""
             acc: dict[tuple[int, str], list] = {}
             for t in self.tables:
-                for bid, srcs, vt, vns in zip(t["bucket_id"].to_pylist(),
-                                              t["sources"].to_pylist(),
-                                              t["value_type"].to_pylist(),
-                                              t["values_num"].to_pylist()):
-                    is_q = vt == "quantity" and all(v is not None
-                                                    for v in vns)
-                    for src in set(srcs):
-                        c = acc.setdefault((bid, src), [0.0, 0.0])
-                        c[0] += 1
-                        if is_q:
-                            c[1] += 1
+                for k, v in _counts_table(t).items():
+                    c = acc.setdefault(k, [0.0, 0.0])
+                    c[0] += v[0]
+                    c[1] += v[1]
             return acc
 
         def parse(self, src_index) -> int:
@@ -655,19 +690,7 @@ class FusionSession:
         return agg
 
     def _agg_local(self) -> dict:
-        agg: dict[tuple, list] = {}
-        for bid, srcs, vt, vns in zip(
-                self._tbl["bucket_id"].to_pylist(),
-                self._tbl["sources"].to_pylist(),
-                self._tbl["value_type"].to_pylist(),
-                self._tbl["values_num"].to_pylist()):
-            is_q = vt == "quantity" and all(v is not None for v in vns)
-            for src in set(srcs):
-                c = agg.setdefault((bid, src), [0.0, 0.0])
-                c[0] += 1
-                if is_q:
-                    c[1] += 1
-        return agg
+        return _counts_table(self._tbl)
 
     def _round_stats(self, model, state):
         import ray
