@@ -216,3 +216,56 @@ def test_counts_table_matches_row_loop():
     import pyarrow as pa
     empty = packed.slice(0, 0)
     assert _counts_table(empty) == {}
+
+
+def _emit_compare(Model, rounds=2, seed=3):
+    import pyarrow as pa
+    from trustfuse_ray.fuse.base import _emit_facts, _emit_facts_loop
+
+    facts, n_src = _random_facts(seed=seed)
+    model = Model()
+    state = {0: model.initial_state([f"s{i}" for i in range(n_src)],
+                                    np.ones(n_src))}
+    cache = {}
+    for rnd in range(min(rounds, model.n_rounds)):
+        out = _batched_stats(facts, model, state, {0: n_src}, cache)
+        if out is None:
+            out = {0: np.zeros((N_CHANNELS, n_src))}
+            for f in facts:
+                model.accumulate(f, state[0], out[0])
+        state[0], _ = model.reduce(state[0], out[0], np.ones(n_src), rnd)
+    batched = _emit_facts(facts, model, state, cache)
+    loop = _emit_facts_loop(facts, model, state)
+    assert batched.schema.equals(loop.schema)
+    keys = [("entity", "ascending"), ("attr", "ascending"),
+            ("value_str", "ascending")]
+    import pyarrow.compute as pc
+    b = batched.take(pc.sort_indices(batched, sort_keys=keys))
+    l = loop.take(pc.sort_indices(loop, sort_keys=keys))
+    assert len(b) == len(l)
+    for col in ("bucket_id", "entity", "attr", "value_str", "value_type",
+                "n_claims", "winner_claim_id"):
+        assert b[col].to_pylist() == l[col].to_pylist(), col
+    for col in ("value_num", "conf"):
+        x = np.array([v if v is not None else np.nan
+                      for v in b[col].to_pylist()])
+        y = np.array([v if v is not None else np.nan
+                      for v in l[col].to_pylist()])
+        ok = np.isclose(x, y, rtol=1e-9, atol=1e-12) | (
+            np.isnan(x) & np.isnan(y))
+        assert ok.all(), (col, x[~ok], y[~ok])
+
+
+def test_voting_emit_batched_matches_loop():
+    from trustfuse_ray.fuse.voting import Voting
+    _emit_compare(Voting)
+
+
+def test_crh_emit_batched_matches_loop():
+    from trustfuse_ray.fuse.crh import CRH
+    _emit_compare(CRH)
+
+
+def test_truthfinder_emit_batched_matches_loop():
+    from trustfuse_ray.fuse.truthfinder import TruthFinder
+    _emit_compare(TruthFinder)

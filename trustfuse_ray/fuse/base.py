@@ -361,14 +361,33 @@ def _counts_table(t: pa.Table) -> dict[tuple[int, str], list]:
             [float(c_all[i]), float(c_q[i])] for i, k in enumerate(ub)}
 
 
-def _emit_batch(batch: pa.Table, *, model: FusionModel,
-                state: dict[int, dict],
-                src_index: dict[int, dict[str, int]]) -> pa.Table:
-    return _emit_facts(iter_facts(batch, src_index), model, state)
+def _emit_facts(facts, model: FusionModel, state: dict[int, dict],
+                cache: dict | None = None) -> pa.Table:
+    """Final truth emission.  Models exposing ``emit_batch`` (CRH,
+    TruthFinder, Voting) run one segmented-numpy pass per bucket — same
+    summation order as their round kernels — with structs reused from
+    ``cache`` (the shard/session _vcache); everything else falls back to
+    the per-fact loop."""
+    if getattr(model, "emit_batch", None) is not None:
+        facts = facts if isinstance(facts, list) else list(facts)
+        by_bid: dict[int, list] = {}
+        for f in facts:
+            if model.numeric_only and not f.is_numeric:
+                continue
+            by_bid.setdefault(f.bucket_id, []).append(f)
+        if cache is None:
+            cache = {}
+        tables = [t for t in (model.emit_batch(fl, state[bid], bid, cache)
+                              for bid, fl in by_bid.items())
+                  if t is not None and len(t)]
+        if tables:
+            return pa.concat_tables(tables)
+        return _emit_facts_loop([], model, state)
+    return _emit_facts_loop(facts, model, state)
 
 
-def _emit_facts(facts, model: FusionModel,
-                state: dict[int, dict]) -> pa.Table:
+def _emit_facts_loop(facts, model: FusionModel,
+                     state: dict[int, dict]) -> pa.Table:
     rows = {k: [] for k in ("bucket_id", "entity", "attr", "value_str",
                             "value_num", "value_type", "conf", "n_claims",
                             "winner_claim_id")}
@@ -548,7 +567,7 @@ def _make_fact_shard():
             return outs
 
         def emit(self, model, state) -> pa.Table:
-            return _emit_facts(self.facts, model, state)
+            return _emit_facts(self.facts, model, state, self._vcache)
 
     return FactShard
 
@@ -747,8 +766,10 @@ class FusionSession:
             ray.wait(refs, num_returns=len(refs))
             triples = rd.from_arrow_refs(refs)
         else:
+            if not hasattr(self, "_vcache"):
+                self._vcache = {}
             triples = rd.from_arrow(
-                _emit_facts(self._facts, model, state))
+                _emit_facts(self._facts, model, state, self._vcache))
         weights = {
             bid: {s: float(model.weights(state[bid])[i])
                   for s, i in self.src_index[bid].items()

@@ -115,6 +115,11 @@ class CRH(FusionModel):
 
         V.crh_accumulate_batch(self, st, state, out)
 
+    def emit_batch(self, facts, state, bid, cache):
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.crh_emit_batch(self, facts, state, bid, cache)
+
     def reduce(self, state, stats, counts, round_no):
         rtn = stats[0].copy()
         tmp = rtn.sum()

@@ -107,6 +107,11 @@ class TruthFinder(FusionModel):
 
         V.tf_accumulate_batch(self, st, state, out)
 
+    def emit_batch(self, facts, state, bid, cache):
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.tf_emit_batch(self, facts, state, bid, cache)
+
     def reduce(self, state, stats, counts, round_no):
         t = np.zeros_like(stats[0])
         mask = stats[1] > 0

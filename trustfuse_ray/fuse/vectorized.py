@@ -462,3 +462,241 @@ def slimfast_accumulate_batch(model, st, state, out):
     correct = (st["vg_o"] == win[st["claim_fact"]]).astype(np.float64)
     np.add.at(out[0], st["src_o"], correct)
     np.add.at(out[1], st["src_o"], 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Batched final emit (fact_truth + winner-claim lineage as segmented passes)
+# ---------------------------------------------------------------------------
+#
+# `_emit_facts`'s per-fact loop (model.fact_truth + an inner winner scan per
+# emitted value) was the last per-fact Python in the session hot path.  The
+# models below opt in via ``emit_batch``; the winning value, confidence and
+# first-asserting-claim lineage all come out of the same segmented-numpy
+# machinery the round kernels use, so the emitted truth is consistent with
+# the batched round path by construction (one canonical summation order).
+
+
+def _emit_meta(facts):
+    """Per-fact metadata + claim-level flats shared by all emit kernels."""
+    m = np.asarray([len(f.claim_ids) for f in facts], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(m)[:-1])) if len(m) else \
+        np.zeros(0, dtype=np.int64)
+    return {
+        "entity": np.array([f.entity for f in facts], dtype=object),
+        "attr": np.array([f.attr for f in facts], dtype=object),
+        "vtype": np.array([f.vtype for f in facts], dtype=object),
+        "m": m, "starts": starts,
+        "cids": (np.concatenate([f.claim_ids for f in facts])
+                 if len(m) else np.zeros(0, dtype=np.int64)),
+    }
+
+
+def _winner_cids(hit, meta):
+    """claim_id of the FIRST hit claim per fact segment; -1 if none
+    (the _emit_facts winner-scan, segmented)."""
+    if not len(meta["m"]):
+        return np.zeros(0, dtype=np.int64)
+    cand = np.where(hit, np.arange(len(hit), dtype=np.int64), _BIG)
+    first = np.minimum.reduceat(cand, meta["starts"])
+    miss = first == _BIG
+    out = meta["cids"][np.where(miss, 0, first)]
+    out[miss] = -1
+    return out
+
+
+def _emit_rows(bid, meta, values, conf, win_cid, numeric):
+    """Assemble the _emit_facts output schema for one homogeneous subset."""
+    import pyarrow as pa
+
+    from trustfuse_ray.fuse.base import _fmt_num
+
+    n = len(conf)
+    if numeric:
+        vnum = np.asarray(values, dtype=np.float64)
+        vstr = pa.array([_fmt_num(v) for v in vnum.tolist()], pa.string())
+        vnum_arr = pa.array(vnum, pa.float64())
+    else:
+        vstr = pa.array(values.tolist(), pa.string())
+        vnum_arr = pa.nulls(n, pa.float64())
+    return pa.table({
+        "bucket_id": pa.array(np.full(n, bid, dtype=np.int32)),
+        "entity": pa.array(meta["entity"].tolist(), pa.string()),
+        "attr": pa.array(meta["attr"].tolist(), pa.string()),
+        "value_str": vstr,
+        "value_num": vnum_arr,
+        "value_type": pa.array(meta["vtype"].tolist(), pa.string()),
+        "conf": pa.array(np.asarray(conf, dtype=np.float64)),
+        "n_claims": pa.array(meta["m"].astype(np.int32)),
+        "winner_claim_id": pa.array(win_cid, pa.int64()),
+    })
+
+
+def _concat_emit(tables):
+    import pyarrow as pa
+
+    tables = [t for t in tables if t is not None and len(t)]
+    if not tables:
+        return None
+    return pa.concat_tables(tables)
+
+
+def crh_emit_batch(model, facts, state, bid, cache):
+    """CRH truth emission over one bucket's facts, reusing the cached round
+    structs (build_crh_batch) — categorical argmax / numeric argmin with the
+    SAME reduceat summation order as crh_accumulate_batch."""
+    key = model.batch_key()
+    structs = cache.setdefault(key, {})
+    st = structs.get(bid)
+    if st is None:
+        st = structs[bid] = model.build_batch(facts)
+    ekey = ("emit",) + key
+    emeta = cache.setdefault(ekey, {})
+    em = emeta.get(bid)
+    cats = [f for f in facts if not f.is_numeric]
+    nums = [f for f in facts if f.is_numeric]
+    if em is None:
+        vg_values = None
+        if st["cat"] is not None:
+            vg_values = np.empty(st["cat"]["n_vg"], dtype=object)
+            for fi, fact in enumerate(cats):
+                uniq = model._prep(fact)[2]
+                s0 = st["cat"]["vgf_starts"][fi]
+                vg_values[s0:s0 + len(uniq)] = uniq
+        em = emeta[bid] = {
+            "cat_meta": _emit_meta(cats), "num_meta": _emit_meta(nums),
+            "vg_values": vg_values,
+            "vn_flat": (np.concatenate([f.values for f in nums])
+                        if nums else np.zeros(0)),
+        }
+    w = state["w"]
+    out = []
+    cat = st["cat"]
+    if cat is not None:
+        wi = w[cat["src_o"][cat["perm"]]]
+        s_vg = np.add.reduceat(wi, cat["vg_starts"])
+        mx = np.maximum.reduceat(s_vg, cat["vgf_starts"])
+        j = _seg_first_arg(mx, s_vg, cat["vgf_starts"], cat["vg_counts"],
+                           is_min=False)
+        tot = np.add.reduceat(s_vg, cat["vgf_starts"])
+        conf = np.where(tot > 0, mx / np.where(tot > 0, tot, 1.0), 0.0)
+        hit = cat["vg_o"] == j[cat["claim_fact"]]
+        win = _winner_cids(hit, em["cat_meta"])
+        out.append(_emit_rows(bid, em["cat_meta"], em["vg_values"][j],
+                              conf, win, numeric=False))
+    num = st["num"]
+    if num is not None:
+        contrib = num["lossflat"] * w[num["colsrc"]]
+        scores = np.add.reduceat(contrib, num["row_starts"])
+        mn = np.minimum.reduceat(scores, num["fact_row_starts"])
+        jrow = _seg_first_arg(mn, scores, num["fact_row_starts"],
+                              num["m_per_fact"], is_min=True)
+        v = em["vn_flat"][jrow]
+        conf = 1.0 / (1.0 + mn)
+        hit = em["vn_flat"] == np.repeat(v, num["m_per_fact"])
+        win = _winner_cids(hit, em["num_meta"])
+        out.append(_emit_rows(bid, em["num_meta"], v, conf, win,
+                              numeric=True))
+    return _concat_emit(out)
+
+
+def tf_emit_batch(model, facts, state, bid, cache):
+    """TruthFinder emission: per-claim scores from the cached batched
+    machinery (tau_prev), first-argmax claim per fact, winner = first claim
+    asserting the same distinct value."""
+    key = model.batch_key()
+    structs = cache.setdefault(key, {})
+    st = structs.get(bid)
+    if st is None:
+        st = structs[bid] = model.build_batch(facts)
+    if st is None:
+        return None
+    ekey = ("emit",) + key
+    emeta = cache.setdefault(ekey, {})
+    em = emeta.get(bid)
+    if em is None:
+        meta = _emit_meta(list(facts))
+        em = emeta[bid] = {
+            "meta": meta,
+            "is_num": np.array([f.is_numeric for f in facts], dtype=bool),
+            "vals": (np.concatenate(
+                [np.asarray(f.values, dtype=object) for f in facts])
+                if len(meta["m"]) else np.zeros(0, dtype=object)),
+        }
+    meta = em["meta"]
+    s = tf_claim_scores_batch(model, st, state["tau_prev"])
+    mx = np.maximum.reduceat(s, meta["starts"])
+    j = _seg_first_arg(mx, s, meta["starts"], meta["m"], is_min=False)
+    vg_win = st["vg_o"][j]
+    hit = st["vg_o"] == vg_win[st["claim_fact"]]
+    win = _winner_cids(hit, meta)
+    vals_j = em["vals"][j]
+    isn = em["is_num"]
+    out = []
+    if (~isn).any():
+        sel = ~isn
+        sub = {k: meta[k][sel] for k in ("entity", "attr", "vtype", "m")}
+        sub_vals = np.array([str(v) for v in vals_j[sel]], dtype=object)
+        out.append(_emit_rows(bid, sub, sub_vals, mx[sel], win[sel],
+                              numeric=False))
+    if isn.any():
+        sub = {k: meta[k][isn] for k in ("entity", "attr", "vtype", "m")}
+        out.append(_emit_rows(bid, sub, vals_j[isn].astype(np.float64),
+                              mx[isn], win[isn], numeric=True))
+    return _concat_emit(out)
+
+
+def voting_emit_batch(model, facts, state, bid, cache):
+    """Voting emission: categorical mode (tie → lexicographically smallest)
+    and numeric median, both as segmented passes."""
+    ekey = ("emit", "voting")
+    emeta = cache.setdefault(ekey, {})
+    em = emeta.get(bid)
+    cats = [f for f in facts if not f.is_numeric]
+    nums = [f for f in facts if f.is_numeric]
+    if em is None:
+        def groups(fact):
+            return np.unique(fact.values.astype(str), return_inverse=True)
+
+        cat = build_cat_struct(cats, groups)
+        vg_values = None
+        if cat is not None:
+            vg_values = np.empty(cat["n_vg"], dtype=object)
+            for fi, fact in enumerate(cats):
+                uniq = groups(fact)[0]
+                s0 = cat["vgf_starts"][fi]
+                vg_values[s0:s0 + len(uniq)] = uniq
+        em = emeta[bid] = {
+            "cat": cat, "vg_values": vg_values,
+            "cat_meta": _emit_meta(cats), "num_meta": _emit_meta(nums),
+            "vn_flat": (np.concatenate([f.values for f in nums])
+                        if nums else np.zeros(0)),
+        }
+    out = []
+    cat = em["cat"]
+    if cat is not None:
+        counts_vg = np.bincount(cat["vg_o"],
+                                minlength=cat["n_vg"]).astype(np.float64)
+        mx = np.maximum.reduceat(counts_vg, cat["vgf_starts"])
+        j = _seg_first_arg(mx, counts_vg, cat["vgf_starts"],
+                           cat["vg_counts"], is_min=False)
+        meta = em["cat_meta"]
+        conf = mx / meta["m"]
+        hit = cat["vg_o"] == j[cat["claim_fact"]]
+        win = _winner_cids(hit, meta)
+        out.append(_emit_rows(bid, meta, em["vg_values"][j], conf, win,
+                              numeric=False))
+    if nums:
+        meta = em["num_meta"]
+        vn = em["vn_flat"]
+        claim_fact = np.repeat(np.arange(len(meta["m"]), dtype=np.int64),
+                               meta["m"])
+        order = np.lexsort((vn, claim_fact))
+        sv = vn[order]
+        lo = meta["starts"] + (meta["m"] - 1) // 2
+        hi = meta["starts"] + meta["m"] // 2
+        med = 0.5 * (sv[lo] + sv[hi])
+        conf = np.ones(len(meta["m"]))
+        hit = vn == np.repeat(med, meta["m"])
+        win = _winner_cids(hit, meta)
+        out.append(_emit_rows(bid, meta, med, conf, win, numeric=True))
+    return _concat_emit(out)

@@ -77,3 +77,8 @@ class Voting(FusionModel):
             return [med], 1.0
         v, support = categorical_mode(fact.values)
         return [v], float(support)
+
+    def emit_batch(self, facts, state, bid, cache):
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.voting_emit_batch(self, facts, state, bid, cache)
