@@ -269,3 +269,73 @@ def test_crh_emit_batched_matches_loop():
 def test_truthfinder_emit_batched_matches_loop():
     from trustfuse_ray.fuse.truthfinder import TruthFinder
     _emit_compare(TruthFinder)
+
+
+def _random_facts_big(seed=11, n=80, n_src=40):
+    """Facts with 50-200 claims: the regime where BLAS dgemv / pairwise
+    summation reassociates vs the kernels' sequential segmented sums
+    (ADVICE r2: the 1-8 claim fixture never exercised this)."""
+    rng = np.random.default_rng(seed)
+    facts = []
+    for i in range(n):
+        m = int(rng.integers(50, 200))
+        src = rng.integers(0, n_src, size=m).astype(np.int32)
+        if rng.random() < 0.5:
+            vals = rng.normal(0, 100, size=m).round(2)
+            vt = "quantity"
+        else:
+            vals = np.array([f"v{int(x)}" for x in
+                             rng.integers(0, 6, size=m)], dtype=object)
+            vt = "string"
+        facts.append(Fact(0, f"e{i}", "a", vt, src, vals,
+                          np.arange(m, dtype=np.int64)))
+    return facts, n_src
+
+
+def _compare_big(Model, seed):
+    """Loop vs batched stats and emit on big skewed-weight facts: stats
+    agree to relative roundoff; the emitted VALUES agree exactly (score
+    reassociation must never flip the winner across different values)."""
+    from trustfuse_ray.fuse.base import _emit_facts, _emit_facts_loop
+
+    facts, n_src = _random_facts_big(seed=seed)
+    rng = np.random.default_rng(seed + 1)
+    model = Model()
+    state = {0: model.initial_state([f"s{i}" for i in range(n_src)],
+                                    np.ones(n_src))}
+    cache = {}
+    for rnd in range(2):
+        out_loop = {0: np.zeros((N_CHANNELS, n_src))}
+        for f in facts:
+            model.accumulate(f, state[0], out_loop[0])
+        out_batch = _batched_stats(facts, model, state, {0: n_src}, cache)
+        assert out_batch is not None
+        diff = np.abs(out_loop[0] - out_batch[0])
+        scale = np.maximum(1.0, np.abs(out_loop[0]))
+        assert (diff / scale).max() <= 1e-9
+        state[0], _ = model.reduce(state[0], out_loop[0],
+                                   np.ones(n_src), rnd)
+        # skew the weights 6 orders of magnitude to amplify reassociation
+        key = "w" if "w" in state[0] else "tau"
+        state[0][key] = state[0][key] * rng.gamma(0.5, 2.0, size=n_src) \
+            * 10.0 ** rng.integers(-3, 4, size=n_src)
+    batched = _emit_facts(facts, model, state, cache)
+    loop = _emit_facts_loop(facts, model, state)
+    key = [("entity", "ascending"), ("value_str", "ascending")]
+    import pyarrow.compute as pc
+    b = batched.take(pc.sort_indices(batched, sort_keys=key))
+    l = loop.take(pc.sort_indices(loop, sort_keys=key))
+    assert b["value_str"].to_pylist() == l["value_str"].to_pylist()
+    assert b["winner_claim_id"].to_pylist() == l["winner_claim_id"].to_pylist()
+
+
+def test_crh_big_fact_reassociation_regime():
+    from trustfuse_ray.fuse.crh import CRH
+    _compare_big(CRH, seed=11)
+    _compare_big(CRH, seed=23)
+
+
+def test_truthfinder_big_fact_reassociation_regime():
+    from trustfuse_ray.fuse.truthfinder import TruthFinder
+    _compare_big(TruthFinder, seed=11)
+    _compare_big(TruthFinder, seed=23)
