@@ -44,7 +44,7 @@ def _flagged(ds, flag: str, cols: dict[str, str]) -> "ray.data.Dataset":
         })
         for f in ("gt", "it", "dpp"):
             out = out.append_column(
-                f, pa.array([1 if f == flag else 0] * n, pa.int8()))
+                f, pa.array(np.full(n, 1 if f == flag else 0, np.int8)))
         return out.filter(pc.is_valid(val))
 
     return ds.map_batches(_b, batch_format="pyarrow", zero_copy_batch=True)
@@ -113,14 +113,14 @@ def get_metrics(triples, gt, claims,
                                   "entity": "entity", "value": "value_str"}
 
     gt_f = _flagged(gt, "gt", gt_cols).materialize()
-    gt_entities = set(gt_f.unique("entity"))
+    gt_entities = pa.array(gt_f.unique("entity"))
 
     def _restrict(ds):
         def _b(batch: pa.Table) -> pa.Table:
-            mask = pa.array([e in gt_entities
-                             for e in batch["entity"].to_pylist()])
-            return batch.filter(mask)
-        return ds.map_batches(_b, batch_format="pyarrow")
+            return batch.filter(
+                pc.is_in(batch["entity"], value_set=gt_entities))
+        return ds.map_batches(_b, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     it_f = _restrict(_flagged(triples, "it", triples_cols))
     dpp_f = _restrict(_flagged(claims, "dpp", claims_cols))
@@ -222,58 +222,55 @@ def compute_mnad(triples, gt, attribute_types: dict[str, str]) -> float | None:
     collapse (evaluation.py:375) only runs without crashing for single-row
     merges; we compute the element-wise form.
 
-    Distributed shape: GT is curated/small → broadcast as a lookup dict
+    Distributed shape: GT is curated/small → broadcast as an Arrow table
     (``ray.put`` once, read per task); the fused-triple table STREAMS
-    through ``map_batches`` emitting per-attr sufficient statistics
-    (n, Σ|err|, Σerr²) which a tiny ``groupby(attr).sum`` reduces — the
-    triple table is never materialized on the driver."""
+    through ``map_batches``, each batch inner-joining against the GT table
+    (Acero hash join — one error row per GT row × fused row) and emitting
+    only (attr, err) rows.  The error stream is bounded by
+    |GT| × fused-rows-per-key, so collecting it on the driver is safe, and
+    the per-attr variance is then the exact two-pass ``np.var`` the
+    reference uses — including its ``var == 0`` → plain-MAE branch (no
+    one-pass round-off threshold)."""
     import ray
 
-    g_rows = gt.select_columns(["entity", "attr", "value_num"]).take_all()
-    gmap: dict[tuple, list] = {}
-    for r in g_rows:
-        if (attribute_types.get(r["attr"]) == "quantity"
-                and r["value_num"] is not None):
-            gmap.setdefault((r["entity"], r["attr"]), []).append(
-                float(r["value_num"]))
-    if not gmap:
+    qattrs = [a for a, t in attribute_types.items() if t == "quantity"]
+    g_tbl = pa.Table.from_pylist(
+        gt.select_columns(["entity", "attr", "value_num"]).take_all())
+    if len(g_tbl) == 0 or not qattrs:
         return None
-    gref = ray.put(gmap)
+    g_tbl = g_tbl.filter(
+        pc.and_(pc.is_in(g_tbl["attr"], value_set=pa.array(qattrs)),
+                pc.is_valid(g_tbl["value_num"])))
+    g_tbl = pa.table({
+        "entity": g_tbl["entity"], "attr": g_tbl["attr"],
+        "gv": pc.cast(g_tbl["value_num"], pa.float64())})
+    if len(g_tbl) == 0:
+        return None
+    gref = ray.put(g_tbl)
 
-    def _stats(batch: pa.Table) -> pa.Table:
-        m = ray.get(gref)
-        attrs_out, errs = [], []
-        for e, a, v in zip(batch["entity"].to_pylist(),
-                           batch["attr"].to_pylist(),
-                           batch["value_num"].to_pylist()):
-            if v is None:
-                continue
-            # inner-merge semantics: one error per (GT row × fused row)
-            for gv in m.get((e, a), ()):
-                attrs_out.append(a)
-                errs.append(abs(gv - float(v)))
-        err = np.asarray(errs, dtype=np.float64)
-        return pa.table({
-            "attr": pa.array(attrs_out, pa.string()),
-            "n": pa.array(np.ones(len(err), dtype=np.int64)),
-            "s": pa.array(err),
-            "s2": pa.array(err * err),
-        })
+    def _errs(batch: pa.Table) -> pa.Table:
+        g = ray.get(gref)
+        b = batch.filter(pc.is_valid(batch["value_num"]))
+        b = pa.table({"entity": b["entity"], "attr": b["attr"],
+                      "fv": pc.cast(b["value_num"], pa.float64())})
+        # inner-merge semantics: one error per (GT row × fused row)
+        j = b.join(g, keys=["entity", "attr"], join_type="inner")
+        err = pc.abs(pc.subtract(j["gv"], j["fv"]))
+        return pa.table({"attr": j["attr"], "err": err})
 
-    agg = (triples.select_columns(["entity", "attr", "value_num"])
-           .map_batches(_stats, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("attr").sum(["n", "s", "s2"]).take_all())
+    rows = (triples.select_columns(["entity", "attr", "value_num"])
+            .map_batches(_errs, batch_format="pyarrow", zero_copy_batch=True)
+            .take_all())
+    by_attr: dict[str, list] = {}
+    for r in rows:
+        by_attr.setdefault(r["attr"], []).append(r["err"])
     mae_tot, n_attr = 0.0, 0
-    for r in agg:
-        n, s, s2 = r["sum(n)"], r["sum(s)"], r["sum(s2)"]
-        if not n:
+    for errs in by_attr.values():
+        err = np.sort(np.asarray(errs, dtype=np.float64))  # deterministic
+        if err.size == 0:
             continue
-        mae = s / n
-        var = max(0.0, s2 / n - mae * mae)
-        # one-pass variance: treat round-off dust as the reference's
-        # exact-zero branch
-        if var <= 1e-12 * max(1.0, mae * mae):
-            var = 0.0
+        mae = float(np.mean(err))
+        var = float(np.var(err))
         mae_tot += mae if var == 0 else mae / var
         n_attr += 1
     return mae_tot / n_attr if n_attr else None
