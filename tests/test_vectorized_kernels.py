@@ -339,3 +339,33 @@ def test_truthfinder_big_fact_reassociation_regime():
     from trustfuse_ray.fuse.truthfinder import TruthFinder
     _compare_big(TruthFinder, seed=11)
     _compare_big(TruthFinder, seed=23)
+
+
+def test_iter_facts_sliced_matches_copy():
+    """iter_facts on a sliced packed table (nonzero absolute list offsets,
+    child arrays longer than the window) must yield exactly the facts of a
+    deep-copied, offset-reset table — the regime where the old
+    re-materialize fallback returned views and misaligned flat arrays."""
+    import pyarrow as pa
+    from trustfuse_ray.fuse.base import _pack_partition, iter_facts
+
+    packed = _pack_partition(_random_claims_table(seed=11))
+    src_index = {}
+    for bid, srcs in zip(packed["bucket_id"].to_pylist(),
+                         packed["sources"].to_pylist()):
+        d = src_index.setdefault(int(bid), {})
+        for s in srcs:
+            d.setdefault(s, len(d))
+    for start, length in [(len(packed) // 3, len(packed) // 2),
+                          (7, 1), (len(packed) - 1, 1), (5, 0)]:
+        sl = packed.slice(start, length)
+        deep = pa.Table.from_pylist(sl.to_pylist(), schema=sl.schema)
+        got = list(iter_facts(sl, src_index))
+        want = list(iter_facts(deep, src_index))
+        assert len(got) == len(want) == length
+        for a, b in zip(got, want):
+            assert (a.bucket_id, a.entity, a.attr, a.vtype) == \
+                   (b.bucket_id, b.entity, b.attr, b.vtype)
+            assert np.array_equal(a.src_idx, b.src_idx)
+            assert np.array_equal(a.claim_ids, b.claim_ids)
+            assert list(a.values) == list(b.values)

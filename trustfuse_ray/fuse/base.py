@@ -275,18 +275,23 @@ def iter_facts(batch: pa.Table, src_index: dict[int, dict[str, int]]
     vt_col = batch["value_type"].to_pylist()
     src_la = batch["sources"].combine_chunks()
     offs = np.asarray(src_la.offsets, dtype=np.int64)
-    if offs[0] != 0:  # sliced list array: fall back to re-materialized copy
-        batch = pa.Table.from_batches(batch.combine_chunks().to_batches())
-        src_la = batch["sources"].combine_chunks()
-        offs = np.asarray(src_la.offsets, dtype=np.int64)
+    # Sliced ListArrays keep absolute offsets into the full child array.
+    # Normalize: slice every child to the used window [lo, hi) and shift
+    # offsets to start at 0 (no-op view when unsliced).  The pack stage
+    # builds all four list columns with ALIGNED offsets, so one window
+    # applies to all of them.
+    lo, hi = int(offs[0]), int(offs[-1])
+    offs = offs - lo
     lens = np.diff(offs)
-    flat_src = src_la.values.to_pylist()
-    vn_vals = batch["values_num"].combine_chunks().values
+    flat_src = src_la.values.slice(lo, hi - lo).to_pylist()
+    vn_vals = batch["values_num"].combine_chunks().values.slice(lo, hi - lo)
     vn_flat = vn_vals.to_numpy(zero_copy_only=False)
     vn_valid = pc.is_valid(vn_vals).to_numpy(zero_copy_only=False)
-    vs_flat = batch["values_str"].combine_chunks().values.to_pylist()
-    cid_flat = np.asarray(batch["claim_ids"].combine_chunks().values,
-                          dtype=np.int64)
+    vs_flat = (batch["values_str"].combine_chunks().values
+               .slice(lo, hi - lo).to_pylist())
+    cid_flat = np.asarray(
+        batch["claim_ids"].combine_chunks().values.slice(lo, hi - lo),
+        dtype=np.int64)
 
     # per-claim source index: C-level hash-map lookup per bucket segment
     import pandas as pd
@@ -305,9 +310,10 @@ def iter_facts(batch: pa.Table, src_index: dict[int, dict[str, int]]
 
     is_q = np.array([v == "quantity" for v in vt_col])
     # fact is numeric iff quantity-typed AND every claim parsed to a number
-    nvalid_per_fact = np.add.reduceat(
-        vn_valid.astype(np.int64), offs[:-1]) if n else np.array([])
-    nvalid_per_fact[lens == 0] = 0
+    # (cumsum difference instead of reduceat: safe for empty segments and
+    # an empty trailing segment, where reduceat would misread/raise)
+    cs = np.concatenate(([0], np.cumsum(vn_valid.astype(np.int64))))
+    nvalid_per_fact = cs[offs[1:]] - cs[offs[:-1]]
     numeric = is_q & (nvalid_per_fact == lens)
 
     for i in range(n):
