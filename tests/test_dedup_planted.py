@@ -114,3 +114,15 @@ def test_ivf_near_pairs_planted_at_scale():
     truth = {(int(s), int(n_base + i)) for i, s in enumerate(dup_src)}
     hit = sum(1 for p in truth if p in found)
     assert hit / len(truth) >= 0.9, (hit, len(truth))
+
+
+def test_minhash_empty_corpus():
+    """Zero-block input through the plasma exchange: no IndexError, 0 pairs
+    with the typed pair schema."""
+    import pyarrow as pa
+    empty = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    empty = empty.filter(lambda r: True)  # force a (possibly 0-block) plan
+    pairs = minhash_lsh_pairs(empty)
+    assert pairs.count() == 0

@@ -491,6 +491,11 @@ def _make_split_task():
             # fetches would all serialize through the driver's RPC thread —
             # measured ~16 s of the pack exchange at 64×32.  Plasma-put
             # pieces are fetched straight from shared memory.
+            # Ownership: the pieces are owned by this task's worker, which
+            # stays alive (workers are reused) until the shard actors'
+            # load_pieces wave — submitted immediately after this wave —
+            # has fetched every piece.  If the exchange ever becomes
+            # lazy/multi-wave, put with _owner= a long-lived actor.
             return [ray.put(p) for p in pieces]
 
         _SPLIT_TASK = split_claims_block

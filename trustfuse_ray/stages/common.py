@@ -121,10 +121,15 @@ def hash_group_apply(ds, keys: list[str], fn, n_parts: int = 64,
         batch_format="pyarrow")
 
 
-def plasma_exchange(inputs, fn, n_parts: int, part_col: str = "__p"):
+def plasma_exchange(inputs, fn, n_parts: int, part_col: str = "__p",
+                    empty_schema: pa.Schema | None = None):
     """Hand-rolled hash exchange for PRE-PARTITIONED rows: ``inputs`` is a
     list of Datasets whose rows already carry ``part_col`` in [0, n_parts);
     returns a Dataset of ``fn(partition_table)`` outputs.
+    ``empty_schema`` (the static input-row schema, including ``part_col``)
+    makes empty/schema-less blocks — an empty corpus materializes to zero
+    blocks, or to blocks with no columns — flow through as typed empty
+    tables instead of crashing the split/gather tasks.
 
     Ray Data's ``groupby`` runs a sample+sort exchange with ~1-2 s fixed
     cost per call; when the partition id is already computed this two-wave
@@ -141,10 +146,18 @@ def plasma_exchange(inputs, fn, n_parts: int, part_col: str = "__p"):
     def _split(tbl: pa.Table):
         import pyarrow.compute as pc_
 
+        if part_col not in tbl.column_names and empty_schema is not None:
+            tbl = empty_schema.empty_table()  # schema-less empty block
         order = pc_.sort_indices(tbl, sort_keys=[(part_col, "ascending")])
         tbl = tbl.take(order)
         parr = np.asarray(tbl[part_col], dtype=np.int64)
         bounds = np.searchsorted(parr, np.arange(n_parts + 1))
+        # Ownership: these plasma objects are owned by this (short-lived)
+        # task's worker.  That is safe because the gather wave is submitted
+        # immediately after the split wave resolves and fetches every piece
+        # exactly once; workers are reused between waves, so the owner
+        # stays alive for the pieces' whole lifetime.  If this exchange is
+        # ever made multi-wave/lazy, put with _owner= a long-lived actor.
         return [ray.put(tbl.slice(bounds[i], bounds[i + 1] - bounds[i]))
                 for i in range(n_parts)]
 
@@ -157,10 +170,27 @@ def plasma_exchange(inputs, fn, n_parts: int, part_col: str = "__p"):
             [t.cast(tables[0].schema) for t in tables])
         return fn(tbl.drop_columns([part_col]))
 
+    mats = [ds.materialize() for ds in inputs]
     block_refs = []
-    for ds in inputs:
-        block_refs.extend(ds.materialize().to_arrow_refs())
-    piece_lists = ray.get([_split.remote(r) for r in block_refs])
+    for m in mats:
+        block_refs.extend(m.to_arrow_refs())
+    if not block_refs:
+        # zero-block input (e.g. empty corpus): feed every partition one
+        # schema-typed empty table so fn still sees typed columns
+        sch = empty_schema
+        if sch is None:
+            for m in mats:
+                s = m.schema()
+                if s is not None and s.names:
+                    sch = (s.base_schema if hasattr(s, "base_schema")
+                           else pa.schema(list(zip(s.names, s.types))))
+                    break
+        if sch is None:
+            sch = pa.schema([(part_col, pa.int64())])
+        empty_ref = ray.put(sch.empty_table())
+        piece_lists = [[empty_ref] * n_parts]
+    else:
+        piece_lists = ray.get([_split.remote(r) for r in block_refs])
     out_refs = [_gather.remote([pl[p] for pl in piece_lists])
                 for p in range(n_parts)]
     return rd.from_arrow_refs(out_refs)

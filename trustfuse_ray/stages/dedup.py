@@ -167,6 +167,15 @@ def _band_rows(batch: pa.Table, *, bands: int, rows: int,
     })
 
 
+# static schemas for the plasma exchanges (typed fallback for empty blocks)
+_BAND_SCHEMA = pa.schema([("doc_id", pa.int64()), ("band", pa.int32()),
+                          ("band_hash", pa.int64()), ("__p", pa.int32())])
+_PAIR_SCHEMA = pa.schema([("kind", pa.int8()), ("key", pa.int64()),
+                          ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                          ("sig", pa.binary()), ("sig_a", pa.binary()),
+                          ("__p", pa.int32())])
+
+
 def _pair_row_table(doc_a: np.ndarray, doc_b: np.ndarray, key: np.ndarray,
                     mask: int, sig_a=None) -> pa.Table:
     """Rows in the shared attach-shuffle schema (kind 0 = candidate pair,
@@ -372,15 +381,15 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
                           fn=functools.partial(_bucket_cand_pairs,
                                                mask=mask),
                           min_group_size=2),
-        n_parts=n_parts)
+        n_parts=n_parts, empty_schema=_BAND_SCHEMA)
     j = plasma_exchange([cands, sig_bin_ds],
                         functools.partial(_attach_a, mask=mask),
-                        n_parts=n_parts)
+                        n_parts=n_parts, empty_schema=_PAIR_SCHEMA)
     return plasma_exchange(
         [j, sig_bin_ds],
         functools.partial(_attach_b_verify, num_hashes=num_hashes,
                           threshold=threshold),
-        n_parts=n_parts)
+        n_parts=n_parts, empty_schema=_PAIR_SCHEMA)
 
 
 def minhash_cluster_labels(docs, **kw):
