@@ -19,6 +19,8 @@ import pyarrow as pa
 
 import ray
 
+from trustfuse_ray.stages.common import list_matrix, sqdist
+
 
 def _as_matrix(rows: list, col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
@@ -29,30 +31,24 @@ def _as_matrix(rows: list, col: str = "embedding") -> tuple[np.ndarray, np.ndarr
 def _topk_partial(batch: pa.Table, *, query_ref, k: int) -> pa.Table:
     qids, qmat = ray.get(query_ref) if isinstance(
         query_ref, ray.ObjectRef) else query_ref
-    ids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.stack([np.asarray(v, dtype=np.float64)
-                    for v in batch["embedding"].to_pylist()])
+    ids = np.asarray(batch["vec_id"], dtype=np.int64)
+    mat = list_matrix(batch["embedding"])
     qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
     mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     sims = qn @ mn.T  # queries x batch
-    out_q, out_v, out_s = [], [], []
     kk = min(k, sims.shape[1])
-    for qi in range(sims.shape[0]):
-        row = sims[qi]
-        part = np.argpartition(-row, kk - 1)[:kk]
-        for j in part:
-            out_q.append(int(qids[qi]))
-            out_v.append(int(ids[j]))
-            out_s.append(float(row[j]))
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "vec_id": pa.array(out_v, pa.int64()),
-                     "score": pa.array(out_s, pa.float64())})
+    part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (queries, kk)
+    rows = np.arange(sims.shape[0])[:, None]
+    return pa.table({
+        "query_id": pa.array(np.repeat(qids, kk), pa.int64()),
+        "vec_id": pa.array(ids[part.ravel()], pa.int64()),
+        "score": pa.array(sims[rows, part].ravel(), pa.float64())})
 
 
 def _topk_merge(batch: pa.Table, *, k: int) -> pa.Table:
     qid = batch["query_id"][0].as_py()
-    vid = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
-    sc = np.array(batch["score"].to_pylist(), dtype=np.float64)
+    vid = np.asarray(batch["vec_id"], dtype=np.int64)
+    sc = np.asarray(batch["score"], dtype=np.float64)
     order = np.lexsort((vid, -sc))[:k]  # score desc, vec_id asc tie-break
     return pa.table({
         "query_id": pa.array([qid] * len(order), pa.int64()),
@@ -96,10 +92,8 @@ def train_ivf_centroids(embeddings, n_lists: int = 16, n_iters: int = 3,
 
         def _partial(batch: pa.Table, *, cref) -> pa.Table:
             cents = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
-            m = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in batch["embedding"].to_pylist()])
-            d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            assign = d.argmin(axis=1)
+            m = list_matrix(batch["embedding"])
+            assign = sqdist(m, cents).argmin(axis=1)
             k, dim = cents.shape
             sums = np.zeros((k, dim))
             counts = np.zeros(k)
@@ -137,14 +131,13 @@ def ivf_topk(embeddings, queries, k: int = 10, n_lists: int = 16,
 
     def _assign(batch: pa.Table, *, cref) -> pa.Table:
         cents = ray.get(cref) if isinstance(cref, ray.ObjectRef) else cref
-        m = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in batch["embedding"].to_pylist()])
-        d = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        m = list_matrix(batch["embedding"])
+        d = sqdist(m, cents)
         return batch.append_column(
             "list_id", pa.array(d.argmin(axis=1).astype(np.int32)))
 
     qids, qmat = _as_matrix(queries)
-    qd = ((qmat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    qd = sqdist(qmat, centroids)
     probe_lists = np.argsort(qd, axis=1)[:, :nprobe]
     by_list: dict[int, list[int]] = {}
     for qi in range(len(qids)):
@@ -198,8 +191,7 @@ class HyperplaneLSH:
         return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mat = np.stack([np.asarray(v, dtype=np.float64)
-                        for v in batch["embedding"].to_pylist()])
+        mat = list_matrix(batch["embedding"])
         return batch.append_column(
             "bucket", pa.array(self.bucket_of(mat).astype(np.int64)))
 

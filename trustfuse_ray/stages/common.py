@@ -106,6 +106,26 @@ def _apply_groups(batch: pa.Table, *, keys: list[str], fn,
     return pa.concat_tables(outs)
 
 
+def list_matrix(col, dtype=np.float64) -> np.ndarray:
+    """(n, dim) ndarray from a fixed-width list column — one flatten (offset
+    -safe, unlike ``.values``) + reshape instead of a per-row
+    ``to_pylist``/``np.stack`` Python loop."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    return np.asarray(col.flatten(), dtype=dtype).reshape(n, -1)
+
+
+def sqdist(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared euclidean distance matrix (n, k) in the matmul form
+    ``|m|^2 - 2 m.c^T + |c|^2`` — never allocates the (n, k, dim) broadcast
+    tensor (~6 GB at 4k batch x 256 lists x dim 768)."""
+    d = ((m * m).sum(axis=1)[:, None] - 2.0 * (m @ c.T)
+         + (c * c).sum(axis=1)[None, :])
+    np.maximum(d, 0.0, out=d)
+    return d
+
+
 def hash_group_apply(ds, keys: list[str], fn, n_parts: int = 64,
                      min_group_size: int = 1):
     """groupby(keys).map_groups(fn) with one hash shuffle and partition-level

@@ -24,7 +24,7 @@ import struct
 import numpy as np
 import pyarrow as pa
 
-from trustfuse_ray.stages.common import hash_group_apply
+from trustfuse_ray.stages.common import hash_group_apply, list_matrix, sqdist
 from trustfuse_ray.stages.text import canonical_text
 
 _WORD = re.compile(r"\w+")
@@ -607,9 +607,8 @@ def _brute_near_pairs(emb, threshold: float, block: int):
 
     def _pairs(batch: pa.Table) -> pa.Table:
         rids, rmat = ray.get(ref)
-        bids = np.array(batch["vec_id"].to_pylist(), dtype=np.int64)
-        bm = np.stack([np.asarray(v, dtype=np.float64)
-                       for v in batch["embedding"].to_pylist()])
+        bids = np.asarray(batch["vec_id"], dtype=np.int64)
+        bm = list_matrix(batch["embedding"])
         bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
         sims = bm @ rmat.T
         ai, bj = np.nonzero(sims >= threshold)
@@ -631,10 +630,8 @@ def _assign_lists(batch: pa.Table, *, cref, nassign: int) -> pa.Table:
     import ray
 
     cents = ray.get(cref) if not isinstance(cref, np.ndarray) else cref
-    n = len(batch)
-    mat = np.asarray(batch["embedding"].combine_chunks().flatten(),
-                     dtype=np.float64).reshape(n, -1)
-    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    mat = list_matrix(batch["embedding"])
+    d = sqdist(mat, cents)
     nearest = np.argsort(d, axis=1)[:, :nassign]  # n x nassign
     ids = np.asarray(batch["vec_id"], dtype=np.int64)
     rep_ids = np.repeat(ids, nassign)
@@ -652,10 +649,8 @@ def _list_near_pairs(group: pa.Table, *, threshold: float) -> pa.Table:
     """All-pairs cosine within one IVF list (in-group matmul; list sizes are
     bounded by n/n_lists × nassign, so the quadratic term never sees the
     whole corpus)."""
-    n = len(group)
     ids = np.asarray(group["vec_id"], dtype=np.int64)
-    mat = np.asarray(group["embedding"].combine_chunks().flatten(),
-                     dtype=np.float64).reshape(n, -1)
+    mat = list_matrix(group["embedding"])
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     sims = mat @ mat.T
     ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
