@@ -104,6 +104,29 @@ def test_complete_gt_coalesce():
     assert got[(2, "pop")] == "200"
 
 
+def test_gt_carry_forward_mask():
+    """Entities absent from bucket b's GT carry their earlier rows into
+    window b (the reference's anti-join concat, dataset.py:368-373), and a
+    re-statement overrides only the attrs it states."""
+    from trustfuse_ray.stages.preprocess import gt_as_of
+
+    gt = _claims([
+        (1, 0, "", "e1", "pop", "100", None, "quantity"),
+        (2, 0, "", "e1", "name", "x", None, "string"),
+        (3, 1, "", "e2", "pop", "7", None, "quantity"),   # e1 absent in b1
+        (4, 2, "", "e1", "pop", "200", None, "quantity"),  # restates pop only
+    ])
+    w1 = {(r["entity"], r["attr"]): r["value_str"]
+          for r in gt_as_of(gt, 1).take_all()}
+    assert w1 == {("e1", "pop"): "100", ("e1", "name"): "x",
+                  ("e2", "pop"): "7"}
+    out2 = gt_as_of(gt, 2).take_all()
+    w2 = {(r["entity"], r["attr"]): r["value_str"] for r in out2}
+    assert w2 == {("e1", "pop"): "200", ("e1", "name"): "x",
+                  ("e2", "pop"): "7"}
+    assert all(r["bucket_id"] == 2 for r in out2)
+
+
 def test_datetime_helpers():
     assert dtu.date2seconds("2020-01-01T00:00:00Z") == 1577836800
     assert dtu.seconds2date(1577836800) == "2020-01-01T00:00:00Z"

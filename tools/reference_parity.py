@@ -359,9 +359,12 @@ def _tied_fact_keys(claims) -> set:
     0.01 → the vote reverses); under either regime, equal extreme counts
     tie exactly and dict order picks the winner."""
     last: dict = {}
-    for r in claims.select_columns(
-            ["claim_id", "entity", "attr", "source", "value_str"]
-            ).take_all():
+    rows = claims.select_columns(
+        ["claim_id", "entity", "attr", "source", "value_str"]).take_all()
+    # Dataset block order is not claim order — sort by claim_id so "last
+    # value per source" matches the deterministic last-claim-wins collapse
+    # both implementations apply.
+    for r in sorted(rows, key=lambda r: r["claim_id"]):
         last[(r["entity"], r["attr"], r["source"])] = r["value_str"]
     votes: dict = {}
     for (e, a, _s), v in last.items():

@@ -170,3 +170,37 @@ def complete_gt(gt, entity_col: str = "entity", bucket_col: str = "bucket_id"):
             pa.array(out, pa.string()))
 
     return gt.groupby(entity_col).map_groups(_fill, batch_format="pyarrow")
+
+
+def gt_as_of(gt, bucket: int, entity_col: str = "entity",
+             bucket_col: str = "bucket_id", n_parts: int = 32):
+    """Effective GT for cumulative window ``bucket`` — the reference's
+    entity-level carry-forward mask (`conflicting_dataset/dataset.py:368-373`:
+    prev-bucket GT rows anti-joined on entities re-stated in the current GT,
+    concatenated per bucket) + the complete_gt coalesce, expressed over the
+    long GT table as one window predicate + per-(entity, attr) latest-bucket
+    fold — no physical concat chain, so window b never re-copies windows
+    < b.
+
+    Deviation (documented): the reference coalesces missing attrs from
+    earlier buckets only for each bucket's *current* entity
+    (`dataset.py:374`); re-stated entities lose attrs their latest row left
+    NaN.  Here every entity keeps the latest non-null statement per attr —
+    strictly more complete, and identical whenever each bucket's GT states
+    one entity (the WikiConflict shape)."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _w(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch[bucket_col], bucket))
+
+    win = gt.map_batches(_w, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _latest(group: pa.Table) -> pa.Table:
+        mb = pc.max(group[bucket_col]).as_py()
+        group = group.filter(pc.equal(group[bucket_col], mb))
+        return group.set_column(
+            group.schema.get_field_index(bucket_col), bucket_col,
+            pa.array([bucket] * len(group), pa.int32()))
+
+    return hash_group_apply(win, [entity_col, "attr"], _latest,
+                            n_parts=n_parts)
