@@ -303,25 +303,69 @@ def q_metrics_crh1(sf_dir: str):
     return q_metrics_crhn(sf_dir, 1)
 
 
-_TF1_CACHE: dict[str, tuple] = {}
+_TFN_CACHE: dict[tuple, tuple] = {}
 
 
-def _tf1(sf_dir: str):
-    """(triples, weights) of TruthFinder max_itr=1 over the single-value
-    claim projection.  On that projection each source asserts exactly one
-    claim per fact, so the reference's fancy-index source collapse
-    (truthfinder.py:48-49) can never trigger, and the round-1 source
-    trust — computed from UNIFORM initial tau, so argmax ties in the truth
-    are irrelevant to the WEIGHTS — is exactly ANSI-SQL-expressible
-    (DuckDB ``jaro_similarity`` bit-matches the repo kernel except the
-    empty-vs-empty pair, guarded in the oracle)."""
-    got = _TF1_CACHE.get(sf_dir)
+def _tfn(sf_dir: str, rounds: int):
+    """(triples, weights) of TruthFinder max_itr=``rounds`` over the
+    single-value claim projection.  On that projection each source asserts
+    exactly one claim per fact, so the reference's fancy-index source
+    collapse (truthfinder.py:48-49) can never trigger, and every round —
+    sigma is a per-value Σ tau over supporters, tmp mixes sigma through the
+    round-invariant similarity matrix, trust is the per-source mean claim
+    score — is exactly ANSI-SQL-expressible (DuckDB ``jaro_similarity``
+    bit-matches the repo kernel except the empty-vs-empty pair, guarded in
+    the oracle).  Reference truthfinder.py runs exactly max_itr rounds (the
+    convergence check is commented out), so the unroll is mechanical; see
+    ``_tf_cte``."""
+    got = _TFN_CACHE.get((sf_dir, rounds))
     if got is None:
         claims = _single_value_claims(cached_claims(sf_dir))
         triples, weights = run_fusion(
-            claims, make_model("TruthFinder", max_itr=1))
-        got = _TF1_CACHE[sf_dir] = (triples.materialize(), weights)
+            claims, make_model("TruthFinder", max_itr=rounds))
+        got = _TFN_CACHE[(sf_dir, rounds)] = (triples.materialize(),
+                                              weights)
     return got
+
+
+def _tf1(sf_dir: str):
+    return _tfn(sf_dir, 1)
+
+
+def q_weights_tfn(sf_dir: str, rounds: int = 1):
+    """TruthFinder source trust after ``rounds`` iterations (oracle-checked;
+    rounded to 6 digits on both sides, same policy as kg_weights_crh1)."""
+    _, weights = _tfn(sf_dir, rounds)
+    rows = sorted((s, round(w, 6)) for m in weights.values()
+                  for s, w in m.items())
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "weight": pa.array([r[1] for r in rows], pa.float64()),
+    })
+
+
+def q_fuse_tfn(sf_dir: str, rounds: int = 1):
+    """TruthFinder fused truth after ``rounds`` iterations, voting-shaped
+    for SQL comparison (the truth argmax uses the LAST update_claim's
+    scores, i.e. tau_{rounds-1} — the oracle's round-``rounds`` tmp
+    CTEs)."""
+    triples, _ = _tfn(sf_dir, rounds)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_q = pc.equal(batch["value_type"], "quantity")
+        has_num = pc.and_(is_q, pc.is_valid(batch["value_num"]))
+        return pa.table({
+            "entity": batch["entity"],
+            "attr": batch["attr"],
+            "value_str": pc.if_else(has_num,
+                                    pa.nulls(len(batch), pa.string()),
+                                    batch["value_str"]),
+            "value_num": pc.if_else(has_num, batch["value_num"],
+                                    pa.nulls(len(batch), pa.float64())),
+        })
+
+    return triples.map_batches(_shape, batch_format="pyarrow")
 
 
 def q_weights_tf1(sf_dir: str):
@@ -661,7 +705,12 @@ def queries_map():
         # the full-claims variant (duplicate-source collapse quirk included)
         # stays covered by tests/reference_oracle.py + tools/reference_parity
         "kg_fuse_crh": functools.partial(q_fuse_crhn, rounds=10),
-        "kg_fuse_truthfinder": functools.partial(q_fuse, model="TruthFinder"),
+        # same policy as kg_fuse_crh: full reference fixed point
+        # (truthfinder.py max_itr=10, no convergence exit) over the
+        # single-value projection, every round SQL-unrolled in the oracle;
+        # the full-claims variant stays covered by tests/reference_oracle.py
+        # + tools/reference_parity
+        "kg_fuse_truthfinder": functools.partial(q_fuse_tfn, rounds=10),
         "kg_fuse_accu": functools.partial(q_fuse, model="ACCU"),
         "kg_fuse_slimfast": functools.partial(q_fuse, model="SLIMFAST"),
         "kg_fuse_catd": functools.partial(q_fuse, model="CATD"),
@@ -670,6 +719,7 @@ def queries_map():
         "kg_fuse_ltm": q_fuse_ltm,
         "kg_ltm_source_quality": q_ltm_quality,
         "kg_weights_crh": functools.partial(q_weights_crhn, rounds=10),
+        "kg_weights_tf": functools.partial(q_weights_tfn, rounds=10),
         "kg_weights_crh1": q_weights_crh1,
         "kg_top_sources_crh1": q_top_sources_crh1,
         "kg_weights_tf1": q_weights_tf1,
@@ -927,15 +977,21 @@ SELECT attr, round(p, 6) AS p, round(r, 6) AS r,
 FROM met"""
 
 
-def _tf1_cte(cache: str) -> str:
-    """Shared SQL CTEs: one exact TruthFinder round — uniform initial tau
-    = −ln(0.1) = ln(10); per distinct value tmp = (1−rho)·sigma +
-    rho·Σ sim·sigma' (strings: exp(−jaro), diagonal EXCLUDED; numeric
-    quantities: exp(−|Δ|), diagonal INCLUDED; unparsed quantities: sigma
-    alone); per-claim s = σ(gamma·tmp); per-source trust t = avg(s) →
-    tau₁ = −ln(1−t).  Over the single-value projection (see ``_tf1``),
-    mirrors fuse/truthfinder.py with rho=0.5, gamma=0.3."""
-    return f"""
+def _tf_cte(cache: str, rounds: int = 1) -> str:
+    """Shared SQL CTEs: ``rounds`` exact TruthFinder iterations over the
+    single-value claim projection (see ``_tfn``).  Mirrors
+    fuse/truthfinder.py (rho=0.5, gamma=0.3); reference truthfinder.py runs
+    exactly max_itr rounds with NO convergence exit, so the unroll is
+    mechanical.  Round r: per distinct value sigma = Σ tau_{r-1} over
+    supporters; tmp = (1−rho)·sigma + rho·Σ sim·sigma' (strings:
+    exp(−jaro), diagonal EXCLUDED; numeric quantities: exp(−|Δ|), diagonal
+    INCLUDED; unparsed quantities: sigma alone); per-claim s = σ(gamma·tmp);
+    per-source trust t = avg(s) → tau_r = −ln(1−t), clamped ln(1e10) at
+    t ≥ 1.  The similarity pair tables are round-invariant, materialized
+    once.  Ends with ``w`` = round-``rounds`` tau; the round-``rounds`` tmp
+    CTEs (``stmp{R}``/``ntmp{R}``/``qtmp{R}``) are the LAST update_claim's
+    scores — exactly what the engine's fact_truth argmaxes (tau_prev)."""
+    parts = [f"""
 {_claims_cte(cache)},
 cl AS (SELECT * FROM claims WHERE value_str IS NOT NULL),
 d AS MATERIALIZED (SELECT DISTINCT entity, attr, source, value_str,
@@ -943,55 +999,103 @@ d AS MATERIALIZED (SELECT DISTINCT entity, attr, source, value_str,
 sv AS (SELECT entity, attr, source FROM d GROUP BY 1, 2, 3
        HAVING count(DISTINCT value_str) = 1),
 f AS MATERIALIZED (SELECT d.* FROM d JOIN sv USING (entity, attr, source)),
-fact AS (SELECT entity, attr, min(value_type) AS vtype,
+fact AS MATERIALIZED (SELECT entity, attr, min(value_type) AS vtype,
          bool_and(value_type = 'quantity'
                   AND value_num IS NOT NULL) AS isnum
          FROM f GROUP BY 1, 2),
-str_vals AS (SELECT f.entity, f.attr, f.value_str AS v, count(*) AS c
+fstr AS MATERIALIZED (SELECT f.entity, f.attr, f.value_str AS v, f.source
        FROM f JOIN fact USING (entity, attr)
-       WHERE fact.vtype IN ('string','entity') GROUP BY 1, 2, 3),
-str_tmp AS (SELECT a.entity, a.attr, a.v,
-         0.5*a.c*ln(10) + 0.5*coalesce(sum(
-            exp(-(CASE WHEN a.v = '' AND b.v = '' THEN 1.0
-                       ELSE jaro_similarity(a.v, b.v) END))
-            * b.c * ln(10)), 0) AS tmp
-       FROM str_vals a LEFT JOIN str_vals b
-         ON a.entity = b.entity AND a.attr = b.attr AND a.v <> b.v
-       GROUP BY a.entity, a.attr, a.v, a.c),
-num_vals AS (SELECT f.entity, f.attr, f.value_num AS v, count(*) AS c
-       FROM f JOIN fact USING (entity, attr)
-       WHERE fact.isnum GROUP BY 1, 2, 3),
-num_tmp AS (SELECT a.entity, a.attr, a.v,
-         0.5*a.c*ln(10) + 0.5*sum(exp(-abs(a.v - b.v)) * b.c * ln(10))
-           AS tmp
-       FROM num_vals a JOIN num_vals b
-         ON a.entity = b.entity AND a.attr = b.attr
-       GROUP BY a.entity, a.attr, a.v, a.c),
-qc_tmp AS (SELECT f.entity, f.attr, f.value_str AS v,
-           count(*)*ln(10) AS tmp
-       FROM f JOIN fact USING (entity, attr)
-       WHERE fact.vtype = 'quantity' AND NOT fact.isnum GROUP BY 1, 2, 3),
-s_str AS (SELECT f.source, 1.0/(1.0+exp(-0.3*t.tmp)) AS s
-       FROM f JOIN fact USING (entity, attr)
-       JOIN str_tmp t ON t.entity = f.entity AND t.attr = f.attr
-                     AND t.v = f.value_str
        WHERE fact.vtype IN ('string','entity')),
-s_num AS (SELECT f.source, 1.0/(1.0+exp(-0.3*t.tmp)) AS s
+fnum AS MATERIALIZED (SELECT f.entity, f.attr, f.value_num AS v, f.source
+       FROM f JOIN fact USING (entity, attr) WHERE fact.isnum),
+fqc AS MATERIALIZED (SELECT f.entity, f.attr, f.value_str AS v, f.source
        FROM f JOIN fact USING (entity, attr)
-       JOIN num_tmp t ON t.entity = f.entity AND t.attr = f.attr
-                     AND t.v = f.value_num
-       WHERE fact.isnum),
-s_qc AS (SELECT f.source, 1.0/(1.0+exp(-0.3*t.tmp)) AS s
-       FROM f JOIN fact USING (entity, attr)
-       JOIN qc_tmp t ON t.entity = f.entity AND t.attr = f.attr
-                    AND t.v = f.value_str
        WHERE fact.vtype = 'quantity' AND NOT fact.isnum),
-sall AS (SELECT * FROM s_str UNION ALL SELECT * FROM s_num
-         UNION ALL SELECT * FROM s_qc),
-tsrc AS (SELECT source, avg(s) AS t FROM sall GROUP BY source),
-w AS (SELECT source,
-             CASE WHEN t >= 1 THEN ln(1e10) ELSE -ln(1-t) END AS weight
-      FROM tsrc)"""
+spair AS MATERIALIZED (
+  SELECT a.entity, a.attr, a.v AS va, b.v AS vb,
+         exp(-(CASE WHEN a.v = '' AND b.v = '' THEN 1.0
+                    ELSE jaro_similarity(a.v, b.v) END)) AS sim
+  FROM (SELECT DISTINCT entity, attr, v FROM fstr) a
+  JOIN (SELECT DISTINCT entity, attr, v FROM fstr) b
+    ON a.entity = b.entity AND a.attr = b.attr AND a.v <> b.v),
+npair AS MATERIALIZED (
+  SELECT a.entity, a.attr, a.v AS va, b.v AS vb,
+         exp(-abs(a.v - b.v)) AS sim
+  FROM (SELECT DISTINCT entity, attr, v FROM fnum) a
+  JOIN (SELECT DISTINCT entity, attr, v FROM fnum) b
+    ON a.entity = b.entity AND a.attr = b.attr),
+w0 AS (SELECT DISTINCT source, ln(10) AS weight FROM f)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+ssig{r} AS (SELECT entity, attr, v, sum(weight) AS sig
+  FROM fstr JOIN w{p} USING (source) GROUP BY 1, 2, 3),
+stmp{r} AS (SELECT a.entity, a.attr, a.v,
+         0.5*a.sig + 0.5*coalesce(sum(sp.sim * b.sig), 0) AS tmp
+  FROM ssig{r} a
+  LEFT JOIN spair sp ON sp.entity = a.entity AND sp.attr = a.attr
+                    AND sp.va = a.v
+  LEFT JOIN ssig{r} b ON b.entity = sp.entity AND b.attr = sp.attr
+                     AND b.v = sp.vb
+  GROUP BY a.entity, a.attr, a.v, a.sig),
+nsig{r} AS (SELECT entity, attr, v, sum(weight) AS sig
+  FROM fnum JOIN w{p} USING (source) GROUP BY 1, 2, 3),
+ntmp{r} AS (SELECT a.entity, a.attr, a.v,
+         0.5*a.sig + 0.5*sum(np_.sim * b.sig) AS tmp
+  FROM nsig{r} a
+  JOIN npair np_ ON np_.entity = a.entity AND np_.attr = a.attr
+                AND np_.va = a.v
+  JOIN nsig{r} b ON b.entity = np_.entity AND b.attr = np_.attr
+                AND b.v = np_.vb
+  GROUP BY a.entity, a.attr, a.v, a.sig),
+qtmp{r} AS (SELECT entity, attr, v, sum(weight) AS tmp
+  FROM fqc JOIN w{p} USING (source) GROUP BY 1, 2, 3),
+sall{r} AS (
+  SELECT fstr.source, 1.0/(1.0+exp(-0.3*t.tmp)) AS s
+    FROM fstr JOIN stmp{r} t USING (entity, attr, v)
+  UNION ALL
+  SELECT fnum.source, 1.0/(1.0+exp(-0.3*t.tmp))
+    FROM fnum JOIN ntmp{r} t USING (entity, attr, v)
+  UNION ALL
+  SELECT fqc.source, 1.0/(1.0+exp(-0.3*t.tmp))
+    FROM fqc JOIN qtmp{r} t USING (entity, attr, v)),
+tsrc{r} AS (SELECT source, avg(s) AS t FROM sall{r} GROUP BY source),
+w{r} AS MATERIALIZED (SELECT source,
+       CASE WHEN t >= 1 THEN ln(1e10) ELSE -ln(1-t) END AS weight
+  FROM tsrc{r})""")
+    parts.append(f""",
+w AS (SELECT source, weight FROM w{max(rounds, 1)})""")
+    return "".join(parts)
+
+
+def _tf_truth_tail(rounds: int) -> str:
+    """CTE tail + final SELECT: the fused TruthFinder truth — per fact the
+    value with max round-``rounds`` claim score (computed from
+    tau_{rounds-1}, the engine's tau_prev), argmax ties broken toward the
+    smallest value (np.unique scans candidates in ascending order)."""
+    r = max(rounds, 1)
+    return f"""
+strwin AS (SELECT entity, attr, v FROM (
+  SELECT entity, attr, v,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY tmp DESC, v ASC) AS rn
+  FROM stmp{r}) WHERE rn = 1),
+numwin AS (SELECT entity, attr, v FROM (
+  SELECT entity, attr, v,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY tmp DESC, v ASC) AS rn
+  FROM ntmp{r}) WHERE rn = 1),
+qcwin AS (SELECT entity, attr, v FROM (
+  SELECT entity, attr, v,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY tmp DESC, v ASC) AS rn
+  FROM qtmp{r}) WHERE rn = 1)
+SELECT entity, attr, v AS value_str, CAST(NULL AS DOUBLE) AS value_num
+FROM strwin
+UNION ALL
+SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str, v FROM numwin
+UNION ALL
+SELECT entity, attr, v, CAST(NULL AS DOUBLE) FROM qcwin"""
 
 
 _ROLLING_PW = ", ".join(
@@ -1287,12 +1391,17 @@ WITH {_crh_cte(cache, 1)},{_crh_metrics_tail(cache)}""",
         "kg_metrics_crh": f"""
 WITH {_crh_cte(cache, 10)},{_crh_metrics_tail(cache)}""",
         "kg_weights_tf1": f"""
-WITH {_tf1_cte(cache)}
+WITH {_tf_cte(cache, 1)}
+SELECT source, round(weight, 6) AS weight FROM w""",
+        "kg_weights_tf": f"""
+WITH {_tf_cte(cache, 10)}
 SELECT source, round(weight, 6) AS weight FROM w""",
         "kg_top_sources_tf1": f"""
-WITH {_tf1_cte(cache)}
+WITH {_tf_cte(cache, 1)}
 SELECT source, round(weight, 6) AS weight FROM w
 ORDER BY round(weight, 6) DESC, source LIMIT 10""",
+        "kg_fuse_truthfinder": f"""
+WITH {_tf_cte(cache, 10)},{_tf_truth_tail(10)}""",
         "kg_fuse_crh1": f"""
 WITH {_crh_cte(cache, 1)},{_CRH_TRUTH_TAIL}
 SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num FROM cat1
