@@ -534,19 +534,23 @@ def q_rolling_fp(sf_dir: str):
 
 def q_minhash_pairs_synth(sf_dir: str):
     """MinHash near-dup pairs over the planted-duplicate synthetic corpus
-    (meaningful scale: 1k–40k docs)."""
+    (meaningful scale: 1k–40k docs).  hash_kind="md5" so the whole
+    shingle→permutation→band→verify pipeline is oracle-checked; the
+    production-default SipHash family (identical pipeline, faster shingle
+    hash) stays covered by the planted-recall suite."""
     path = synth.generate_documents(sf_dir)
     return dedup.minhash_lsh_pairs(
-        ray.data.read_parquet(path), threshold=0.6)
+        ray.data.read_parquet(path), threshold=0.6, hash_kind="md5")
 
 
 def q_minhash_clusters_synth(sf_dir: str):
     """Near-dup clusters over the planted-dup corpus: LSH pairs →
     distributed connected components (join-free min-label propagation —
-    no driver-side union-find)."""
+    no driver-side union-find).  Oracle: recursive-CTE reachability over
+    the SQL-recomputed pair list."""
     path = synth.generate_documents(sf_dir)
     return dedup.minhash_cluster_labels(
-        ray.data.read_parquet(path), threshold=0.6)
+        ray.data.read_parquet(path), threshold=0.6, hash_kind="md5")
 
 
 def q_dedup_exact_synth(sf_dir: str):
@@ -557,7 +561,8 @@ def q_dedup_exact_synth(sf_dir: str):
 
 
 def q_minhash_pairs(sf_dir: str):
-    return dedup.minhash_lsh_pairs(_tbl(sf_dir, "documents"), threshold=0.5)
+    return dedup.minhash_lsh_pairs(_tbl(sf_dir, "documents"), threshold=0.5,
+                                   hash_kind="md5")
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -1102,6 +1107,58 @@ _ROLLING_PW = ", ".join(
     f"({k}, {pow(257, k, (1 << 31) - 1)})" for k in range(16))
 
 
+def _minhash_sql(source: str, threshold: float, num_hashes: int = 64,
+                 bands: int = 16, shingle_k: int = 3, seed: int = 7) -> str:
+    """CTE block recomputing the ENTIRE minhash-LSH pipeline in SQL —
+    word-shingles of lower(trim(text)), md5_number_lower shingle hashes
+    (the engine's hash_kind="md5" family), the seeded (a·h + b) mod p
+    permutations inlined as literals (algorithm constants, not data),
+    exact band-slice equality for candidates (the engine's splitmix64 band
+    hash is an internal bucket key whose collisions the verify filters),
+    and the signature-agreement verify.  Ends with CTE ``mh_pairs``
+    (doc_a < doc_b, jaccard_est ≥ threshold)."""
+    mh = dedup.MinHasher(num_hashes, shingle_k, seed)
+    perm = ", ".join(f"({j}, {int(a)}, {int(b)})"
+                     for j, (a, b) in enumerate(zip(mh.a, mh.b)))
+    rows = num_hashes // bands
+    return f"""
+t AS (SELECT doc_id, regexp_extract_all(lower(trim(text)), '\\w+') AS toks
+      FROM {source}),
+sh AS (SELECT doc_id,
+       CASE WHEN len(toks) >= {shingle_k}
+            THEN list_transform(
+                   generate_series(1, len(toks) - {shingle_k - 1}),
+                   i -> array_to_string(
+                          list_slice(toks, i, i + {shingle_k - 1}), ' '))
+            ELSE [array_to_string(toks, ' ')] END AS shs
+       FROM t WHERE len(toks) > 0),
+shu AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+base AS (SELECT doc_id,
+                CAST(md5_number_lower(s) & 2147483647 AS BIGINT) AS h
+         FROM shu),
+perm(j, a, b) AS (VALUES {perm}),
+sigs AS MATERIALIZED (
+  SELECT doc_id, j, min((a * h + b) % 2147483647) AS sig
+  FROM base CROSS JOIN perm GROUP BY doc_id, j
+  UNION ALL
+  SELECT t.doc_id, perm.j, 2147483647 AS sig
+  FROM t CROSS JOIN perm WHERE len(t.toks) = 0),
+bandsig AS (SELECT doc_id, j // {rows} AS band, list(sig ORDER BY j) AS bs
+            FROM sigs GROUP BY doc_id, j // {rows}),
+cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bandsig x JOIN bandsig y
+           ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id),
+mh_pairs AS (
+  SELECT doc_a, doc_b, sim AS jaccard_est FROM (
+    SELECT c.doc_a, c.doc_b,
+           avg(CASE WHEN sa.sig = sb.sig THEN 1.0 ELSE 0.0 END) AS sim
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+    GROUP BY c.doc_a, c.doc_b)
+  WHERE sim >= {threshold})"""
+
+
 def oracle_sql_map(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     cache = synth.generate(sf_dir)
     qlist = ", ".join(f"'{a}'" for a in QUANTITY_ATTRS)
@@ -1414,6 +1471,25 @@ SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num FROM cat1
 UNION ALL
 SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str, value_num
 FROM num1""",
+        "minhash_pairs": f"""
+WITH {_minhash_sql("documents", 0.5)}
+SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "minhash_pairs_synth": f"""
+WITH {_minhash_sql(
+    f"read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')", 0.6)}
+SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "minhash_clusters_synth": f"""
+WITH RECURSIVE {_minhash_sql(
+    f"read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')", 0.6)},
+nodes AS (SELECT DISTINCT doc_a AS node FROM mh_pairs
+          UNION SELECT DISTINCT doc_b FROM mh_pairs),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+          UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node)
+SELECT node, min(root) AS label FROM reach GROUP BY node""",
         "simhash_pairs": r"""
 WITH c AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
 tok AS (SELECT doc_id, unnest(regexp_extract_all(t, '\w+')) AS tk FROM c),

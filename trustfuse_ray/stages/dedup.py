@@ -51,7 +51,8 @@ class MinHasher:
 
     PRIME = (1 << 31) - 1  # Mersenne; a*x fits uint64 → fully vectorized
 
-    def __init__(self, num_hashes: int = 64, shingle_k: int = 3, seed: int = 7):
+    def __init__(self, num_hashes: int = 64, shingle_k: int = 3, seed: int = 7,
+                 hash_kind: str = "siphash"):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, self.PRIME, size=num_hashes,
                               dtype=np.uint64)
@@ -59,18 +60,30 @@ class MinHasher:
                               dtype=np.uint64)
         self.k = shingle_k
         self.num = num_hashes
+        # shingle hash family: "siphash" = pandas hash_array (one C call per
+        # batch — the production default); "md5" = md5_number_lower
+        # semantics, slower (per-shingle hashlib) but exactly expressible in
+        # DuckDB SQL — the driver-oracle-gated queries use it so the WHOLE
+        # pipeline (shingle→permutation→band→verify) sits under the hash
+        # gate.  Everything downstream of `base` is identical.
+        self.hash_kind = hash_kind
+
+    def _base_hashes(self, sh_strs) -> np.ndarray:
+        if self.hash_kind == "md5":
+            vals = np.fromiter((_md5_token64(s) for s in sh_strs),
+                               dtype=np.uint64, count=len(sh_strs))
+        else:
+            import pandas as pd
+
+            vals = pd.util.hash_array(np.asarray(sh_strs, dtype=object))
+        return (vals & np.uint64(0x7FFFFFFF)).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
         sh = shingles(text, self.k)
         if not sh:
             return np.full(self.num, self.PRIME, dtype=np.uint64)
-        # vectorized stable shingle hashing (pandas hash_array is a C
-        # SipHash with a fixed key — deterministic across processes)
-        import pandas as pd
-
-        base = (pd.util.hash_array(
-            np.array([s.decode() for s in sh], dtype=object))
-            & np.uint64(0x7FFFFFFF)).astype(np.uint64)
+        # vectorized stable shingle hashing (deterministic across processes)
+        base = self._base_hashes([s.decode() for s in sh])
         # (a*x + b) mod p per permutation, vectorized over shingles (uint64)
         vals = (self.a[:, None] * base[None, :] + self.b[:, None]) % self.PRIME
         return vals.min(axis=1)
@@ -81,8 +94,6 @@ class MinHasher:
         then a per-doc segmented min (``np.minimum.reduceat``).  Shingles are
         NOT deduplicated per doc — min over the multiset equals min over the
         set — so the values are identical to :meth:`signature`'s."""
-        import pandas as pd
-
         texts = canonical_text(batch["text"]).to_pylist()
         all_sh: list[str] = []
         counts = np.empty(len(texts), dtype=np.int64)
@@ -102,8 +113,7 @@ class MinHasher:
         sig_mat = np.full((len(texts), self.num), self.PRIME,
                           dtype=np.uint64)
         if all_sh:
-            base = (pd.util.hash_array(np.array(all_sh, dtype=object))
-                    & np.uint64(0x7FFFFFFF)).astype(np.uint64)
+            base = self._base_hashes(all_sh)
             vals = (self.a[:, None] * base[None, :]
                     + self.b[:, None]) % self.PRIME
             nz = counts > 0
@@ -121,15 +131,16 @@ _HASHER_CACHE: dict = {}
 
 
 def _sig_batch(batch: pa.Table, *, num_hashes: int, shingle_k: int,
-               seed: int = 7) -> pa.Table:
+               seed: int = 7, hash_kind: str = "siphash") -> pa.Table:
     """Task-pool signature stage with a per-process MinHasher memo: the
     permutation table is tiny, so warm task workers beat dedicated actor
     spin-up (32 fresh actor processes cost multiple seconds); the state is
     still built once per worker process."""
-    key = (num_hashes, shingle_k, seed)
+    key = (num_hashes, shingle_k, seed, hash_kind)
     h = _HASHER_CACHE.get(key)
     if h is None:
-        h = _HASHER_CACHE[key] = MinHasher(num_hashes, shingle_k, seed)
+        h = _HASHER_CACHE[key] = MinHasher(num_hashes, shingle_k, seed,
+                                           hash_kind)
     return h(batch)
 
 
@@ -312,7 +323,7 @@ def _attach_b_verify(g: pa.Table, *, num_hashes: int,
 
 def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.7, shingle_k: int = 3,
-                      concurrency=(1, 8)):
+                      concurrency=(1, 8), hash_kind: str = "siphash"):
     """documents → near-duplicate pairs (doc_a < doc_b, jaccard_est).
 
     Fully shuffle-local (nothing is materialized on the driver and no
@@ -358,7 +369,7 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
     xblocks = max(8, -(-n_docs // 50_000))
     sigs_x = docs.map_batches(
         functools.partial(_sig_batch, num_hashes=num_hashes,
-                          shingle_k=shingle_k),
+                          shingle_k=shingle_k, hash_kind=hash_kind),
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=sig_batch_size,
     ).repartition(xblocks).materialize()
