@@ -597,11 +597,17 @@ def q_lsh_topk(sf_dir: str):
 
 
 def q_ivf_topk(sf_dir: str):
-    """IVF-list ANN (distributed k-means coarse quantizer + nprobe)."""
+    """IVF-list ANN (distributed k-means coarse quantizer + per-list
+    scoring).  Probes every list (nprobe == n_lists) so the result is
+    EXACTLY the brute top-k — independent of k-means float noise — which
+    puts the whole IVF machinery (Lloyd training exchange, assignment
+    shuffle, in-list scoring, global merge) under the SQL hash gate; the
+    recall-vs-nprobe trade (nprobe < n_lists) stays covered by
+    test_ivf_topk_recall_vs_brute."""
     emb = _tbl(sf_dir, "embeddings")
     queries = sorted(emb.filter(expr="vec_id < 5").take_all(),
                      key=lambda r: r["vec_id"])
-    return ann.ivf_topk(emb, queries, k=10, n_lists=16, nprobe=6)
+    return ann.ivf_topk(emb, queries, k=10, n_lists=16, nprobe=16)
 
 
 def q_top_sources(sf_dir: str, model: str = "CRH", n: int = 10):
@@ -1107,6 +1113,56 @@ _ROLLING_PW = ", ".join(
     f"({k}, {pow(257, k, (1 << 31) - 1)})" for k in range(16))
 
 
+_ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sc
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id, sc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sc DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+       round(sc, 6) AS score
+FROM r WHERE rank <= 10"""
+
+
+def _lsh_topk_sql(dim: int = 64, n_planes: int = 8, seed: int = 11) -> str:
+    """Full SQL reconstruction of the hyperplane-LSH ANN: the seeded
+    projection matrix inlined as literals (algorithm constants), bucket =
+    sign pattern of the 8 dot products, candidates = corpus vectors in the
+    query's exact bucket, in-bucket cosine top-k."""
+    lsh = ann.HyperplaneLSH(dim, n_planes, seed)
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in lsh.planes[j])}]"
+        "::DOUBLE[])"
+        for j in range(n_planes))
+    return f"""
+WITH planes(j, p) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, any_value(v) AS v,
+             CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+                           THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+s AS (SELECT q.query_id, b.vec_id, list_cosine_similarity(q.qv, b.v) AS sc
+      FROM q JOIN b USING (bucket)),
+r AS (SELECT query_id, vec_id, sc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sc DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+       round(sc, 6) AS score
+FROM r WHERE rank <= 10"""
+
+
 def _minhash_sql(source: str, threshold: float, num_hashes: int = 64,
                  bands: int = 16, shingle_k: int = 3, seed: int = 7) -> str:
     """CTE block recomputing the ENTIRE minhash-LSH pipeline in SQL —
@@ -1547,23 +1603,9 @@ SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[],
                              b.embedding::DOUBLE[]) >= 0.40""",
-        "ann_topk": """
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-  FROM embeddings WHERE vec_id < 5
-),
-s AS (
-  SELECT q.query_id, e.vec_id,
-         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sc
-  FROM q CROSS JOIN embeddings e
-),
-r AS (
-  SELECT query_id, vec_id, sc,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY sc DESC, vec_id) AS rank
-  FROM s
-)
-SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
-       round(sc, 6) AS score
-FROM r WHERE rank <= 10""",
+        "ann_topk": _ANN_TOPK_SQL,
+        # nprobe == n_lists probes every IVF list → the exact brute top-k,
+        # independent of the k-means coarse quantizer's float noise
+        "ann_ivf_topk": _ANN_TOPK_SQL,
+        "ann_lsh_topk": _lsh_topk_sql(),
     }
