@@ -238,26 +238,29 @@ def q_top_sources_crh1(sf_dir: str, n: int = 10):
     return q_top_sources_crhn(sf_dir, 1, n)
 
 
+def _voting_shape(batch: pa.Table) -> pa.Table:
+    """Fused triples → the SQL-comparable (entity, attr, value_str,
+    value_num) shape: parsed quantities carry value_num only, everything
+    else value_str only."""
+    import pyarrow.compute as pc
+    is_q = pc.equal(batch["value_type"], "quantity")
+    has_num = pc.and_(is_q, pc.is_valid(batch["value_num"]))
+    return pa.table({
+        "entity": batch["entity"],
+        "attr": batch["attr"],
+        "value_str": pc.if_else(has_num,
+                                pa.nulls(len(batch), pa.string()),
+                                batch["value_str"]),
+        "value_num": pc.if_else(has_num, batch["value_num"],
+                                pa.nulls(len(batch), pa.float64())),
+    })
+
+
 def q_fuse_crhn(sf_dir: str, rounds: int = 1):
     """CRH fused truth after ``rounds`` iterations, voting-shaped for SQL
     comparison."""
     triples, _ = _crhn(sf_dir, rounds)
-
-    def _shape(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        is_q = pc.equal(batch["value_type"], "quantity")
-        has_num = pc.and_(is_q, pc.is_valid(batch["value_num"]))
-        return pa.table({
-            "entity": batch["entity"],
-            "attr": batch["attr"],
-            "value_str": pc.if_else(has_num,
-                                    pa.nulls(len(batch), pa.string()),
-                                    batch["value_str"]),
-            "value_num": pc.if_else(has_num, batch["value_num"],
-                                    pa.nulls(len(batch), pa.float64())),
-        })
-
-    return triples.map_batches(_shape, batch_format="pyarrow")
+    return triples.map_batches(_voting_shape, batch_format="pyarrow")
 
 
 def q_fuse_crh1(sf_dir: str):
@@ -350,22 +353,7 @@ def q_fuse_tfn(sf_dir: str, rounds: int = 1):
     scores, i.e. tau_{rounds-1} — the oracle's round-``rounds`` tmp
     CTEs)."""
     triples, _ = _tfn(sf_dir, rounds)
-
-    def _shape(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        is_q = pc.equal(batch["value_type"], "quantity")
-        has_num = pc.and_(is_q, pc.is_valid(batch["value_num"]))
-        return pa.table({
-            "entity": batch["entity"],
-            "attr": batch["attr"],
-            "value_str": pc.if_else(has_num,
-                                    pa.nulls(len(batch), pa.string()),
-                                    batch["value_str"]),
-            "value_num": pc.if_else(has_num, batch["value_num"],
-                                    pa.nulls(len(batch), pa.float64())),
-        })
-
-    return triples.map_batches(_shape, batch_format="pyarrow")
+    return triples.map_batches(_voting_shape, batch_format="pyarrow")
 
 
 def q_weights_tf1(sf_dir: str):
@@ -389,6 +377,34 @@ def q_top_sources_tf1(sf_dir: str, n: int = 10):
         "source": pa.array([r[0] for r in rows], pa.string()),
         "weight": pa.array([r[1] for r in rows], pa.float64()),
     })
+
+
+_SFN_CACHE: dict[tuple, tuple] = {}
+
+
+def _slimfastn(sf_dir: str, rounds: int):
+    """(triples, weights) of SLiMFast max_itr=``rounds`` over the
+    single-value claim projection.  Every round is exactly
+    ANSI-SQL-expressible: the hash-seeded per-source init accuracies are
+    algorithm constants (seed + the synth source vocabulary — inlined as
+    VALUES), each round's truth is a Bayesian vote with the first-
+    appearance tie-break (min surviving claim_id), and the shared-feature
+    weight update is a scalar recurrence (batch gradient + L1 shrink +
+    clamp); see ``_slimfast_sql``."""
+    got = _SFN_CACHE.get((sf_dir, rounds))
+    if got is None:
+        claims = _single_value_claims(cached_claims(sf_dir))
+        triples, weights = run_fusion(
+            claims, make_model("SLIMFAST", max_itr=rounds))
+        got = _SFN_CACHE[(sf_dir, rounds)] = (triples.materialize(),
+                                              weights)
+    return got
+
+
+def q_fuse_slimfastn(sf_dir: str, rounds: int = 10):
+    """SLiMFast fused truth after ``rounds`` iterations, voting-shaped."""
+    triples, _ = _slimfastn(sf_dir, rounds)
+    return triples.map_batches(_voting_shape, batch_format="pyarrow")
 
 
 def q_fuse_weights(sf_dir: str, model: str = "CRH"):
@@ -723,7 +739,10 @@ def queries_map():
         # + tools/reference_parity
         "kg_fuse_truthfinder": functools.partial(q_fuse_tfn, rounds=10),
         "kg_fuse_accu": functools.partial(q_fuse, model="ACCU"),
-        "kg_fuse_slimfast": functools.partial(q_fuse, model="SLIMFAST"),
+        # same policy as kg_fuse_crh/_truthfinder: full 10-round fixed
+        # point over the single-value projection, SQL-unrolled oracle;
+        # full-claims variant covered by the pytest parity suites
+        "kg_fuse_slimfast": functools.partial(q_fuse_slimfastn, rounds=10),
         "kg_fuse_catd": functools.partial(q_fuse, model="CATD"),
         "kg_fuse_gtm": functools.partial(q_fuse, model="GTM"),
         "kg_fuse_kdem": functools.partial(q_fuse, model="KDEm"),
@@ -775,20 +794,37 @@ def _claims_cte(cache: str) -> str:
 z AS (
   SELECT conv_id, turn_idx, ts,
          role || ':' || coalesce(tool,'') AS source,
-         unnest(list_zip(
-           regexp_extract_all(text, '{SQL_PAT}', 1),
-           regexp_extract_all(text, '{SQL_PAT}', 2),
-           regexp_extract_all(text, '{SQL_PAT}', 3))) AS m
+         unnest(regexp_extract_all(text, '{SQL_PAT}', 1)) AS attr,
+         unnest(regexp_extract_all(text, '{SQL_PAT}', 2)) AS mention,
+         unnest(regexp_extract_all(text, '{SQL_PAT}', 3)) AS raw_value,
+         unnest(generate_series(0, len(
+           regexp_extract_all(text, '{SQL_PAT}', 1)) - 1)) AS seq
   FROM read_parquet('{cache}/transcripts/*.parquet')
   WHERE role IN ('assistant','tool')
 ),
-mz AS (
-  SELECT conv_id, turn_idx, ts, source, m[2] AS mention, m[1] AS attr,
-         m[3] AS raw_value
+mz0 AS (
+  SELECT *, conv_id || '|' || CAST(turn_idx AS VARCHAR)
+            || '|' || CAST(seq AS VARCHAR) AS cidkey
   FROM z
 ),
+mz AS (
+  SELECT conv_id, turn_idx, ts, source, mention, attr, raw_value,
+         -- claim_id = fnv64(conv|turn|seq): FNV-1a over the ASCII bytes,
+         -- folded with list_reduce in mod-2^64 arithmetic, masked to 63
+         -- bits (stages/common.py fnv64 / extract.py:41)
+         CAST(list_reduce(
+           [CAST(14695981039346656037 AS UBIGINT)] || list_transform(
+              range(1, length(cidkey) + 1),
+              i -> CAST(unicode(cidkey[i]) AS UBIGINT)),
+           (acc, c) -> CAST(CAST((CAST(xor(acc, c) AS HUGEINT)
+                                  * 1099511628211)
+                                 % 18446744073709551616 AS UHUGEINT)
+                            AS UBIGINT))
+           % 9223372036854775808 AS BIGINT) AS claim_id
+  FROM mz0
+),
 claims AS (
-  SELECT mz.conv_id, mz.turn_idx, mz.ts, mz.source,
+  SELECT mz.conv_id, mz.turn_idx, mz.ts, mz.source, mz.claim_id,
          coalesce(al.entity, trim(mz.mention)) AS entity,
          mz.attr,
          CASE WHEN mz.attr IN ({qlist})
@@ -1111,6 +1147,119 @@ SELECT entity, attr, v, CAST(NULL AS DOUBLE) FROM qcwin"""
 
 _ROLLING_PW = ", ".join(
     f"({k}, {pow(257, k, (1 << 31) - 1)})" for k in range(16))
+
+
+def _slimfast_sql(cache: str, rounds: int = 10, alpha: float = 0.01,
+                  reg: float = 0.01) -> str:
+    """Full SQL unroll of SLiMFast (``_slimfastn``) + final SELECT.
+
+    The hash-seeded per-source init accuracies are inlined as VALUES —
+    constants of (seed, synth source vocabulary), not data.  Round r:
+    truth = Bayesian vote (round 1 with per-source init accs; later rounds
+    with the scalar shared-feature accuracy), ties to the first-appearing
+    value (min surviving claim_id — the engine packs claims in ascending
+    claim_id order and exact-dedup keeps the lowest id); then the scalar
+    weight recurrence w += α·σ(w)·corr − α·σ(w)·(tot−corr), L1 shrink,
+    σ clamp.  The FINAL truth is one more vote with the round-``rounds``
+    accuracy (fact_truth runs after the last reduce)."""
+    from trustfuse_ray.fuse.slimfast import seeded_init_acc
+
+    srcs = []
+    for role in synth.ROLES:
+        for tool in synth.TOOLS:
+            if role == "user" and tool:
+                continue
+            if role != "user" and not tool:
+                continue
+            srcs.append(f"{role}:{tool}")
+    init_vals = ", ".join(f"('{s}', {seeded_init_acc(0, s)!r})"
+                          for s in srcs)
+    parts = [f"""
+{_claims_cte(cache)},
+cl AS (SELECT * FROM claims WHERE value_str IS NOT NULL),
+d AS MATERIALIZED (SELECT DISTINCT entity, attr, source, value_str,
+             value_num, value_type FROM cl),
+sv AS (SELECT entity, attr, source FROM d GROUP BY 1, 2, 3
+       HAVING count(DISTINCT value_str) = 1),
+f AS MATERIALIZED (SELECT d.* FROM d JOIN sv USING (entity, attr, source)),
+fact AS MATERIALIZED (SELECT entity, attr,
+         bool_and(value_type = 'quantity'
+                  AND value_num IS NOT NULL) AS isnum
+         FROM f GROUP BY 1, 2),
+src0 AS MATERIALIZED (SELECT entity, attr, source, min(claim_id) AS c0
+                      FROM cl GROUP BY 1, 2, 3),
+fc AS MATERIALIZED (
+  SELECT f.entity, f.attr, f.source,
+         CASE WHEN fa.isnum THEN 'n:' || CAST(f.value_num AS VARCHAR)
+              ELSE 's:' || f.value_str END AS vk,
+         f.value_str, f.value_num, src0.c0
+  FROM f JOIN fact fa USING (entity, attr)
+  JOIN src0 USING (entity, attr, source)),
+nfact AS MATERIALIZED (SELECT entity, attr, count(DISTINCT vk) AS nd
+                       FROM fc GROUP BY 1, 2),
+vcnt AS MATERIALIZED (
+  SELECT entity, attr, vk, count(*) AS c, min(c0) AS vpos,
+         any_value(value_str) AS value_str,
+         any_value(value_num) AS value_num
+  FROM fc GROUP BY 1, 2, 3),
+ntot AS (SELECT count(*) AS t FROM fc),
+initacc(source, acc) AS (VALUES {init_vals}),
+w0 AS (SELECT 0.0 AS w),
+sc1 AS (SELECT fc.entity, fc.attr, fc.vk,
+        sum(ln((nf.nd - 1) * ia.acc / (1 - ia.acc))) AS score
+        FROM fc JOIN nfact nf USING (entity, attr)
+        JOIN initacc ia USING (source)
+        WHERE nf.nd > 1 GROUP BY 1, 2, 3),
+tr1 AS (SELECT entity, attr, vk FROM (
+        SELECT v.entity, v.attr, v.vk,
+               row_number() OVER (PARTITION BY v.entity, v.attr
+                 ORDER BY coalesce(s.score, 1.0) DESC, v.vpos ASC) AS rn
+        FROM vcnt v LEFT JOIN sc1 s USING (entity, attr, vk))
+        WHERE rn = 1)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        if r > 1:
+            parts.append(f""",
+tr{r} AS (SELECT entity, attr, vk FROM (
+   SELECT v.entity, v.attr, v.vk,
+          row_number() OVER (PARTITION BY v.entity, v.attr ORDER BY
+            (CASE WHEN nf.nd > 1
+                  THEN v.c * ln((nf.nd - 1) * a.acc / (1 - a.acc))
+                  ELSE 1.0 END) DESC, v.vpos ASC) AS rn
+   FROM vcnt v JOIN nfact nf USING (entity, attr) CROSS JOIN acc{p} a)
+   WHERE rn = 1)""")
+        parts.append(f""",
+corr{r} AS (SELECT count(*) AS c
+            FROM fc JOIN tr{r} USING (entity, attr, vk)),
+wraw{r} AS (SELECT w{p}.w
+              + {alpha} * (1.0/(1.0+exp(-w{p}.w))) * corr{r}.c
+              - {alpha} * (1.0/(1.0+exp(-w{p}.w))) * (ntot.t - corr{r}.c)
+              AS w
+            FROM w{p}, corr{r}, ntot),
+w{r} AS (SELECT CASE WHEN w > 0 THEN greatest(0.0, w - {alpha} * {reg})
+                     WHEN w < 0 THEN least(0.0, w + {alpha} * {reg})
+                     ELSE w END AS w FROM wraw{r}),
+acc{r} AS (SELECT w, CASE WHEN 1.0/(1.0+exp(-w)) = 1.0 THEN 0.99
+                          WHEN 1.0/(1.0+exp(-w)) = 0.0 THEN 0.01
+                          ELSE 1.0/(1.0+exp(-w)) END AS acc FROM w{r})""")
+    parts.append(f""",
+trfin AS (SELECT entity, attr, vk FROM (
+   SELECT v.entity, v.attr, v.vk,
+          row_number() OVER (PARTITION BY v.entity, v.attr ORDER BY
+            (CASE WHEN nf.nd > 1
+                  THEN v.c * ln((nf.nd - 1) * a.acc / (1 - a.acc))
+                  ELSE 1.0 END) DESC, v.vpos ASC) AS rn
+   FROM vcnt v JOIN nfact nf USING (entity, attr) CROSS JOIN acc{rounds} a)
+   WHERE rn = 1)
+SELECT v.entity, v.attr,
+       CASE WHEN fa.isnum THEN CAST(NULL AS VARCHAR)
+            ELSE v.value_str END AS value_str,
+       CASE WHEN fa.isnum THEN v.value_num
+            ELSE CAST(NULL AS DOUBLE) END AS value_num
+FROM trfin t
+JOIN vcnt v USING (entity, attr, vk)
+JOIN fact fa USING (entity, attr)""")
+    return "".join(parts)
 
 
 _ANN_TOPK_SQL = """
@@ -1515,6 +1664,8 @@ SELECT source, round(weight, 6) AS weight FROM w
 ORDER BY round(weight, 6) DESC, source LIMIT 10""",
         "kg_fuse_truthfinder": f"""
 WITH {_tf_cte(cache, 10)},{_tf_truth_tail(10)}""",
+        "kg_fuse_slimfast": f"""
+WITH {_slimfast_sql(cache, 10)}""",
         "kg_fuse_crh1": f"""
 WITH {_crh_cte(cache, 1)},{_CRH_TRUTH_TAIL}
 SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num FROM cat1
