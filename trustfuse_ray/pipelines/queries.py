@@ -407,6 +407,30 @@ def q_fuse_slimfastn(sf_dir: str, rounds: int = 10):
     return triples.map_batches(_voting_shape, batch_format="pyarrow")
 
 
+_ACCUN_CACHE: dict[tuple, tuple] = {}
+
+
+def _accun(sf_dir: str, rounds: int = 100):
+    """(triples, weights) of ACCU max_itr=``rounds`` (the reference
+    accu.py:8 default) over the single-value claim projection, where the
+    last-assertion-wins collapse is the identity and every round is
+    exactly ANSI-SQL-expressible; see ``_accu_sql``."""
+    got = _ACCUN_CACHE.get((sf_dir, rounds))
+    if got is None:
+        claims = _single_value_claims(cached_claims(sf_dir))
+        triples, weights = run_fusion(
+            claims, make_model("ACCU", max_itr=rounds))
+        got = _ACCUN_CACHE[(sf_dir, rounds)] = (triples.materialize(),
+                                                weights)
+    return got
+
+
+def q_fuse_accun(sf_dir: str, rounds: int = 100):
+    """ACCU fused truth after ``rounds`` iterations, voting-shaped."""
+    triples, _ = _accun(sf_dir, rounds)
+    return triples.map_batches(_voting_shape, batch_format="pyarrow")
+
+
 def q_fuse_weights(sf_dir: str, model: str = "CRH"):
     _, weights = run_fusion(cached_claims(sf_dir), make_model(model))
     rows = [(b, s, w) for b, m in weights.items() for s, w in m.items()]
@@ -738,7 +762,11 @@ def queries_map():
         # the full-claims variant stays covered by tests/reference_oracle.py
         # + tools/reference_parity
         "kg_fuse_truthfinder": functools.partial(q_fuse_tfn, rounds=10),
-        "kg_fuse_accu": functools.partial(q_fuse, model="ACCU"),
+        # same policy as kg_fuse_crh/_truthfinder/_slimfast: the full
+        # reference fixed point (accu.py max_itr=100) over the
+        # single-value projection, SQL-unrolled oracle; full-claims
+        # variant covered by the pytest parity suites
+        "kg_fuse_accu": functools.partial(q_fuse_accun, rounds=100),
         # same policy as kg_fuse_crh/_truthfinder: full 10-round fixed
         # point over the single-value projection, SQL-unrolled oracle;
         # full-claims variant covered by the pytest parity suites
@@ -1149,21 +1177,9 @@ _ROLLING_PW = ", ".join(
     f"({k}, {pow(257, k, (1 << 31) - 1)})" for k in range(16))
 
 
-def _slimfast_sql(cache: str, rounds: int = 10, alpha: float = 0.01,
-                  reg: float = 0.01) -> str:
-    """Full SQL unroll of SLiMFast (``_slimfastn``) + final SELECT.
-
-    The hash-seeded per-source init accuracies are inlined as VALUES —
-    constants of (seed, synth source vocabulary), not data.  Round r:
-    truth = Bayesian vote (round 1 with per-source init accs; later rounds
-    with the scalar shared-feature accuracy), ties to the first-appearing
-    value (min surviving claim_id — the engine packs claims in ascending
-    claim_id order and exact-dedup keeps the lowest id); then the scalar
-    weight recurrence w += α·σ(w)·corr − α·σ(w)·(tot−corr), L1 shrink,
-    σ clamp.  The FINAL truth is one more vote with the round-``rounds``
-    accuracy (fact_truth runs after the last reduce)."""
-    from trustfuse_ray.fuse.slimfast import seeded_init_acc
-
+def _synth_sources() -> list[str]:
+    """The synth corpus's source vocabulary (role:tool) — an algorithm
+    constant of the generator, not data."""
     srcs = []
     for role in synth.ROLES:
         for tool in synth.TOOLS:
@@ -1172,10 +1188,18 @@ def _slimfast_sql(cache: str, rounds: int = 10, alpha: float = 0.01,
             if role != "user" and not tool:
                 continue
             srcs.append(f"{role}:{tool}")
-    init_vals = ", ".join(f"('{s}', {seeded_init_acc(0, s)!r})"
-                          for s in srcs)
-    parts = [f"""
-{_claims_cte(cache)},
+    return srcs
+
+
+def _sv_fact_cte(cache: str) -> str:
+    """Shared CTE prefix for the single-value-projection iterative-model
+    oracles (SLiMFast, ACCU): claims → the `_single_value_claims`
+    projection → per-(fact, source) observations ``fc`` with the value key
+    ``vk``, first-appearance positions (min claim_id — the engine packs
+    claims in ascending claim_id order and exact-dedup keeps the lowest
+    id), per-fact distinct-value counts ``nfact`` and per-value tallies
+    ``vcnt``."""
+    return f"""{_claims_cte(cache)},
 cl AS (SELECT * FROM claims WHERE value_str IS NOT NULL),
 d AS MATERIALIZED (SELECT DISTINCT entity, attr, source, value_str,
              value_num, value_type FROM cl),
@@ -1201,7 +1225,95 @@ vcnt AS MATERIALIZED (
   SELECT entity, attr, vk, count(*) AS c, min(c0) AS vpos,
          any_value(value_str) AS value_str,
          any_value(value_num) AS value_num
-  FROM fc GROUP BY 1, 2, 3),
+  FROM fc GROUP BY 1, 2, 3)"""
+
+
+def _accu_sql(cache: str, rounds: int = 100) -> str:
+    """Full SQL unroll of ACCU (``_accun``) + final SELECT.
+
+    On the single-value projection each source asserts one value per fact,
+    so the reference's last-assertion-wins collapse is the identity and
+    observation order is source first-appearance order.  Round r: per-fact
+    value scores Σ ln((nd−1)·acc_s/(1−acc_s)) over observing sources
+    (single-value facts score 1.0); truth = best score, ties to the
+    first-appearing value, and the `accu.py:110-116` quirk — all scores
+    ≤ −1 yields integer truth 0, which matches no value, so the fact drops
+    from the output (`_emit_facts_loop` skips None) and every observation
+    of it counts incorrect; acc_s = correct/total, clamped 1.0→0.99,
+    0.0→0.01.  Exactly ``rounds`` reduce steps, final truth with the
+    round-``rounds`` accuracies (fact_truth runs after the last reduce)."""
+    from trustfuse_ray.fuse.accu import seeded_init_acc
+
+    init_vals = ", ".join(f"('{s}', {seeded_init_acc(0, s)!r})"
+                          for s in _synth_sources())
+    parts = [f"""
+{_sv_fact_cte(cache)},
+acc0(source, acc) AS (VALUES {init_vals})"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+sc{r} AS (SELECT fc.entity, fc.attr, fc.vk,
+        sum(ln((nf.nd - 1) * a.acc / (1 - a.acc))) AS score
+        FROM fc JOIN nfact nf USING (entity, attr)
+        JOIN acc{p} a USING (source)
+        WHERE nf.nd > 1 GROUP BY 1, 2, 3),
+tr{r} AS (SELECT entity, attr, vk FROM (
+        SELECT v.entity, v.attr, v.vk,
+               coalesce(s.score, 1.0) AS score,
+               row_number() OVER (PARTITION BY v.entity, v.attr
+                 ORDER BY coalesce(s.score, 1.0) DESC, v.vpos ASC) AS rn
+        FROM vcnt v LEFT JOIN sc{r} s USING (entity, attr, vk))
+        WHERE rn = 1 AND score > -1.0),
+acc{r} AS MATERIALIZED (SELECT source,
+        CASE WHEN a = 1.0 THEN 0.99 WHEN a = 0.0 THEN 0.01
+             ELSE a END AS acc
+        FROM (SELECT fc.source,
+                     CAST(count(t.vk) AS DOUBLE) / count(*) AS a
+              FROM fc LEFT JOIN tr{r} t USING (entity, attr, vk)
+              GROUP BY 1))""")
+    parts.append(f""",
+scfin AS (SELECT fc.entity, fc.attr, fc.vk,
+        sum(ln((nf.nd - 1) * a.acc / (1 - a.acc))) AS score
+        FROM fc JOIN nfact nf USING (entity, attr)
+        JOIN acc{rounds} a USING (source)
+        WHERE nf.nd > 1 GROUP BY 1, 2, 3),
+trfin AS (SELECT entity, attr, vk FROM (
+        SELECT v.entity, v.attr, v.vk,
+               coalesce(s.score, 1.0) AS score,
+               row_number() OVER (PARTITION BY v.entity, v.attr
+                 ORDER BY coalesce(s.score, 1.0) DESC, v.vpos ASC) AS rn
+        FROM vcnt v LEFT JOIN scfin s USING (entity, attr, vk))
+        WHERE rn = 1 AND score > -1.0)
+SELECT v.entity, v.attr,
+       CASE WHEN fa.isnum THEN CAST(NULL AS VARCHAR)
+            ELSE v.value_str END AS value_str,
+       CASE WHEN fa.isnum THEN v.value_num
+            ELSE CAST(NULL AS DOUBLE) END AS value_num
+FROM trfin t
+JOIN vcnt v USING (entity, attr, vk)
+JOIN fact fa USING (entity, attr)""")
+    return "".join(parts)
+
+
+def _slimfast_sql(cache: str, rounds: int = 10, alpha: float = 0.01,
+                  reg: float = 0.01) -> str:
+    """Full SQL unroll of SLiMFast (``_slimfastn``) + final SELECT.
+
+    The hash-seeded per-source init accuracies are inlined as VALUES —
+    constants of (seed, synth source vocabulary), not data.  Round r:
+    truth = Bayesian vote (round 1 with per-source init accs; later rounds
+    with the scalar shared-feature accuracy), ties to the first-appearing
+    value (min surviving claim_id — the engine packs claims in ascending
+    claim_id order and exact-dedup keeps the lowest id); then the scalar
+    weight recurrence w += α·σ(w)·corr − α·σ(w)·(tot−corr), L1 shrink,
+    σ clamp.  The FINAL truth is one more vote with the round-``rounds``
+    accuracy (fact_truth runs after the last reduce)."""
+    from trustfuse_ray.fuse.slimfast import seeded_init_acc
+
+    init_vals = ", ".join(f"('{s}', {seeded_init_acc(0, s)!r})"
+                          for s in _synth_sources())
+    parts = [f"""
+{_sv_fact_cte(cache)},
 ntot AS (SELECT count(*) AS t FROM fc),
 initacc(source, acc) AS (VALUES {init_vals}),
 w0 AS (SELECT 0.0 AS w),
@@ -1666,6 +1778,8 @@ ORDER BY round(weight, 6) DESC, source LIMIT 10""",
 WITH {_tf_cte(cache, 10)},{_tf_truth_tail(10)}""",
         "kg_fuse_slimfast": f"""
 WITH {_slimfast_sql(cache, 10)}""",
+        "kg_fuse_accu": f"""
+WITH {_accu_sql(cache, 100)}""",
         "kg_fuse_crh1": f"""
 WITH {_crh_cte(cache, 1)},{_CRH_TRUTH_TAIL}
 SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num FROM cat1
