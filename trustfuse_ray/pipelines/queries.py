@@ -431,6 +431,22 @@ def q_fuse_accun(sf_dir: str, rounds: int = 100):
     return triples.map_batches(_voting_shape, batch_format="pyarrow")
 
 
+_GTMN_CACHE: dict = {}
+
+
+def q_fuse_gtmn(sf_dir: str):
+    """GTM fused truth (reference gtm.py defaults: max_itr=99, tol=1e-3,
+    convergence exit) over the single-value claim projection, voting-
+    shaped.  Every EM round is exactly ANSI-SQL-expressible and the
+    convergence exit is carried as a scalar done-flag; see ``_gtm_sql``."""
+    triples = _GTMN_CACHE.get(sf_dir)
+    if triples is None:
+        claims = _single_value_claims(cached_claims(sf_dir))
+        triples, _ = run_fusion(claims, make_model("GTM"))
+        triples = _GTMN_CACHE[sf_dir] = triples.materialize()
+    return triples.map_batches(_voting_shape, batch_format="pyarrow")
+
+
 def q_fuse_weights(sf_dir: str, model: str = "CRH"):
     _, weights = run_fusion(cached_claims(sf_dir), make_model(model))
     rows = [(b, s, w) for b, m in weights.items() for s, w in m.items()]
@@ -772,7 +788,10 @@ def queries_map():
         # full-claims variant covered by the pytest parity suites
         "kg_fuse_slimfast": functools.partial(q_fuse_slimfastn, rounds=10),
         "kg_fuse_catd": functools.partial(q_fuse, model="CATD"),
-        "kg_fuse_gtm": functools.partial(q_fuse, model="GTM"),
+        # full reference fixed point (gtm.py max_itr=99, tol=1e-3) over
+        # the single-value projection, SQL-unrolled with a convergence
+        # carry; full-claims variant covered by the pytest parity suites
+        "kg_fuse_gtm": q_fuse_gtmn,
         "kg_fuse_kdem": functools.partial(q_fuse, model="KDEm"),
         "kg_fuse_ltm": q_fuse_ltm,
         "kg_ltm_source_quality": q_ltm_quality,
@@ -1295,6 +1314,97 @@ JOIN fact fa USING (entity, attr)""")
     return "".join(parts)
 
 
+def _gtm_sql(cache: str, max_itr: int = 99, tol: float = 1e-3,
+             alpha: float = 10.0, beta: float = 10.0,
+             delta0: float = 1.0) -> str:
+    """Full SQL unroll of GTM (``_gtmn``) + final SELECT.
+
+    The reference (gtm.py:7-123) runs an init maximization (round 0,
+    residuals vs the UNnormalized median prior) then EM rounds with a
+    convergence exit (err = ‖t_new−t_old‖/‖t_old‖ ≤ tol).  The exit is
+    data-dependent, so every round carries a scalar ``done`` flag: once
+    set, each subsequent round's truth/sigma tables copy the previous
+    round's (CASE on the flag), freezing the fixed point — exactly what
+    the engine's break does.  Final truth per fact = t·sigma_e + prior
+    with the post-break sigma_prev (i.e. the last in-loop truth), snapped
+    to the nearest original claim value (ties to the lowest claim_id).
+    mu0=0, sigma0=1 are inlined."""
+    a2 = 2.0 * (alpha + 1.0)
+    b2 = 2.0 * beta
+    parts = [f"""
+{_sv_fact_cte(cache)},
+g AS MATERIALIZED (
+  SELECT fc.entity, fc.attr, fc.source, fc.value_num AS v, fc.c0
+  FROM fc JOIN fact fa USING (entity, attr) WHERE fa.isnum),
+gp AS MATERIALIZED (SELECT entity, attr, median(v) AS prior
+                    FROM g GROUP BY 1, 2),
+gk AS MATERIALIZED (
+  SELECT g.entity, g.attr, g.source, g.v, g.v - gp.prior AS cn, gp.prior
+  FROM g JOIN gp USING (entity, attr)
+  WHERE gp.prior = 0 OR abs(g.v - gp.prior) / gp.prior <= {delta0}),
+ge AS MATERIALIZED (SELECT entity, attr, stddev_pop(v) AS sigma_e
+                    FROM gk GROUP BY 1, 2),
+sg0 AS MATERIALIZED (
+  SELECT source, sum({b2} + (cn - prior) * (cn - prior))
+                 / ({a2} + count(*)) AS sg
+  FROM gk GROUP BY 1),
+dn0 AS (SELECT false AS done)"""]
+    for r in range(1, max_itr):
+        p = r - 1
+        parts.append(f""",
+tc{r} AS (SELECT k.entity, k.attr,
+          sum(k.cn / (s.sg * s.sg)) / (1.0 + sum(1.0 / (s.sg * s.sg)))
+          AS t
+          FROM gk k JOIN sg{p} s USING (source) GROUP BY 1, 2)""")
+        if r == 1:
+            parts.append(""",
+tn1 AS MATERIALIZED (SELECT * FROM tc1),
+er1 AS MATERIALIZED (
+  SELECT sum((t.t - k.prior) * (t.t - k.prior)) AS num,
+         sum(k.prior * k.prior) AS den
+  FROM tn1 t JOIN gp k USING (entity, attr))""")
+        else:
+            parts.append(f""",
+tn{r} AS MATERIALIZED (
+  SELECT p.entity, p.attr, CASE WHEN d.done THEN p.t ELSE c.t END AS t
+  FROM tn{p} p JOIN tc{r} c USING (entity, attr) CROSS JOIN dn{p} d),
+er{r} AS MATERIALIZED (
+  SELECT sum((n.t - p.t) * (n.t - p.t)) AS num,
+         sum(p.t * p.t) AS den
+  FROM tn{r} n JOIN tn{p} p USING (entity, attr))""")
+        parts.append(f""",
+sgc{r} AS (SELECT k.source,
+           sum({b2} + (k.cn - t.t) * (k.cn - t.t)) / ({a2} + count(*))
+           AS sg
+           FROM gk k JOIN tn{r} t USING (entity, attr) GROUP BY 1),
+sg{r} AS MATERIALIZED (
+  SELECT p.source, CASE WHEN d.done THEN p.sg ELSE c.sg END AS sg
+  FROM sg{p} p JOIN sgc{r} c USING (source) CROSS JOIN dn{p} d),
+dn{r} AS MATERIALIZED (
+  SELECT d.done OR (CASE WHEN e.den > 0 THEN sqrt(e.num) / sqrt(e.den)
+                         ELSE 0.0 END) <= {tol} AS done
+  FROM dn{p} d, er{r} e)""")
+    last = max_itr - 1
+    parts.append(f""",
+tfin AS (
+  SELECT gp.entity, gp.attr,
+         CASE WHEN t.t IS NULL THEN gp.prior
+              ELSE t.t * ge.sigma_e + gp.prior END AS tv
+  FROM gp LEFT JOIN ge USING (entity, attr)
+  LEFT JOIN tn{last} t USING (entity, attr)),
+snap AS (
+  SELECT entity, attr, v FROM (
+    SELECT f.entity, f.attr, f.v,
+           row_number() OVER (PARTITION BY f.entity, f.attr
+             ORDER BY abs(f.v - tf.tv) ASC, f.c0 ASC) AS rn
+    FROM g f JOIN tfin tf USING (entity, attr))
+  WHERE rn = 1)
+SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str,
+       v AS value_num
+FROM snap""")
+    return "".join(parts)
+
+
 def _slimfast_sql(cache: str, rounds: int = 10, alpha: float = 0.01,
                   reg: float = 0.01) -> str:
     """Full SQL unroll of SLiMFast (``_slimfastn``) + final SELECT.
@@ -1780,6 +1890,8 @@ WITH {_tf_cte(cache, 10)},{_tf_truth_tail(10)}""",
 WITH {_slimfast_sql(cache, 10)}""",
         "kg_fuse_accu": f"""
 WITH {_accu_sql(cache, 100)}""",
+        "kg_fuse_gtm": f"""
+WITH {_gtm_sql(cache, 99)}""",
         "kg_fuse_crh1": f"""
 WITH {_crh_cte(cache, 1)},{_CRH_TRUTH_TAIL}
 SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num FROM cat1
