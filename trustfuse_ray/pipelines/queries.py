@@ -431,6 +431,23 @@ def q_fuse_accun(sf_dir: str, rounds: int = 100):
     return triples.map_batches(_voting_shape, batch_format="pyarrow")
 
 
+_CATDN_CACHE: dict = {}
+
+
+def q_fuse_catdn(sf_dir: str):
+    """CATD fused truth (reference catd.py defaults: max_itr=10, tol=0.1,
+    convergence exit) over the single-value claim projection, voting-
+    shaped.  Each round is a chi2/loss weight update + weighted-mean
+    truth, exactly SQL-expressible with a convergence carry; see
+    ``_catd_sql``."""
+    triples = _CATDN_CACHE.get(sf_dir)
+    if triples is None:
+        claims = _single_value_claims(cached_claims(sf_dir))
+        triples, _ = run_fusion(claims, make_model("CATD"))
+        triples = _CATDN_CACHE[sf_dir] = triples.materialize()
+    return triples.map_batches(_voting_shape, batch_format="pyarrow")
+
+
 _GTMN_CACHE: dict = {}
 
 
@@ -787,7 +804,10 @@ def queries_map():
         # point over the single-value projection, SQL-unrolled oracle;
         # full-claims variant covered by the pytest parity suites
         "kg_fuse_slimfast": functools.partial(q_fuse_slimfastn, rounds=10),
-        "kg_fuse_catd": functools.partial(q_fuse, model="CATD"),
+        # full reference fixed point (catd.py max_itr=10, tol=0.1) over
+        # the single-value projection, SQL-unrolled with a convergence
+        # carry; full-claims variant covered by the pytest parity suites
+        "kg_fuse_catd": q_fuse_catdn,
         # full reference fixed point (gtm.py max_itr=99, tol=1e-3) over
         # the single-value projection, SQL-unrolled with a convergence
         # carry; full-claims variant covered by the pytest parity suites
@@ -1405,6 +1425,79 @@ FROM snap""")
     return "".join(parts)
 
 
+def _catd_sql(cache: str, max_itr: int = 10, tol: float = 0.1,
+              series_terms: int = 30) -> str:
+    """Full SQL unroll of CATD (``q_fuse_catdn``) + final SELECT.
+
+    chi2.cdf(0.025, k) is the regularized lower incomplete gamma
+    P(k/2, 0.0125), expressed in log space with DuckDB's lgamma and a
+    Horner-form series (``series_terms`` terms — the engine's
+    1e-15-relative stop triggers after ~8 terms at xs=0.0125, so the
+    extra terms are sub-ulp; the weights only feed a snapped weighted
+    mean and a tol=0.1 convergence norm, both ulp-robust).  The source
+    vector spans ALL pack sources: numeric-less sources carry loss 0 →
+    w=1e10 and dominate the convergence norms exactly as in the engine
+    (catd.py reduce).  Convergence exit carried as a done flag; the
+    round-r weight update still applies when round r itself converges
+    (the engine updates state, then breaks)."""
+    horner = "1.0"
+    for n in range(series_terms, 0, -1):
+        horner = f"1.0 + 0.0125 / (k / 2.0 + {n}) * ({horner})"
+    parts = [f"""
+{_sv_fact_cte(cache)},
+allsrc AS MATERIALIZED (SELECT DISTINCT source FROM fc),
+g AS MATERIALIZED (
+  SELECT fc.entity, fc.attr, fc.source, fc.value_num AS v, fc.c0
+  FROM fc JOIN fact fa USING (entity, attr) WHERE fa.isnum),
+cnt AS (SELECT source, count(*) AS k FROM g GROUP BY 1),
+chi AS MATERIALIZED (
+  SELECT source,
+         exp((k / 2.0) * ln(0.0125) - 0.0125 - lgamma(k / 2.0)
+             + ln((2.0 / k) * ({horner}))) AS c2
+  FROM cnt),
+t0 AS MATERIALIZED (SELECT entity, attr, median(v) AS t
+                    FROM g GROUP BY 1, 2),
+w0 AS MATERIALIZED (SELECT source, 1.0 AS w FROM allsrc),
+dn0 AS (SELECT false AS done)"""]
+    for r in range(1, max_itr + 1):
+        p = r - 1
+        parts.append(f""",
+ls{r} AS (SELECT g.source, sum((g.v - t.t) * (g.v - t.t)) AS loss
+          FROM g JOIN t{p} t USING (entity, attr) GROUP BY 1),
+wc{r} AS MATERIALIZED (
+  SELECT a.source,
+         CASE WHEN l.loss IS NULL OR isnan(l.loss) OR l.loss <= 0
+              THEN 1e10 ELSE c.c2 / l.loss END AS w
+  FROM allsrc a LEFT JOIN ls{r} l USING (source)
+  LEFT JOIN chi c USING (source)),
+er{r} AS MATERIALIZED (
+  SELECT CASE WHEN sqrt(sum(p.w * p.w)) > 0
+              THEN sqrt(sum((p.w - c.w) * (p.w - c.w)))
+                   / sqrt(sum(p.w * p.w)) END AS err
+  FROM w{p} p JOIN wc{r} c USING (source)),
+w{r} AS MATERIALIZED (
+  SELECT p.source, CASE WHEN d.done THEN p.w ELSE c.w END AS w
+  FROM w{p} p JOIN wc{r} c USING (source) CROSS JOIN dn{p} d),
+dn{r} AS MATERIALIZED (
+  SELECT d.done OR coalesce(e.err <= {tol}, false) AS done
+  FROM dn{p} d, er{r} e),
+t{r} AS MATERIALIZED (
+  SELECT g.entity, g.attr,
+         CASE WHEN sum(w.w) = 0 THEN 'NaN'::DOUBLE
+              ELSE sum(w.w * g.v) / sum(w.w) END AS t
+  FROM g JOIN w{r} w USING (source) GROUP BY 1, 2)""")
+    parts.append(f"""
+SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str,
+       v AS value_num
+FROM (
+  SELECT f.entity, f.attr, f.v,
+         row_number() OVER (PARTITION BY f.entity, f.attr
+           ORDER BY abs(f.v - tf.t) ASC, f.c0 ASC) AS rn
+  FROM g f JOIN t{max_itr} tf USING (entity, attr))
+WHERE rn = 1""")
+    return "".join(parts)
+
+
 def _slimfast_sql(cache: str, rounds: int = 10, alpha: float = 0.01,
                   reg: float = 0.01) -> str:
     """Full SQL unroll of SLiMFast (``_slimfastn``) + final SELECT.
@@ -1892,6 +1985,8 @@ WITH {_slimfast_sql(cache, 10)}""",
 WITH {_accu_sql(cache, 100)}""",
         "kg_fuse_gtm": f"""
 WITH {_gtm_sql(cache, 99)}""",
+        "kg_fuse_catd": f"""
+WITH {_catd_sql(cache, 10)}""",
         "kg_fuse_crh1": f"""
 WITH {_crh_cte(cache, 1)},{_CRH_TRUTH_TAIL}
 SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num FROM cat1
