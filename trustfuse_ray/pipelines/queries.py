@@ -448,6 +448,20 @@ def q_fuse_catdn(sf_dir: str):
     return triples.map_batches(_voting_shape, batch_format="pyarrow")
 
 
+_KDEMN_CACHE: dict = {}
+
+
+def q_fuse_kdemn(sf_dir: str):
+    """KDEm fused truth (max_itr=99, tol=1e-5, convergence exit) over the
+    single-value claim projection, voting-shaped; see ``_kdem_sql``."""
+    triples = _KDEMN_CACHE.get(sf_dir)
+    if triples is None:
+        claims = _single_value_claims(cached_claims(sf_dir))
+        triples, _ = run_fusion(claims, make_model("KDEm"))
+        triples = _KDEMN_CACHE[sf_dir] = triples.materialize()
+    return triples.map_batches(_voting_shape, batch_format="pyarrow")
+
+
 _GTMN_CACHE: dict = {}
 
 
@@ -812,7 +826,10 @@ def queries_map():
         # the single-value projection, SQL-unrolled with a convergence
         # carry; full-claims variant covered by the pytest parity suites
         "kg_fuse_gtm": q_fuse_gtmn,
-        "kg_fuse_kdem": functools.partial(q_fuse, model="KDEm"),
+        # full fixed point (kdem defaults max_itr=99, tol=1e-5) over the
+        # single-value projection, SQL-unrolled with a convergence carry;
+        # full-claims variant covered by the pytest parity suites
+        "kg_fuse_kdem": q_fuse_kdemn,
         "kg_fuse_ltm": q_fuse_ltm,
         "kg_ltm_source_quality": q_ltm_quality,
         "kg_weights_crh": functools.partial(q_weights_crhn, rounds=10),
@@ -1498,6 +1515,146 @@ WHERE rn = 1""")
     return "".join(parts)
 
 
+def _kdem_sql(cache: str, max_itr: int = 99, tol: float = 1e-5) -> str:
+    """Full SQL unroll of KDEm (``q_fuse_kdemn``) + final SELECT.
+
+    Per-fact Gaussian kernel matrix over claim pairs (bandwidth = per-fact
+    MAD + 1e-10·std, the engine's documented deviation from the
+    reference's order-dependent global h); per-round opinion weights
+    carried per (fact, claim): wi = c_{r}[source] where nm_{r-1} > 0,
+    normalized by its sum, falling back to the nm==0 indicator (0-sum →
+    NaN, as in the engine's IEEE divide); nm = diag − 2Kw + wᵀKw clamped
+    at 0; per-source c = −ln((rtn/counts)/J) on positive entries;
+    convergence |ΔJ|/J ≤ tol carried as a done flag.  The final truth is
+    the claim maximizing K·w with the SECOND-TO-LAST c history entry
+    (fact_truth replays c_hist[:-1]) — i.e. the frozen w of the last
+    in-loop round — ties to the lowest claim_id (argmax first index; NaN
+    densities sort greatest in DuckDB, matching np.argmax NaN wins)."""
+    parts = [f"""
+{_sv_fact_cte(cache)},
+g AS MATERIALIZED (
+  SELECT fc.entity, fc.attr, fc.source, fc.value_num AS v, fc.c0
+  FROM fc JOIN fact fa USING (entity, attr) WHERE fa.isnum),
+cntq AS MATERIALIZED (SELECT source, count(*) AS k FROM g GROUP BY 1),
+kf AS MATERIALIZED (
+  SELECT entity, attr, count(*) AS n, median(v) AS med,
+         stddev_pop(v) AS sd
+  FROM g GROUP BY 1, 2),
+kh AS MATERIALIZED (
+  SELECT g.entity, g.attr,
+         median(abs(g.v - kf.med)) + 1e-10 * any_value(kf.sd) AS h
+  FROM g JOIN kf USING (entity, attr) GROUP BY g.entity, g.attr),
+ka AS MATERIALIZED (
+  SELECT a.entity, a.attr, a.c0 AS i, b.c0 AS j,
+         CASE WHEN kh.h > 0
+              THEN exp(-(((a.v - b.v) / kh.h) * ((a.v - b.v) / kh.h)))
+                   / sqrt(2 * pi())
+              ELSE exp(0.0) / sqrt(2 * pi()) END AS kk
+  FROM g a JOIN g b USING (entity, attr)
+  JOIN kh USING (entity, attr)),
+w0 AS MATERIALIZED (
+  SELECT g.entity, g.attr, g.c0 AS i, g.source, 1.0 / kf.n AS w
+  FROM g JOIN kf USING (entity, attr)),
+kw0 AS (SELECT ka.entity, ka.attr, ka.i, sum(ka.kk * w.w) AS t2
+        FROM ka JOIN w0 w ON ka.entity = w.entity AND ka.attr = w.attr
+                          AND ka.j = w.i
+        GROUP BY 1, 2, 3),
+qd0 AS (SELECT k.entity, k.attr, sum(w.w * k.t2) AS q
+        FROM kw0 k JOIN w0 w ON k.entity = w.entity AND k.attr = w.attr
+                             AND k.i = w.i
+        GROUP BY 1, 2),
+nm0 AS MATERIALIZED (
+  SELECT k.entity, k.attr, k.i, w.source,
+         greatest(exp(0.0) / sqrt(2 * pi()) - 2 * k.t2 + q.q, 0.0) AS nm
+  FROM kw0 k JOIN qd0 q USING (entity, attr)
+  JOIN w0 w ON k.entity = w.entity AND k.attr = w.attr AND k.i = w.i),
+rt0 AS (SELECT n.source, sum(n.nm / kf.n) AS rtn
+        FROM nm0 n JOIN kf USING (entity, attr) GROUP BY 1),
+j0 AS MATERIALIZED (SELECT sum(rtn) AS j FROM rt0),
+c1 AS MATERIALIZED (
+  SELECT r.source,
+         CASE WHEN j.j > 0 AND NOT isnan(j.j)
+                   AND r.rtn > 0 AND NOT isnan(r.rtn)
+              THEN -ln((r.rtn / c.k) / j.j) ELSE r.rtn END AS c
+  FROM rt0 r JOIN cntq c USING (source), j0 j),
+dn0 AS (SELECT false AS done)"""]
+    for r in range(1, max_itr):
+        p = r - 1
+        parts.append(f""",
+ws{r} AS (SELECT n.entity, n.attr,
+          sum(CASE WHEN n.nm > 0 AND NOT isnan(n.nm)
+                   THEN c.c ELSE 0.0 END) AS s,
+          sum(CASE WHEN n.nm = 0 THEN 1.0
+                   WHEN n.nm > 0 AND NOT isnan(n.nm) THEN c.c
+                   ELSE 0.0 END) AS s2
+          FROM nm{p} n JOIN c{r} c USING (source) GROUP BY 1, 2),
+wc{r} AS (SELECT n.entity, n.attr, n.i, n.source,
+          CASE WHEN ws.s > 0 AND NOT isnan(ws.s)
+               THEN (CASE WHEN n.nm > 0 AND NOT isnan(n.nm)
+                          THEN c.c ELSE 0.0 END) / ws.s
+               WHEN ws.s2 = 0 OR isnan(ws.s2) THEN 'NaN'::DOUBLE
+               ELSE (CASE WHEN n.nm = 0 THEN 1.0
+                          WHEN n.nm > 0 AND NOT isnan(n.nm) THEN c.c
+                          ELSE 0.0 END) / ws.s2
+          END AS w
+          FROM nm{p} n JOIN c{r} c USING (source)
+          JOIN ws{r} ws ON n.entity = ws.entity AND n.attr = ws.attr),
+w{r} AS MATERIALIZED (
+  SELECT p.entity, p.attr, p.i, p.source,
+         CASE WHEN d.done THEN p.w ELSE c.w END AS w
+  FROM w{p} p JOIN wc{r} c ON p.entity = c.entity AND p.attr = c.attr
+                           AND p.i = c.i
+  CROSS JOIN dn{p} d),
+kw{r} AS (SELECT ka.entity, ka.attr, ka.i, sum(ka.kk * w.w) AS t2
+          FROM ka JOIN w{r} w ON ka.entity = w.entity
+                              AND ka.attr = w.attr AND ka.j = w.i
+          GROUP BY 1, 2, 3),
+qd{r} AS (SELECT k.entity, k.attr, sum(w.w * k.t2) AS q
+          FROM kw{r} k JOIN w{r} w ON k.entity = w.entity
+                                   AND k.attr = w.attr AND k.i = w.i
+          GROUP BY 1, 2),
+nm{r} AS MATERIALIZED (
+  SELECT k.entity, k.attr, k.i, w.source,
+         greatest(exp(0.0) / sqrt(2 * pi()) - 2 * k.t2 + q.q, 0.0) AS nm
+  FROM kw{r} k JOIN qd{r} q USING (entity, attr)
+  JOIN w{r} w ON k.entity = w.entity AND k.attr = w.attr AND k.i = w.i),
+rt{r} AS (SELECT n.source, sum(n.nm / kf.n) AS rtn
+          FROM nm{r} n JOIN kf USING (entity, attr) GROUP BY 1),
+j{r} AS MATERIALIZED (
+  SELECT CASE WHEN d.done THEN jp.j ELSE (SELECT sum(rtn) FROM rt{r}) END
+         AS j
+  FROM j{p} jp, dn{p} d),
+c{r + 1} AS MATERIALIZED (
+  SELECT cp.source,
+         CASE WHEN d.done THEN cp.c
+              WHEN j.j > 0 AND NOT isnan(j.j)
+                   AND r.rtn > 0 AND NOT isnan(r.rtn)
+              THEN -ln((r.rtn / cq.k) / j.j) ELSE r.rtn END AS c
+  FROM c{r} cp JOIN rt{r} r USING (source)
+  JOIN cntq cq USING (source), j{r} j, dn{p} d),
+dn{r} AS MATERIALIZED (
+  SELECT d.done OR (jp.j != 0
+                    AND abs((j.j - jp.j) / jp.j) <= {tol}) AS done
+  FROM dn{p} d, j{p} jp, j{r} j)""")
+    last = max_itr - 1
+    parts.append(f""",
+dens AS (
+  SELECT ka.entity, ka.attr, ka.i, sum(ka.kk * w.w) AS density
+  FROM ka JOIN w{last} w ON ka.entity = w.entity AND ka.attr = w.attr
+                         AND ka.j = w.i
+  GROUP BY 1, 2, 3)
+SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str,
+       v AS value_num
+FROM (
+  SELECT g.entity, g.attr, g.v,
+         row_number() OVER (PARTITION BY g.entity, g.attr
+           ORDER BY d.density DESC, g.c0 ASC) AS rn
+  FROM g JOIN dens d ON g.entity = d.entity AND g.attr = d.attr
+                     AND g.c0 = d.i)
+WHERE rn = 1""")
+    return "".join(parts)
+
+
 def _slimfast_sql(cache: str, rounds: int = 10, alpha: float = 0.01,
                   reg: float = 0.01) -> str:
     """Full SQL unroll of SLiMFast (``_slimfastn``) + final SELECT.
@@ -1987,6 +2144,8 @@ WITH {_accu_sql(cache, 100)}""",
 WITH {_gtm_sql(cache, 99)}""",
         "kg_fuse_catd": f"""
 WITH {_catd_sql(cache, 10)}""",
+        "kg_fuse_kdem": f"""
+WITH {_kdem_sql(cache, 99)}""",
         "kg_fuse_crh1": f"""
 WITH {_crh_cte(cache, 1)},{_CRH_TRUTH_TAIL}
 SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num FROM cat1
