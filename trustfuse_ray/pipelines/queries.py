@@ -1682,7 +1682,7 @@ sc1 AS (SELECT fc.entity, fc.attr, fc.vk,
         FROM fc JOIN nfact nf USING (entity, attr)
         JOIN initacc ia USING (source)
         WHERE nf.nd > 1 GROUP BY 1, 2, 3),
-tr1 AS (SELECT entity, attr, vk FROM (
+tr1 AS MATERIALIZED (SELECT entity, attr, vk FROM (
         SELECT v.entity, v.attr, v.vk,
                row_number() OVER (PARTITION BY v.entity, v.attr
                  ORDER BY coalesce(s.score, 1.0) DESC, v.vpos ASC) AS rn
@@ -1692,7 +1692,7 @@ tr1 AS (SELECT entity, attr, vk FROM (
         p = r - 1
         if r > 1:
             parts.append(f""",
-tr{r} AS (SELECT entity, attr, vk FROM (
+tr{r} AS MATERIALIZED (SELECT entity, attr, vk FROM (
    SELECT v.entity, v.attr, v.vk,
           row_number() OVER (PARTITION BY v.entity, v.attr ORDER BY
             (CASE WHEN nf.nd > 1
@@ -1701,7 +1701,7 @@ tr{r} AS (SELECT entity, attr, vk FROM (
    FROM vcnt v JOIN nfact nf USING (entity, attr) CROSS JOIN acc{p} a)
    WHERE rn = 1)""")
         parts.append(f""",
-corr{r} AS (SELECT count(*) AS c
+corr{r} AS MATERIALIZED (SELECT count(*) AS c
             FROM fc JOIN tr{r} USING (entity, attr, vk)),
 wraw{r} AS (SELECT w{p}.w
               + {alpha} * (1.0/(1.0+exp(-w{p}.w))) * corr{r}.c
@@ -1711,9 +1711,10 @@ wraw{r} AS (SELECT w{p}.w
 w{r} AS (SELECT CASE WHEN w > 0 THEN greatest(0.0, w - {alpha} * {reg})
                      WHEN w < 0 THEN least(0.0, w + {alpha} * {reg})
                      ELSE w END AS w FROM wraw{r}),
-acc{r} AS (SELECT w, CASE WHEN 1.0/(1.0+exp(-w)) = 1.0 THEN 0.99
-                          WHEN 1.0/(1.0+exp(-w)) = 0.0 THEN 0.01
-                          ELSE 1.0/(1.0+exp(-w)) END AS acc FROM w{r})""")
+acc{r} AS MATERIALIZED (
+  SELECT w, CASE WHEN 1.0/(1.0+exp(-w)) = 1.0 THEN 0.99
+                 WHEN 1.0/(1.0+exp(-w)) = 0.0 THEN 0.01
+                 ELSE 1.0/(1.0+exp(-w)) END AS acc FROM w{r})""")
     parts.append(f""",
 trfin AS (SELECT entity, attr, vk FROM (
    SELECT v.entity, v.attr, v.vk,
@@ -1963,7 +1964,7 @@ ORDER BY revenue DESC
 LIMIT 10""",
         "kg_bucketize_claims": f"""
 WITH RECURSIVE {_claims_cte(cache)},
-ordered AS (
+ordered AS MATERIALIZED (
   SELECT entity, source, attr, epoch_us(ts) AS tus,
          row_number() OVER (PARTITION BY entity
                             ORDER BY ts, source, attr) AS rn
