@@ -19,12 +19,19 @@ import pyarrow.compute as pc
 from trustfuse_ray.synth import CLAIM_SENTENCE_RE
 
 
-def fnv64(s: str) -> int:
-    """Stable 63-bit FNV-1a hash (no PYTHONHASHSEED dependence)."""
-    h = 0xCBF29CE484222325
+def _fnv_fold(h: int, s: str) -> int:
+    """Extend an FNV-1a state ``h`` with the bytes of ``s`` (unmasked)."""
     for ch in s.encode():
         h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h & 0x7FFFFFFFFFFFFFFF
+    return h
+
+
+def fnv64(s: str) -> int:
+    """Stable 63-bit FNV-1a hash (no PYTHONHASHSEED dependence)."""
+    return _fnv_fold(0xCBF29CE484222325, s) & 0x7FFFFFFFFFFFFFFF
+
+
+_SEQ_STRS = tuple(str(i) for i in range(256))
 
 
 class TripleExtractor:
@@ -54,20 +61,31 @@ class TripleExtractor:
 
         o_conv, o_turn, o_src, o_mention, o_attr, o_val, o_cid, o_ts = \
             [], [], [], [], [], [], [], []
+        findall = self.rx.findall
+        fold = _fnv_fold
+        seq_strs = _SEQ_STRS
         for c, t, r, tl, tx, tstamp in zip(conv, turn, role, tool, text, ts):
             if r not in self.claim_roles:
                 continue
-            src = f"{r}:{tl or ''}"
-            for seq, m in enumerate(self.rx.finditer(tx)):
-                attr, mention, raw = m.group(1), m.group(2), m.group(3)
-                o_conv.append(c)
-                o_turn.append(t)
-                o_src.append(src)
-                o_mention.append(mention)
-                o_attr.append(attr)
-                o_val.append(raw)
-                o_cid.append(fnv64(f"{c}|{t}|{seq}"))
-                o_ts.append(tstamp)
+            matches = findall(tx)
+            if not matches:
+                continue
+            n = len(matches)
+            # claim_id = fnv64(f"{c}|{t}|{seq}"): FNV-1a is a left fold, so
+            # hash the shared "{c}|{t}|" prefix once per turn and extend
+            # with each claim's seq digits only
+            hp = fold(0xCBF29CE484222325, f"{c}|{t}|")
+            attrs, mentions, raws = zip(*matches)
+            o_attr.extend(attrs)
+            o_mention.extend(mentions)
+            o_val.extend(raws)
+            o_conv.extend([c] * n)
+            o_turn.extend([t] * n)
+            o_src.extend([f"{r}:{tl or ''}"] * n)
+            o_ts.extend([tstamp] * n)
+            seqs = seq_strs[:n] if n <= len(seq_strs) else \
+                [str(i) for i in range(n)]
+            o_cid.extend((fold(hp, s) & 0x7FFFFFFFFFFFFFFF) for s in seqs)
         return pa.table(
             {
                 "conv_id": pa.array(o_conv, pa.string()),
