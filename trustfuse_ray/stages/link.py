@@ -12,7 +12,6 @@ batch); value canonicalization applies the type-driven kernels from
 
 from __future__ import annotations
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -43,20 +42,34 @@ class EntityLinkerCanon:
         self.alias_map = alias_ref
         self.attr_types = dict(attr_types)
         self.bucket_id = bucket_id
+        # Arrow-native lookup tables (index_in + take is a C-level hash
+        # probe over the Arrow strings — no to_pylist/pandas round-trip)
+        self._alias_keys = pa.array(list(alias_ref.keys()), pa.string())
+        self._alias_vals = pa.array(list(alias_ref.values()), pa.string())
+        self._attr_keys = pa.array(list(self.attr_types.keys()),
+                                   pa.string())
+        self._attr_vals = pa.array(list(self.attr_types.values()),
+                                   pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mention = pc.utf8_trim_whitespace(batch["mention"])
-        # dict-map via pandas (C-level hash map lookup), miss → surface form
-        ment_s = pd.Series(mention.to_pylist(), dtype=object)
-        entity = ment_s.map(self.alias_map).fillna(ment_s)
+        if isinstance(mention, pa.ChunkedArray):
+            mention = mention.combine_chunks()
+        # alias-dict linking, miss → surface form
+        linked = pc.take(self._alias_vals,
+                         pc.index_in(mention, value_set=self._alias_keys))
+        entity = pc.if_else(pc.is_valid(linked), linked, mention)
 
         attr = batch["attr"]
         raw = batch["raw_value"]
         trimmed = pc.utf8_trim_whitespace(raw)
 
-        vtype = pd.Series(attr.to_pylist(), dtype=object).map(
-            self.attr_types).fillna("string")
-        is_q = pa.array((vtype == "quantity").to_numpy(copy=False))
+        attr_arr = attr.combine_chunks() if isinstance(
+            attr, pa.ChunkedArray) else attr
+        vt = pc.take(self._attr_vals,
+                     pc.index_in(attr_arr, value_set=self._attr_keys))
+        vtype = pc.if_else(pc.is_valid(vt), vt, "string")
+        is_q = pc.equal(vtype, "quantity")
 
         # quantity: strip thousands separators, parse float
         no_commas = pc.replace_substring(trimmed, ",", "")
@@ -70,11 +83,11 @@ class EntityLinkerCanon:
                 "claim_id": batch["claim_id"],
                 "bucket_id": pa.array([self.bucket_id] * len(batch), pa.int32()),
                 "source": batch["source"],
-                "entity": pa.array(entity.tolist(), pa.string()),
+                "entity": entity,
                 "attr": attr,
                 "value_str": value_str,
                 "value_num": value_num,
-                "value_type": pa.array(vtype.tolist(), pa.string()),
+                "value_type": vtype,
                 "raw_value": raw,
                 "conv_id": batch["conv_id"],
                 "turn_idx": batch["turn_idx"],
