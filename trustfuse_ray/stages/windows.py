@@ -27,20 +27,17 @@ def _sessionize_group(batch: pa.Table, *, ts_col: str, key_col: str,
     if len(ts) > 1:
         brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
     sid = np.cumsum(brk)  # 1-based session ids, per key
-    out_key, out_sid, out_n, out_s, out_e = [], [], [], [], []
-    for s in np.unique(sid):
-        m = sid == s
-        out_key.append(key)
-        out_sid.append(int(s))
-        out_n.append(int(m.sum()))
-        out_s.append(int(ts[m].min()))
-        out_e.append(int(ts[m].max()))
+    # sessions are contiguous runs in ts order: segment bounds, not a
+    # per-session mask loop
+    starts = np.flatnonzero(brk)
+    ends = np.append(starts[1:], len(ts)) - 1
     return pa.table({
-        key_col: pa.array(out_key),
-        "session_id": pa.array(out_sid, pa.int64()),
-        "n_events": pa.array(out_n, pa.int64()),
-        "start_ts": pa.array(out_s, pa.int64()).cast(pa.timestamp("us")),
-        "end_ts": pa.array(out_e, pa.int64()).cast(pa.timestamp("us")),
+        key_col: pa.array([key] * len(starts)),
+        "session_id": pa.array(sid[starts], pa.int64()),
+        "n_events": pa.array(ends - starts + 1, pa.int64()),
+        "start_ts": pa.array(ts[starts], pa.int64()).cast(
+            pa.timestamp("us")),
+        "end_ts": pa.array(ts[ends], pa.int64()).cast(pa.timestamp("us")),
     })
 
 
