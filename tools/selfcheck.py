@@ -41,6 +41,16 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
     for c in a.columns:
         x, y = a[c].tolist(), b[c].tolist()
         for u, v in zip(x, y):
+            try:
+                una, vna = pd.isna(u), pd.isna(v)
+                if not isinstance(una, bool):
+                    una = vna = False  # array-valued cell; fall through
+            except (TypeError, ValueError):
+                una = vna = False
+            if una or vna:
+                if una and vna:
+                    continue
+                return False
             if isinstance(u, float) or isinstance(v, float):
                 try:
                     fu, fv = float(u), float(v)
