@@ -91,3 +91,57 @@ def test_turn_equality_invariant_on_synth(synth_dir):
             rebuilt[(conv["conv_id"], sorted(
                 ti for (c, ti) in original if c == conv["conv_id"])[i])] = txt
     assert rebuilt == original
+
+
+def test_extractor_vectorized_matches_loop():
+    """The Arrow-vectorized default-pattern path must be row- and
+    claim_id-identical to the generic findall loop, including edge cases:
+    unterminated trailing claims, ' is ' inside mentions, non-charset
+    characters between 'is' and the period, and multi-claim turns."""
+    ex = TripleExtractor()
+    rows = [
+        ("c1", 0, "assistant", "Hello. The color of E1 is red.", "wiki"),
+        ("c1", 1, "user", "The color of E1 is blue.", ""),
+        ("c1", 2, "tool", "The population of node 3 prime is 1,234. "
+                          "The color of E2 is green .", "db"),
+        ("c1", 3, "tool", "no claims here", "db"),
+        # unterminated: must NOT match (no trailing period)
+        ("c2", 0, "assistant", "The color of E3 is red", None),
+        # value blocked by a non-charset char before the period
+        ("c2", 1, "assistant", "The color of E4 is red; maybe.", "x"),
+        # mention containing " is " (lazy stops at the first " is ")
+        ("c2", 2, "assistant", "The state of what is seen is unknown.", "x"),
+        # three claims in one turn exercises seq numbering
+        ("c3", 0, "tool", "The a_b of X is 1. The c of Y is 2. "
+                          "The d of Z is 3.", "t"),
+        # claim not at sentence start (unanchored match)
+        ("c3", 1, "assistant", "note that The size of Q is large.", ""),
+    ]
+    tbl = pa.Table.from_pylist([
+        {"conv_id": c, "turn_idx": t, "role": r, "text": x, "tool": tl,
+         "ts": 1700000000000000 + 17 * t}
+        for c, t, r, x, tl in rows
+    ], schema=pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("role", pa.string()), ("text", pa.string()),
+        ("tool", pa.string()), ("ts", pa.timestamp("us")),
+    ]))
+    vec = ex._call_vectorized(tbl).to_pylist()
+    loop = ex._call_loop(tbl).to_pylist()
+    assert vec == loop
+    # c1: 3 claims; c2: ';' blocks one, "what is seen is unknown" matches
+    # (value = "seen is unknown"); c3: 3 + 1 claims
+    assert len(vec) == 8
+    assert ex(tbl).to_pylist() == vec  # dispatch uses the vectorized path
+
+
+def test_fnv64_batch_matches_scalar():
+    from trustfuse_ray.stages.extract import fnv64, fnv64_batch
+    keys = ["", "a", "c0001|17|2", "x" * 65, "conv|0|0", "Ü-umlaut|1|0"]
+    arr = pa.chunked_array([keys[:3], keys[3:]])
+    got = fnv64_batch(arr).to_pylist()
+    assert got == [fnv64(k) for k in keys]
+    # sliced (offset != 0) array goes through the offset-aware buffer path
+    flat = pa.array(keys)
+    assert fnv64_batch(flat.slice(2, 3)).to_pylist() == \
+        [fnv64(k) for k in keys[2:5]]

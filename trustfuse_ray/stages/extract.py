@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -34,6 +35,56 @@ def fnv64(s: str) -> int:
 _SEQ_STRS = tuple(str(i) for i in range(256))
 
 
+def fnv64_batch(arr) -> pa.Array:
+    """Vectorized ``fnv64`` over a pyarrow string array.
+
+    The FNV-1a left fold is re-expressed as ``maxlen`` masked numpy passes
+    over a padded (n × maxlen) uint8 matrix — key strings here are ~20 bytes,
+    so this is a handful of vectorized sweeps instead of a per-row Python
+    byte loop.  uint64 arithmetic wraps mod 2**64 natively.  Bit-identical
+    to the scalar ``fnv64`` (tested)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return pa.array([], pa.int64())
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    lens = offs[1:] - offs[:-1]
+    maxlen = int(lens.max()) if n else 0
+    col = np.arange(maxlen)
+    valid = col[None, :] < lens[:, None]
+    pos = offs[:-1, None] + col[None, :]
+    padded = np.zeros((n, maxlen), np.uint8)
+    padded[valid] = data[pos[valid]]
+    h = np.full(n, 0xCBF29CE484222325, np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for j in range(maxlen):
+        m = valid[:, j]
+        h[m] = (h[m] ^ padded[:, j][m].astype(np.uint64)) * prime
+    return pa.array((h & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64))
+
+
+_VEC_GROUP_PATTERN = (
+    r"The (?P<attr>[a-z_]+) of (?P<mention>[A-Za-z0-9_ ]+?)"
+    r" is (?P<val>[A-Za-z0-9_, ]+?)$"
+)
+
+
+def _empty_mentions() -> pa.Table:
+    return pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "source": pa.array([], pa.string()),
+        "mention": pa.array([], pa.string()),
+        "attr": pa.array([], pa.string()),
+        "raw_value": pa.array([], pa.string()),
+        "claim_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+    })
+
+
 class TripleExtractor:
     """Actor-pool batch extractor.
 
@@ -48,8 +99,72 @@ class TripleExtractor:
         self.rx = re.compile(pattern)
         self.claim_roles = set(claim_roles)
         self.prefilter = pattern
+        # The default claim grammar ("The <attr> of <mention> is <value>.")
+        # admits a fully Arrow-vectorized plan: sentence-split on the literal
+        # terminator, one RE2 extract over the flattened fragments, segmented
+        # numpy for per-turn claim sequence numbers, and a batched FNV fold
+        # for claim ids.  Custom rule patterns keep the generic findall loop.
+        self.vectorized = pattern == CLAIM_SENTENCE_RE
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.vectorized:
+            return self._call_vectorized(batch)
+        return self._call_loop(batch)
+
+    def _call_vectorized(self, batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.match_substring_regex(batch["text"], self.prefilter),
+            pc.is_in(batch["role"],
+                     value_set=pa.array(sorted(self.claim_roles))))
+        batch = batch.filter(mask)
+        if len(batch) == 0:
+            return _empty_mentions()
+        text = batch["text"].combine_chunks()
+        frags = pc.split_pattern(text, ".")
+        counts = pc.list_value_length(frags).to_numpy().astype(np.int64)
+        flat = pc.list_flatten(frags)
+        row_idx = np.repeat(np.arange(len(batch)), counts)
+        # a claim sentence must be TERMINATED by '.', so the fragment after
+        # the last '.' (always emitted by split) can never match
+        pos = np.arange(len(flat)) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts[:-1])]), counts)
+        not_last = pos != np.repeat(counts - 1, counts)
+        ext = pc.extract_regex(flat, _VEC_GROUP_PATTERN)
+        ok = pc.is_valid(ext).to_numpy(zero_copy_only=False) & not_last
+        hit = np.flatnonzero(ok)
+        if len(hit) == 0:
+            return _empty_mentions()
+        hit_pa = pa.array(hit)
+        ext_hit = ext.take(hit_pa)
+        rows = row_idx[hit]
+        rows_pa = pa.array(rows)
+        # per-turn claim sequence: rows is sorted, so a segmented cumcount
+        uniq, inv, cnts = np.unique(rows, return_inverse=True,
+                                    return_counts=True)
+        seg_starts = np.concatenate([[0], np.cumsum(cnts[:-1])])
+        seq = np.arange(len(rows)) - seg_starts[inv]
+        conv = batch["conv_id"].take(rows_pa)
+        turn = batch["turn_idx"].take(rows_pa)
+        keys = pc.binary_join_element_wise(
+            conv, pc.cast(turn, pa.string()),
+            pa.array(seq.astype("U"), pa.string()), "|")
+        claim_id = fnv64_batch(keys)
+        source = pc.binary_join_element_wise(
+            batch["role"].take(rows_pa),
+            pc.coalesce(batch["tool"].take(rows_pa), ""), ":")
+        return pa.table({
+            "conv_id": conv,
+            "turn_idx": turn,
+            "source": source,
+            "mention": pc.struct_field(ext_hit, "mention"),
+            "attr": pc.struct_field(ext_hit, "attr"),
+            "raw_value": pc.struct_field(ext_hit, "val"),
+            "claim_id": claim_id,
+            "ts": batch["ts"].take(rows_pa).combine_chunks()
+                  .cast(pa.timestamp("us")),
+        })
+
+    def _call_loop(self, batch: pa.Table) -> pa.Table:
         mask = pc.match_substring_regex(batch["text"], self.prefilter)
         batch = batch.filter(mask)
         conv = batch["conv_id"].to_pylist()
