@@ -570,6 +570,85 @@ def q_top_customers(sf_dir: str):
     return top.select_columns(["c_custkey", "c_name", "revenue"])
 
 
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape: revenue per nation for one region and order year.
+
+    The 6-way join is decomposed the 100-TB way: every dimension that is
+    small BY SPEC (region 5 rows, nation 25, supplier ~1e-5 × lineitem) is
+    a driver-side Arrow lookup folded into ``map_batches`` closures —
+    broadcast once, never shuffled; only orders ⋈ customer and
+    lineitem ⋈ (that) run as hash-shuffle joins.  Revenue accumulates in
+    exact int64 micro-units (order-independent, like Q1)."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    supplier = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                             columns=["s_suppkey", "s_nationkey"])
+    rkeys = region.filter(
+        pc.equal(region["r_name"], "ASIA"))["r_regionkey"].combine_chunks()
+    nat = nation.filter(pc.is_in(nation["n_regionkey"], value_set=rkeys))
+    nat_keys = nat["n_nationkey"].combine_chunks()
+    nat_names = nat["n_name"].combine_chunks()
+    supp_keys = supplier["s_suppkey"].combine_chunks()
+    supp_nation = supplier["s_nationkey"].combine_chunks()
+    y0, y1 = datetime(1996, 1, 1), datetime(1997, 1, 1)
+
+    def _orders_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["o_orderdate"], pa.scalar(y0)),
+                       pc.less(batch["o_orderdate"], pa.scalar(y1)))
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    def _cust_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch["c_nationkey"], value_set=nat_keys))
+
+    orders = _tbl(sf_dir, "orders").map_batches(
+        _orders_filter, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _tbl(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"]).map_batches(
+        _cust_filter, batch_format="pyarrow", zero_copy_batch=True)
+    oc = orders.join(cust, join_type="inner", num_partitions=8,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    li = _tbl(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    big = li.join(oc, join_type="inner", num_partitions=8,
+                  on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _rev_partial(batch: pa.Table) -> pa.Table:
+        sn = pc.take(supp_nation,
+                     pc.index_in(batch["l_suppkey"], value_set=supp_keys))
+        keep = pc.equal(sn, batch["c_nationkey"])  # local-supplier predicate
+        kept = batch.filter(keep)
+        rev = pc.multiply(kept["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), kept["l_discount"]))
+        fx = pc.cast(pc.round(
+            pc.multiply(rev, pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"n_nationkey": kept["c_nationkey"], "rev_fx": fx})
+        return pa.TableGroupBy(t, "n_nationkey",
+                               use_threads=False).aggregate(
+            [("rev_fx", "sum")]).rename_columns(
+            ["n_nationkey", "rev_fx"])
+
+    agg = (big.map_batches(_rev_partial, batch_format="pyarrow")
+           .groupby("n_nationkey").sum("rev_fx"))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        names = pc.take(nat_names,
+                        pc.index_in(batch["n_nationkey"],
+                                    value_set=nat_keys))
+        return pa.table({
+            "n_name": names,
+            "revenue": pc.divide(pc.cast(batch["sum(rev_fx)"], pa.float64()),
+                                 pa.scalar(float(Q1_SCALE))),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 def q_events_sessionize(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events"), gap_minutes=30.0)
 
@@ -842,6 +921,7 @@ def queries_map():
         "kg_metrics_crh": functools.partial(q_metrics_crhn, rounds=10),
         "kg_metrics_crh1": q_metrics_crh1,
         "q1_pricing_summary": q1_pricing_summary,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
         "top_customers": q_top_customers,
         "events_sessionize": q_events_sessionize,
         "events_windowed_agg": q_events_windowed_agg,
@@ -1956,6 +2036,18 @@ SELECT l_returnflag, l_linestatus,
                       * {Q1_SCALE}) AS BIGINT)) / {Q1_SCALE}.0 AS sum_charge
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus""",
+        "q5_local_supplier_volume": f"""
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
+                AS BIGINT)) / {Q1_SCALE}.0 AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""",
         "top_customers": """
 SELECT c_custkey, c_name, sum(o_totalprice) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
