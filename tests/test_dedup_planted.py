@@ -126,3 +126,19 @@ def test_minhash_empty_corpus():
     empty = empty.filter(lambda r: True)  # force a (possibly 0-block) plan
     pairs = minhash_lsh_pairs(empty)
     assert pairs.count() == 0
+
+
+def test_perm_vals_bit_parity_with_mod():
+    """The in-place permutation kernel must be bit-identical to the plain
+    (a*x+b) % p expression, including boundary shingle hashes."""
+    import numpy as np
+
+    from trustfuse_ray.stages.dedup import MinHasher
+
+    h = MinHasher(num_hashes=16)
+    rng = np.random.default_rng(3)
+    base = np.concatenate([
+        rng.integers(0, 1 << 31, size=5000, dtype=np.uint64),
+        np.array([0, 1, (1 << 31) - 2, (1 << 31) - 1], np.uint64)])
+    ref = (h.a[:, None] * base[None, :] + h.b[:, None]) % h.PRIME
+    assert np.array_equal(h._perm_vals(base), ref)
