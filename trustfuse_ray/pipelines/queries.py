@@ -649,6 +649,46 @@ def q5_local_supplier_volume(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pyarrow")
 
 
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape: revenue by part type (lineitem ⋈ part hash join +
+    conditional fixed-point aggregate).  Unlike region/nation/supplier in
+    Q5, `part` grows with scale factor, so it is NOT broadcast — the join
+    is a hash shuffle on partkey with both sides column-pruned at the
+    read."""
+    import pyarrow.compute as pc
+
+    li = _tbl(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_extendedprice", "l_discount"])
+    part = _tbl(sf_dir, "part").select_columns(["p_partkey", "p_type"])
+    joined = li.join(part, join_type="inner", num_partitions=8,
+                     on=("l_partkey",), right_on=("p_partkey",))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        fx = pc.cast(pc.round(
+            pc.multiply(rev, pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"p_type": batch["p_type"], "rev_fx": fx,
+                      "n_items": pa.array(np.ones(len(batch), np.int64))})
+        g = pa.TableGroupBy(t, "p_type", use_threads=False).aggregate(
+            [("rev_fx", "sum"), ("n_items", "sum")])
+        return g.rename_columns(["p_type", "rev_fx", "n_items"])
+
+    agg = (joined.map_batches(_partial, batch_format="pyarrow")
+           .groupby("p_type").sum(["rev_fx", "n_items"]))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_type": batch["p_type"],
+            "revenue": pc.divide(pc.cast(batch["sum(rev_fx)"], pa.float64()),
+                                 pa.scalar(float(Q1_SCALE))),
+            "n_items": batch["sum(n_items)"],
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
 def q_events_sessionize(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events"), gap_minutes=30.0)
 
@@ -922,6 +962,7 @@ def queries_map():
         "kg_metrics_crh1": q_metrics_crh1,
         "q1_pricing_summary": q1_pricing_summary,
         "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q14_promo_revenue": q14_promo_revenue,
         "top_customers": q_top_customers,
         "events_sessionize": q_events_sessionize,
         "events_windowed_agg": q_events_windowed_agg,
@@ -2048,6 +2089,13 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= TIMESTAMP '1996-01-01'
   AND o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n_name""",
+        "q14_promo_revenue": f"""
+SELECT p_type,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
+                AS BIGINT)) / {Q1_SCALE}.0 AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_type""",
         "top_customers": """
 SELECT c_custkey, c_name, sum(o_totalprice) AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
