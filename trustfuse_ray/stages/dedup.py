@@ -278,10 +278,29 @@ def _split_kinds(g: pa.Table):
     return g.filter(is_sig), g.filter(pc.invert(is_sig))
 
 
-def _sig_lut(sig_rows: pa.Table, keys: list) -> pa.Array:
-    lut = dict(zip(sig_rows["key"].to_pylist(),
-                   sig_rows["sig"].to_pylist()))
-    return pa.array([lut.get(k) for k in keys], pa.binary())
+def _sig_lut(sig_rows: pa.Table, keys) -> pa.Array:
+    """Partition-local signature lookup as a C-level hash probe
+    (index_in + take) instead of a Python dict over pylists."""
+    import pyarrow.compute as pc
+
+    if isinstance(keys, np.ndarray):
+        keys = pa.array(keys, pa.int64())
+    idx = pc.index_in(keys, value_set=sig_rows["key"].combine_chunks())
+    out = pc.take(sig_rows["sig"].combine_chunks(), idx)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
+def _sig_mat(col, n: int, num_hashes: int) -> np.ndarray:
+    """Fixed-width binary signature column → (n × num_hashes) int32 matrix
+    via a vectorized gather over the Arrow value buffer (replaces
+    ``b"".join(col.to_pylist())``)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    width = 4 * num_hashes
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset:arr.offset + n + 1].astype(np.int64)
+    buf = np.frombuffer(arr.buffers()[2], np.uint8)
+    idx = offs[:-1, None] + np.arange(width)[None, :]
+    return np.ascontiguousarray(buf[idx]).view(np.int32)
 
 
 def _attach_a(g: pa.Table, *, mask: int) -> pa.Table:
@@ -298,7 +317,7 @@ def _attach_a(g: pa.Table, *, mask: int) -> pa.Table:
     uniq = np.unique(np.stack(
         [np.asarray(cand["doc_a"], dtype=np.int64),
          np.asarray(cand["doc_b"], dtype=np.int64)], axis=1), axis=0)
-    sig_a = _sig_lut(sig_rows, uniq[:, 0].tolist())
+    sig_a = _sig_lut(sig_rows, uniq[:, 0])
     return _pair_row_table(uniq[:, 0], uniq[:, 1], uniq[:, 1], mask,
                            sig_a=sig_a)
 
@@ -316,11 +335,9 @@ def _attach_b_verify(g: pa.Table, *, num_hashes: int,
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard_est": pa.array([], pa.float64())})
-    sig_b = _sig_lut(sig_rows, cand["key"].to_pylist())
-    a = np.frombuffer(b"".join(cand["sig_a"].to_pylist()),
-                      dtype=np.int32).reshape(n, num_hashes)
-    b = np.frombuffer(b"".join(sig_b.to_pylist()),
-                      dtype=np.int32).reshape(n, num_hashes)
+    sig_b = _sig_lut(sig_rows, cand["key"].combine_chunks())
+    a = _sig_mat(cand["sig_a"], n, num_hashes)
+    b = _sig_mat(sig_b, n, num_hashes)
     sim = (a == b).mean(axis=1)
     keep = sim >= threshold
     return pa.table({
