@@ -142,3 +142,56 @@ def test_perm_vals_bit_parity_with_mod():
         np.array([0, 1, (1 << 31) - 2, (1 << 31) - 1], np.uint64)])
     ref = (h.a[:, None] * base[None, :] + h.b[:, None]) % h.PRIME
     assert np.array_equal(h._perm_vals(base), ref)
+
+
+def test_tokenmix_signatures_match_scalar_reference():
+    """tokenmix (the vectorized production family) must equal a per-doc
+    scalar re-implementation of its definition: ASCII-\\w tokens of
+    lower(trim(text)), shingle hash = FNV-prime fold of the k token FNV
+    hashes, signature = min (a*h+b) mod p, PRIME-filled for empty docs."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+
+    from trustfuse_ray.stages.dedup import MinHasher
+    from trustfuse_ray.stages.extract import fnv64
+
+    docs = [
+        "The quick brown fox jumps over the lazy dog",
+        "",                      # empty → PRIME-filled signature
+        "   \t  ",               # whitespace-only → PRIME-filled
+        "one",                   # short: 1 token
+        "two tokens",            # short: 2 tokens (k=3)
+        "punct,separated;tokens!here and-more",
+        "a b c d",               # exactly k+1 tokens
+    ]
+    h = MinHasher(num_hashes=8, shingle_k=3)
+    out = h(pa.table({"doc_id": pa.array(range(len(docs))),
+                      "text": pa.array(docs)}))
+    got = np.array(out["minhash"].to_pylist(), dtype=np.uint64)
+
+    prime = np.uint64(0x100000001B3)
+    word = re.compile(r"[0-9A-Za-z_]+")  # RE2 \w is ASCII
+    for i, d in enumerate(docs):
+        toks = word.findall(d.strip().lower())
+        if not toks:
+            assert (got[i] == h.PRIME).all(), d
+            continue
+        ths = [np.uint64(fnv64(t)) for t in toks]
+        if len(toks) < h.k:
+            win = [ths]
+        else:
+            win = [ths[j:j + h.k] for j in range(len(toks) - h.k + 1)]
+        bases = []
+        for w in win:
+            acc = w[0]
+            for t in w[1:]:
+                acc = acc * prime ^ t
+            bases.append(int(acc & np.uint64(0x7FFFFFFF)))
+        base = np.array(bases, dtype=np.uint64)
+        exp = ((h.a[:, None] * base[None, :] + h.b[:, None])
+               % h.PRIME).min(axis=1)
+        assert np.array_equal(got[i], exp), d
+    # single-doc signature() routes through the same kernel
+    assert np.array_equal(h.signature(docs[0]), got[0])

@@ -52,7 +52,7 @@ class MinHasher:
     PRIME = (1 << 31) - 1  # Mersenne; a*x fits uint64 → fully vectorized
 
     def __init__(self, num_hashes: int = 64, shingle_k: int = 3, seed: int = 7,
-                 hash_kind: str = "siphash"):
+                 hash_kind: str = "tokenmix"):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, self.PRIME, size=num_hashes,
                               dtype=np.uint64)
@@ -60,12 +60,18 @@ class MinHasher:
                               dtype=np.uint64)
         self.k = shingle_k
         self.num = num_hashes
-        # shingle hash family: "siphash" = pandas hash_array (one C call per
-        # batch — the production default); "md5" = md5_number_lower
-        # semantics, slower (per-shingle hashlib) but exactly expressible in
-        # DuckDB SQL — the driver-oracle-gated queries use it so the WHOLE
-        # pipeline (shingle→permutation→band→verify) sits under the hash
-        # gate.  Everything downstream of `base` is identical.
+        # shingle hash family — everything downstream of `base` is
+        # identical across kinds:
+        #  * "tokenmix" (production default): fully vectorized — Arrow
+        #    regex tokenization, one batched FNV pass over the flat token
+        #    array, shingle hash = FNV-mix of the k token hashes via
+        #    segmented numpy gathers.  NO per-doc Python.
+        #  * "siphash": pandas hash_array over joined shingle strings
+        #    (needs the per-doc Python shingle loop).
+        #  * "md5": md5_number_lower semantics, slower (per-shingle
+        #    hashlib) but exactly expressible in DuckDB SQL — the
+        #    driver-oracle-gated queries use it so the WHOLE pipeline
+        #    (shingle→permutation→band→verify) sits under the hash gate.
         self.hash_kind = hash_kind
 
     def _base_hashes(self, sh_strs) -> np.ndarray:
@@ -91,6 +97,10 @@ class MinHasher:
         return v
 
     def signature(self, text: str) -> np.ndarray:
+        if self.hash_kind == "tokenmix":
+            t = self(pa.table({"doc_id": pa.array([0]),
+                               "text": pa.array([text], pa.string())}))
+            return np.asarray(t["minhash"][0].as_py(), dtype=np.uint64)
         sh = shingles(text, self.k)
         if not sh:
             return np.full(self.num, self.PRIME, dtype=np.uint64)
@@ -98,40 +108,98 @@ class MinHasher:
         base = self._base_hashes([s.decode() for s in sh])
         return self._perm_vals(base).min(axis=1)
 
+    def _tokenmix_base(self, ct: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorized shingle base hashes: (flat shingle hashes < 2^31,
+        shingle count per doc).  Tokenization is ASCII-\\w (RE2), shingle
+        hash = FNV-prime fold of the k token hashes — a different (but
+        equally stable) shingle family than the string-joining kinds, so
+        signatures are NOT comparable across kinds."""
+        import pyarrow.compute as pc
+
+        from trustfuse_ray.stages.extract import fnv64_batch
+
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(ct, r"\W+", " "), " ")
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        toks = pc.split_pattern(norm, " ")
+        flat = pc.list_flatten(toks)
+        m = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        empty = pc.equal(pc.utf8_length(norm),
+                         0).to_numpy(zero_copy_only=False)
+        m_eff = np.where(empty, 0, m)
+        th = np.asarray(
+            fnv64_batch(flat).to_numpy(zero_copy_only=False)).view(np.uint64)
+        k = self.k
+        doc_start = np.cumsum(m) - m  # offsets include empty-docs' "" token
+        full = m_eff >= k
+        short = (m_eff > 0) & ~full
+        n_sh = np.where(full, m_eff - k + 1,
+                        (m_eff > 0).astype(np.int64))
+        out = np.empty(int(n_sh.sum()), np.uint64)
+        out_start = np.cumsum(n_sh) - n_sh
+        prime = np.uint64(0x100000001B3)
+        if full.any():
+            cnt = m_eff[full] - k + 1
+            rel = np.arange(int(cnt.sum())) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt)
+            idx = np.repeat(doc_start[full], cnt) + rel
+            h = th[idx].copy()
+            for j in range(1, k):
+                h *= prime
+                h ^= th[idx + j]
+            out[np.repeat(out_start[full], cnt) + rel] = h
+        if short.any():
+            s0 = doc_start[short]
+            h = th[s0].copy()
+            ms = m_eff[short]
+            for j in range(1, k):
+                msk = ms > j
+                h[msk] = h[msk] * prime ^ th[s0[msk] + j]
+            out[out_start[short]] = h
+        return out & np.uint64(0x7FFFFFFF), n_sh
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Batch-vectorized signatures: ONE hash_array call and ONE
         (num_hashes × total_shingles) permutation pass for the whole batch,
         then a per-doc segmented min (``np.minimum.reduceat``).  Shingles are
         NOT deduplicated per doc — min over the multiset equals min over the
         set — so the values are identical to :meth:`signature`'s."""
-        texts = canonical_text(batch["text"]).to_pylist()
-        all_sh: list[str] = []
-        counts = np.empty(len(texts), dtype=np.int64)
-        k = self.k
-        for i, t in enumerate(texts):
-            toks = _WORD.findall(t or "")
-            if not toks:
-                counts[i] = 0
-                continue
-            if len(toks) < k:
-                all_sh.append(" ".join(toks))
-                counts[i] = 1
-            else:
-                all_sh.extend(" ".join(toks[j:j + k])
-                              for j in range(len(toks) - k + 1))
-                counts[i] = len(toks) - k + 1
-        sig_mat = np.full((len(texts), self.num), self.PRIME,
+        ct = canonical_text(batch["text"])
+        if isinstance(ct, pa.ChunkedArray):
+            ct = ct.combine_chunks()
+        n_docs = len(ct)
+        if self.hash_kind == "tokenmix":
+            base, counts = self._tokenmix_base(ct)
+        else:
+            texts = ct.to_pylist()
+            all_sh: list[str] = []
+            counts = np.empty(len(texts), dtype=np.int64)
+            k = self.k
+            for i, t in enumerate(texts):
+                toks = _WORD.findall(t or "")
+                if not toks:
+                    counts[i] = 0
+                    continue
+                if len(toks) < k:
+                    all_sh.append(" ".join(toks))
+                    counts[i] = 1
+                else:
+                    all_sh.extend(" ".join(toks[j:j + k])
+                                  for j in range(len(toks) - k + 1))
+                    counts[i] = len(toks) - k + 1
+            base = self._base_hashes(all_sh) if all_sh else \
+                np.empty(0, np.uint64)
+        sig_mat = np.full((n_docs, self.num), self.PRIME,
                           dtype=np.uint64)
-        if all_sh:
-            base = self._base_hashes(all_sh)
+        if len(base):
             vals = self._perm_vals(base)
             nz = counts > 0
             starts = (np.cumsum(counts) - counts)[nz]
             sig_mat[nz] = np.minimum.reduceat(vals, starts, axis=1).T
         # int32 storage: values < 2^31, halves the band-shuffle bytes
         flat = sig_mat.astype(np.int32).ravel()
-        n = len(texts)
-        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * self.num)
+        offsets = pa.array(np.arange(n_docs + 1, dtype=np.int32) * self.num)
         arr = pa.ListArray.from_arrays(offsets, pa.array(flat))
         return pa.table({"doc_id": batch["doc_id"], "minhash": arr})
 
@@ -140,7 +208,7 @@ _HASHER_CACHE: dict = {}
 
 
 def _sig_batch(batch: pa.Table, *, num_hashes: int, shingle_k: int,
-               seed: int = 7, hash_kind: str = "siphash") -> pa.Table:
+               seed: int = 7, hash_kind: str = "tokenmix") -> pa.Table:
     """Task-pool signature stage with a per-process MinHasher memo: the
     permutation table is tiny, so warm task workers beat dedicated actor
     spin-up (32 fresh actor processes cost multiple seconds); the state is
@@ -349,7 +417,7 @@ def _attach_b_verify(g: pa.Table, *, num_hashes: int,
 
 def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
                       threshold: float = 0.7, shingle_k: int = 3,
-                      concurrency=(1, 8), hash_kind: str = "siphash"):
+                      concurrency=(1, 8), hash_kind: str = "tokenmix"):
     """documents → near-duplicate pairs (doc_a < doc_b, jaccard_est).
 
     Fully shuffle-local (nothing is materialized on the driver and no
