@@ -110,3 +110,54 @@ def test_property_graph_edges_and_networkx():
     # entity -> attr-node -> value chain exists
     assert g.has_edge("Paris", "Paris#country")
     assert g.has_edge("Paris#country", "France")
+
+
+def test_bloom_filter_membership():
+    """No false negatives ever; false positives below 10x the analytic
+    bound on a disjoint probe set."""
+    import numpy as np
+    import pyarrow as pa
+
+    from trustfuse_ray.stages.bloom import BloomFilter
+
+    members = pa.array([f"ent_{i}" for i in range(5000)])
+    probes = pa.array([f"other_{i}" for i in range(20000)])
+    f = BloomFilter(n_bits=1 << 18, k=4)
+    f.add(members)
+    assert f.contains(members).all()          # zero false negatives
+    fp = f.contains(probes).mean()
+    bound = (4 * 5000 / (1 << 18)) ** 4       # (kn/m)^k ~ 3.4e-5
+    assert fp <= 10 * bound + 1e-9
+    # fixed-size serialization round-trip + OR-merge
+    g = BloomFilter.from_bytes(f.to_bytes(), k=4)
+    h = BloomFilter(n_bits=1 << 18, k=4)
+    h.add(pa.array(["zzz"]))
+    g.union_(h)
+    assert g.contains(pa.array(["zzz", "ent_1"])).all()
+
+
+def test_known_entity_flags_bloom_matches_exact():
+    """The fixed-size Bloom path must agree with the exact predicate form
+    on every frontier bucket (filter sized so FPs are ~impossible at this
+    scale)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.windows import (known_entity_flags,
+                                              known_entity_flags_bloom)
+
+    rng = np.random.default_rng(2)
+    rows = []
+    for b in range(4):
+        for _ in range(300):
+            rows.append({"entity": f"e{int(rng.integers(0, 120))}",
+                         "bucket_id": b})
+    ds = rd.from_items(rows)
+    exact = {(r["entity"], r["bucket_id"]): r["is_known"]
+             for r in known_entity_flags(ds, n_parts=8).take_all()}
+    for b in range(1, 4):
+        flagged = known_entity_flags_bloom(ds, b, n_bits=1 << 16).take_all()
+        assert flagged, f"bucket {b} empty"
+        for r in flagged:
+            assert r["is_known"] == exact[(r["entity"], b)], (r, b)

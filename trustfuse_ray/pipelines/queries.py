@@ -895,6 +895,31 @@ def q_bucketize_claims(sf_dir: str):
             .rename_columns({"count()": "n_claims"}))
 
 
+def q_known_entity_flags(sf_dir: str):
+    """Cumulative known-entity flags (reference compute_known_entities,
+    `dataset.py:84-95`) over events bucketed into 1-hour windows: for every
+    distinct (user, window), is_known = the user appeared in an earlier
+    window.  Exact predicate form; the fixed-size Bloom variant
+    (`known_entity_flags_bloom`) is the 100-TB broadcast path, pinned equal
+    to this one by test_windows_joins."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.windows import known_entity_flags
+
+    w = 3_600_000_000
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        ts_us = batch["ts"].cast(pa.int64())
+        win = pc.multiply(pc.divide(ts_us, pa.scalar(w, pa.int64())),
+                          pa.scalar(w, pa.int64()))
+        return pa.table({"user_id": batch["user_id"], "window_us": win})
+
+    ds = _tbl(sf_dir, "events").select_columns(["user_id", "ts"]).map_batches(
+        _derive, batch_format="pyarrow", zero_copy_batch=True)
+    return known_entity_flags(ds, value_col="user_id",
+                              bucket_col="window_us")
+
+
 def q_ann_topk(sf_dir: str):
     emb = _tbl(sf_dir, "embeddings")
     queries = [r for r in
@@ -963,6 +988,7 @@ def queries_map():
         "q1_pricing_summary": q1_pricing_summary,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q14_promo_revenue": q14_promo_revenue,
+        "known_entity_flags": q_known_entity_flags,
         "top_customers": q_top_customers,
         "events_sessionize": q_events_sessionize,
         "events_windowed_agg": q_events_windowed_agg,
@@ -2175,6 +2201,16 @@ SELECT user_id,
        sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
 FROM events
 GROUP BY 1, 2""",
+        "known_entity_flags": """
+WITH e AS (
+  SELECT user_id,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS window_us
+  FROM events
+),
+d AS (SELECT DISTINCT user_id, window_us FROM e)
+SELECT user_id, window_us,
+       window_us > min(window_us) OVER (PARTITION BY user_id) AS is_known
+FROM d""",
         "events_asof_join": """
 SELECT p.event_id, p.user_id, p.ts, c.ts AS asof_ts
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -116,6 +116,74 @@ def cumulative_known_entities(claims, value_col: str = "entity",
             .rename_columns({f"min({bucket_col})": "first_bucket"}))
 
 
+def _flag_group(group: pa.Table, *, value_col: str,
+                bucket_col: str) -> pa.Table:
+    buckets = np.unique(np.asarray(group[bucket_col], dtype=np.int64))
+    n = len(buckets)
+    return pa.table({
+        value_col: pa.array([group[value_col][0].as_py()] * n,
+                            group.schema.field(value_col).type),
+        bucket_col: pa.array(buckets, pa.int64()),
+        "is_known": pa.array(buckets > buckets[0]),
+    })
+
+
+def known_entity_flags(ds, value_col: str = "entity",
+                       bucket_col: str = "bucket_id", n_parts: int = 64):
+    """(value, bucket, is_known) for every distinct (value, bucket) pair:
+    ``is_known`` = the value appeared in an EARLIER bucket (the exact form
+    of the reference's cumulative known-entity set).  One block-level dedup
+    combiner + one hash shuffle on the value."""
+    import functools as _ft
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _dedup_block(batch: pa.Table) -> pa.Table:
+        g = pa.TableGroupBy(batch.select([value_col, bucket_col]),
+                            [value_col, bucket_col],
+                            use_threads=False).aggregate([])
+        return g
+
+    d = ds.map_batches(_dedup_block, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    return hash_group_apply(
+        d, [value_col],
+        _ft.partial(_flag_group, value_col=value_col,
+                    bucket_col=bucket_col), n_parts=n_parts)
+
+
+def known_entity_flags_bloom(ds, frontier_bucket: int,
+                             value_col: str = "entity",
+                             bucket_col: str = "bucket_id",
+                             n_bits: int = 1 << 20, k: int = 4):
+    """Streaming-scale variant of :func:`known_entity_flags` for ONE
+    frontier: flag rows of ``frontier_bucket`` by membership in a
+    fixed-size Bloom filter built from all earlier buckets
+    (`stages/bloom.py`).  At 100 TB the distinct-value table grows with
+    the corpus; the filter stays ``n_bits/8`` bytes regardless, at a
+    documented false-positive rate (never false negatives)."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.bloom import build_bloom
+
+    earlier = ds.filter(expr=f"{bucket_col} < {int(frontier_bucket)}")
+    bf = build_bloom(earlier, value_col, n_bits=n_bits, k=k)
+    bits, nb, kk = bf.bits, bf.n_bits, bf.k
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        from trustfuse_ray.stages.bloom import BloomFilter
+
+        f = BloomFilter(nb, kk, bits=bits)
+        col = batch[value_col]
+        known = f.contains(col.combine_chunks()
+                           if isinstance(col, pa.ChunkedArray) else col)
+        return batch.append_column("is_known", pa.array(known))
+
+    frontier = ds.filter(expr=f"{bucket_col} == {int(frontier_bucket)}")
+    return frontier.map_batches(_flag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+
 def _window_partial(batch: pa.Table, *, key_col: str, ts_col: str,
                     value_col: str, window_us: int,
                     fx_scale: int) -> pa.Table:
