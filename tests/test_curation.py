@@ -1,0 +1,96 @@
+"""Curation operators: decontamination, repetition signals, n-gram
+Jaccard, hash sampling, sequence packing."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from trustfuse_ray.stages.curation import (decontaminate, hash_sample,
+                                           ngram_jaccard_adjacent,
+                                           repetition_batch, token_pack)
+
+
+def _docs(rows):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[2] if len(r) > 2 else "s" for r in rows],
+                           pa.string()),
+    }))
+
+
+def test_repetition_known_values():
+    b = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["a b a b a", "x y z w", "q q q q q"])})
+    out = repetition_batch(b).to_pydict()
+    # doc0: bigrams ab,ba,ab,ba -> top 2/4; trigrams aba,bab,aba -> dup 2/3
+    assert out["n_bigrams"] == [4, 3, 4]
+    assert out["top_bigram_n"] == [2, 1, 4]
+    assert out["dup_trigram_n"] == [2, 0, 3]
+    assert out["top_bigram_frac"][0] == 0.5
+    assert out["dup_trigram_frac"][2] == 1.0
+
+
+def test_decontaminate_planted():
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [(0, bench_text)]                      # doc 0 defines the gram
+    rows += [(i, f"clean document number {i} with plain words")
+             for i in range(1, 96)]
+    rows.append((96, "prefix " + bench_text[:40] + " suffix"))  # planted
+    out = {r["doc_id"]: r for r in
+           decontaminate(_docs(rows), grams=[bench_text[:40]]).take_all()}
+    assert out[0]["contaminated"] and out[0]["n_hits"] == 1
+    assert out[96]["contaminated"]
+    assert not any(out[i]["contaminated"] for i in range(1, 96))
+
+
+def test_ngram_jaccard_adjacent_extremes():
+    rows = [(0, "alpha beta gamma delta", "s"),
+            (1, "alpha beta gamma delta", "s"),     # identical -> 1.0
+            (2, "one two three four five", "s")]    # disjoint  -> 0.0
+    out = {(r["doc_lo"], r["doc_hi"]): r
+           for r in ngram_jaccard_adjacent(_docs(rows)).take_all()}
+    assert out[(0, 1)]["jaccard"] == 1.0
+    assert out[(1, 2)]["jaccard"] == 0.0
+    assert out[(0, 1)]["inter"] == 2 and out[(0, 1)]["uni"] == 2
+
+
+def test_hash_sample_deterministic():
+    rows = [(i, f"doc {i}") for i in range(2000)]
+    a = sorted(r["doc_id"] for r in hash_sample(_docs(rows)).take_all())
+    b = sorted(r["doc_id"] for r in hash_sample(_docs(rows)).take_all())
+    assert a == b and a
+    rate = len(a) / 2000
+    assert 0.06 < rate < 0.15                      # ~26/256
+
+
+def test_token_pack_greedy_invariants():
+    rng = np.random.default_rng(7)
+    rows = [(i, " ".join(["w"] * int(rng.integers(1, 200))),
+             f"src{i % 3}") for i in range(300)]
+    rows.append((300, " ".join(["w"] * 900), "src0"))   # oversized doc
+    out = token_pack(_docs(rows), cap=512).take_all()
+    assert len(out) == 301
+    by_seq: dict[tuple, list] = {}
+    for r in out:
+        by_seq.setdefault((r["source"], r["seq_id"]), []).append(r)
+    for (_, _), docs in by_seq.items():
+        docs.sort(key=lambda r: r["seq_pos"])
+        total = sum(d["n_tokens"] for d in docs)
+        assert total <= 512 or len(docs) == 1       # only oversized alone
+        assert [d["seq_pos"] for d in docs] == list(range(len(docs)))
+        assert [d["doc_id"] for d in docs] == sorted(d["doc_id"]
+                                                     for d in docs)
+    # greedy: the doc after a closed sequence would not have fit
+    for src in ("src0", "src1", "src2"):
+        seqs = sorted({r["seq_id"] for r in out if r["source"] == src})
+        docs = sorted((r for r in out if r["source"] == src),
+                      key=lambda r: r["doc_id"])
+        fill: dict[int, int] = {}
+        for r in docs:
+            fill[r["seq_id"]] = fill.get(r["seq_id"], 0) + r["n_tokens"]
+        for prev, nxt in zip(seqs, seqs[1:]):
+            first_next = min((r["n_tokens"] for r in docs
+                              if r["seq_id"] == nxt and r["seq_pos"] == 0))
+            assert fill[prev] + first_next > 512

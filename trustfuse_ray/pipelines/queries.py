@@ -920,6 +920,52 @@ def q_known_entity_flags(sf_dir: str):
                               bucket_col="window_us")
 
 
+def q_decontaminate(sf_dir: str):
+    """Test-set decontamination: flag documents containing any benchmark
+    gram (first 40 chars of every 97th doc) as a substring.  Benchmark side
+    is driver-collected and broadcast (small by construction); corpus side
+    never shuffles."""
+    from trustfuse_ray.stages.curation import decontaminate
+
+    return decontaminate(_tbl(sf_dir, "documents"))
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals: top-bigram and
+    duplicate-trigram fractions per document, one dictionary-encode +
+    run-length pass per batch."""
+    from trustfuse_ray.stages.curation import repetition_signals
+
+    return repetition_signals(
+        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Exact word-trigram Jaccard over adjacent doc-id pairs within each
+    source — the near-dup verify kernel with deterministic pairing so the
+    SQL oracle can replay it."""
+    from trustfuse_ray.stages.curation import ngram_jaccard_adjacent
+
+    return ngram_jaccard_adjacent(_tbl(sf_dir, "documents"))
+
+
+def q_sample_hash_docs(sf_dir: str):
+    """Reproducible md5-keyed Bernoulli sample (~10.2%): identical rows
+    selected on any partitioning / retry."""
+    from trustfuse_ray.stages.curation import hash_sample
+
+    return hash_sample(_tbl(sf_dir, "documents"))
+
+
+def q_token_pack(sf_dir: str):
+    """Greedy 512-token sequence packing per source in doc_id order
+    (training-sequence assembly); per-group Python steps are
+    O(#sequences) via a searchsorted jump scan."""
+    from trustfuse_ray.stages.curation import token_pack
+
+    return token_pack(_tbl(sf_dir, "documents"), cap=512)
+
+
 def q_ann_topk(sf_dir: str):
     emb = _tbl(sf_dir, "embeddings")
     queries = [r for r in
@@ -995,6 +1041,11 @@ def queries_map():
         "events_asof_join": q_events_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact_docs": q_dedup_exact_docs,
+        "decontaminate": q_decontaminate,
+        "doc_repetition": q_doc_repetition,
+        "ngram_jaccard_adjacent": q_ngram_jaccard,
+        "sample_hash_docs": q_sample_hash_docs,
+        "token_pack": q_token_pack,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -2275,6 +2326,124 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
          AS n_bpeish_tokens
 FROM documents""",
+        "decontaminate": r"""
+WITH bench AS (
+  SELECT DISTINCT substr(text, 1, 40) AS gram
+  FROM documents
+  WHERE doc_id % 97 = 0 AND length(substr(text, 1, 40)) >= 8
+)
+SELECT d.doc_id,
+       CAST(count(b.gram) AS BIGINT) AS n_hits,
+       count(b.gram) > 0 AS contaminated
+FROM documents d LEFT JOIN bench b ON contains(d.text, b.gram)
+GROUP BY d.doc_id""",
+        "doc_repetition": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok,
+         unnest(generate_series(1, len(string_split_regex(trim(text),
+                                                          '\s+')))) AS ord
+  FROM documents
+),
+big AS (
+  SELECT doc_id, tok, lead(tok, 1) OVER w AS t2
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(tok, 1) OVER w IS NOT NULL
+),
+bcnt AS (SELECT doc_id, tok, t2, count(*) AS c FROM big GROUP BY 1, 2, 3),
+btop AS (SELECT doc_id, max(c) AS top_n, sum(c) AS n_big FROM bcnt
+         GROUP BY 1),
+tri AS (
+  SELECT doc_id, tok, lead(tok, 1) OVER w AS t2, lead(tok, 2) OVER w AS t3
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+),
+tcnt AS (SELECT doc_id, tok, t2, t3, count(*) AS c FROM tri
+         GROUP BY 1, 2, 3, 4),
+tdup AS (SELECT doc_id, sum(c) FILTER (WHERE c > 1) AS dup_n,
+                sum(c) AS n_tri
+         FROM tcnt GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(bt.n_big, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(bt.top_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(coalesce(td.dup_n, 0) AS BIGINT) AS dup_trigram_n,
+       CASE WHEN coalesce(bt.n_big, 0) = 0 THEN 0.0
+            ELSE coalesce(bt.top_n, 0) / bt.n_big END AS top_bigram_frac,
+       CASE WHEN coalesce(td.n_tri, 0) = 0 THEN 0.0
+            ELSE coalesce(td.dup_n, 0) / td.n_tri END AS dup_trigram_frac
+FROM documents d
+LEFT JOIN btop bt USING (doc_id)
+LEFT JOIN tdup td USING (doc_id)""",
+        "ngram_jaccard_adjacent": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok,
+         unnest(generate_series(1, len(string_split_regex(trim(text),
+                                                          '\s+')))) AS ord
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' '
+             || lead(tok, 2) OVER w AS gram
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+),
+gcnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+d AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents),
+p AS (SELECT lo.source, lo.doc_id AS doc_lo, hi.doc_id AS doc_hi
+      FROM d lo JOIN d hi ON hi.source = lo.source AND hi.rn = lo.rn + 1),
+i AS (SELECT p.doc_lo, p.doc_hi, count(*) AS inter
+      FROM p JOIN tri a ON a.doc_id = p.doc_lo
+             JOIN tri b ON b.doc_id = p.doc_hi AND b.gram = a.gram
+      GROUP BY 1, 2)
+SELECT p.source, p.doc_lo, p.doc_hi,
+       CAST(coalesce(ga.n, 0) AS BIGINT) AS n_lo,
+       CAST(coalesce(gb.n, 0) AS BIGINT) AS n_hi,
+       CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+       CAST(coalesce(ga.n, 0) + coalesce(gb.n, 0)
+            - coalesce(i.inter, 0) AS BIGINT) AS uni,
+       CASE WHEN coalesce(ga.n, 0) + coalesce(gb.n, 0)
+                 - coalesce(i.inter, 0) = 0 THEN 1.0
+            ELSE coalesce(i.inter, 0)
+                 / (coalesce(ga.n, 0) + coalesce(gb.n, 0)
+                    - coalesce(i.inter, 0)) END AS jaccard
+FROM p
+LEFT JOIN gcnt ga ON ga.doc_id = p.doc_lo
+LEFT JOIN gcnt gb ON gb.doc_id = p.doc_hi
+LEFT JOIN i ON i.doc_lo = p.doc_lo AND i.doc_hi = p.doc_hi""",
+        "sample_hash_docs": """
+SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS fp
+FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'""",
+        "token_pack": r"""
+WITH RECURSIVE tok AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+t AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+      FROM tok),
+r AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill,
+         CAST(0 AS BIGINT) AS seq_pos
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN r.fill + t.n_tokens > 512 THEN r.seq_id + 1
+              ELSE r.seq_id END,
+         CASE WHEN r.fill + t.n_tokens > 512 THEN t.n_tokens
+              ELSE r.fill + t.n_tokens END,
+         CASE WHEN r.fill + t.n_tokens > 512 THEN CAST(0 AS BIGINT)
+              ELSE r.seq_pos + 1 END
+  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
+)
+SELECT source, doc_id, n_tokens, seq_id, seq_pos FROM r""",
         "text_quality": r"""
 SELECT doc_id,
        length(text) AS n_chars,
