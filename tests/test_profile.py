@@ -1,0 +1,55 @@
+"""Profiling operators: heavy hitters, quantiles, histogram, props."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from trustfuse_ray.stages.profile import (extract_props, top_tokens,
+                                          value_histogram, value_quantiles)
+
+
+def test_top_tokens_counts_and_tiebreak():
+    docs = rd.from_arrow(pa.table({
+        "text": pa.array(["b a a", "b c", "d d"]),
+    }))
+    out = top_tokens(docs, k=3).take_all()
+    assert [(r["token"], r["n"]) for r in out] == [
+        ("a", 2), ("b", 2), ("d", 2)]  # ties broken token-asc
+
+
+def test_value_quantiles_exact():
+    vals = np.arange(101, dtype=np.float64)  # 0..100
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["x"] * 101),
+        "value": pa.array(vals),
+    }))
+    r = value_quantiles(ds).take_all()[0]
+    assert (r["n"], r["p50"], r["p90"], r["p99"]) == (101, 50.0, 90.0, 99.0)
+
+
+def test_value_histogram_partials_merge():
+    rng = np.random.default_rng(3)
+    vals = rng.uniform(-10, 510, 5000)  # includes out-of-range clamps
+    keys = rng.choice(["a", "b"], 5000)
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(keys), "value": pa.array(vals),
+    })).repartition(8)  # force multi-block partials
+    out = value_histogram(ds, lo=0.0, hi=500.0, bins=20).take_all()
+    got = {(r["event_type"], r["bin"]): r["n"] for r in out}
+    bins = np.clip(np.floor(vals / 25.0), 0, 19).astype(int)
+    for key in ("a", "b"):
+        for b in range(20):
+            want = int(((keys == key) & (bins == b)).sum())
+            assert got.get((key, b), 0) == want
+    assert sum(got.values()) == 5000
+
+
+def test_extract_props_agg():
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["x", "x", "y"]),
+        "props": pa.array(['{"k": 5}', '{"k": -2}', '{"k": 7}']),
+    }))
+    out = {r["event_type"]: r for r in extract_props(ds).take_all()}
+    assert out["x"]["n"] == 2 and out["x"]["sum_v"] == 3
+    assert out["x"]["min_v"] == -2 and out["x"]["max_v"] == 5
+    assert out["y"]["sum_v"] == 7

@@ -966,6 +966,37 @@ def q_token_pack(sf_dir: str):
     return token_pack(_tbl(sf_dir, "documents"), cap=512)
 
 
+def q_top_tokens(sf_dir: str):
+    """Corpus heavy-hitters: top-50 tokens, map-side distinct-token
+    combine before the shuffle."""
+    from trustfuse_ray.stages.profile import top_tokens
+
+    return top_tokens(_tbl(sf_dir, "documents"), k=50)
+
+
+def q_value_quantiles(sf_dir: str):
+    """Exact discrete p50/p90/p99 of event value per event_type."""
+    from trustfuse_ray.stages.profile import value_quantiles
+
+    return value_quantiles(_tbl(sf_dir, "events"))
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width value histogram per event_type — the mergeable,
+    O(bins)-per-block scale path for distribution profiling."""
+    from trustfuse_ray.stages.profile import value_histogram
+
+    return value_histogram(_tbl(sf_dir, "events"), lo=0.0, hi=500.0,
+                           bins=20)
+
+
+def q_events_props_extract(sf_dir: str):
+    """Vectorized JSON-ish field extraction + per-type aggregate."""
+    from trustfuse_ray.stages.profile import extract_props
+
+    return extract_props(_tbl(sf_dir, "events"))
+
+
 def q_ann_topk(sf_dir: str):
     emb = _tbl(sf_dir, "embeddings")
     queries = [r for r in
@@ -1046,6 +1077,10 @@ def queries_map():
         "ngram_jaccard_adjacent": q_ngram_jaccard,
         "sample_hash_docs": q_sample_hash_docs,
         "token_pack": q_token_pack,
+        "top_tokens": q_top_tokens,
+        "value_quantiles": q_value_quantiles,
+        "value_histogram": q_value_histogram,
+        "events_props_extract": q_events_props_extract,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -2418,6 +2453,44 @@ LEFT JOIN i ON i.doc_lo = p.doc_lo AND i.doc_hi = p.doc_hi""",
 SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS fp
 FROM documents
 WHERE md5(CAST(doc_id AS VARCHAR)) < '1a'""",
+        "top_tokens": r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
+SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50""",
+        "value_quantiles": """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM events
+)
+SELECT event_type, CAST(max(cnt) AS BIGINT) AS n,
+       max(CASE WHEN rn = 1 + CAST(floor(0.5 * (cnt - 1)) AS BIGINT)
+                THEN value END) AS p50,
+       max(CASE WHEN rn = 1 + CAST(floor(0.9 * (cnt - 1)) AS BIGINT)
+                THEN value END) AS p90,
+       max(CASE WHEN rn = 1 + CAST(floor(0.99 * (cnt - 1)) AS BIGINT)
+                THEN value END) AS p99
+FROM r GROUP BY 1""",
+        "value_histogram": """
+SELECT event_type,
+       CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2""",
+        "events_props_extract": r"""
+WITH v AS (
+  SELECT event_type,
+         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, CAST(count(v) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM v GROUP BY 1""",
         "token_pack": r"""
 WITH RECURSIVE tok AS (
   SELECT doc_id, source,

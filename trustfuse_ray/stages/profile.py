@@ -1,0 +1,161 @@
+"""Data-profiling operators: heavy-hitter vocabulary, exact quantiles,
+scale-safe histograms, JSON-ish property extraction.
+
+Corpus profiling is the step before every curation decision (which tokens
+dominate, where the value mass sits, what metadata fields carry).  Shapes:
+
+* ``top_tokens`` — map-side partial token counts (dictionary-encode +
+  bincount per block, so the shuffle carries one row per DISTINCT token
+  per block, not per occurrence) → small groupby sum → top-k sort.
+* ``value_quantiles`` — exact per-group quantiles; the group is the unit
+  of locality (one task sorts one key's values).  Correct for profiling
+  keyed by low-cardinality columns; for quantiles over an unbounded key
+  space use ``value_histogram`` (mergeable, fixed-size partials).
+* ``value_histogram`` — fixed-width bins over a known range: per-block
+  bincount partials, one tiny groupby sum.  The 100-TB path — state per
+  block is O(bins) regardless of rows.
+* ``extract_props`` — vectorized regex field extraction from a JSON-ish
+  string column (``pc.extract_regex``), then a per-key aggregate.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from trustfuse_ray.stages.common import hash_group_apply
+
+_SPLIT_RX = r"\s+"
+
+
+# --------------------------------------------------------------------------
+# Heavy-hitter vocabulary
+# --------------------------------------------------------------------------
+
+def top_tokens(docs, k: int = 50, text_col: str = "text"):
+    """Top-k corpus tokens by count (ties broken by token asc).  The
+    map-side combine collapses each block to its distinct-token counts
+    before the shuffle, so exchange volume is bounded by block vocabulary,
+    not token occurrences."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch[text_col]), _SPLIT_RX)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({"token": enc.dictionary,
+                         "n": pa.array(counts, pa.int64())})
+
+    partial = docs.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+    total = partial.groupby("token").sum("n").rename_columns(
+        {"sum(n)": "n"})
+    return total.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Exact per-group quantiles
+# --------------------------------------------------------------------------
+
+def _quantile_group(group: pa.Table, *, key_col: str, value_col: str,
+                    qs: tuple[float, ...]) -> pa.Table:
+    vals = np.sort(np.asarray(group[value_col], dtype=np.float64))
+    n = len(vals)
+    row = {key_col: pa.array([group[key_col][0].as_py()], pa.string()),
+           "n": pa.array([n], pa.int64())}
+    for q in qs:
+        # the value at index floor(q*(n-1)) — discrete, no interpolation,
+        # so engine and SQL oracle agree bit-for-bit on doubles
+        row[f"p{int(q * 100)}"] = pa.array(
+            [float(vals[int(np.floor(q * (n - 1)))])], pa.float64())
+    return pa.table(row)
+
+
+def value_quantiles(ds, key_col: str = "event_type",
+                    value_col: str = "value",
+                    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                    n_parts: int = 16):
+    """Exact discrete quantiles (value at floor(q·(n−1)) of the sorted
+    group) per key.  Partitioning assumption: one key's values fit one
+    task — correct for low-cardinality profile keys; use
+    :func:`value_histogram` when they don't."""
+    return hash_group_apply(
+        ds.select_columns([key_col, value_col]), [key_col],
+        functools.partial(_quantile_group, key_col=key_col,
+                          value_col=value_col, qs=qs), n_parts=n_parts)
+
+
+# --------------------------------------------------------------------------
+# Mergeable fixed-width histogram (the scale path)
+# --------------------------------------------------------------------------
+
+def value_histogram(ds, key_col: str = "event_type",
+                    value_col: str = "value", lo: float = 0.0,
+                    hi: float = 1000.0, bins: int = 20):
+    """Per-(key, bin) counts over fixed-width bins of ``[lo, hi)``; values
+    outside clamp into the edge bins.  Per-block partial state is
+    O(keys × bins) regardless of rows — fully mergeable, no sort."""
+    width = (hi - lo) / bins
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        vals = np.asarray(batch[value_col], dtype=np.float64)
+        b = np.clip(np.floor((vals - lo) / width), 0, bins - 1).astype(
+            np.int64)
+        enc = pc.dictionary_encode(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+            else keys)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = len(enc.dictionary)
+        flat = kidx * bins + b
+        counts = np.bincount(flat, minlength=nk * bins)
+        nz = np.flatnonzero(counts)
+        return pa.table({
+            key_col: enc.dictionary.take(pa.array(nz // bins)),
+            "bin": pa.array(nz % bins, pa.int64()),
+            "n": pa.array(counts[nz], pa.int64()),
+        })
+
+    partial = ds.select_columns([key_col, value_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (partial.groupby([key_col, "bin"]).sum("n")
+            .rename_columns({"sum(n)": "n"}))
+
+
+# --------------------------------------------------------------------------
+# JSON-ish property extraction
+# --------------------------------------------------------------------------
+
+def extract_props(events, field: str = "k", props_col: str = "props",
+                  key_col: str = "event_type"):
+    """Pull an integer field out of a JSON-ish string column with one
+    vectorized ``extract_regex`` kernel, then aggregate per key."""
+    pattern = '"' + field + '":\\s*(?P<v>-?\\d+)'
+
+    def _extract(batch: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(batch[props_col], pattern)
+        v = pc.cast(pc.struct_field(ex, "v"), pa.int64())
+        return pa.table({key_col: batch[key_col], "v": v})
+
+    ex = events.select_columns([key_col, props_col]).map_batches(
+        _extract, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ex.groupby(key_col).aggregate(
+        *[a for a in _prop_aggs()])
+    return agg.rename_columns({
+        "count(v)": "n", "sum(v)": "sum_v", "min(v)": "min_v",
+        "max(v)": "max_v"})
+
+
+def _prop_aggs():
+    from ray.data.aggregate import Count, Max, Min, Sum
+    return [Count("v"), Sum("v"), Min("v"), Max("v")]
