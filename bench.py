@@ -125,6 +125,10 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     minhash_pairs = timed("minhash_dedup", lambda: minhash_lsh_pairs(
         _rd.read_parquet(docs_path), threshold=0.6).materialize())
     counts["near_dup_pairs"] = minhash_pairs.count()
+    from trustfuse_ray.pipelines.curate import curate_documents
+    packed = timed("doc_curation", lambda: curate_documents(
+        Q._tbl(sf_dir, "documents")).materialize())
+    counts["curated_docs"] = packed.count()
     timed("sessionize", lambda: sessionize(
         Q._tbl(sf_dir, "events")).materialize())
     timed("q1_pricing_summary",

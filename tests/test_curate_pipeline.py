@@ -1,0 +1,43 @@
+"""Composed curation pipeline: filter + dedup + pack interplay."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from trustfuse_ray.pipelines.curate import curate_documents
+
+
+def test_curate_filters_dedups_packs():
+    rows = [
+        # kept, unique
+        (0, "alpha beta gamma delta epsilon zeta", "s0"),
+        # exact duplicate of doc 0 (after lower/trim) -> dropped by dedup
+        (1, "  ALPHA beta gamma delta epsilon zeta ", "s0"),
+        # degenerate repetition: dup_trigram_frac = 1.0 -> filtered
+        (2, "spam spam spam spam spam spam spam spam", "s0"),
+        # kept, other source
+        (3, "one two three four five six seven", "s1"),
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    }))
+    out = {r["doc_id"]: r for r in curate_documents(docs, cap=10).take_all()}
+    assert set(out) == {0, 3}                  # 1 deduped, 2 filtered
+    assert out[0]["source"] == "s0" and out[0]["n_tokens"] == 6
+    assert out[0]["seq_id"] == 0 and out[0]["seq_pos"] == 0
+    assert out[3]["n_tokens"] == 7
+
+
+def test_curate_pack_respects_cap_across_survivors():
+    # 5 surviving docs of 4 tokens each in one source, cap 8 -> 3 seqs
+    rows = [(i, f"w{i}a w{i}b w{i}c w{i}d", "s") for i in range(5)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    }))
+    out = sorted(curate_documents(docs, cap=8).take_all(),
+                 key=lambda r: r["doc_id"])
+    assert [r["seq_id"] for r in out] == [0, 0, 1, 1, 2]
+    assert [r["seq_pos"] for r in out] == [0, 1, 0, 1, 0]

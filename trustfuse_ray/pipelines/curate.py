@@ -1,0 +1,84 @@
+"""Composed document-curation pipeline: signals → quality filter → exact
+dedup → sequence packing, as ONE streaming Dataset program.
+
+The 100-TB shape: the text column is read once, reduced to per-doc
+signals + a fingerprint inside the first ``map_batches``, and NEVER enters
+a shuffle — the dedup exchange moves (doc_id, source, fp, n_tokens) rows
+(~60 B each) and the pack exchange moves (doc_id, source, n_tokens).  The
+final training-data writer would semi-join the surviving doc_ids back
+against the columnar corpus at rest (partition-pruned), which is the
+standard keep-list emit for curation pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from trustfuse_ray.stages.common import hash_group_apply
+from trustfuse_ray.stages.curation import (_run_lengths, _tokens_flat,
+                                           pack_counted)
+from trustfuse_ray.stages.text import canonical_text
+
+import hashlib
+
+
+def _signals_filter(batch: pa.Table, *, max_dup_frac: float,
+                    text_col: str, id_col: str) -> pa.Table:
+    """One pass over the batch: tokenize once, compute token count +
+    duplicate-trigram fraction + md5 fingerprint, drop failing docs, and
+    drop the text column before anything shuffles."""
+    n = len(batch)
+    docix, code = _tokens_flat(batch[text_col])
+    n_tokens = np.bincount(docix, minlength=n).astype(np.int64)
+
+    dup_trigram_n = np.zeros(n, np.int64)
+    if len(code) >= 3:
+        same3 = (docix[:-2] == docix[1:-1]) & (docix[1:-1] == docix[2:])
+        d3 = docix[:-2][same3]
+        starts, counts = _run_lengths(
+            d3, code[:-2][same3], code[1:-1][same3], code[2:][same3])
+        dup = counts > 1
+        if dup.any():
+            np.add.at(dup_trigram_n, d3[starts[dup]], counts[dup])
+    n_tri = np.maximum(n_tokens - 2, 0)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dup_frac = np.where(n_tri > 0, dup_trigram_n / n_tri, 0.0)
+
+    canon = canonical_text(batch[text_col]).to_pylist()
+    fps = [hashlib.md5((t or "").encode()).hexdigest() for t in canon]
+
+    keep = pa.array(dup_frac <= max_dup_frac)
+    out = pa.table({
+        id_col: batch[id_col],
+        "source": batch["source"],
+        "fp": pa.array(fps, pa.string()),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+    })
+    return out.filter(keep)
+
+
+def _first_by_id(group: pa.Table, *, id_col: str) -> pa.Table:
+    order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+    return group.take(order[:1])
+
+
+def curate_documents(docs, cap: int = 512, max_dup_frac: float = 0.5,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     n_parts: int = 32):
+    """documents → packed training sequences (source, doc_id, n_tokens,
+    seq_id, seq_pos).  Stages: per-batch signals+filter (text dropped),
+    exact dedup (min doc_id per fingerprint), greedy 512-token packing per
+    source.  Two small-row shuffles total."""
+    sig = docs.select_columns([id_col, "source", text_col]).map_batches(
+        lambda b: _signals_filter(b, max_dup_frac=max_dup_frac,
+                                  text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    import functools
+
+    deduped = hash_group_apply(
+        sig, ["fp"], functools.partial(_first_by_id, id_col=id_col),
+        n_parts=n_parts)
+    return pack_counted(deduped.drop_columns(["fp"]), cap=cap,
+                        id_col=id_col, n_parts=n_parts)

@@ -997,6 +997,14 @@ def q_events_props_extract(sf_dir: str):
     return extract_props(_tbl(sf_dir, "events"))
 
 
+def q_doc_curation(sf_dir: str):
+    """Composed curation pipeline under the oracle gate: repetition filter
+    → exact dedup → greedy sequence packing, text never shuffled."""
+    from trustfuse_ray.pipelines.curate import curate_documents
+
+    return curate_documents(_tbl(sf_dir, "documents"))
+
+
 def q_ann_topk(sf_dir: str):
     emb = _tbl(sf_dir, "embeddings")
     queries = [r for r in
@@ -1081,6 +1089,7 @@ def queries_map():
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
+        "doc_curation": q_doc_curation,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -2491,6 +2500,54 @@ SELECT event_type, CAST(count(v) AS BIGINT) AS n,
        CAST(min(v) AS BIGINT) AS min_v,
        CAST(max(v) AS BIGINT) AS max_v
 FROM v GROUP BY 1""",
+        "doc_curation": r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+         unnest(generate_series(1, len(string_split_regex(trim(text),
+                                                          '\s+')))) AS ord
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, tok, lead(tok, 1) OVER w AS t2, lead(tok, 2) OVER w AS t3
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+),
+tcnt AS (SELECT doc_id, tok, t2, t3, count(*) AS c FROM tri
+         GROUP BY 1, 2, 3, 4),
+tdup AS (SELECT doc_id, sum(c) FILTER (WHERE c > 1) AS dup_n,
+                sum(c) AS n_tri
+         FROM tcnt GROUP BY 1),
+sig AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         md5(lower(trim(d.text))) AS fp,
+         CASE WHEN coalesce(td.n_tri, 0) = 0 THEN 0.0
+              ELSE coalesce(td.dup_n, 0) / td.n_tri END AS dup_frac
+  FROM documents d LEFT JOIN tdup td USING (doc_id)
+),
+kept AS (SELECT * FROM sig WHERE dup_frac <= 0.5),
+rep AS (SELECT doc_id, source, n_tokens FROM kept
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+t AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn
+      FROM rep),
+r AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill,
+         CAST(0 AS BIGINT) AS seq_pos
+  FROM t WHERE rn = 1
+  UNION ALL
+  SELECT t.source, t.doc_id, t.n_tokens, t.rn,
+         CASE WHEN r.fill + t.n_tokens > 512 THEN r.seq_id + 1
+              ELSE r.seq_id END,
+         CASE WHEN r.fill + t.n_tokens > 512 THEN t.n_tokens
+              ELSE r.fill + t.n_tokens END,
+         CASE WHEN r.fill + t.n_tokens > 512 THEN CAST(0 AS BIGINT)
+              ELSE r.seq_pos + 1 END
+  FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
+)
+SELECT source, doc_id, n_tokens, seq_id, seq_pos FROM r""",
         "token_pack": r"""
 WITH RECURSIVE tok AS (
   SELECT doc_id, source,

@@ -282,7 +282,7 @@ def hash_sample(docs, rate_hex: str = "1a", id_col: str = "doc_id",
 # --------------------------------------------------------------------------
 
 def _pack_group(group: pa.Table, *, cap: int, id_col: str,
-                count_col: str) -> pa.Table:
+                count_col: str, group_col: str = "source") -> pa.Table:
     order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
     group = group.take(order)
     n = len(group)
@@ -301,12 +301,24 @@ def _pack_group(group: pa.Table, *, cap: int, id_col: str,
         sid += 1
         start = end
     return pa.table({
-        "source": group["source"],
+        group_col: group[group_col],
         id_col: group[id_col],
         "n_tokens": pa.array(counts, pa.int64()),
         "seq_id": pa.array(seq_id, pa.int64()),
         "seq_pos": pa.array(seq_pos, pa.int64()),
     })
+
+
+def pack_counted(counted, cap: int = 512, group_col: str = "source",
+                 id_col: str = "doc_id", count_col: str = "n_tokens",
+                 n_parts: int = 32):
+    """Pack rows that already carry a token count — the shuffle moves only
+    (id, group, count), never text."""
+    return hash_group_apply(
+        counted, [group_col],
+        functools.partial(_pack_group, cap=cap, id_col=id_col,
+                          count_col=count_col, group_col=group_col),
+        n_parts=n_parts)
 
 
 def token_pack(docs, cap: int = 512, group_col: str = "source",
@@ -330,8 +342,5 @@ def token_pack(docs, cap: int = 512, group_col: str = "source",
 
     counted = docs.select_columns([id_col, group_col, text_col]).map_batches(
         _count, batch_format="pyarrow", zero_copy_batch=True)
-    return hash_group_apply(
-        counted, [group_col],
-        functools.partial(_pack_group, cap=cap, id_col=id_col,
-                          count_col="n_tokens"),
-        n_parts=n_parts)
+    return pack_counted(counted, cap=cap, group_col=group_col,
+                        id_col=id_col, n_parts=n_parts)
