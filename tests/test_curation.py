@@ -94,3 +94,17 @@ def test_token_pack_greedy_invariants():
             first_next = min((r["n_tokens"] for r in docs
                               if r["seq_id"] == nxt and r["seq_pos"] == 0))
             assert fill[prev] + first_next > 512
+
+
+def test_dedup_incremental_bloom_plus_exact():
+    from trustfuse_ray.stages.curation import dedup_incremental
+    old = _docs([(i, f"old doc text number {i}") for i in range(200)])
+    new_rows = [(1000 + i, f"new doc text number {i}") for i in range(50)]
+    new_rows += [(2000, "old doc text number 7"),     # dup of old 7
+                 (2001, "OLD doc text number 7  "),   # canon dup of old 7
+                 (2002, "old doc text number 199")]   # dup of old 199
+    out = sorted(dedup_incremental(_docs(new_rows), old,
+                                   n_bits=1 << 14).take_all(),
+                 key=lambda r: r["doc_id"])
+    assert [(r["doc_id"], r["dup_of"]) for r in out] == [
+        (2000, 7), (2001, 7), (2002, 199)]

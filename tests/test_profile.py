@@ -53,3 +53,24 @@ def test_extract_props_agg():
     assert out["x"]["n"] == 2 and out["x"]["sum_v"] == 3
     assert out["x"]["min_v"] == -2 and out["x"]["max_v"] == 5
     assert out["y"]["sum_v"] == 7
+
+
+def test_topk_per_key_multiblock():
+    rng = np.random.default_rng(11)
+    n = 3000
+    tbl = pa.table({
+        "source": pa.array([f"s{int(x)}" for x in rng.integers(0, 7, n)]),
+        "n_chars": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+    })
+    from trustfuse_ray.stages.profile import topk_per_key
+    ds = rd.from_arrow(tbl).repartition(10)  # force combiner across blocks
+    got = sorted(((r["source"], r["n_chars"], r["doc_id"])
+                  for r in topk_per_key(ds, "source", "n_chars",
+                                        k=5).take_all()))
+    import pandas as pd
+    df = tbl.to_pandas().sort_values(
+        ["source", "n_chars", "doc_id"], ascending=[True, False, True])
+    want = sorted(df.groupby("source").head(5).itertuples(index=False,
+                                                          name=None))
+    assert got == [(s, c, d) for s, c, d in want]

@@ -1005,6 +1005,31 @@ def q_doc_curation(sf_dir: str):
     return curate_documents(_tbl(sf_dir, "documents"))
 
 
+def q_top_docs_per_source(sf_dir: str):
+    """Top-5 docs per source by n_chars (map-side combiner keeps the
+    shuffle at k rows per key per block)."""
+    from trustfuse_ray.stages.profile import topk_per_key
+
+    return topk_per_key(_tbl(sf_dir, "documents"), "source", "n_chars",
+                        k=5)
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental exact dedup of the newer half of the planted-dup
+    corpus against the older half: Bloom prefilter + exact fp-join."""
+    import ray.data
+
+    from trustfuse_ray.stages.curation import dedup_incremental
+
+    path = synth.generate_documents(sf_dir)
+    docs = ray.data.read_parquet(path)
+    n = docs.count()
+    half = n // 2
+    old = docs.filter(expr=f"doc_id < {half}")
+    new = docs.filter(expr=f"doc_id >= {half}")
+    return dedup_incremental(new, old)
+
+
 def q_ann_topk(sf_dir: str):
     emb = _tbl(sf_dir, "embeddings")
     queries = [r for r in
@@ -1090,6 +1115,8 @@ def queries_map():
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
         "doc_curation": q_doc_curation,
+        "top_docs_per_source": q_top_docs_per_source,
+        "dedup_incremental_synth": q_dedup_incremental,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -2703,6 +2730,22 @@ SELECT doc_id, CAST(rolling_fp AS BIGINT) AS rolling_fp FROM short_fp""",
 SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
 FROM read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')
 GROUP BY 1""",
+        "top_docs_per_source": """
+SELECT source, n_chars, doc_id FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) <= 5""",
+        "dedup_incremental_synth": f"""
+WITH d AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp
+  FROM read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')
+),
+h AS (SELECT count(*) // 2 AS half FROM d)
+SELECT n.doc_id AS doc_id, n.fp AS fp,
+       CAST(min(o.doc_id) AS BIGINT) AS dup_of
+FROM d n CROSS JOIN h
+JOIN d o ON o.doc_id < h.half AND o.fp = n.fp
+WHERE n.doc_id >= h.half
+GROUP BY 1, 2""",
         "embedding_near_pairs": """
 SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[],

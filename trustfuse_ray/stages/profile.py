@@ -133,6 +133,48 @@ def value_histogram(ds, key_col: str = "event_type",
 
 
 # --------------------------------------------------------------------------
+# Per-key top-k with map-side combiner
+# --------------------------------------------------------------------------
+
+def _topk_select(batch: pa.Table, *, key_col: str, sort_col: str,
+                 id_col: str, k: int) -> pa.Table:
+    """Keep the top-k rows per key within one table (sort_col desc,
+    id_col asc tie-break) — used both as the map-side combiner and the
+    per-group finalizer."""
+    keys = batch[key_col]
+    enc = pc.dictionary_encode(
+        keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = np.asarray(batch[sort_col], dtype=np.int64)
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    order = np.lexsort((ids, -vals, kidx))
+    ks = kidx[order]
+    new = np.ones(len(ks), bool)
+    new[1:] = ks[1:] != ks[:-1]
+    # rank within key run = position − position of run start
+    run_start = np.maximum.accumulate(np.where(new, np.arange(len(ks)), 0))
+    rank = np.arange(len(ks)) - run_start
+    return batch.take(pa.array(order[rank < k]))
+
+
+def topk_per_key(ds, key_col: str, sort_col: str, k: int = 5,
+                 id_col: str = "doc_id", n_parts: int = 16):
+    """Top-k rows per key (sort_col desc, id asc ties): each block first
+    collapses to its local top-k per key, so the shuffle carries at most
+    k × (keys per block) rows — the combiner pattern for windowed top-N."""
+    partial = ds.select_columns([key_col, sort_col, id_col]).map_batches(
+        functools.partial(_topk_select, key_col=key_col, sort_col=sort_col,
+                          id_col=id_col, k=k),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return hash_group_apply(
+        partial, [key_col],
+        functools.partial(_topk_select, key_col=key_col, sort_col=sort_col,
+                          id_col=id_col, k=k), n_parts=n_parts)
+
+
+# --------------------------------------------------------------------------
 # JSON-ish property extraction
 # --------------------------------------------------------------------------
 
