@@ -79,6 +79,10 @@ def curate_documents(docs, cap: int = 512, max_dup_frac: float = 0.5,
 
     deduped = hash_group_apply(
         sig, ["fp"], functools.partial(_first_by_id, id_col=id_col),
-        n_parts=n_parts)
+        n_parts=n_parts,
+        plasma_schema=pa.schema([(id_col, pa.int64()),
+                                 ("source", pa.string()),
+                                 ("fp", pa.string()),
+                                 ("n_tokens", pa.int64())]))
     return pack_counted(deduped.drop_columns(["fp"]), cap=cap,
                         id_col=id_col, n_parts=n_parts)

@@ -127,14 +127,40 @@ def sqdist(m: np.ndarray, c: np.ndarray) -> np.ndarray:
 
 
 def hash_group_apply(ds, keys: list[str], fn, n_parts: int = 64,
-                     min_group_size: int = 1):
+                     min_group_size: int = 1,
+                     plasma_schema: pa.Schema | None = None):
     """groupby(keys).map_groups(fn) with one hash shuffle and partition-level
     group iteration.  ``fn`` receives one pa.Table per key group; groups
     smaller than ``min_group_size`` are skipped (e.g. singleton LSH buckets
-    can never produce a pair)."""
+    can never produce a pair).
+
+    ``plasma_schema`` (fn's OUTPUT schema) opts into the plasma task
+    exchange instead of Ray's sample+sort groupby: the ``__part`` id is
+    already computed, so the sort and its ~1-2 s fixed cost per call are
+    pure overhead.  Plasma gathers every partition — including empty ones,
+    which the groupby route never materializes — so the output schema must
+    be declared up front to type them."""
     keyed = ds.map_batches(
         functools.partial(_add_part, keys=keys, n_parts=n_parts),
         batch_format="pyarrow", zero_copy_batch=True)
+    if plasma_schema is not None:
+        def _fn_typed(g: pa.Table) -> pa.Table:
+            if len(g) == 0:
+                return plasma_schema.empty_table()
+            return fn(g)
+
+        def _apply(tbl: pa.Table) -> pa.Table:
+            if len(tbl) == 0:
+                return plasma_schema.empty_table()
+            return _apply_groups(tbl, keys=keys, fn=_fn_typed,
+                                 min_group_size=min_group_size)
+
+        mat = keyed.materialize()
+        sch = mat.schema()
+        in_schema = (pa.schema(list(zip(sch.names, sch.types)))
+                     if sch is not None and sch.names else None)
+        return plasma_exchange([mat], _apply, n_parts,
+                               part_col="__part", empty_schema=in_schema)
     return keyed.groupby("__part").map_groups(
         functools.partial(_apply_groups, keys=keys, fn=fn,
                           min_group_size=min_group_size),

@@ -248,10 +248,15 @@ def ngram_jaccard_adjacent(docs, group_col: str = "source",
     so a SQL oracle can replay it end to end.  One hash shuffle on the
     group key; per-group work is one dictionary-encode + per-pair sorted
     intersections."""
+    out_schema = pa.schema([
+        ("source", pa.string()), ("doc_lo", pa.int64()),
+        ("doc_hi", pa.int64()), ("n_lo", pa.int64()),
+        ("n_hi", pa.int64()), ("inter", pa.int64()),
+        ("uni", pa.int64()), ("jaccard", pa.float64())])
     return hash_group_apply(
         docs.select_columns([id_col, group_col, text_col]), [group_col],
         functools.partial(_jaccard_group, text_col=text_col, id_col=id_col),
-        n_parts=n_parts)
+        n_parts=n_parts, plasma_schema=out_schema)
 
 
 # --------------------------------------------------------------------------
@@ -337,7 +342,11 @@ def dedup_incremental(new_docs, old_docs, n_bits: int = 1 << 20, k: int = 4,
                                pa.int64()),
         })
 
-    return hash_group_apply(both, ["fp"], _emit, n_parts=n_parts)
+    return hash_group_apply(
+        both, ["fp"], _emit, n_parts=n_parts,
+        plasma_schema=pa.schema([(id_col, pa.int64()),
+                                 ("fp", pa.string()),
+                                 ("dup_of", pa.int64())]))
 
 
 # --------------------------------------------------------------------------
@@ -376,12 +385,18 @@ def pack_counted(counted, cap: int = 512, group_col: str = "source",
                  id_col: str = "doc_id", count_col: str = "n_tokens",
                  n_parts: int = 32):
     """Pack rows that already carry a token count — the shuffle moves only
-    (id, group, count), never text."""
+    (id, group, count), never text.  Routed through the plasma task
+    exchange (the partition id is precomputed; no sort needed)."""
+    out_schema = pa.schema([(group_col, pa.string()),
+                            (id_col, pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("seq_id", pa.int64()),
+                            ("seq_pos", pa.int64())])
     return hash_group_apply(
         counted, [group_col],
         functools.partial(_pack_group, cap=cap, id_col=id_col,
                           count_col=count_col, group_col=group_col),
-        n_parts=n_parts)
+        n_parts=n_parts, plasma_schema=out_schema)
 
 
 def token_pack(docs, cap: int = 512, group_col: str = "source",

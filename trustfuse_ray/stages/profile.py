@@ -87,10 +87,14 @@ def value_quantiles(ds, key_col: str = "event_type",
     group) per key.  Partitioning assumption: one key's values fit one
     task — correct for low-cardinality profile keys; use
     :func:`value_histogram` when they don't."""
+    out_schema = pa.schema(
+        [(key_col, pa.string()), ("n", pa.int64())]
+        + [(f"p{int(q * 100)}", pa.float64()) for q in qs])
     return hash_group_apply(
         ds.select_columns([key_col, value_col]), [key_col],
         functools.partial(_quantile_group, key_col=key_col,
-                          value_col=value_col, qs=qs), n_parts=n_parts)
+                          value_col=value_col, qs=qs), n_parts=n_parts,
+        plasma_schema=out_schema)
 
 
 # --------------------------------------------------------------------------
