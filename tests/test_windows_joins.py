@@ -161,3 +161,29 @@ def test_known_entity_flags_bloom_matches_exact():
         assert flagged, f"bucket {b} empty"
         for r in flagged:
             assert r["is_known"] == exact[(r["entity"], b)], (r, b)
+
+
+def test_range_join_count_exact():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.joins import range_join_count
+
+    # user 1: purchase at t=100; clicks at 40..99 (in window of 60) and
+    # at 100 (excluded: half-open) and 39 (excluded)
+    us = 1
+    rows = [("purchase", 1, 100), ("click", 1, 39), ("click", 1, 40),
+            ("click", 1, 99), ("click", 1, 100),
+            ("purchase", 2, 50), ("click", 3, 49)]  # no same-user clicks
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "event_type": pa.array([r[0] for r in rows]),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows], np.int64),
+                       pa.timestamp("us")),
+    })
+    out = {r["event_id"]: r["n_right"]
+           for r in range_join_count(rd.from_arrow(tbl),
+                                     window_us=60).take_all()}
+    assert out == {0: 2, 5: 0}

@@ -1030,6 +1030,22 @@ def q_dedup_incremental(sf_dir: str):
     return dedup_incremental(new, old)
 
 
+def q_events_range_join(sf_dir: str):
+    """Interval join: clicks within the hour before each purchase, same
+    user (double-searchsorted per key group, no all-pairs probe)."""
+    from trustfuse_ray.stages.joins import range_join_count
+
+    return range_join_count(_tbl(sf_dir, "events"))
+
+
+def q_distinct_users(sf_dir: str):
+    """count(DISTINCT user_id) per event_type with a map-side distinct
+    combiner."""
+    from trustfuse_ray.stages.profile import distinct_count_per_key
+
+    return distinct_count_per_key(_tbl(sf_dir, "events"))
+
+
 def q_ann_topk(sf_dir: str):
     emb = _tbl(sf_dir, "embeddings")
     queries = [r for r in
@@ -1117,6 +1133,8 @@ def queries_map():
         "doc_curation": q_doc_curation,
         "top_docs_per_source": q_top_docs_per_source,
         "dedup_incremental_synth": q_dedup_incremental,
+        "events_range_join": q_events_range_join,
+        "distinct_users": q_distinct_users,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -2730,6 +2748,17 @@ SELECT doc_id, CAST(rolling_fp AS BIGINT) AS rolling_fp FROM short_fp""",
 SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS doc_id
 FROM read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')
 GROUP BY 1""",
+        "events_range_join": """
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(count(c.event_id) AS BIGINT) AS n_right
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+GROUP BY 1, 2, 3""",
+        "distinct_users": """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY 1""",
         "top_docs_per_source": """
 SELECT source, n_chars, doc_id FROM documents
 QUALIFY row_number() OVER (PARTITION BY source

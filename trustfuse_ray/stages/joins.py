@@ -77,3 +77,58 @@ def asof_join_last(events, left_type: str = "purchase",
                           type_col=type_col, left_type=left_type,
                           right_type=right_type, id_col=id_col),
         n_parts=n_parts)
+
+
+def _range_count_group(batch: pa.Table, *, key_col: str, ts_col: str,
+                       type_col: str, left_type: str, right_type: str,
+                       id_col: str, window_us: int) -> pa.Table:
+    is_left = pc.equal(batch[type_col], left_type)
+    left = batch.filter(is_left)
+    if not len(left):
+        return pa.table({
+            id_col: pa.array([], pa.int64()),
+            key_col: pa.array([], batch.schema.field(key_col).type),
+            ts_col: pa.array([], pa.timestamp("us")),
+            "n_right": pa.array([], pa.int64()),
+        })
+    right = batch.filter(pc.equal(batch[type_col], right_type))
+    lts = left[ts_col].cast(pa.int64()).to_numpy()
+    if len(right):
+        rts = np.sort(right[ts_col].cast(pa.int64()).to_numpy())
+        # count of right ts in [left.ts − window, left.ts)
+        n = (np.searchsorted(rts, lts, side="left")
+             - np.searchsorted(rts, lts - window_us, side="left"))
+    else:
+        n = np.zeros(len(left), np.int64)
+    return pa.table({
+        id_col: left[id_col],
+        key_col: left[key_col],
+        ts_col: left[ts_col],
+        "n_right": pa.array(n.astype(np.int64), pa.int64()),
+    })
+
+
+def range_join_count(events, window_us: int = 3_600_000_000,
+                     left_type: str = "purchase", right_type: str = "click",
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     type_col: str = "event_type", id_col: str = "event_id",
+                     n_parts: int = 64):
+    """Range (interval) join — counts, for every ``left_type`` event, the
+    ``right_type`` events of the same key with ts in
+    ``[left.ts − window, left.ts)``.  Same composition and partitioning
+    assumption as :func:`asof_join_last` (one key per task, vectorized
+    double-searchsorted instead of an all-pairs interval probe)."""
+    def _prefilter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(
+            batch[type_col], value_set=pa.array([left_type, right_type])))
+
+    pruned = events.select_columns(
+        [id_col, key_col, ts_col, type_col]).map_batches(
+        _prefilter, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_group_apply(
+        pruned, [key_col],
+        functools.partial(_range_count_group, key_col=key_col,
+                          ts_col=ts_col, type_col=type_col,
+                          left_type=left_type, right_type=right_type,
+                          id_col=id_col, window_us=window_us),
+        n_parts=n_parts)

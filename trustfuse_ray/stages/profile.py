@@ -137,6 +137,42 @@ def value_histogram(ds, key_col: str = "event_type",
 
 
 # --------------------------------------------------------------------------
+# Exact distinct count per key (map-side distinct combiner)
+# --------------------------------------------------------------------------
+
+def distinct_count_per_key(ds, key_col: str = "event_type",
+                           val_col: str = "user_id"):
+    """count(DISTINCT val) per key: each block first collapses to its
+    distinct (key, val) pairs (combiner), the (key, val) groupby finishes
+    the global distinct, and a final tiny per-key sum counts.  Exchange
+    volume is bounded by distinct pairs, never raw rows."""
+    def _dedup(batch: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(batch.select([key_col, val_col]),
+                               [key_col, val_col],
+                               use_threads=False).aggregate([])
+
+    def _count(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        enc = pc.dictionary_encode(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+            else keys)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(kidx, minlength=len(enc.dictionary))
+        return pa.table({key_col: enc.dictionary,
+                         "n": pa.array(counts, pa.int64())})
+
+    distinct_pairs = ds.select_columns([key_col, val_col]).map_batches(
+        _dedup, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        [key_col, val_col]).count()
+    partial = distinct_pairs.map_batches(_count, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+    return (partial.groupby(key_col).sum("n")
+            .rename_columns({"sum(n)": "n_distinct"}))
+
+
+# --------------------------------------------------------------------------
 # Per-key top-k with map-side combiner
 # --------------------------------------------------------------------------
 
