@@ -74,3 +74,23 @@ def test_topk_per_key_multiblock():
     want = sorted(df.groupby("source").head(5).itertuples(index=False,
                                                           name=None))
     assert got == [(s, c, d) for s, c, d in want]
+
+
+def test_hll_estimate_accuracy_and_merge():
+    from trustfuse_ray.stages.profile import hll_estimate, hll_registers
+    rng = np.random.default_rng(5)
+    n = 60_000
+    users = rng.integers(0, 20_000, n)          # ~19.0k distinct expected
+    keys = np.where(users % 2 == 0, "even", "odd")
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(keys.tolist()),
+        "user_id": pa.array(users, pa.int64()),
+    })).repartition(12)                          # merge across partials
+    import pyarrow as _pa
+    regs = _pa.Table.from_pylist(hll_registers(ds).take_all())
+    est = hll_estimate(regs)
+    exact = {"even": len(set(users[users % 2 == 0])),
+             "odd": len(set(users[users % 2 == 1]))}
+    for k in ("even", "odd"):
+        err = abs(est[k] - exact[k]) / exact[k]
+        assert err < 0.05, (k, est[k], exact[k])

@@ -1046,6 +1046,14 @@ def q_distinct_users(sf_dir: str):
     return distinct_count_per_key(_tbl(sf_dir, "events"))
 
 
+def q_hll_registers(sf_dir: str):
+    """HyperLogLog register table per event_type (md5-keyed sketch,
+    exactly SQL-replayable; estimate = profile.hll_estimate)."""
+    from trustfuse_ray.stages.profile import hll_registers
+
+    return hll_registers(_tbl(sf_dir, "events"))
+
+
 def q_ann_topk(sf_dir: str):
     emb = _tbl(sf_dir, "embeddings")
     queries = [r for r in
@@ -1135,6 +1143,7 @@ def queries_map():
         "dedup_incremental_synth": q_dedup_incremental,
         "events_range_join": q_events_range_join,
         "distinct_users": q_distinct_users,
+        "hll_registers": q_hll_registers,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -2759,6 +2768,24 @@ GROUP BY 1, 2, 3""",
         "distinct_users": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY 1""",
+        "hll_registers": """
+WITH h AS (
+  SELECT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16)
+              AS UBIGINT) AS hv
+  FROM events
+),
+b AS (
+  SELECT event_type,
+         CAST(hv >> 52 AS BIGINT) AS reg_idx,
+         hv & 4503599627370495 AS w
+  FROM h
+)
+SELECT event_type, reg_idx,
+       CAST(max(CASE WHEN w = 0 THEN 53
+                     ELSE 52 - CAST(floor(log2(CAST(w AS DOUBLE)))
+                                    AS BIGINT) END) AS BIGINT) AS register
+FROM b GROUP BY 1, 2""",
         "top_docs_per_source": """
 SELECT source, n_chars, doc_id FROM documents
 QUALIFY row_number() OVER (PARTITION BY source

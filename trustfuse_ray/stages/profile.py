@@ -173,6 +173,81 @@ def distinct_count_per_key(ds, key_col: str = "event_type",
 
 
 # --------------------------------------------------------------------------
+# HyperLogLog — the mergeable scale path for distinct counting
+# --------------------------------------------------------------------------
+
+def hll_registers(ds, key_col: str = "event_type",
+                  val_col: str = "user_id", p: int = 12):
+    """Sparse HyperLogLog register table per key: (key, reg_idx,
+    register).  Per-block partials are O(2^p) dense arrays collapsed to
+    their nonzero entries; the global merge is an elementwise max — a
+    ``groupby(key, reg_idx).max``.  The hash is the first 64 bits of
+    md5(str(val)), so the whole sketch — idx, rank, max — is exactly
+    replayable in SQL (the driver oracle does); the estimate is
+    :func:`hll_estimate` over this table."""
+    shift = 64 - p
+    m = 1 << p
+    mask = np.uint64((1 << shift) - 1)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import hashlib
+        vals = batch[val_col].cast(pa.string()).to_pylist()
+        h = np.array([int(hashlib.md5((v or "").encode())
+                          .hexdigest()[:16], 16) for v in vals],
+                     dtype=np.uint64)
+        idx = (h >> np.uint64(shift)).astype(np.int64)
+        w = h & mask
+        bl = np.zeros(len(w), np.int64)
+        nz = w > 0
+        bl[nz] = np.floor(
+            np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+        rank = shift - bl + 1          # w == 0 → shift + 1
+        keys = batch[key_col]
+        enc = pc.dictionary_encode(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+            else keys)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = len(enc.dictionary)
+        reg = np.zeros(nk * m, np.int64)
+        np.maximum.at(reg, kidx * m + idx, rank)
+        nzr = np.flatnonzero(reg)
+        return pa.table({
+            key_col: enc.dictionary.take(pa.array(nzr // m)),
+            "reg_idx": pa.array(nzr % m, pa.int64()),
+            "register": pa.array(reg[nzr], pa.int64()),
+        })
+
+    partial = ds.select_columns([key_col, val_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (partial.groupby([key_col, "reg_idx"]).max("register")
+            .rename_columns({"max(register)": "register"}))
+
+
+def hll_estimate(registers: pa.Table, p: int = 12,
+                 key_col: str = "event_type") -> dict[str, float]:
+    """Standard HLL estimate (with the small-range linear-counting
+    correction) from a sparse register table."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out: dict[str, float] = {}
+    keys = registers[key_col].to_pylist()
+    idxs = np.asarray(registers["reg_idx"], dtype=np.int64)
+    regs = np.asarray(registers["register"], dtype=np.int64)
+    for key in sorted(set(keys)):
+        sel = np.array([k == key for k in keys])
+        dense = np.zeros(m, np.int64)
+        dense[idxs[sel]] = regs[sel]
+        est = alpha * m * m / np.sum(np.exp2(-dense.astype(np.float64)))
+        zeros = int((dense == 0).sum())
+        if est <= 2.5 * m and zeros:
+            est = m * np.log(m / zeros)
+        out[key] = float(est)
+    return out
+
+
+# --------------------------------------------------------------------------
 # Per-key top-k with map-side combiner
 # --------------------------------------------------------------------------
 
