@@ -94,3 +94,22 @@ def test_hll_estimate_accuracy_and_merge():
     for k in ("even", "odd"):
         err = abs(est[k] - exact[k]) / exact[k]
         assert err < 0.05, (k, est[k], exact[k])
+
+
+def test_quality_classifier_actor_pool():
+    from trustfuse_ray.stages.text import QualityClassifier, quality_classify
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the quick the lazy the", "x" * 500]),
+    }))
+    out = {r["doc_id"]: r for r in quality_classify(docs).take_all()}
+    # doc0: n_tokens=5, n_chars=22, the_count=3 -> 15-22+150+100=243 keep
+    assert out[0]["score_fp"] == 243 and out[0]["keep"]
+    # doc1: n_tokens=1, n_chars=500, the_count=0 -> 3-500+100=-397 drop
+    assert out[1]["score_fp"] == -397 and not out[1]["keep"]
+    # stateless determinism of the scorer itself
+    import pyarrow as _pa
+    b = _pa.table({"doc_id": _pa.array([7], _pa.int64()),
+                   "text": _pa.array(["a b c"])})
+    assert QualityClassifier()(b)["score_fp"][0].as_py() == \
+           QualityClassifier()(b)["score_fp"][0].as_py()

@@ -1046,6 +1046,15 @@ def q_distinct_users(sf_dir: str):
     return distinct_count_per_key(_tbl(sf_dir, "events"))
 
 
+def q_quality_classify(sf_dir: str):
+    """Actor-pool model scoring (fixed-point linear head over quality
+    features — exact, so the SQL oracle replays it)."""
+    from trustfuse_ray.stages.text import quality_classify
+
+    return quality_classify(
+        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]))
+
+
 def q_hll_registers(sf_dir: str):
     """HyperLogLog register table per event_type (md5-keyed sketch,
     exactly SQL-replayable; estimate = profile.hll_estimate)."""
@@ -1144,6 +1153,7 @@ def queries_map():
         "events_range_join": q_events_range_join,
         "distinct_users": q_distinct_users,
         "hll_registers": q_hll_registers,
+        "quality_classify": q_quality_classify,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -2636,6 +2646,21 @@ SELECT doc_id,
        CAST((length(lower(text)) - length(replace(lower(text), 'the', '')))
             / 3 AS BIGINT) AS the_count
 FROM documents""",
+        "quality_classify": r"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         CAST((length(lower(text))
+               - length(replace(lower(text), 'the', ''))) / 3 AS BIGINT)
+           AS the_count
+  FROM documents
+)
+SELECT doc_id,
+       3 * n_tokens - n_chars + 50 * the_count + 100 AS score_fp,
+       3 * n_tokens - n_chars + 50 * the_count + 100 > 0 AS keep
+FROM f""",
         "kg_weights_crh1": f"""
 WITH {_crh_cte(cache, 1)}
 SELECT source, round(weight, 6) AS weight FROM w""",

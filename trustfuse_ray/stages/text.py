@@ -144,3 +144,43 @@ def lang_id(docs, concurrency=(1, 4), **kw):
     return docs.map_batches(LangIdScorer, batch_format="pyarrow",
                             zero_copy_batch=True, concurrency=concurrency,
                             **kw)
+
+
+class QualityClassifier:
+    """Actor-pool document scorer — the batched-model-inference pattern:
+    the "model" (a linear head over the quality features) is loaded once
+    per actor in ``__init__``; ``__call__`` scores a whole Arrow batch with
+    one integer matmul.  Weights are fixed-point integers so the score is
+    exact (and exactly replayable in the driver's SQL oracle); a real
+    classifier head drops in by replacing ``self.w``/``self.b``."""
+
+    #: fixed-point weights over (n_tokens, n_chars, the_count)
+    WEIGHTS = (3, -1, 50)
+    BIAS = 100
+
+    def __init__(self, weights: tuple[int, ...] | None = None,
+                 bias: int | None = None):
+        self.w = np.array(weights or self.WEIGHTS, dtype=np.int64)
+        self.b = int(self.BIAS if bias is None else bias)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = quality_batch(batch)
+        x = np.stack([np.asarray(feats["n_tokens"], dtype=np.int64),
+                      np.asarray(feats["n_chars"], dtype=np.int64),
+                      np.asarray(feats["the_count"], dtype=np.int64)],
+                     axis=1)
+        score = x @ self.w + self.b
+        return pa.table({
+            "doc_id": feats["doc_id"],
+            "score_fp": pa.array(score, pa.int64()),
+            "keep": pa.array(score > 0),
+        })
+
+
+def quality_classify(docs, **kw):
+    """Score every doc with the actor-pool classifier (one actor per
+    ``concurrency`` slot; weights live in actor state, never per batch)."""
+    kw.setdefault("concurrency", (1, 4))
+    kw.setdefault("batch_size", 1024)
+    return docs.map_batches(QualityClassifier, batch_format="pyarrow",
+                            zero_copy_batch=True, **kw)
