@@ -113,3 +113,21 @@ def test_quality_classifier_actor_pool():
                    "text": _pa.array(["a b c"])})
     assert QualityClassifier()(b)["score_fp"][0].as_py() == \
            QualityClassifier()(b)["score_fp"][0].as_py()
+
+
+def test_embedding_centroids_exact():
+    from trustfuse_ray.stages.ann import embedding_centroids
+    vecs = [[1.0, -2.0], [3.0, 4.0], [0.00005, -0.00005]]
+    ds = rd.from_arrow(pa.table({
+        "label": pa.array([1, 1, 2], pa.int32()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })).repartition(3)  # partial sums merge across blocks
+    out = {(r["label"], r["dim_idx"]): r
+           for r in embedding_centroids(ds).take_all()}
+    assert out[(1, 0)]["sum_fx"] == 40000 and out[(1, 0)]["n"] == 2
+    assert out[(1, 0)]["mean"] == 2.0
+    assert out[(1, 1)]["sum_fx"] == 20000 and out[(1, 1)]["mean"] == 1.0
+    # tiny values follow the same float32→fixed-point path as the oracle
+    want = int(np.floor(np.float64(np.float32(0.00005)) * 10000 + 0.5))
+    assert out[(2, 0)]["sum_fx"] == want
+    assert out[(2, 1)]["sum_fx"] == -want

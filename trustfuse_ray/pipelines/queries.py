@@ -1055,6 +1055,14 @@ def q_quality_classify(sf_dir: str):
         _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]))
 
 
+def q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroids via exact fixed-point dim-wise sums
+    (O(labels×dim) partial state per block)."""
+    from trustfuse_ray.stages.ann import embedding_centroids
+
+    return embedding_centroids(_tbl(sf_dir, "embeddings"))
+
+
 def q_hll_registers(sf_dir: str):
     """HyperLogLog register table per event_type (md5-keyed sketch,
     exactly SQL-replayable; estimate = profile.hll_estimate)."""
@@ -1154,6 +1162,7 @@ def queries_map():
         "distinct_users": q_distinct_users,
         "hll_registers": q_hll_registers,
         "quality_classify": q_quality_classify,
+        "embedding_centroids": q_embedding_centroids,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -2793,6 +2802,20 @@ GROUP BY 1, 2, 3""",
         "distinct_users": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY 1""",
+        "embedding_centroids": """
+WITH e AS (
+  SELECT label,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS dim_idx
+  FROM embeddings
+)
+SELECT label, CAST(dim_idx AS BIGINT) AS dim_idx,
+       CAST(sum(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+            AS BIGINT) AS sum_fx,
+       CAST(count(*) AS BIGINT) AS n,
+       (CAST(sum(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))
+             AS DOUBLE) / count(*)) / 10000.0 AS mean
+FROM e GROUP BY 1, 2""",
         "hll_registers": """
 WITH h AS (
   SELECT event_type,

@@ -233,3 +233,60 @@ def lsh_topk(embeddings, queries, k: int = 10, n_planes: int = 8,
         _score_bucket, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(
         functools.partial(_topk_merge, k=k), batch_format="pyarrow")
+
+
+def embedding_centroids(emb, label_col: str = "label",
+                        vec_col: str = "embedding", scale: int = 10_000):
+    """Per-label centroid of an embedding column in long form
+    (label, dim_idx, sum_fx, n, mean): per-block dim-wise FIXED-POINT sums
+    (half-towards-infinity rounding, the q1 parity pattern) make the
+    all-reduce exact — no float-summation-order dependence between the
+    engine and the driver's SQL oracle, or between cluster topologies.
+    Partial state per block is O(labels × dim)."""
+    import pyarrow.compute as pc_
+
+    from trustfuse_ray.stages.common import list_matrix
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        m = list_matrix(batch[vec_col])                      # (n, dim)
+        fx = np.asarray(pc_.round(
+            pa.array(m.ravel() * scale),
+            round_mode="half_towards_infinity")).astype(np.int64)
+        n, dim = m.shape
+        fx = fx.reshape(n, dim)
+        labels = batch[label_col]
+        enc = (labels.combine_chunks()
+               if isinstance(labels, pa.ChunkedArray) else labels)
+        enc = enc.dictionary_encode() if not pa.types.is_dictionary(
+            enc.type) else enc
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = len(enc.dictionary)
+        sums = np.zeros((nk, dim), np.int64)
+        np.add.at(sums, kidx, fx)
+        cnt = np.bincount(kidx, minlength=nk).astype(np.int64)
+        return pa.table({
+            label_col: enc.dictionary.take(
+                pa.array(np.repeat(np.arange(nk), dim))),
+            "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                        nk), pa.int64()),
+            "sum_fx": pa.array(sums.ravel(), pa.int64()),
+            "n": pa.array(np.repeat(cnt, dim), pa.int64()),
+        })
+
+    partial = emb.select_columns([label_col, vec_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial.groupby([label_col, "dim_idx"]).sum(["sum_fx", "n"])
+
+    def _mean(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["sum(sum_fx)"], dtype=np.int64)
+        n = np.asarray(batch["sum(n)"], dtype=np.int64)
+        return pa.table({
+            label_col: batch[label_col],
+            "dim_idx": batch["dim_idx"],
+            "sum_fx": pa.array(s, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "mean": pa.array((s / n) / scale, pa.float64()),
+        })
+
+    return agg.map_batches(_mean, batch_format="pyarrow",
+                           zero_copy_batch=True)
