@@ -1,0 +1,72 @@
+"""Empty-corpus robustness: every new curation/profile operator must
+yield zero rows (not crash) on an empty, schema-typed input."""
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def _empty_docs():
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+    }))
+
+
+def _empty_events():
+    import numpy as np
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array(np.array([], np.int64), pa.timestamp("us")),
+        "value": pa.array([], pa.float64()),
+    }))
+
+
+def test_curation_ops_empty():
+    from trustfuse_ray.pipelines.curate import curate_documents
+    from trustfuse_ray.stages.curation import (decontaminate, hash_sample,
+                                               ngram_jaccard_adjacent,
+                                               repetition_signals,
+                                               token_pack)
+
+    e = _empty_docs()
+    assert decontaminate(e).take_all() == []
+    assert repetition_signals(e.select_columns(["doc_id",
+                                                "text"])).take_all() == []
+    assert ngram_jaccard_adjacent(e).take_all() == []
+    assert hash_sample(e).take_all() == []
+    assert token_pack(e).take_all() == []
+    assert curate_documents(e).take_all() == []
+
+
+def test_profile_ops_empty():
+    from trustfuse_ray.stages.profile import (distinct_count_per_key,
+                                              hll_registers, top_tokens,
+                                              topk_per_key,
+                                              value_histogram,
+                                              value_quantiles)
+    from trustfuse_ray.stages.text import quality_classify
+
+    d, ev = _empty_docs(), _empty_events()
+    assert top_tokens(d).take_all() == []
+    assert topk_per_key(
+        rd.from_arrow(pa.table({
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64())})),
+        "source", "n_chars").take_all() == []
+    assert value_quantiles(ev).take_all() == []
+    assert value_histogram(ev).take_all() == []
+    assert distinct_count_per_key(ev).take_all() == []
+    assert hll_registers(ev).take_all() == []
+    assert quality_classify(d.select_columns(["doc_id",
+                                              "text"])).take_all() == []
+
+
+def test_joins_empty():
+    from trustfuse_ray.stages.joins import range_join_count
+
+    assert range_join_count(_empty_events()).take_all() == []

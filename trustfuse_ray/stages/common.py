@@ -192,8 +192,13 @@ def plasma_exchange(inputs, fn, n_parts: int, part_col: str = "__p",
     def _split(tbl: pa.Table):
         import pyarrow.compute as pc_
 
-        if part_col not in tbl.column_names and empty_schema is not None:
-            tbl = empty_schema.empty_table()  # schema-less empty block
+        if part_col not in tbl.column_names:
+            # schema-less empty block (a filter that dropped every row can
+            # emit zero-column tables); only legal when actually empty
+            if len(tbl):
+                raise ValueError(f"non-empty block missing {part_col}")
+            tbl = (empty_schema if empty_schema is not None
+                   else pa.schema([(part_col, pa.int32())])).empty_table()
         order = pc_.sort_indices(tbl, sort_keys=[(part_col, "ascending")])
         tbl = tbl.take(order)
         parr = np.asarray(tbl[part_col], dtype=np.int64)
@@ -210,11 +215,18 @@ def plasma_exchange(inputs, fn, n_parts: int, part_col: str = "__p",
     @ray.remote
     def _gather(piece_refs):
         # every piece is a (possibly empty) slice carrying the full schema,
-        # so fn always sees a typed table and returns a typed result
+        # so fn always sees a typed table and returns a typed result.
+        # Pieces from schema-less empty blocks may carry only the part
+        # column — anchor on the widest schema and drop the (empty)
+        # mismatched pieces
         tables = ray.get(list(piece_refs))
-        tbl = pa.concat_tables(
-            [t.cast(tables[0].schema) for t in tables])
-        return fn(tbl.drop_columns([part_col]))
+        base = max(tables, key=lambda t: t.num_columns)
+        good = [t.cast(base.schema) for t in tables
+                if t.num_columns == base.num_columns]
+        tbl = pa.concat_tables(good)
+        if part_col in tbl.column_names:
+            tbl = tbl.drop_columns([part_col])
+        return fn(tbl)
 
     mats = [ds.materialize() for ds in inputs]
     block_refs = []
