@@ -131,3 +131,16 @@ def test_embedding_centroids_exact():
     want = int(np.floor(np.float64(np.float32(0.00005)) * 10000 + 0.5))
     assert out[(2, 0)]["sum_fx"] == want
     assert out[(2, 1)]["sum_fx"] == -want
+
+
+def test_bottomk_sample_partition_invariant():
+    from trustfuse_ray.stages.profile import bottomk_hash_sample
+    tbl = pa.table({
+        "source": pa.array([f"s{i % 4}" for i in range(800)]),
+        "doc_id": pa.array(np.arange(800), pa.int64()),
+    })
+    a = sorted((r["source"], r["doc_id"]) for r in bottomk_hash_sample(
+        rd.from_arrow(tbl).repartition(2), k=7).take_all())
+    b = sorted((r["source"], r["doc_id"]) for r in bottomk_hash_sample(
+        rd.from_arrow(tbl).repartition(13), k=7).take_all())
+    assert a == b and len(a) == 28          # 4 keys x 7, any partitioning

@@ -1063,6 +1063,14 @@ def q_embedding_centroids(sf_dir: str):
     return embedding_centroids(_tbl(sf_dir, "embeddings"))
 
 
+def q_bottomk_sample(sf_dir: str):
+    """Deterministic 10-doc uniform sample per source (bottom-k by
+    md5(doc_id); block-level combiner)."""
+    from trustfuse_ray.stages.profile import bottomk_hash_sample
+
+    return bottomk_hash_sample(_tbl(sf_dir, "documents"), k=10)
+
+
 def q_hll_registers(sf_dir: str):
     """HyperLogLog register table per event_type (md5-keyed sketch,
     exactly SQL-replayable; estimate = profile.hll_estimate)."""
@@ -1163,6 +1171,7 @@ def queries_map():
         "hll_registers": q_hll_registers,
         "quality_classify": q_quality_classify,
         "embedding_centroids": q_embedding_centroids,
+        "bottomk_sample": q_bottomk_sample,
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "token_count": q_token_count,
@@ -2802,6 +2811,12 @@ GROUP BY 1, 2, 3""",
         "distinct_users": """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
 FROM events GROUP BY 1""",
+        "bottomk_sample": """
+SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS fp
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                    doc_id) <= 10""",
         "embedding_centroids": """
 WITH e AS (
   SELECT label,

@@ -290,6 +290,55 @@ def topk_per_key(ds, key_col: str, sort_col: str, k: int = 5,
 
 
 # --------------------------------------------------------------------------
+# Bottom-k hash sample per key (deterministic uniform stratum sample)
+# --------------------------------------------------------------------------
+
+def _bottomk_select(batch: pa.Table, *, key_col: str, id_col: str,
+                    k: int) -> pa.Table:
+    """Keep the k rows with smallest md5(str(id)) per key — deterministic
+    on any partitioning, so block-level partials compose exactly."""
+    import hashlib
+    if "fp" in batch.column_names:
+        fps = np.asarray(batch["fp"].to_pylist(), dtype="S32")
+    else:
+        ids_s = batch[id_col].cast(pa.string()).to_pylist()
+        fps = np.asarray([hashlib.md5((s or "").encode()).hexdigest()
+                          for s in ids_s], dtype="S32")
+        batch = batch.append_column(
+            "fp", pa.array([f.decode() for f in fps], pa.string()))
+    keys = batch[key_col]
+    enc = pc.dictionary_encode(
+        keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((fps, kidx))
+    ks = kidx[order]
+    new = np.ones(len(ks), bool)
+    new[1:] = ks[1:] != ks[:-1]
+    run_start = np.maximum.accumulate(np.where(new, np.arange(len(ks)), 0))
+    rank = np.arange(len(ks)) - run_start
+    return batch.take(pa.array(order[rank < k]))
+
+
+def bottomk_hash_sample(ds, key_col: str = "source", k: int = 10,
+                        id_col: str = "doc_id", n_parts: int = 16):
+    """Deterministic uniform k-sample per key: the k rows whose
+    md5(str(id)) sorts lowest.  Identical output on any partitioning or
+    retry (the hash is the order), and the block-level bottom-k combiner
+    bounds the shuffle at k rows per key per block.  Doubles as a
+    bottom-k sketch of per-key cardinality."""
+    partial = ds.select_columns([key_col, id_col]).map_batches(
+        functools.partial(_bottomk_select, key_col=key_col, id_col=id_col,
+                          k=k),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return hash_group_apply(
+        partial, [key_col],
+        functools.partial(_bottomk_select, key_col=key_col, id_col=id_col,
+                          k=k), n_parts=n_parts)
+
+
+# --------------------------------------------------------------------------
 # JSON-ish property extraction
 # --------------------------------------------------------------------------
 
