@@ -47,6 +47,15 @@ def main():
                      time.perf_counter() - t0, triples.stats()))
     session.close()
 
+    from trustfuse_ray.pipelines import queries as Q
+    from trustfuse_ray.pipelines.curate import curate_documents
+
+    t0 = time.perf_counter()
+    packed_docs = curate_documents(Q._tbl(sf_dir, "documents")).materialize()
+    sections.append(("doc curation (signals → filter → dedup → pack, "
+                     "plasma exchanges)",
+                     time.perf_counter() - t0, packed_docs.stats()))
+
     out = ["# BENCH_STATS — ds.stats() for the headline pipeline stages",
            "",
            f"Input: {sf_dir} synthetic corpus "
