@@ -1,0 +1,194 @@
+"""Round-3 wave-2 curation/profile operators: line-level dedup, PII
+redaction, shard assignment, count-min sketch, tf-idf terms."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from trustfuse_ray.stages.curation import (assign_shards, line_dedup,
+                                           redact_pii)
+from trustfuse_ray.stages.profile import (cms_estimate, cms_registers,
+                                          tfidf_top_terms)
+
+
+def _docs(rows, source="s"):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] if len(r) > 2 else source for r in rows],
+                           pa.string()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# line_dedup
+# ---------------------------------------------------------------------------
+
+def _line_dedup_oracle(rows):
+    """Sequential reference: first global (doc_id, line_idx) occurrence
+    per distinct line survives; docs rebuilt; empty docs dropped."""
+    seen = set()
+    out = {}
+    for doc_id, text in sorted(rows):
+        lines = text.split("\n")
+        kept = []
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        if kept:
+            out[doc_id] = ("\n".join(kept), len(lines), len(kept))
+    return out
+
+
+def test_line_dedup_matches_sequential():
+    rows = [
+        (0, "header\nbody zero\nfooter"),
+        (1, "header\nbody one\nfooter"),     # header+footer deduped
+        (2, "header\nfooter"),               # fully boilerplate → dropped
+        (3, "body zero\nfresh line\n"),      # '' line is new here
+        (4, ""),                             # '' dup of doc 3's last line
+    ]
+    got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+           for r in line_dedup(_docs(rows), n_parts=8).take_all()}
+    assert got == _line_dedup_oracle(rows)
+
+
+def test_line_dedup_partition_invariant():
+    rng = np.random.default_rng(7)
+    pool = [f"boiler {i}" for i in range(10)]
+    rows = []
+    u = 0
+    for d in range(60):
+        lines = []
+        for _ in range(int(rng.integers(1, 6))):
+            if rng.random() < 0.5:
+                lines.append(pool[int(rng.integers(0, 10))])
+            else:
+                u += 1
+                lines.append(f"unique {u}")
+        rows.append((d, "\n".join(lines)))
+    ora = _line_dedup_oracle(rows)
+    for nb in (1, 7):
+        ds = _docs(rows).repartition(nb)
+        got = {r["doc_id"]: (r["text"], r["n_lines"], r["n_kept"])
+               for r in line_dedup(ds, n_parts=4).take_all()}
+        assert got == ora
+    # global invariant: no surviving line appears twice anywhere
+    flat = [ln for t, _, _ in ora.values() for ln in t.split("\n")]
+    assert len(flat) == len(set(flat))
+
+
+def test_line_dedup_empty_corpus():
+    empty = _docs([]).filter(lambda r: False)
+    assert line_dedup(empty, n_parts=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# redact_pii
+# ---------------------------------------------------------------------------
+
+def test_redact_pii_planted():
+    rows = [
+        (0, "write to alice.smith+x@example.co.uk or bob@test.org now"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (2, "call +33 6 12 34 56 78 today"),
+        (3, "nothing sensitive here"),
+    ]
+    got = {r["doc_id"]: r for r in redact_pii(_docs(rows)).take_all()}
+    assert got[0]["text"] == "write to <EMAIL> or <EMAIL> now"
+    assert got[0]["n_redactions"] == 2 and got[0]["has_pii"]
+    assert got[1]["text"] == "server at <IP> and <IP> responded"
+    assert got[2]["text"] == "call <PHONE> today"
+    assert got[3]["text"] == rows[3][1]
+    assert got[3]["n_redactions"] == 0 and not got[3]["has_pii"]
+
+
+def test_redact_pii_idempotent():
+    rows = [(0, "mail a@b.io and ip 1.2.3.4")]
+    once = redact_pii(_docs(rows)).take_all()[0]
+    twice = redact_pii(
+        rd.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64()),
+                                "text": pa.array([once["text"]])}))
+    ).take_all()[0]
+    assert twice["text"] == once["text"]
+    assert twice["n_redactions"] == 0
+
+
+# ---------------------------------------------------------------------------
+# assign_shards
+# ---------------------------------------------------------------------------
+
+def test_assign_shards_invariants():
+    rows = [(i, f"doc {i}") for i in range(200)]
+    out = assign_shards(_docs(rows), n_shards=8, n_parts=4).take_all()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        assert r["fp"] == hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["fp"]))
+    assert set(by_shard) <= set(range(8))
+    for shard, rows_ in by_shard.items():
+        rows_.sort()
+        # positions contiguous from 0 and ordered by fp
+        assert [p for p, _ in rows_] == list(range(len(rows_)))
+        fps = [f for _, f in rows_]
+        assert fps == sorted(fps)
+    # partition invariance
+    out2 = assign_shards(_docs(rows).repartition(9), n_shards=8,
+                         n_parts=4).take_all()
+    key = lambda r: (r["doc_id"], r["shard"], r["pos"])  # noqa: E731
+    assert sorted(map(key, out2)) == sorted(map(key, out))
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_upper_bound_and_merge():
+    rows = [(i, " ".join(["alpha"] * 5 + ["beta"] * 2 + [f"tok{i}"]))
+            for i in range(40)]
+    reg = cms_registers(_docs(rows), depth=4, width=64).take_all()
+    tbl = pa.table({
+        "row_j": pa.array([r["row_j"] for r in reg], pa.int64()),
+        "bucket": pa.array([r["bucket"] for r in reg], pa.int64()),
+        "n": pa.array([r["n"] for r in reg], pa.int64()),
+    })
+    est = cms_estimate(tbl, ["alpha", "beta", "tok3", "absent-token"],
+                       depth=4, width=64)
+    # CMS estimates upper-bound true counts
+    assert est["alpha"] >= 200 and est["beta"] >= 80 and est["tok3"] >= 1
+    # totals per row are exact (each row hashes every token once)
+    per_row = {}
+    for r in reg:
+        per_row[r["row_j"]] = per_row.get(r["row_j"], 0) + r["n"]
+    n_tokens = sum(len(t.split()) for _, t in rows)
+    assert all(v == n_tokens for v in per_row.values())
+    # block-structure invariance (mergeability)
+    reg2 = cms_registers(_docs(rows).repartition(7), depth=4,
+                         width=64).take_all()
+    key = lambda r: (r["row_j"], r["bucket"], r["n"])  # noqa: E731
+    assert sorted(map(key, reg2)) == sorted(map(key, reg))
+
+
+# ---------------------------------------------------------------------------
+# tf-idf terms
+# ---------------------------------------------------------------------------
+
+def test_tfidf_top_terms_distinctive():
+    rows = ([(i, "common filler words here plus aardvark", "sA")
+             for i in range(10)]
+            + [(10 + i, "common filler words here plus zebra", "sB")
+               for i in range(10)])
+    out = tfidf_top_terms(_docs(rows), k=2, n_parts=4).take_all()
+    top = {r["source"]: [x["token"] for x in
+                         sorted(out, key=lambda y: -y["score"])
+                         if x["source"] == r["source"]][:1]
+           for r in out}
+    # the group-exclusive token wins (df=1 → max idf)
+    assert top["sA"] == ["aardvark"]
+    assert top["sB"] == ["zebra"]
+    shared = [r for r in out if r["token"] == "common"]
+    assert all(r["score"] == 0 for r in shared)  # df == n_groups → ln 1

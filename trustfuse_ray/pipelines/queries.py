@@ -1087,6 +1087,74 @@ def q_ann_topk(sf_dir: str):
     return ann.brute_topk(emb, queries, k=10)
 
 
+def q_line_dedup_synth(sf_dir: str):
+    """Corpus-wide line-level dedup (RefinedWeb-style) over the multiline
+    synthetic corpus: boilerplate lines survive only at their first global
+    occurrence; docs are rebuilt from kept lines."""
+    from trustfuse_ray.stages.curation import line_dedup
+
+    path = synth.generate_multiline_documents(sf_dir)
+    return line_dedup(ray.data.read_parquet(path))
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction over documents augmented with deterministic planted
+    PII (email/IP/phone derived from doc_id — the same expressions the
+    oracle plants in SQL, so the redaction kernels are exactly checked)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.curation import redact_pii
+
+    def _augment(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        s = pd.Series(ids).astype(str)
+        email = np.where(ids % 3 == 0,
+                         (" contact user" + s + "@example.com").to_numpy(),
+                         "")
+        ip = np.where(ids % 5 == 0,
+                      (" host 10.0." + pd.Series(ids % 250).astype(str)
+                       + "." + pd.Series((ids * 7) % 250).astype(str)
+                       ).to_numpy(), "")
+        phone = np.where(
+            ids % 7 == 0,
+            (" call +1 555 " + pd.Series(ids % 10000).astype(str)
+             .str.zfill(4) + " 99").to_numpy(), "")
+        text = pc.fill_null(batch["text"], "").to_pandas()
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": pa.array((text + email + ip + phone), pa.string()),
+        })
+
+    aug = _tbl(sf_dir, "documents").select_columns(
+        ["doc_id", "text"]).map_batches(_augment, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+    return redact_pii(aug)
+
+
+def q_cms_registers(sf_dir: str):
+    """Count-min sketch cells over document tokens (md5-keyed, exactly
+    SQL-replayable; point estimate = profile.cms_estimate)."""
+    from trustfuse_ray.stages.profile import cms_registers
+
+    return cms_registers(_tbl(sf_dir, "documents"))
+
+
+def q_train_shards(sf_dir: str):
+    """Deterministic training-shard assignment + in-shard position (global
+    shuffle keyed on md5(doc_id) — partition/retry invariant)."""
+    from trustfuse_ray.stages.curation import assign_shards
+
+    return assign_shards(_tbl(sf_dir, "documents"), n_shards=16)
+
+
+def q_tfidf_terms(sf_dir: str):
+    """Top-5 distinctive tokens per source by integer-scaled tf-idf."""
+    from trustfuse_ray.stages.profile import tfidf_top_terms
+
+    return tfidf_top_terms(_tbl(sf_dir, "documents"), k=5)
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -1190,6 +1258,11 @@ def queries_map():
         "multimodal_features_long": q_multimodal_features_long,
         "multimodal_frames": q_multimodal_frames,
         "kg_bucketize_claims": q_bucketize_claims,
+        "line_dedup_synth": q_line_dedup_synth,
+        "pii_redact": q_pii_redact,
+        "cms_registers": q_cms_registers,
+        "train_shards": q_train_shards,
+        "tfidf_terms": q_tfidf_terms,
     }
 
 
@@ -2877,4 +2950,118 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         # independent of the k-means coarse quantizer's float noise
         "ann_ivf_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _lsh_topk_sql(),
+        "line_dedup_synth": f"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text
+  FROM read_parquet('{synth.generate_multiline_documents(sf_dir)}/*.parquet')
+),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+lines AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, len(lines))) AS BIGINT) - 1
+           AS line_idx,
+         unnest(lines) AS line
+  FROM ls
+),
+kept AS (
+  SELECT * FROM lines
+  QUALIFY row_number() OVER (PARTITION BY md5(line)
+                             ORDER BY doc_id, line_idx) = 1
+),
+cnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lines GROUP BY 1)
+SELECT k.doc_id,
+       string_agg(k.line, chr(10) ORDER BY k.line_idx) AS text,
+       max(c.n_lines) AS n_lines,
+       CAST(count(*) AS BIGINT) AS n_kept
+FROM kept k JOIN cnt c USING (doc_id)
+GROUP BY k.doc_id""",
+        "pii_redact": r"""
+WITH aug AS (
+  SELECT doc_id,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' host 10.0.' || (doc_id % 250) || '.'
+                      || ((doc_id * 7) % 250)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +1 555 '
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                      || ' 99'
+                 ELSE '' END AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1,
+         regexp_replace(t0,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+  FROM aug
+),
+s2 AS (
+  SELECT doc_id, n1,
+         len(regexp_extract_all(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n2,
+         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n1, n2,
+         len(regexp_extract_all(t2, '\+?\d[\d -]{7,}\d')) AS n3,
+         regexp_replace(t2, '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id, t3 AS text,
+       CAST(n1 + n2 + n3 AS BIGINT) AS n_redactions,
+       (n1 + n2 + n3) > 0 AS has_pii
+FROM s3""",
+        "cms_registers": r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS tok
+  FROM documents
+),
+h AS (
+  SELECT j.j AS row_j,
+         CAST(md5_number_lower(CAST(j.j AS VARCHAR) || ':' || tok)
+              % 1024 AS BIGINT) AS bucket
+  FROM toks CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j
+)
+SELECT CAST(row_j AS BIGINT) AS row_j, bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM h GROUP BY 1, 2""",
+        "train_shards": """
+SELECT doc_id,
+       md5(CAST(doc_id AS VARCHAR)) AS fp,
+       CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 16 AS BIGINT)
+         AS shard,
+       CAST(row_number() OVER (
+              PARTITION BY md5_number_lower(CAST(doc_id AS VARCHAR)) % 16
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+         AS pos
+FROM documents""",
+        "tfidf_terms": r"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+ng AS (SELECT count(DISTINCT source) AS ng FROM tf),
+s AS (
+  SELECT tf.source, tf.token, tf.tf, df.df,
+         tf.tf * CAST(round(ln(CAST(ng.ng AS DOUBLE) / df.df) * 1e9)
+                      AS BIGINT) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN ng
+)
+SELECT source, token, tf, df, score FROM s
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY score DESC, token) <= 5""",
     }

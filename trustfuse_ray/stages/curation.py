@@ -350,6 +350,237 @@ def dedup_incremental(new_docs, old_docs, n_bits: int = 1 << 20, k: int = 4,
 
 
 # --------------------------------------------------------------------------
+# 4c. Line-level dedup (RefinedWeb-style global first occurrence per line)
+# --------------------------------------------------------------------------
+
+# packed (doc_id, line_idx) membership key: doc_id < 2^43, line_idx < 2^20
+_LINE_BITS = 20
+
+
+def _split_lines_cols(text_col, ids: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """(id per line, line_idx per line, flat line array) for a batch —
+    exact '\\n' split, offset-safe flatten, vectorized per-doc indexing."""
+    lines = pc.split_pattern(pc.fill_null(text_col, ""), "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    lens = pc.list_value_length(lines).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    if lens.max(initial=0) >= (1 << _LINE_BITS):
+        raise ValueError("document exceeds 2^20 lines")
+    flat = lines.flatten()
+    docrep = np.repeat(ids, lens)
+    starts = np.cumsum(lens) - lens
+    lidx = (np.arange(int(lens.sum()), dtype=np.int64)
+            - np.repeat(starts, lens))
+    return docrep, lidx, flat
+
+
+def line_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
+               n_parts: int = 64):
+    """Corpus-wide line-level dedup: every line survives only at its first
+    global occurrence (min ``(doc_id, line_idx)``); docs are rebuilt from
+    their kept lines (docs with zero kept lines are dropped).  Output:
+    ``(doc_id, text, n_lines, n_kept)``.
+
+    Scale shape: stage 1 shuffles only ``(md5(line), doc_id, line_idx)``
+    (~50 B/row — text never rides the line-hash exchange); the winner set
+    ships back co-partitioned by ``hash(doc_id)``, so the full text moves
+    exactly once (the reconstruct exchange).  At 100 TB the reconstruct
+    exchange disappears entirely if docs are read pre-partitioned by
+    doc-id hash: the winner rows are then a map-side join."""
+    from trustfuse_ray.stages.common import _add_part, plasma_exchange
+
+    def _meta(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        docrep, lidx, flat = _split_lines_cols(batch[text_col], ids)
+        fps = [hashlib.md5((s if s is not None else "").encode()).hexdigest()
+               for s in flat.to_pylist()]
+        return pa.table({
+            "fp": pa.array(fps, pa.string()),
+            id_col: pa.array(docrep, pa.int64()),
+            "line_idx": pa.array(lidx, pa.int64()),
+        })
+
+    meta_schema = pa.schema([("fp", pa.string()), (id_col, pa.int64()),
+                             ("line_idx", pa.int64()),
+                             ("__part", pa.int32())])
+    win_schema = pa.schema([(id_col, pa.int64()), ("line_idx", pa.int64())])
+
+    def _winners(tbl: pa.Table) -> pa.Table:
+        # first global occurrence per fp: lexsort by (fp, doc, idx), take
+        # each run's head — one vectorized pass over the whole partition
+        if len(tbl) == 0:
+            return win_schema.empty_table()
+        fp = tbl["fp"].to_pandas().to_numpy(dtype=object)
+        d = np.asarray(tbl[id_col], dtype=np.int64)
+        li = np.asarray(tbl["line_idx"], dtype=np.int64)
+        order = np.lexsort((li, d, fp))
+        fps = fp[order]
+        head = np.ones(len(fps), dtype=bool)
+        head[1:] = fps[1:] != fps[:-1]
+        sel = order[np.flatnonzero(head)]
+        return pa.table({id_col: pa.array(d[sel], pa.int64()),
+                         "line_idx": pa.array(li[sel], pa.int64())})
+
+    meta = docs.select_columns([id_col, text_col]).map_batches(
+        _meta, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = meta.map_batches(
+        functools.partial(_add_part, keys=["fp"], n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True)
+    winners = plasma_exchange([keyed], _winners, n_parts,
+                              part_col="__part", empty_schema=meta_schema)
+
+    # unify winner rows and doc rows into one schema so the reconstruct
+    # exchange co-partitions them by hash(doc_id)
+    def _tag_doc(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "line_idx": pa.array(np.full(n, -1, np.int64)),
+            text_col: pc.fill_null(batch[text_col], ""),
+            "side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def _tag_win(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            id_col: batch[id_col],
+            "line_idx": batch["line_idx"],
+            text_col: pa.array([None] * n, pa.string()),
+            "side": pa.array(np.ones(n, np.int8)),
+        })
+
+    uni_schema = pa.schema([(id_col, pa.int64()), ("line_idx", pa.int64()),
+                            (text_col, pa.string()), ("side", pa.int8()),
+                            ("__part", pa.int32())])
+    out_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string()),
+                            ("n_lines", pa.int64()),
+                            ("n_kept", pa.int64())])
+
+    def _reconstruct(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        docs_t = tbl.filter(pa.array(side == 0))
+        win_t = tbl.filter(pa.array(side == 1))
+        if len(docs_t) == 0:
+            return out_schema.empty_table()
+        ids = np.asarray(docs_t[id_col], dtype=np.int64)
+        if ids.max(initial=0) >= (1 << (63 - _LINE_BITS)):
+            raise ValueError("doc_id exceeds packed-key range")
+        pos, lidx, flat = _split_lines_cols(
+            docs_t[text_col], np.arange(len(docs_t), dtype=np.int64))
+        packed = (ids[pos] << _LINE_BITS) | lidx
+        wd = np.asarray(win_t[id_col], dtype=np.int64)
+        wl = np.asarray(win_t["line_idx"], dtype=np.int64)
+        wpacked = np.sort((wd << _LINE_BITS) | wl)
+        loc = np.searchsorted(wpacked, packed)
+        keep = np.zeros(len(packed), dtype=bool)
+        ok = loc < len(wpacked)
+        keep[ok] = wpacked[loc[ok]] == packed[ok]
+        n_lines = np.bincount(pos, minlength=len(docs_t))
+        n_kept = np.bincount(pos[keep], minlength=len(docs_t))
+        offsets = np.concatenate(([0], np.cumsum(n_kept))).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     flat.filter(pa.array(keep))), "\n")
+        out = pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            text_col: joined,
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_kept": pa.array(n_kept, pa.int64()),
+        })
+        return out.filter(pa.array(n_kept > 0))
+
+    uni = docs.select_columns([id_col, text_col]).map_batches(
+        _tag_doc, batch_format="pyarrow", zero_copy_batch=True).union(
+        winners.map_batches(_tag_win, batch_format="pyarrow"))
+    keyed2 = uni.map_batches(
+        functools.partial(_add_part, keys=[id_col], n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return plasma_exchange([keyed2], _reconstruct, n_parts,
+                           part_col="__part", empty_schema=uni_schema)
+
+
+# --------------------------------------------------------------------------
+# 4d. PII redaction
+# --------------------------------------------------------------------------
+
+# RE2 patterns (Arrow and DuckDB both run RE2, so the oracle replays these
+# verbatim); applied in order — counts are of matches in the progressively
+# redacted string
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(docs, text_col: str = "text", id_col: str = "doc_id",
+               patterns: tuple[tuple[str, str], ...] = PII_PATTERNS, **kw):
+    """Replace email / IPv4 / phone-shaped substrings with typed
+    placeholders; emit ``(doc_id, text, n_redactions, has_pii)``.  Pure
+    Arrow RE2 kernels per batch — no shuffle, no state."""
+    def _redact(batch: pa.Table) -> pa.Table:
+        red = pc.fill_null(batch[text_col], "")
+        n = np.zeros(len(batch), np.int64)
+        for pat, rep in patterns:
+            n += pc.count_substring_regex(red, pattern=pat).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            red = pc.replace_substring_regex(red, pattern=pat,
+                                             replacement=rep)
+        return pa.table({
+            id_col: batch[id_col],
+            text_col: red,
+            "n_redactions": pa.array(n, pa.int64()),
+            "has_pii": pa.array(n > 0),
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _redact, batch_format="pyarrow", zero_copy_batch=True, **kw)
+
+
+# --------------------------------------------------------------------------
+# 4e. Deterministic training-shard assignment
+# --------------------------------------------------------------------------
+
+def assign_shards(docs, n_shards: int = 16, id_col: str = "doc_id",
+                  n_parts: int = 32):
+    """Deterministic global shuffle for training: shard =
+    ``md5_64(str(id)) % n_shards``, pos = rank within the shard by
+    ``(md5_hex(str(id)), id)``.  Identical output on any partitioning or
+    retry (keys are content-independent); the only exchange moves
+    ``(id, fp)`` rows — at scale each shard group is one output file."""
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.string()).to_pylist()
+        fps = [hashlib.md5((s or "").encode()).hexdigest() for s in ids]
+        h = np.fromiter((_md5_token64(s or "") for s in ids),
+                        dtype=np.uint64, count=len(ids))
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "fp": pa.array(fps, pa.string()),
+            "shard": pa.array((h % n_shards).astype(np.int64), pa.int64()),
+        })
+
+    def _rank(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("fp", "ascending"),
+                                                  (id_col, "ascending")])
+        group = group.take(order)
+        return group.append_column(
+            "pos", pa.array(np.arange(len(group), dtype=np.int64)))
+
+    keyed = docs.select_columns([id_col]).map_batches(
+        _key, batch_format="pyarrow", zero_copy_batch=True)
+    out_schema = pa.schema([(id_col, pa.int64()), ("fp", pa.string()),
+                            ("shard", pa.int64()), ("pos", pa.int64())])
+    return hash_group_apply(keyed, ["shard"], _rank, n_parts=n_parts,
+                            plasma_schema=out_schema)
+
+
+# --------------------------------------------------------------------------
 # 5. Greedy sequence packing
 # --------------------------------------------------------------------------
 

@@ -365,3 +365,154 @@ def extract_props(events, field: str = "k", props_col: str = "props",
 def _prop_aggs():
     from ray.data.aggregate import Count, Max, Min, Sum
     return [Count("v"), Sum("v"), Min("v"), Max("v")]
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch — mergeable token-frequency sketch
+# --------------------------------------------------------------------------
+
+def cms_registers(docs, depth: int = 4, width: int = 1024,
+                  text_col: str = "text"):
+    """Count-min sketch over whitespace tokens as a sparse cell table
+    ``(row_j, bucket, n)``: cell (j, b) counts token occurrences with
+    ``md5_64(f"{j}:{token}") % width == b``.  Per-block partials are a
+    dense (depth × width) int64 matrix collapsed to nonzero cells, so the
+    merge is a tiny ``groupby.sum`` over ≤ depth×width keys; like the HLL
+    sketch the hash is md5-keyed, making the whole sketch exactly
+    replayable in SQL (``md5_number_lower``).  Point estimate for a token
+    = min over its depth cells (upper-bounds the true count)."""
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        counts = np.bincount(code, minlength=len(uniq)).astype(np.int64)
+        reg = np.zeros(depth * width, np.int64)
+        for j in range(depth):
+            h = np.fromiter((_md5_token64(f"{j}:{t}") for t in uniq),
+                            dtype=np.uint64, count=len(uniq))
+            b = (h % np.uint64(width)).astype(np.int64)
+            np.add.at(reg, j * width + b, counts)
+        nz = np.flatnonzero(reg)
+        return pa.table({
+            "row_j": pa.array(nz // width, pa.int64()),
+            "bucket": pa.array(nz % width, pa.int64()),
+            "n": pa.array(reg[nz], pa.int64()),
+        })
+
+    partial = docs.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+    return (partial.groupby(["row_j", "bucket"]).sum("n")
+            .rename_columns({"sum(n)": "n"}))
+
+
+def cms_estimate(registers: pa.Table, tokens: list[str], depth: int = 4,
+                 width: int = 1024) -> dict[str, int]:
+    """Point-estimate token counts from a sparse CMS cell table (min over
+    the token's depth cells; absent cell = 0)."""
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    cells = {(int(r), int(b)): int(n) for r, b, n in zip(
+        registers["row_j"].to_pylist(), registers["bucket"].to_pylist(),
+        registers["n"].to_pylist())}
+    out: dict[str, int] = {}
+    for t in tokens:
+        est = None
+        for j in range(depth):
+            b = int(_md5_token64(f"{j}:{t}") % width)
+            v = cells.get((j, b), 0)
+            est = v if est is None else min(est, v)
+        out[t] = int(est or 0)
+    return out
+
+
+# --------------------------------------------------------------------------
+# TF-IDF distinctive terms per group
+# --------------------------------------------------------------------------
+
+def tfidf_top_terms(docs, group_col: str = "source", k: int = 5,
+                    text_col: str = "text", n_parts: int = 16):
+    """Top-k distinctive whitespace tokens per group by tf-idf.  tf =
+    token occurrences within the group; idf = ln(n_groups / df) where df
+    counts groups containing the token.  The score is an integer —
+    ``tf × round(ln(n_groups/df)·1e9)`` — so engine and SQL rank
+    identically (ties break by token).
+
+    Shape: block-level (group, token, n) partials collapse each block to
+    its distinct pairs before ONE exchange on (group, token); df and the
+    final top-k run over the aggregated pair table (vocab × groups rows —
+    corpus-size-independent)."""
+    def _pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = batch[group_col]
+        genc = pc.dictionary_encode(
+            grp.combine_chunks() if isinstance(grp, pa.ChunkedArray)
+            else grp)
+        if isinstance(genc, pa.ChunkedArray):
+            genc = genc.combine_chunks()
+        gidx = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        grep = np.repeat(gidx, lens)
+        nv = len(enc.dictionary)
+        key = grep * nv + code
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            group_col: genc.dictionary.take(pa.array(uk // nv)),
+            "token": enc.dictionary.take(pa.array(uk % nv)),
+            "tf": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    pairs = docs.select_columns([group_col, text_col]).map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True)
+    agg = (pairs.groupby([group_col, "token"]).sum("tf")
+           .rename_columns({"sum(tf)": "tf"}).materialize())
+    # group count and df are corpus-size-independent aggregates
+    n_groups = agg.select_columns([group_col]).unique(group_col)
+    ng = len(n_groups)
+    df_ds = (agg.groupby("token").count()
+             .rename_columns({"count()": "df"}))
+    df_map = {r["token"]: r["df"] for r in df_ds.iter_rows()}
+    df_ref = df_map  # broadcast via closure capture (vocab-sized)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        toks = batch["token"].to_pylist()
+        df = np.array([df_ref[t] for t in toks], dtype=np.int64)
+        tf = np.asarray(batch["tf"], dtype=np.int64)
+        idf = np.round(np.log(ng / df.astype(np.float64))
+                       * 1e9).astype(np.int64)
+        return batch.append_column(
+            "df", pa.array(df, pa.int64())).append_column(
+            "score", pa.array(tf * idf, pa.int64()))
+
+    scored = agg.map_batches(_score, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def _topk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            ("score", "descending"), ("token", "ascending")])
+        return group.take(order[:k])
+
+    out_schema = pa.schema([(group_col, pa.string()),
+                            ("token", pa.string()), ("tf", pa.int64()),
+                            ("df", pa.int64()), ("score", pa.int64())])
+    return hash_group_apply(scored, [group_col], _topk, n_parts=n_parts,
+                            plasma_schema=out_schema)

@@ -309,6 +309,60 @@ def generate_documents(sf_dir: str, root: str = "/tmp/trustfuse_ray_data",
     return path
 
 
+def generate_multiline_documents(sf_dir: str,
+                                 root: str = "/tmp/trustfuse_ray_data",
+                                 n_docs: int | None = None) -> str:
+    """Deterministic multi-line document corpus for LINE-level dedup: each
+    doc is a newline-joined mix of boilerplate lines drawn from a shared
+    pool (headers / footers / template fragments — the mass-duplicated text
+    real crawls carry) and unique body lines.  Returns the sharded parquet
+    directory path."""
+    out = cache_dir(sf_dir, root)
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "docs_lines")
+    marker = os.path.join(out, "_LINES_SUCCESS")
+    if n_docs is None:
+        n_docs = N_DOCS_BY_SF.get(sf_name(sf_dir), 1000)
+    stamp = f"seed={SEED} n_docs={n_docs} v1-lines"
+    if os.path.exists(marker) and Path(marker).read_text() == stamp:
+        return path
+
+    rng = np.random.default_rng(SEED + 9)
+    vocab = [f"w{i:03d}" for i in range(400)]
+
+    def _line(tag: str = "") -> str:
+        ln = int(rng.integers(4, 10))
+        idx = rng.integers(0, len(vocab), size=ln)
+        body = " ".join(vocab[k] for k in idx)
+        return body + tag
+
+    pool = [_line() for _ in range(max(50, n_docs // 20))]
+    texts: list[str] = []
+    uniq = 0
+    for _ in range(n_docs):
+        n_lines = int(rng.integers(3, 12))
+        lines: list[str] = []
+        for _ in range(n_lines):
+            if rng.random() < 0.45:  # boilerplate: duplicated across docs
+                lines.append(pool[int(rng.integers(0, len(pool)))])
+            else:  # unique body line (suffix guarantees uniqueness)
+                uniq += 1
+                lines.append(_line(f" u{uniq:07d}"))
+        texts.append("\n".join(lines))
+    tbl = pa.table({
+        "doc_id": pa.array(range(n_docs), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    os.makedirs(path, exist_ok=True)
+    shard = 2500
+    n_shards = max(1, -(-n_docs // shard))
+    for s in range(n_shards):
+        pq.write_table(tbl.slice(s * shard, shard),
+                       os.path.join(path, f"part-{s:05d}.parquet"))
+    Path(marker).write_text(stamp)
+    return path
+
+
 def hash_conv(conv_id: str) -> int:
     """Stable conversation hash (no PYTHONHASHSEED dependence)."""
     h = 2166136261
