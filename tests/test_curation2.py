@@ -192,3 +192,37 @@ def test_tfidf_top_terms_distinctive():
     assert top["sB"] == ["zebra"]
     shared = [r for r in out if r["token"] == "common"]
     assert all(r["score"] == 0 for r in shared)  # df == n_groups → ln 1
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (embedding keep-list)
+# ---------------------------------------------------------------------------
+
+def test_semantic_dedup_keep_list():
+    from trustfuse_ray.stages.dedup import semantic_dedup
+
+    # two tight clusters + one far-away singleton
+    base_a = np.array([1.0, 0.0, 0.0])
+    base_b = np.array([0.0, 1.0, 0.0])
+    vecs = [base_a, base_a * 0.99 + 0.01 * base_b,   # cluster {0, 1}
+            base_b, base_b * 0.98 + 0.02 * base_a,   # cluster {2, 3}
+            np.array([0.0, 0.0, 1.0])]               # singleton {4}
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(5), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float64())),
+    }))
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, threshold=0.9, n_parts=4).take_all()}
+    assert len(out) == 5
+    assert out[0]["label"] == 0 and out[0]["keep"]
+    assert out[1]["label"] == 0 and not out[1]["keep"]
+    assert out[2]["label"] == 2 and out[2]["keep"]
+    assert out[3]["label"] == 2 and not out[3]["keep"]
+    assert out[4]["label"] == 4 and out[4]["keep"]
+    # exactly one keeper per cluster
+    keepers = {}
+    for r in out.values():
+        keepers.setdefault(r["label"], 0)
+        keepers[r["label"]] += int(r["keep"])
+    assert all(v == 1 for v in keepers.values())

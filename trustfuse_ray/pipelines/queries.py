@@ -1148,6 +1148,13 @@ def q_train_shards(sf_dir: str):
     return assign_shards(_tbl(sf_dir, "documents"), n_shards=16)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style keep-list over the embeddings table: cosine
+    near-pair graph → connected components → min-id representative per
+    cluster (singletons keep themselves)."""
+    return dedup.semantic_dedup(_tbl(sf_dir, "embeddings"), threshold=0.40)
+
+
 def q_tfidf_terms(sf_dir: str):
     """Top-5 distinctive tokens per source by integer-scaled tf-idf."""
     from trustfuse_ray.stages.profile import tfidf_top_terms
@@ -1263,6 +1270,7 @@ def queries_map():
         "cms_registers": q_cms_registers,
         "train_shards": q_train_shards,
         "tfidf_terms": q_tfidf_terms,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -3064,4 +3072,24 @@ s AS (
 SELECT source, token, tf, df, score FROM s
 QUALIFY row_number() OVER (PARTITION BY source
                            ORDER BY score DESC, token) <= 5""",
+        "semantic_dedup": """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                               b.embedding::DOUBLE[]) >= 0.40
+),
+nodes AS (SELECT DISTINCT doc_a AS node FROM p
+          UNION SELECT DISTINCT doc_b FROM p),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+          UNION ALL SELECT doc_b, doc_a FROM p),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+lab AS (SELECT node, min(root) AS label FROM reach GROUP BY node)
+SELECT e.vec_id,
+       CAST(coalesce(l.label, e.vec_id) AS BIGINT) AS label,
+       coalesce(l.label, e.vec_id) = e.vec_id AS keep
+FROM embeddings e LEFT JOIN lab l ON l.node = e.vec_id""",
     }

@@ -497,6 +497,83 @@ def minhash_lsh_pairs(docs, num_hashes: int = 64, bands: int = 16,
         n_parts=n_parts, empty_schema=_PAIR_SCHEMA)
 
 
+def semantic_dedup(emb, threshold: float = 0.40, id_col: str = "vec_id",
+                   n_parts: int = 32):
+    """SemDeDup-style embedding dedup keep-list: cosine near-pair graph →
+    distributed connected components → keep the min-id member of every
+    cluster.  Output covers EVERY input row: ``(vec_id, label, keep)``
+    with label = min id of the near-dup cluster (own id for singletons).
+
+    Shape: the pair graph routes through :func:`embedding_near_pairs`
+    (exact broadcast path small, IVF-bucketed at scale), the labels stay
+    distributed (min-label-propagation CC), and the final keep-list is one
+    hash exchange of ``(id, label)`` rows co-partitioned with the id set —
+    neither the embeddings nor the cluster labels ever drive-materialize."""
+    import functools
+
+    from trustfuse_ray.stages.common import _add_part, plasma_exchange
+    from trustfuse_ray.stages.graph import connected_components
+
+    pairs = embedding_near_pairs(emb, threshold=threshold)
+    labels = connected_components(pairs, src="doc_a", dst="doc_b")
+
+    def _tag_id(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "label": pa.array(np.full(n, -1, np.int64)),
+            "side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def _tag_label(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            id_col: batch["node"].cast(pa.int64()),
+            "label": batch["label"].cast(pa.int64()),
+            "side": pa.array(np.ones(n, np.int8)),
+        })
+
+    uni_schema = pa.schema([(id_col, pa.int64()), ("label", pa.int64()),
+                            ("side", pa.int8()), ("__part", pa.int32())])
+    out_schema = pa.schema([(id_col, pa.int64()), ("label", pa.int64()),
+                            ("keep", pa.bool_())])
+
+    def _emit(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        ids = np.asarray(tbl[id_col], dtype=np.int64)
+        lab = np.asarray(tbl["label"], dtype=np.int64)
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        # per id: the label row (side 1) wins if present, else own id
+        order = np.lexsort((-side, ids))
+        idss = ids[order]
+        head = np.ones(len(idss), dtype=bool)
+        head[1:] = idss[1:] != idss[:-1]
+        # a run is anchored iff it has a side-0 id row; side-0 rows sort to
+        # the run tail (key is -side), so check each run's LAST row —
+        # label-only rows for ids outside the id set are dropped
+        starts = np.flatnonzero(head)
+        run_end = np.concatenate((starts[1:], [len(idss)])) - 1
+        has_id = side[order[run_end]] == 0
+        first = order[starts][has_id]
+        chosen_lab = np.where(side[first] == 1, lab[first], ids[first])
+        out_id = ids[first]
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            "label": pa.array(chosen_lab, pa.int64()),
+            "keep": pa.array(chosen_lab == out_id),
+        })
+
+    uni = emb.select_columns([id_col]).map_batches(
+        _tag_id, batch_format="pyarrow", zero_copy_batch=True).union(
+        labels.map_batches(_tag_label, batch_format="pyarrow"))
+    keyed = uni.map_batches(
+        functools.partial(_add_part, keys=[id_col], n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return plasma_exchange([keyed], _emit, n_parts, part_col="__part",
+                           empty_schema=uni_schema)
+
+
 def minhash_cluster_labels(docs, **kw):
     """Near-dup clusters as a Dataset(node, label): distributed connected
     components (min-label propagation, `graph.connected_components`) over
@@ -714,7 +791,9 @@ def _brute_near_pairs(emb, threshold: float, block: int):
         rids, rmat = ray.get(ref)
         bids = np.asarray(batch["vec_id"], dtype=np.int64)
         bm = list_matrix(batch["embedding"])
-        bm /= np.maximum(np.linalg.norm(bm, axis=1, keepdims=True), 1e-12)
+        # not in-place: list_matrix may return a read-only zero-copy view
+        bm = bm / np.maximum(np.linalg.norm(bm, axis=1, keepdims=True),
+                             1e-12)
         sims = bm @ rmat.T
         ai, bj = np.nonzero(sims >= threshold)
         keep = bids[ai] < rids[bj]  # dedupe + drop self
