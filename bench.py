@@ -129,6 +129,12 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     packed = timed("doc_curation", lambda: curate_documents(
         Q._tbl(sf_dir, "documents")).materialize())
     counts["curated_docs"] = packed.count()
+    from trustfuse_ray.stages.curation import line_dedup
+
+    lines_path = synth.generate_multiline_documents(sf_dir)  # cached
+    ld = timed("line_dedup", lambda: line_dedup(
+        _rd.read_parquet(lines_path)).materialize())
+    counts["line_dedup_docs"] = ld.count()
     timed("sessionize", lambda: sessionize(
         Q._tbl(sf_dir, "events")).materialize())
     timed("q1_pricing_summary",

@@ -377,7 +377,7 @@ def _split_lines_cols(text_col, ids: np.ndarray
 
 
 def line_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
-               n_parts: int = 64):
+               n_parts: int | None = None):
     """Corpus-wide line-level dedup: every line survives only at its first
     global occurrence (min ``(doc_id, line_idx)``); docs are rebuilt from
     their kept lines (docs with zero kept lines are dropped).  Output:
@@ -390,6 +390,13 @@ def line_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
     exchange disappears entirely if docs are read pre-partitioned by
     doc-id hash: the winner rows are then a map-side join."""
     from trustfuse_ray.stages.common import _add_part, plasma_exchange
+
+    if n_parts is None:
+        # exchange fixed cost is pieces = blocks × parts; CPU-proportional
+        # parts (the minhash sizing) keeps both waves one task per core
+        import ray
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_parts = 1 << max(3, (n_cpus - 1).bit_length())
 
     def _meta(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col], dtype=np.int64)
