@@ -481,30 +481,50 @@ def tfidf_top_terms(docs, group_col: str = "source", k: int = 5,
             "tf": pa.array(cnt.astype(np.int64), pa.int64()),
         })
 
+    from trustfuse_ray.stages.common import _add_part, plasma_exchange
+
     pairs = docs.select_columns([group_col, text_col]).map_batches(
         _pairs, batch_format="pyarrow", zero_copy_batch=True)
     agg = (pairs.groupby([group_col, "token"]).sum("tf")
            .rename_columns({"sum(tf)": "tf"}).materialize())
-    # group count and df are corpus-size-independent aggregates
-    n_groups = agg.select_columns([group_col]).unique(group_col)
-    ng = len(n_groups)
-    df_ds = (agg.groupby("token").count()
-             .rename_columns({"count()": "df"}))
-    df_map = {r["token"]: r["df"] for r in df_ds.iter_rows()}
-    df_ref = df_map  # broadcast via closure capture (vocab-sized)
+    # the group count is the one (tiny) global scalar
+    ng = len(agg.select_columns([group_col]).unique(group_col))
 
-    def _score(batch: pa.Table) -> pa.Table:
-        toks = batch["token"].to_pylist()
-        df = np.array([df_ref[t] for t in toks], dtype=np.int64)
-        tf = np.asarray(batch["tf"], dtype=np.int64)
+    # df never materializes on the driver: partition the (group, token, tf)
+    # table by token — every row of a token co-locates, so df is simply the
+    # token's run length inside the partition
+    scored_schema = pa.schema([(group_col, pa.string()),
+                               ("token", pa.string()), ("tf", pa.int64()),
+                               ("df", pa.int64()), ("score", pa.int64())])
+
+    def _score_part(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return scored_schema.empty_table()
+        order = pc.sort_indices(tbl, sort_keys=[("token", "ascending")])
+        tbl = tbl.take(order)
+        toks = tbl["token"].to_pandas().to_numpy(dtype=object)
+        n = len(toks)
+        head = np.ones(n, dtype=bool)
+        head[1:] = toks[1:] != toks[:-1]
+        run_id = np.cumsum(head) - 1
+        df = np.bincount(run_id).astype(np.int64)[run_id]
+        tf = np.asarray(tbl["tf"], dtype=np.int64)
         idf = np.round(np.log(ng / df.astype(np.float64))
                        * 1e9).astype(np.int64)
-        return batch.append_column(
-            "df", pa.array(df, pa.int64())).append_column(
-            "score", pa.array(tf * idf, pa.int64()))
+        return pa.table({
+            group_col: tbl[group_col], "token": tbl["token"],
+            "tf": pa.array(tf, pa.int64()),
+            "df": pa.array(df, pa.int64()),
+            "score": pa.array(tf * idf, pa.int64()),
+        })
 
-    scored = agg.map_batches(_score, batch_format="pyarrow",
-                             zero_copy_batch=True)
+    keyed = agg.map_batches(
+        functools.partial(_add_part, keys=["token"], n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True)
+    in_schema = pa.schema([(group_col, pa.string()), ("token", pa.string()),
+                           ("tf", pa.int64()), ("__part", pa.int32())])
+    scored = plasma_exchange([keyed], _score_part, n_parts,
+                             part_col="__part", empty_schema=in_schema)
 
     def _topk(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group, sort_keys=[
