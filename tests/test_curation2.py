@@ -226,3 +226,22 @@ def test_semantic_dedup_keep_list():
         keepers.setdefault(r["label"], 0)
         keepers[r["label"]] += int(r["keep"])
     assert all(v == 1 for v in keepers.values())
+
+
+# ---------------------------------------------------------------------------
+# empty-corpus safety (mirrors test_empty_inputs for the wave-2 ops)
+# ---------------------------------------------------------------------------
+
+def test_wave2_ops_empty_corpus():
+    from trustfuse_ray.stages.dedup import semantic_dedup
+
+    empty_docs = _docs([(0, "x")]).filter(lambda r: False)
+    assert redact_pii(empty_docs).count() == 0
+    assert assign_shards(empty_docs, n_shards=4, n_parts=4).count() == 0
+    assert cms_registers(empty_docs, depth=2, width=16).count() == 0
+    assert tfidf_top_terms(empty_docs, k=3, n_parts=4).count() == 0
+    empty_emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64())),
+    }))
+    assert semantic_dedup(empty_emb, n_parts=4).count() == 0

@@ -779,8 +779,13 @@ def embedding_near_pairs(emb, threshold: float = 0.95, block: int = 2048,
 
 def _brute_near_pairs(emb, threshold: float, block: int):
     import ray
+    import ray.data as rd
 
     all_rows = emb.select_columns(["vec_id", "embedding"]).take_all()
+    if not all_rows:
+        return rd.from_arrow(pa.schema([
+            ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+            ("cosine", pa.float64())]).empty_table())
     ids = np.array([r["vec_id"] for r in all_rows], dtype=np.int64)
     mat = np.stack([np.asarray(r["embedding"], dtype=np.float64)
                     for r in all_rows])

@@ -371,6 +371,54 @@ def _prop_aggs():
 # Count-min sketch — mergeable token-frequency sketch
 # --------------------------------------------------------------------------
 
+# token → (depth,) bucket row, memoized per worker process (link.py's
+# warm-task pattern): real corpora repeat most of their vocabulary across
+# batches, so the md5 work amortizes to once per token per worker
+_CMS_MEMO: dict = {}
+
+
+def _cms_buckets(uniq: list, depth: int, width: int) -> np.ndarray:
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    memo = _CMS_MEMO.setdefault((depth, width), {})
+    out = np.empty((len(uniq), depth), np.int64)
+    for i, t in enumerate(uniq):
+        row = memo.get(t)
+        if row is None:
+            row = np.array([_md5_token64(f"{j}:{t}") % width
+                            for j in range(depth)], np.int64)
+            if len(memo) < 2_000_000:  # bound per-process memory
+                memo[t] = row
+        out[i] = row
+    return out
+
+
+def _cms_partial(batch: pa.Table, *, depth: int, width: int,
+                 text_col: str) -> pa.Table:
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+        r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = enc.dictionary.to_pylist()
+    counts = np.bincount(code, minlength=len(uniq)).astype(np.int64)
+    reg = np.zeros(depth * width, np.int64)
+    b = _cms_buckets(uniq, depth, width)
+    for j in range(depth):
+        np.add.at(reg, j * width + b[:, j], counts)
+    nz = np.flatnonzero(reg)
+    return pa.table({
+        "row_j": pa.array(nz // width, pa.int64()),
+        "bucket": pa.array(nz % width, pa.int64()),
+        "n": pa.array(reg[nz], pa.int64()),
+    })
+
+
 def cms_registers(docs, depth: int = 4, width: int = 1024,
                   text_col: str = "text"):
     """Count-min sketch over whitespace tokens as a sparse cell table
@@ -381,36 +429,10 @@ def cms_registers(docs, depth: int = 4, width: int = 1024,
     sketch the hash is md5-keyed, making the whole sketch exactly
     replayable in SQL (``md5_number_lower``).  Point estimate for a token
     = min over its depth cells (upper-bounds the true count)."""
-    from trustfuse_ray.stages.dedup import _md5_token64
-
-    def _partial(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
-            r"\s+")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        flat = toks.flatten()
-        enc = pc.dictionary_encode(flat)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = enc.dictionary.to_pylist()
-        counts = np.bincount(code, minlength=len(uniq)).astype(np.int64)
-        reg = np.zeros(depth * width, np.int64)
-        for j in range(depth):
-            h = np.fromiter((_md5_token64(f"{j}:{t}") for t in uniq),
-                            dtype=np.uint64, count=len(uniq))
-            b = (h % np.uint64(width)).astype(np.int64)
-            np.add.at(reg, j * width + b, counts)
-        nz = np.flatnonzero(reg)
-        return pa.table({
-            "row_j": pa.array(nz // width, pa.int64()),
-            "bucket": pa.array(nz % width, pa.int64()),
-            "n": pa.array(reg[nz], pa.int64()),
-        })
-
     partial = docs.select_columns([text_col]).map_batches(
-        _partial, batch_format="pyarrow", zero_copy_batch=True)
+        functools.partial(_cms_partial, depth=depth, width=width,
+                          text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
     return (partial.groupby(["row_j", "bucket"]).sum("n")
             .rename_columns({"sum(n)": "n"}))
 
@@ -488,7 +510,8 @@ def tfidf_top_terms(docs, group_col: str = "source", k: int = 5,
     agg = (pairs.groupby([group_col, "token"]).sum("tf")
            .rename_columns({"sum(tf)": "tf"}).materialize())
     # the group count is the one (tiny) global scalar
-    ng = len(agg.select_columns([group_col]).unique(group_col))
+    groups = agg.select_columns([group_col]).unique(group_col)
+    ng = len(groups) if groups else 0
 
     # df never materializes on the driver: partition the (group, token, tf)
     # table by token — every row of a token co-locates, so df is simply the
