@@ -245,3 +245,29 @@ def test_wave2_ops_empty_corpus():
         "embedding": pa.array([], pa.list_(pa.float64())),
     }))
     assert semantic_dedup(empty_emb, n_parts=4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# BFS hops (KG neighborhood)
+# ---------------------------------------------------------------------------
+
+def test_bfs_hops_min_distance():
+    from trustfuse_ray.stages.graph import bfs_hops
+
+    # a - b - c - d (path), plus shortcut a - c; e isolated-from-seed
+    e = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c"), ("e", "f")]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([x for x, _ in e] + [y for _, y in e]),
+        "dst": pa.array([y for _, y in e] + [x for x, _ in e]),
+    }))
+    got = {r["node"]: r["hops"]
+           for r in bfs_hops(edges, ["a"], k=3, n_parts=4).take_all()}
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # k bounds the reach
+    got1 = {r["node"]: r["hops"]
+            for r in bfs_hops(edges, ["a"], k=1, n_parts=4).take_all()}
+    assert got1 == {"a": 0, "b": 1, "c": 1}
+    # multi-seed: min over seeds
+    got2 = {r["node"]: r["hops"]
+            for r in bfs_hops(edges, ["a", "e"], k=1, n_parts=4).take_all()}
+    assert got2 == {"a": 0, "e": 0, "b": 1, "c": 1, "f": 1}

@@ -1148,6 +1148,32 @@ def q_train_shards(sf_dir: str):
     return assign_shards(_tbl(sf_dir, "documents"), n_shards=16)
 
 
+def q_kg_khop(sf_dir: str):
+    """3-hop BFS neighborhood of the two smallest entities over the fused
+    property graph (string-valued facts; undirected): entity → entity#attr
+    → value → back out to entities sharing that value.  The frontier stays
+    a Dataset — no driver-side graph."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.graph import bfs_hops, property_graph_edges
+
+    triples = q_fuse_voting_sqlable(sf_dir).materialize()
+    edges = property_graph_edges(triples)
+
+    def _und(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["dst_str"]))
+        fwd = pa.table({"src": batch["src"].cast(pa.string()),
+                        "dst": batch["dst_str"].cast(pa.string())})
+        rev = pa.table({"src": batch["dst_str"].cast(pa.string()),
+                        "dst": batch["src"].cast(pa.string())})
+        return pa.concat_tables([fwd, rev])
+
+    und = edges.map_batches(_und, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    seeds = sorted(triples.unique("entity"))[:2]
+    return bfs_hops(und, seeds, k=3)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup-style keep-list over the embeddings table: cosine
     near-pair graph → connected components → min-id representative per
@@ -1271,6 +1297,7 @@ def queries_map():
         "train_shards": q_train_shards,
         "tfidf_terms": q_tfidf_terms,
         "semantic_dedup": q_semantic_dedup,
+        "kg_khop": q_kg_khop,
     }
 
 
@@ -3092,4 +3119,50 @@ SELECT e.vec_id,
        CAST(coalesce(l.label, e.vec_id) AS BIGINT) AS label,
        coalesce(l.label, e.vec_id) = e.vec_id AS keep
 FROM embeddings e LEFT JOIN lab l ON l.node = e.vec_id""",
+        "kg_khop": f"""
+WITH RECURSIVE {_claims_cte(cache)},
+dedup AS (
+  SELECT DISTINCT source, entity, attr, value_str, value_num, value_type
+  FROM claims
+),
+cat AS (
+  SELECT entity, attr, value_str, count(*) AS c
+  FROM dedup WHERE value_type <> 'quantity'
+  GROUP BY 1, 2, 3
+),
+catw AS (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM cat
+),
+fused AS (
+  SELECT entity, attr, value_str FROM catw WHERE rn = 1
+  UNION ALL
+  SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str
+  FROM dedup WHERE value_type = 'quantity'
+  GROUP BY 1, 2
+),
+ed AS (
+  SELECT entity AS src, entity || '#' || attr AS dst FROM fused
+  UNION ALL
+  SELECT entity || '#' || attr, entity FROM fused
+  UNION ALL
+  SELECT entity || '#' || attr, value_str FROM fused
+  WHERE value_str IS NOT NULL
+  UNION ALL
+  SELECT value_str, entity || '#' || attr FROM fused
+  WHERE value_str IS NOT NULL
+),
+seeds AS (
+  SELECT DISTINCT entity AS node FROM fused ORDER BY entity LIMIT 2
+),
+walk(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT ed.dst, w.hops + 1
+  FROM walk w JOIN ed ON ed.src = w.node
+  WHERE w.hops < 3
+)
+SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY node""",
     }

@@ -112,6 +112,75 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
             .select_columns(["node", "label"]))
 
 
+def bfs_hops(edges, seeds: list[str], k: int = 3, src: str = "src",
+             dst: str = "dst", n_parts: int = 16):
+    """Min-hop BFS from ``seeds`` over a string-node edge Dataset (directed;
+    union reversed edges first for undirected reach).  Returns
+    ``(node, hops)`` for every node within ``k`` hops.
+
+    Scale shape: the frontier is a DATASET, never a driver set — each round
+    is one hash exchange co-partitioning the frontier with the adjacency on
+    the node key, plus one min-combine groupby; per-round traffic is
+    O(edges incident to the frontier).  Seeds are a query input (small by
+    definition)."""
+    import ray.data as rd
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _tag_edges(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "node": batch[src].cast(pa.string()),
+            "other": batch[dst].cast(pa.string()),
+            "hops": pa.array(np.full(n, -1, np.int64)),
+            "side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def _frontier_rows(tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        return pa.table({
+            "node": tbl["node"].cast(pa.string()),
+            "other": pa.array([""] * n, pa.string()),
+            "hops": tbl["hops"].cast(pa.int64()),
+            "side": pa.array(np.ones(n, np.int8)),
+        })
+
+    def _expand(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"], dtype=np.int8)
+        fr = group.filter(pa.array(side == 1))
+        if len(fr) == 0:
+            return pa.table({"node": pa.array([], pa.string()),
+                             "hops": pa.array([], pa.int64())})
+        h = int(min(fr["hops"].to_pylist()))
+        adj = group.filter(pa.array(side == 0))
+        n = len(adj)
+        return pa.table({
+            "node": adj["other"],
+            "hops": pa.array(np.full(n, h + 1, np.int64)),
+        })
+
+    tagged = edges.map_batches(_tag_edges, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array(sorted(set(seeds)), pa.string()),
+        "hops": pa.array([0] * len(set(seeds)), pa.int64()),
+    }))
+    frontier = dist
+    for r in range(1, k + 1):
+        cand = hash_group_apply(
+            tagged.union(frontier.map_batches(_frontier_rows,
+                                              batch_format="pyarrow")),
+            ["node"], _expand, n_parts=n_parts,
+            plasma_schema=pa.schema([("node", pa.string()),
+                                     ("hops", pa.int64())]))
+        dist = (dist.union(cand).groupby("node").min("hops")
+                .rename_columns({"min(hops)": "hops"}).materialize())
+        frontier = dist.filter(expr=f"hops == {r}").materialize()
+        if frontier.count() == 0:
+            break
+    return dist
+
+
 def property_graph_edges(triples, entity_col: str = "entity",
                          attr_col: str = "attr"):
     """Fused triples → property-graph edge table, the data-processing half
