@@ -271,3 +271,24 @@ def test_bfs_hops_min_distance():
     got2 = {r["node"]: r["hops"]
             for r in bfs_hops(edges, ["a", "e"], k=1, n_parts=4).take_all()}
     assert got2 == {"a": 0, "e": 0, "b": 1, "c": 1, "f": 1}
+
+
+# ---------------------------------------------------------------------------
+# token chunking
+# ---------------------------------------------------------------------------
+
+def test_token_chunks_windows():
+    from trustfuse_ray.stages.curation import token_chunks
+
+    rows = [(0, " ".join(f"t{i}" for i in range(7))),   # 3 windows of 3
+            (1, "a b"),                                  # 1 window
+            (2, "")]                                     # [''] → 1 window
+    out = sorted(((r["doc_id"], r["win_idx"], r["n_tokens"], r["win_text"])
+                  for r in token_chunks(_docs(rows), window=3).take_all()))
+    assert out == [
+        (0, 0, 3, "t0 t1 t2"), (0, 1, 3, "t3 t4 t5"), (0, 2, 1, "t6"),
+        (1, 0, 2, "a b"), (2, 0, 1, ""),
+    ]
+    # every token appears in exactly one window, in order
+    rebuilt = " ".join(t for d, w, n, t in out if d == 0 and t)
+    assert rebuilt == rows[0][1]

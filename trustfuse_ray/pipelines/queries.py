@@ -1148,6 +1148,13 @@ def q_train_shards(sf_dir: str):
     return assign_shards(_tbl(sf_dir, "documents"), n_shards=16)
 
 
+def q_token_chunks(sf_dir: str):
+    """Fixed 64-token training windows per document (stride = window)."""
+    from trustfuse_ray.stages.curation import token_chunks
+
+    return token_chunks(_tbl(sf_dir, "documents"), window=64)
+
+
 def q_kg_khop(sf_dir: str):
     """3-hop BFS neighborhood of the two smallest entities over the fused
     property graph (string-valued facts; undirected): entity → entity#attr
@@ -1298,6 +1305,7 @@ def queries_map():
         "tfidf_terms": q_tfidf_terms,
         "semantic_dedup": q_semantic_dedup,
         "kg_khop": q_kg_khop,
+        "token_chunks": q_token_chunks,
     }
 
 
@@ -3165,4 +3173,16 @@ walk(node, hops) AS (
   WHERE w.hops < 3
 )
 SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY node""",
+        "token_chunks": r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(g.i AS BIGINT) AS win_idx,
+       CAST(len(list_slice(toks, g.i * 64 + 1, g.i * 64 + 64)) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, g.i * 64 + 1, g.i * 64 + 64), ' ')
+         AS win_text
+FROM t, unnest(generate_series(0, (len(toks) - 1) // 64)) g(i)""",
     }

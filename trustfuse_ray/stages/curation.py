@@ -660,3 +660,50 @@ def token_pack(docs, cap: int = 512, group_col: str = "source",
         _count, batch_format="pyarrow", zero_copy_batch=True)
     return pack_counted(counted, cap=cap, group_col=group_col,
                         id_col=id_col, n_parts=n_parts)
+
+
+# --------------------------------------------------------------------------
+# 6b. Fixed-size token windows (training-sequence chunking)
+# --------------------------------------------------------------------------
+
+def token_chunks(docs, window: int = 64, text_col: str = "text",
+                 id_col: str = "doc_id", **kw):
+    """Chunk each doc's whitespace tokens into fixed-size training windows
+    (stride = window): ``(doc_id, win_idx, n_tokens, win_text)``.  The
+    complement of :func:`token_pack` (packing joins short docs; chunking
+    splits long ones).  Pure per-batch Arrow/numpy — window boundaries are
+    one vectorized mask over the flat token stream, the window texts one
+    ``binary_join`` over a rebuilt list array; no shuffle."""
+    def _chunk(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+            _SPLIT_RX)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        total = int(lens.sum())
+        docix = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        starts = np.cumsum(lens) - lens
+        tok_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+        head = np.zeros(total, dtype=bool)
+        if total:
+            head[0] = True
+            head[1:] = (docix[1:] != docix[:-1]) | (tok_idx[1:] % window == 0)
+        bounds = np.flatnonzero(head)
+        offsets = np.concatenate((bounds, [total])).astype(np.int32)
+        win_text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat),
+            " ")
+        ids = batch[id_col].take(pa.array(docix[bounds]))
+        return pa.table({
+            id_col: ids,
+            "win_idx": pa.array(tok_idx[bounds] // window, pa.int64()),
+            "n_tokens": pa.array(np.diff(offsets).astype(np.int64),
+                                 pa.int64()),
+            "win_text": win_text,
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _chunk, batch_format="pyarrow", zero_copy_batch=True, **kw)
