@@ -125,8 +125,6 @@ def bfs_hops(edges, seeds: list[str], k: int = 3, src: str = "src",
     definition)."""
     import ray.data as rd
 
-    from trustfuse_ray.stages.common import hash_group_apply
-
     def _tag_edges(batch: pa.Table) -> pa.Table:
         n = len(batch)
         return pa.table({
@@ -145,18 +143,36 @@ def bfs_hops(edges, seeds: list[str], k: int = 3, src: str = "src",
             "side": pa.array(np.ones(n, np.int8)),
         })
 
-    def _expand(group: pa.Table) -> pa.Table:
-        side = np.asarray(group["side"], dtype=np.int8)
-        fr = group.filter(pa.array(side == 1))
-        if len(fr) == 0:
-            return pa.table({"node": pa.array([], pa.string()),
-                             "hops": pa.array([], pa.int64())})
-        h = int(min(fr["hops"].to_pylist()))
-        adj = group.filter(pa.array(side == 0))
-        n = len(adj)
+    cand_schema = pa.schema([("node", pa.string()), ("hops", pa.int64())])
+
+    def _expand_part(tbl: pa.Table) -> pa.Table:
+        # fully vectorized over the partition: per node-run, adjacency rows
+        # (side 0) emit (other, min frontier hop in run + 1).  One lexsort;
+        # no per-node Python.
+        if len(tbl) == 0:
+            return cand_schema.empty_table()
+        node = tbl["node"].to_pandas().to_numpy(dtype=object)
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        hops = np.asarray(tbl["hops"], dtype=np.int64)
+        order = np.lexsort((side, node))  # frontier rows (side 1) last
+        ns, ss, hs = node[order], side[order], hops[order]
+        n = len(ns)
+        head = np.ones(n, dtype=bool)
+        head[1:] = ns[1:] != ns[:-1]
+        run_id = np.cumsum(head) - 1
+        nruns = int(run_id[-1]) + 1
+        # min frontier hop per run (runs without a frontier row stay SENT)
+        fmin = np.full(nruns, _SENT, np.int64)
+        fr = ss == 1
+        if fr.any():
+            np.minimum.at(fmin, run_id[fr], hs[fr])
+        adj = (ss == 0) & (fmin[run_id] != _SENT)
+        if not adj.any():
+            return cand_schema.empty_table()
+        sel = order[adj]
         return pa.table({
-            "node": adj["other"],
-            "hops": pa.array(np.full(n, h + 1, np.int64)),
+            "node": tbl["other"].take(pa.array(sel)),
+            "hops": pa.array(fmin[run_id[adj]] + 1, pa.int64()),
         })
 
     tagged = edges.map_batches(_tag_edges, batch_format="pyarrow",
@@ -165,14 +181,20 @@ def bfs_hops(edges, seeds: list[str], k: int = 3, src: str = "src",
         "node": pa.array(sorted(set(seeds)), pa.string()),
         "hops": pa.array([0] * len(set(seeds)), pa.int64()),
     }))
+    from trustfuse_ray.stages.common import _add_part, plasma_exchange
+
+    uni_schema = pa.schema([("node", pa.string()), ("other", pa.string()),
+                            ("hops", pa.int64()), ("side", pa.int8()),
+                            ("__part", pa.int32())])
     frontier = dist
     for r in range(1, k + 1):
-        cand = hash_group_apply(
-            tagged.union(frontier.map_batches(_frontier_rows,
-                                              batch_format="pyarrow")),
-            ["node"], _expand, n_parts=n_parts,
-            plasma_schema=pa.schema([("node", pa.string()),
-                                     ("hops", pa.int64())]))
+        uni = tagged.union(frontier.map_batches(_frontier_rows,
+                                                batch_format="pyarrow"))
+        keyed = uni.map_batches(
+            functools.partial(_add_part, keys=["node"], n_parts=n_parts),
+            batch_format="pyarrow", zero_copy_batch=True)
+        cand = plasma_exchange([keyed], _expand_part, n_parts,
+                               part_col="__part", empty_schema=uni_schema)
         dist = (dist.union(cand).groupby("node").min("hops")
                 .rename_columns({"min(hops)": "hops"}).materialize())
         frontier = dist.filter(expr=f"hops == {r}").materialize()
