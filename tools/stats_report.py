@@ -56,6 +56,17 @@ def main():
                      "plasma exchanges)",
                      time.perf_counter() - t0, packed_docs.stats()))
 
+    import ray.data as rd
+
+    from trustfuse_ray.stages.curation import line_dedup
+
+    lines_path = synth.generate_multiline_documents(sf_dir)
+    t0 = time.perf_counter()
+    ld = line_dedup(rd.read_parquet(lines_path)).materialize()
+    sections.append(("line-level dedup (line-hash exchange → winner set → "
+                     "co-partitioned reconstruct)",
+                     time.perf_counter() - t0, ld.stats()))
+
     out = ["# BENCH_STATS — ds.stats() for the headline pipeline stages",
            "",
            f"Input: {sf_dir} synthetic corpus "
