@@ -399,18 +399,25 @@ def line_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
         n_parts = 1 << max(3, (n_cpus - 1).bit_length())
 
     def _meta(batch: pa.Table) -> pa.Table:
+        # the full 128-bit md5 travels as TWO int64 columns (exact — no
+        # 64-bit truncation collisions at 10^10+ lines), 16 B/row instead
+        # of a 32-char hex string, and the winner pass lexsorts ints
         ids = np.asarray(batch[id_col], dtype=np.int64)
         docrep, lidx, flat = _split_lines_cols(batch[text_col], ids)
-        fps = [hashlib.md5((s if s is not None else "").encode()).hexdigest()
-               for s in flat.to_pylist()]
+        digs = [hashlib.md5((s if s is not None else "").encode()).digest()
+                for s in flat.to_pylist()]
+        n = len(digs)
+        raw = np.frombuffer(b"".join(digs), dtype=np.uint64).reshape(n, 2) \
+            if n else np.zeros((0, 2), np.uint64)
         return pa.table({
-            "fp": pa.array(fps, pa.string()),
+            "fp_hi": pa.array(raw[:, 0].view(np.int64), pa.int64()),
+            "fp_lo": pa.array(raw[:, 1].view(np.int64), pa.int64()),
             id_col: pa.array(docrep, pa.int64()),
             "line_idx": pa.array(lidx, pa.int64()),
         })
 
-    meta_schema = pa.schema([("fp", pa.string()), (id_col, pa.int64()),
-                             ("line_idx", pa.int64()),
+    meta_schema = pa.schema([("fp_hi", pa.int64()), ("fp_lo", pa.int64()),
+                             (id_col, pa.int64()), ("line_idx", pa.int64()),
                              ("__part", pa.int32())])
     win_schema = pa.schema([(id_col, pa.int64()), ("line_idx", pa.int64())])
 
@@ -419,13 +426,14 @@ def line_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
         # each run's head — one vectorized pass over the whole partition
         if len(tbl) == 0:
             return win_schema.empty_table()
-        fp = tbl["fp"].to_pandas().to_numpy(dtype=object)
+        hi = np.asarray(tbl["fp_hi"], dtype=np.int64)
+        lo = np.asarray(tbl["fp_lo"], dtype=np.int64)
         d = np.asarray(tbl[id_col], dtype=np.int64)
         li = np.asarray(tbl["line_idx"], dtype=np.int64)
-        order = np.lexsort((li, d, fp))
-        fps = fp[order]
-        head = np.ones(len(fps), dtype=bool)
-        head[1:] = fps[1:] != fps[:-1]
+        order = np.lexsort((li, d, lo, hi))
+        his, los = hi[order], lo[order]
+        head = np.ones(len(his), dtype=bool)
+        head[1:] = (his[1:] != his[:-1]) | (los[1:] != los[:-1])
         sel = order[np.flatnonzero(head)]
         return pa.table({id_col: pa.array(d[sel], pa.int64()),
                          "line_idx": pa.array(li[sel], pa.int64())})
@@ -433,7 +441,8 @@ def line_dedup(docs, text_col: str = "text", id_col: str = "doc_id",
     meta = docs.select_columns([id_col, text_col]).map_batches(
         _meta, batch_format="pyarrow", zero_copy_batch=True)
     keyed = meta.map_batches(
-        functools.partial(_add_part, keys=["fp"], n_parts=n_parts),
+        functools.partial(_add_part, keys=["fp_hi", "fp_lo"],
+                          n_parts=n_parts),
         batch_format="pyarrow", zero_copy_batch=True)
     winners = plasma_exchange([keyed], _winners, n_parts,
                               part_col="__part", empty_schema=meta_schema)
