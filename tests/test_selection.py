@@ -1,0 +1,189 @@
+"""Round-3 wave-3 operators: hopping-window aggregate, DSIR importance
+weights, stratified train/val/test split."""
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from trustfuse_ray.stages.curation import stratified_split
+from trustfuse_ray.stages.selection import dsir_importance
+from trustfuse_ray.stages.windows import hopping_window_aggregate
+
+
+def _md5_64(s: str) -> int:
+    return struct.unpack("<Q", hashlib.md5(s.encode()).digest()[8:16])[0]
+
+
+# ---------------------------------------------------------------------------
+# hopping_window_aggregate
+# ---------------------------------------------------------------------------
+
+def _events(rows):
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    }))
+
+
+def test_hopping_window_matches_bruteforce():
+    rng = np.random.default_rng(7)
+    rows = [(f"t{int(rng.integers(3))}", int(rng.integers(0, 10 ** 10)),
+             float(rng.uniform(0, 100))) for _ in range(400)]
+    window_us, hop_us = 3600 * 10 ** 6, 900 * 10 ** 6
+    want: dict[tuple, list] = {}
+    for k, ts, v in rows:
+        base = ts // hop_us
+        for i in range(window_us // hop_us):
+            start = (base - i) * hop_us
+            agg = want.setdefault((k, start), [0, 0])
+            agg[0] += 1
+            agg[1] += int(round(v * 10_000))
+    got = hopping_window_aggregate(
+        _events(rows).repartition(7), window_s=3600, hop_s=900).to_pandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        n, fx = want[(r["event_type"], int(r["window_us"]))]
+        assert r["n_events"] == n
+        assert abs(r["sum_value"] - fx / 10_000.0) < 1e-9
+
+
+def test_hopping_window_rejects_nonmultiple():
+    import pytest
+
+    with pytest.raises(ValueError):
+        hopping_window_aggregate(_events([("a", 0, 1.0)]),
+                                 window_s=3600, hop_s=700)
+
+
+def test_hopping_window_empty():
+    got = hopping_window_aggregate(_events([])).to_pandas()
+    assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance
+# ---------------------------------------------------------------------------
+
+def _docs(rows):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    }))
+
+
+def _dsir_oracle(rows, n_buckets=1024, target="en"):
+    raw = np.zeros(n_buckets, np.int64)
+    tgt = np.zeros(n_buckets, np.int64)
+    toks = {}
+    for doc_id, text, lang in rows:
+        import re
+        # match the engine's \s+ split over the trimmed string
+        tl = re.split(r"\s+", text.strip())
+        toks[doc_id] = tl
+        for t in tl:
+            b = _md5_64(t) & (n_buckets - 1)
+            raw[b] += 1
+            if lang == target:
+                tgt[b] += 1
+    out = {}
+    for doc_id, _, _ in rows:
+        s = 0
+        for t in toks[doc_id]:
+            b = _md5_64(t) & (n_buckets - 1)
+            s += (int(tgt[b]) + 1).bit_length() - (int(raw[b]) + 1).bit_length()
+        out[doc_id] = s
+    return out
+
+
+def test_dsir_matches_sequential_oracle():
+    rng = np.random.default_rng(11)
+    vocab_en = ["the", "quick", "fox", "jumps", "data", "model"]
+    vocab_fr = ["le", "renard", "rapide", "saute", "donnée"]
+    rows = []
+    for i in range(120):
+        en = bool(rng.integers(2))
+        v = vocab_en if en else vocab_fr
+        words = [v[int(j)] for j in rng.integers(0, len(v), size=12)]
+        rows.append((i, " ".join(words), "en" if en else "fr"))
+    want = _dsir_oracle(rows)
+    got = dsir_importance(_docs(rows).repartition(5)).to_pandas()
+    assert len(got) == len(rows)
+    for _, r in got.iterrows():
+        assert int(r["dsir_score"]) == want[int(r["doc_id"])]
+    # target-language docs should score higher on average
+    gm = got.set_index("doc_id")["dsir_score"]
+    en_ids = [i for i, _, l in rows if l == "en"]
+    fr_ids = [i for i, _, l in rows if l == "fr"]
+    assert gm.loc[en_ids].mean() > gm.loc[fr_ids].mean()
+
+
+def test_dsir_partition_invariant():
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared", "en" if i % 2 else "fr")
+            for i in range(40)]
+    a = dsir_importance(_docs(rows).repartition(1)).to_pandas()
+    b = dsir_importance(_docs(rows).repartition(9)).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["dsir_score"] == b["dsir_score"]).all()
+
+
+def test_dsir_empty():
+    got = dsir_importance(_docs([])).to_pandas()
+    assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# stratified_split
+# ---------------------------------------------------------------------------
+
+def _split_docs(n_per_group, groups=("a", "b", "c")):
+    rows = []
+    i = 0
+    for g in groups:
+        for _ in range(n_per_group):
+            rows.append((i, g))
+            i += 1
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def test_stratified_split_fractions_and_determinism():
+    ds = _split_docs(50)
+    got = stratified_split(ds).to_pandas()
+    assert len(got) == 150
+    for g, grp in got.groupby("source"):
+        c = grp["split"].value_counts()
+        assert c.get("train", 0) == 40  # floor(0.8*50)
+        assert c.get("val", 0) == 5
+        assert c.get("test", 0) == 5
+    # per-group cut replays the md5 rank rule exactly
+    for g, grp in got.groupby("source"):
+        order = sorted(grp["doc_id"],
+                       key=lambda d: (hashlib.md5(str(d).encode())
+                                      .hexdigest(), d))
+        lab = {d: ("train" if i < 40 else "val" if i < 45 else "test")
+               for i, d in enumerate(order)}
+        for _, r in grp.iterrows():
+            assert r["split"] == lab[r["doc_id"]]
+
+
+def test_stratified_split_partition_invariant():
+    a = stratified_split(_split_docs(21).repartition(1)).to_pandas()
+    b = stratified_split(_split_docs(21).repartition(8)).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"] == b["split"]).all()
+
+
+def test_stratified_split_bad_fracs():
+    import pytest
+
+    with pytest.raises(ValueError):
+        stratified_split(_split_docs(3), fracs=(0.5, 0.2))

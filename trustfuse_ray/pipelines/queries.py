@@ -699,6 +699,33 @@ def q_events_windowed_agg(sf_dir: str):
     return windowed_aggregate(_tbl(sf_dir, "events"), window_s=3600)
 
 
+def q_events_hopping_agg(sf_dir: str):
+    """Hopping 1-hour window advancing by 15 min per event_type: the m-fold
+    window expansion happens inside each block, pre-combined before the one
+    small shuffle (fixed-point sums)."""
+    from trustfuse_ray.stages.windows import hopping_window_aggregate
+
+    return hopping_window_aggregate(_tbl(sf_dir, "events"),
+                                    window_s=3600, hop_s=900)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights (hashed-unigram bucket log-ratio,
+    target = lang 'en'): fit is one bucket-histogram combine, model
+    broadcasts via ray.put, scoring is one streaming pass."""
+    from trustfuse_ray.stages.selection import dsir_importance
+
+    return dsir_importance(_tbl(sf_dir, "documents"))
+
+
+def q_train_split_stratified(sf_dir: str):
+    """Deterministic stratified 80/10/10 train/val/test split per source
+    (md5-ranked within stratum; partition/retry invariant)."""
+    from trustfuse_ray.stages.curation import stratified_split
+
+    return stratified_split(_tbl(sf_dir, "documents"))
+
+
 def q_events_asof_join(sf_dir: str):
     """As-of join: each purchase gets the ts of the user's latest click at
     or before it (DuckDB ASOF LEFT JOIN is the oracle)."""
@@ -1259,6 +1286,9 @@ def queries_map():
         "top_customers": q_top_customers,
         "events_sessionize": q_events_sessionize,
         "events_windowed_agg": q_events_windowed_agg,
+        "events_hopping_agg": q_events_hopping_agg,
+        "dsir_weights": q_dsir_weights,
+        "train_split_stratified": q_train_split_stratified,
         "events_asof_join": q_events_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_exact_docs": q_dedup_exact_docs,
@@ -2494,6 +2524,47 @@ SELECT user_id,
        sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
 FROM events
 GROUP BY 1, 2""",
+        "events_hopping_agg": """
+SELECT event_type,
+       ((epoch_us(ts) // 900000000) - i.range) * 900000000 AS window_us,
+       count(*) AS n_events,
+       sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
+FROM events CROSS JOIN range(4) i
+GROUP BY 1, 2""",
+        "dsir_weights": r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+           AS token
+  FROM documents
+),
+b AS (SELECT doc_id, lang,
+             CAST(md5_number_lower(token) & 1023 AS BIGINT) AS bucket
+      FROM toks),
+raw AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+tgt AS (SELECT bucket, count(*) AS n FROM b WHERE lang = 'en' GROUP BY 1),
+sc AS (
+  SELECT b.doc_id,
+         sum(length(bin(coalesce(t.n, 0) + 1))
+             - length(bin(r.n + 1))) AS score
+  FROM b JOIN raw r USING (bucket) LEFT JOIN tgt t ON t.bucket = b.bucket
+  GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS dsir_score
+FROM documents d LEFT JOIN sc s USING (doc_id)""",
+        "train_split_stratified": """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           - 1 AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN rn < CAST(floor(0.8 * cnt) AS BIGINT) THEN 'train'
+            WHEN rn < CAST(floor(0.9 * cnt) AS BIGINT) THEN 'val'
+            ELSE 'test' END AS split
+FROM r""",
         "known_entity_flags": """
 WITH e AS (
   SELECT user_id,

@@ -596,6 +596,51 @@ def assign_shards(docs, n_shards: int = 16, id_col: str = "doc_id",
                             plasma_schema=out_schema)
 
 
+def stratified_split(docs, group_col: str = "source",
+                     id_col: str = "doc_id",
+                     fracs: tuple[float, ...] = (0.8, 0.1, 0.1),
+                     names: tuple[str, ...] = ("train", "val", "test"),
+                     n_parts: int = 32):
+    """Deterministic stratified train/val/test split: within each stratum
+    (``group_col``) rank docs by ``(md5_hex(str(id)), id)`` and cut at
+    ``floor(cumfrac · n)``.  Every stratum lands within one doc of its
+    target fractions, and the assignment is partition/retry invariant
+    (keys are content-independent).  The exchange moves (id, group, fp)
+    rows only — never text."""
+    if abs(sum(fracs) - 1.0) > 1e-9 or len(fracs) != len(names):
+        raise ValueError("fracs must sum to 1 and match names")
+    cum = [float(f) for f in np.cumsum(fracs)[:-1]]
+
+    def _key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.string()).to_pylist()
+        fps = [hashlib.md5((s or "").encode()).hexdigest() for s in ids]
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         group_col: batch[group_col],
+                         "fp": pa.array(fps, pa.string())})
+
+    def _cut(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("fp", "ascending"),
+                                                  (id_col, "ascending")])
+        group = group.take(order)
+        n = len(group)
+        # floor(frac * n) in float64 — bit-identical to SQL floor(frac*cnt)
+        bounds = np.floor(np.array(cum, dtype=np.float64) * n).astype(
+            np.int64)
+        lab = np.searchsorted(bounds, np.arange(n, dtype=np.int64),
+                              side="right")
+        split = pa.array(np.asarray(names, dtype=object)[lab], pa.string())
+        return pa.table({id_col: group[id_col],
+                         group_col: group[group_col],
+                         "split": split})
+
+    keyed = docs.select_columns([id_col, group_col]).map_batches(
+        _key, batch_format="pyarrow", zero_copy_batch=True)
+    out_schema = pa.schema([(id_col, pa.int64()), (group_col, pa.string()),
+                            ("split", pa.string())])
+    return hash_group_apply(keyed, [group_col], _cut, n_parts=n_parts,
+                            plasma_schema=out_schema)
+
+
 # --------------------------------------------------------------------------
 # 5. Greedy sequence packing
 # --------------------------------------------------------------------------

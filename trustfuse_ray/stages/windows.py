@@ -233,3 +233,64 @@ def windowed_aggregate(events, key_col: str = "user_id", ts_col: str = "ts",
         })
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def _hopping_partial(batch: pa.Table, *, key_col: str, ts_col: str,
+                     value_col: str, window_us: int, hop_us: int,
+                     fx_scale: int) -> pa.Table:
+    """Map-side partial for the hopping-window aggregate.  An event at t
+    belongs to exactly ``m = window/hop`` overlapping windows with starts
+    ``(t//hop - i) * hop, i in 0..m-1`` — expand to (event × m) INSIDE the
+    block and pre-aggregate, so the shuffle still carries one row per
+    (key, window) per block, never per event."""
+    m = int(window_us // hop_us)
+    ts = np.asarray(batch[ts_col].cast(pa.int64()), dtype=np.int64)
+    v_fx = np.asarray(pc.cast(pc.round(
+        pc.multiply(batch[value_col], pa.scalar(float(fx_scale))),
+        round_mode="half_towards_infinity"), pa.int64()), dtype=np.int64)
+    n = len(ts)
+    idx = np.repeat(np.arange(n, dtype=np.int64), m)
+    off = np.tile(np.arange(m, dtype=np.int64), n)
+    starts = ((ts // hop_us)[idx] - off) * hop_us
+    keys = batch[key_col].combine_chunks().take(pa.array(idx))
+    t = pa.table({key_col: keys,
+                  "window_us": pa.array(starts, pa.int64()),
+                  "v_fx": pa.array(v_fx[idx], pa.int64()),
+                  "n": pa.array(np.ones(n * m, dtype=np.int64))})
+    return (pa.TableGroupBy(t, [key_col, "window_us"])
+            .aggregate([("v_fx", "sum"), ("n", "sum")])
+            .rename_columns([key_col, "window_us", "v_fx", "n"]))
+
+
+def hopping_window_aggregate(events, key_col: str = "event_type",
+                             ts_col: str = "ts", value_col: str = "value",
+                             window_s: int = 3600, hop_s: int = 900,
+                             fx_scale: int = 10_000):
+    """Hopping (sliding) window aggregate: fixed window ``window_s``
+    advancing by ``hop_s`` (window must be a multiple of hop).  Same
+    100-TB shape as the tumbling form — the wide exchange moves
+    pre-combined (key, window) partials with exact fixed-point sums;
+    the m-fold expansion never leaves the block that produced it."""
+    window_us = int(window_s) * 1_000_000
+    hop_us = int(hop_s) * 1_000_000
+    if window_us % hop_us:
+        raise ValueError("window_s must be a multiple of hop_s")
+    partial = events.select_columns(
+        [key_col, ts_col, value_col]).map_batches(
+        functools.partial(_hopping_partial, key_col=key_col, ts_col=ts_col,
+                          value_col=value_col, window_us=window_us,
+                          hop_us=hop_us, fx_scale=fx_scale),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial.groupby([key_col, "window_us"]).sum(["v_fx", "n"])
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch[key_col],
+            "window_us": batch["window_us"],
+            "n_events": batch["sum(n)"],
+            "sum_value": pc.divide(
+                pc.cast(batch["sum(v_fx)"], pa.float64()),
+                pa.scalar(float(fx_scale))),
+        })
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
