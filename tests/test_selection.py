@@ -187,3 +187,123 @@ def test_stratified_split_bad_fracs():
 
     with pytest.raises(ValueError):
         stratified_split(_split_docs(3), fracs=(0.5, 0.2))
+
+
+# ---------------------------------------------------------------------------
+# running_totals
+# ---------------------------------------------------------------------------
+
+def _events_rt(rows):
+    return rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    }))
+
+
+def test_running_totals_matches_bruteforce():
+    from trustfuse_ray.stages.windows import running_totals
+
+    rng = np.random.default_rng(3)
+    rows = [(i, int(rng.integers(5)), int(rng.integers(0, 10 ** 8)),
+             float(rng.uniform(-5, 5))) for i in range(300)]
+    got = running_totals(_events_rt(rows).repartition(6)).to_pandas()
+    assert len(got) == 300
+    want = {}
+    by_user: dict[int, list] = {}
+    for eid, uid, ts, v in rows:
+        by_user.setdefault(uid, []).append((ts, eid, v))
+    for uid, evs in by_user.items():
+        evs.sort()
+        cum_fx = 0
+        for rank, (ts, eid, v) in enumerate(evs, start=1):
+            cum_fx += int(np.round(v * 10_000))
+            want[eid] = (rank, cum_fx / 10_000.0)
+    for _, r in got.iterrows():
+        rn, rv = want[int(r["event_id"])]
+        assert int(r["running_n"]) == rn
+        assert abs(float(r["running_value"]) - rv) < 1e-9
+
+
+def test_running_totals_partition_invariant():
+    from trustfuse_ray.stages.windows import running_totals
+
+    rows = [(i, i % 3, 1000 * (i % 7), float(i)) for i in range(60)]
+    a = running_totals(_events_rt(rows).repartition(1)).to_pandas()
+    b = running_totals(_events_rt(rows).repartition(9)).to_pandas()
+    a = a.sort_values("event_id").reset_index(drop=True)
+    b = b.sort_values("event_id").reset_index(drop=True)
+    assert (a["running_n"] == b["running_n"]).all()
+    assert (a["running_value"] == b["running_value"]).all()
+
+
+# ---------------------------------------------------------------------------
+# rollup_counts
+# ---------------------------------------------------------------------------
+
+def test_rollup_counts_matches_pandas():
+    from trustfuse_ray.stages.profile import rollup_counts
+
+    rows = [(i, f"s{i % 3}", "en" if i % 2 else "fr", 10 + i)
+            for i in range(90)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+        "n_chars": pa.array([r[3] for r in rows], pa.int64()),
+    })).repartition(7)
+    got = rollup_counts(ds).to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "lang", "n_chars"])
+    fine = df.groupby(["source", "lang"]).agg(
+        n=("doc_id", "size"), v=("n_chars", "sum"))
+    mid = df.groupby("source").agg(n=("doc_id", "size"),
+                                   v=("n_chars", "sum"))
+    # 3*2 fine + 3 mid + 1 total
+    assert len(got) == len(fine) + len(mid) + 1
+    gm = {(r["source"], r["lang"]): (r["n_rows"], r["value_sum"])
+          for _, r in got.iterrows()}
+    for (s, l), r in fine.iterrows():
+        assert gm[(s, l)] == (r["n"], r["v"])
+    for s, r in mid.iterrows():
+        assert gm[(s, "ALL")] == (r["n"], r["v"])
+    assert gm[("ALL", "ALL")] == (len(df), df["n_chars"].sum())
+
+
+def test_rollup_counts_empty():
+    from trustfuse_ray.stages.profile import rollup_counts
+
+    ds = rd.from_arrow(pa.table({
+        "source": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    }))
+    assert len(rollup_counts(ds).to_pandas()) == 0
+
+
+# ---------------------------------------------------------------------------
+# dsir_select
+# ---------------------------------------------------------------------------
+
+def test_dsir_select_threshold_semantics():
+    from trustfuse_ray.stages.selection import dsir_select
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} shared body words",
+             "en" if i % 3 == 0 else "fr") for i in range(120)]
+    scores = _dsir_oracle(rows)
+    vals = np.array(sorted(scores.values(), reverse=True))
+    k = int(np.ceil(0.25 * len(vals)))
+    thr = int(vals[k - 1])
+    want_ids = {i for i, s in scores.items() if s >= thr}
+    got = dsir_select(_docs(rows).repartition(5), frac=0.25).to_pandas()
+    assert set(got["doc_id"].astype(int)) == want_ids
+    assert len(got) >= k  # ties at the cutoff included
+
+
+def test_dsir_select_empty():
+    from trustfuse_ray.stages.selection import dsir_select
+
+    got = dsir_select(_docs([])).to_pandas()
+    assert len(got) == 0

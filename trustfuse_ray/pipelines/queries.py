@@ -699,6 +699,31 @@ def q_events_windowed_agg(sf_dir: str):
     return windowed_aggregate(_tbl(sf_dir, "events"), window_s=3600)
 
 
+# Shared by the dsir_weights / dsir_select oracles: (doc_id, dsir_score)
+# for every document — md5-bucketed unigrams, integer bit-length log ratio
+# (mirrors stages/selection.py exactly).
+_DSIR_SCORES_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+           AS token
+  FROM documents
+),
+b AS (SELECT doc_id, lang,
+             CAST(md5_number_lower(token) & 1023 AS BIGINT) AS bucket
+      FROM toks),
+raw AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+tgt AS (SELECT bucket, count(*) AS n FROM b WHERE lang = 'en' GROUP BY 1),
+sc AS (
+  SELECT b.doc_id,
+         sum(length(bin(coalesce(t.n, 0) + 1))
+             - length(bin(r.n + 1))) AS score
+  FROM b JOIN raw r USING (bucket) LEFT JOIN tgt t ON t.bucket = b.bucket
+  GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS dsir_score
+FROM documents d LEFT JOIN sc s USING (doc_id)"""
+
+
 def q_events_hopping_agg(sf_dir: str):
     """Hopping 1-hour window advancing by 15 min per event_type: the m-fold
     window expansion happens inside each block, pre-combined before the one
@@ -716,6 +741,31 @@ def q_dsir_weights(sf_dir: str):
     from trustfuse_ray.stages.selection import dsir_importance
 
     return dsir_importance(_tbl(sf_dir, "documents"))
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR top-25% selection: exact cutoff from the score histogram
+    (never a global sort), ties at the cutoff included."""
+    from trustfuse_ray.stages.selection import dsir_select
+
+    return dsir_select(_tbl(sf_dir, "documents"), frac=0.25)
+
+
+def q_events_running_totals(sf_dir: str):
+    """Per-user running count + running fixed-point value sum in
+    (ts, event_id) order — the window-function surface (one hash
+    exchange on the key, in-group sort + cumsum)."""
+    from trustfuse_ray.stages.windows import running_totals
+
+    return running_totals(_tbl(sf_dir, "events"))
+
+
+def q_rollup_docs(sf_dir: str):
+    """GROUP BY ROLLUP (source, lang): doc counts and char sums at all
+    three levels from ONE map-side multi-level partial."""
+    from trustfuse_ray.stages.profile import rollup_counts
+
+    return rollup_counts(_tbl(sf_dir, "documents"))
 
 
 def q_train_split_stratified(sf_dir: str):
@@ -1288,6 +1338,9 @@ def queries_map():
         "events_windowed_agg": q_events_windowed_agg,
         "events_hopping_agg": q_events_hopping_agg,
         "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "events_running_totals": q_events_running_totals,
+        "rollup_docs": q_rollup_docs,
         "train_split_stratified": q_train_split_stratified,
         "events_asof_join": q_events_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2531,26 +2584,30 @@ SELECT event_type,
        sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
 FROM events CROSS JOIN range(4) i
 GROUP BY 1, 2""",
-        "dsir_weights": r"""
-WITH toks AS (
-  SELECT doc_id, lang,
-         unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
-           AS token
-  FROM documents
-),
-b AS (SELECT doc_id, lang,
-             CAST(md5_number_lower(token) & 1023 AS BIGINT) AS bucket
-      FROM toks),
-raw AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
-tgt AS (SELECT bucket, count(*) AS n FROM b WHERE lang = 'en' GROUP BY 1),
-sc AS (
-  SELECT b.doc_id,
-         sum(length(bin(coalesce(t.n, 0) + 1))
-             - length(bin(r.n + 1))) AS score
-  FROM b JOIN raw r USING (bucket) LEFT JOIN tgt t ON t.bucket = b.bucket
-  GROUP BY 1)
-SELECT d.doc_id, CAST(coalesce(s.score, 0) AS BIGINT) AS dsir_score
-FROM documents d LEFT JOIN sc s USING (doc_id)""",
+        "dsir_weights": _DSIR_SCORES_SQL,
+        "dsir_select": f"""
+WITH sc AS ({_DSIR_SCORES_SQL}),
+c AS (SELECT dsir_score AS s, count(*) AS n FROM sc GROUP BY 1),
+r AS (SELECT s, sum(n) OVER (ORDER BY s DESC) AS cum FROM c),
+tot AS (SELECT sum(n) AS n FROM c),
+t AS (SELECT max(s) AS thr FROM r, tot WHERE cum >= ceil(0.25 * tot.n))
+SELECT sc.doc_id, sc.dsir_score FROM sc, t
+WHERE sc.dsir_score >= t.thr""",
+        "events_running_totals": """
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS BIGINT) AS running_n,
+       sum(CAST(round(value * 10000) AS BIGINT)) OVER w / 10000.0
+         AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+        "rollup_docs": """
+SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
+         AS source,
+       CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(n_chars) AS BIGINT) AS value_sum
+FROM documents GROUP BY ROLLUP (source, lang)""",
         "train_split_stratified": """
 WITH r AS (
   SELECT doc_id, source,

@@ -559,3 +559,58 @@ def tfidf_top_terms(docs, group_col: str = "source", k: int = 5,
                             ("df", pa.int64()), ("score", pa.int64())])
     return hash_group_apply(scored, [group_col], _topk, n_parts=n_parts,
                             plasma_schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Multi-level (rollup) aggregate
+# --------------------------------------------------------------------------
+
+def _rollup_partial(batch: pa.Table, *, keys: tuple[str, ...],
+                    value_col: str, sentinel: str) -> pa.Table:
+    """Map-side rollup partial: pre-aggregate the block at EVERY prefix
+    level of ``keys`` (collapsed keys take ``sentinel``), so the one
+    exchange carries ≤ levels × distinct-keys rows per block."""
+    empty = pa.schema([(k, pa.string()) for k in keys]
+                      + [("v", pa.int64()), ("n", pa.int64())])
+    if len(batch) == 0:
+        return empty.empty_table()
+    t = pa.table({**{k: batch[k].cast(pa.string()) for k in keys},
+                  "v": batch[value_col].cast(pa.int64()),
+                  "n": pa.array(np.ones(len(batch), np.int64))})
+    outs = []
+    for lvl in range(len(keys), -1, -1):
+        gks = list(keys[:lvl])
+        if gks:
+            g = (pa.TableGroupBy(t, gks)
+                 .aggregate([("v", "sum"), ("n", "sum")])
+                 .rename_columns(gks + ["v", "n"]))
+        else:
+            g = pa.table({"v": pa.array([int(pc.sum(t["v"]).as_py() or 0)],
+                                        pa.int64()),
+                          "n": pa.array([len(batch)], pa.int64())})
+        arrs = {k: (g[k] if k in g.column_names
+                    else pa.array([sentinel] * len(g), pa.string()))
+                for k in keys}
+        outs.append(pa.table({**arrs, "v": g["v"], "n": g["n"]}))
+    return pa.concat_tables(outs)
+
+
+def rollup_counts(docs, keys: tuple[str, ...] = ("source", "lang"),
+                  value_col: str = "n_chars", sentinel: str = "ALL"):
+    """Rollup aggregate (SQL ``GROUP BY ROLLUP``): row count and value sum
+    at every prefix level of ``keys``, collapsed levels marked with
+    ``sentinel``.  One pass, one small shuffle — every level is derived
+    map-side from the finest block partial, so adding levels costs no
+    extra exchange."""
+    partial = docs.select_columns(list(keys) + [value_col]).map_batches(
+        functools.partial(_rollup_partial, keys=tuple(keys),
+                          value_col=value_col, sentinel=sentinel),
+        batch_format="pyarrow", zero_copy_batch=True)
+    agg = partial.groupby(list(keys)).sum(["v", "n"])
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({**{k: batch[k] for k in keys},
+                         "n_rows": batch["sum(n)"],
+                         "value_sum": batch["sum(v)"]})
+
+    return agg.map_batches(_finish, batch_format="pyarrow")

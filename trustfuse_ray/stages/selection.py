@@ -137,3 +137,46 @@ def dsir_importance(docs, n_buckets: int = 1024, text_col: str = "text",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dsir_select(docs, frac: float = 0.25, n_buckets: int = 1024,
+                text_col: str = "text", lang_col: str = "lang",
+                target_lang: str = "en", id_col: str = "doc_id"):
+    """DSIR selection: keep the top ``frac`` of documents by importance
+    weight, ties at the cutoff score all included (deterministic — output
+    may exceed ceil(frac·n) by the tie count).
+
+    Scale shape: the threshold comes from an exact score HISTOGRAM
+    (scores are small ints — sums of bit-length diffs — so distinct
+    scores are few), never a global sort; per-block partials collapse to
+    (score, n) rows before one tiny groupby.  The score table is
+    materialized once (it is (id, int64) — tiny next to the corpus) so
+    the histogram and the filter don't recompute the fit."""
+    scores = dsir_importance(docs, n_buckets=n_buckets, text_col=text_col,
+                             lang_col=lang_col, target_lang=target_lang,
+                             id_col=id_col).materialize()
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["dsir_score"], dtype=np.int64)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({"dsir_score": pa.array(u, pa.int64()),
+                         "hn": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = (scores.map_batches(_hist, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("dsir_score").sum("hn").to_pandas())
+    n_total = int(hist["sum(hn)"].sum()) if len(hist) else 0
+    if n_total == 0:
+        return scores
+    k = int(np.ceil(frac * n_total))
+    order = np.argsort(-hist["dsir_score"].to_numpy())
+    s_desc = hist["dsir_score"].to_numpy()[order]
+    cum = np.cumsum(hist["sum(hn)"].to_numpy()[order])
+    thr = int(s_desc[int(np.argmax(cum >= k))])
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["dsir_score"],
+                                             pa.scalar(thr, pa.int64())))
+
+    return scores.map_batches(_keep, batch_format="pyarrow",
+                              zero_copy_batch=True)

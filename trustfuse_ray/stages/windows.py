@@ -235,6 +235,57 @@ def windowed_aggregate(events, key_col: str = "user_id", ts_col: str = "ts",
     return agg.map_batches(_finish, batch_format="pyarrow")
 
 
+def _running_group(group: pa.Table, *, key_col: str, ts_col: str,
+                   id_col: str, fx_scale: int) -> pa.Table:
+    order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending"),
+                                              (id_col, "ascending")])
+    group = group.take(order)
+    n = len(group)
+    fx = np.asarray(group["v_fx"], dtype=np.int64)
+    return pa.table({
+        key_col: group[key_col],
+        id_col: group[id_col],
+        "running_n": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+        "running_value": pa.array(np.cumsum(fx) / float(fx_scale),
+                                  pa.float64()),
+    })
+
+
+def running_totals(events, key_col: str = "user_id", ts_col: str = "ts",
+                   id_col: str = "event_id", value_col: str = "value",
+                   fx_scale: int = 10_000, n_parts: int = 32):
+    """Per-key running (cumulative) aggregates in (ts, id) order — the
+    window-function surface (SQL ``sum(...) OVER (PARTITION BY key ORDER
+    BY ts)``).  The key group is the locality unit: one hash exchange on
+    the key, an in-group sort, a cumsum — never a global sort.  Sums are
+    fixed-point so the prefix is exact and partition-invariant."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch[key_col],
+            id_col: batch[id_col].cast(pa.int64()),
+            ts_col: batch[ts_col].cast(pa.timestamp("us")),
+            "v_fx": pc.cast(pc.round(
+                pc.multiply(batch[value_col], pa.scalar(float(fx_scale))),
+                round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    keyed = events.select_columns(
+        [key_col, id_col, ts_col, value_col]).map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True)
+    key_type = events.schema().base_schema.field(key_col).type
+    out_schema = pa.schema([(key_col, key_type), (id_col, pa.int64()),
+                            ("running_n", pa.int64()),
+                            ("running_value", pa.float64())])
+    return hash_group_apply(
+        keyed, [key_col],
+        functools.partial(_running_group, key_col=key_col, ts_col=ts_col,
+                          id_col=id_col, fx_scale=fx_scale),
+        n_parts=n_parts, plasma_schema=out_schema)
+
+
 def _hopping_partial(batch: pa.Table, *, key_col: str, ts_col: str,
                      value_col: str, window_us: int, hop_us: int,
                      fx_scale: int) -> pa.Table:
