@@ -307,3 +307,57 @@ def test_dsir_select_empty():
 
     got = dsir_select(_docs([])).to_pandas()
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_matches_sequential():
+    from trustfuse_ray.stages.graph import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+             ("e", "a"), ("c", "e")]
+    ds = rd.from_arrow(pa.table({
+        "src": [e[0] for e in edges],
+        "dst": [e[1] for e in edges]})).repartition(3)
+    K, SCALE = 5, 1_000_000
+    got = {r["node"]: r["pagerank_fx"]
+           for r in pagerank(ds, rounds=K).to_pandas().to_dict("records")}
+    nodes = sorted({x for e in edges for x in e})
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: SCALE for n in nodes}
+    base = (15 * SCALE) // 100
+    for _ in range(K):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {n: base + (85 * s[n]) // 100 for n in nodes}
+    assert got == r
+
+
+def test_pagerank_partition_invariant_and_dangling():
+    from trustfuse_ray.stages.graph import pagerank
+
+    # star into a sink: 'z' has no out-edges (dangling mass dropped)
+    edges = [(f"n{i}", "z") for i in range(10)] + [("z0", "n0")]
+    ds = rd.from_arrow(pa.table({
+        "src": [e[0] for e in edges],
+        "dst": [e[1] for e in edges]}))
+    a = pagerank(ds.repartition(1), rounds=3).to_pandas()
+    b = pagerank(ds.repartition(7), rounds=3).to_pandas()
+    a = a.sort_values("node").reset_index(drop=True)
+    b = b.sort_values("node").reset_index(drop=True)
+    assert (a["pagerank_fx"] == b["pagerank_fx"]).all()
+    am = dict(zip(a["node"], a["pagerank_fx"]))
+    assert am["z"] > am["n1"]  # the sink accumulates rank
+
+
+def test_pagerank_empty():
+    from trustfuse_ray.stages.graph import pagerank
+
+    ds = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                 "dst": pa.array([], pa.string())}))
+    assert len(pagerank(ds, rounds=2).to_pandas()) == 0

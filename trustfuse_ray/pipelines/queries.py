@@ -1232,14 +1232,75 @@ def q_token_chunks(sf_dir: str):
     return token_chunks(_tbl(sf_dir, "documents"), window=64)
 
 
-def q_kg_khop(sf_dir: str):
-    """3-hop BFS neighborhood of the two smallest entities over the fused
-    property graph (string-valued facts; undirected): entity → entity#attr
-    → value → back out to entities sharing that value.  The frontier stays
-    a Dataset — no driver-side graph."""
+# Fused property graph (undirected, string nodes) as SQL — shared by the
+# kg_khop and kg_pagerank oracles; mirrors property_graph_edges + _und.
+_PG_EDGES_CTE = """
+dedup AS (
+  SELECT DISTINCT source, entity, attr, value_str, value_num, value_type
+  FROM claims
+),
+cat AS (
+  SELECT entity, attr, value_str, count(*) AS c
+  FROM dedup WHERE value_type <> 'quantity'
+  GROUP BY 1, 2, 3
+),
+catw AS (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM cat
+),
+fused AS (
+  SELECT entity, attr, value_str FROM catw WHERE rn = 1
+  UNION ALL
+  SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str
+  FROM dedup WHERE value_type = 'quantity'
+  GROUP BY 1, 2
+),
+ed AS (
+  SELECT entity AS src, entity || '#' || attr AS dst FROM fused
+  UNION ALL
+  SELECT entity || '#' || attr, entity FROM fused
+  UNION ALL
+  SELECT entity || '#' || attr, value_str FROM fused
+  WHERE value_str IS NOT NULL
+  UNION ALL
+  SELECT value_str, entity || '#' || attr FROM fused
+  WHERE value_str IS NOT NULL
+)"""
+
+
+def _pagerank_rounds_sql(rounds: int = 5, scale: int = 1_000_000) -> str:
+    """Unrolled fixed-point PageRank rounds over the ``ed`` edge CTE —
+    integer floor division throughout, so engine int64 arithmetic and
+    DuckDB ``//`` agree bit-for-bit (same unroll technique as the CRH /
+    TruthFinder fixed-point oracles)."""
+    base = (15 * scale) // 100
+    parts = [
+        "deg AS (SELECT src, count(*) AS d FROM ed GROUP BY 1)",
+        "n0 AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM n0)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"c{i} AS (SELECT e.dst AS node, sum(r{i}.r // dg.d) AS s\n"
+            f"  FROM ed e JOIN deg dg ON dg.src = e.src\n"
+            f"  JOIN r{i} ON r{i}.node = e.src GROUP BY 1)")
+        parts.append(
+            f"r{i + 1} AS (SELECT n.node,\n"
+            f"  CAST({base} + (85 * coalesce(c{i}.s, 0)) // 100 AS BIGINT)"
+            f" AS r\n"
+            f"  FROM n0 n LEFT JOIN c{i} ON c{i}.node = n.node)")
+    return (",\n".join(parts)
+            + f"\nSELECT node, r AS pagerank_fx FROM r{rounds}")
+
+
+def _und_property_edges(sf_dir: str):
+    """Fused property graph as an undirected string-edge Dataset (both
+    directions, null values dropped) — input to kg_khop / kg_pagerank."""
     import pyarrow.compute as pc
 
-    from trustfuse_ray.stages.graph import bfs_hops, property_graph_edges
+    from trustfuse_ray.stages.graph import property_graph_edges
 
     triples = q_fuse_voting_sqlable(sf_dir).materialize()
     edges = property_graph_edges(triples)
@@ -1252,8 +1313,28 @@ def q_kg_khop(sf_dir: str):
                         "dst": batch["src"].cast(pa.string())})
         return pa.concat_tables([fwd, rev])
 
-    und = edges.map_batches(_und, batch_format="pyarrow",
-                            zero_copy_batch=True)
+    return triples, edges.map_batches(_und, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+
+def q_kg_pagerank(sf_dir: str):
+    """5-round fixed-point PageRank over the fused property graph: one
+    co-partitioned exchange per round (out-degree counted in-segment, no
+    degree join), exact integer arithmetic, SQL-unrolled oracle."""
+    from trustfuse_ray.stages.graph import pagerank
+
+    _, und = _und_property_edges(sf_dir)
+    return pagerank(und, rounds=5)
+
+
+def q_kg_khop(sf_dir: str):
+    """3-hop BFS neighborhood of the two smallest entities over the fused
+    property graph (string-valued facts; undirected): entity → entity#attr
+    → value → back out to entities sharing that value.  The frontier stays
+    a Dataset — no driver-side graph."""
+    from trustfuse_ray.stages.graph import bfs_hops
+
+    triples, und = _und_property_edges(sf_dir)
     seeds = sorted(triples.unique("entity"))[:2]
     return bfs_hops(und, seeds, k=3)
 
@@ -1388,6 +1469,7 @@ def queries_map():
         "tfidf_terms": q_tfidf_terms,
         "semantic_dedup": q_semantic_dedup,
         "kg_khop": q_kg_khop,
+        "kg_pagerank": q_kg_pagerank,
         "token_chunks": q_token_chunks,
     }
 
@@ -3255,41 +3337,13 @@ SELECT e.vec_id,
        CAST(coalesce(l.label, e.vec_id) AS BIGINT) AS label,
        coalesce(l.label, e.vec_id) = e.vec_id AS keep
 FROM embeddings e LEFT JOIN lab l ON l.node = e.vec_id""",
+        "kg_pagerank": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+{_pagerank_rounds_sql(rounds=5)}""",
         "kg_khop": f"""
 WITH RECURSIVE {_claims_cte(cache)},
-dedup AS (
-  SELECT DISTINCT source, entity, attr, value_str, value_num, value_type
-  FROM claims
-),
-cat AS (
-  SELECT entity, attr, value_str, count(*) AS c
-  FROM dedup WHERE value_type <> 'quantity'
-  GROUP BY 1, 2, 3
-),
-catw AS (
-  SELECT entity, attr, value_str,
-         row_number() OVER (PARTITION BY entity, attr
-                            ORDER BY c DESC, value_str ASC) AS rn
-  FROM cat
-),
-fused AS (
-  SELECT entity, attr, value_str FROM catw WHERE rn = 1
-  UNION ALL
-  SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str
-  FROM dedup WHERE value_type = 'quantity'
-  GROUP BY 1, 2
-),
-ed AS (
-  SELECT entity AS src, entity || '#' || attr AS dst FROM fused
-  UNION ALL
-  SELECT entity || '#' || attr, entity FROM fused
-  UNION ALL
-  SELECT entity || '#' || attr, value_str FROM fused
-  WHERE value_str IS NOT NULL
-  UNION ALL
-  SELECT value_str, entity || '#' || attr FROM fused
-  WHERE value_str IS NOT NULL
-),
+{_PG_EDGES_CTE},
 seeds AS (
   SELECT DISTINCT entity AS node FROM fused ORDER BY entity LIMIT 2
 ),

@@ -254,3 +254,174 @@ def to_networkx(edges: pa.Table):
         g.add_edge(row["src"], dst, attribute=row["attribute"],
                    layer=row["layer"])
     return g
+
+
+# --------------------------------------------------------------------------
+# PageRank (fixed-point integer arithmetic, join-free rounds)
+# --------------------------------------------------------------------------
+
+_PR_SCHEMA_COLS = ("node", "other", "value", "kind")
+
+
+def _part_of_str(col, n_parts: int) -> pa.Array:
+    """Deterministic partition id per string node: md5-keyed (same hash
+    family as the SQL-replayable operators), computed once per DISTINCT
+    value in the batch via dictionary-encode."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = pc.dictionary_encode(col)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    uh = np.fromiter((_md5_token64(t) for t in enc.dictionary.to_pylist()),
+                     dtype=np.uint64, count=len(enc.dictionary))
+    part = (uh % np.uint64(n_parts)).astype(np.int32)
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.array(part[idx], pa.int32())
+
+
+def _pr_state(node, other, value, kind, n_parts: int) -> pa.Table:
+    return pa.table({"node": node, "other": other, "value": value,
+                     "kind": kind,
+                     "__part": _part_of_str(node, n_parts)})
+
+
+def _pr_empty(n_parts: int) -> pa.Table:
+    return pa.table({"node": pa.array([], pa.string()),
+                     "other": pa.array([], pa.string()),
+                     "value": pa.array([], pa.int64()),
+                     "kind": pa.array([], pa.int8()),
+                     "__part": pa.array([], pa.int32())})
+
+
+def _pr_init(batch: pa.Table, *, src: str, dst: str, n_parts: int,
+             scale: int) -> pa.Table:
+    if len(batch) == 0:
+        return _pr_empty(n_parts)
+    s = batch[src].cast(pa.string())
+    d = batch[dst].cast(pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    n = len(s)
+    empty = pa.array([""] * n, pa.string())
+    edges = pa.table({"node": s, "other": d,
+                      "value": pa.array(np.zeros(n, np.int64)),
+                      "kind": pa.array(np.zeros(n, np.int8))})
+    rk_s = pa.table({"node": s, "other": empty,
+                     "value": pa.array(np.full(n, scale, np.int64)),
+                     "kind": pa.array(np.ones(n, np.int8))})
+    rk_d = pa.table({"node": d, "other": empty,
+                     "value": pa.array(np.full(n, scale, np.int64)),
+                     "kind": pa.array(np.ones(n, np.int8))})
+    t = pa.concat_tables([edges, rk_s, rk_d]).combine_chunks()
+    return _pr_state(t["node"], t["other"], t["value"], t["kind"], n_parts)
+
+
+def _pr_round(part: pa.Table, *, n_parts: int, scale: int,
+              first: bool) -> pa.Table:
+    """One PageRank pass over one hash partition, fully vectorized:
+    ``r_new(v) = base + (85 · Σ candidates(v)) // 100`` (or the carried
+    rank on the first pass), then re-emit adjacency, the new rank row and
+    one candidate ``(dst, r_new // outdeg)`` per out-edge.  All arithmetic
+    is int64 floor division — exact, partition-invariant, and replayable
+    by the SQL-unrolled oracle."""
+    import pyarrow.compute as pc
+
+    part = part.drop_columns(["__part"])
+    if len(part) == 0:
+        return _pr_empty(n_parts)
+    node = part["node"].combine_chunks()
+    other = part["other"].combine_chunks()
+    enc = pc.dictionary_encode(node)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    value = np.asarray(part["value"], dtype=np.int64)
+    kind = np.asarray(part["kind"], dtype=np.int8)
+
+    order = np.argsort(codes, kind="stable")
+    codes_s = codes[order]
+    value_s = value[order]
+    kind_s = kind[order]
+    node_s = node.take(pa.array(order))
+    other_s = other.take(pa.array(order))
+
+    starts = np.nonzero(np.concatenate(
+        ([True], codes_s[1:] != codes_s[:-1])))[0]
+    counts = np.diff(np.concatenate((starts, [len(codes_s)])))
+
+    cand_sum = np.add.reduceat(np.where(kind_s == 2, value_s, 0), starts)
+    r_old = np.maximum.reduceat(np.where(kind_s == 1, value_s, -1), starts)
+    base = (15 * scale) // 100
+    if first:
+        new_r = np.where(r_old >= 0, r_old, scale)
+    else:
+        new_r = base + (85 * cand_sum) // 100
+
+    edge_mask = kind_s == 0
+    n_edges = int(edge_mask.sum())
+    deg = np.add.reduceat(edge_mask.astype(np.int64), starts)
+    row_new_r = np.repeat(new_r, counts)
+    row_deg = np.repeat(deg, counts)
+    contrib = (row_new_r[edge_mask]
+               // np.maximum(row_deg[edge_mask], 1))
+
+    uniq_nodes = node_s.take(pa.array(starts))
+    edges_out = pa.table({
+        "node": node_s.filter(pa.array(edge_mask)),
+        "other": other_s.filter(pa.array(edge_mask)),
+        "value": pa.array(np.zeros(n_edges, np.int64)),
+        "kind": pa.array(np.zeros(n_edges, np.int8))})
+    ranks_out = pa.table({
+        "node": uniq_nodes,
+        "other": pa.array([""] * len(uniq_nodes), pa.string()),
+        "value": pa.array(new_r, pa.int64()),
+        "kind": pa.array(np.ones(len(uniq_nodes), np.int8))})
+    cands_out = pa.table({
+        "node": other_s.filter(pa.array(edge_mask)),
+        "other": pa.array([""] * n_edges, pa.string()),
+        "value": pa.array(contrib, pa.int64()),
+        "kind": pa.array(np.full(n_edges, 2, np.int8))})
+    t = pa.concat_tables([edges_out, ranks_out, cands_out]).combine_chunks()
+    return _pr_state(t["node"], t["other"], t["value"], t["kind"], n_parts)
+
+
+def pagerank(edges, rounds: int = 5, src: str = "src", dst: str = "dst",
+             scale: int = 1_000_000, n_parts: int = 32):
+    """Distributed PageRank with damping 0.85 over ``rounds`` fixed
+    iterations, in integer fixed-point (``scale`` = rank 1.0):
+    ``r_0 = scale``, ``r_{i+1}(v) = 0.15·scale + (85 · Σ_{u→v}
+    (r_i(u) // outdeg(u))) // 100``.  Dangling mass is dropped
+    (documented deviation from the redistribute variant).
+
+    Shape (same as :func:`connected_components`): state rows co-partition
+    on hash(node) so each pass sees ALL of a node's edges (out-degree is
+    counted in-segment — no degree join), ranks, and incoming candidates;
+    ONE exchange per round carries O(edges) rows; nothing touches the
+    driver.  Exact integer arithmetic makes the result independent of
+    partitioning/order and lets the oracle unroll the rounds in SQL."""
+    state = edges.map_batches(
+        functools.partial(_pr_init, src=src, dst=dst, n_parts=n_parts,
+                          scale=scale),
+        batch_format="pyarrow", zero_copy_batch=True)
+    for i in range(rounds + 1):
+        state = state.groupby("__part").map_groups(
+            functools.partial(_pr_round, n_parts=n_parts, scale=scale,
+                              first=(i == 0)),
+            batch_format="pyarrow").materialize()
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch["kind"],
+                                      pa.scalar(1, pa.int8())))
+        return pa.table({"node": batch["node"],
+                         "pagerank_fx": batch["value"]})
+
+    return state.map_batches(_finish, batch_format="pyarrow",
+                             zero_copy_batch=True)
