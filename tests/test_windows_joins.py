@@ -187,3 +187,33 @@ def test_range_join_count_exact():
            for r in range_join_count(rd.from_arrow(tbl),
                                      window_us=60).take_all()}
     assert out == {0: 2, 5: 0}
+
+
+def test_semi_and_anti_join():
+    from trustfuse_ray.stages.joins import semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "tag": pa.array(list("abcde")),
+    })).repartition(3)
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 4, 9], pa.int64()),
+    })).repartition(2)
+    semi = semi_join(left, right, "k", "rk").to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    assert set(semi.columns) == {"k", "tag"}
+    anti = semi_join(left, right, "k", "rk", anti=True).to_pandas()
+    assert sorted(anti["k"]) == [1, 3, 5]
+
+
+def test_semi_join_empty_sides():
+    from trustfuse_ray.stages.joins import semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64()),
+        "tag": pa.array(["a", "b"]),
+    }))
+    empty = rd.from_arrow(pa.table({"rk": pa.array([], pa.int64())}))
+    assert len(semi_join(left, empty, "k", "rk").to_pandas()) == 0
+    anti = semi_join(left, empty, "k", "rk", anti=True).to_pandas()
+    assert sorted(anti["k"]) == [1, 2]

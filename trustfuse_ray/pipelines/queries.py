@@ -689,6 +689,47 @@ def q14_promo_revenue(sf_dir: str):
     return agg.map_batches(_finish, batch_format="pyarrow")
 
 
+def _q4_kept_orders(sf_dir: str, anti: bool):
+    """Orders that do / don't have a returned ('R') lineitem — the
+    EXISTS / NOT EXISTS surface.  The probe side ships only distinct
+    order keys per block (combiner) through the one exchange."""
+    from trustfuse_ray.stages.joins import semi_join
+
+    orders = _tbl(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_orderpriority"])
+    returned = _tbl(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_returnflag"]).filter(
+        expr="l_returnflag == 'R'")
+    return semi_join(orders, returned, "o_orderkey", "l_orderkey",
+                     payload_cols=["o_orderpriority"], anti=anti)
+
+
+def _priority_counts(kept):
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_orderpriority": batch["o_orderpriority"],
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(t, "o_orderpriority", use_threads=False)
+                .aggregate([("n", "sum")])
+                .rename_columns(["o_orderpriority", "n"]))
+
+    return (kept.map_batches(_partial, batch_format="pyarrow")
+            .groupby("o_orderpriority").sum("n")
+            .rename_columns({"sum(n)": "order_count"}))
+
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape: order counts per priority for orders with at least
+    one returned lineitem (distributed semi join, no broadcast)."""
+    return _priority_counts(_q4_kept_orders(sf_dir, anti=False))
+
+
+def q_orders_no_returns(sf_dir: str):
+    """Anti-join variant of Q4: orders with NO returned lineitem."""
+    return _priority_counts(_q4_kept_orders(sf_dir, anti=True))
+
+
 def q_events_sessionize(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events"), gap_minutes=30.0)
 
@@ -1413,6 +1454,8 @@ def queries_map():
         "q1_pricing_summary": q1_pricing_summary,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q14_promo_revenue": q14_promo_revenue,
+        "q4_order_priority": q4_order_priority,
+        "orders_no_returns": q_orders_no_returns,
         "known_entity_flags": q_known_entity_flags,
         "top_customers": q_top_customers,
         "events_sessionize": q_events_sessionize,
@@ -2586,6 +2629,20 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue DESC
 LIMIT 10""",
+        "q4_order_priority": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_returnflag = 'R')
+GROUP BY 1""",
+        "orders_no_returns": """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+GROUP BY 1""",
         "kg_bucketize_claims": f"""
 WITH RECURSIVE {_claims_cte(cache)},
 ordered AS MATERIALIZED (

@@ -132,3 +132,64 @@ def range_join_count(events, window_us: int = 3_600_000_000,
                           left_type=left_type, right_type=right_type,
                           id_col=id_col, window_us=window_us),
         n_parts=n_parts)
+
+
+# --------------------------------------------------------------------------
+# Semi / anti join (EXISTS / NOT EXISTS)
+# --------------------------------------------------------------------------
+
+def semi_join(left, right, left_key: str, right_key: str | None = None,
+              payload_cols: list[str] | None = None, anti: bool = False,
+              n_parts: int = 64):
+    """Distributed semi join (``anti=True`` → anti join): emit the left
+    rows whose key does (does not) appear on the right — SQL ``EXISTS`` /
+    ``NOT EXISTS``.
+
+    Shape: the right side collapses to its per-block DISTINCT keys before
+    the exchange (combiner — the probe side never ships payload or
+    duplicate keys), both sides union under one schema and co-partition
+    with ONE hash exchange; each key group then answers membership
+    locally.  Exchange volume = left rows + distinct right keys per
+    block."""
+    right_key = right_key or left_key
+    payload_cols = payload_cols or [
+        n for n in left.schema().base_schema.names if n != left_key]
+    lschema = left.schema().base_schema
+    ptypes = [(c, lschema.field(c).type) for c in payload_cols]
+    ktype = lschema.field(left_key).type
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        cols = {left_key: batch[left_key]}
+        cols.update({c: batch[c] for c in payload_cols})
+        cols["__side"] = pa.array(np.zeros(len(batch), np.int8))
+        return pa.table(cols)
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        keys = pc.unique(batch[right_key].combine_chunks()
+                         if isinstance(batch[right_key], pa.ChunkedArray)
+                         else batch[right_key]).cast(ktype)
+        n = len(keys)
+        cols = {left_key: keys}
+        cols.update({c: pa.nulls(n, t) for c, t in ptypes})
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    tagged = (left.select_columns([left_key] + payload_cols)
+              .map_batches(_tag_left, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .union(right.select_columns([right_key])
+                     .map_batches(_tag_right, batch_format="pyarrow",
+                                  zero_copy_batch=True)))
+
+    def _resolve(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["__side"], dtype=np.int8)
+        has_right = bool((side == 1).any())
+        keep = group.filter(pc.equal(group["__side"],
+                                     pa.scalar(0, pa.int8())))
+        if has_right == anti or len(keep) == 0:
+            return keep.drop_columns(["__side"]).slice(0, 0)
+        return keep.drop_columns(["__side"])
+
+    out_schema = pa.schema([(left_key, ktype)] + ptypes)
+    return hash_group_apply(tagged, [left_key], _resolve, n_parts=n_parts,
+                            plasma_schema=out_schema)
