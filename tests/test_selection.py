@@ -361,3 +361,39 @@ def test_pagerank_empty():
     ds = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
                                  "dst": pa.array([], pa.string())}))
     assert len(pagerank(ds, rounds=2).to_pandas()) == 0
+
+
+def test_triangle_count_matches_bruteforce():
+    import itertools
+
+    from trustfuse_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(5)
+    n, p = 30, 0.2
+    edges = [(f"n{i}", f"n{j}") for i in range(n) for j in range(n)
+             if i != j and rng.random() < p]
+    und = {tuple(sorted(e)) for e in edges}
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(1 for a, b, c in itertools.combinations(sorted(adj), 3)
+               if b in adj[a] and c in adj[a] and c in adj[b])
+    ds = rd.from_arrow(pa.table({
+        "src": [e[0] for e in edges],
+        "dst": [e[1] for e in edges]})).repartition(4)
+    got = int(triangle_count(ds).to_pandas()["n_triangles"][0])
+    assert got == want
+
+
+def test_triangle_count_empty_and_trianglefree():
+    from trustfuse_ray.stages.graph import triangle_count
+
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                    "dst": pa.array([], pa.string())}))
+    assert int(triangle_count(empty).to_pandas()["n_triangles"][0]) == 0
+    # a path graph has no triangles; duplicate + reversed edges ignored
+    path = rd.from_arrow(pa.table({
+        "src": ["a", "b", "c", "b", "a"],
+        "dst": ["b", "c", "d", "a", "b"]}))
+    assert int(triangle_count(path).to_pandas()["n_triangles"][0]) == 0

@@ -1368,6 +1368,43 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank(und, rounds=5)
 
 
+def q_kg_triangles(sf_dir: str):
+    """Exact triangle count of the entity co-occurrence graph (entities
+    sharing a fused (attr, value); value groups capped at 20 — standard
+    stop-value blocking, expressed as HAVING in the oracle).  Counting
+    uses the degree-oriented wedge algorithm (graph.py::triangle_count):
+    wedge volume bounded O(m^1.5) regardless of hub skew."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+    from trustfuse_ray.stages.graph import triangle_count
+
+    triples = q_fuse_voting_sqlable(sf_dir)
+
+    def _nonnull(batch: pa.Table) -> pa.Table:
+        return (batch.select(["entity", "attr", "value_str"])
+                .filter(pc.is_valid(batch["value_str"])))
+
+    vals = triples.map_batches(_nonnull, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n < 2 or n > 20:
+            return pa.table({"src": pa.array([], pa.string()),
+                             "dst": pa.array([], pa.string())})
+        ents = sorted(group["entity"].to_pylist())
+        i, j = np.triu_indices(n, k=1)
+        ents = np.asarray(ents, dtype=object)
+        return pa.table({"src": pa.array(ents[i], pa.string()),
+                         "dst": pa.array(ents[j], pa.string())})
+
+    pair_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    co = hash_group_apply(vals, ["attr", "value_str"], _pairs,
+                          n_parts=32, plasma_schema=pair_schema)
+    return triangle_count(co)
+
+
 def q_kg_khop(sf_dir: str):
     """3-hop BFS neighborhood of the two smallest entities over the fused
     property graph (string-valued facts; undirected): entity → entity#attr
@@ -1513,6 +1550,7 @@ def queries_map():
         "semantic_dedup": q_semantic_dedup,
         "kg_khop": q_kg_khop,
         "kg_pagerank": q_kg_pagerank,
+        "kg_triangles": q_kg_triangles,
         "token_chunks": q_token_chunks,
     }
 
@@ -3398,6 +3436,23 @@ FROM embeddings e LEFT JOIN lab l ON l.node = e.vec_id""",
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},
 {_pagerank_rounds_sql(rounds=5)}""",
+        "kg_triangles": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+grp AS (
+  SELECT attr, value_str FROM fused WHERE value_str IS NOT NULL
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 20
+),
+co AS (
+  SELECT DISTINCT f1.entity AS a, f2.entity AS b
+  FROM fused f1
+  JOIN fused f2 ON f1.attr = f2.attr AND f1.value_str = f2.value_str
+               AND f1.entity < f2.entity
+  JOIN grp g ON g.attr = f1.attr AND g.value_str = f1.value_str
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM co e1 JOIN co e2 ON e2.a = e1.a AND e2.b > e1.b
+           JOIN co e3 ON e3.a = e1.b AND e3.b = e2.b""",
         "kg_khop": f"""
 WITH RECURSIVE {_claims_cte(cache)},
 {_PG_EDGES_CTE},

@@ -425,3 +425,198 @@ def pagerank(edges, rounds: int = 5, src: str = "src", dst: str = "dst",
 
     return state.map_batches(_finish, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (degree-oriented wedge check)
+# --------------------------------------------------------------------------
+
+def triangle_count(edges, src: str = "src", dst: str = "dst",
+                   n_parts: int = 32):
+    """Exact triangle count of the undirected simple graph induced by the
+    edge Dataset (duplicates and self-loops dropped).
+
+    The classic degree-orientation algorithm, expressed as co-partitioned
+    exchanges: orient each edge from its (degree, id)-smaller endpoint to
+    the larger, emit wedges only between a node's ORIENTED out-neighbours
+    (total wedges bounded by O(m^1.5) regardless of hub skew), and close
+    each wedge against the oriented edge set by co-partitioning wedges
+    with edges on the pair key.  Five bounded exchanges, nothing on the
+    driver but the final one-row sum."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    # 1. canonical distinct edges (a < b)
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch[src].cast(pa.string())
+        d = batch[dst].cast(pa.string())
+        keep = pc.not_equal(s, d)
+        s, d = s.filter(keep), d.filter(keep)
+        lt = pc.less(s, d)
+        t = pa.table({"a": pc.if_else(lt, s, d), "b": pc.if_else(lt, d, s)})
+        return pa.TableGroupBy(t, ["a", "b"],
+                               use_threads=False).aggregate([])
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    dedup = hash_group_apply(
+        edges.map_batches(_canon, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["a", "b"], lambda g: g.slice(0, 1).select(["a", "b"]),
+        n_parts=n_parts, plasma_schema=pair_schema)
+
+    # 2. degrees (per-block combine, one small groupby)
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([batch["a"].combine_chunks(),
+                                 batch["b"].combine_chunks()])
+        enc = pc.dictionary_encode(node)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({"node": enc.dictionary,
+                         "deg": pa.array(cnt, pa.int64())})
+
+    degs = (dedup.map_batches(_deg_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("node").sum("deg")
+            .rename_columns({"sum(deg)": "deg"}))
+
+    # 3. attach degree to each endpoint: two co-partitioning passes
+    def _edge_rows(batch: pa.Table, key: str, other: str) -> pa.Table:
+        return pa.table({"node": batch[key], "other": batch[other],
+                         "deg": pa.array(np.full(len(batch), -1, np.int64)),
+                         "odeg": (batch["odeg"] if "odeg" in
+                                  batch.column_names else
+                                  pa.array(np.full(len(batch), -1,
+                                                   np.int64)))})
+
+    def _deg_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"node": batch["node"],
+                         "other": pa.array([""] * n, pa.string()),
+                         "deg": batch["deg"],
+                         "odeg": pa.array(np.full(n, -1, np.int64))})
+
+    def _attach(group: pa.Table) -> pa.Table:
+        deg = np.asarray(group["deg"], dtype=np.int64)
+        dmask = deg >= 0
+        if not dmask.any():
+            return pa.table({"node": pa.array([], pa.string()),
+                             "other": pa.array([], pa.string()),
+                             "deg": pa.array([], pa.int64()),
+                             "odeg": pa.array([], pa.int64())})
+        dval = int(deg[dmask][0])
+        emask = pa.array(~dmask)
+        sub = group.filter(emask)
+        n = len(sub)
+        # emit keyed on the OTHER endpoint, carrying this node's degree
+        return pa.table({"node": sub["other"],
+                         "other": sub["node"],
+                         "deg": pa.array(np.full(n, -1, np.int64)),
+                         "odeg": pa.array(np.full(n, dval, np.int64))})
+
+    row_schema = pa.schema([("node", pa.string()), ("other", pa.string()),
+                            ("deg", pa.int64()), ("odeg", pa.int64())])
+    pass_a = hash_group_apply(
+        dedup.map_batches(functools.partial(_edge_rows, key="a", other="b"),
+                          batch_format="pyarrow", zero_copy_batch=True)
+        .union(degs.map_batches(_deg_rows, batch_format="pyarrow")),
+        ["node"], _attach, n_parts=n_parts, plasma_schema=row_schema)
+    # pass_a rows: node=b, other=a, odeg=deg(a).  Attach deg(b) the same
+    # way, then orient.
+
+    def _attach_b(group: pa.Table) -> pa.Table:
+        deg = np.asarray(group["deg"], dtype=np.int64)
+        dmask = deg >= 0
+        if not dmask.any():
+            return pa.table({"u": pa.array([], pa.string()),
+                             "v": pa.array([], pa.string()),
+                             "vdeg": pa.array([], pa.int64())})
+        dval = int(deg[dmask][0])
+        sub = group.filter(pa.array(~dmask))
+        a = sub["other"]          # the other endpoint
+        b = sub["node"]           # this node (deg = dval)
+        adeg = np.asarray(sub["odeg"], dtype=np.int64)
+        bdeg = np.full(len(sub), dval, np.int64)
+        # orient from (deg, id)-smaller to larger
+        a_first = (adeg < bdeg) | ((adeg == bdeg)
+                                   & (np.asarray(
+                                       pc.less(a.combine_chunks()
+                                               if isinstance(
+                                                   a, pa.ChunkedArray)
+                                               else a,
+                                               b.combine_chunks()
+                                               if isinstance(
+                                                   b, pa.ChunkedArray)
+                                               else b), dtype=bool)))
+        am = pa.array(a_first)
+        u = pa.concat_arrays([
+            (a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+             else a).filter(am),
+            (b.combine_chunks() if isinstance(b, pa.ChunkedArray)
+             else b).filter(pc.invert(am))])
+        v = pa.concat_arrays([
+            (b.combine_chunks() if isinstance(b, pa.ChunkedArray)
+             else b).filter(am),
+            (a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+             else a).filter(pc.invert(am))])
+        vdeg = np.concatenate([bdeg[a_first], adeg[~a_first]])
+        return pa.table({"u": u, "v": v,
+                         "vdeg": pa.array(vdeg, pa.int64())})
+
+    oriented_schema = pa.schema([("u", pa.string()), ("v", pa.string()),
+                                 ("vdeg", pa.int64())])
+    oriented = hash_group_apply(
+        pass_a.union(degs.map_batches(_deg_rows, batch_format="pyarrow")),
+        ["node"], _attach_b, n_parts=n_parts,
+        plasma_schema=oriented_schema)
+
+    # 4. wedges between oriented out-neighbours, ordered by (deg, id)
+    def _wedges(group: pa.Table) -> pa.Table:
+        if len(group) < 2:
+            return pa.table({"x": pa.array([], pa.string()),
+                             "y": pa.array([], pa.string())})
+        vd = np.asarray(group["vdeg"], dtype=np.int64)
+        vs = (group["v"].combine_chunks()
+              if isinstance(group["v"], pa.ChunkedArray) else group["v"])
+        vlist = np.asarray(vs.to_pylist(), dtype=object)
+        order = np.lexsort((vlist, vd))
+        vlist = vlist[order]
+        i, j = np.triu_indices(len(vlist), k=1)
+        return pa.table({"x": pa.array(vlist[i], pa.string()),
+                         "y": pa.array(vlist[j], pa.string())})
+
+    wedge_schema = pa.schema([("x", pa.string()), ("y", pa.string())])
+    wedges = hash_group_apply(oriented, ["u"], _wedges, n_parts=n_parts,
+                              plasma_schema=wedge_schema)
+
+    # 5. close wedges against the oriented edge set on the pair key
+    def _wedge_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"x": batch["x"], "y": batch["y"],
+                         "is_edge": pa.array(
+                             np.zeros(len(batch), np.int8))})
+
+    def _edge_pair_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"x": batch["u"], "y": batch["v"],
+                         "is_edge": pa.array(np.ones(len(batch), np.int8))})
+
+    def _close(group: pa.Table) -> pa.Table:
+        e = np.asarray(group["is_edge"], dtype=np.int8)
+        n_w = int((e == 0).sum())
+        n_tri = n_w if (e == 1).any() else 0
+        return pa.table({"n": pa.array([n_tri], pa.int64())})
+
+    close_schema = pa.schema([("n", pa.int64())])
+    closed = hash_group_apply(
+        wedges.map_batches(_wedge_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .union(oriented.map_batches(_edge_pair_rows,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)),
+        ["x", "y"], _close, n_parts=n_parts, plasma_schema=close_schema)
+    total = closed.sum("n")
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "n_triangles": pa.array([int(total or 0)], pa.int64())}))
