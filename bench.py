@@ -107,6 +107,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # pack once, fuse all models over one persistent session
     session = timed("pack_facts",
                     lambda: FusionSession(claims=claims))
+    voting_triples = None
     try:
         for model in ("Voting", "CRH", "TruthFinder"):
             def _fuse(m=model):
@@ -114,6 +115,8 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                 return triples
             t = timed(f"fuse_{model.lower()}", _fuse)
             counts[f"triples_{model.lower()}"] = t.count()
+            if model == "Voting":
+                voting_triples = t.materialize()
             if model == "CRH":
                 timed("write_triples", lambda: t.write_parquet(
                     os.path.join("/tmp/trustfuse_ray_bench", "triples")))
@@ -140,6 +143,16 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("q1_pricing_summary",
           lambda: Q.q1_pricing_summary(sf_dir).materialize())
     timed("ann_topk", lambda: Q.q_ann_topk(sf_dir).materialize())
+    dsel = timed("dsir_select", lambda: Q.q_dsir_select(
+        sf_dir).materialize())
+    counts["dsir_selected"] = dsel.count()
+    # pagerank over the property graph of the ALREADY-fused voting triples
+    # (the KG pipeline cost is timed in its own stages above)
+    from trustfuse_ray.stages.graph import pagerank
+
+    pr = timed("kg_pagerank", lambda: pagerank(
+        Q.und_edges_from_triples(voting_triples), rounds=5).materialize())
+    counts["pagerank_nodes"] = pr.count()
 
     kg_secs = (timings["kg_extract_link"] + timings["pack_facts"]
                + timings["fuse_crh"])

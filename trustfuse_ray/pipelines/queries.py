@@ -1336,14 +1336,13 @@ def _pagerank_rounds_sql(rounds: int = 5, scale: int = 1_000_000) -> str:
             + f"\nSELECT node, r AS pagerank_fx FROM r{rounds}")
 
 
-def _und_property_edges(sf_dir: str):
-    """Fused property graph as an undirected string-edge Dataset (both
-    directions, null values dropped) — input to kg_khop / kg_pagerank."""
+def und_edges_from_triples(triples):
+    """Fused triples → undirected string-edge Dataset over the property
+    graph (both directions, null values dropped)."""
     import pyarrow.compute as pc
 
     from trustfuse_ray.stages.graph import property_graph_edges
 
-    triples = q_fuse_voting_sqlable(sf_dir).materialize()
     edges = property_graph_edges(triples)
 
     def _und(batch: pa.Table) -> pa.Table:
@@ -1354,8 +1353,15 @@ def _und_property_edges(sf_dir: str):
                         "dst": batch["src"].cast(pa.string())})
         return pa.concat_tables([fwd, rev])
 
-    return triples, edges.map_batches(_und, batch_format="pyarrow",
-                                      zero_copy_batch=True)
+    return edges.map_batches(_und, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def _und_property_edges(sf_dir: str):
+    """Fused property graph as an undirected string-edge Dataset —
+    input to kg_khop / kg_pagerank."""
+    triples = q_fuse_voting_sqlable(sf_dir).materialize()
+    return triples, und_edges_from_triples(triples)
 
 
 def q_kg_pagerank(sf_dir: str):

@@ -332,7 +332,8 @@ def _pr_round(part: pa.Table, *, n_parts: int, scale: int,
     by the SQL-unrolled oracle."""
     import pyarrow.compute as pc
 
-    part = part.drop_columns(["__part"])
+    if "__part" in part.column_names:
+        part = part.drop_columns(["__part"])
     if len(part) == 0:
         return _pr_empty(n_parts)
     node = part["node"].combine_chunks()
@@ -405,15 +406,24 @@ def pagerank(edges, rounds: int = 5, src: str = "src", dst: str = "dst",
     ONE exchange per round carries O(edges) rows; nothing touches the
     driver.  Exact integer arithmetic makes the result independent of
     partitioning/order and lets the oracle unroll the rounds in SQL."""
+    from trustfuse_ray.stages.common import plasma_exchange
+
+    state_schema = pa.schema([("node", pa.string()),
+                              ("other", pa.string()),
+                              ("value", pa.int64()), ("kind", pa.int8()),
+                              ("__part", pa.int32())])
     state = edges.map_batches(
         functools.partial(_pr_init, src=src, dst=dst, n_parts=n_parts,
                           scale=scale),
         batch_format="pyarrow", zero_copy_batch=True)
     for i in range(rounds + 1):
-        state = state.groupby("__part").map_groups(
+        # __part is precomputed — the plasma task exchange skips the
+        # sample+sort fixed cost Ray's groupby pays every round
+        state = plasma_exchange(
+            [state.materialize()],
             functools.partial(_pr_round, n_parts=n_parts, scale=scale,
                               first=(i == 0)),
-            batch_format="pyarrow").materialize()
+            n_parts, part_col="__part", empty_schema=state_schema)
 
     def _finish(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
