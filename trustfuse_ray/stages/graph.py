@@ -61,7 +61,8 @@ def _init_state(batch: pa.Table, *, src: str, dst: str,
 
 
 def _cc_round(part: pa.Table, *, n_parts: int) -> pa.Table:
-    part = part.drop_columns(["__part"])
+    if "__part" in part.column_names:
+        part = part.drop_columns(["__part"])
     node = part["node"].to_numpy(zero_copy_only=False).astype(np.int64)
     if not len(node):
         return _state(node, node, node, np.zeros(0, np.int8), n_parts)
@@ -96,14 +97,21 @@ def connected_components(edges, src: str = "src", dst: str = "dst",
                          max_rounds: int = 10, n_parts: int = 32):
     """edges(src,dst) → Dataset(node, label) where label = min node id of
     the component.  Nodes only appear if they occur in an edge."""
+    from trustfuse_ray.stages.common import plasma_exchange
+
+    cc_schema = pa.schema([("node", pa.int64()), ("other", pa.int64()),
+                           ("label", pa.int64()), ("kind", pa.int8()),
+                           ("__part", pa.int32())])
     state = edges.map_batches(
         functools.partial(_init_state, src=src, dst=dst, n_parts=n_parts),
         batch_format="pyarrow", zero_copy_batch=True)
     prev_sum = None
     for _ in range(max_rounds):
-        state = state.groupby("__part").map_groups(
-            functools.partial(_cc_round, n_parts=n_parts),
-            batch_format="pyarrow").materialize()
+        # __part is precomputed — the plasma task exchange skips Ray
+        # groupby's per-round sample+sort fixed cost
+        state = plasma_exchange(
+            [state], functools.partial(_cc_round, n_parts=n_parts),
+            n_parts, part_col="__part", empty_schema=cc_schema)
         cur_sum = state.filter(expr="kind == 1").sum("label")
         if cur_sum == prev_sum:
             break
