@@ -67,6 +67,20 @@ def main():
                      "co-partitioned reconstruct)",
                      time.perf_counter() - t0, ld.stats()))
 
+    from trustfuse_ray.stages.graph import pagerank
+
+    t0 = time.perf_counter()
+    pr = pagerank(Q.und_edges_from_triples(triples), rounds=5).materialize()
+    sections.append(("pagerank (5 fixed-point rounds, plasma exchanges "
+                     "over the CRH property graph)",
+                     time.perf_counter() - t0, pr.stats()))
+
+    t0 = time.perf_counter()
+    dsel = Q.q_dsir_select(sf_dir).materialize()
+    sections.append(("dsir select (bucket fit → broadcast score → "
+                     "histogram cutoff)",
+                     time.perf_counter() - t0, dsel.stats()))
+
     out = ["# BENCH_STATS — ds.stats() for the headline pipeline stages",
            "",
            f"Input: {sf_dir} synthetic corpus "
