@@ -397,3 +397,63 @@ def test_triangle_count_empty_and_trianglefree():
         "src": ["a", "b", "c", "b", "a"],
         "dst": ["b", "c", "d", "a", "b"]}))
     assert int(triangle_count(path).to_pandas()["n_triangles"][0]) == 0
+
+
+# ---------------------------------------------------------------------------
+# weighted_hash_sample / group_outliers
+# ---------------------------------------------------------------------------
+
+def test_weighted_hash_sample_exact_and_monotone():
+    from trustfuse_ray.stages.curation import weighted_hash_sample
+
+    rows = [(i, (i * 137) % 2500, f"s{i % 2}") for i in range(500)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "n_chars": pa.array([r[1] for r in rows], pa.int64()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    }))
+    got = weighted_hash_sample(ds.repartition(4)).to_pandas()
+    want = set()
+    for i, w, _ in rows:
+        h = _md5_64(str(i))
+        if (h >> 32) * 2000 < (min(w, 2000) << 32):
+            want.add(i)
+    assert set(got["doc_id"].astype(int)) == want
+    # weight-2000+ rows are always kept; weight-0 rows never
+    full = {i for i, w, _ in rows if w >= 2000}
+    zero = {i for i, w, _ in rows if w == 0}
+    assert full <= want and not (zero & want)
+
+
+def test_group_outliers_matches_exact_z2():
+    from trustfuse_ray.stages.profile import group_outliers
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for i in range(200):
+        g = f"s{i % 3}"
+        v = int(rng.integers(90, 110))
+        rows.append((i, g, v))
+    rows.append((900, "s0", 10_000))  # planted outlier
+    rows.append((901, "s1", 1))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+    })).repartition(5)
+    got = group_outliers(ds, k=2).to_pandas()
+    assert len(got) == len(rows)
+    stats: dict[str, list] = {}
+    for _, g, v in rows:
+        st = stats.setdefault(g, [0, 0, 0])
+        st[0] += v
+        st[1] += v * v
+        st[2] += 1
+    gm = dict(zip(got["doc_id"].astype(int), got["is_outlier"]))
+    for i, g, v in rows:
+        s, q, n = stats[g]
+        want = (n > 1 and n * q - s * s > 0
+                and (n * v - s) ** 2 > 4 * (n * q - s * s))
+        assert bool(gm[i]) == want
+    assert gm[900] and gm[901]
+    assert sum(gm.values()) < 20  # inliers stay unflagged

@@ -809,6 +809,24 @@ def q_rollup_docs(sf_dir: str):
     return rollup_counts(_tbl(sf_dir, "documents"))
 
 
+def q_sample_weighted(sf_dir: str):
+    """Deterministic weighted Bernoulli sample (p = min(n_chars, 2000) /
+    2000) decided by an exact integer md5 comparison — partition/retry
+    invariant importance sampling."""
+    from trustfuse_ray.stages.curation import weighted_hash_sample
+
+    return weighted_hash_sample(_tbl(sf_dir, "documents"))
+
+
+def q_doc_outliers(sf_dir: str):
+    """Per-source length outliers via the exact integer z² test
+    ((n·v − S)² > k²(n·Q − S²), k = 2): group stats broadcast, one
+    streaming flag pass, no float stddev anywhere."""
+    from trustfuse_ray.stages.profile import group_outliers
+
+    return group_outliers(_tbl(sf_dir, "documents"), k=2)
+
+
 def q_train_split_stratified(sf_dir: str):
     """Deterministic stratified 80/10/10 train/val/test split per source
     (md5-ranked within stratum; partition/retry invariant)."""
@@ -1508,6 +1526,8 @@ def queries_map():
         "dsir_select": q_dsir_select,
         "events_running_totals": q_events_running_totals,
         "rollup_docs": q_rollup_docs,
+        "sample_weighted": q_sample_weighted,
+        "doc_outliers": q_doc_outliers,
         "train_split_stratified": q_train_split_stratified,
         "events_asof_join": q_events_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2784,6 +2804,22 @@ SELECT user_id, event_id,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+        "sample_weighted": """
+SELECT doc_id, n_chars, source
+FROM documents
+WHERE (md5_number_lower(CAST(doc_id AS VARCHAR)) >> 32) * 2000
+      < (least(n_chars, 2000) << 32)""",
+        "doc_outliers": """
+WITH st AS (
+  SELECT source, sum(n_chars) AS s, sum(n_chars * n_chars) AS q,
+         count(*) AS n
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.source, d.n_chars,
+       (st.n > 1 AND st.n * st.q - st.s * st.s > 0
+        AND (st.n * d.n_chars - st.s) * (st.n * d.n_chars - st.s)
+            > 4 * (st.n * st.q - st.s * st.s)) AS is_outlier
+FROM documents d JOIN st USING (source)""",
         "rollup_docs": """
 SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
          AS source,

@@ -282,6 +282,33 @@ def hash_sample(docs, rate_hex: str = "1a", id_col: str = "doc_id",
         _keep, batch_format="pyarrow", zero_copy_batch=True, **kw)
 
 
+def weighted_hash_sample(docs, weight_col: str = "n_chars",
+                         weight_cap: int = 2000, id_col: str = "doc_id",
+                         keep_cols: tuple[str, ...] = ("source",), **kw):
+    """Deterministic WEIGHTED Bernoulli sample: keep a row with probability
+    ``min(weight, cap) / cap``, decided by an exact integer comparison —
+    ``(md5_64(str(id)) >> 32) · cap < min(weight, cap) << 32`` — so engine
+    and SQL agree bit-for-bit and re-runs/retries/partitionings select
+    identical rows (importance sampling keyed on content-independent
+    ids)."""
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    def _keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.string()).to_pylist()
+        h = np.fromiter((_md5_token64(s or "") for s in ids),
+                        dtype=np.uint64, count=len(ids))
+        w = np.minimum(np.asarray(batch[weight_col], dtype=np.int64),
+                       weight_cap)
+        keep = ((h >> np.uint64(32)).astype(np.int64) * weight_cap
+                < (w << 32))
+        out = batch.select([id_col, weight_col, *keep_cols])
+        return out.filter(pa.array(keep))
+
+    return docs.select_columns(
+        [id_col, weight_col, *keep_cols]).map_batches(
+        _keep, batch_format="pyarrow", zero_copy_batch=True, **kw)
+
+
 # --------------------------------------------------------------------------
 # 4b. Incremental dedup against an existing corpus
 # --------------------------------------------------------------------------

@@ -614,3 +614,79 @@ def rollup_counts(docs, keys: tuple[str, ...] = ("source", "lang"),
                          "value_sum": batch["sum(v)"]})
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Per-group outlier flag (exact integer z² test)
+# --------------------------------------------------------------------------
+
+def group_outliers(ds, key_col: str = "source", value_col: str = "n_chars",
+                   id_col: str = "doc_id", k: int = 3):
+    """Flag rows whose value deviates more than ``k`` standard deviations
+    from their group mean — the per-source length-outlier filter — using
+    the EXACT integer inequality ``(n·v − S)² > k²·(n·Q − S²)`` (S = Σv,
+    Q = Σv²; equivalent to z² > k² with the population σ), so no float
+    sqrt/stddev ever enters and engine and SQL agree bit-for-bit.
+
+    Shape: per-block (key, S, Q, n) partials → one tiny groupby → the
+    stats table broadcasts via ``ray.put`` (O(#keys) rows) → one streaming
+    flag pass.  Degenerate groups (σ = 0 or singleton) flag nothing."""
+    import ray
+
+    def _stats_partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        enc = pc.dictionary_encode(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+            else keys)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = np.asarray(batch[value_col], dtype=np.int64)
+        nk = len(enc.dictionary)
+        s = np.bincount(kidx, weights=v.astype(np.float64),
+                        minlength=nk).astype(np.int64)
+        q = np.bincount(kidx, weights=(v * v).astype(np.float64),
+                        minlength=nk).astype(np.int64)
+        n = np.bincount(kidx, minlength=nk).astype(np.int64)
+        return pa.table({key_col: enc.dictionary,
+                         "s": pa.array(s, pa.int64()),
+                         "q": pa.array(q, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    stats = (ds.select_columns([key_col, value_col]).map_batches(
+        _stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col).sum(["s", "q", "n"]).to_pandas())
+    lut = {r[key_col]: (int(r["sum(s)"]), int(r["sum(q)"]),
+                        int(r["sum(n)"]))
+           for _, r in stats.iterrows()}
+    lut_ref = ray.put(lut)
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        m = ray.get(lut_ref)
+        keys = batch[key_col]
+        enc = pc.dictionary_encode(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray)
+            else keys)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = enc.dictionary.to_pylist()
+        su = np.array([m.get(u, (0, 0, 0))[0] for u in uniq], np.int64)
+        qu = np.array([m.get(u, (0, 0, 0))[1] for u in uniq], np.int64)
+        nu = np.array([m.get(u, (0, 0, 0))[2] for u in uniq], np.int64)
+        v = np.asarray(batch[value_col], dtype=np.int64)
+        s, q, n = su[kidx], qu[kidx], nu[kidx]
+        # int64 exact for |v| ≤ ~1e6 and groups ≤ ~1e5 rows (documented);
+        # var_num = n²σ², dev = n(v − μ)
+        var_num = n * q - s * s
+        dev = n * v - s
+        out = (n > 1) & (var_num > 0) & (dev * dev > k * k * var_num)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            key_col: batch[key_col],
+            value_col: pa.array(v, pa.int64()),
+            "is_outlier": pa.array(out, pa.bool_()),
+        })
+
+    return ds.select_columns([id_col, key_col, value_col]).map_batches(
+        _flag, batch_format="pyarrow", zero_copy_batch=True)
