@@ -457,3 +457,45 @@ def test_group_outliers_matches_exact_z2():
         assert bool(gm[i]) == want
     assert gm[900] and gm[901]
     assert sum(gm.values()) < 20  # inliers stay unflagged
+
+
+def test_pmi_bigrams_matches_sequential():
+    from collections import Counter
+
+    from trustfuse_ray.stages.profile import pmi_top_bigrams
+
+    rng = np.random.default_rng(17)
+    vocab = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for i in range(80):
+        words = [vocab[int(j)] for j in rng.integers(0, len(vocab), 10)]
+        if i % 3 == 0:
+            words[2:4] = ["new", "york"]  # planted collocation
+        rows.append((i, " ".join(words), "en"))
+    got = pmi_top_bigrams(_docs(rows).repartition(4), k=10,
+                          min_count=3).to_pandas()
+    # sequential recompute
+    import re
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    T = B = 0
+    for _, text, _ in rows:
+        tl = re.split(r"\s+", text.strip())
+        uni.update(tl)
+        T += len(tl)
+        B += len(tl) - 1
+        big.update(zip(tl[:-1], tl[1:]))
+    scored = []
+    for (a, b), nab in big.items():
+        if nab < 3:
+            continue
+        x = nab * float(T) * float(T) / (float(B) * float(uni[a])
+                                         * float(uni[b]))
+        scored.append((int(np.round(np.log(x) * 1e9)), a, b, nab))
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    want = scored[:10]
+    assert len(got) == len(want)
+    for row, (sc, a, b, nab) in zip(got.itertuples(index=False), want):
+        assert (row.a, row.b, row.n_ab, row.score) == (a, b, nab, sc)
+    # the planted collocation must rank first
+    assert (got.iloc[0]["a"], got.iloc[0]["b"]) == ("new", "york")

@@ -730,6 +730,38 @@ def q_orders_no_returns(sf_dir: str):
     return _priority_counts(_q4_kept_orders(sf_dir, anti=True))
 
 
+def q_customer_order_stats(sf_dir: str):
+    """LEFT OUTER aggregate join: every customer with order count and
+    fixed-point (cents) spend, zero-filled for customers with no orders.
+    Orders pre-aggregate map-side; no broadcast — both sides scale."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.joins import left_outer_agg_join
+
+    cust = _tbl(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        fx = pc.cast(pc.round(
+            pc.multiply(batch["o_totalprice"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"o_custkey": batch["o_custkey"], "spend_fx": fx,
+                      "n_orders": pa.array(np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(t, "o_custkey", use_threads=False)
+                .aggregate([("spend_fx", "sum"), ("n_orders", "sum")])
+                .rename_columns(["o_custkey", "spend_fx", "n_orders"]))
+
+    agg = (_tbl(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"])
+        .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("o_custkey").sum(["spend_fx", "n_orders"])
+        .rename_columns({"sum(spend_fx)": "spend_fx",
+                         "sum(n_orders)": "n_orders"}))
+    return left_outer_agg_join(cust, agg, "c_custkey", "o_custkey",
+                               ["n_orders", "spend_fx"])
+
+
 def q_events_sessionize(sf_dir: str):
     return sessionize(_tbl(sf_dir, "events"), gap_minutes=30.0)
 
@@ -825,6 +857,14 @@ def q_doc_outliers(sf_dir: str):
     from trustfuse_ray.stages.profile import group_outliers
 
     return group_outliers(_tbl(sf_dir, "documents"), k=2)
+
+
+def q_pmi_bigrams(sf_dir: str):
+    """Top-20 adjacent-token bigrams by PMI (count ≥ 5), integer-scaled
+    log score so the SQL oracle ranks identically."""
+    from trustfuse_ray.stages.profile import pmi_top_bigrams
+
+    return pmi_top_bigrams(_tbl(sf_dir, "documents"), k=20, min_count=5)
 
 
 def q_train_split_stratified(sf_dir: str):
@@ -1517,6 +1557,7 @@ def queries_map():
         "q14_promo_revenue": q14_promo_revenue,
         "q4_order_priority": q4_order_priority,
         "orders_no_returns": q_orders_no_returns,
+        "customer_order_stats": q_customer_order_stats,
         "known_entity_flags": q_known_entity_flags,
         "top_customers": q_top_customers,
         "events_sessionize": q_events_sessionize,
@@ -1528,6 +1569,7 @@ def queries_map():
         "rollup_docs": q_rollup_docs,
         "sample_weighted": q_sample_weighted,
         "doc_outliers": q_doc_outliers,
+        "pmi_bigrams": q_pmi_bigrams,
         "train_split_stratified": q_train_split_stratified,
         "events_asof_join": q_events_asof_join,
         "doc_fingerprint": q_doc_fingerprint,
@@ -2707,6 +2749,18 @@ WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_orderkey = o.o_orderkey
                     AND l.l_returnflag = 'R')
 GROUP BY 1""",
+        "customer_order_stats": """
+WITH agg AS (
+  SELECT o_custkey,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS spend_fx
+  FROM orders GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name,
+       coalesce(a.n_orders, 0) AS n_orders,
+       coalesce(a.spend_fx, 0) AS spend_fx
+FROM customer c LEFT JOIN agg a ON a.o_custkey = c.c_custkey""",
         "kg_bucketize_claims": f"""
 WITH RECURSIVE {_claims_cte(cache)},
 ordered AS MATERIALIZED (
@@ -2820,6 +2874,30 @@ SELECT d.doc_id, d.source, d.n_chars,
         AND (st.n * d.n_chars - st.s) * (st.n * d.n_chars - st.s)
             > 4 * (st.n * st.q - st.s * st.s)) AS is_outlier
 FROM documents d JOIN st USING (source)""",
+        "pmi_bigrams": r"""
+WITH t AS (
+  SELECT string_split_regex(trim(coalesce(text, '')), '\s+') AS tl
+  FROM documents
+),
+uni AS (SELECT unnest(tl) AS token FROM t),
+un AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM uni GROUP BY 1),
+tt AS (SELECT count(*) AS t FROM uni),
+bb AS (SELECT sum(len(tl) - 1) AS b FROM t),
+big AS (
+  SELECT tl[g.i] AS a, tl[g.i + 1] AS b
+  FROM t, unnest(generate_series(1, len(tl) - 1)) g(i)
+),
+bg AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM big
+       GROUP BY 1, 2 HAVING count(*) >= 5),
+sc AS (
+  SELECT bg.a, bg.b, bg.n_ab,
+         CAST(round(ln(CAST(bg.n_ab AS DOUBLE) * tt.t * tt.t
+                       / (CAST(bb.b AS DOUBLE) * ua.n * ub.n)) * 1e9)
+              AS BIGINT) AS score
+  FROM bg JOIN un ua ON ua.token = bg.a
+          JOIN un ub ON ub.token = bg.b, tt, bb)
+SELECT a, b, n_ab, score FROM sc
+QUALIFY row_number() OVER (ORDER BY score DESC, a, b) <= 20""",
         "rollup_docs": """
 SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END
          AS source,

@@ -193,3 +193,66 @@ def semi_join(left, right, left_key: str, right_key: str | None = None,
     out_schema = pa.schema([(left_key, ktype)] + ptypes)
     return hash_group_apply(tagged, [left_key], _resolve, n_parts=n_parts,
                             plasma_schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Left outer aggregate join (zero-filled enrichment)
+# --------------------------------------------------------------------------
+
+def left_outer_agg_join(left, right_agg, left_key: str, right_key: str,
+                        agg_cols: list[str], fill: int = 0,
+                        n_parts: int = 64):
+    """LEFT OUTER join of pre-aggregated per-key stats onto a dimension
+    table, zero-filling keys with no match (SQL ``LEFT JOIN … coalesce``).
+    ``right_agg`` must already be one row per key (the caller runs the
+    map-side partial + groupby — the standard aggregate shape), so the
+    exchange moves left rows + one row per right key and each key group
+    resolves locally.  No broadcast: both sides can grow with scale."""
+    lschema = left.schema().base_schema
+    payload = [n for n in lschema.names if n != left_key]
+    ptypes = [(c, lschema.field(c).type) for c in payload]
+    ktype = lschema.field(left_key).type
+
+    def _tag_left(batch: pa.Table) -> pa.Table:
+        cols = {left_key: batch[left_key]}
+        cols.update({c: batch[c] for c in payload})
+        cols.update({c: pa.nulls(len(batch), pa.int64())
+                     for c in agg_cols})
+        cols["__side"] = pa.array(np.zeros(len(batch), np.int8))
+        return pa.table(cols)
+
+    def _tag_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {left_key: batch[right_key].cast(ktype)}
+        cols.update({c: pa.nulls(n, t) for c, t in ptypes})
+        cols.update({c: batch[c].cast(pa.int64()) for c in agg_cols})
+        cols["__side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    tagged = (left.map_batches(_tag_left, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .union(right_agg.map_batches(_tag_right,
+                                           batch_format="pyarrow",
+                                           zero_copy_batch=True)))
+
+    def _resolve(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["__side"], dtype=np.int8)
+        lmask = side == 0
+        if not lmask.any():        # right key with no dimension row
+            return None
+        lrows = group.filter(pa.array(lmask))
+        vals = {}
+        for c in agg_cols:
+            a = np.asarray(group[c].to_pandas().fillna(fill),
+                           dtype=np.int64)
+            v = int(a[~lmask][0]) if (~lmask).any() else fill
+            vals[c] = np.full(len(lrows), v, np.int64)
+        out = {left_key: lrows[left_key]}
+        out.update({c: lrows[c] for c in payload})
+        out.update({c: pa.array(vals[c], pa.int64()) for c in agg_cols})
+        return pa.table(out)
+
+    out_schema = pa.schema([(left_key, ktype)] + ptypes
+                           + [(c, pa.int64()) for c in agg_cols])
+    return hash_group_apply(tagged, [left_key], _resolve, n_parts=n_parts,
+                            plasma_schema=out_schema)

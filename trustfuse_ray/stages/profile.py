@@ -690,3 +690,114 @@ def group_outliers(ds, key_col: str = "source", value_col: str = "n_chars",
 
     return ds.select_columns([id_col, key_col, value_col]).map_batches(
         _flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# PMI top bigrams
+# --------------------------------------------------------------------------
+
+def _bigram_partial(batch: pa.Table, text_col: str) -> pa.Table:
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+        _SPLIT_RX)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    lens = np.nan_to_num(lens.astype(np.float64)).astype(np.int64)
+    enc = pc.dictionary_encode(toks.flatten())
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    docix = np.repeat(np.arange(len(toks), dtype=np.int64), lens)
+    if len(code) < 2:
+        return pa.table({"a": pa.array([], pa.string()),
+                         "b": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    same = docix[1:] == docix[:-1]
+    a, b = code[:-1][same], code[1:][same]
+    v = len(enc.dictionary)
+    key = a * v + b
+    uk, cnt = np.unique(key, return_counts=True)
+    dic = enc.dictionary
+    return pa.table({
+        "a": dic.take(pa.array(uk // v)),
+        "b": dic.take(pa.array(uk % v)),
+        "n": pa.array(cnt.astype(np.int64), pa.int64()),
+    })
+
+
+def pmi_top_bigrams(docs, k: int = 20, min_count: int = 5,
+                    text_col: str = "text"):
+    """Top-k adjacent-token bigrams by pointwise mutual information,
+    restricted to bigrams with count ≥ ``min_count``.  Integer score
+    ``round(ln(n_ab·T² / (B·n_a·n_b))·1e9)`` (T = tokens, B = bigrams)
+    so engine and SQL rank identically; ties break by (a, b).
+
+    Scale shape: block-level distinct-pair combiners bound both
+    exchanges by block vocabulary; the FULL unigram vocabulary is never
+    broadcast — after the min_count filter the (small) candidate token
+    set broadcasts, unigram partials are filtered map-side against it,
+    and only those counts reach the driver."""
+    import ray
+
+    bi = (docs.select_columns([text_col]).map_batches(
+        functools.partial(_bigram_partial, text_col=text_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"]).sum("n").rename_columns({"sum(n)": "n"}))
+    bi = bi.filter(expr=f"n >= {int(min_count)}").materialize()
+    b_total = None  # total bigrams = sum over UNfiltered partials
+
+    def _uni_partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+            _SPLIT_RX)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        enc = pc.dictionary_encode(toks.flatten())
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({"token": enc.dictionary,
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    uni_partial = docs.select_columns([text_col]).map_batches(
+        _uni_partial, batch_format="pyarrow", zero_copy_batch=True)
+    t_total = int(uni_partial.sum("n") or 0)
+    # total bigram count per doc = tokens - 1 → T - n_docs
+    n_docs = docs.count()
+    b_total = t_total - n_docs
+    # candidate tokens (small after min_count): broadcast, filter map-side
+    cand = bi.to_pandas()
+    if len(cand) == 0:
+        return ray.data.from_arrow(pa.table({
+            "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+            "n_ab": pa.array([], pa.int64()),
+            "score": pa.array([], pa.int64())}))
+    cand_tokens = set(cand["a"]) | set(cand["b"])
+    tok_ref = ray.put(cand_tokens)
+
+    def _filter_uni(batch: pa.Table) -> pa.Table:
+        cands = ray.get(tok_ref)  # zero-copy local plasma read
+        keep = pa.array([t in cands
+                         for t in batch["token"].to_pylist()])
+        return batch.filter(keep)
+
+    uni = (uni_partial.map_batches(_filter_uni, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+           .groupby("token").sum("n").to_pandas())
+    un = dict(zip(uni["token"], uni["sum(n)"].astype(int)))
+    na = cand["a"].map(un).to_numpy(dtype=np.float64)
+    nb = cand["b"].map(un).to_numpy(dtype=np.float64)
+    nab = cand["n"].to_numpy(dtype=np.float64)
+    x = nab * float(t_total) * float(t_total) / (
+        float(b_total) * na * nb)
+    score = np.round(np.log(x) * 1e9).astype(np.int64)
+    out = cand.assign(score=score).rename(columns={"n": "n_ab"})
+    out = out.sort_values(["score", "a", "b"],
+                          ascending=[False, True, True]).head(k)
+    return ray.data.from_arrow(pa.table({
+        "a": pa.array(out["a"], pa.string()),
+        "b": pa.array(out["b"], pa.string()),
+        "n_ab": pa.array(out["n_ab"].astype(np.int64), pa.int64()),
+        "score": pa.array(out["score"].astype(np.int64), pa.int64())}))
