@@ -217,3 +217,38 @@ def test_semi_join_empty_sides():
     assert len(semi_join(left, empty, "k", "rk").to_pandas()) == 0
     anti = semi_join(left, empty, "k", "rk", anti=True).to_pandas()
     assert sorted(anti["k"]) == [1, 2]
+
+
+def test_fuzzy_self_join_blocked():
+    from trustfuse_ray.functions.similarity import jaro_similarity
+    from trustfuse_ray.stages.joins import fuzzy_self_join
+
+    vals = ["martha", "marhta", "martin", "zed", "zeb", "qq",
+            "martha", "dwayne", "duane"]  # duplicate collapses
+    ds = rd.from_arrow(pa.table({"name": pa.array(vals)})).repartition(3)
+    got = fuzzy_self_join(ds, "name", threshold=0.8,
+                          block_len=2).to_pandas()
+    uniq = sorted(set(vals))
+    want = []
+    for i in range(len(uniq)):
+        for j in range(i + 1, len(uniq)):
+            a, b = uniq[i], uniq[j]
+            if a[:2] != b[:2]:
+                continue
+            s = jaro_similarity(a, b)
+            if s >= 0.8:
+                want.append((a, b, int(round(s * 1e9))))
+    got_set = {(r.a, r.b, r.sim_fx) for r in got.itertuples(index=False)}
+    assert got_set == set(want)
+    assert ("marhta", "martha", 944444444) in got_set
+    # 'dwayne'/'duane' similar but blocked apart (dw vs du) — excluded
+    assert not any(a == "duane" or b == "duane" for a, b, _ in got_set)
+
+
+def test_fuzzy_self_join_stop_block_cap():
+    from trustfuse_ray.stages.joins import fuzzy_self_join
+
+    vals = [f"aa{i:03d}" for i in range(30)]
+    ds = rd.from_arrow(pa.table({"name": pa.array(vals)}))
+    got = fuzzy_self_join(ds, "name", threshold=0.0, cap=10).to_pandas()
+    assert len(got) == 0  # block of 30 > cap → skipped entirely

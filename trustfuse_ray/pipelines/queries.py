@@ -1432,6 +1432,16 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank(und, rounds=5)
 
 
+def q_entity_fuzzy_pairs(sf_dir: str):
+    """ER-style fuzzy self-join over distinct claim entities: Jaro ≥ 0.85
+    within 2-char-prefix blocks (stop-blocks > 500 skipped) — the
+    reference's similarity kernel as a distributed blocked join."""
+    from trustfuse_ray.stages.joins import fuzzy_self_join
+
+    return fuzzy_self_join(cached_claims(sf_dir), "entity",
+                           threshold=0.85)
+
+
 def q_kg_triangles(sf_dir: str):
     """Exact triangle count of the entity co-occurrence graph (entities
     sharing a fused (attr, value); value groups capped at 20 — standard
@@ -1619,6 +1629,7 @@ def queries_map():
         "kg_khop": q_kg_khop,
         "kg_pagerank": q_kg_pagerank,
         "kg_triangles": q_kg_triangles,
+        "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "token_chunks": q_token_chunks,
     }
 
@@ -3556,6 +3567,16 @@ FROM embeddings e LEFT JOIN lab l ON l.node = e.vec_id""",
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},
 {_pagerank_rounds_sql(rounds=5)}""",
+        "entity_fuzzy_pairs": f"""
+WITH {_claims_cte(cache)},
+ents AS (SELECT DISTINCT entity FROM claims),
+bl AS (SELECT entity, substr(entity, 1, 2) AS blk FROM ents),
+ok AS (SELECT blk FROM bl GROUP BY 1 HAVING count(*) BETWEEN 2 AND 500),
+p AS (SELECT x.entity AS a, y.entity AS b
+      FROM bl x JOIN bl y ON x.blk = y.blk AND x.entity < y.entity
+      JOIN ok ON ok.blk = x.blk)
+SELECT a, b, CAST(round(jaro_similarity(a, b) * 1e9) AS BIGINT) AS sim_fx
+FROM p WHERE jaro_similarity(a, b) >= 0.85""",
         "kg_triangles": f"""
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},

@@ -256,3 +256,59 @@ def left_outer_agg_join(left, right_agg, left_key: str, right_key: str,
                            + [(c, pa.int64()) for c in agg_cols])
     return hash_group_apply(tagged, [left_key], _resolve, n_parts=n_parts,
                             plasma_schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Blocked fuzzy (Jaro) self-join
+# --------------------------------------------------------------------------
+
+def fuzzy_self_join(ds, col: str, threshold: float = 0.9,
+                    block_len: int = 2, cap: int = 500, scale: int = 10 ** 9,
+                    n_parts: int = 32):
+    """Entity-resolution-style similarity self-join: pairs of DISTINCT
+    values of ``col`` with Jaro similarity ≥ ``threshold``, blocked on the
+    ``block_len``-char prefix (standard ER blocking: only same-prefix
+    pairs compare; blocks above ``cap`` are skipped as stop-blocks — both
+    rules are SQL-expressible so the oracle replays the exact pair set).
+
+    Shape: per-block distinct combine → one exchange on the prefix →
+    per-group pair verify with the reference-parity Jaro kernel
+    (`functions/similarity.py`, bit-matched against DuckDB
+    ``jaro_similarity``).  Pair work is bounded by cap² per block."""
+    from trustfuse_ray.functions.similarity import jaro_similarity
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        vals = pc.unique(batch[col].combine_chunks()
+                         if isinstance(batch[col], pa.ChunkedArray)
+                         else batch[col]).cast(pa.string())
+        return pa.table({
+            "val": vals,
+            "blk": pc.utf8_slice_codeunits(vals, 0, block_len)})
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        # per-block distinct happened map-side; finish the global distinct
+        # here (same prefix ⇒ same group), then cap and verify
+        vals = sorted(set(group["val"].to_pylist()))
+        n = len(vals)
+        if n < 2 or n > cap:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "sim_fx": pa.array([], pa.int64())})
+        outa, outb, outs = [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                s = jaro_similarity(vals[i], vals[j])
+                if s >= threshold:
+                    outa.append(vals[i])
+                    outb.append(vals[j])
+                    outs.append(int(round(s * scale)))
+        return pa.table({"a": pa.array(outa, pa.string()),
+                         "b": pa.array(outb, pa.string()),
+                         "sim_fx": pa.array(outs, pa.int64())})
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("sim_fx", pa.int64())])
+    return hash_group_apply(
+        ds.select_columns([col]).map_batches(
+            _distinct, batch_format="pyarrow", zero_copy_batch=True),
+        ["blk"], _pairs, n_parts=n_parts, plasma_schema=pair_schema)
