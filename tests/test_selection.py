@@ -499,3 +499,58 @@ def test_pmi_bigrams_matches_sequential():
         assert (row.a, row.b, row.n_ab, row.score) == (a, b, nab, sc)
     # the planted collocation must rank first
     assert (got.iloc[0]["a"], got.iloc[0]["b"]) == ("new", "york")
+
+
+# ---------------------------------------------------------------------------
+# funnel / retention
+# ---------------------------------------------------------------------------
+
+def test_funnel_steps_semantics():
+    from trustfuse_ray.stages.windows import funnel_steps
+
+    rows = [
+        # user 1: full funnel in order
+        (1, 1, 100, "view"), (2, 1, 200, "click"), (3, 1, 300, "purchase"),
+        # user 2: click BEFORE view → click stage unmet until later click
+        (4, 2, 100, "click"), (5, 2, 200, "view"),
+        # user 3: view only
+        (6, 3, 50, "view"),
+        # user 4: no view at all → excluded
+        (7, 4, 10, "click"), (8, 4, 20, "purchase"),
+        # user 5: purchase before click → stage stops at click
+        (9, 5, 10, "view"), (10, 5, 30, "purchase"), (11, 5, 40, "click"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })).repartition(3)
+    got = {int(r["user_id"]): r
+           for r in funnel_steps(ds).to_pandas().to_dict("records")}
+    assert set(got) == {1, 2, 3, 5}
+    assert (got[1]["view_us"], got[1]["click_us"], got[1]["purchase_us"],
+            got[1]["stage"]) == (100, 200, 300, 3)
+    assert got[2]["stage"] == 1 and got[2]["view_us"] == 200
+    assert got[3]["stage"] == 1
+    # user 5: click at 40 >= view 10 → stage 2; purchase at 30 < 40 → unmet
+    assert got[5]["stage"] == 2 and got[5]["click_us"] == 40
+
+
+def test_weekly_retention_counts():
+    from trustfuse_ray.stages.windows import weekly_retention
+
+    WK = 604_800_000_000
+    rows = [
+        (1, 0), (1, 0), (1, 1), (1, 3),   # user 1: offsets {0,1,3}
+        (2, 5), (2, 6),                   # user 2: offsets {0,1}
+        (3, 2),                           # user 3: offset {0}
+    ]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * WK + 17 for r in rows],
+                       pa.timestamp("us")),
+    })).repartition(2)
+    got = {int(r["week_offset"]): int(r["n_users"])
+           for r in weekly_retention(ds).to_pandas().to_dict("records")}
+    assert got == {0: 3, 1: 2, 3: 1}

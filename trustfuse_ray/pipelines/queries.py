@@ -875,6 +875,22 @@ def q_train_split_stratified(sf_dir: str):
     return stratified_split(_tbl(sf_dir, "documents"))
 
 
+def q_events_funnel(sf_dir: str):
+    """Ordered view→click→purchase funnel per user (chained earliest-at-
+    or-after semantics; one hash exchange on the key)."""
+    from trustfuse_ray.stages.windows import funnel_steps
+
+    return funnel_steps(_tbl(sf_dir, "events"))
+
+
+def q_events_retention(sf_dir: str):
+    """Weekly cohort retention curve: users active k weeks after their
+    first week (distinct-week combiner → per-user offsets → count)."""
+    from trustfuse_ray.stages.windows import weekly_retention
+
+    return weekly_retention(_tbl(sf_dir, "events"))
+
+
 def q_events_asof_join(sf_dir: str):
     """As-of join: each purchase gets the ts of the user's latest click at
     or before it (DuckDB ASOF LEFT JOIN is the oracle)."""
@@ -1573,6 +1589,8 @@ def queries_map():
         "events_sessionize": q_events_sessionize,
         "events_windowed_agg": q_events_windowed_agg,
         "events_hopping_agg": q_events_hopping_agg,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "events_running_totals": q_events_running_totals,
@@ -2845,6 +2863,29 @@ SELECT user_id,
        sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
 FROM events
 GROUP BY 1, 2""",
+        "events_funnel": """
+WITH v AS (SELECT user_id, min(epoch_us(ts)) AS view_us
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS click_us
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.view_us
+      GROUP BY 1),
+p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS purchase_us
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.click_us
+      GROUP BY 1)
+SELECT v.user_id, v.view_us, c.click_us, p.purchase_us,
+       CAST(1 + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END
+            AS BIGINT) AS stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+        "events_retention": """
+WITH uw AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 604800000000 AS wk FROM events),
+w0 AS (SELECT user_id, min(wk) AS w0 FROM uw GROUP BY 1)
+SELECT CAST(uw.wk - w0.w0 AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN w0 USING (user_id) GROUP BY 1""",
         "events_hopping_agg": """
 SELECT event_type,
        ((epoch_us(ts) // 900000000) - i.range) * 900000000 AS window_us,

@@ -345,3 +345,109 @@ def hopping_window_aggregate(events, key_col: str = "event_type",
         })
 
     return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def _funnel_group(group: pa.Table, *, key_col: str, ts_col: str,
+                  steps: tuple[str, ...], type_col: str) -> pa.Table:
+    ts = np.asarray(group[ts_col].cast(pa.int64()), dtype=np.int64)
+    et = np.asarray(group[type_col].to_pylist(), dtype=object)
+    cur = np.iinfo(np.int64).min
+    out: list = []
+    reached = 0
+    for step in steps:
+        m = et == step
+        cand = ts[m]
+        cand = cand[cand >= cur] if cur != np.iinfo(np.int64).min else cand
+        if len(cand) == 0:
+            out.append(None)
+            continue
+        cur = int(cand.min())
+        out.append(cur)
+        reached += 1
+    cols = {key_col: group[key_col].slice(0, 1)}
+    for s, v in zip(steps, out):
+        cols[f"{s}_us"] = pa.array([v], pa.int64())
+    cols["stage"] = pa.array([reached], pa.int64())
+    return pa.table(cols)
+
+
+def funnel_steps(events, steps: tuple[str, ...] = ("view", "click",
+                                                   "purchase"),
+                 key_col: str = "user_id", ts_col: str = "ts",
+                 type_col: str = "event_type", n_parts: int = 32):
+    """Ordered funnel per key: earliest time of step 1, then the earliest
+    step-2 event at or after it, and so on (classic funnel semantics —
+    each stage's timestamp is the min over events of that type not before
+    the previous stage).  One hash exchange on the key; per-group work is
+    O(events · steps) numpy.  ``stage`` counts completed steps, and a
+    later stage missing leaves NULLs (matching the SQL chained min
+    formulation)."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch[type_col],
+                        value_set=pa.array(list(steps)))
+        batch = batch.filter(mask)
+        return pa.table({key_col: batch[key_col],
+                         ts_col: batch[ts_col].cast(pa.timestamp("us")),
+                         type_col: batch[type_col]})
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    keyed = events.select_columns(
+        [key_col, ts_col, type_col]).map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True)
+    key_type = events.schema().base_schema.field(key_col).type
+    out_schema = pa.schema([(key_col, key_type)]
+                           + [(f"{s}_us", pa.int64()) for s in steps]
+                           + [("stage", pa.int64())])
+    # keep only keys whose first step exists: groups without step-1
+    # events emit stage 0 rows — drop them to mirror the SQL inner chain
+    out = hash_group_apply(
+        keyed, [key_col],
+        functools.partial(_funnel_group, key_col=key_col, ts_col=ts_col,
+                          steps=tuple(steps), type_col=type_col),
+        n_parts=n_parts, plasma_schema=out_schema)
+
+    def _first_step_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_valid(batch[f"{steps[0]}_us"]))
+
+    return out.map_batches(_first_step_only, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def weekly_retention(events, key_col: str = "user_id", ts_col: str = "ts",
+                     week_us: int = 604_800_000_000, n_parts: int = 32):
+    """Cohort retention curve: for each key, week offsets relative to its
+    first active week; output (week_offset, n_users) counts.  Per-block
+    distinct (key, week) combine → one exchange on the key → per-group
+    offsets → tiny count groupby."""
+    import pyarrow.compute as pc
+
+    def _weeks(batch: pa.Table) -> pa.Table:
+        wk = pc.divide(batch[ts_col].cast(pa.int64()),
+                       pa.scalar(week_us, pa.int64()))
+        t = pa.table({key_col: batch[key_col], "wk": wk})
+        return pa.TableGroupBy(t, [key_col, "wk"],
+                               use_threads=False).aggregate([])
+
+    def _offsets(group: pa.Table) -> pa.Table:
+        wk = np.unique(np.asarray(group["wk"], dtype=np.int64))
+        off = wk - wk.min()
+        return pa.table({"week_offset": pa.array(off, pa.int64()),
+                         "n": pa.array(np.ones(len(off), np.int64))})
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    keyed = events.select_columns([key_col, ts_col]).map_batches(
+        _weeks, batch_format="pyarrow", zero_copy_batch=True)
+    out_schema = pa.schema([("week_offset", pa.int64()),
+                            ("n", pa.int64())])
+    per_user = hash_group_apply(keyed, [key_col], _offsets,
+                                n_parts=n_parts,
+                                plasma_schema=out_schema)
+    return (per_user.groupby("week_offset").sum("n")
+            .rename_columns({"sum(n)": "n_users"}))
