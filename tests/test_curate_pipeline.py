@@ -1,5 +1,6 @@
 """Composed curation pipeline: filter + dedup + pack interplay."""
 
+import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
@@ -41,3 +42,50 @@ def test_curate_pack_respects_cap_across_survivors():
                  key=lambda r: r["doc_id"])
     assert [r["seq_id"] for r in out] == [0, 0, 1, 1, 2]
     assert [r["seq_pos"] for r in out] == [0, 1, 0, 1, 0]
+
+
+def test_pretrain_dataset_end_to_end():
+    import hashlib
+    import struct
+
+    from trustfuse_ray.pipelines.curate import pretrain_dataset
+
+    def md5_64(s):
+        return struct.unpack("<Q",
+                             hashlib.md5(s.encode()).digest()[8:16])[0]
+
+    rows = []
+    for i in range(100):
+        text = f"doc {i % 40} body tok{i % 7} end"  # 40 distinct texts
+        rows.append((i, text, f"s{i % 2}"))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })).repartition(5)
+    got = pretrain_dataset(ds, frac_train=0.8, n_shards=4).to_pandas()
+    # dedup keeps min doc_id per text → 40 docs; 0.8 cut per source
+    reps = {}
+    for i, text, src in rows:
+        key = text.strip().lower()
+        if key not in reps or i < reps[key][0]:
+            reps[key] = (i, src)
+    per_src = {}
+    for i, src in reps.values():
+        per_src.setdefault(src, []).append(i)
+    want_ids = set()
+    for src, ids in per_src.items():
+        ids.sort(key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(),
+                                d))
+        want_ids |= set(ids[:int(np.floor(0.8 * len(ids)))])
+    assert set(got["doc_id"].astype(int)) == want_ids
+    # shard assignment + dense in-shard ranks
+    for sh, grp in got.groupby("shard"):
+        assert all(md5_64(str(d)) % 4 == sh for d in grp["doc_id"])
+        assert sorted(grp["pos"]) == list(range(len(grp)))
+    # determinism across partitionings
+    again = pretrain_dataset(ds.repartition(1), frac_train=0.8,
+                             n_shards=4).to_pandas()
+    a = got.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert (a["shard"] == b["shard"]).all() and (a["pos"] == b["pos"]).all()

@@ -86,3 +86,76 @@ def curate_documents(docs, cap: int = 512, max_dup_frac: float = 0.5,
                                  ("n_tokens", pa.int64())]))
     return pack_counted(deduped.drop_columns(["fp"]), cap=cap,
                         id_col=id_col, n_parts=n_parts)
+
+
+def _split_cut_group(group: pa.Table, *, id_col: str,
+                     frac_train: float) -> pa.Table:
+    """Per-source md5-ranked cut: keep the first floor(frac·n) docs."""
+    ids = group[id_col].cast(pa.string()).to_pylist()
+    fps = [hashlib.md5((s or "").encode()).hexdigest() for s in ids]
+    g = group.append_column("__fp", pa.array(fps, pa.string()))
+    order = pc.sort_indices(g, sort_keys=[("__fp", "ascending"),
+                                          (id_col, "ascending")])
+    g = g.take(order).drop_columns(["__fp"])
+    n_train = int(np.floor(frac_train * len(g)))
+    return g.slice(0, n_train)
+
+
+def _shard_rank_group(group: pa.Table, *, id_col: str) -> pa.Table:
+    ids = group[id_col].cast(pa.string()).to_pylist()
+    fps = [hashlib.md5((s or "").encode()).hexdigest() for s in ids]
+    g = group.append_column("__fp", pa.array(fps, pa.string()))
+    order = pc.sort_indices(g, sort_keys=[("__fp", "ascending"),
+                                          (id_col, "ascending")])
+    g = g.take(order).drop_columns(["__fp"])
+    return g.append_column(
+        "pos", pa.array(np.arange(len(g), dtype=np.int64)))
+
+
+def pretrain_dataset(docs, frac_train: float = 0.8, n_shards: int = 8,
+                     max_dup_frac: float = 0.5, text_col: str = "text",
+                     id_col: str = "doc_id", n_parts: int = 32):
+    """End-to-end pretraining-set construction as ONE streaming program:
+    per-batch quality signals + filter (text dropped immediately) → exact
+    dedup (min doc_id per fingerprint) → deterministic md5-ranked train
+    cut per source → shard assignment with in-shard rank.  Three
+    small-row exchanges total; the text column never shuffles.  Output
+    (doc_id, source, n_tokens, shard, pos) is the keep-list a writer
+    semi-joins against the corpus at rest."""
+    import functools
+
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    sig = docs.select_columns([id_col, "source", text_col]).map_batches(
+        lambda b: _signals_filter(b, max_dup_frac=max_dup_frac,
+                                  text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    row_schema = pa.schema([(id_col, pa.int64()), ("source", pa.string()),
+                            ("fp", pa.string()), ("n_tokens", pa.int64())])
+    deduped = hash_group_apply(
+        sig, ["fp"], functools.partial(_first_by_id, id_col=id_col),
+        n_parts=n_parts, plasma_schema=row_schema).drop_columns(["fp"])
+    cut_schema = pa.schema([(id_col, pa.int64()), ("source", pa.string()),
+                            ("n_tokens", pa.int64())])
+    train = hash_group_apply(
+        deduped, ["source"],
+        functools.partial(_split_cut_group, id_col=id_col,
+                          frac_train=frac_train),
+        n_parts=n_parts, plasma_schema=cut_schema)
+
+    def _shard_key(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].cast(pa.string()).to_pylist()
+        h = np.fromiter((_md5_token64(s or "") for s in ids),
+                        dtype=np.uint64, count=len(ids))
+        return batch.append_column(
+            "shard", pa.array((h % n_shards).astype(np.int64), pa.int64()))
+
+    keyed = train.map_batches(_shard_key, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out_schema = pa.schema([(id_col, pa.int64()), ("source", pa.string()),
+                            ("n_tokens", pa.int64()),
+                            ("shard", pa.int64()), ("pos", pa.int64())])
+    return hash_group_apply(
+        keyed, ["shard"],
+        functools.partial(_shard_rank_group, id_col=id_col),
+        n_parts=n_parts, plasma_schema=out_schema)

@@ -1197,6 +1197,15 @@ def q_doc_curation(sf_dir: str):
     return curate_documents(_tbl(sf_dir, "documents"))
 
 
+def q_pretrain_dataset(sf_dir: str):
+    """End-to-end pretraining-set construction: signals → filter → exact
+    dedup → md5-ranked train cut per source → shard + in-shard rank.
+    Three small-row exchanges; text never shuffles."""
+    from trustfuse_ray.pipelines.curate import pretrain_dataset
+
+    return pretrain_dataset(_tbl(sf_dir, "documents"))
+
+
 def q_top_docs_per_source(sf_dir: str):
     """Top-5 docs per source by n_chars (map-side combiner keeps the
     shuffle at k rows per key per block)."""
@@ -1612,6 +1621,7 @@ def queries_map():
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
         "doc_curation": q_doc_curation,
+        "pretrain_dataset": q_pretrain_dataset,
         "top_docs_per_source": q_top_docs_per_source,
         "dedup_incremental_synth": q_dedup_incremental,
         "events_range_join": q_events_range_join,
@@ -3223,6 +3233,56 @@ r AS (
   FROM r JOIN t ON t.source = r.source AND t.rn = r.rn + 1
 )
 SELECT source, doc_id, n_tokens, seq_id, seq_pos FROM r""",
+        "pretrain_dataset": r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok,
+         unnest(generate_series(1, len(string_split_regex(trim(text),
+                                                          '\s+')))) AS ord
+  FROM documents
+),
+tri AS (
+  SELECT doc_id, tok, lead(tok, 1) OVER w AS t2, lead(tok, 2) OVER w AS t3
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+),
+tcnt AS (SELECT doc_id, tok, t2, t3, count(*) AS c FROM tri
+         GROUP BY 1, 2, 3, 4),
+tdup AS (SELECT doc_id, sum(c) FILTER (WHERE c > 1) AS dup_n,
+                sum(c) AS n_tri
+         FROM tcnt GROUP BY 1),
+sig AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split_regex(trim(d.text), '\s+')) AS BIGINT)
+           AS n_tokens,
+         md5(lower(trim(d.text))) AS fp,
+         CASE WHEN coalesce(td.n_tri, 0) = 0 THEN 0.0
+              ELSE coalesce(td.dup_n, 0) / td.n_tri END AS dup_frac
+  FROM documents d LEFT JOIN tdup td USING (doc_id)
+),
+kept AS (SELECT * FROM sig WHERE dup_frac <= 0.5),
+rep AS (SELECT doc_id, source, n_tokens FROM kept
+        QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+spl AS (
+  SELECT doc_id, source, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           - 1 AS srn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM rep
+),
+train AS (SELECT doc_id, source, n_tokens FROM spl
+          WHERE srn < CAST(floor(0.8 * cnt) AS BIGINT)),
+sh AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT)
+           AS shard
+  FROM train
+)
+SELECT doc_id, source, n_tokens, shard,
+       CAST(row_number() OVER (PARTITION BY shard
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                        doc_id) - 1 AS BIGINT) AS pos
+FROM sh""",
         "token_pack": r"""
 WITH RECURSIVE tok AS (
   SELECT doc_id, source,
