@@ -554,3 +554,52 @@ def test_weekly_retention_counts():
     got = {int(r["week_offset"]): int(r["n_users"])
            for r in weekly_retention(ds).to_pandas().to_dict("records")}
     assert got == {0: 3, 1: 2, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# skew / robustness
+# ---------------------------------------------------------------------------
+
+def test_hot_key_skew_running_totals_and_funnel():
+    """One key holding 96% of all rows must still produce exact results —
+    documents the per-key-group partitioning assumption under skew."""
+    from trustfuse_ray.stages.windows import funnel_steps, running_totals
+
+    rows = []
+    types = ["view", "click", "purchase"]
+    for i in range(25_000):
+        rows.append((i, 0, i * 10, float(i % 7), types[i % 3]))
+    for i in range(1_000):  # 40 cold keys
+        rows.append((25_000 + i, 1 + i % 40, i * 100, 1.0,
+                     types[i % 3]))
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "event_type": pa.array([r[4] for r in rows], pa.string()),
+    })).repartition(8)
+    rt = running_totals(ds).to_pandas()
+    assert len(rt) == len(rows)
+    hot = rt[rt["user_id"] == 0].sort_values("event_id")
+    assert list(hot["running_n"]) == list(range(1, 25_001))
+    exp_last = sum(float(i % 7) for i in range(25_000))
+    assert abs(hot["running_value"].iloc[-1] - exp_last) < 1e-6
+    fn = funnel_steps(ds).to_pandas()
+    hot_fn = fn[fn["user_id"] == 0].iloc[0]
+    # user 0: view at t=0, click at t=10, purchase at t=20
+    assert (hot_fn["view_us"], hot_fn["click_us"],
+            hot_fn["purchase_us"], hot_fn["stage"]) == (0, 10, 20, 3)
+
+
+def test_funnel_retention_empty():
+    from trustfuse_ray.stages.windows import funnel_steps, weekly_retention
+
+    empty = rd.from_arrow(pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "user_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "event_type": pa.array([], pa.string()),
+    }))
+    assert len(funnel_steps(empty).to_pandas()) == 0
+    assert len(weekly_retention(empty).to_pandas()) == 0
