@@ -603,3 +603,33 @@ def test_funnel_retention_empty():
     }))
     assert len(funnel_steps(empty).to_pandas()) == 0
     assert len(weekly_retention(empty).to_pandas()) == 0
+
+
+def test_personalized_pagerank_seeds_semantics():
+    from trustfuse_ray.stages.graph import pagerank
+
+    # two disjoint components; seeds only in the first
+    edges = [("a", "b"), ("b", "a"), ("b", "c"),
+             ("x", "y"), ("y", "x")]
+    ds = rd.from_arrow(pa.table({
+        "src": [e[0] for e in edges],
+        "dst": [e[1] for e in edges]}))
+    K, SCALE = 4, 1_000_000
+    got = {r["node"]: r["pagerank_fx"]
+           for r in pagerank(ds, rounds=K,
+                             seeds=["a"]).to_pandas().to_dict("records")}
+    # sequential PPR oracle
+    nodes = sorted({x for e in edges for x in e})
+    deg: dict[str, int] = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: (SCALE if n == "a" else 0) for n in nodes}
+    for _ in range(K):
+        s = {n: 0 for n in nodes}
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {n: ((15 * SCALE) // 100 if n == "a" else 0)
+             + (85 * s[n]) // 100 for n in nodes}
+    assert got == r
+    # the unseeded component carries zero rank
+    assert got["x"] == 0 and got["y"] == 0 and got["a"] > 0

@@ -1394,29 +1394,42 @@ ed AS (
 )"""
 
 
-def _pagerank_rounds_sql(rounds: int = 5, scale: int = 1_000_000) -> str:
+def _pagerank_rounds_sql(rounds: int = 5, scale: int = 1_000_000,
+                         personalized: bool = False,
+                         where: str | None = None) -> str:
     """Unrolled fixed-point PageRank rounds over the ``ed`` edge CTE —
     integer floor division throughout, so engine int64 arithmetic and
     DuckDB ``//`` agree bit-for-bit (same unroll technique as the CRH /
-    TruthFinder fixed-point oracles)."""
+    TruthFinder fixed-point oracles).  ``personalized`` puts the restart
+    mass (and r0) only on a ``seeds(node)`` CTE the caller must define."""
     base = (15 * scale) // 100
+    if personalized:
+        seed_case = "CASE WHEN n.node IN (SELECT node FROM seeds) " \
+                    "THEN {v} ELSE 0 END"
+        r0 = (f"r0 AS (SELECT node, CAST("
+              + seed_case.replace("n.node", "n0.node").format(v=scale)
+              + " AS BIGINT) AS r FROM n0)")
+    else:
+        r0 = f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM n0)"
     parts = [
         "deg AS (SELECT src, count(*) AS d FROM ed GROUP BY 1)",
         "n0 AS (SELECT src AS node FROM ed UNION SELECT dst FROM ed)",
-        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM n0)",
+        r0,
     ]
     for i in range(rounds):
         parts.append(
             f"c{i} AS (SELECT e.dst AS node, sum(r{i}.r // dg.d) AS s\n"
             f"  FROM ed e JOIN deg dg ON dg.src = e.src\n"
             f"  JOIN r{i} ON r{i}.node = e.src GROUP BY 1)")
+        bterm = (seed_case.format(v=base) if personalized else str(base))
         parts.append(
             f"r{i + 1} AS (SELECT n.node,\n"
-            f"  CAST({base} + (85 * coalesce(c{i}.s, 0)) // 100 AS BIGINT)"
+            f"  CAST({bterm} + (85 * coalesce(c{i}.s, 0)) // 100 AS BIGINT)"
             f" AS r\n"
             f"  FROM n0 n LEFT JOIN c{i} ON c{i}.node = n.node)")
     return (",\n".join(parts)
-            + f"\nSELECT node, r AS pagerank_fx FROM r{rounds}")
+            + f"\nSELECT node, r AS pagerank_fx FROM r{rounds}"
+            + (f" WHERE {where}" if where else ""))
 
 
 def und_edges_from_triples(triples):
@@ -1465,6 +1478,19 @@ def q_entity_fuzzy_pairs(sf_dir: str):
 
     return fuzzy_self_join(cached_claims(sf_dir), "entity",
                            threshold=0.85)
+
+
+def q_kg_pagerank_pers(sf_dir: str):
+    """Personalized PageRank from the two smallest entities (the kg_khop
+    seed set): restart mass only on the seeds → relevance-to-seeds
+    ranking over the property graph.  Drops never-reached nodes
+    (rank 0) so the result measures the seeds' neighbourhood."""
+    from trustfuse_ray.stages.graph import pagerank
+
+    triples, und = _und_property_edges(sf_dir)
+    seeds = sorted(triples.unique("entity"))[:2]
+    pr = pagerank(und, rounds=5, seeds=seeds)
+    return pr.filter(expr="pagerank_fx > 0")
 
 
 def q_kg_triangles(sf_dir: str):
@@ -1656,6 +1682,7 @@ def queries_map():
         "semantic_dedup": q_semantic_dedup,
         "kg_khop": q_kg_khop,
         "kg_pagerank": q_kg_pagerank,
+        "kg_pagerank_pers": q_kg_pagerank_pers,
         "kg_triangles": q_kg_triangles,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "token_chunks": q_token_chunks,
@@ -3668,6 +3695,13 @@ FROM embeddings e LEFT JOIN lab l ON l.node = e.vec_id""",
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},
 {_pagerank_rounds_sql(rounds=5)}""",
+        "kg_pagerank_pers": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+seeds AS (
+  SELECT DISTINCT entity AS node FROM fused ORDER BY entity LIMIT 2
+),
+{_pagerank_rounds_sql(rounds=5, personalized=True, where="r > 0")}""",
         "entity_fuzzy_pairs": f"""
 WITH {_claims_cte(cache)},
 ents AS (SELECT DISTINCT entity FROM claims),

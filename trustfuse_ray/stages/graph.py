@@ -305,8 +305,18 @@ def _pr_empty(n_parts: int) -> pa.Table:
                      "__part": pa.array([], pa.int32())})
 
 
+def _seed_mask(arr: pa.Array, seeds: tuple[str, ...] | None) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    if seeds is None:
+        return np.ones(len(arr), dtype=bool)
+    return np.asarray(pc.is_in(arr, value_set=pa.array(list(seeds),
+                                                       pa.string())),
+                      dtype=bool)
+
+
 def _pr_init(batch: pa.Table, *, src: str, dst: str, n_parts: int,
-             scale: int) -> pa.Table:
+             scale: int, seeds: tuple[str, ...] | None) -> pa.Table:
     if len(batch) == 0:
         return _pr_empty(n_parts)
     s = batch[src].cast(pa.string())
@@ -320,18 +330,24 @@ def _pr_init(batch: pa.Table, *, src: str, dst: str, n_parts: int,
     edges = pa.table({"node": s, "other": d,
                       "value": pa.array(np.zeros(n, np.int64)),
                       "kind": pa.array(np.zeros(n, np.int8))})
+    # r_0 = scale on seeds (all nodes when seeds is None)
     rk_s = pa.table({"node": s, "other": empty,
-                     "value": pa.array(np.full(n, scale, np.int64)),
+                     "value": pa.array(
+                         np.where(_seed_mask(s, seeds), scale, 0)
+                         .astype(np.int64)),
                      "kind": pa.array(np.ones(n, np.int8))})
     rk_d = pa.table({"node": d, "other": empty,
-                     "value": pa.array(np.full(n, scale, np.int64)),
+                     "value": pa.array(
+                         np.where(_seed_mask(d, seeds), scale, 0)
+                         .astype(np.int64)),
                      "kind": pa.array(np.ones(n, np.int8))})
     t = pa.concat_tables([edges, rk_s, rk_d]).combine_chunks()
     return _pr_state(t["node"], t["other"], t["value"], t["kind"], n_parts)
 
 
 def _pr_round(part: pa.Table, *, n_parts: int, scale: int,
-              first: bool) -> pa.Table:
+              first: bool, seeds: tuple[str, ...] | None = None
+              ) -> pa.Table:
     """One PageRank pass over one hash partition, fully vectorized:
     ``r_new(v) = base + (85 · Σ candidates(v)) // 100`` (or the carried
     rank on the first pass), then re-emit adjacency, the new rank row and
@@ -364,11 +380,15 @@ def _pr_round(part: pa.Table, *, n_parts: int, scale: int,
         ([True], codes_s[1:] != codes_s[:-1])))[0]
     counts = np.diff(np.concatenate((starts, [len(codes_s)])))
 
+    uniq_pre = node_s.take(pa.array(starts))
+    seed_m = _seed_mask(uniq_pre, seeds)
     cand_sum = np.add.reduceat(np.where(kind_s == 2, value_s, 0), starts)
     r_old = np.maximum.reduceat(np.where(kind_s == 1, value_s, -1), starts)
-    base = (15 * scale) // 100
+    # restart mass lands only on seeds (uniform PR when seeds is None)
+    base = np.where(seed_m, (15 * scale) // 100, 0).astype(np.int64)
     if first:
-        new_r = np.where(r_old >= 0, r_old, scale)
+        new_r = np.where(r_old >= 0, r_old,
+                         np.where(seed_m, scale, 0)).astype(np.int64)
     else:
         new_r = base + (85 * cand_sum) // 100
 
@@ -401,7 +421,8 @@ def _pr_round(part: pa.Table, *, n_parts: int, scale: int,
 
 
 def pagerank(edges, rounds: int = 5, src: str = "src", dst: str = "dst",
-             scale: int = 1_000_000, n_parts: int = 32):
+             scale: int = 1_000_000, n_parts: int = 32,
+             seeds: list[str] | None = None):
     """Distributed PageRank with damping 0.85 over ``rounds`` fixed
     iterations, in integer fixed-point (``scale`` = rank 1.0):
     ``r_0 = scale``, ``r_{i+1}(v) = 0.15·scale + (85 · Σ_{u→v}
@@ -413,8 +434,14 @@ def pagerank(edges, rounds: int = 5, src: str = "src", dst: str = "dst",
     counted in-segment — no degree join), ranks, and incoming candidates;
     ONE exchange per round carries O(edges) rows; nothing touches the
     driver.  Exact integer arithmetic makes the result independent of
-    partitioning/order and lets the oracle unroll the rounds in SQL."""
+    partitioning/order and lets the oracle unroll the rounds in SQL.
+
+    ``seeds`` switches to PERSONALIZED PageRank: the restart mass (and
+    the initial rank) lands only on the seed nodes, so ranks measure
+    relevance to the seed set rather than global centrality."""
     from trustfuse_ray.stages.common import plasma_exchange
+
+    seed_t = tuple(seeds) if seeds is not None else None
 
     state_schema = pa.schema([("node", pa.string()),
                               ("other", pa.string()),
@@ -422,7 +449,7 @@ def pagerank(edges, rounds: int = 5, src: str = "src", dst: str = "dst",
                               ("__part", pa.int32())])
     state = edges.map_batches(
         functools.partial(_pr_init, src=src, dst=dst, n_parts=n_parts,
-                          scale=scale),
+                          scale=scale, seeds=seed_t),
         batch_format="pyarrow", zero_copy_batch=True)
     for i in range(rounds + 1):
         # __part is precomputed — the plasma task exchange skips the
@@ -430,7 +457,7 @@ def pagerank(edges, rounds: int = 5, src: str = "src", dst: str = "dst",
         state = plasma_exchange(
             [state.materialize()],
             functools.partial(_pr_round, n_parts=n_parts, scale=scale,
-                              first=(i == 0)),
+                              first=(i == 0), seeds=seed_t),
             n_parts, part_col="__part", empty_schema=state_schema)
 
     def _finish(batch: pa.Table) -> pa.Table:
