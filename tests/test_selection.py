@@ -633,3 +633,27 @@ def test_personalized_pagerank_seeds_semantics():
     assert got == r
     # the unseeded component carries zero rank
     assert got["x"] == 0 and got["y"] == 0 and got["a"] > 0
+
+
+def test_ntile_per_key_matches_sql_semantics():
+    from trustfuse_ray.stages.windows import ntile_per_key
+
+    # 10 rows in one key, k=4 → tile sizes 3,3,2,2 (first n%k larger)
+    rows = [(i, "t", float(100 - i)) for i in range(10)]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })).repartition(3)
+    got = ntile_per_key(ds, n_tiles=4).to_pandas()
+    # ascending value order = descending event_id
+    order = sorted(rows, key=lambda r: (r[2], r[0]))
+    want = {}
+    sizes = [3, 3, 2, 2]
+    pos = 0
+    for tile, sz in enumerate(sizes, start=1):
+        for _ in range(sz):
+            want[order[pos][0]] = tile
+            pos += 1
+    gm = dict(zip(got["event_id"].astype(int), got["tile"].astype(int)))
+    assert gm == want

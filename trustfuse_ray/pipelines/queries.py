@@ -875,6 +875,52 @@ def q_train_split_stratified(sf_dir: str):
     return stratified_split(_tbl(sf_dir, "documents"))
 
 
+def q_events_quartiles(sf_dir: str):
+    """NTILE(4) per event_type by (value, event_id) — exact SQL NTILE
+    tile sizing; one hash exchange + in-group sort."""
+    from trustfuse_ray.stages.windows import ntile_per_key
+
+    return ntile_per_key(_tbl(sf_dir, "events"), n_tiles=4)
+
+
+def q_kg_entity_cooccurrence(sf_dir: str):
+    """Weighted bipartite projection: entity pairs sharing fused
+    (attr, value) facts, weight = number of shared facts (stop-value
+    blocking caps the per-value pair fan-out)."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    import pyarrow.compute as pc
+
+    triples = q_fuse_voting_sqlable(sf_dir)
+
+    def _nonnull(batch: pa.Table) -> pa.Table:
+        return (batch.select(["entity", "attr", "value_str"])
+                .filter(pc.is_valid(batch["value_str"])))
+
+    vals = triples.map_batches(_nonnull, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n < 2 or n > 20:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ents = np.asarray(sorted(group["entity"].to_pylist()),
+                          dtype=object)
+        i, j = np.triu_indices(n, k=1)
+        return pa.table({"a": pa.array(ents[i], pa.string()),
+                         "b": pa.array(ents[j], pa.string()),
+                         "n": pa.array(np.ones(len(i), np.int64))})
+
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("n", pa.int64())])
+    co = hash_group_apply(vals, ["attr", "value_str"], _pairs,
+                          n_parts=32, plasma_schema=pair_schema)
+    return (co.groupby(["a", "b"]).sum("n")
+            .rename_columns({"sum(n)": "n_shared"}))
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered view→click→purchase funnel per user (chained earliest-at-
     or-after semantics; one hash exchange on the key)."""
@@ -1626,6 +1672,8 @@ def queries_map():
         "events_hopping_agg": q_events_hopping_agg,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_quartiles": q_events_quartiles,
+        "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "events_running_totals": q_events_running_totals,
@@ -2900,6 +2948,11 @@ SELECT user_id,
        sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
 FROM events
 GROUP BY 1, 2""",
+        "events_quartiles": """
+SELECT event_id, event_type, value,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS BIGINT) AS tile
+FROM events""",
         "events_funnel": """
 WITH v AS (SELECT user_id, min(epoch_us(ts)) AS view_us
            FROM events WHERE event_type = 'view' GROUP BY 1),
@@ -3712,6 +3765,20 @@ p AS (SELECT x.entity AS a, y.entity AS b
       JOIN ok ON ok.blk = x.blk)
 SELECT a, b, CAST(round(jaro_similarity(a, b) * 1e9) AS BIGINT) AS sim_fx
 FROM p WHERE jaro_similarity(a, b) >= 0.85""",
+        "kg_entity_cooccurrence": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+grp AS (
+  SELECT attr, value_str FROM fused WHERE value_str IS NOT NULL
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 20
+)
+SELECT f1.entity AS a, f2.entity AS b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM fused f1
+JOIN fused f2 ON f1.attr = f2.attr AND f1.value_str = f2.value_str
+             AND f1.entity < f2.entity
+JOIN grp g ON g.attr = f1.attr AND g.value_str = f1.value_str
+GROUP BY 1, 2""",
         "kg_triangles": f"""
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},

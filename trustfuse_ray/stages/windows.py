@@ -451,3 +451,45 @@ def weekly_retention(events, key_col: str = "user_id", ts_col: str = "ts",
                                 plasma_schema=out_schema)
     return (per_user.groupby("week_offset").sum("n")
             .rename_columns({"sum(n)": "n_users"}))
+
+
+def _ntile_group(group: pa.Table, *, key_col: str, value_col: str,
+                 id_col: str, n_tiles: int) -> pa.Table:
+    order = pc.sort_indices(group, sort_keys=[(value_col, "ascending"),
+                                              (id_col, "ascending")])
+    group = group.take(order)
+    n = len(group)
+    # SQL NTILE: first (n % k) tiles get ceil(n/k) rows, the rest floor
+    size, rem = divmod(n, n_tiles)
+    r = np.arange(n, dtype=np.int64)
+    big = rem * (size + 1)
+    tile = np.where(r < big,
+                    r // max(size + 1, 1),
+                    rem + (r - big) // max(size, 1)) + 1
+    return pa.table({
+        id_col: group[id_col],
+        key_col: group[key_col],
+        value_col: group[value_col],
+        "tile": pa.array(tile.astype(np.int64), pa.int64()),
+    })
+
+
+def ntile_per_key(events, n_tiles: int = 4, key_col: str = "event_type",
+                  value_col: str = "value", id_col: str = "event_id",
+                  n_parts: int = 16):
+    """SQL ``NTILE(k) OVER (PARTITION BY key ORDER BY value, id)``: each
+    key's rows split into k near-equal tiles (first ``n mod k`` tiles one
+    row larger — exact NTILE semantics).  One hash exchange on the key,
+    in-group sort, pure index arithmetic."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    keyed = events.select_columns([id_col, key_col, value_col])
+    out_schema = pa.schema([(id_col, pa.int64()), (key_col, pa.string()),
+                            (value_col, pa.float64()),
+                            ("tile", pa.int64())])
+    return hash_group_apply(
+        keyed, [key_col],
+        functools.partial(_ntile_group, key_col=key_col,
+                          value_col=value_col, id_col=id_col,
+                          n_tiles=n_tiles),
+        n_parts=n_parts, plasma_schema=out_schema)
