@@ -657,3 +657,19 @@ def test_ntile_per_key_matches_sql_semantics():
             pos += 1
     gm = dict(zip(got["event_id"].astype(int), got["tile"].astype(int)))
     assert gm == want
+
+
+def test_ordered_path_assembly():
+    from trustfuse_ray.stages.windows import ordered_path
+
+    rows = [(0, 1, 30, "purchase"), (1, 1, 10, "view"), (2, 1, 20, "click"),
+            (3, 2, 5, "error"), (4, 2, 5, "signup")]  # tie broken by id
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    })).repartition(2)
+    got = {int(r["user_id"]): r["path"]
+           for r in ordered_path(ds).to_pandas().to_dict("records")}
+    assert got == {1: "view>click>purchase", 2: "error>signup"}

@@ -921,6 +921,14 @@ def q_kg_entity_cooccurrence(sf_dir: str):
             .rename_columns({"sum(n)": "n_shared"}))
 
 
+def q_events_paths(sf_dir: str):
+    """Per-user behavioural path: the ordered event-type sequence (SQL
+    string_agg … ORDER BY) — one exchange, in-group sort."""
+    from trustfuse_ray.stages.windows import ordered_path
+
+    return ordered_path(_tbl(sf_dir, "events"))
+
+
 def q_events_funnel(sf_dir: str):
     """Ordered view→click→purchase funnel per user (chained earliest-at-
     or-after semantics; one hash exchange on the key)."""
@@ -1673,6 +1681,7 @@ def queries_map():
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_quartiles": q_events_quartiles,
+        "events_paths": q_events_paths,
         "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
@@ -2948,6 +2957,10 @@ SELECT user_id,
        sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
 FROM events
 GROUP BY 1, 2""",
+        "events_paths": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM events GROUP BY 1""",
         "events_quartiles": """
 SELECT event_id, event_type, value,
        CAST(ntile(4) OVER (PARTITION BY event_type

@@ -493,3 +493,33 @@ def ntile_per_key(events, n_tiles: int = 4, key_col: str = "event_type",
                           value_col=value_col, id_col=id_col,
                           n_tiles=n_tiles),
         n_parts=n_parts, plasma_schema=out_schema)
+
+
+def _path_group(group: pa.Table, *, key_col: str, ts_col: str,
+                id_col: str, type_col: str, sep: str) -> pa.Table:
+    order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending"),
+                                              (id_col, "ascending")])
+    group = group.take(order)
+    path = sep.join(group[type_col].to_pylist())
+    return pa.table({key_col: group[key_col].slice(0, 1),
+                     "n_events": pa.array([len(group)], pa.int64()),
+                     "path": pa.array([path], pa.string())})
+
+
+def ordered_path(events, key_col: str = "user_id", ts_col: str = "ts",
+                 id_col: str = "event_id", type_col: str = "event_type",
+                 sep: str = ">", n_parts: int = 32):
+    """Per-key ordered sequence assembly — SQL ``string_agg(type, sep
+    ORDER BY ts, id)``.  The behavioural-path / clickstream primitive:
+    one hash exchange on the key, in-group sort, one join per group."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    keyed = events.select_columns([key_col, ts_col, id_col, type_col])
+    key_type = events.schema().base_schema.field(key_col).type
+    out_schema = pa.schema([(key_col, key_type), ("n_events", pa.int64()),
+                            ("path", pa.string())])
+    return hash_group_apply(
+        keyed, [key_col],
+        functools.partial(_path_group, key_col=key_col, ts_col=ts_col,
+                          id_col=id_col, type_col=type_col, sep=sep),
+        n_parts=n_parts, plasma_schema=out_schema)
