@@ -108,3 +108,35 @@ def test_dedup_incremental_bloom_plus_exact():
                  key=lambda r: r["doc_id"])
     assert [(r["doc_id"], r["dup_of"]) for r in out] == [
         (2000, 7), (2001, 7), (2002, 199)]
+
+
+def test_token_chunks_overlap_strided():
+    from trustfuse_ray.stages.curation import token_chunks_overlap
+
+    words = [f"w{i}" for i in range(100)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([" ".join(words), "short doc"], pa.string()),
+    }))
+    got = token_chunks_overlap(ds, window=64, stride=48).to_pandas()
+    d1 = got[got["doc_id"] == 1].sort_values("win_idx")
+    # 100 tokens: windows at 0 (64) and 48 (52)
+    assert list(d1["win_idx"]) == [0, 1]
+    assert list(d1["n_tokens"]) == [64, 52]
+    w0 = d1.iloc[0]["win_text"].split(" ")
+    w1 = d1.iloc[1]["win_text"].split(" ")
+    assert w0 == words[:64] and w1 == words[48:]
+    assert w0[48:] == w1[:16]  # 16 tokens of shared context
+    d2 = got[got["doc_id"] == 2]
+    assert len(d2) == 1 and d2.iloc[0]["n_tokens"] == 2
+
+
+def test_token_chunks_overlap_bad_stride():
+    import pytest
+
+    from trustfuse_ray.stages.curation import token_chunks_overlap
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": pa.array(["x"], pa.string())}))
+    with pytest.raises(ValueError):
+        token_chunks_overlap(ds, window=8, stride=9)

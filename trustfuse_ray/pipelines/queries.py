@@ -1260,6 +1260,16 @@ def q_pretrain_dataset(sf_dir: str):
     return pretrain_dataset(_tbl(sf_dir, "documents"))
 
 
+def q_token_chunks_overlap(sf_dir: str):
+    """Overlapping 64-token windows with stride 48 (RAG chunking: 16
+    tokens of shared context between consecutive windows); one flat
+    vectorized take per batch, no shuffle."""
+    from trustfuse_ray.stages.curation import token_chunks_overlap
+
+    return token_chunks_overlap(_tbl(sf_dir, "documents"),
+                                window=64, stride=48)
+
+
 def q_top_docs_per_source(sf_dir: str):
     """Top-5 docs per source by n_chars (map-side combiner keeps the
     shuffle at k rows per key per block)."""
@@ -1705,6 +1715,7 @@ def queries_map():
         "events_props_extract": q_events_props_extract,
         "doc_curation": q_doc_curation,
         "pretrain_dataset": q_pretrain_dataset,
+        "token_chunks_overlap": q_token_chunks_overlap,
         "top_docs_per_source": q_top_docs_per_source,
         "dedup_incremental_synth": q_dedup_incremental,
         "events_range_join": q_events_range_join,
@@ -3835,4 +3846,17 @@ SELECT doc_id, CAST(g.i AS BIGINT) AS win_idx,
        array_to_string(list_slice(toks, g.i * 64 + 1, g.i * 64 + 64), ' ')
          AS win_text
 FROM t, unnest(generate_series(0, (len(toks) - 1) // 64)) g(i)""",
+        "token_chunks_overlap": r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id, CAST(g.i AS BIGINT) AS win_idx,
+       CAST(len(list_slice(toks, g.i * 48 + 1, g.i * 48 + 64)) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, g.i * 48 + 1, g.i * 48 + 64), ' ')
+         AS win_text
+FROM t, unnest(generate_series(
+    0, (greatest(len(toks) - 64, 0) + 47) // 48)) g(i)""",
     }

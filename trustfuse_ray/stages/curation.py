@@ -788,3 +788,53 @@ def token_chunks(docs, window: int = 64, text_col: str = "text",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         _chunk, batch_format="pyarrow", zero_copy_batch=True, **kw)
+
+
+def token_chunks_overlap(docs, window: int = 64, stride: int = 48,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         **kw):
+    """Overlapping (strided) token windows — the RAG-chunking variant of
+    :func:`token_chunks`: windows start every ``stride`` tokens, each
+    ``window`` tokens long (last one truncated), so consecutive windows
+    share ``window − stride`` tokens of context.  Fully vectorized: the
+    per-window token runs are one flat ``take`` with computed indices;
+    no shuffle."""
+    if stride <= 0 or stride > window:
+        raise ValueError("need 0 < stride <= window")
+
+    def _chunk(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+            _SPLIT_RX)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        n = len(batch)
+        starts = np.cumsum(lens) - lens
+        # windows per doc: 1 + ceil(max(len - window, 0) / stride)
+        m = 1 + (np.maximum(lens - window, 0) + stride - 1) // stride
+        R = int(m.sum())
+        dwin = np.repeat(np.arange(n, dtype=np.int64), m)
+        wof = np.arange(R, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+        wstart = wof * stride
+        wlen = np.minimum(window, lens[dwin] - wstart)
+        total = int(wlen.sum())
+        base = starts[dwin] + wstart
+        idx = (np.repeat(base, wlen)
+               + np.arange(total, dtype=np.int64)
+               - np.repeat(np.cumsum(wlen) - wlen, wlen))
+        offsets = np.concatenate(([0], np.cumsum(wlen))).astype(np.int32)
+        win_text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     flat.take(pa.array(idx))), " ")
+        return pa.table({
+            id_col: batch[id_col].take(pa.array(dwin)),
+            "win_idx": pa.array(wof, pa.int64()),
+            "n_tokens": pa.array(wlen, pa.int64()),
+            "win_text": win_text,
+        })
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _chunk, batch_format="pyarrow", zero_copy_batch=True, **kw)
