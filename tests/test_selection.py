@@ -673,3 +673,22 @@ def test_ordered_path_assembly():
     got = {int(r["user_id"]): r["path"]
            for r in ordered_path(ds).to_pandas().to_dict("records")}
     assert got == {1: "view>click>purchase", 2: "error>signup"}
+
+
+def test_funnel_missing_intermediate_step_nulls_later_steps():
+    """Regression: view + purchase but NO click must leave purchase NULL
+    (stage 1), matching the SQL chained-min oracle."""
+    from trustfuse_ray.stages.windows import funnel_steps
+
+    rows = [(1, 9, 10, "view"), (2, 9, 30, "purchase")]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+    }))
+    got = funnel_steps(ds).to_pandas().iloc[0]
+    assert got["view_us"] == 10
+    assert got["click_us"] is None or np.isnan(got["click_us"])
+    assert got["purchase_us"] is None or np.isnan(got["purchase_us"])
+    assert got["stage"] == 1

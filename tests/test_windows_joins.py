@@ -252,3 +252,22 @@ def test_fuzzy_self_join_stop_block_cap():
     ds = rd.from_arrow(pa.table({"name": pa.array(vals)}))
     got = fuzzy_self_join(ds, "name", threshold=0.0, cap=10).to_pandas()
     assert len(got) == 0  # block of 30 > cap → skipped entirely
+
+
+def test_semi_join_null_keys_never_match():
+    """Regression: SQL EXISTS never matches NULL = NULL."""
+    from trustfuse_ray.stages.joins import semi_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 3], pa.int64()),
+        "tag": pa.array(["a", "b", "c"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([None, 3], pa.int64()),
+    }))
+    semi = semi_join(left, right, "k", "rk").to_pandas()
+    assert sorted(semi["k"].dropna()) == [3] and len(semi) == 1
+    anti = semi_join(left, right, "k", "rk", anti=True).to_pandas()
+    # NOT EXISTS keeps the NULL-key row and k=1
+    assert len(anti) == 2
+    assert sorted(anti["k"].dropna()) == [1]

@@ -90,24 +90,19 @@ def curate_documents(docs, cap: int = 512, max_dup_frac: float = 0.5,
 
 def _split_cut_group(group: pa.Table, *, id_col: str,
                      frac_train: float) -> pa.Table:
-    """Per-source md5-ranked cut: keep the first floor(frac·n) docs."""
-    ids = group[id_col].cast(pa.string()).to_pylist()
-    fps = [hashlib.md5((s or "").encode()).hexdigest() for s in ids]
-    g = group.append_column("__fp", pa.array(fps, pa.string()))
-    order = pc.sort_indices(g, sort_keys=[("__fp", "ascending"),
-                                          (id_col, "ascending")])
-    g = g.take(order).drop_columns(["__fp"])
+    """Per-source md5-ranked cut: keep the first floor(frac·n) docs
+    (shared ranking rule: curation.md5_rank_sorted)."""
+    from trustfuse_ray.stages.curation import md5_rank_sorted
+
+    g = md5_rank_sorted(group, id_col)
     n_train = int(np.floor(frac_train * len(g)))
     return g.slice(0, n_train)
 
 
 def _shard_rank_group(group: pa.Table, *, id_col: str) -> pa.Table:
-    ids = group[id_col].cast(pa.string()).to_pylist()
-    fps = [hashlib.md5((s or "").encode()).hexdigest() for s in ids]
-    g = group.append_column("__fp", pa.array(fps, pa.string()))
-    order = pc.sort_indices(g, sort_keys=[("__fp", "ascending"),
-                                          (id_col, "ascending")])
-    g = g.take(order).drop_columns(["__fp"])
+    from trustfuse_ray.stages.curation import md5_rank_sorted
+
+    g = md5_rank_sorted(group, id_col)
     return g.append_column(
         "pos", pa.array(np.arange(len(g), dtype=np.int64)))
 

@@ -883,13 +883,19 @@ def q_events_quartiles(sf_dir: str):
     return ntile_per_key(_tbl(sf_dir, "events"), n_tiles=4)
 
 
-def q_kg_entity_cooccurrence(sf_dir: str):
-    """Weighted bipartite projection: entity pairs sharing fused
-    (attr, value) facts, weight = number of shared facts (stop-value
-    blocking caps the per-value pair fan-out)."""
-    from trustfuse_ray.stages.common import hash_group_apply
+# stop-value blocking cap for entity co-occurrence — mirrored in the
+# kg_triangles / kg_entity_cooccurrence oracles' HAVING clause
+_COOC_CAP = 20
 
+
+def _cooccurrence_pairs(sf_dir: str):
+    """Entity pairs sharing a fused (attr, value_str) fact — one row per
+    shared fact, value groups capped at ``_COOC_CAP`` (stop-value
+    blocking).  Shared by kg_triangles and kg_entity_cooccurrence so the
+    blocking rule lives in exactly one place."""
     import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
 
     triples = q_fuse_voting_sqlable(sf_dir)
 
@@ -902,21 +908,30 @@ def q_kg_entity_cooccurrence(sf_dir: str):
 
     def _pairs(group: pa.Table) -> pa.Table:
         n = len(group)
-        if n < 2 or n > 20:
+        if n < 2 or n > _COOC_CAP:
             return pa.table({"a": pa.array([], pa.string()),
-                             "b": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
+                             "b": pa.array([], pa.string())})
         ents = np.asarray(sorted(group["entity"].to_pylist()),
                           dtype=object)
         i, j = np.triu_indices(n, k=1)
         return pa.table({"a": pa.array(ents[i], pa.string()),
-                         "b": pa.array(ents[j], pa.string()),
-                         "n": pa.array(np.ones(len(i), np.int64))})
+                         "b": pa.array(ents[j], pa.string())})
 
-    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
-                             ("n", pa.int64())])
-    co = hash_group_apply(vals, ["attr", "value_str"], _pairs,
-                          n_parts=32, plasma_schema=pair_schema)
+    pair_schema = pa.schema([("a", pa.string()), ("b", pa.string())])
+    return hash_group_apply(vals, ["attr", "value_str"], _pairs,
+                            n_parts=32, plasma_schema=pair_schema)
+
+
+def q_kg_entity_cooccurrence(sf_dir: str):
+    """Weighted bipartite projection: entity pairs sharing fused
+    (attr, value) facts, weight = number of shared facts (stop-value
+    blocking caps the per-value pair fan-out)."""
+    def _one(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n", pa.array(np.ones(len(batch), np.int64)))
+
+    co = _cooccurrence_pairs(sf_dir).map_batches(
+        _one, batch_format="pyarrow", zero_copy_batch=True)
     return (co.groupby(["a", "b"]).sum("n")
             .rename_columns({"sum(n)": "n_shared"}))
 
@@ -1563,35 +1578,9 @@ def q_kg_triangles(sf_dir: str):
     stop-value blocking, expressed as HAVING in the oracle).  Counting
     uses the degree-oriented wedge algorithm (graph.py::triangle_count):
     wedge volume bounded O(m^1.5) regardless of hub skew."""
-    import pyarrow.compute as pc
-
-    from trustfuse_ray.stages.common import hash_group_apply
     from trustfuse_ray.stages.graph import triangle_count
 
-    triples = q_fuse_voting_sqlable(sf_dir)
-
-    def _nonnull(batch: pa.Table) -> pa.Table:
-        return (batch.select(["entity", "attr", "value_str"])
-                .filter(pc.is_valid(batch["value_str"])))
-
-    vals = triples.map_batches(_nonnull, batch_format="pyarrow",
-                               zero_copy_batch=True)
-
-    def _pairs(group: pa.Table) -> pa.Table:
-        n = len(group)
-        if n < 2 or n > 20:
-            return pa.table({"src": pa.array([], pa.string()),
-                             "dst": pa.array([], pa.string())})
-        ents = sorted(group["entity"].to_pylist())
-        i, j = np.triu_indices(n, k=1)
-        ents = np.asarray(ents, dtype=object)
-        return pa.table({"src": pa.array(ents[i], pa.string()),
-                         "dst": pa.array(ents[j], pa.string())})
-
-    pair_schema = pa.schema([("src", pa.string()), ("dst", pa.string())])
-    co = hash_group_apply(vals, ["attr", "value_str"], _pairs,
-                          n_parts=32, plasma_schema=pair_schema)
-    return triangle_count(co)
+    return triangle_count(_cooccurrence_pairs(sf_dir), src="a", dst="b")
 
 
 def q_kg_khop(sf_dir: str):

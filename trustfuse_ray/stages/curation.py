@@ -623,6 +623,19 @@ def assign_shards(docs, n_shards: int = 16, id_col: str = "doc_id",
                             plasma_schema=out_schema)
 
 
+def md5_rank_sorted(group: pa.Table, id_col: str) -> pa.Table:
+    """Sort rows by ``(md5_hex(str(id)), id)`` — THE deterministic ranking
+    rule shared by :func:`stratified_split`, the pretrain train cut and
+    shard ranking (one definition, so the engine's split/cut/rank and
+    their SQL oracles can never drift apart)."""
+    ids = group[id_col].cast(pa.string()).to_pylist()
+    fps = [hashlib.md5((s or "").encode()).hexdigest() for s in ids]
+    g = group.append_column("__fp", pa.array(fps, pa.string()))
+    order = pc.sort_indices(g, sort_keys=[("__fp", "ascending"),
+                                          (id_col, "ascending")])
+    return g.take(order).drop_columns(["__fp"])
+
+
 def stratified_split(docs, group_col: str = "source",
                      id_col: str = "doc_id",
                      fracs: tuple[float, ...] = (0.8, 0.1, 0.1),
@@ -632,23 +645,19 @@ def stratified_split(docs, group_col: str = "source",
     (``group_col``) rank docs by ``(md5_hex(str(id)), id)`` and cut at
     ``floor(cumfrac · n)``.  Every stratum lands within one doc of its
     target fractions, and the assignment is partition/retry invariant
-    (keys are content-independent).  The exchange moves (id, group, fp)
-    rows only — never text."""
+    (keys are content-independent).  The exchange moves (id, group) rows
+    only — never text (the rank key is recomputed in-group from the id,
+    via the shared :func:`md5_rank_sorted` rule)."""
     if abs(sum(fracs) - 1.0) > 1e-9 or len(fracs) != len(names):
         raise ValueError("fracs must sum to 1 and match names")
     cum = [float(f) for f in np.cumsum(fracs)[:-1]]
 
     def _key(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].cast(pa.string()).to_pylist()
-        fps = [hashlib.md5((s or "").encode()).hexdigest() for s in ids]
         return pa.table({id_col: batch[id_col].cast(pa.int64()),
-                         group_col: batch[group_col],
-                         "fp": pa.array(fps, pa.string())})
+                         group_col: batch[group_col]})
 
     def _cut(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group, sort_keys=[("fp", "ascending"),
-                                                  (id_col, "ascending")])
-        group = group.take(order)
+        group = md5_rank_sorted(group, id_col)
         n = len(group)
         # floor(frac * n) in float64 — bit-identical to SQL floor(frac*cnt)
         bounds = np.floor(np.array(cum, dtype=np.float64) * n).astype(

@@ -165,9 +165,12 @@ def semi_join(left, right, left_key: str, right_key: str | None = None,
         return pa.table(cols)
 
     def _tag_right(batch: pa.Table) -> pa.Table:
-        keys = pc.unique(batch[right_key].combine_chunks()
-                         if isinstance(batch[right_key], pa.ChunkedArray)
-                         else batch[right_key]).cast(ktype)
+        # SQL EXISTS semantics: a NULL key never matches — drop it from
+        # the probe side
+        keys = pc.drop_null(pc.unique(
+            batch[right_key].combine_chunks()
+            if isinstance(batch[right_key], pa.ChunkedArray)
+            else batch[right_key])).cast(ktype)
         n = len(keys)
         cols = {left_key: keys}
         cols.update({c: pa.nulls(n, t) for c, t in ptypes})
@@ -184,6 +187,9 @@ def semi_join(left, right, left_key: str, right_key: str | None = None,
     def _resolve(group: pa.Table) -> pa.Table:
         side = np.asarray(group["__side"], dtype=np.int8)
         has_right = bool((side == 1).any())
+        # NULL left keys never satisfy EXISTS (kept only by NOT EXISTS)
+        if not group[left_key][0].is_valid:
+            has_right = False
         keep = group.filter(pc.equal(group["__side"],
                                      pa.scalar(0, pa.int8())))
         if has_right == anti or len(keep) == 0:
@@ -242,11 +248,17 @@ def left_outer_agg_join(left, right_agg, left_key: str, right_key: str,
             return None
         lrows = group.filter(pa.array(lmask))
         vals = {}
+        # read the right value straight from Arrow int64 — a pandas
+        # round-trip would coerce the nullable column to float64 and lose
+        # exactness above 2^53
+        rmask = ~lmask
         for c in agg_cols:
-            a = np.asarray(group[c].to_pandas().fillna(fill),
-                           dtype=np.int64)
-            v = int(a[~lmask][0]) if (~lmask).any() else fill
-            vals[c] = np.full(len(lrows), v, np.int64)
+            v = fill
+            if rmask.any():
+                sc = group[c].combine_chunks().take(
+                    pa.array(np.flatnonzero(rmask)[:1]))[0]
+                v = sc.as_py() if sc.is_valid else fill
+            vals[c] = np.full(len(lrows), int(v), np.int64)
         out = {left_key: lrows[left_key]}
         out.update({c: lrows[c] for c in payload})
         out.update({c: pa.array(vals[c], pa.int64()) for c in agg_cols})

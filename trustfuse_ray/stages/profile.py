@@ -630,7 +630,10 @@ def group_outliers(ds, key_col: str = "source", value_col: str = "n_chars",
 
     Shape: per-block (key, S, Q, n) partials → one tiny groupby → the
     stats table broadcasts via ``ray.put`` (O(#keys) rows) → one streaming
-    flag pass.  Degenerate groups (σ = 0 or singleton) flag nothing."""
+    flag pass.  Degenerate groups (σ = 0 or singleton) flag nothing.
+    The vectorized int64 path is used only when a per-batch bounds check
+    proves no product can exceed 2^63; otherwise the flag falls back to
+    arbitrary-precision Python ints (matching the oracle's HUGEINT)."""
     import ray
 
     def _stats_partial(batch: pa.Table) -> pa.Table:
@@ -643,10 +646,12 @@ def group_outliers(ds, key_col: str = "source", value_col: str = "n_chars",
         kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         v = np.asarray(batch[value_col], dtype=np.int64)
         nk = len(enc.dictionary)
-        s = np.bincount(kidx, weights=v.astype(np.float64),
-                        minlength=nk).astype(np.int64)
-        q = np.bincount(kidx, weights=(v * v).astype(np.float64),
-                        minlength=nk).astype(np.int64)
+        # exact int64 accumulation (float-weighted bincount would lose
+        # exactness once a block partial exceeds 2^53)
+        s = np.zeros(nk, np.int64)
+        q = np.zeros(nk, np.int64)
+        np.add.at(s, kidx, v)
+        np.add.at(q, kidx, v * v)
         n = np.bincount(kidx, minlength=nk).astype(np.int64)
         return pa.table({key_col: enc.dictionary,
                          "s": pa.array(s, pa.int64()),
@@ -676,11 +681,33 @@ def group_outliers(ds, key_col: str = "source", value_col: str = "n_chars",
         nu = np.array([m.get(u, (0, 0, 0))[2] for u in uniq], np.int64)
         v = np.asarray(batch[value_col], dtype=np.int64)
         s, q, n = su[kidx], qu[kidx], nu[kidx]
-        # int64 exact for |v| ≤ ~1e6 and groups ≤ ~1e5 rows (documented);
-        # var_num = n²σ², dev = n(v − μ)
-        var_num = n * q - s * s
-        dev = n * v - s
-        out = (n > 1) & (var_num > 0) & (dev * dev > k * k * var_num)
+        # var_num = n²σ², dev = n(v − μ).  int64 is exact only while
+        # n·q, s² and dev² stay below 2^63 — guard and fall back to
+        # arbitrary-precision Python ints when any group could overflow
+        # (the oracle computes in HUGEINT, so silent wraparound would
+        # silently diverge)
+        lim = int(np.iinfo(np.int64).max)
+        safe = True
+        if len(nu):
+            mq = int(nu.max()) * max(abs(int(qu.max()) if len(qu) else 0),
+                                     1)
+            ms = int(max(abs(su.max()), abs(su.min())) if len(su) else 0)
+            mv = int(max(abs(v.max()), abs(v.min()))) if len(v) else 0
+            md = int(nu.max()) * mv + ms
+            safe = (mq < lim and ms * ms < lim and md * md < lim
+                    and k * k * mq < lim)
+        if safe:
+            var_num = n * q - s * s
+            dev = n * v - s
+            out = (n > 1) & (var_num > 0) & (dev * dev > k * k * var_num)
+        else:
+            out = np.zeros(len(v), dtype=bool)
+            for i in range(len(v)):
+                ni, si, qi = int(n[i]), int(s[i]), int(q[i])
+                var_num = ni * qi - si * si
+                dev = ni * int(v[i]) - si
+                out[i] = (ni > 1 and var_num > 0
+                          and dev * dev > k * k * var_num)
         return pa.table({
             id_col: batch[id_col].cast(pa.int64()),
             key_col: batch[key_col],
@@ -761,8 +788,12 @@ def pmi_top_bigrams(docs, k: int = 20, min_count: int = 5,
         return pa.table({"token": enc.dictionary,
                          "n": pa.array(cnt.astype(np.int64), pa.int64())})
 
+    # materialize the (block-vocab-bounded) unigram partials once — the
+    # sum, the candidate filter and the final agg all reuse them instead
+    # of re-tokenizing the corpus per consumer
     uni_partial = docs.select_columns([text_col]).map_batches(
-        _uni_partial, batch_format="pyarrow", zero_copy_batch=True)
+        _uni_partial, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
     t_total = int(uni_partial.sum("n") or 0)
     # total bigram count per doc = tokens - 1 → T - n_docs
     n_docs = docs.count()

@@ -359,8 +359,10 @@ def _funnel_group(group: pa.Table, *, key_col: str, ts_col: str,
         cand = ts[m]
         cand = cand[cand >= cur] if cur != np.iinfo(np.int64).min else cand
         if len(cand) == 0:
-            out.append(None)
-            continue
+            # the chain is broken: every LATER step is unmet too (the SQL
+            # oracle joins each step through the previous step's CTE)
+            out.extend([None] * (len(steps) - len(out)))
+            break
         cur = int(cand.min())
         out.append(cur)
         reached += 1
@@ -428,9 +430,12 @@ def weekly_retention(events, key_col: str = "user_id", ts_col: str = "ts",
     import pyarrow.compute as pc
 
     def _weeks(batch: pa.Table) -> pa.Table:
-        wk = pc.divide(batch[ts_col].cast(pa.int64()),
-                       pa.scalar(week_us, pa.int64()))
-        t = pa.table({key_col: batch[key_col], "wk": wk})
+        # numpy floor division (SQL `//` semantics) — Arrow's divide
+        # truncates toward zero, which flips pre-1970 timestamps
+        wk = np.asarray(batch[ts_col].cast(pa.int64()),
+                        dtype=np.int64) // week_us
+        t = pa.table({key_col: batch[key_col],
+                      "wk": pa.array(wk, pa.int64())})
         return pa.TableGroupBy(t, [key_col, "wk"],
                                use_threads=False).aggregate([])
 
