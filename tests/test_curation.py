@@ -140,3 +140,26 @@ def test_token_chunks_overlap_bad_stride():
                                  "text": pa.array(["x"], pa.string())}))
     with pytest.raises(ValueError):
         token_chunks_overlap(ds, window=8, stride=9)
+
+
+def test_null_text_rows_survive_minhash_and_pack():
+    """Regression: a null text cell must not crash the tokenmix minhash
+    path nor corrupt token_pack's counts."""
+    from trustfuse_ray.stages.curation import token_pack
+    from trustfuse_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon zeta eta theta",
+                          None,
+                          "alpha beta gamma delta epsilon zeta eta theta"],
+                         pa.string()),
+        "source": pa.array(["s", "s", "s"]),
+    }))
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert {(r.doc_a, r.doc_b) for r in pairs.itertuples()} >= {(1, 3)}
+    packed = token_pack(ds, cap=512).to_pandas()
+    assert len(packed) == 3
+    nt = dict(zip(packed["doc_id"].astype(int), packed["n_tokens"]))
+    assert nt[2] == 1  # '' token, same as fill_null('') semantics
+    assert (packed["seq_pos"] >= 0).all()

@@ -43,8 +43,10 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
         for u, v in zip(x, y):
             try:
                 una, vna = pd.isna(u), pd.isna(v)
-                if not isinstance(una, bool):
-                    una = vna = False  # array-valued cell; fall through
+                # array-valued cell on EITHER side: the NA test is
+                # element-wise there — fall through to value compare
+                if not (isinstance(una, bool) and isinstance(vna, bool)):
+                    una = vna = False
             except (TypeError, ValueError):
                 una = vna = False
             if una or vna:

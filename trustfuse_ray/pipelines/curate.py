@@ -17,7 +17,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from trustfuse_ray.stages.common import hash_group_apply
-from trustfuse_ray.stages.curation import (_run_lengths, _tokens_flat,
+from trustfuse_ray.stages.curation import (_tokens_flat,
+                                           dup_trigram_counts,
                                            pack_counted)
 from trustfuse_ray.stages.text import canonical_text
 
@@ -33,15 +34,9 @@ def _signals_filter(batch: pa.Table, *, max_dup_frac: float,
     docix, code = _tokens_flat(batch[text_col])
     n_tokens = np.bincount(docix, minlength=n).astype(np.int64)
 
-    dup_trigram_n = np.zeros(n, np.int64)
-    if len(code) >= 3:
-        same3 = (docix[:-2] == docix[1:-1]) & (docix[1:-1] == docix[2:])
-        d3 = docix[:-2][same3]
-        starts, counts = _run_lengths(
-            d3, code[:-2][same3], code[1:-1][same3], code[2:][same3])
-        dup = counts > 1
-        if dup.any():
-            np.add.at(dup_trigram_n, d3[starts[dup]], counts[dup])
+    # shared Gopher dup-trigram kernel (curation.dup_trigram_counts) so
+    # q_doc_repetition and this filter can never drift apart
+    dup_trigram_n = dup_trigram_counts(docix, code, n)
     n_tri = np.maximum(n_tokens - 2, 0)
     with np.errstate(invalid="ignore", divide="ignore"):
         dup_frac = np.where(n_tri > 0, dup_trigram_n / n_tri, 0.0)

@@ -1902,7 +1902,9 @@ def _crh1_cte(cache: str) -> str:
     return _crh_cte(cache, 1)
 
 
-_CRH_TRUTH_TAIL = """
+# categorical truth-selection CTEs — shared by the CRH truth tail and the
+# metrics tail so the tie-break/weight join is defined exactly once
+_CRH_CAT_TAIL = """
 fw AS (SELECT f.*, w.weight FROM f JOIN w USING (source)),
 catsc AS (
   SELECT fw.entity, fw.attr, fw.value_str, sum(fw.weight) AS sc
@@ -1912,7 +1914,9 @@ cat1 AS (SELECT entity, attr, value_str FROM (
   SELECT entity, attr, value_str,
          row_number() OVER (PARTITION BY entity, attr
                             ORDER BY sc DESC, value_str ASC) AS rn
-  FROM catsc) WHERE rn = 1),
+  FROM catsc) WHERE rn = 1)"""
+
+_CRH_TRUTH_TAIL = _CRH_CAT_TAIL + """,
 numagg AS (
   SELECT fw.entity, fw.attr, sum(fw.weight) AS s0,
          sum(fw.weight * fw.value_num) AS s1,
@@ -1937,17 +1941,7 @@ def _crh_metrics_tail(cache: str) -> str:
     completion rate) of the categorical CRH truth in ``cat1`` vs the
     synthetic golden truth — appended after ``_crh_cte`` + the truth
     selection CTEs.  Includes its own final SELECT."""
-    return f"""
-fw AS (SELECT f.*, w.weight FROM f JOIN w USING (source)),
-catsc AS (
-  SELECT fw.entity, fw.attr, fw.value_str, sum(fw.weight) AS sc
-  FROM fw JOIN fact fa USING (entity, attr)
-  WHERE NOT fa.isnum GROUP BY 1, 2, 3),
-cat1 AS (SELECT entity, attr, value_str FROM (
-  SELECT entity, attr, value_str,
-         row_number() OVER (PARTITION BY entity, attr
-                            ORDER BY sc DESC, value_str ASC) AS rn
-  FROM catsc) WHERE rn = 1),
+    return _CRH_CAT_TAIL + f""",
 gt AS (SELECT entity, attr, value_str
        FROM read_parquet('{cache}/truth.parquet')
        WHERE value_type <> 'quantity' AND value_str IS NOT NULL),

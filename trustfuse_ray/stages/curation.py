@@ -75,6 +75,23 @@ def _run_lengths(*cols: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return order[starts], lengths
 
 
+def dup_trigram_counts(docix: np.ndarray, code: np.ndarray,
+                       n_docs: int) -> np.ndarray:
+    """Per-doc count of trigram POSITIONS whose trigram occurs more than
+    once in the doc (the Gopher duplicate-trigram signal) — THE shared
+    kernel for repetition_batch and the curation pipeline's filter."""
+    out = np.zeros(n_docs, np.int64)
+    if len(code) >= 3:
+        same3 = (docix[:-2] == docix[1:-1]) & (docix[1:-1] == docix[2:])
+        d3 = docix[:-2][same3]
+        starts, counts = _run_lengths(
+            d3, code[:-2][same3], code[1:-1][same3], code[2:][same3])
+        dup = counts > 1
+        if dup.any():
+            np.add.at(out, d3[starts[dup]], counts[dup])
+    return out
+
+
 # --------------------------------------------------------------------------
 # 1. Test-set decontamination
 # --------------------------------------------------------------------------
@@ -147,7 +164,6 @@ def repetition_batch(batch: pa.Table, text_col: str = "text",
     n_bigrams = np.maximum(n_tokens - 1, 0)
 
     top_bigram_n = np.zeros(n, np.int64)
-    dup_trigram_n = np.zeros(n, np.int64)
 
     if len(code) >= 2:
         same = docix[:-1] == docix[1:]
@@ -155,14 +171,7 @@ def repetition_batch(batch: pa.Table, text_col: str = "text",
         starts, counts = _run_lengths(d, code[:-1][same], code[1:][same])
         if len(starts):
             np.maximum.at(top_bigram_n, d[starts], counts)
-    if len(code) >= 3:
-        same3 = (docix[:-2] == docix[1:-1]) & (docix[1:-1] == docix[2:])
-        d3 = docix[:-2][same3]
-        starts, counts = _run_lengths(
-            d3, code[:-2][same3], code[1:-1][same3], code[2:][same3])
-        dup = counts > 1
-        if dup.any():
-            np.add.at(dup_trigram_n, d3[starts[dup]], counts[dup])
+    dup_trigram_n = dup_trigram_counts(docix, code, n)
 
     n_trigrams = np.maximum(n_tokens - 2, 0)
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -739,7 +748,8 @@ def token_pack(docs, cap: int = 512, group_col: str = "source",
     sequence locality; packs never cross groups."""
     def _count(batch: pa.Table) -> pa.Table:
         toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(batch[text_col]), _SPLIT_RX)
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+            _SPLIT_RX)
         return pa.table({
             id_col: batch[id_col],
             group_col: batch[group_col],

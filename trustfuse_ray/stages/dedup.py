@@ -119,12 +119,14 @@ class MinHasher:
         from trustfuse_ray.stages.extract import fnv64_batch
 
         norm = pc.utf8_trim(
-            pc.replace_substring_regex(ct, r"\W+", " "), " ")
+            pc.replace_substring_regex(pc.fill_null(ct, ""), r"\W+", " "),
+            " ")
         if isinstance(norm, pa.ChunkedArray):
             norm = norm.combine_chunks()
         toks = pc.split_pattern(norm, " ")
         flat = pc.list_flatten(toks)
-        m = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        m = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         empty = pc.equal(pc.utf8_length(norm),
                          0).to_numpy(zero_copy_only=False)
         m_eff = np.where(empty, 0, m)

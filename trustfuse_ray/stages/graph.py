@@ -127,10 +127,12 @@ def bfs_hops(edges, seeds: list[str], k: int = 3, src: str = "src",
     ``(node, hops)`` for every node within ``k`` hops.
 
     Scale shape: the frontier is a DATASET, never a driver set — each round
-    is one hash exchange co-partitioning the frontier with the adjacency on
-    the node key, plus one min-combine groupby; per-round traffic is
-    O(edges incident to the frontier).  Seeds are a query input (small by
-    definition)."""
+    is one plasma exchange co-partitioning the frontier with the adjacency
+    on the node key, plus one min-combine groupby.  Like the CC/PageRank
+    rounds, the adjacency is re-exchanged every round, so per-round
+    traffic is O(total edges) + O(frontier) — the adjacency partition ids
+    are computed ONCE outside the loop; only the frontier re-hashes per
+    round.  Seeds are a query input (small by definition)."""
     import ray.data as rd
 
     def _tag_edges(batch: pa.Table) -> pa.Table:
@@ -183,25 +185,28 @@ def bfs_hops(edges, seeds: list[str], k: int = 3, src: str = "src",
             "hops": pa.array(fmin[run_id[adj]] + 1, pa.int64()),
         })
 
-    tagged = edges.map_batches(_tag_edges, batch_format="pyarrow",
-                               zero_copy_batch=True).materialize()
+    from trustfuse_ray.stages.common import _add_part, plasma_exchange
+
+    # hash-partition the adjacency ONCE; rounds only re-key the frontier
+    keyed_edges = edges.map_batches(_tag_edges, batch_format="pyarrow",
+                                    zero_copy_batch=True).map_batches(
+        functools.partial(_add_part, keys=["node"], n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
     dist = rd.from_arrow(pa.table({
         "node": pa.array(sorted(set(seeds)), pa.string()),
         "hops": pa.array([0] * len(set(seeds)), pa.int64()),
     }))
-    from trustfuse_ray.stages.common import _add_part, plasma_exchange
-
     uni_schema = pa.schema([("node", pa.string()), ("other", pa.string()),
                             ("hops", pa.int64()), ("side", pa.int8()),
                             ("__part", pa.int32())])
     frontier = dist
     for r in range(1, k + 1):
-        uni = tagged.union(frontier.map_batches(_frontier_rows,
-                                                batch_format="pyarrow"))
-        keyed = uni.map_batches(
+        keyed_frontier = frontier.map_batches(
+            _frontier_rows, batch_format="pyarrow").map_batches(
             functools.partial(_add_part, keys=["node"], n_parts=n_parts),
             batch_format="pyarrow", zero_copy_batch=True)
-        cand = plasma_exchange([keyed], _expand_part, n_parts,
+        cand = plasma_exchange([keyed_edges, keyed_frontier],
+                               _expand_part, n_parts,
                                part_col="__part", empty_schema=uni_schema)
         dist = (dist.union(cand).groupby("node").min("hops")
                 .rename_columns({"min(hops)": "hops"}).materialize())

@@ -191,10 +191,20 @@ def hll_registers(ds, key_col: str = "event_type",
 
     def _partial(batch: pa.Table) -> pa.Table:
         import hashlib
-        vals = batch[val_col].cast(pa.string()).to_pylist()
-        h = np.array([int(hashlib.md5((v or "").encode())
-                          .hexdigest()[:16], 16) for v in vals],
-                     dtype=np.uint64)
+        # hash only the block's DISTINCT values (values repeat heavily in
+        # event streams) — dictionary-encode, md5 per unique, gather
+        venc = pc.dictionary_encode(
+            batch[val_col].cast(pa.string()).combine_chunks()
+            if isinstance(batch[val_col], pa.ChunkedArray)
+            else batch[val_col].cast(pa.string()))
+        if isinstance(venc, pa.ChunkedArray):
+            venc = venc.combine_chunks()
+        uh = np.fromiter(
+            (int(hashlib.md5((v or "").encode()).hexdigest()[:16], 16)
+             for v in venc.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(venc.dictionary))
+        h = uh[venc.indices.to_numpy(zero_copy_only=False)
+               .astype(np.int64)]
         idx = (h >> np.uint64(shift)).astype(np.int64)
         w = h & mask
         bl = np.zeros(len(w), np.int64)
