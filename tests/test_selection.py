@@ -692,3 +692,29 @@ def test_funnel_missing_intermediate_step_nulls_later_steps():
     assert got["click_us"] is None or np.isnan(got["click_us"])
     assert got["purchase_us"] is None or np.isnan(got["purchase_us"])
     assert got["stage"] == 1
+
+
+def test_rolling_stats_matches_bruteforce():
+    from trustfuse_ray.stages.windows import rolling_stats
+
+    rng = np.random.default_rng(23)
+    rows = [(i, int(rng.integers(3)), i * 7, float(rng.uniform(-3, 3)))
+            for i in range(200)]
+    ds = _events_rt(rows).repartition(5)
+    got = rolling_stats(ds, w=5).to_pandas()
+    by_user: dict[int, list] = {}
+    for eid, uid, ts, v in rows:
+        by_user.setdefault(uid, []).append((ts, eid, v))
+    want = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        fx = [int(np.round(v * 10_000)) for _, _, v in evs]
+        for i, (_, eid, _) in enumerate(evs):
+            lo = max(i - 4, 0)
+            s = sum(fx[lo:i + 1])
+            n = i - lo + 1
+            want[eid] = (n, (s / 10_000.0) / n)
+    for _, r in got.iterrows():
+        n, avg = want[int(r["event_id"])]
+        assert int(r["win_n"]) == n
+        assert abs(float(r["win_avg"]) - avg) < 1e-12

@@ -936,6 +936,14 @@ def q_kg_entity_cooccurrence(sf_dir: str):
             .rename_columns({"sum(n)": "n_shared"}))
 
 
+def q_events_rolling_avg(sf_dir: str):
+    """Per-user moving average over the last 5 events (exact fixed-point
+    window sums; one exchange + in-group cumsum difference)."""
+    from trustfuse_ray.stages.windows import rolling_stats
+
+    return rolling_stats(_tbl(sf_dir, "events"), w=5)
+
+
 def q_events_paths(sf_dir: str):
     """Per-user behavioural path: the ordered event-type sequence (SQL
     string_agg … ORDER BY) — one exchange, in-group sort."""
@@ -1681,6 +1689,7 @@ def queries_map():
         "events_retention": q_events_retention,
         "events_quartiles": q_events_quartiles,
         "events_paths": q_events_paths,
+        "events_rolling_avg": q_events_rolling_avg,
         "kg_entity_cooccurrence": q_kg_entity_cooccurrence,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
@@ -2951,6 +2960,14 @@ SELECT user_id,
        sum(CAST(round(value * 10000) AS BIGINT)) / 10000.0 AS sum_value
 FROM events
 GROUP BY 1, 2""",
+        "events_rolling_avg": """
+SELECT user_id, event_id,
+       CAST(count(*) OVER w AS BIGINT) AS win_n,
+       (sum(CAST(round(value * 10000) AS BIGINT)) OVER w / 10000.0)
+         / count(*) OVER w AS win_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
         "events_paths": """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
        string_agg(event_type, '>' ORDER BY ts, event_id) AS path

@@ -528,3 +528,58 @@ def ordered_path(events, key_col: str = "user_id", ts_col: str = "ts",
         functools.partial(_path_group, key_col=key_col, ts_col=ts_col,
                           id_col=id_col, type_col=type_col, sep=sep),
         n_parts=n_parts, plasma_schema=out_schema)
+
+
+def _rolling_group(group: pa.Table, *, key_col: str, ts_col: str,
+                   id_col: str, w: int, fx_scale: int) -> pa.Table:
+    order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending"),
+                                              (id_col, "ascending")])
+    group = group.take(order)
+    fx = np.asarray(group["v_fx"], dtype=np.int64)
+    cs = np.concatenate(([0], np.cumsum(fx)))
+    n = len(fx)
+    lo = np.maximum(np.arange(n) - w + 1, 0)
+    win_sum = cs[np.arange(1, n + 1)] - cs[lo]
+    win_n = np.arange(n) - lo + 1
+    return pa.table({
+        key_col: group[key_col],
+        id_col: group[id_col],
+        "win_n": pa.array(win_n.astype(np.int64), pa.int64()),
+        "win_avg": pa.array(
+            (win_sum / float(fx_scale)) / win_n, pa.float64()),
+    })
+
+
+def rolling_stats(events, w: int = 5, key_col: str = "user_id",
+                  ts_col: str = "ts", id_col: str = "event_id",
+                  value_col: str = "value", fx_scale: int = 10_000,
+                  n_parts: int = 32):
+    """Per-key moving average over the last ``w`` events in (ts, id)
+    order — SQL ``avg(v) OVER (… ROWS BETWEEN w-1 PRECEDING AND CURRENT
+    ROW)``.  The window sum is an exact fixed-point cumsum difference;
+    the only float op is the final (sum/scale)/n division, identical on
+    both engines."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch[key_col],
+            id_col: batch[id_col].cast(pa.int64()),
+            ts_col: batch[ts_col].cast(pa.timestamp("us")),
+            "v_fx": pc.cast(pc.round(
+                pc.multiply(batch[value_col], pa.scalar(float(fx_scale))),
+                round_mode="half_towards_infinity"), pa.int64()),
+        })
+
+    keyed = events.select_columns(
+        [key_col, id_col, ts_col, value_col]).map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True)
+    key_type = events.schema().base_schema.field(key_col).type
+    out_schema = pa.schema([(key_col, key_type), (id_col, pa.int64()),
+                            ("win_n", pa.int64()),
+                            ("win_avg", pa.float64())])
+    return hash_group_apply(
+        keyed, [key_col],
+        functools.partial(_rolling_group, key_col=key_col, ts_col=ts_col,
+                          id_col=id_col, w=w, fx_scale=fx_scale),
+        n_parts=n_parts, plasma_schema=out_schema)
