@@ -718,3 +718,39 @@ def test_rolling_stats_matches_bruteforce():
         n, avg = want[int(r["event_id"])]
         assert int(r["win_n"]) == n
         assert abs(float(r["win_avg"]) - avg) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+def test_ntile_and_split_properties():
+    """Property sweep over group sizes: NTILE tiles are contiguous with
+    sizes within one of each other summing to n; stratified split sizes
+    hit the exact floor cuts at every n."""
+    from trustfuse_ray.stages.windows import ntile_per_key
+
+    for n in (1, 2, 3, 4, 5, 7, 8, 11, 40):
+        rows = [(i, "k", float(i)) for i in range(n)]
+        ds = rd.from_arrow(pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }))
+        got = ntile_per_key(ds, n_tiles=4).to_pandas()
+        sizes = got.groupby("tile").size()
+        assert sizes.sum() == n
+        assert sizes.max() - sizes.min() <= 1
+        # SQL NTILE ordering: value asc == event_id asc here, so tiles
+        # must be monotone in event_id
+        m = got.sort_values("event_id")["tile"].to_numpy()
+        assert (np.diff(m) >= 0).all()
+    for n in (1, 2, 3, 9, 10, 19, 20):
+        ds = _split_docs(n, groups=("g",))
+        got = stratified_split(ds).to_pandas()
+        c = got["split"].value_counts()
+        t1 = int(np.floor(0.8 * n))
+        t2 = int(np.floor(0.9 * n))
+        assert c.get("train", 0) == t1
+        assert c.get("val", 0) == t2 - t1
+        assert c.get("test", 0) == n - t2
