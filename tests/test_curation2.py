@@ -292,3 +292,85 @@ def test_token_chunks_windows():
     # every token appears in exactly one window, in order
     rebuilt = " ".join(t for d, w, n, t in out if d == 0 and t)
     assert rebuilt == rows[0][1]
+
+
+# ---------------------------------------------------------------------------
+# dup_spans (cross-document repeated-substring spans)
+# ---------------------------------------------------------------------------
+
+def _dup_spans_oracle(rows, k, min_docs=2):
+    """Sequential reference: k-grams in >= min_docs distinct docs, merged
+    per-doc into maximal overlapping/adjacent token spans."""
+    grams = {}
+    toks = {}
+    for doc_id, text in rows:
+        t = text.strip().split()
+        toks[doc_id] = t
+        for s in range(max(len(t) - k + 1, 0)):
+            grams.setdefault(" ".join(t[s:s + k]), set()).add(doc_id)
+    dup = {g for g, ds in grams.items() if len(ds) >= min_docs}
+    out = []
+    for doc_id, t in toks.items():
+        starts = [s for s in range(max(len(t) - k + 1, 0))
+                  if " ".join(t[s:s + k]) in dup]
+        spans = []
+        for s in starts:
+            if spans and s <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], s + k)
+            else:
+                spans.append([s, s + k])
+        out.extend((doc_id, a, b, b - a) for a, b in spans)
+    return sorted(out)
+
+
+def test_dup_spans_planted():
+    from trustfuse_ray.stages.curation import dup_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # one 8-gram
+    rows = [
+        (0, f"u0 v0 {shared} w0 x0"),
+        (1, f"{shared} tail1 different words here"),
+        (2, "totally unrelated text with nothing shared at all ok"),
+        # doc 3 contains the shared gram twice -> two windows merge into
+        # spans; also shares a LONG run with doc 4 (adjacent windows merge)
+        (3, f"{shared} mid {shared}"),
+        (4, f"p4 {shared} q4 r4 s4 t4 u4 v4 w4"),
+        (5, ""),
+    ]
+    long_run = "one two three four five six seven eight nine ten " \
+               "eleven twelve"
+    rows.append((6, long_run))
+    rows.append((7, long_run + " extra"))
+    got = dup_spans(_docs(rows), k=8, min_docs=2, n_parts=4).take_all()
+    got = sorted((r["doc_id"], r["span_start"], r["span_end"],
+                  r["n_tokens"]) for r in got)
+    want = _dup_spans_oracle([(r[0], r[1]) for r in rows], k=8)
+    assert got == want
+    # the 12-token identical run in docs 6/7 must merge to ONE span of 12
+    assert (6, 0, 12, 12) in got and (7, 0, 12, 12) in got
+
+
+def test_dup_spans_partition_invariant():
+    from trustfuse_ray.stages.curation import dup_spans
+
+    rng = np.random.default_rng(11)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(4, 40))
+        rows.append((i, " ".join(vocab[int(x)]
+                                 for x in rng.integers(0, 30, size=n))))
+    want = _dup_spans_oracle(rows, k=5)
+    for n_parts in (1, 4, 16):
+        got = dup_spans(_docs(rows), k=5, min_docs=2,
+                        n_parts=n_parts).take_all()
+        got = sorted((r["doc_id"], r["span_start"], r["span_end"],
+                      r["n_tokens"]) for r in got)
+        assert got == want, n_parts
+
+
+def test_dup_spans_empty_and_short():
+    from trustfuse_ray.stages.curation import dup_spans
+
+    rows = [(0, ""), (1, "too short"), (2, "also short")]
+    assert dup_spans(_docs(rows), k=8, n_parts=4).take_all() == []

@@ -1385,6 +1385,15 @@ def q_line_dedup_synth(sf_dir: str):
     return line_dedup(ray.data.read_parquet(path))
 
 
+def q_dup_spans(sf_dir: str):
+    """Cross-document repeated-substring spans (Lee et al. 2021 style):
+    merged token spans of 8-grams shared by >= 2 distinct documents —
+    the regions a substring-level dedup pass would cut before training."""
+    from trustfuse_ray.stages.curation import dup_spans
+
+    return dup_spans(_tbl(sf_dir, "documents"), k=8, min_docs=2)
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction over documents augmented with deterministic planted
     PII (email/IP/phone derived from doc_id — the same expressions the
@@ -1741,6 +1750,7 @@ def queries_map():
         "multimodal_frames": q_multimodal_frames,
         "kg_bucketize_claims": q_bucketize_claims,
         "line_dedup_synth": q_line_dedup_synth,
+        "dup_spans": q_dup_spans,
         "pii_redact": q_pii_redact,
         "cms_registers": q_cms_registers,
         "train_shards": q_train_shards,
@@ -3660,6 +3670,37 @@ SELECT k.doc_id,
        CAST(count(*) AS BIGINT) AS n_kept
 FROM kept k JOIN cnt c USING (doc_id)
 GROUP BY k.doc_id""",
+        "dup_spans": r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, s,
+         array_to_string(list_slice(toks, s + 1, s + 8), ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               CAST(unnest(generate_series(
+                 1, greatest(len(toks) - 8 + 1, 0))) AS BIGINT) - 1 AS s
+        FROM d)
+),
+dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (SELECT g.doc_id, g.s FROM g JOIN dup USING (gram)),
+m AS (
+  SELECT doc_id, s,
+         CASE WHEN s > lag(s) OVER w + 8 THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY s)
+),
+isl AS (
+  SELECT doc_id, s,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS span_id
+  FROM m
+)
+SELECT doc_id, min(s) AS span_start, max(s) + 8 AS span_end,
+       max(s) + 8 - min(s) AS n_tokens
+FROM isl GROUP BY doc_id, span_id""",
         "pii_redact": r"""
 WITH aug AS (
   SELECT doc_id,

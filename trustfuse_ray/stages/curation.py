@@ -857,3 +857,139 @@ def token_chunks_overlap(docs, window: int = 64, stride: int = 48,
 
     return docs.select_columns([id_col, text_col]).map_batches(
         _chunk, batch_format="pyarrow", zero_copy_batch=True, **kw)
+
+
+# --------------------------------------------------------------------------
+# 4h. cross-document repeated-substring spans (Lee et al. 2021 style)
+# --------------------------------------------------------------------------
+
+
+def dup_spans(docs, k: int = 8, min_docs: int = 2, text_col: str = "text",
+              id_col: str = "doc_id", n_parts: int | None = None):
+    """Substring-level cross-document dedup: find, for every document, the
+    merged token spans covered by ``k``-grams that occur in at least
+    ``min_docs`` DISTINCT documents (the spans a Lee-et-al-2021-style
+    "deduplicate repeated substrings" pass would cut).  Output rows:
+    ``(doc_id, span_start, span_end, n_tokens)`` with token-index spans
+    ``[span_start, span_end)`` merged over overlapping/adjacent windows.
+
+    Scale shape: two metadata-only exchanges — stage 1 ships
+    ``(md5(gram) as 2×int64, doc_id, start)`` ≈ 40 B per token position
+    (the text never rides an exchange); the duplicated-gram test happens
+    INSIDE the fp-partition (count distinct docs per fp run — no join back),
+    and the surviving positions re-partition by ``hash(doc_id)`` for the
+    per-doc interval merge.  A boilerplate gram shared by millions of docs
+    produces O(occurrences) rows, never O(pairs²) — this is the property
+    that makes substring dedup tractable where pairwise near-dup is not.
+    """
+    from trustfuse_ray.stages.common import _add_part, plasma_exchange
+
+    if n_parts is None:
+        import ray
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_parts = 1 << max(3, (n_cpus - 1).bit_length())
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+            _SPLIT_RX)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        starts = np.cumsum(lens) - lens
+        w = np.maximum(lens - k + 1, 0)          # full k-windows only
+        R = int(w.sum())
+        dwin = np.repeat(np.arange(len(batch), dtype=np.int64), w)
+        wstart = (np.arange(R, dtype=np.int64)
+                  - np.repeat(np.cumsum(w) - w, w))
+        # gather the k tokens of every window, join with ' ' (matches the
+        # oracle's array_to_string(list_slice(toks, s+1, s+k), ' '))
+        idx = (np.repeat(starts[dwin] + wstart, k)
+               + np.tile(np.arange(k, dtype=np.int64), R))
+        offsets = np.arange(0, (R + 1) * k, k, dtype=np.int32)
+        gram_text = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     flat.take(pa.array(idx))), " ")
+        digs = [hashlib.md5(s.encode()).digest()
+                for s in gram_text.to_pylist()]
+        raw = (np.frombuffer(b"".join(digs), dtype=np.uint64).reshape(R, 2)
+               if R else np.zeros((0, 2), np.uint64))
+        return pa.table({
+            "fp_hi": pa.array(raw[:, 0].view(np.int64), pa.int64()),
+            "fp_lo": pa.array(raw[:, 1].view(np.int64), pa.int64()),
+            id_col: pa.array(ids[dwin], pa.int64()),
+            "start": pa.array(wstart, pa.int64()),
+        })
+
+    gram_schema = pa.schema([("fp_hi", pa.int64()), ("fp_lo", pa.int64()),
+                             (id_col, pa.int64()), ("start", pa.int64()),
+                             ("__part", pa.int32())])
+    hit_schema = pa.schema([(id_col, pa.int64()), ("start", pa.int64())])
+
+    def _dup_hits(tbl: pa.Table) -> pa.Table:
+        """Positions whose gram occurs in >= min_docs distinct docs —
+        resolved entirely inside the fp partition, no join back."""
+        if len(tbl) == 0:
+            return hit_schema.empty_table()
+        hi = np.asarray(tbl["fp_hi"], dtype=np.int64)
+        lo = np.asarray(tbl["fp_lo"], dtype=np.int64)
+        d = np.asarray(tbl[id_col], dtype=np.int64)
+        s = np.asarray(tbl["start"], dtype=np.int64)
+        order = np.lexsort((s, d, lo, hi))
+        his, los, ds = hi[order], lo[order], d[order]
+        new_fp = np.ones(len(his), dtype=bool)
+        new_fp[1:] = (his[1:] != his[:-1]) | (los[1:] != los[:-1])
+        new_doc = new_fp.copy()
+        new_doc[1:] |= ds[1:] != ds[:-1]
+        run_starts = np.flatnonzero(new_fp)
+        ndoc = np.add.reduceat(new_doc.astype(np.int64), run_starts)
+        run_len = np.diff(np.append(run_starts, len(his)))
+        keep = np.repeat(ndoc >= min_docs, run_len)
+        sel = order[keep]
+        return pa.table({id_col: pa.array(d[sel], pa.int64()),
+                         "start": pa.array(s[sel], pa.int64())})
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("span_start", pa.int64()),
+                            ("span_end", pa.int64()),
+                            ("n_tokens", pa.int64())])
+
+    def _merge(tbl: pa.Table) -> pa.Table:
+        """Per-doc gaps-and-islands merge of [start, start+k) windows."""
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        d = np.asarray(tbl[id_col], dtype=np.int64)
+        s = np.asarray(tbl["start"], dtype=np.int64)
+        order = np.lexsort((s, d))
+        d, s = d[order], s[order]
+        brk = np.ones(len(d), dtype=bool)
+        brk[1:] = (d[1:] != d[:-1]) | (s[1:] > s[:-1] + k)
+        heads = np.flatnonzero(brk)
+        tails = np.append(heads[1:], len(d)) - 1
+        span_start = s[heads]
+        span_end = s[tails] + k
+        return pa.table({
+            id_col: pa.array(d[heads], pa.int64()),
+            "span_start": pa.array(span_start, pa.int64()),
+            "span_end": pa.array(span_end, pa.int64()),
+            "n_tokens": pa.array(span_end - span_start, pa.int64()),
+        })
+
+    grams = docs.select_columns([id_col, text_col]).map_batches(
+        _grams, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = grams.map_batches(
+        functools.partial(_add_part, keys=["fp_hi", "fp_lo"],
+                          n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True)
+    hits = plasma_exchange([keyed], _dup_hits, n_parts,
+                           part_col="__part", empty_schema=gram_schema)
+    keyed2 = hits.map_batches(
+        functools.partial(_add_part, keys=[id_col], n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True)
+    hit_part_schema = pa.schema([(id_col, pa.int64()), ("start", pa.int64()),
+                                 ("__part", pa.int32())])
+    return plasma_exchange([keyed2], _merge, n_parts,
+                           part_col="__part", empty_schema=hit_part_schema)
