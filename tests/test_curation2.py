@@ -374,3 +374,79 @@ def test_dup_spans_empty_and_short():
 
     rows = [(0, ""), (1, "too short"), (2, "also short")]
     assert dup_spans(_docs(rows), k=8, n_parts=4).take_all() == []
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup (cut duplicated substrings, keep global first occurrence)
+# ---------------------------------------------------------------------------
+
+def _substring_dedup_oracle(rows, k, min_docs=2):
+    grams = {}
+    toks = {d: t.strip().split() for d, t in rows}
+    for doc_id in sorted(toks):
+        t = toks[doc_id]
+        for s in range(max(len(t) - k + 1, 0)):
+            g = " ".join(t[s:s + k])
+            grams.setdefault(g, []).append((doc_id, s))
+    dup = {g: occ for g, occ in grams.items()
+           if len({d for d, _ in occ}) >= min_docs}
+    out = []
+    for doc_id, t in toks.items():
+        lose = set()
+        win = set()
+        for g, occ in dup.items():
+            w = min(occ)
+            for d, s in occ:
+                if d != doc_id:
+                    continue
+                tgt = win if (d, s) == w else lose
+                tgt.update(range(s, s + k))
+        keep = [tok for p, tok in enumerate(t)
+                if p not in lose or p in win]
+        if keep:
+            out.append((doc_id, " ".join(keep), len(t),
+                        len(t) - len(keep)))
+    return sorted(out)
+
+
+def test_substring_dedup_planted():
+    from trustfuse_ray.stages.curation import substring_dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, f"u0 v0 {shared} w0 x0"),          # winner (min doc_id)
+        (1, f"{shared} tail1 of one two"),     # loser: 8 tokens cut
+        (2, "totally unrelated text here with nothing shared at all"),
+        (3, shared),                           # loser: fully cut -> dropped
+    ]
+    got = substring_dedup(_docs(rows), k=8, min_docs=2,
+                          n_parts=4).take_all()
+    got = sorted((r["doc_id"], r["text"], r["n_tokens"], r["n_cut"])
+                 for r in got)
+    want = _substring_dedup_oracle(rows, k=8)
+    assert got == want
+    ids = [r[0] for r in got]
+    assert 3 not in ids                        # fully-cut doc dropped
+    d1 = next(r for r in got if r[0] == 1)
+    assert d1[1] == "tail1 of one two" and d1[3] == 8
+    d0 = next(r for r in got if r[0] == 0)
+    assert d0[3] == 0                          # winner keeps everything
+
+
+def test_substring_dedup_partition_invariant():
+    from trustfuse_ray.stages.curation import substring_dedup
+
+    rng = np.random.default_rng(13)
+    vocab = [f"t{i}" for i in range(25)]
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(4, 40))
+        rows.append((i, " ".join(vocab[int(x)]
+                                 for x in rng.integers(0, 25, size=n))))
+    want = _substring_dedup_oracle(rows, k=5)
+    for n_parts in (1, 4, 16):
+        got = substring_dedup(_docs(rows), k=5, min_docs=2,
+                              n_parts=n_parts).take_all()
+        got = sorted((r["doc_id"], r["text"], r["n_tokens"], r["n_cut"])
+                     for r in got)
+        assert got == want, n_parts

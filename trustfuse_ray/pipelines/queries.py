@@ -1394,6 +1394,14 @@ def q_dup_spans(sf_dir: str):
     return dup_spans(_tbl(sf_dir, "documents"), k=8, min_docs=2)
 
 
+def q_substring_dedup(sf_dir: str):
+    """Cut cross-document repeated substrings (keep the global first
+    occurrence of every duplicated 8-gram); docs rebuilt from kept tokens."""
+    from trustfuse_ray.stages.curation import substring_dedup
+
+    return substring_dedup(_tbl(sf_dir, "documents"), k=8, min_docs=2)
+
+
 def q_pii_redact(sf_dir: str):
     """PII redaction over documents augmented with deterministic planted
     PII (email/IP/phone derived from doc_id — the same expressions the
@@ -1751,6 +1759,7 @@ def queries_map():
         "kg_bucketize_claims": q_bucketize_claims,
         "line_dedup_synth": q_line_dedup_synth,
         "dup_spans": q_dup_spans,
+        "substring_dedup": q_substring_dedup,
         "pii_redact": q_pii_redact,
         "cms_registers": q_cms_registers,
         "train_shards": q_train_shards,
@@ -3701,6 +3710,55 @@ isl AS (
 SELECT doc_id, min(s) AS span_start, max(s) + 8 AS span_end,
        max(s) + 8 - min(s) AS n_tokens
 FROM isl GROUP BY doc_id, span_id""",
+        "substring_dedup": r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\s+') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, s,
+         array_to_string(list_slice(toks, s + 1, s + 8), ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               CAST(unnest(generate_series(
+                 1, greatest(len(toks) - 8 + 1, 0))) AS BIGINT) - 1 AS s
+        FROM d)
+),
+dupg AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+),
+w AS (
+  SELECT g.doc_id, g.s,
+         (row_number() OVER (PARTITION BY gram
+                             ORDER BY g.doc_id, g.s) = 1) AS win
+  FROM g JOIN dupg USING (gram)
+),
+pos AS (
+  SELECT doc_id, CAST(unnest(generate_series(s, s + 7)) AS BIGINT) AS p,
+         win
+  FROM w
+),
+cutpos AS (
+  SELECT doc_id, p FROM pos GROUP BY doc_id, p
+  HAVING bool_or(NOT win) AND NOT bool_or(win)
+),
+tok AS (
+  SELECT doc_id,
+         CAST(unnest(generate_series(1, len(toks))) AS BIGINT) - 1 AS p,
+         unnest(toks) AS tok
+  FROM d
+),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM tok t LEFT JOIN cutpos c ON t.doc_id = c.doc_id AND t.p = c.p
+  WHERE c.doc_id IS NULL
+),
+cnt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens FROM d)
+SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.p) AS text,
+       max(c.n_tokens) AS n_tokens,
+       max(c.n_tokens) - CAST(count(*) AS BIGINT) AS n_cut
+FROM kept k JOIN cnt c USING (doc_id)
+GROUP BY k.doc_id""",
         "pii_redact": r"""
 WITH aug AS (
   SELECT doc_id,

@@ -864,6 +864,45 @@ def token_chunks_overlap(docs, window: int = 64, stride: int = 48,
 # --------------------------------------------------------------------------
 
 
+def _gram_rows(batch: pa.Table, *, k: int, text_col: str,
+               id_col: str) -> pa.Table:
+    """One row per full k-token window of every doc in the batch:
+    ``(fp_hi, fp_lo, doc_id, start)`` where fp is the md5 of the
+    space-joined window (matches the oracle's
+    ``array_to_string(list_slice(toks, s+1, s+k), ' ')``)."""
+    ids = np.asarray(batch[id_col], dtype=np.int64)
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+        _SPLIT_RX)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    starts = np.cumsum(lens) - lens
+    w = np.maximum(lens - k + 1, 0)          # full k-windows only
+    R = int(w.sum())
+    dwin = np.repeat(np.arange(len(batch), dtype=np.int64), w)
+    wstart = (np.arange(R, dtype=np.int64)
+              - np.repeat(np.cumsum(w) - w, w))
+    idx = (np.repeat(starts[dwin] + wstart, k)
+           + np.tile(np.arange(k, dtype=np.int64), R))
+    offsets = np.arange(0, (R + 1) * k, k, dtype=np.int32)
+    gram_text = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                 flat.take(pa.array(idx))), " ")
+    digs = [hashlib.md5(s.encode()).digest()
+            for s in gram_text.to_pylist()]
+    raw = (np.frombuffer(b"".join(digs), dtype=np.uint64).reshape(R, 2)
+           if R else np.zeros((0, 2), np.uint64))
+    return pa.table({
+        "fp_hi": pa.array(raw[:, 0].view(np.int64), pa.int64()),
+        "fp_lo": pa.array(raw[:, 1].view(np.int64), pa.int64()),
+        id_col: pa.array(ids[dwin], pa.int64()),
+        "start": pa.array(wstart, pa.int64()),
+    })
+
+
 def dup_spans(docs, k: int = 8, min_docs: int = 2, text_col: str = "text",
               id_col: str = "doc_id", n_parts: int | None = None):
     """Substring-level cross-document dedup: find, for every document, the
@@ -889,40 +928,8 @@ def dup_spans(docs, k: int = 8, min_docs: int = 2, text_col: str = "text",
         n_cpus = int(ray.cluster_resources().get("CPU", 8))
         n_parts = 1 << max(3, (n_cpus - 1).bit_length())
 
-    def _grams(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col], dtype=np.int64)
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
-            _SPLIT_RX)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        lens = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = toks.flatten()
-        starts = np.cumsum(lens) - lens
-        w = np.maximum(lens - k + 1, 0)          # full k-windows only
-        R = int(w.sum())
-        dwin = np.repeat(np.arange(len(batch), dtype=np.int64), w)
-        wstart = (np.arange(R, dtype=np.int64)
-                  - np.repeat(np.cumsum(w) - w, w))
-        # gather the k tokens of every window, join with ' ' (matches the
-        # oracle's array_to_string(list_slice(toks, s+1, s+k), ' '))
-        idx = (np.repeat(starts[dwin] + wstart, k)
-               + np.tile(np.arange(k, dtype=np.int64), R))
-        offsets = np.arange(0, (R + 1) * k, k, dtype=np.int32)
-        gram_text = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
-                                     flat.take(pa.array(idx))), " ")
-        digs = [hashlib.md5(s.encode()).digest()
-                for s in gram_text.to_pylist()]
-        raw = (np.frombuffer(b"".join(digs), dtype=np.uint64).reshape(R, 2)
-               if R else np.zeros((0, 2), np.uint64))
-        return pa.table({
-            "fp_hi": pa.array(raw[:, 0].view(np.int64), pa.int64()),
-            "fp_lo": pa.array(raw[:, 1].view(np.int64), pa.int64()),
-            id_col: pa.array(ids[dwin], pa.int64()),
-            "start": pa.array(wstart, pa.int64()),
-        })
+    _grams = functools.partial(_gram_rows, k=k, text_col=text_col,
+                               id_col=id_col)
 
     gram_schema = pa.schema([("fp_hi", pa.int64()), ("fp_lo", pa.int64()),
                              (id_col, pa.int64()), ("start", pa.int64()),
@@ -993,3 +1000,160 @@ def dup_spans(docs, k: int = 8, min_docs: int = 2, text_col: str = "text",
                                  ("__part", pa.int32())])
     return plasma_exchange([keyed2], _merge, n_parts,
                            part_col="__part", empty_schema=hit_part_schema)
+
+
+def substring_dedup(docs, k: int = 8, min_docs: int = 2,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    n_parts: int | None = None):
+    """Cut cross-document repeated substrings, keeping each duplicated
+    ``k``-gram only at its GLOBAL first occurrence (min ``(doc_id, start)``
+    per gram — the Lee et al. 2021 "keep one copy" policy).  A token is
+    removed iff some duplicated-gram loser window covers it and no winner
+    window of the same doc covers it; docs are rebuilt from their kept
+    tokens (space-joined), docs left with zero tokens are dropped.
+    Output: ``(doc_id, text, n_tokens, n_cut)``.
+
+    Scale shape mirrors :func:`line_dedup`: the gram exchange ships 40 B
+    per token position, winner/loser resolution happens inside the fp
+    partition, and the full text moves exactly once — on the reconstruct
+    exchange co-partitioned by ``hash(doc_id)``.
+    """
+    from trustfuse_ray.stages.common import _add_part, plasma_exchange
+
+    if n_parts is None:
+        import ray
+        n_cpus = int(ray.cluster_resources().get("CPU", 8))
+        n_parts = 1 << max(3, (n_cpus - 1).bit_length())
+
+    _grams = functools.partial(_gram_rows, k=k, text_col=text_col,
+                               id_col=id_col)
+
+    gram_schema = pa.schema([("fp_hi", pa.int64()), ("fp_lo", pa.int64()),
+                             (id_col, pa.int64()), ("start", pa.int64()),
+                             ("__part", pa.int32())])
+    hit_schema = pa.schema([(id_col, pa.int64()), ("start", pa.int64()),
+                            ("win", pa.int8())])
+
+    def _win_lose(tbl: pa.Table) -> pa.Table:
+        """All windows of grams with >= min_docs distinct docs, flagged
+        winner (global first occurrence) or loser — one partition pass."""
+        if len(tbl) == 0:
+            return hit_schema.empty_table()
+        hi = np.asarray(tbl["fp_hi"], dtype=np.int64)
+        lo = np.asarray(tbl["fp_lo"], dtype=np.int64)
+        d = np.asarray(tbl[id_col], dtype=np.int64)
+        s = np.asarray(tbl["start"], dtype=np.int64)
+        order = np.lexsort((s, d, lo, hi))
+        his, los, ds = hi[order], lo[order], d[order]
+        new_fp = np.ones(len(his), dtype=bool)
+        new_fp[1:] = (his[1:] != his[:-1]) | (los[1:] != los[:-1])
+        new_doc = new_fp.copy()
+        new_doc[1:] |= ds[1:] != ds[:-1]
+        run_starts = np.flatnonzero(new_fp)
+        ndoc = np.add.reduceat(new_doc.astype(np.int64), run_starts)
+        run_len = np.diff(np.append(run_starts, len(his)))
+        keep = np.repeat(ndoc >= min_docs, run_len)
+        win = new_fp & keep                     # sorted ⇒ run head is the
+        sel = order[keep]                       # global (doc, start) min
+        return pa.table({
+            id_col: pa.array(d[sel], pa.int64()),
+            "start": pa.array(s[sel], pa.int64()),
+            "win": pa.array(win[keep].astype(np.int8), pa.int8()),
+        })
+
+    out_schema = pa.schema([(id_col, pa.int64()), (text_col, pa.string()),
+                            ("n_tokens", pa.int64()),
+                            ("n_cut", pa.int64())])
+    uni_schema = pa.schema([(id_col, pa.int64()), ("start", pa.int64()),
+                            ("win", pa.int8()), (text_col, pa.string()),
+                            ("side", pa.int8()), ("__part", pa.int32())])
+
+    def _tag_doc(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            id_col: batch[id_col].cast(pa.int64()),
+            "start": pa.array(np.full(n, -1, np.int64)),
+            "win": pa.array(np.zeros(n, np.int8)),
+            text_col: pc.fill_null(batch[text_col], ""),
+            "side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def _tag_hit(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            id_col: batch[id_col],
+            "start": batch["start"],
+            "win": batch["win"],
+            text_col: pa.array([None] * n, pa.string()),
+            "side": pa.array(np.ones(n, np.int8)),
+        })
+
+    def _reconstruct(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        docs_t = tbl.filter(pa.array(side == 0))
+        hits_t = tbl.filter(pa.array(side == 1))
+        if len(docs_t) == 0:
+            return out_schema.empty_table()
+        ids = np.asarray(docs_t[id_col], dtype=np.int64)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(docs_t[text_col]), _SPLIT_RX)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        starts = np.cumsum(lens) - lens
+        total = int(lens.sum())
+        hd = np.asarray(hits_t[id_col], dtype=np.int64)
+        hs = np.asarray(hits_t["start"], dtype=np.int64)
+        hw = np.asarray(hits_t["win"], dtype=np.int8)
+        # map hit doc_ids to local row index (ids are unique per doc here)
+        order = np.argsort(ids, kind="stable")
+        pos_in = np.searchsorted(ids[order], hd)
+        ok = (pos_in < len(ids))
+        ok &= ids[order[np.minimum(pos_in, len(ids) - 1)]] == hd
+        rows = order[pos_in[ok]]
+        habs = starts[rows] + hs[ok]
+        hwin = hw[ok].astype(bool)
+        # diff-array window coverage: +1 at window start, -1 past its end
+        lose_cov = np.zeros(total + 1, dtype=np.int32)
+        win_cov = np.zeros(total + 1, dtype=np.int32)
+        np.add.at(lose_cov, habs[~hwin], 1)
+        np.add.at(lose_cov, habs[~hwin] + k, -1)
+        np.add.at(win_cov, habs[hwin], 1)
+        np.add.at(win_cov, habs[hwin] + k, -1)
+        cut = (np.cumsum(lose_cov[:-1]) > 0) & (np.cumsum(win_cov[:-1]) == 0)
+        keep = ~cut
+        rowix = np.repeat(np.arange(len(docs_t), dtype=np.int64), lens)
+        n_kept = np.bincount(rowix[keep], minlength=len(docs_t))
+        n_cut = lens - n_kept
+        offsets = np.concatenate(([0], np.cumsum(n_kept))).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     flat.filter(pa.array(keep))), " ")
+        out = pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            text_col: joined,
+            "n_tokens": pa.array(lens, pa.int64()),
+            "n_cut": pa.array(n_cut, pa.int64()),
+        })
+        return out.filter(pa.array(n_kept > 0))
+
+    grams = docs.select_columns([id_col, text_col]).map_batches(
+        _grams, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = grams.map_batches(
+        functools.partial(_add_part, keys=["fp_hi", "fp_lo"],
+                          n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True)
+    hits = plasma_exchange([keyed], _win_lose, n_parts,
+                           part_col="__part", empty_schema=gram_schema)
+    uni = docs.select_columns([id_col, text_col]).map_batches(
+        _tag_doc, batch_format="pyarrow", zero_copy_batch=True).union(
+        hits.map_batches(_tag_hit, batch_format="pyarrow"))
+    keyed2 = uni.map_batches(
+        functools.partial(_add_part, keys=[id_col], n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return plasma_exchange([keyed2], _reconstruct, n_parts,
+                           part_col="__part", empty_schema=uni_schema)
