@@ -271,3 +271,53 @@ def test_semi_join_null_keys_never_match():
     # NOT EXISTS keeps the NULL-key row and k=1
     assert len(anti) == 2
     assert sorted(anti["k"].dropna()) == [1]
+
+
+def test_skew_join_plan_equivalence():
+    """The hot-key threshold changes the plan (broadcast vs co-partition),
+    never the result: planted skew (one key with 200 left rows) must give
+    identical output at every threshold, including 'everything cold'."""
+    from trustfuse_ray.stages.joins import skew_join
+
+    import numpy as np
+    rng = np.random.default_rng(7)
+    keys = np.concatenate([np.full(200, 5, np.int64),     # hot key
+                           rng.integers(0, 40, size=300)])
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "lv": pa.array(np.arange(len(keys), dtype=np.int64)),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(np.arange(40, dtype=np.int64)),
+        "rv": pa.array([f"v{i}" for i in range(40)]),
+    }))
+
+    def run(threshold):
+        out = skew_join(left, right, "k", "rk", ["lv"], ["rv"],
+                        hot_threshold=threshold, n_parts=8).take_all()
+        return sorted((r["k"], r["lv"], r["rv"]) for r in out)
+
+    cold_only = run(10**9)          # no hot keys
+    assert run(50) == cold_only     # key 5 broadcast
+    assert run(2) == cold_only      # many keys broadcast
+    # sequential oracle
+    rmap = {i: f"v{i}" for i in range(40)}
+    want = sorted((int(k), i, rmap[int(k)])
+                  for i, k in enumerate(keys) if int(k) in rmap)
+    assert cold_only == want
+
+
+def test_skew_join_null_keys_and_no_match():
+    from trustfuse_ray.stages.joins import skew_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 99], pa.int64()),
+        "lv": pa.array([10, 20, 30], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 2, None], pa.int64()),
+        "rv": pa.array(["a", "b", "c"]),
+    }))
+    out = skew_join(left, right, "k", "rk", ["lv"], ["rv"],
+                    n_parts=4).take_all()
+    assert sorted((r["k"], r["lv"], r["rv"]) for r in out) == [(1, 10, "a")]

@@ -1394,6 +1394,20 @@ def q_dup_spans(sf_dir: str):
     return dup_spans(_tbl(sf_dir, "documents"), k=8, min_docs=2)
 
 
+def q_lineitem_orders_skew(sf_dir: str):
+    """Skew-aware large-large inner join: lineitem x orders on orderkey.
+    The hot-key threshold only changes the execution plan (broadcast vs
+    co-partition), never the result — tests prove plan-equivalence with
+    planted skew; here the uniform TPC-H keys all take the cold path."""
+    from trustfuse_ray.stages.joins import skew_join
+
+    return skew_join(
+        _tbl(sf_dir, "lineitem"), _tbl(sf_dir, "orders"),
+        "l_orderkey", "o_orderkey",
+        ["l_linenumber", "l_quantity"],
+        ["o_orderpriority", "o_custkey"])
+
+
 def q_substring_dedup(sf_dir: str):
     """Cut cross-document repeated substrings (keep the global first
     occurrence of every duplicated 8-gram); docs rebuilt from kept tokens."""
@@ -1760,6 +1774,7 @@ def queries_map():
         "line_dedup_synth": q_line_dedup_synth,
         "dup_spans": q_dup_spans,
         "substring_dedup": q_substring_dedup,
+        "lineitem_orders_skew": q_lineitem_orders_skew,
         "pii_redact": q_pii_redact,
         "cms_registers": q_cms_registers,
         "train_shards": q_train_shards,
@@ -3710,6 +3725,10 @@ isl AS (
 SELECT doc_id, min(s) AS span_start, max(s) + 8 AS span_end,
        max(s) + 8 - min(s) AS n_tokens
 FROM isl GROUP BY doc_id, span_id""",
+        "lineitem_orders_skew": """
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+       o.o_orderpriority, o.o_custkey
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
         "substring_dedup": r"""
 WITH d AS (
   SELECT doc_id,

@@ -324,3 +324,149 @@ def fuzzy_self_join(ds, col: str, threshold: float = 0.9,
         ds.select_columns([col]).map_batches(
             _distinct, batch_format="pyarrow", zero_copy_batch=True),
         ["blk"], _pairs, n_parts=n_parts, plasma_schema=pair_schema)
+
+
+# --------------------------------------------------------------------------
+# Skew-aware large-large equi-join
+# --------------------------------------------------------------------------
+
+
+def skew_join(left, right, left_key: str, right_key: str,
+              left_cols: list[str], right_cols: list[str],
+              hot_threshold: int = 1_000_000, n_parts: int = 64):
+    """Inner equi-join of two LARGE datasets with explicit hot-key
+    handling.  Cold keys co-partition with one hash exchange and join
+    per-partition (pyarrow Acero — vectorized, partition-local); keys
+    whose LEFT row count exceeds ``hot_threshold`` instead take a
+    broadcast path: their right rows ship once via ``ray.put`` and the
+    matching left rows join map-side, so one hot key (a celebrity user,
+    a default value) can never concentrate its rows in one shuffle
+    partition.  The hot set only changes the PLAN, never the result —
+    any threshold (including "no hot keys") yields identical output.
+
+    The hot-key detector is a map-side partial count: each left block
+    emits (key, block_count) only for keys repeated within the block, the
+    partials sum in one tiny aggregate, and keys over the threshold —
+    few by definition — are the only thing the driver ever holds.
+    Exchange volume for the broadcast side is (hot keys × right rows per
+    key); for a dimension-style right that is rows, not gigabytes.
+    """
+    import ray
+    from trustfuse_ray.stages.common import _add_part, plasma_exchange
+
+    lk_type = left.schema().base_schema.field(left_key).type
+    lt = {c: left.schema().base_schema.field(c).type for c in left_cols}
+    rt = {c: right.schema().base_schema.field(c).type for c in right_cols}
+    out_schema = pa.schema([(left_key, lk_type)]
+                           + [(c, lt[c]) for c in left_cols]
+                           + [(c, rt[c]) for c in right_cols])
+
+    # ---- hot-key detection (map-side partials -> one tiny aggregate) ----
+    def _partials(batch: pa.Table) -> pa.Table:
+        vc = batch[left_key].combine_chunks().value_counts()
+        keys = vc.field("values")
+        cnt = vc.field("counts")
+        keep = pc.and_(pc.greater(cnt, 1), pc.is_valid(keys))
+        return pa.table({"k": keys.filter(keep),
+                         "c": cnt.filter(keep).cast(pa.int64())})
+
+    partials = left.select_columns([left_key]).map_batches(
+        _partials, batch_format="pyarrow", zero_copy_batch=True)
+    totals = partials.groupby("k").sum("c")
+    hot_rows = totals.map_batches(
+        lambda b: b.filter(pc.greater_equal(
+            b["sum(c)"], pa.scalar(int(hot_threshold), pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    hot_keys = pa.array([r["k"] for r in hot_rows], lk_type)
+
+    def _sel_left(batch: pa.Table) -> pa.Table:
+        cols = {left_key: batch[left_key]}
+        cols.update({c: batch[c] for c in left_cols})
+        return pa.table(cols)
+
+    def _sel_right(batch: pa.Table) -> pa.Table:
+        cols = {left_key: batch[right_key].cast(lk_type)}
+        cols.update({c: batch[c] for c in right_cols})
+        return pa.table(cols)
+
+    lsel = left.select_columns([left_key] + left_cols).map_batches(
+        _sel_left, batch_format="pyarrow", zero_copy_batch=True)
+    rsel = right.select_columns([right_key] + right_cols).map_batches(
+        _sel_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- broadcast path for hot keys ----
+    hot_out = None
+    if len(hot_keys) > 0:
+        hot_right = rsel.map_batches(
+            lambda b: b.filter(pc.is_in(b[left_key], value_set=hot_keys)),
+            batch_format="pyarrow", zero_copy_batch=True)
+        refs = hot_right.to_arrow_refs()
+        tbls = [t for t in ray.get(refs) if len(t)] if refs else []
+        hot_tbl = (pa.concat_tables(tbls) if tbls
+                   else pa.schema([(left_key, lk_type)]
+                                  + [(c, rt[c]) for c in right_cols]
+                                  ).empty_table())
+        hot_ref = ray.put(hot_tbl)
+
+        def _hot_join(batch: pa.Table) -> pa.Table:
+            small = ray.get(hot_ref)
+            mine = batch.filter(pc.is_in(batch[left_key],
+                                         value_set=hot_keys))
+            if len(mine) == 0 or len(small) == 0:
+                return out_schema.empty_table()
+            return mine.join(small, keys=[left_key],
+                             join_type="inner").select(out_schema.names)
+
+        hot_out = lsel.map_batches(_hot_join, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+
+    # ---- co-partition exchange + per-partition Acero join (cold keys) ----
+    def _drop_hot(batch: pa.Table) -> pa.Table:
+        if len(hot_keys) == 0:
+            return batch.filter(pc.is_valid(batch[left_key]))
+        keep = pc.and_(pc.is_valid(batch[left_key]),
+                       pc.invert(pc.is_in(batch[left_key],
+                                          value_set=hot_keys)))
+        return batch.filter(keep)
+
+    def _tag(side: int, names: list[str], types: dict):
+        def _t(batch: pa.Table) -> pa.Table:
+            batch = _drop_hot(batch)
+            n = len(batch)
+            cols = {left_key: batch[left_key]}
+            cols.update({c: batch[c] if c in batch.column_names
+                         else pa.nulls(n, lt.get(c) or rt[c])
+                         for c in left_cols + right_cols})
+            cols["__side"] = pa.array(np.full(n, side, np.int8))
+            return pa.table(cols)
+        return _t
+
+    uni_schema = pa.schema([(left_key, lk_type)]
+                           + [(c, lt[c]) for c in left_cols]
+                           + [(c, rt[c]) for c in right_cols]
+                           + [("__side", pa.int8()), ("__part", pa.int32())])
+
+    def _part_join(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        side = np.asarray(tbl["__side"], dtype=np.int8)
+        l_t = tbl.filter(pa.array(side == 0)) \
+            .select([left_key] + left_cols)
+        r_t = tbl.filter(pa.array(side == 1)) \
+            .select([left_key] + right_cols)
+        if len(l_t) == 0 or len(r_t) == 0:
+            return out_schema.empty_table()
+        return l_t.join(r_t, keys=[left_key],
+                        join_type="inner").select(out_schema.names)
+
+    tagged = (lsel.map_batches(_tag(0, left_cols, lt),
+                               batch_format="pyarrow", zero_copy_batch=True)
+              .union(rsel.map_batches(_tag(1, right_cols, rt),
+                                      batch_format="pyarrow",
+                                      zero_copy_batch=True)))
+    keyed = tagged.map_batches(
+        functools.partial(_add_part, keys=[left_key], n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cold_out = plasma_exchange([keyed], _part_join, n_parts,
+                               part_col="__part", empty_schema=uni_schema)
+    return cold_out.union(hot_out) if hot_out is not None else cold_out
