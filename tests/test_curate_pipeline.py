@@ -89,3 +89,85 @@ def test_pretrain_dataset_end_to_end():
     a = got.sort_values("doc_id").reset_index(drop=True)
     b = again.sort_values("doc_id").reset_index(drop=True)
     assert (a["shard"] == b["shard"]).all() and (a["pos"] == b["pos"]).all()
+
+
+def _write_sharded_docs(root, n_docs=200, n_shards=4):
+    import pyarrow.parquet as pq
+
+    rows = []
+    for i in range(n_docs):
+        text = f"doc {i % 80} body tok{i % 11} end tok{i % 5}"
+        rows.append((i, text, f"s{i % 3}"))
+    tbl = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    root.mkdir(parents=True, exist_ok=True)
+    step = -(-n_docs // n_shards)
+    for s in range(n_shards):
+        pq.write_table(tbl.slice(s * step, step),
+                       str(root / f"part-{s:05d}.parquet"))
+    return tbl
+
+
+def test_pretrain_resumable_skips_completed_partitions(tmp_path):
+    import json
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from trustfuse_ray.pipelines.curate import (pretrain_dataset,
+                                                pretrain_dataset_resumable)
+
+    docs_dir = tmp_path / "docs"
+    _write_sharded_docs(docs_dir)
+    kw = dict(frac_train=0.8, n_shards=4, n_parts=8)
+
+    def keep_rows(out_dir):
+        parts = sorted((Path(out_dir) / "pretrain").glob("part=*"))
+        t = pa.concat_tables([pq.read_table(str(p)) for p in parts])
+        return sorted(zip(t["doc_id"].to_pylist(), t["shard"].to_pylist(),
+                          t["pos"].to_pylist()))
+
+    out1, out2 = str(tmp_path / "run1"), str(tmp_path / "run2")
+    full = pretrain_dataset_resumable(str(docs_dir), out2, **kw)
+    assert full["status"] == "complete" and full["rows"] > 0
+
+    # simulated kill after 2 signal partitions
+    part = pretrain_dataset_resumable(str(docs_dir), out1,
+                                      max_partitions=2, **kw)
+    assert part["status"] == "partial"
+    assert len(part["signals_partitions_done"]) == 2
+    stamps = {}
+    for p in part["signals_partitions_done"]:
+        m = json.loads((Path(out1) / "signals" / "_manifests" /
+                        f"part-{p:05d}.json").read_text())
+        stamps[p] = m["written_at"]
+
+    # resume completes without recomputing finished partitions
+    res = pretrain_dataset_resumable(str(docs_dir), out1, **kw)
+    assert res["status"] == "complete"
+    assert set(res["signals_partitions_skipped"]) >= set(stamps)
+    for p, ts in stamps.items():
+        m = json.loads((Path(out1) / "signals" / "_manifests" /
+                        f"part-{p:05d}.json").read_text())
+        assert m["written_at"] == ts
+
+    # identical output, and identical to the streaming pipeline
+    assert keep_rows(out1) == keep_rows(out2)
+    stream = pretrain_dataset(rd.read_parquet(str(docs_dir)),
+                              **kw).to_pandas()
+    want = sorted(zip(stream["doc_id"].astype(int),
+                      stream["shard"].astype(int),
+                      stream["pos"].astype(int)))
+    assert keep_rows(out1) == want
+
+    # re-running a complete pipeline is a no-op for the final write
+    again = pretrain_dataset_resumable(str(docs_dir), out1, **kw)
+    assert again.get("pretrain_skipped") is True
+
+    # per-shard manifests carry the token-total lineage
+    m0 = json.loads((Path(out1) / "pretrain" / "_manifests" /
+                     "part-00000.json").read_text())
+    assert m0["metrics"]["tokens"] > 0

@@ -102,24 +102,16 @@ def _shard_rank_group(group: pa.Table, *, id_col: str) -> pa.Table:
         "pos", pa.array(np.arange(len(g), dtype=np.int64)))
 
 
-def pretrain_dataset(docs, frac_train: float = 0.8, n_shards: int = 8,
-                     max_dup_frac: float = 0.5, text_col: str = "text",
-                     id_col: str = "doc_id", n_parts: int = 32):
-    """End-to-end pretraining-set construction as ONE streaming program:
-    per-batch quality signals + filter (text dropped immediately) → exact
-    dedup (min doc_id per fingerprint) → deterministic md5-ranked train
-    cut per source → shard assignment with in-shard rank.  Three
-    small-row exchanges total; the text column never shuffles.  Output
-    (doc_id, source, n_tokens, shard, pos) is the keep-list a writer
-    semi-joins against the corpus at rest."""
+def _pretrain_finalize(sig, frac_train: float, n_shards: int,
+                       id_col: str, n_parts: int):
+    """Post-signals stages shared by the streaming and the checkpointed
+    pretraining pipelines: exact dedup (min doc_id per fingerprint) →
+    deterministic md5-ranked train cut per source → shard assignment with
+    in-shard rank.  Three small-row exchanges; text never enters."""
     import functools
 
     from trustfuse_ray.stages.dedup import _md5_token64
 
-    sig = docs.select_columns([id_col, "source", text_col]).map_batches(
-        lambda b: _signals_filter(b, max_dup_frac=max_dup_frac,
-                                  text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", zero_copy_batch=True)
     row_schema = pa.schema([(id_col, pa.int64()), ("source", pa.string()),
                             ("fp", pa.string()), ("n_tokens", pa.int64())])
     deduped = hash_group_apply(
@@ -149,3 +141,120 @@ def pretrain_dataset(docs, frac_train: float = 0.8, n_shards: int = 8,
         keyed, ["shard"],
         functools.partial(_shard_rank_group, id_col=id_col),
         n_parts=n_parts, plasma_schema=out_schema)
+
+
+def pretrain_dataset(docs, frac_train: float = 0.8, n_shards: int = 8,
+                     max_dup_frac: float = 0.5, text_col: str = "text",
+                     id_col: str = "doc_id", n_parts: int = 32):
+    """End-to-end pretraining-set construction as ONE streaming program:
+    per-batch quality signals + filter (text dropped immediately) → exact
+    dedup → md5-ranked train cut per source → shard assignment with
+    in-shard rank.  Output (doc_id, source, n_tokens, shard, pos) is the
+    keep-list a writer semi-joins against the corpus at rest."""
+    sig = docs.select_columns([id_col, "source", text_col]).map_batches(
+        lambda b: _signals_filter(b, max_dup_frac=max_dup_frac,
+                                  text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return _pretrain_finalize(sig, frac_train, n_shards, id_col, n_parts)
+
+
+def pretrain_dataset_resumable(docs_files, out_dir: str,
+                               frac_train: float = 0.8, n_shards: int = 8,
+                               max_dup_frac: float = 0.5,
+                               text_col: str = "text",
+                               id_col: str = "doc_id", n_parts: int = 32,
+                               max_partitions: int | None = None) -> dict:
+    """Checkpointed pretraining-set construction with per-partition
+    lineage (mirrors ``run_kg_pipeline_resumable``).
+
+    Stage A — embarrassingly parallel per input shard, independently
+    restartable: signals + quality filter (text dropped inside the first
+    ``map_batches``) → ``out_dir/signals/part={p}`` + manifest keyed on
+    the input file's fingerprint.  A resumed run skips partitions whose
+    manifest matches the same input bytes.
+
+    Stage B — global over all completed signal partitions: exact dedup →
+    train cut → shard + rank, then ONE materialize of the small keep-list
+    and a per-output-shard write ``out_dir/pretrain/part={shard}`` with a
+    manifest per shard carrying rows + token totals (the resumable-output
+    lineage).  Keyed on the combined input fingerprint, so a complete
+    final write is a no-op on re-run and any input change recomputes.
+
+    At 100 TB the signal rows are ~60 B/doc — Stage B's exchanges and the
+    keep-list materialize stay ~1e-5 of corpus bytes.
+    """
+    import glob
+    import os
+    import time as _time
+
+    import ray
+    import ray.data
+
+    from trustfuse_ray.state import checkpoint as ckpt
+
+    if isinstance(docs_files, str):
+        docs_files = sorted(glob.glob(os.path.join(docs_files, "*.parquet")))
+    sig_root = os.path.join(out_dir, "signals")
+    done, skipped, pending = [], [], []
+    for p, f in enumerate(docs_files):
+        if max_partitions is not None and len(done) + len(skipped) \
+                + len(pending) >= max_partitions:
+            break
+        fp = ckpt.file_fingerprint(f)
+        if ckpt.is_complete(sig_root, p, fp):
+            skipped.append(p)
+        else:
+            pending.append((p, f, fp))
+
+    for p, f, fp in pending:
+        t0 = _time.perf_counter()
+        sig = ray.data.read_parquet(f) \
+            .select_columns([id_col, "source", text_col]) \
+            .map_batches(
+                lambda b: _signals_filter(b, max_dup_frac=max_dup_frac,
+                                          text_col=text_col, id_col=id_col),
+                batch_format="pyarrow", zero_copy_batch=True).materialize()
+        sig.write_parquet(ckpt.partition_dir(sig_root, p))
+        ckpt.write_manifest(sig_root, p, fp, rows=sig.count(),
+                            wall_secs=_time.perf_counter() - t0,
+                            metrics={"input_file": os.path.basename(f)})
+        done.append(p)
+
+    summary = {"signals_partitions_done": sorted(done),
+               "signals_partitions_skipped": sorted(skipped),
+               "total_partitions": len(docs_files)}
+    if max_partitions is not None \
+            and len(done) + len(skipped) < len(docs_files):
+        summary["status"] = "partial"
+        return summary
+
+    out_root = os.path.join(out_dir, "pretrain")
+    all_fp = "|".join(ckpt.file_fingerprint(f) for f in docs_files)
+    if all(ckpt.is_complete(out_root, s, all_fp) for s in range(n_shards)):
+        summary["status"] = "complete"
+        summary["pretrain_skipped"] = True
+        return summary
+    t0 = _time.perf_counter()
+    sig_all = ray.data.read_parquet(sig_root)  # _manifests/ ignored
+    final = _pretrain_finalize(sig_all, frac_train, n_shards, id_col,
+                               n_parts).materialize()
+    import pyarrow.parquet as pq
+
+    out_schema = pa.schema([(id_col, pa.int64()), ("source", pa.string()),
+                            ("n_tokens", pa.int64()),
+                            ("shard", pa.int64()), ("pos", pa.int64())])
+    blocks = [t for t in ray.get(final.to_arrow_refs()) if t.num_rows]
+    keep = (pa.concat_tables([t.select(out_schema.names) for t in blocks])
+            if blocks else out_schema.empty_table())
+    wall = _time.perf_counter() - t0
+    for s in range(n_shards):
+        part = keep.filter(pc.equal(keep["shard"], s))
+        pdir = ckpt.partition_dir(out_root, s)
+        os.makedirs(pdir, exist_ok=True)
+        pq.write_table(part, os.path.join(pdir, "keep.parquet"))
+        ckpt.write_manifest(
+            out_root, s, all_fp, rows=len(part), wall_secs=wall,
+            metrics={"tokens": int(pc.sum(part["n_tokens"]).as_py() or 0)})
+    summary["status"] = "complete"
+    summary["rows"] = len(keep)
+    return summary
