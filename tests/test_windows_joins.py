@@ -321,3 +321,39 @@ def test_skew_join_null_keys_and_no_match():
     out = skew_join(left, right, "k", "rk", ["lv"], ["rv"],
                     n_parts=4).take_all()
     assert sorted((r["k"], r["lv"], r["rv"]) for r in out) == [(1, 10, "a")]
+
+
+def test_resolve_entities_clusters_and_canon():
+    from trustfuse_ray.stages.link import resolve_entities
+
+    # two fuzzy clusters sharing a prefix block, one chained (a-b, b-c
+    # connect; a-c alone may not) plus unrelated singletons
+    ents = ["paris", "pariss", "parisss",       # chained cluster
+            "london", "londonn",                # pair cluster
+            "tokyo", "berlin"]                  # singletons -> absent
+    claims = rd.from_arrow(pa.table({
+        "entity": pa.array(ents * 3, pa.string()),   # duplicates collapse
+    }))
+    out = sorted((r["entity"], r["canon"])
+                 for r in resolve_entities(claims, threshold=0.9,
+                                           n_parts=4).take_all())
+    assert out == [("london", "london"), ("londonn", "london"),
+                   ("paris", "paris"), ("pariss", "paris"),
+                   ("parisss", "paris")]
+
+    # determinism across partitionings
+    again = sorted((r["entity"], r["canon"])
+                   for r in resolve_entities(
+                       rd.from_arrow(pa.table({
+                           "entity": pa.array(ents * 3, pa.string())}))
+                       .repartition(5), threshold=0.9,
+                       n_parts=2).take_all())
+    assert again == out
+
+
+def test_resolve_entities_empty_and_no_pairs():
+    from trustfuse_ray.stages.link import resolve_entities
+
+    nopairs = rd.from_arrow(pa.table({
+        "entity": pa.array(["alpha", "zebra"], pa.string())}))
+    assert resolve_entities(nopairs, n_parts=2).count() == 0

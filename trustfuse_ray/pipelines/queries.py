@@ -1598,6 +1598,16 @@ def q_entity_fuzzy_pairs(sf_dir: str):
                            threshold=0.85)
 
 
+def q_kg_entity_resolution(sf_dir: str):
+    """Entity-resolution canonicalization: Jaro ≥ 0.9 fuzzy pairs within
+    ER prefix blocks → distributed connected components → every clustered
+    entity mapped to its cluster's lexicographically smallest member
+    (recursive-CTE reachability oracle)."""
+    from trustfuse_ray.stages.link import resolve_entities
+
+    return resolve_entities(cached_claims(sf_dir), threshold=0.9)
+
+
 def q_kg_pagerank_pers(sf_dir: str):
     """Personalized PageRank from the two smallest entities (the kg_khop
     seed set): restart mass only on the seeds → relevance-to-seeds
@@ -1785,6 +1795,7 @@ def queries_map():
         "kg_pagerank_pers": q_kg_pagerank_pers,
         "kg_triangles": q_kg_triangles,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
+        "kg_entity_resolution": q_kg_entity_resolution,
         "token_chunks": q_token_chunks,
     }
 
@@ -3907,6 +3918,22 @@ p AS (SELECT x.entity AS a, y.entity AS b
       JOIN ok ON ok.blk = x.blk)
 SELECT a, b, CAST(round(jaro_similarity(a, b) * 1e9) AS BIGINT) AS sim_fx
 FROM p WHERE jaro_similarity(a, b) >= 0.85""",
+        "kg_entity_resolution": f"""
+WITH RECURSIVE {_claims_cte(cache)},
+ents AS (SELECT DISTINCT entity FROM claims),
+bl AS (SELECT entity, substr(entity, 1, 2) AS blk FROM ents),
+ok AS (SELECT blk FROM bl GROUP BY 1 HAVING count(*) BETWEEN 2 AND 500),
+e AS (SELECT x.entity AS a, y.entity AS b
+      FROM bl x JOIN bl y ON x.blk = y.blk AND x.entity < y.entity
+      JOIN ok ON ok.blk = x.blk
+      WHERE jaro_similarity(x.entity, y.entity) >= 0.9),
+sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v WHERE s.v <> r.u
+)
+SELECT u AS entity, least(u, min(v)) AS canon FROM reach GROUP BY u""",
         "kg_entity_cooccurrence": f"""
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},

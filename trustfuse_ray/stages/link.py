@@ -205,3 +205,126 @@ def link_and_canonicalize(mentions, alias_src, attr_types: dict[str, str],
             "bucket_id": bucket_id,
         },
     )
+
+
+# --------------------------------------------------------------------------
+# Entity resolution: fuzzy-cluster canonicalization over claim entities
+# --------------------------------------------------------------------------
+
+def resolve_entities(claims, threshold: float = 0.9, block_len: int = 2,
+                     cap: int = 500, n_parts: int = 32):
+    """Entity-resolution canonicalization: cluster near-identical claim
+    entities (Jaro >= ``threshold`` within ``block_len``-char-prefix ER
+    blocks, stop-blocks above ``cap`` skipped) and map every clustered
+    entity to its cluster's lexicographically smallest member.
+
+    Reference analog: the alias/label canonicalization step of dataset
+    construction (`/root/reference/dataset_generation/generate_conflicting_dataset.py:496-515`)
+    handles only EXACT alias hits; this closes the near-miss gap
+    (typos / formatting variants of the same entity) the fuzzy way ER
+    systems do — blocking + verify + transitive closure.
+
+    Shape: fuzzy pair discovery is block-bucketed (`joins.fuzzy_self_join`,
+    never all-pairs), clusters come from the distributed min-label CC
+    rounds (`graph.connected_components` — one plasma exchange per round),
+    and the id->entity translation co-partitions on the node hash.  Edge
+    node ids are the md5-low64 of the entity (>>1 to stay in int64) —
+    the same DuckDB-replayable hash the dedup operators use; a 64-bit
+    collision would spuriously merge two clusters (~2^-64/pair,
+    accepted).  Only entities in >=2-entity clusters appear; the
+    mapping includes the representative row (canon, canon).
+
+    Returns Dataset(entity, canon).
+    """
+    import functools
+
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply, plasma_exchange
+    from trustfuse_ray.stages.dedup import _md5_token64
+    from trustfuse_ray.stages.graph import connected_components
+    from trustfuse_ray.stages.joins import fuzzy_self_join
+
+    pairs = fuzzy_self_join(claims, "entity", threshold=threshold,
+                            block_len=block_len, cap=cap,
+                            n_parts=n_parts).materialize()
+
+    def _hash_ids(strs: list[str]) -> np.ndarray:
+        return np.fromiter((_md5_token64(s or "") >> 1 for s in strs),
+                           dtype=np.int64, count=len(strs))
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        return pa.table({"src": pa.array(_hash_ids(a)),
+                         "dst": pa.array(_hash_ids(b))})
+
+    cc = connected_components(
+        pairs.map_batches(_edges, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        src="src", dst="dst", n_parts=n_parts)
+
+    # (node, entity, label) co-partition: both sides share one nullable
+    # schema so the exchange gather can concat them; label rows translate
+    # node->label, entity rows translate node->entity.
+    joined_schema = pa.schema([("node", pa.int64()),
+                               ("entity", pa.string()),
+                               ("label", pa.int64()),
+                               ("__part", pa.int32())])
+
+    def _part_of(node: np.ndarray) -> pa.Array:
+        from trustfuse_ray.stages.graph import _mix64
+        return pa.array((_mix64(node.astype(np.uint64))
+                         % np.uint64(n_parts)).astype(np.int32))
+
+    def _emap_side(batch: pa.Table) -> pa.Table:
+        ents = sorted(set(batch["a"].to_pylist())
+                      | set(batch["b"].to_pylist()))
+        node = _hash_ids(ents)
+        return pa.table({"node": pa.array(node),
+                         "entity": pa.array(ents, pa.string()),
+                         "label": pa.array([None] * len(ents), pa.int64()),
+                         "__part": _part_of(node)})
+
+    def _cc_side(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch["node"], dtype=np.int64)
+        return pa.table({"node": batch["node"],
+                         "entity": pa.array([None] * len(node), pa.string()),
+                         "label": batch["label"],
+                         "__part": _part_of(node)})
+
+    def _translate(tbl: pa.Table) -> pa.Table:
+        lbl = tbl.filter(pc.is_valid(tbl["label"]))
+        ent = tbl.filter(pc.is_valid(tbl["entity"]))
+        if not len(lbl) or not len(ent):
+            return pa.table({"entity": pa.array([], pa.string()),
+                             "label": pa.array([], pa.int64())})
+        ln = np.asarray(lbl["node"], dtype=np.int64)
+        lv = np.asarray(lbl["label"], dtype=np.int64)
+        order = np.argsort(ln)
+        ln, lv = ln[order], lv[order]
+        en = np.asarray(ent["node"], dtype=np.int64)
+        # the emap side deduped per block, not globally — collapse here
+        pos = np.searchsorted(ln, en)
+        return pa.table({"entity": ent["entity"],
+                         "label": pa.array(lv[pos])})
+
+    emap = pairs.map_batches(_emap_side, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    ccs = cc.map_batches(_cc_side, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    labeled = plasma_exchange([ccs, emap], _translate, n_parts,
+                              part_col="__part",
+                              empty_schema=joined_schema)
+
+    def _canon_group(group: pa.Table) -> pa.Table:
+        ents = sorted(set(group["entity"].to_pylist()))
+        canon = ents[0]
+        return pa.table({"entity": pa.array(ents, pa.string()),
+                         "canon": pa.array([canon] * len(ents),
+                                           pa.string())})
+
+    return hash_group_apply(
+        labeled, ["label"], _canon_group, n_parts=n_parts,
+        plasma_schema=pa.schema([("entity", pa.string()),
+                                 ("canon", pa.string())]))
