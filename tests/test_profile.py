@@ -144,3 +144,25 @@ def test_bottomk_sample_partition_invariant():
     b = sorted((r["source"], r["doc_id"]) for r in bottomk_hash_sample(
         rd.from_arrow(tbl).repartition(13), k=7).take_all())
     assert a == b and len(a) == 28          # 4 keys x 7, any partitioning
+
+
+def test_bpe_pair_counts_exact_and_unicode():
+    import collections
+
+    from trustfuse_ray.stages.profile import bpe_pair_counts
+
+    texts = ["abab ab", "  ab  ba ", "", None, "é́x ab", "a"]
+    docs = rd.from_arrow(pa.table({
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    got = {(r["l"], r["r"]): r["n"]
+           for r in bpe_pair_counts(docs, min_count=1).take_all()}
+    want = collections.Counter()
+    for t in texts:
+        for w in (t or "").strip().split():
+            for x, y in zip(w, w[1:]):
+                want[(x, y)] += 1
+    assert got == dict(want)
+    # min_count filter
+    got2 = {(r["l"], r["r"]): r["n"]
+            for r in bpe_pair_counts(docs, min_count=3).take_all()}
+    assert got2 == {k: v for k, v in want.items() if v >= 3}

@@ -1243,6 +1243,15 @@ def q_top_tokens(sf_dir: str):
     return top_tokens(_tbl(sf_dir, "documents"), k=50)
 
 
+def q_bpe_pairs(sf_dir: str):
+    """BPE vocab induction iteration 0: global adjacent-character-pair
+    counts inside whitespace tokens, pairs with n ≥ 50 (block-level pair
+    partials — exchange bounded by alphabet², not corpus size)."""
+    from trustfuse_ray.stages.profile import bpe_pair_counts
+
+    return bpe_pair_counts(_tbl(sf_dir, "documents"), min_count=50)
+
+
 def q_value_quantiles(sf_dir: str):
     """Exact discrete p50/p90/p99 of event value per event_type."""
     from trustfuse_ray.stages.profile import value_quantiles
@@ -1749,6 +1758,7 @@ def queries_map():
         "sample_hash_docs": q_sample_hash_docs,
         "token_pack": q_token_pack,
         "top_tokens": q_top_tokens,
+        "bpe_pairs": q_bpe_pairs,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3303,6 +3313,18 @@ WITH toks AS (
 ),
 c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
 SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50""",
+        "bpe_pairs": r"""
+WITH w AS (
+  SELECT unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+           AS word
+  FROM documents
+),
+ix AS (
+  SELECT word, unnest(generate_series(1, length(word) - 1)) AS i FROM w
+),
+p AS (SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r FROM ix)
+SELECT l, r, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2 HAVING count(*) >= 50""",
         "value_quantiles": """
 WITH r AS (
   SELECT event_type, value,

@@ -842,3 +842,60 @@ def pmi_top_bigrams(docs, k: int = 20, min_count: int = 5,
         "b": pa.array(out["b"], pa.string()),
         "n_ab": pa.array(out["n_ab"].astype(np.int64), pa.int64()),
         "score": pa.array(out["score"].astype(np.int64), pa.int64())}))
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary induction: adjacent-character-pair counts
+# --------------------------------------------------------------------------
+
+def bpe_pair_counts(docs, text_col: str = "text", min_count: int = 2):
+    """BPE vocabulary induction, iteration 0: global counts of adjacent
+    character pairs inside whitespace tokens — the statistic the first
+    BPE merge rule maximizes (Sennrich et al. 2016).
+
+    Map-side: each block collapses to its distinct (l, r, n) pair
+    partials in ONE vectorized pass — words are Arrow-joined into a
+    single space-separated string, decoded to a codepoint ndarray via
+    utf-32-le (unicode-exact, so DuckDB ``substr`` replays it), and
+    pair keys are counted with np.unique.  Exchange volume is bounded
+    by the block's distinct pair count (≤ alphabet²), never by corpus
+    size; the final groupby-sum is over that tiny pair space.  Pairs
+    below ``min_count`` drop after global aggregation."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"l": pa.array([], pa.string()),
+                          "r": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if not len(batch):
+            return empty
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch[text_col].cast(pa.string())),
+            _SPLIT_RX)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        words = toks.flatten()
+        if not len(words):
+            return empty
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, len(words)], pa.int32()), words)
+        s = pc.binary_join(lst, " ")[0].as_py()
+        cp = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+        if len(cp) < 2:
+            return empty
+        left, right = cp[:-1], cp[1:]
+        mask = (left != 32) & (right != 32)
+        if not mask.any():
+            return empty
+        keys = ((left[mask].astype(np.int64) << 21)
+                | right[mask].astype(np.int64))
+        uniq, cnt = np.unique(keys, return_counts=True)
+        return pa.table({
+            "l": pa.array([chr(int(k) >> 21) for k in uniq], pa.string()),
+            "r": pa.array([chr(int(k) & 0x1FFFFF) for k in uniq],
+                          pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    partial = docs.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+    total = partial.groupby(["l", "r"]).sum("n").rename_columns(
+        {"sum(n)": "n"})
+    return total.filter(expr=f"n >= {int(min_count)}")
