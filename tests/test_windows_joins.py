@@ -357,3 +357,45 @@ def test_resolve_entities_empty_and_no_pairs():
     nopairs = rd.from_arrow(pa.table({
         "entity": pa.array(["alpha", "zebra"], pa.string())}))
     assert resolve_entities(nopairs, n_parts=2).count() == 0
+
+
+def test_global_row_number_total_order():
+    from trustfuse_ray.stages.windows import global_row_number
+
+    t = pa.table({
+        "k": pa.array([5, 3, 9, 1, 7, 0, 2], pa.int64()),
+        "v": pa.array(list("abcdefg"), pa.string()),
+    })
+    out = sorted((r["k"], r["pos"]) for r in global_row_number(
+        rd.from_arrow(t).repartition(3), ["k"]).take_all())
+    ks = sorted([5, 3, 9, 1, 7, 0, 2])
+    assert out == [(k, i) for i, k in enumerate(ks)]
+    # empty input flows through
+    assert global_row_number(
+        rd.from_arrow(t.slice(0, 0)), ["k"]).count() == 0
+
+
+def test_mixture_order_prefix_proportions():
+    from trustfuse_ray.stages.curation import mixture_order
+
+    # 30 docs of source A (weight 3) and 10 of B (weight 1): any prefix
+    # holds ~3:1 A:B, and positions are a dense permutation
+    rows = [(i, "A") for i in range(30)] + [(100 + i, "B")
+                                            for i in range(10)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(4)
+    out = sorted((r["pos"], r["source"], r["doc_id"])
+                 for r in mixture_order(docs, {"A": 3, "B": 1},
+                                        n_parts=4).take_all())
+    assert [p for p, _, _ in out] == list(range(40))
+    # prefix of 12 → 9 A + 3 B (exact for the (r+1)/w rule)
+    first12 = [s for _, s, _ in out[:12]]
+    assert first12.count("A") == 9 and first12.count("B") == 3
+    # determinism across partitionings
+    again = sorted((r["pos"], r["source"], r["doc_id"])
+                   for r in mixture_order(docs.repartition(1),
+                                          {"A": 3, "B": 1},
+                                          n_parts=2).take_all())
+    assert again == out

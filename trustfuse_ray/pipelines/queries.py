@@ -1243,6 +1243,19 @@ def q_top_tokens(sf_dir: str):
     return top_tokens(_tbl(sf_dir, "documents"), k=50)
 
 
+def q_mixture_schedule(sf_dir: str):
+    """Deterministic source-mixture training schedule: weighted
+    round-robin interleave (w = 1 + src_num % 4) — per-source md5 rank →
+    priority (rank+1)/w → one global sort + metadata-only ordinals."""
+    from trustfuse_ray.stages.curation import mixture_order
+
+    docs = _tbl(sf_dir, "documents")
+    srcs = docs.select_columns(["source"]).unique("source")
+    weights = {s: 1 + int("".join(ch for ch in s if ch.isdigit()) or 0) % 4
+               for s in srcs}
+    return mixture_order(_tbl(sf_dir, "documents"), weights)
+
+
 def q_bpe_pairs(sf_dir: str):
     """BPE vocab induction iteration 0: global adjacent-character-pair
     counts inside whitespace tokens, pairs with n ≥ 50 (block-level pair
@@ -1759,6 +1772,7 @@ def queries_map():
         "token_pack": q_token_pack,
         "top_tokens": q_top_tokens,
         "bpe_pairs": q_bpe_pairs,
+        "mixture_schedule": q_mixture_schedule,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3325,6 +3339,20 @@ ix AS (
 p AS (SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r FROM ix)
 SELECT l, r, CAST(count(*) AS BIGINT) AS n
 FROM p GROUP BY 1, 2 HAVING count(*) >= 50""",
+        "mixture_schedule": r"""
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         1 + CAST(coalesce(regexp_extract(source, '[0-9]+'), '0') AS INT)
+             % 4 AS w
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY rn / CAST(w AS DOUBLE), source)
+            - 1 AS BIGINT) AS pos
+FROM r""",
         "value_quantiles": """
 WITH r AS (
   SELECT event_type, value,

@@ -1157,3 +1157,48 @@ def substring_dedup(docs, k: int = 8, min_docs: int = 2,
         batch_format="pyarrow", zero_copy_batch=True)
     return plasma_exchange([keyed2], _reconstruct, n_parts,
                            part_col="__part", empty_schema=uni_schema)
+
+
+# --------------------------------------------------------------------------
+# Deterministic source-mixture training schedule (data mixing)
+# --------------------------------------------------------------------------
+
+def mixture_order(docs, weights: dict[str, int],
+                  default_weight: int = 1, id_col: str = "doc_id",
+                  source_col: str = "source", n_parts: int = 32):
+    """Weighted interleave of sources into ONE training order: doc r
+    (0-based md5 rank) of source s gets priority ``(r + 1) / w_s`` and the
+    schedule is ascending ``(priority, source)`` — weighted round-robin /
+    Smith's-rule scheduling, so every prefix of the schedule carries the
+    sources in ≈ ``w`` proportions (the data-mixing step of pretraining
+    set construction).
+
+    Shape: per-source md5 rank via one hash exchange (ids only — text
+    stays at rest), then ONE range-partitioned sort over the keep-list
+    plus metadata-only ordinal assignment (`windows.global_row_number`).
+    Priorities are IEEE doubles of small ints — DuckDB computes the
+    identical division, so the full schedule replays in SQL.
+
+    Returns (id, source, pos)."""
+    import functools
+
+    from trustfuse_ray.stages.windows import global_row_number
+
+    def _rank_group(group: pa.Table) -> pa.Table:
+        g = md5_rank_sorted(group, id_col)
+        src = g[source_col][0].as_py()
+        w = float(weights.get(src, default_weight))
+        rn = np.arange(len(g), dtype=np.int64)
+        return pa.table({
+            id_col: g[id_col],
+            source_col: g[source_col],
+            "__prio": pa.array((rn + 1.0) / w, pa.float64())})
+
+    ranked = hash_group_apply(
+        docs.select_columns([id_col, source_col]), [source_col],
+        _rank_group, n_parts=n_parts,
+        plasma_schema=pa.schema([(id_col, pa.int64()),
+                                 (source_col, pa.string()),
+                                 ("__prio", pa.float64())]))
+    return global_row_number(
+        ranked, ["__prio", source_col]).drop_columns(["__prio"])

@@ -583,3 +583,40 @@ def rolling_stats(events, w: int = 5, key_col: str = "user_id",
         functools.partial(_rolling_group, key_col=key_col, ts_col=ts_col,
                           id_col=id_col, w=w, fx_scale=fx_scale),
         n_parts=n_parts, plasma_schema=out_schema)
+
+
+# --------------------------------------------------------------------------
+# Global row numbering (total-order ordinal assignment)
+# --------------------------------------------------------------------------
+
+def global_row_number(ds, sort_keys, pos_col: str = "pos"):
+    """SQL ``row_number() OVER (ORDER BY …)`` — a total-order ordinal an
+    operator Ray Data lacks.  ONE range-partitioned sort (the unavoidable
+    all-to-all), then ordinals derive without further data movement:
+    per-block row counts come from O(#blocks) metadata-sized remote
+    calls, the exclusive prefix sum is computed on the driver (ints, one
+    per block), and each block appends ``offset + arange`` in place.
+
+    ``sort_keys`` must be a total order (unique key tuples) for the
+    ordinals to be deterministic across partitionings."""
+    import ray
+    import ray.data as rd
+
+    mat = ds.sort(sort_keys).materialize()
+    refs = mat.to_arrow_refs()
+    if not refs:
+        return mat
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def _tag(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(
+            pos_col, pa.array(off + np.arange(t.num_rows, dtype=np.int64)))
+
+    lens = ray.get([_nrows.remote(r) for r in refs])
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return rd.from_arrow_refs(
+        [_tag.remote(r, int(o)) for r, o in zip(refs, offs)])
