@@ -110,3 +110,34 @@ def test_reverse_map_restores_raw_values():
     for r in rmapped:
         if r["winner_claim_id"] >= 0:
             assert r["raw_value"] == raw_by_cid[r["winner_claim_id"]]
+
+
+def test_fused_provenance_majority_and_ties():
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import fused_provenance
+
+    rows = [
+        # e1/a: v1 wins 2-1; cross-block duplicate of (s1, v1) must not
+        # inflate support
+        ("s1", "e1", "a", "v1"), ("s2", "e1", "a", "v1"),
+        ("s1", "e1", "a", "v1"), ("s3", "e1", "a", "v2"),
+        # e2/a: 1-1 tie -> lexicographically smaller value wins
+        ("s1", "e2", "a", "vB"), ("s2", "e2", "a", "vA"),
+        # quantity rows are out of scope
+        ("s1", "e3", "q", None),
+    ]
+    claims = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "entity": pa.array([r[1] for r in rows], pa.string()),
+        "attr": pa.array([r[2] for r in rows], pa.string()),
+        "value_str": pa.array([r[3] for r in rows], pa.string()),
+        "value_type": pa.array(
+            ["quantity" if r[2] == "q" else "categorical" for r in rows],
+            pa.string()),
+    })).repartition(3)
+    out = {(r["entity"], r["attr"]):
+           (r["value_str"], r["n_sources"], r["sources"])
+           for r in fused_provenance(claims, n_parts=4).take_all()}
+    assert out == {("e1", "a"): ("v1", 2, "s1,s2"),
+                   ("e2", "a"): ("vA", 1, "s2")}

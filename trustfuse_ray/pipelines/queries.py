@@ -1243,6 +1243,15 @@ def q_top_tokens(sf_dir: str):
     return top_tokens(_tbl(sf_dir, "documents"), k=50)
 
 
+def q_kg_provenance(sf_dir: str):
+    """Triple-level lineage: for each categorical voting-fused triple,
+    the sorted distinct supporting sources + support count (map-side
+    distinct combiner, one (entity, attr) exchange)."""
+    from trustfuse_ray.reverse import fused_provenance
+
+    return fused_provenance(cached_claims(sf_dir))
+
+
 def q_mixture_schedule(sf_dir: str):
     """Deterministic source-mixture training schedule: weighted
     round-robin interleave (w = 1 + src_num % 4) — per-source md5 rank →
@@ -1773,6 +1782,7 @@ def queries_map():
         "top_tokens": q_top_tokens,
         "bpe_pairs": q_bpe_pairs,
         "mixture_schedule": q_mixture_schedule,
+        "kg_provenance": q_kg_provenance,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3968,6 +3978,30 @@ p AS (SELECT x.entity AS a, y.entity AS b
       JOIN ok ON ok.blk = x.blk)
 SELECT a, b, CAST(round(jaro_similarity(a, b) * 1e9) AS BIGINT) AS sim_fx
 FROM p WHERE jaro_similarity(a, b) >= 0.85""",
+        "kg_provenance": f"""
+WITH {_claims_cte(cache)},
+dedup AS (
+  SELECT DISTINCT source, entity, attr, value_str
+  FROM claims WHERE value_type <> 'quantity' AND value_str IS NOT NULL
+),
+cat AS (
+  SELECT entity, attr, value_str, count(*) AS c
+  FROM dedup GROUP BY 1, 2, 3
+),
+catw AS (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM cat
+),
+win AS (SELECT entity, attr, value_str FROM catw WHERE rn = 1)
+SELECT w.entity, w.attr, w.value_str,
+       CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+       string_agg(DISTINCT d.source, ',' ORDER BY d.source) AS sources
+FROM win w
+JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
+            AND d.value_str = w.value_str
+GROUP BY 1, 2, 3""",
         "kg_entity_resolution": f"""
 WITH RECURSIVE {_claims_cte(cache)},
 ents AS (SELECT DISTINCT entity FROM claims),
