@@ -141,3 +141,32 @@ def test_fused_provenance_majority_and_ties():
            for r in fused_provenance(claims, n_parts=4).take_all()}
     assert out == {("e1", "a"): ("v1", 2, "s1,s2"),
                    ("e2", "a"): ("vA", 1, "s2")}
+
+
+def test_kg_negative_samples_deterministic_and_distinct():
+    import ray.data as rd
+
+    from trustfuse_ray.stages.dedup import _md5_token64
+    from trustfuse_ray.stages.graph import kg_negative_samples
+
+    rows = [("e1", "color", "red"), ("e2", "color", "blue"),
+            ("e3", "color", "green"), ("e4", "size", "big"),
+            ("e5", "shape", "round"), ("e6", "shape", "square")]
+    triples = rd.from_arrow(pa.table({
+        "entity": pa.array([r[0] for r in rows], pa.string()),
+        "attr": pa.array([r[1] for r in rows], pa.string()),
+        "value_str": pa.array([r[2] for r in rows], pa.string()),
+        "value_type": pa.array(["categorical"] * len(rows), pa.string()),
+    })).repartition(3)
+    out = kg_negative_samples(triples, k=2, n_parts=4).take_all()
+    # attr 'size' has a 1-value pool -> skipped; others emit k rows each
+    assert len(out) == 2 * 5
+    pools = {"color": ["blue", "green", "red"],
+             "shape": ["round", "square"]}
+    for r in out:
+        pool = pools[r["attr"]]
+        idx = _md5_token64(f"{r['entity']}|{r['attr']}|{r['j']}") % len(pool)
+        if pool[idx] == r["value_str"]:
+            idx = (idx + 1) % len(pool)
+        assert r["neg_value"] == pool[idx]
+        assert r["neg_value"] != r["value_str"]

@@ -1252,6 +1252,15 @@ def q_kg_provenance(sf_dir: str):
     return fused_provenance(cached_claims(sf_dir))
 
 
+def q_kg_negative_samples(sf_dir: str):
+    """KG-embedding training negatives: k=2 deterministic corrupt-tail
+    samples per categorical voting-fused triple (md5-indexed into the
+    attr's broadcast value vocabulary, collision steps to next)."""
+    from trustfuse_ray.stages.graph import kg_negative_samples
+
+    return kg_negative_samples(q_fuse(sf_dir, "Voting"), k=2)
+
+
 def q_mixture_schedule(sf_dir: str):
     """Deterministic source-mixture training schedule: weighted
     round-robin interleave (w = 1 + src_num % 4) — per-source md5 rank →
@@ -1783,6 +1792,7 @@ def queries_map():
         "bpe_pairs": q_bpe_pairs,
         "mixture_schedule": q_mixture_schedule,
         "kg_provenance": q_kg_provenance,
+        "kg_negative_samples": q_kg_negative_samples,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4002,6 +4012,48 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "kg_negative_samples": f"""
+WITH {_claims_cte(cache)},
+dedup AS (
+  SELECT DISTINCT source, entity, attr, value_str
+  FROM claims WHERE value_type <> 'quantity' AND value_str IS NOT NULL
+),
+cat AS (
+  SELECT entity, attr, value_str, count(*) AS c
+  FROM dedup GROUP BY 1, 2, 3
+),
+catw AS (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM cat
+),
+win AS (SELECT entity, attr, value_str FROM catw WHERE rn = 1),
+pool AS (
+  SELECT attr, value_str,
+         row_number() OVER (PARTITION BY attr ORDER BY value_str) - 1
+           AS idx,
+         count(*) OVER (PARTITION BY attr) AS n
+  FROM (SELECT DISTINCT attr, value_str FROM win)
+),
+pn AS (SELECT attr, max(n) AS n FROM pool GROUP BY 1 HAVING max(n) >= 2),
+js AS (SELECT unnest(generate_series(1, 2)) AS j),
+c0 AS (
+  SELECT w.entity, w.attr, w.value_str, js.j, pn.n,
+         CAST(md5_number_lower(w.entity || '|' || w.attr || '|'
+                               || CAST(js.j AS VARCHAR)) % pn.n AS BIGINT)
+           AS idx
+  FROM win w JOIN pn USING (attr) CROSS JOIN js
+),
+c1 AS (
+  SELECT c0.entity, c0.attr, c0.value_str, c0.j, c0.n,
+         CASE WHEN p.value_str = c0.value_str
+              THEN (c0.idx + 1) % c0.n ELSE c0.idx END AS adj
+  FROM c0 JOIN pool p ON p.attr = c0.attr AND p.idx = c0.idx
+)
+SELECT c1.entity, c1.attr, c1.value_str, CAST(c1.j AS BIGINT) AS j,
+       p2.value_str AS neg_value
+FROM c1 JOIN pool p2 ON p2.attr = c1.attr AND p2.idx = c1.adj""",
         "kg_entity_resolution": f"""
 WITH RECURSIVE {_claims_cte(cache)},
 ents AS (SELECT DISTINCT entity FROM claims),

@@ -670,3 +670,79 @@ def triangle_count(edges, src: str = "src", dst: str = "dst",
 
     return rd.from_arrow(pa.table({
         "n_triangles": pa.array([int(total or 0)], pa.int64())}))
+
+
+# --------------------------------------------------------------------------
+# KG-embedding training data: deterministic negative sampling
+# --------------------------------------------------------------------------
+
+def kg_negative_samples(triples, k: int = 2, n_parts: int = 32):
+    """Corrupt-tail negative sampling for KG-embedding training (the
+    TransE-style contrastive pairs): for each categorical fused triple
+    (entity, attr, value) emit ``k`` negatives whose corrupted value is
+    picked DETERMINISTICALLY from the attr's sorted value vocabulary by
+    ``md5_64(entity|attr|j) % n`` (collision with the true value steps to
+    the next index, so a negative never equals the positive).  Attrs with
+    a single-value vocabulary are skipped.
+
+    Shape: the per-attr value vocabulary is collected once (small for
+    categorical attrs — the broadcast-side assumption, documented) and
+    ``ray.put``-broadcast; sampling is one streaming ``map_batches`` pass
+    over the triples, no shuffle.  md5_64 == DuckDB ``md5_number_lower``,
+    so the full sample replays in SQL.
+
+    Returns (entity, attr, value_str, j, neg_value)."""
+    import ray
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    def _cat_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.and_(pc.not_equal(batch["value_type"], "quantity"),
+                    pc.is_valid(batch["value_str"])))
+
+    cat = triples.map_batches(_cat_only, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    pool_rows = (cat.select_columns(["attr", "value_str"])
+                 .groupby(["attr", "value_str"]).count().take_all())
+    pools: dict[str, list[str]] = {}
+    for r in pool_rows:
+        pools.setdefault(r["attr"], []).append(r["value_str"])
+    pools = {a: sorted(vs) for a, vs in pools.items() if len(vs) >= 2}
+    pools_ref = ray.put(pools)
+
+    _memo: dict = {}
+
+    def _sample(batch: pa.Table) -> pa.Table:
+        # one plasma fetch + deserialize per worker process, then memoized
+        pl = _memo.get("p")
+        if pl is None:
+            pl = _memo["p"] = ray.get(pools_ref)
+        ents = batch["entity"].to_pylist()
+        attrs = batch["attr"].to_pylist()
+        vals = batch["value_str"].to_pylist()
+        oe, oa, ov, oj, on = [], [], [], [], []
+        for e, a, v in zip(ents, attrs, vals):
+            pool = pl.get(a)
+            if pool is None:
+                continue
+            n = len(pool)
+            for j in range(1, k + 1):
+                idx = _md5_token64(f"{e}|{a}|{j}") % n
+                if pool[idx] == v:
+                    idx = (idx + 1) % n
+                oe.append(e)
+                oa.append(a)
+                ov.append(v)
+                oj.append(j)
+                on.append(pool[idx])
+        return pa.table({
+            "entity": pa.array(oe, pa.string()),
+            "attr": pa.array(oa, pa.string()),
+            "value_str": pa.array(ov, pa.string()),
+            "j": pa.array(oj, pa.int64()),
+            "neg_value": pa.array(on, pa.string())})
+
+    return cat.map_batches(_sample, batch_format="pyarrow",
+                           zero_copy_batch=True)
