@@ -122,3 +122,45 @@ def test_ltm_multi_truth_deterministic():
     for q in quality:
         assert 0.0 < q["recall"] < 1.0
         assert 0.0 < q["specificity"] < 1.0
+
+
+def test_voting_incremental_matches_full_recompute():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.fuse.voting import voting_incremental
+
+    def claims_tbl(rows):
+        return rd.from_arrow(pa.table({
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "entity": pa.array([r[1] for r in rows], pa.string()),
+            "attr": pa.array([r[2] for r in rows], pa.string()),
+            "value_str": pa.array([r[3] for r in rows], pa.string()),
+            "value_num": pa.array([r[4] for r in rows], pa.float64()),
+            "value_type": pa.array([r[5] for r in rows], pa.string()),
+        })).repartition(2)
+
+    prior = [
+        ("s1", "e1", "color", "red", None, "categorical"),
+        ("s2", "e1", "color", "blue", None, "categorical"),
+        ("s1", "e2", "color", "green", None, "categorical"),   # untouched
+        ("s1", "e3", "size", None, 10.0, "quantity"),
+        ("s2", "e3", "size", None, 30.0, "quantity"),
+        # duplicate of an increment row: union must still dedup
+        ("s9", "e1", "color", "blue", None, "categorical"),
+    ]
+    new = [
+        ("s3", "e1", "color", "blue", None, "categorical"),  # flips winner
+        ("s9", "e1", "color", "blue", None, "categorical"),  # dup of prior
+        ("s3", "e3", "size", None, 20.0, "quantity"),        # median 20
+        ("s1", "e4", "shape", "round", None, "categorical"),  # brand new
+    ]
+    out = {(r["entity"], r["attr"]): (r["value_str"], r["value_num"])
+           for r in voting_incremental(claims_tbl(prior), claims_tbl(new),
+                                       n_parts=4).take_all()}
+    assert out == {
+        ("e1", "color"): ("blue", None),      # 3 blue vs 1 red
+        ("e3", "size"): (None, 20.0),         # median(10, 20, 30)
+        ("e4", "shape"): ("round", None),
+    }
+    assert ("e2", "color") not in out         # untouched fact: no output

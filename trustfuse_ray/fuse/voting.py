@@ -82,3 +82,85 @@ class Voting(FusionModel):
         from trustfuse_ray.fuse import vectorized as V
 
         return V.voting_emit_batch(self, facts, state, bid, cache)
+
+
+def voting_incremental(prior_claims, new_claims, n_parts: int = 32):
+    """Incremental voting maintenance: fold a NEW bucket of claims into an
+    existing fused state without recomputing untouched facts — the
+    cumulative-bucket semantics of the reference's DynamicDataset
+    (`/root/reference/trustfuse/conflicting_dataset/dataset.py`, buckets
+    only ever grow) as an incremental operator.
+
+    Both sides collapse map-side to their distinct
+    (source, entity, attr, value_str, value_num, value_type) rows, union,
+    and co-partition ONCE on (entity, attr); a group re-votes only if it
+    received at least one increment-side row, so the exchange + re-vote
+    cost is bounded by the increment's touched facts — prior facts whose
+    groups the increment never touches move rows but do no vote work, and
+    at 100 TB the prior side would be the stored distinct-claim state
+    read at rest (partition-pruned by the touched-key set).
+
+    Returns fused rows for touched groups only — (entity, attr,
+    value_str, value_num) with voting semantics (categorical mode, ties
+    to min value; quantity median), matching the full-recompute result
+    restricted to touched groups."""
+    import functools
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    cols = ["source", "entity", "attr", "value_str", "value_num",
+            "value_type"]
+
+    def _distinct(batch: pa.Table, side: int) -> pa.Table:
+        t = batch.select(cols).group_by(cols).aggregate([])
+        return t.append_column(
+            "__new", pa.array(np.full(len(t), side, np.int8)))
+
+    def _refuse(group: pa.Table) -> pa.Table | None:
+        side = np.asarray(group["__new"], dtype=np.int8)
+        if not (side == 1).any():
+            return None  # untouched fact: prior truth stands
+        seen = set()
+        cat: dict[str, int] = {}
+        nums = []
+        for r in zip(*(group[c].to_pylist() for c in cols)):
+            if r in seen:
+                continue
+            seen.add(r)
+            _, _, _, vs, vn, vt = r
+            if vt == "quantity":
+                if vn is not None:
+                    nums.append(vn)
+            elif vs is not None:
+                cat[vs] = cat.get(vs, 0) + 1
+        ent = group["entity"][0].as_py()
+        attr = group["attr"][0].as_py()
+        oe, oa, ovs, ovn = [], [], [], []
+        if cat:
+            win = sorted(cat.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            oe.append(ent)
+            oa.append(attr)
+            ovs.append(win)
+            ovn.append(None)
+        if nums:
+            oe.append(ent)
+            oa.append(attr)
+            ovs.append(None)
+            ovn.append(float(np.median(np.asarray(nums, np.float64))))
+        return pa.table({"entity": pa.array(oe, pa.string()),
+                         "attr": pa.array(oa, pa.string()),
+                         "value_str": pa.array(ovs, pa.string()),
+                         "value_num": pa.array(ovn, pa.float64())})
+
+    prior = prior_claims.map_batches(
+        functools.partial(_distinct, side=0), batch_format="pyarrow",
+        zero_copy_batch=True)
+    new = new_claims.map_batches(
+        functools.partial(_distinct, side=1), batch_format="pyarrow",
+        zero_copy_batch=True)
+    out_schema = pa.schema([("entity", pa.string()), ("attr", pa.string()),
+                            ("value_str", pa.string()),
+                            ("value_num", pa.float64())])
+    return hash_group_apply(
+        prior.union(new), ["entity", "attr"], _refuse, n_parts=n_parts,
+        plasma_schema=out_schema)

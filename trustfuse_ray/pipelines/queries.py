@@ -1252,6 +1252,32 @@ def q_kg_provenance(sf_dir: str):
     return fused_provenance(cached_claims(sf_dir))
 
 
+def q_kg_voting_incremental(sf_dir: str):
+    """Incremental fusion maintenance: fold the md5(conv_id)%5==0 slice
+    of the corpus into the prior slice's fused state; only touched
+    (entity, attr) facts re-vote.  Output equals full-recompute voting
+    restricted to the touched facts (the correctness invariant of
+    incremental maintenance)."""
+    import functools
+
+    from trustfuse_ray.fuse.voting import voting_incremental
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    def _split(batch: pa.Table, keep_new: bool) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        m = np.fromiter((_md5_token64(c or "") % 5 == 0 for c in conv),
+                        dtype=bool, count=len(conv))
+        return batch.filter(pa.array(m if keep_new else ~m))
+
+    prior = cached_claims(sf_dir).map_batches(
+        functools.partial(_split, keep_new=False), batch_format="pyarrow",
+        zero_copy_batch=True)
+    new = cached_claims(sf_dir).map_batches(
+        functools.partial(_split, keep_new=True), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return voting_incremental(prior, new)
+
+
 def q_kg_negative_samples(sf_dir: str):
     """KG-embedding training negatives: k=2 deterministic corrupt-tail
     samples per categorical voting-fused triple (md5-indexed into the
@@ -1793,6 +1819,7 @@ def queries_map():
         "mixture_schedule": q_mixture_schedule,
         "kg_provenance": q_kg_provenance,
         "kg_negative_samples": q_kg_negative_samples,
+        "kg_voting_incremental": q_kg_voting_incremental,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4012,6 +4039,38 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "kg_voting_incremental": f"""
+WITH {_claims_cte(cache)},
+inc AS (
+  SELECT DISTINCT entity, attr FROM claims
+  WHERE md5_number_lower(conv_id) % 5 = 0
+),
+dedup AS (
+  SELECT DISTINCT source, entity, attr, value_str, value_num, value_type
+  FROM claims
+),
+cat AS (
+  SELECT entity, attr, value_str, count(*) AS c
+  FROM dedup WHERE value_type <> 'quantity' AND value_str IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+catw AS (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM cat
+),
+fused AS (
+  SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num
+  FROM catw WHERE rn = 1
+  UNION ALL
+  SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str,
+         median(value_num) AS value_num
+  FROM dedup WHERE value_type = 'quantity' AND value_num IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT f.entity, f.attr, f.value_str, f.value_num
+FROM fused f JOIN inc USING (entity, attr)""",
         "kg_negative_samples": f"""
 WITH {_claims_cte(cache)},
 dedup AS (
