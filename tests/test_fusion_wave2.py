@@ -164,3 +164,37 @@ def test_voting_incremental_matches_full_recompute():
         ("e4", "shape"): ("round", None),
     }
     assert ("e2", "color") not in out         # untouched fact: no output
+
+
+def test_snapshot_diff_added_changed_unchanged():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import snapshot_diff
+
+    def shaped(rows):
+        return rd.from_arrow(pa.table({
+            "entity": pa.array([r[0] for r in rows], pa.string()),
+            "attr": pa.array([r[1] for r in rows], pa.string()),
+            "value_str": pa.array([r[2] for r in rows], pa.string()),
+            "value_num": pa.array([r[3] for r in rows], pa.float64()),
+        })).repartition(2)
+
+    old = [("e1", "color", "red", None),      # changed in new
+           ("e2", "color", "blue", None),     # unchanged
+           ("e3", "size", None, 10.0)]        # changed in new
+    new = [("e1", "color", "green", None),
+           ("e2", "color", "blue", None),
+           ("e3", "size", None, 15.0),
+           ("e4", "shape", "round", None)]    # added
+    out = {(r["entity"], r["attr"]): r
+           for r in snapshot_diff(shaped(old), shaped(new),
+                                  n_parts=4).take_all()}
+    assert set(out) == {("e1", "color"), ("e3", "size"), ("e4", "shape")}
+    assert out[("e1", "color")]["change"] == "changed"
+    assert out[("e1", "color")]["old_value_str"] == "red"
+    assert out[("e1", "color")]["new_value_str"] == "green"
+    assert out[("e3", "size")]["old_value_num"] == 10.0
+    assert out[("e3", "size")]["new_value_num"] == 15.0
+    assert out[("e4", "shape")]["change"] == "added"
+    assert out[("e4", "shape")]["old_value_str"] is None

@@ -88,12 +88,10 @@ def q_fuse(sf_dir: str, model: str = "Voting"):
     return triples
 
 
-def q_fuse_voting_sqlable(sf_dir: str):
-    """Voting output shaped for SQL comparison: quantity facts carry the
+def _voting_shape_ds(triples):
+    """Shape fused triples for SQL comparison: quantity facts carry the
     median in value_num (value_str NULL), categorical facts the mode in
     value_str (value_num NULL)."""
-    triples = q_fuse(sf_dir, "Voting")
-
     def _shape(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         is_q = pc.equal(batch["value_type"], "quantity")
@@ -106,6 +104,10 @@ def q_fuse_voting_sqlable(sf_dir: str):
         })
 
     return triples.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_fuse_voting_sqlable(sf_dir: str):
+    return _voting_shape_ds(q_fuse(sf_dir, "Voting"))
 
 
 def q_property_graph(sf_dir: str):
@@ -1252,30 +1254,53 @@ def q_kg_provenance(sf_dir: str):
     return fused_provenance(cached_claims(sf_dir))
 
 
+def _claims_slice(sf_dir: str, keep_new: bool):
+    """Deterministic corpus slice for the incremental / versioning
+    queries: md5(conv_id) % 5 == 0 is the 'new bucket', the rest is the
+    prior corpus (SQL: md5_number_lower)."""
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    def _split(batch: pa.Table) -> pa.Table:
+        conv = batch["conv_id"].to_pylist()
+        m = np.fromiter((_md5_token64(c or "") % 5 == 0 for c in conv),
+                        dtype=bool, count=len(conv))
+        return batch.filter(pa.array(m if keep_new else ~m))
+
+    return cached_claims(sf_dir).map_batches(
+        _split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_kg_snapshot_diff(sf_dir: str):
+    """KG-versioning diff: voting-fused truth of the prior corpus slice
+    vs the full corpus — added + changed facts only (cumulative growth
+    never removes a fact)."""
+    from trustfuse_ray.fuse.base import run_fusion
+    from trustfuse_ray.reverse import snapshot_diff
+
+    old_t, _ = run_fusion(_claims_slice(sf_dir, keep_new=False),
+                          make_model("Voting"))
+    new_t, _ = run_fusion(cached_claims(sf_dir), make_model("Voting"))
+    return snapshot_diff(_voting_shape_ds(old_t), _voting_shape_ds(new_t))
+
+
+def q_kg_conflict_profile(sf_dir: str):
+    """Per-attribute conflict statistics (fusion-difficulty profile):
+    facts, conflicted facts, max distinct values, distinct value rows."""
+    from trustfuse_ray.reverse import conflict_profile
+
+    return conflict_profile(cached_claims(sf_dir))
+
+
 def q_kg_voting_incremental(sf_dir: str):
     """Incremental fusion maintenance: fold the md5(conv_id)%5==0 slice
     of the corpus into the prior slice's fused state; only touched
     (entity, attr) facts re-vote.  Output equals full-recompute voting
     restricted to the touched facts (the correctness invariant of
     incremental maintenance)."""
-    import functools
-
     from trustfuse_ray.fuse.voting import voting_incremental
-    from trustfuse_ray.stages.dedup import _md5_token64
 
-    def _split(batch: pa.Table, keep_new: bool) -> pa.Table:
-        conv = batch["conv_id"].to_pylist()
-        m = np.fromiter((_md5_token64(c or "") % 5 == 0 for c in conv),
-                        dtype=bool, count=len(conv))
-        return batch.filter(pa.array(m if keep_new else ~m))
-
-    prior = cached_claims(sf_dir).map_batches(
-        functools.partial(_split, keep_new=False), batch_format="pyarrow",
-        zero_copy_batch=True)
-    new = cached_claims(sf_dir).map_batches(
-        functools.partial(_split, keep_new=True), batch_format="pyarrow",
-        zero_copy_batch=True)
-    return voting_incremental(prior, new)
+    return voting_incremental(_claims_slice(sf_dir, keep_new=False),
+                              _claims_slice(sf_dir, keep_new=True))
 
 
 def q_kg_negative_samples(sf_dir: str):
@@ -1820,6 +1845,8 @@ def queries_map():
         "kg_provenance": q_kg_provenance,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_voting_incremental": q_kg_voting_incremental,
+        "kg_conflict_profile": q_kg_conflict_profile,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4039,6 +4066,82 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "kg_snapshot_diff": f"""
+WITH {_claims_cte(cache)},
+old_dd AS (
+  SELECT DISTINCT source, entity, attr, value_str, value_num, value_type
+  FROM claims WHERE md5_number_lower(conv_id) % 5 <> 0
+),
+new_dd AS (
+  SELECT DISTINCT source, entity, attr, value_str, value_num, value_type
+  FROM claims
+),
+old_cat AS (
+  SELECT entity, attr, value_str, count(*) AS c
+  FROM old_dd WHERE value_type <> 'quantity' GROUP BY 1, 2, 3
+),
+old_catw AS (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM old_cat
+),
+old_f AS (
+  SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num
+  FROM old_catw WHERE rn = 1
+  UNION ALL
+  SELECT entity, attr, CAST(NULL AS VARCHAR), median(value_num)
+  FROM old_dd WHERE value_type = 'quantity' GROUP BY 1, 2
+),
+new_cat AS (
+  SELECT entity, attr, value_str, count(*) AS c
+  FROM new_dd WHERE value_type <> 'quantity' GROUP BY 1, 2, 3
+),
+new_catw AS (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM new_cat
+),
+new_f AS (
+  SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num
+  FROM new_catw WHERE rn = 1
+  UNION ALL
+  SELECT entity, attr, CAST(NULL AS VARCHAR), median(value_num)
+  FROM new_dd WHERE value_type = 'quantity' GROUP BY 1, 2
+),
+o AS (SELECT entity, attr,
+             CASE WHEN value_str IS NULL THEN 'num' ELSE 'cat' END AS kind,
+             value_str, value_num
+      FROM old_f),
+n AS (SELECT entity, attr,
+             CASE WHEN value_str IS NULL THEN 'num' ELSE 'cat' END AS kind,
+             value_str, value_num
+      FROM new_f)
+SELECT n.entity, n.attr,
+       CASE WHEN o.entity IS NULL THEN 'added' ELSE 'changed' END AS change,
+       o.value_str AS old_value_str, n.value_str AS new_value_str,
+       o.value_num AS old_value_num, n.value_num AS new_value_num
+FROM n LEFT JOIN o ON o.entity = n.entity AND o.attr = n.attr
+                  AND o.kind = n.kind
+WHERE o.entity IS NULL
+   OR (n.kind = 'cat' AND n.value_str <> o.value_str)
+   OR (n.kind = 'num' AND n.value_num <> o.value_num)""",
+        "kg_conflict_profile": f"""
+WITH {_claims_cte(cache)},
+dd AS (SELECT DISTINCT entity, attr, value_str, value_num FROM claims),
+perfact AS (
+  SELECT entity, attr,
+         count(DISTINCT value_str) + count(DISTINCT value_num) AS n_values,
+         count(*) AS n_rows
+  FROM dd GROUP BY 1, 2
+)
+SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
+       CAST(sum(CASE WHEN n_values >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_conflicted,
+       CAST(max(n_values) AS BIGINT) AS max_values,
+       CAST(sum(n_rows) AS BIGINT) AS n_value_rows
+FROM perfact GROUP BY 1""",
         "kg_voting_incremental": f"""
 WITH {_claims_cte(cache)},
 inc AS (

@@ -78,3 +78,134 @@ def fused_provenance(claims, n_parts: int = 32):
                            zero_copy_batch=True),
         ["entity", "attr"], _prov, n_parts=n_parts,
         plasma_schema=prov_schema)
+
+
+def conflict_profile(claims, n_parts: int = 32):
+    """Per-attribute conflict statistics over the claim stream — the
+    fusion-difficulty profile (how contested each attribute is, which
+    drives model choice / skew planning in a TrustFuse-style pipeline).
+
+    Per fact (entity, attr): n_values = distinct asserted values
+    (categorical value_str + quantity value_num counted without string
+    formatting, so DuckDB replays it exactly); a fact is conflicted when
+    n_values ≥ 2.  Per attr: fact count, conflicted-fact count, max
+    values per fact, total distinct value rows.
+
+    Shape: map-side distinct on (entity, attr, value_str, value_num)
+    bounds the exchange; per-fact stats reduce inside ONE (entity, attr)
+    co-partition; the per-attr rollup groups the tiny per-fact stream."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _dd(batch: pa.Table) -> pa.Table:
+        cols = ["entity", "attr", "value_str", "value_num"]
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    def _perfact(group: pa.Table) -> pa.Table:
+        pairs = set(zip(group["value_str"].to_pylist(),
+                        group["value_num"].to_pylist()))
+        strs = {vs for vs, _ in pairs if vs is not None}
+        nums = {vn for _, vn in pairs if vn is not None}
+        return pa.table({
+            "attr": group["attr"][:1],
+            "n_values": pa.array([len(strs) + len(nums)], pa.int64()),
+            "n_rows": pa.array([len(pairs)], pa.int64())})
+
+    perfact = hash_group_apply(
+        claims.map_batches(_dd, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity", "attr"], _perfact, n_parts=n_parts,
+        plasma_schema=pa.schema([("attr", pa.string()),
+                                 ("n_values", pa.int64()),
+                                 ("n_rows", pa.int64())]))
+
+    def _rollup(group: pa.Table) -> pa.Table:
+        import numpy as np
+        nv = np.asarray(group["n_values"], dtype=np.int64)
+        nr = np.asarray(group["n_rows"], dtype=np.int64)
+        return pa.table({
+            "attr": group["attr"][:1],
+            "n_facts": pa.array([len(nv)], pa.int64()),
+            "n_conflicted": pa.array([int((nv >= 2).sum())], pa.int64()),
+            "max_values": pa.array([int(nv.max())], pa.int64()),
+            "n_value_rows": pa.array([int(nr.sum())], pa.int64())})
+
+    return hash_group_apply(
+        perfact, ["attr"], _rollup, n_parts=min(n_parts, 8),
+        plasma_schema=pa.schema([("attr", pa.string()),
+                                 ("n_facts", pa.int64()),
+                                 ("n_conflicted", pa.int64()),
+                                 ("max_values", pa.int64()),
+                                 ("n_value_rows", pa.int64())]))
+
+
+def snapshot_diff(old_triples, new_triples, n_parts: int = 32):
+    """KG-versioning diff between two fused snapshots (both shaped
+    (entity, attr, value_str, value_num) — voting-sqlable form): emits one
+    row per fact whose truth was ``added`` (absent from the old snapshot)
+    or ``changed`` (winner value differs).  Facts never disappear under
+    cumulative claim growth, so no 'removed' kind.  Categorical and
+    quantity truths diff independently (a fact's kind is the null-ness of
+    value_str, as in the voting-sqlable shape).
+
+    Shape: tag sides, ONE (entity, attr) co-partition; the diff runs
+    inside the group — no broadcast, both snapshots scale."""
+    import functools
+
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _tag(batch: pa.Table, side: int) -> pa.Table:
+        return pa.table({
+            "entity": batch["entity"].cast(pa.string()),
+            "attr": batch["attr"].cast(pa.string()),
+            "value_str": batch["value_str"].cast(pa.string()),
+            "value_num": batch["value_num"].cast(pa.float64()),
+            "__new": pa.array(np.full(len(batch), side, np.int8))})
+
+    def _diff(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["__new"], dtype=np.int8)
+        vs = group["value_str"].to_pylist()
+        vn = group["value_num"].to_pylist()
+        old = {}
+        new = {}
+        for s, a, b in zip(side, vs, vn):
+            kind = "num" if a is None else "cat"
+            (new if s else old)[kind] = (a, b)
+        oe, oa, oc, oos, ons, oon, onn = [], [], [], [], [], [], []
+        ent = group["entity"][0].as_py()
+        attr = group["attr"][0].as_py()
+        for kind, (a, b) in sorted(new.items()):
+            prev = old.get(kind)
+            if prev == (a, b):
+                continue
+            oe.append(ent)
+            oa.append(attr)
+            oc.append("added" if prev is None else "changed")
+            oos.append(None if prev is None else prev[0])
+            oon.append(None if prev is None else prev[1])
+            ons.append(a)
+            onn.append(b)
+        return pa.table({
+            "entity": pa.array(oe, pa.string()),
+            "attr": pa.array(oa, pa.string()),
+            "change": pa.array(oc, pa.string()),
+            "old_value_str": pa.array(oos, pa.string()),
+            "new_value_str": pa.array(ons, pa.string()),
+            "old_value_num": pa.array(oon, pa.float64()),
+            "new_value_num": pa.array(onn, pa.float64())})
+
+    out_schema = pa.schema([
+        ("entity", pa.string()), ("attr", pa.string()),
+        ("change", pa.string()),
+        ("old_value_str", pa.string()), ("new_value_str", pa.string()),
+        ("old_value_num", pa.float64()), ("new_value_num", pa.float64())])
+    tagged_old = old_triples.map_batches(
+        functools.partial(_tag, side=0), batch_format="pyarrow",
+        zero_copy_batch=True)
+    tagged_new = new_triples.map_batches(
+        functools.partial(_tag, side=1), batch_format="pyarrow",
+        zero_copy_batch=True)
+    return hash_group_apply(tagged_old.union(tagged_new),
+                            ["entity", "attr"], _diff, n_parts=n_parts,
+                            plasma_schema=out_schema)
