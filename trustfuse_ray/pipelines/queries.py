@@ -1283,6 +1283,34 @@ def q_kg_snapshot_diff(sf_dir: str):
     return snapshot_diff(_voting_shape_ds(old_t), _voting_shape_ds(new_t))
 
 
+def q_kg_fuse_voting_resolved(sf_dir: str):
+    """ER-integrated fusion: claims rewritten onto their fuzzy-cluster
+    canonical entities (`resolve_entities`, Jaro ≥ 0.9) BEFORE voting —
+    near-miss surface forms of one entity vote together.  The mapping
+    covers only clustered entities (bounded by the entity vocabulary) and
+    broadcasts; unmapped entities pass through."""
+    import ray
+
+    from trustfuse_ray.stages.link import resolve_entities
+
+    mapping = {r["entity"]: r["canon"]
+               for r in resolve_entities(cached_claims(sf_dir),
+                                         threshold=0.9).take_all()}
+    map_ref = ray.put(mapping)
+
+    def _rewrite(batch: pa.Table) -> pa.Table:
+        m = ray.get(map_ref)
+        ents = batch["entity"].to_pylist()
+        out = [m.get(e, e) for e in ents]
+        i = batch.schema.get_field_index("entity")
+        return batch.set_column(i, "entity", pa.array(out, pa.string()))
+
+    canon_claims = cached_claims(sf_dir).map_batches(
+        _rewrite, batch_format="pyarrow", zero_copy_batch=True)
+    triples, _ = run_fusion(canon_claims, make_model("Voting"))
+    return _voting_shape_ds(triples)
+
+
 def q_kg_conflict_profile(sf_dir: str):
     """Per-attribute conflict statistics (fusion-difficulty profile):
     facts, conflicted facts, max distinct values, distinct value rows."""
@@ -1847,6 +1875,7 @@ def queries_map():
         "kg_voting_incremental": q_kg_voting_incremental,
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
+        "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4066,6 +4095,50 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "kg_fuse_voting_resolved": f"""
+WITH RECURSIVE {_claims_cte(cache)},
+ents AS (SELECT DISTINCT entity FROM claims),
+bl AS (SELECT entity, substr(entity, 1, 2) AS blk FROM ents),
+ok AS (SELECT blk FROM bl GROUP BY 1 HAVING count(*) BETWEEN 2 AND 500),
+e AS (SELECT x.entity AS a, y.entity AS b
+      FROM bl x JOIN bl y ON x.blk = y.blk AND x.entity < y.entity
+      JOIN ok ON ok.blk = x.blk
+      WHERE jaro_similarity(x.entity, y.entity) >= 0.9),
+sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v WHERE s.v <> r.u
+),
+members AS (SELECT u AS entity, least(u, min(v)) AS canon
+            FROM reach GROUP BY u),
+cc AS (
+  SELECT c.source, coalesce(m.canon, c.entity) AS entity, c.attr,
+         c.value_str, c.value_num, c.value_type
+  FROM claims c LEFT JOIN members m ON m.entity = c.entity
+),
+dedup AS (
+  SELECT DISTINCT source, entity, attr, value_str, value_num, value_type
+  FROM cc
+),
+cat AS (
+  SELECT entity, attr, value_str, count(*) AS c
+  FROM dedup WHERE value_type <> 'quantity'
+  GROUP BY 1, 2, 3
+),
+catw AS (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM cat
+)
+SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num
+FROM catw WHERE rn = 1
+UNION ALL
+SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str,
+       median(value_num) AS value_num
+FROM dedup WHERE value_type = 'quantity'
+GROUP BY 1, 2""",
         "kg_snapshot_diff": f"""
 WITH {_claims_cte(cache)},
 old_dd AS (
