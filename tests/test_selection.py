@@ -754,3 +754,26 @@ def test_ntile_and_split_properties():
         assert c.get("train", 0) == t1
         assert c.get("val", 0) == t2 - t1
         assert c.get("test", 0) == n - t2
+
+
+def test_embedding_quantize_ranges_and_edges():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.ann import embedding_quantize
+
+    vecs = [[0.0, 5.0, 7.5], [10.0, 5.0, 2.5], [5.0, 5.0, 0.0]]
+    embs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+    })).repartition(2)
+    out = {(r["vec_id"], r["dim"]): r["code"]
+           for r in embedding_quantize(embs).take_all()}
+    # dim0: range [0,10] -> 0, 255, floor(0.5*255)=127
+    assert out[(0, 0)] == 0 and out[(1, 0)] == 255 and out[(2, 0)] == 127
+    # dim1 constant -> all 0
+    assert out[(0, 1)] == out[(1, 1)] == out[(2, 1)] == 0
+    # dim2: range [0,7.5] -> max maps to 255, min to 0
+    assert out[(0, 2)] == 255 and out[(2, 2)] == 0
+    assert all(0 <= c <= 255 for c in out.values())

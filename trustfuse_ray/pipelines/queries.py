@@ -1311,6 +1311,14 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_embedding_quantize(sf_dir: str):
+    """SQ8 scalar quantization of the embedding table: per-dim global
+    ranges (O(dim)-row block partials) → broadcast → streaming encode."""
+    from trustfuse_ray.stages.ann import embedding_quantize
+
+    return embedding_quantize(_tbl(sf_dir, "embeddings"))
+
+
 def q_kg_conflict_profile(sf_dir: str):
     """Per-attribute conflict statistics (fusion-difficulty profile):
     facts, conflicted facts, max distinct values, distinct value rows."""
@@ -1876,6 +1884,7 @@ def queries_map():
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
+        "embedding_quantize": q_embedding_quantize,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4095,6 +4104,22 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "embedding_quantize": """
+WITH x AS (
+  SELECT vec_id, unnest(embedding) AS v,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim
+  FROM embeddings
+),
+mm AS (
+  SELECT dim, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+  FROM x GROUP BY 1
+)
+SELECT x.vec_id, x.dim,
+       CAST(CASE WHEN mm.mx = mm.mn THEN 0
+                 ELSE least(floor((CAST(x.v AS DOUBLE) - mm.mn)
+                                  / (mm.mx - mm.mn) * 255), 255)
+            END AS BIGINT) AS code
+FROM x JOIN mm USING (dim)""",
         "kg_fuse_voting_resolved": f"""
 WITH RECURSIVE {_claims_cte(cache)},
 ents AS (SELECT DISTINCT entity FROM claims),

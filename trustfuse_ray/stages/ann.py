@@ -290,3 +290,63 @@ def embedding_centroids(emb, label_col: str = "label",
 
     return agg.map_batches(_mean, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def embedding_quantize(embs, vec_col: str = "embedding",
+                       id_col: str = "vec_id"):
+    """Scalar 8-bit quantization (the SQ8 compression step of vector
+    indexes): per-DIMENSION global [min, max] ranges, then
+    ``code = floor((v - mn) / (mx - mn) * 255)`` clipped to 255 (0 when
+    the dimension is constant).  All arithmetic is float64 with the same
+    association order DuckDB uses, so codes replay exactly in SQL.
+
+    Shape: pass 1 collapses each block to a (dim, mn, mx) partial —
+    O(dim) rows per block regardless of block size — then a tiny groupby
+    reduce; the 2×dim range table broadcasts via ``ray.put`` and pass 2
+    is one streaming vectorized encode.  Output is the long
+    (vec_id, dim, code) form for oracle comparison; a production sink
+    would pack codes to a binary column."""
+    import ray
+
+    from trustfuse_ray.stages.common import list_matrix
+
+    def _ranges(batch: pa.Table) -> pa.Table:
+        m = list_matrix(batch[vec_col], dtype=np.float64)
+        if not len(m):
+            return pa.table({"dim": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "dim": pa.array(np.arange(m.shape[1], dtype=np.int64)),
+            "mn": pa.array(m.min(axis=0)),
+            "mx": pa.array(m.max(axis=0))})
+
+    parts = (embs.select_columns([vec_col])
+             .map_batches(_ranges, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("dim").aggregate(
+                 ray.data.aggregate.Min("mn"), ray.data.aggregate.Max("mx"))
+             .take_all())
+    dims = sorted(r["dim"] for r in parts)
+    mn = np.array([next(r["min(mn)"] for r in parts if r["dim"] == d)
+                   for d in dims])
+    mx = np.array([next(r["max(mx)"] for r in parts if r["dim"] == d)
+                   for d in dims])
+    rng_ref = ray.put((mn, mx))
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        lo, hi = ray.get(rng_ref)
+        m = list_matrix(batch[vec_col], dtype=np.float64)
+        n, d = m.shape if len(m) else (0, len(lo))
+        span = hi - lo
+        with np.errstate(invalid="ignore", divide="ignore"):
+            q = np.floor((m - lo[None, :]) / span[None, :] * 255.0)
+        q = np.where(span[None, :] == 0.0, 0.0, np.minimum(q, 255.0))
+        ids = np.repeat(np.asarray(batch[id_col], dtype=np.int64), d)
+        return pa.table({
+            id_col: pa.array(ids),
+            "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+            "code": pa.array(q.reshape(-1).astype(np.int64))})
+
+    return embs.select_columns([id_col, vec_col]).map_batches(
+        _encode, batch_format="pyarrow", zero_copy_batch=True)
