@@ -145,3 +145,32 @@ def test_fnv64_batch_matches_scalar():
     flat = pa.array(keys)
     assert fnv64_batch(flat.slice(2, 3)).to_pylist() == \
         [fnv64(k) for k in keys[2:5]]
+
+
+def test_conversation_profile_stats():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.assemble import conversation_profile
+
+    rows = [
+        ("c1", 0, "user", "", 1_000_000),
+        ("c1", 1, "assistant", "db", 3_000_000),
+        ("c1", 2, "tool", "db", 9_000_000),
+        ("c2", 0, "user", None, 5_000_000),
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "tool": pa.array([r[3] for r in rows], pa.string()),
+        "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
+        "text": pa.array(["x"] * len(rows), pa.string()),
+    })
+    out = {r["conv_id"]: r for r in conversation_profile(
+        rd.from_arrow(t).repartition(2), n_parts=2).take_all()}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["n_roles"], c1["n_tool_turns"]) == (3, 3, 2)
+    assert c1["max_turn_idx"] == 2 and c1["span_us"] == 8_000_000
+    c2 = out["c2"]
+    assert (c2["n_turns"], c2["n_tool_turns"], c2["span_us"]) == (1, 0, 0)

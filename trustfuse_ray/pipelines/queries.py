@@ -1311,6 +1311,15 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_conversation_profile(sf_dir: str):
+    """Per-conversation structural stats over the transcript corpus
+    (text dropped before the one conv_id exchange)."""
+    from trustfuse_ray.stages.assemble import conversation_profile
+
+    data_dir = synth.generate(sf_dir)
+    return conversation_profile(read_transcripts(data_dir))
+
+
 def q_embedding_quantize(sf_dir: str):
     """SQ8 scalar quantization of the embedding table: per-dim global
     ranges (O(dim)-row block partials) → broadcast → streaming encode."""
@@ -1885,6 +1894,7 @@ def queries_map():
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
         "embedding_quantize": q_embedding_quantize,
+        "conversation_profile": q_conversation_profile,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4104,6 +4114,16 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "conversation_profile": f"""
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+       CAST(sum(CASE WHEN coalesce(tool, '') <> '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_tool_turns,
+       CAST(max(turn_idx) AS BIGINT) AS max_turn_idx,
+       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+FROM read_parquet('{cache}/transcripts/*.parquet')
+GROUP BY 1""",
         "embedding_quantize": """
 WITH x AS (
   SELECT vec_id, unnest(embedding) AS v,

@@ -80,3 +80,43 @@ def turn_fingerprints(transcripts):
 
     per_turn = transcripts.map_batches(_batch, batch_format="pyarrow")
     return per_turn.groupby("conv_id").sum("h")
+
+
+def conversation_profile(transcripts, n_parts: int = 32):
+    """Per-conversation structural profile: turn count, distinct roles,
+    tool-call turns (non-empty ``tool``), max turn index and the
+    timestamp span in microseconds — the corpus-health stats a transcript
+    ingestion pipeline reports per partition.
+
+    Shape: the text column is dropped in the first projection (only turn
+    metadata moves); ONE hash exchange on conv_id; stats reduce
+    vectorized inside the group."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _meta(batch: pa.Table) -> pa.Table:
+        return batch.select(["conv_id", "turn_idx", "role", "tool", "ts"])
+
+    def _prof(group: pa.Table) -> pa.Table:
+        roles = group["role"].to_pylist()
+        tools = group["tool"].to_pylist()
+        tix = np.asarray(group["turn_idx"], dtype=np.int64)
+        ts = np.asarray(group["ts"].cast(pa.int64()), dtype=np.int64)
+        return pa.table({
+            "conv_id": group["conv_id"][:1],
+            "n_turns": pa.array([len(group)], pa.int64()),
+            "n_roles": pa.array([len(set(roles))], pa.int64()),
+            "n_tool_turns": pa.array(
+                [sum(1 for t in tools if t)], pa.int64()),
+            "max_turn_idx": pa.array([int(tix.max())], pa.int64()),
+            "span_us": pa.array([int(ts.max() - ts.min())], pa.int64())})
+
+    prof_schema = pa.schema([
+        ("conv_id", pa.string()), ("n_turns", pa.int64()),
+        ("n_roles", pa.int64()), ("n_tool_turns", pa.int64()),
+        ("max_turn_idx", pa.int64()), ("span_us", pa.int64())])
+    return hash_group_apply(
+        transcripts.map_batches(_meta, batch_format="pyarrow",
+                                zero_copy_batch=True),
+        ["conv_id"], _prof, n_parts=n_parts, plasma_schema=prof_schema)
