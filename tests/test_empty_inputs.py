@@ -70,3 +70,46 @@ def test_joins_empty():
     from trustfuse_ray.stages.joins import range_join_count
 
     assert range_join_count(_empty_events()).take_all() == []
+
+
+def test_round3_wave_empty():
+    import numpy as np
+
+    from trustfuse_ray.fuse.voting import voting_incremental
+    from trustfuse_ray.reverse import (conflict_profile, fused_provenance,
+                                       snapshot_diff)
+    from trustfuse_ray.stages.ann import embedding_quantize
+    from trustfuse_ray.stages.curation import mixture_order
+    from trustfuse_ray.stages.graph import kg_negative_samples
+    from trustfuse_ray.stages.profile import bpe_pair_counts
+
+    d = _empty_docs()
+    assert bpe_pair_counts(d).take_all() == []
+    assert mixture_order(d, {}, n_parts=2).take_all() == []
+
+    claims = rd.from_arrow(pa.table({
+        "source": pa.array([], pa.string()),
+        "entity": pa.array([], pa.string()),
+        "attr": pa.array([], pa.string()),
+        "value_str": pa.array([], pa.string()),
+        "value_num": pa.array([], pa.float64()),
+        "value_type": pa.array([], pa.string()),
+    }))
+    assert fused_provenance(claims, n_parts=2).take_all() == []
+    assert conflict_profile(claims, n_parts=2).take_all() == []
+    assert voting_incremental(claims, claims, n_parts=2).take_all() == []
+    assert kg_negative_samples(claims, n_parts=2).take_all() == []
+
+    shaped = rd.from_arrow(pa.table({
+        "entity": pa.array([], pa.string()),
+        "attr": pa.array([], pa.string()),
+        "value_str": pa.array([], pa.string()),
+        "value_num": pa.array([], pa.float64()),
+    }))
+    assert snapshot_diff(shaped, shaped, n_parts=2).take_all() == []
+
+    embs = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+    }))
+    assert embedding_quantize(embs).take_all() == []
