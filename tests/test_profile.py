@@ -166,3 +166,35 @@ def test_bpe_pair_counts_exact_and_unicode():
     got2 = {(r["l"], r["r"]): r["n"]
             for r in bpe_pair_counts(docs, min_count=3).take_all()}
     assert got2 == {k: v for k, v in want.items() if v >= 3}
+
+
+def test_charlm_scores_exact():
+    import collections
+    import math
+
+    from trustfuse_ray.stages.profile import charlm_scores
+
+    texts = ["ab ab cd", "abab", "", None, "zz"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(2)
+    got = {r["doc_id"]: r["lm_score"]
+           for r in charlm_scores(docs).take_all()}
+    # sequential oracle
+    pairs = collections.Counter()
+    perdoc = []
+    for t in texts:
+        dps = []
+        for w in (t or "").strip().split():
+            dps += list(zip(w, w[1:]))
+        perdoc.append(dps)
+        pairs.update(dps)
+    marg = collections.Counter()
+    for (l, _), n in pairs.items():
+        marg[l] += n
+    want = {}
+    for i, dps in enumerate(perdoc):
+        want[i] = sum((pairs[p] + 1).bit_length()
+                      - (marg[p[0]] + 1).bit_length() for p in dps)
+    assert got == want
+    assert got[2] == 0 and got[3] == 0      # empty / null docs score 0

@@ -1311,6 +1311,15 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_charlm_scores(sf_dir: str):
+    """Char-bigram LM quality score per doc (perplexity proxy): integer
+    bit-length log of smoothed conditional bigram probability, global
+    counts broadcast, one streaming scoring pass."""
+    from trustfuse_ray.stages.profile import charlm_scores
+
+    return charlm_scores(_tbl(sf_dir, "documents"))
+
+
 def q_conversation_profile(sf_dir: str):
     """Per-conversation structural stats over the transcript corpus
     (text dropped before the one conv_id exchange)."""
@@ -1895,6 +1904,7 @@ def queries_map():
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
         "embedding_quantize": q_embedding_quantize,
         "conversation_profile": q_conversation_profile,
+        "charlm_scores": q_charlm_scores,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4114,6 +4124,30 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "charlm_scores": r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+           AS word
+  FROM documents
+),
+ix AS (
+  SELECT doc_id, word,
+         unnest(generate_series(1, length(word) - 1)) AS i
+  FROM w
+),
+p AS (SELECT doc_id, substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r
+      FROM ix),
+pc2 AS (SELECT l, r, count(*) AS n FROM p GROUP BY 1, 2),
+ml AS (SELECT l, sum(n) AS nl FROM pc2 GROUP BY 1),
+sc AS (
+  SELECT p.doc_id,
+         sum(length(bin(pc2.n + 1)) - length(bin(ml.nl + 1))) AS score
+  FROM p JOIN pc2 USING (l, r) JOIN ml USING (l)
+  GROUP BY 1
+)
+SELECT d.doc_id, CAST(coalesce(sc.score, 0) AS BIGINT) AS lm_score
+FROM documents d LEFT JOIN sc USING (doc_id)""",
         "conversation_profile": f"""
 SELECT conv_id,
        CAST(count(*) AS BIGINT) AS n_turns,

@@ -848,6 +848,36 @@ def pmi_top_bigrams(docs, k: int = 20, min_count: int = 5,
 # BPE vocabulary induction: adjacent-character-pair counts
 # --------------------------------------------------------------------------
 
+def char_pair_keys(col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-doc adjacent character pairs inside whitespace
+    tokens: per-doc words Arrow-joined with ' ', docs joined with '\\n',
+    decoded to a codepoint ndarray via utf-32-le (unicode-exact — DuckDB
+    ``substr`` replays it).  Returns (docix, keys) with
+    ``key = left << 21 | right``; separators never pair, so word and doc
+    boundaries are respected without any per-row loop."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(col.cast(pa.string())), _SPLIT_RX)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    joined = pc.binary_join(toks, " ").to_pylist()
+    s = "\n".join(d or "" for d in joined)
+    cp = np.frombuffer(s.encode("utf-32-le"), np.uint32)
+    if len(cp) < 2:
+        return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+    lens = np.fromiter((len(d or "") for d in joined), dtype=np.int64,
+                       count=len(joined))
+    bounds = np.cumsum(lens + 1)
+    left, right = cp[:-1], cp[1:]
+    mask = ((left != 32) & (left != 10) & (right != 32) & (right != 10))
+    pos = np.nonzero(mask)[0]
+    docix = np.searchsorted(bounds, pos, side="right").astype(np.int64)
+    keys = ((left[pos].astype(np.int64) << 21)
+            | right[pos].astype(np.int64))
+    return docix, keys
+
+
 def bpe_pair_counts(docs, text_col: str = "text", min_count: int = 2):
     """BPE vocabulary induction, iteration 0: global counts of adjacent
     character pairs inside whitespace tokens — the statistic the first
@@ -867,26 +897,9 @@ def bpe_pair_counts(docs, text_col: str = "text", min_count: int = 2):
                           "n": pa.array([], pa.int64())})
         if not len(batch):
             return empty
-        toks = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(batch[text_col].cast(pa.string())),
-            _SPLIT_RX)
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        words = toks.flatten()
-        if not len(words):
+        _, keys = char_pair_keys(batch[text_col])
+        if not len(keys):
             return empty
-        lst = pa.ListArray.from_arrays(
-            pa.array([0, len(words)], pa.int32()), words)
-        s = pc.binary_join(lst, " ")[0].as_py()
-        cp = np.frombuffer(s.encode("utf-32-le"), np.uint32)
-        if len(cp) < 2:
-            return empty
-        left, right = cp[:-1], cp[1:]
-        mask = (left != 32) & (right != 32)
-        if not mask.any():
-            return empty
-        keys = ((left[mask].astype(np.int64) << 21)
-                | right[mask].astype(np.int64))
         uniq, cnt = np.unique(keys, return_counts=True)
         return pa.table({
             "l": pa.array([chr(int(k) >> 21) for k in uniq], pa.string()),
@@ -899,3 +912,56 @@ def bpe_pair_counts(docs, text_col: str = "text", min_count: int = 2):
     total = partial.groupby(["l", "r"]).sum("n").rename_columns(
         {"sum(n)": "n"})
     return total.filter(expr=f"n >= {int(min_count)}")
+
+
+def charlm_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Character-bigram LM quality score (a KenLM-style perplexity proxy
+    for corpus filtering): per doc, the sum over its within-word adjacent
+    character pairs of ``bitlen(c_lr + 1) − bitlen(c_l· + 1)`` — an
+    integer log2 of the smoothed conditional bigram probability, exactly
+    replayable in SQL via ``length(bin(n + 1))`` (the DSIR trick).  Lower
+    (more negative) = less typical character sequences.
+
+    Shape: phase 1 reuses the BPE pair kernel for GLOBAL pair counts
+    (bounded by alphabet², collected once and ``ray.put``-broadcast with
+    their left-marginals); phase 2 is one streaming pass — pair keys map
+    to counts via searchsorted, per-doc sums via bincount.  Docs with no
+    pairs score 0."""
+    import ray
+
+    rows = bpe_pair_counts(docs, text_col=text_col,
+                           min_count=1).take_all()
+    keys = np.array([(ord(r["l"]) << 21) | ord(r["r"]) for r in rows],
+                    dtype=np.int64)
+    ns = np.array([r["n"] for r in rows], dtype=np.int64)
+    order = np.argsort(keys)
+    keys, ns = keys[order], ns[order]
+    lmap: dict[int, int] = {}
+    for k, n in zip(keys, ns):
+        lmap[int(k) >> 21] = lmap.get(int(k) >> 21, 0) + int(n)
+    lkeys = np.array(sorted(lmap), dtype=np.int64)
+    lns = np.array([lmap[int(k)] for k in lkeys], dtype=np.int64)
+    ref = ray.put((keys, ns, lkeys, lns))
+
+    def _bitlen(x: np.ndarray) -> np.ndarray:
+        # frexp exponent == bit length for positive ints (exact, no log2
+        # rounding risk)
+        return np.frexp(x.astype(np.float64))[1].astype(np.int64)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ks, cnts, lks, lcs = ray.get(ref)
+        docix, pk = char_pair_keys(batch[text_col])
+        n = len(batch)
+        if len(pk):
+            c_lr = cnts[np.searchsorted(ks, pk)]
+            c_l = lcs[np.searchsorted(lks, pk >> 21)]
+            contrib = _bitlen(c_lr + 1) - _bitlen(c_l + 1)
+            score = np.bincount(docix, weights=contrib,
+                                minlength=n).astype(np.int64)
+        else:
+            score = np.zeros(n, np.int64)
+        return pa.table({id_col: batch[id_col],
+                         "lm_score": pa.array(score)})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True)
