@@ -198,3 +198,24 @@ def test_charlm_scores_exact():
                       - (marg[p[0]] + 1).bit_length() for p in dps)
     assert got == want
     assert got[2] == 0 and got[3] == 0      # empty / null docs score 0
+
+
+def test_rule_violations_counts_and_nulls():
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.profile import rule_violations
+
+    ds = rd.from_arrow(pa.table({
+        "x": pa.array([1, -2, None, 5], pa.int64()),
+        "s": pa.array(["a", "", None, "b"], pa.string()),
+    })).repartition(2)
+    rules = {
+        "neg_x": lambda b: pc.less(b["x"], 0),
+        "empty_s": lambda b: pc.or_(pc.is_null(b["s"]),
+                                    pc.equal(b["s"], "")),
+        "never": lambda b: pc.greater(b["x"], 1000),
+    }
+    got = {r["rule"]: r["n_violations"]
+           for r in rule_violations(ds, rules).take_all()}
+    # null predicate results (x is NULL) never count as violations
+    assert got == {"neg_x": 1, "empty_s": 2, "never": 0}

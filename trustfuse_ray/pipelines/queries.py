@@ -1311,6 +1311,29 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_kg_claim_quality(sf_dir: str):
+    """Data-quality gate over the claim stream: per-rule violation
+    counts in one streaming pass (O(#rules) rows per block)."""
+    import pyarrow.compute as _pc
+
+    from trustfuse_ray.stages.profile import rule_violations
+
+    rules = {
+        "quantity_missing_num": lambda b: _pc.and_(
+            _pc.equal(b["value_type"], "quantity"),
+            _pc.is_null(b["value_num"])),
+        "bad_entity_format": lambda b: _pc.invert(
+            _pc.match_substring_regex(b["entity"], r"^E[0-9]+$")),
+        "negative_turn_idx": lambda b: _pc.less(b["turn_idx"], 0),
+        "empty_source": lambda b: _pc.or_(
+            _pc.is_null(b["source"]),
+            _pc.equal(b["source"], "")),
+        "long_value_str": lambda b: _pc.greater(
+            _pc.utf8_length(b["value_str"]), 12),
+    }
+    return rule_violations(cached_claims(sf_dir), rules)
+
+
 def q_charlm_scores(sf_dir: str):
     """Char-bigram LM quality score per doc (perplexity proxy): integer
     bit-length log of smoothed conditional bigram probability, global
@@ -1905,6 +1928,7 @@ def queries_map():
         "embedding_quantize": q_embedding_quantize,
         "conversation_profile": q_conversation_profile,
         "charlm_scores": q_charlm_scores,
+        "kg_claim_quality": q_kg_claim_quality,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4124,6 +4148,32 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "kg_claim_quality": f"""
+WITH {_claims_cte(cache)}
+SELECT 'quantity_missing_num' AS rule,
+       CAST(sum(CASE WHEN value_type = 'quantity'
+                      AND value_num IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM claims
+UNION ALL
+SELECT 'bad_entity_format',
+       CAST(sum(CASE WHEN NOT regexp_matches(entity, '^E[0-9]+$')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM claims
+UNION ALL
+SELECT 'negative_turn_idx',
+       CAST(sum(CASE WHEN turn_idx < 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM claims
+UNION ALL
+SELECT 'empty_source',
+       CAST(sum(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM claims
+UNION ALL
+SELECT 'long_value_str',
+       CAST(sum(CASE WHEN length(value_str) > 12 THEN 1 ELSE 0 END)
+            AS BIGINT)
+FROM claims""",
         "charlm_scores": r"""
 WITH w AS (
   SELECT doc_id,

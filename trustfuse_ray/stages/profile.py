@@ -965,3 +965,28 @@ def charlm_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
 
     return docs.select_columns([id_col, text_col]).map_batches(
         _score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rule_violations(ds, rules):
+    """Data-quality gate: ``rules`` maps rule name → a vectorized
+    predicate ``pa.Table -> BooleanArray`` that is TRUE for VIOLATING
+    rows.  Each block reduces to one O(#rules)-row partial (rule, n);
+    a tiny groupby-sum finishes — constraint checking at corpus scale
+    costs one streaming pass and a fixed-size exchange.  Every rule
+    appears in the output even at zero violations."""
+    names = sorted(rules)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ns = []
+        for name in names:
+            mask = rules[name](batch)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            ns.append(int(pc.sum(pc.fill_null(mask, False)).as_py() or 0))
+        return pa.table({"rule": pa.array(names, pa.string()),
+                         "n_violations": pa.array(ns, pa.int64())})
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return (partial.groupby("rule").sum("n_violations")
+            .rename_columns({"sum(n_violations)": "n_violations"}))
