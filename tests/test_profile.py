@@ -211,8 +211,8 @@ def test_rule_violations_counts_and_nulls():
     })).repartition(2)
     rules = {
         "neg_x": lambda b: pc.less(b["x"], 0),
-        "empty_s": lambda b: pc.or_(pc.is_null(b["s"]),
-                                    pc.equal(b["s"], "")),
+        "empty_s": lambda b: pc.or_kleene(pc.is_null(b["s"]),
+                                           pc.equal(b["s"], "")),
         "never": lambda b: pc.greater(b["x"], 1000),
     }
     got = {r["rule"]: r["n_violations"]

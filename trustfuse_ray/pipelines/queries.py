@@ -1325,7 +1325,7 @@ def q_kg_claim_quality(sf_dir: str):
         "bad_entity_format": lambda b: _pc.invert(
             _pc.match_substring_regex(b["entity"], r"^E[0-9]+$")),
         "negative_turn_idx": lambda b: _pc.less(b["turn_idx"], 0),
-        "empty_source": lambda b: _pc.or_(
+        "empty_source": lambda b: _pc.or_kleene(
             _pc.is_null(b["source"]),
             _pc.equal(b["source"], "")),
         "long_value_str": lambda b: _pc.greater(
