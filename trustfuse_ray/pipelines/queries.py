@@ -1311,6 +1311,34 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_kg_truth_asof(sf_dir: str):
+    """Point-in-time KG snapshot: voting-fused truth using ONLY claims
+    with ts ≤ the corpus midpoint (min + (max−min)/2, exact µs integer
+    arithmetic both sides) — the temporal 'truth as of T' view."""
+    import pyarrow.compute as _pc
+
+    claims = cached_claims(sf_dir)
+    lohi = claims.select_columns(["ts"]).map_batches(
+        lambda b: pa.table({
+            "lo": pa.array([_pc.min(b["ts"].cast(pa.int64())).as_py()],
+                           pa.int64()),
+            "hi": pa.array([_pc.max(b["ts"].cast(pa.int64())).as_py()],
+                           pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    lo = min(r["lo"] for r in lohi if r["lo"] is not None)
+    hi = max(r["hi"] for r in lohi if r["hi"] is not None)
+    cutoff = lo + (hi - lo) // 2
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            _pc.less_equal(batch["ts"].cast(pa.int64()), cutoff))
+
+    asof = claims.map_batches(_filter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    triples, _ = run_fusion(asof, make_model("Voting"))
+    return _voting_shape_ds(triples)
+
+
 def q_kg_claim_quality(sf_dir: str):
     """Data-quality gate over the claim stream: per-rule violation
     counts in one streaming pass (O(#rules) rows per block)."""
@@ -1929,6 +1957,7 @@ def queries_map():
         "conversation_profile": q_conversation_profile,
         "charlm_scores": q_charlm_scores,
         "kg_claim_quality": q_kg_claim_quality,
+        "kg_truth_asof": q_kg_truth_asof,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4148,6 +4177,36 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "kg_truth_asof": f"""
+WITH {_claims_cte(cache)},
+cut AS (
+  SELECT min(epoch_us(ts))
+         + (max(epoch_us(ts)) - min(epoch_us(ts))) // 2 AS t
+  FROM claims
+),
+ac AS (SELECT c.* FROM claims c, cut WHERE epoch_us(c.ts) <= cut.t),
+dedup AS (
+  SELECT DISTINCT source, entity, attr, value_str, value_num, value_type
+  FROM ac
+),
+cat AS (
+  SELECT entity, attr, value_str, count(*) AS c
+  FROM dedup WHERE value_type <> 'quantity'
+  GROUP BY 1, 2, 3
+),
+catw AS (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM cat
+)
+SELECT entity, attr, value_str, CAST(NULL AS DOUBLE) AS value_num
+FROM catw WHERE rn = 1
+UNION ALL
+SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str,
+       median(value_num) AS value_num
+FROM dedup WHERE value_type = 'quantity'
+GROUP BY 1, 2""",
         "kg_claim_quality": f"""
 WITH {_claims_cte(cache)}
 SELECT 'quantity_missing_num' AS rule,
