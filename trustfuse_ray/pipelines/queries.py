@@ -1294,8 +1294,8 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     from trustfuse_ray.stages.link import resolve_entities
 
     mapping = {r["entity"]: r["canon"]
-               for r in resolve_entities(cached_claims(sf_dir),
-                                         threshold=0.9).take_all()}
+               for r in resolve_entities(cached_claims(sf_dir), threshold=0.9,
+                                         block_len=4).take_all()}
     map_ref = ray.put(mapping)
 
     def _rewrite(batch: pa.Table) -> pa.Table:
@@ -1801,7 +1801,8 @@ def q_kg_entity_resolution(sf_dir: str):
     (recursive-CTE reachability oracle)."""
     from trustfuse_ray.stages.link import resolve_entities
 
-    return resolve_entities(cached_claims(sf_dir), threshold=0.9)
+    return resolve_entities(cached_claims(sf_dir), threshold=0.9,
+                            block_len=4)
 
 
 def q_kg_pagerank_pers(sf_dir: str):
@@ -4286,7 +4287,7 @@ FROM x JOIN mm USING (dim)""",
         "kg_fuse_voting_resolved": f"""
 WITH RECURSIVE {_claims_cte(cache)},
 ents AS (SELECT DISTINCT entity FROM claims),
-bl AS (SELECT entity, substr(entity, 1, 2) AS blk FROM ents),
+bl AS (SELECT entity, substr(entity, 1, 4) AS blk FROM ents),
 ok AS (SELECT blk FROM bl GROUP BY 1 HAVING count(*) BETWEEN 2 AND 500),
 e AS (SELECT x.entity AS a, y.entity AS b
       FROM bl x JOIN bl y ON x.blk = y.blk AND x.entity < y.entity
@@ -4480,7 +4481,7 @@ FROM c1 JOIN pool p2 ON p2.attr = c1.attr AND p2.idx = c1.adj""",
         "kg_entity_resolution": f"""
 WITH RECURSIVE {_claims_cte(cache)},
 ents AS (SELECT DISTINCT entity FROM claims),
-bl AS (SELECT entity, substr(entity, 1, 2) AS blk FROM ents),
+bl AS (SELECT entity, substr(entity, 1, 4) AS blk FROM ents),
 ok AS (SELECT blk FROM bl GROUP BY 1 HAVING count(*) BETWEEN 2 AND 500),
 e AS (SELECT x.entity AS a, y.entity AS b
       FROM bl x JOIN bl y ON x.blk = y.blk AND x.entity < y.entity
