@@ -603,20 +603,34 @@ def global_row_number(ds, sort_keys, pos_col: str = "pos"):
     import ray.data as rd
 
     mat = ds.sort(sort_keys).materialize()
-    refs = mat.to_arrow_refs()
+    try:
+        # block lengths straight from block METADATA — nothing fetches
+        pairs = [blk for bundle in mat.iter_internal_ref_bundles()
+                 for blk in bundle.blocks]
+        refs = [r for r, _ in pairs]
+        lens = [m.num_rows for _, m in pairs]
+        if any(n is None for n in lens):
+            raise ValueError("missing row counts")
+    except Exception:
+        # fallback if the bundle API shifts: count via per-block tasks
+        refs = mat.to_arrow_refs()
+
+        @ray.remote
+        def _nrows(t: pa.Table) -> int:
+            return t.num_rows
+
+        lens = ray.get([_nrows.remote(r) for r in refs])
     if not refs:
         return mat
 
     @ray.remote
-    def _nrows(t: pa.Table) -> int:
-        return t.num_rows
+    def _tag(t, off: int) -> pa.Table:
+        import ray.data.block as _blk
 
-    @ray.remote
-    def _tag(t: pa.Table, off: int) -> pa.Table:
+        t = _blk.BlockAccessor.for_block(t).to_arrow()
         return t.append_column(
             pos_col, pa.array(off + np.arange(t.num_rows, dtype=np.int64)))
 
-    lens = ray.get([_nrows.remote(r) for r in refs])
     offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
     return rd.from_arrow_refs(
         [_tag.remote(r, int(o)) for r, o in zip(refs, offs)])
