@@ -174,3 +174,27 @@ def test_conversation_profile_stats():
     assert c1["max_turn_idx"] == 2 and c1["span_us"] == 8_000_000
     c2 = out["c2"]
     assert (c2["n_turns"], c2["n_tool_turns"], c2["span_us"]) == (1, 0, 0)
+
+
+def test_conversation_dedup_keeps_min_conv():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.assemble import conversation_dedup
+
+    rows = [
+        # c2 == c1's text (turns arrive out of order for c2)
+        ("c1", 0, "hello"), ("c1", 1, "world"),
+        ("c2", 1, "world"), ("c2", 0, "hello"),
+        ("c3", 0, "different"),
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "role": pa.array(["user"] * len(rows), pa.string()),
+    })
+    out = {r["conv_id"]: (r["fp"], r["keep"]) for r in conversation_dedup(
+        rd.from_arrow(t).repartition(3), n_parts=2).take_all()}
+    assert out["c1"][0] == out["c2"][0] != out["c3"][0]
+    assert (out["c1"][1], out["c2"][1], out["c3"][1]) == (1, 0, 1)

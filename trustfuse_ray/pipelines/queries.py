@@ -1311,6 +1311,15 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_conversation_dedup(sf_dir: str):
+    """Conversation-level exact dedup: md5 over the turn-ordered
+    assembled text; duplicates keep the smallest conv_id."""
+    from trustfuse_ray.stages.assemble import conversation_dedup
+
+    data_dir = synth.generate(sf_dir)
+    return conversation_dedup(read_transcripts(data_dir))
+
+
 def q_kg_truth_asof(sf_dir: str):
     """Point-in-time KG snapshot: voting-fused truth using ONLY claims
     with ts ≤ the corpus midpoint (min + (max−min)/2, exact µs integer
@@ -1959,6 +1968,7 @@ def queries_map():
         "charlm_scores": q_charlm_scores,
         "kg_claim_quality": q_kg_claim_quality,
         "kg_truth_asof": q_kg_truth_asof,
+        "conversation_dedup": q_conversation_dedup,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4178,6 +4188,17 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "conversation_dedup": f"""
+WITH a AS (
+  SELECT conv_id,
+         md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS fp
+  FROM read_parquet('{cache}/transcripts/*.parquet')
+  GROUP BY 1
+)
+SELECT conv_id, fp,
+       CAST(CASE WHEN conv_id = min(conv_id) OVER (PARTITION BY fp)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM a""",
         "kg_truth_asof": f"""
 WITH {_claims_cte(cache)},
 cut AS (

@@ -327,11 +327,9 @@ def embedding_quantize(embs, vec_col: str = "embedding",
              .groupby("dim").aggregate(
                  ray.data.aggregate.Min("mn"), ray.data.aggregate.Max("mx"))
              .take_all())
-    dims = sorted(r["dim"] for r in parts)
-    mn = np.array([next(r["min(mn)"] for r in parts if r["dim"] == d)
-                   for d in dims])
-    mx = np.array([next(r["max(mx)"] for r in parts if r["dim"] == d)
-                   for d in dims])
+    parts.sort(key=lambda r: r["dim"])
+    mn = np.array([r["min(mn)"] for r in parts])
+    mx = np.array([r["max(mx)"] for r in parts])
     rng_ref = ray.put((mn, mx))
 
     def _encode(batch: pa.Table) -> pa.Table:

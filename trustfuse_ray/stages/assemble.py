@@ -120,3 +120,50 @@ def conversation_profile(transcripts, n_parts: int = 32):
         transcripts.map_batches(_meta, batch_format="pyarrow",
                                 zero_copy_batch=True),
         ["conv_id"], _prof, n_parts=n_parts, plasma_schema=prof_schema)
+
+
+def conversation_dedup(transcripts, n_parts: int = 32):
+    """Conversation-level exact dedup: each conversation assembles in
+    stable turn order (the per-turn text-equality invariant), fingerprints
+    with md5, and duplicates keep the lexicographically smallest conv_id —
+    document-level dedup lifted to the conversation grain (training
+    corpora of transcripts dedup whole dialogues, not turns).
+
+    Shape: text moves ONCE into the conv_id exchange and collapses to a
+    32-byte fingerprint inside the group; the winner exchange carries
+    (conv_id, fp) only.  Returns (conv_id, fp, keep)."""
+    import hashlib
+
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _fp(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
+        g = group.take(order)
+        txt = "\n".join(t or "" for t in g["text"].to_pylist())
+        return pa.table({
+            "conv_id": g["conv_id"][:1],
+            "fp": pa.array([hashlib.md5(txt.encode()).hexdigest()],
+                           pa.string())})
+
+    fps = hash_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "text"]),
+        ["conv_id"], _fp, n_parts=n_parts,
+        plasma_schema=pa.schema([("conv_id", pa.string()),
+                                 ("fp", pa.string())]))
+
+    def _keep(group: pa.Table) -> pa.Table:
+        ids = group["conv_id"].to_pylist()
+        lo = min(ids)
+        return pa.table({
+            "conv_id": group["conv_id"],
+            "fp": group["fp"],
+            "keep": pa.array([1 if i == lo else 0 for i in ids],
+                             pa.int64())})
+
+    return hash_group_apply(
+        fps, ["fp"], _keep, n_parts=n_parts,
+        plasma_schema=pa.schema([("conv_id", pa.string()),
+                                 ("fp", pa.string()),
+                                 ("keep", pa.int64())]))
