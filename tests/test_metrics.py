@@ -170,3 +170,31 @@ def test_kg_negative_samples_deterministic_and_distinct():
             idx = (idx + 1) % len(pool)
         assert r["neg_value"] == pool[idx]
         assert r["neg_value"] != r["value_str"]
+
+
+def test_source_agreement_windows():
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import source_agreement
+
+    DAY = 86_400_000_000
+    rows = [
+        # e1/a: winner v1 (2 distinct sources vs 1)
+        ("s1", "e1", "a", "v1", 0),
+        ("s2", "e1", "a", "v1", 0),
+        ("s3", "e1", "a", "v2", DAY),
+        # s1 repeats its claim in day 1 (raw count, not distinct)
+        ("s1", "e1", "a", "v1", DAY),
+    ]
+    claims = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "entity": pa.array([r[1] for r in rows], pa.string()),
+        "attr": pa.array([r[2] for r in rows], pa.string()),
+        "value_str": pa.array([r[3] for r in rows], pa.string()),
+        "value_type": pa.array(["categorical"] * len(rows), pa.string()),
+        "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
+    })).repartition(2)
+    out = {(r["source"], r["window"]): (r["n"], r["n_agree"])
+           for r in source_agreement(claims, n_parts=2).take_all()}
+    assert out == {("s1", 0): (1, 1), ("s2", 0): (1, 1),
+                   ("s1", 1): (1, 1), ("s3", 1): (1, 0)}

@@ -1311,6 +1311,14 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_kg_source_agreement(sf_dir: str):
+    """Source-trust drift: per (source, day window), categorical claims
+    vs the fused majority truth — one (entity, attr) co-partition."""
+    from trustfuse_ray.reverse import source_agreement
+
+    return source_agreement(cached_claims(sf_dir))
+
+
 def q_conversation_dedup(sf_dir: str):
     """Conversation-level exact dedup: md5 over the turn-ordered
     assembled text; duplicates keep the smallest conv_id."""
@@ -1969,6 +1977,7 @@ def queries_map():
         "kg_claim_quality": q_kg_claim_quality,
         "kg_truth_asof": q_kg_truth_asof,
         "conversation_dedup": q_conversation_dedup,
+        "kg_source_agreement": q_kg_source_agreement,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4188,6 +4197,30 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "kg_source_agreement": f"""
+WITH {_claims_cte(cache)},
+cc AS (
+  SELECT source, entity, attr, value_str,
+         epoch_us(ts) // 86400000000 AS window
+  FROM claims WHERE value_type <> 'quantity' AND value_str IS NOT NULL
+),
+dd AS (SELECT DISTINCT source, entity, attr, value_str FROM cc),
+cat AS (
+  SELECT entity, attr, value_str, count(*) AS c FROM dd GROUP BY 1, 2, 3
+),
+catw AS (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM cat
+),
+win AS (SELECT entity, attr, value_str FROM catw WHERE rn = 1)
+SELECT cc.source, cc.window, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN w.value_str IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree
+FROM cc LEFT JOIN win w ON w.entity = cc.entity AND w.attr = cc.attr
+                       AND w.value_str = cc.value_str
+GROUP BY 1, 2""",
         "conversation_dedup": f"""
 WITH a AS (
   SELECT conv_id,

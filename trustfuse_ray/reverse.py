@@ -209,3 +209,66 @@ def snapshot_diff(old_triples, new_triples, n_parts: int = 32):
     return hash_group_apply(tagged_old.union(tagged_new),
                             ["entity", "attr"], _diff, n_parts=n_parts,
                             plasma_schema=out_schema)
+
+
+def source_agreement(claims, window_us: int = 86_400_000_000,
+                     n_parts: int = 32):
+    """Source-trust drift: per (source, tumbling time window), how many
+    categorical claims agree with the corpus-level fused truth (voting
+    semantics — majority over globally-distinct (source, value) pairs,
+    ties to the smallest value).  The temporal source-reliability report
+    a TrustFuse operator watches to catch degrading feeds.
+
+    Shape: ONE (entity, attr) co-partition of the categorical claims;
+    the group computes its winner from its distinct (source, value)
+    pairs, flags every raw claim row, and collapses to (source, window,
+    n, n_agree) partials — the final groupby sums a stream bounded by
+    sources × windows, not claims."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _cat(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(batch["value_type"], "quantity"),
+                       pc.is_valid(batch["value_str"]))
+        import numpy as np
+
+        t = batch.filter(keep)
+        ts = np.asarray(t["ts"].cast(pa.int64()), dtype=np.int64)
+        win = pa.array(ts // np.int64(window_us), pa.int64())
+        return pa.table({"source": t["source"], "entity": t["entity"],
+                         "attr": t["attr"], "value_str": t["value_str"],
+                         "window": win})
+
+    def _agree(group: pa.Table) -> pa.Table:
+        srcs = group["source"].to_pylist()
+        vals = group["value_str"].to_pylist()
+        wins = group["window"].to_pylist()
+        counts: dict[str, int] = {}
+        for s, v in set(zip(srcs, vals)):
+            counts[v] = counts.get(v, 0) + 1
+        winner = sorted(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0]))[0][0]
+        agg: dict[tuple, list] = {}
+        for s, v, w in zip(srcs, vals, wins):
+            k = (s, w)
+            st = agg.setdefault(k, [0, 0])
+            st[0] += 1
+            st[1] += int(v == winner)
+        ks = sorted(agg)
+        return pa.table({
+            "source": pa.array([k[0] for k in ks], pa.string()),
+            "window": pa.array([k[1] for k in ks], pa.int64()),
+            "n": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "n_agree": pa.array([agg[k][1] for k in ks], pa.int64())})
+
+    part = hash_group_apply(
+        claims.map_batches(_cat, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity", "attr"], _agree, n_parts=n_parts,
+        plasma_schema=pa.schema([("source", pa.string()),
+                                 ("window", pa.int64()),
+                                 ("n", pa.int64()),
+                                 ("n_agree", pa.int64())]))
+    return (part.groupby(["source", "window"]).sum(["n", "n_agree"])
+            .rename_columns({"sum(n)": "n", "sum(n_agree)": "n_agree"}))
