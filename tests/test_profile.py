@@ -219,3 +219,43 @@ def test_rule_violations_counts_and_nulls():
            for r in rule_violations(ds, rules).take_all()}
     # null predicate results (x is NULL) never count as violations
     assert got == {"neg_x": 1, "empty_s": 2, "never": 0}
+
+
+def test_char_pair_keys_property():
+    """Kernel == naive pairs over Arrow's OWN trim+split (pins the
+    vectorized doc/pair bookkeeping; regex semantics are Arrow's —
+    RE2 ASCII \\s — and the ASCII-whitespace boundary vs DuckDB's
+    Unicode \\s is documented on char_pair_keys)."""
+    import pyarrow.compute as pc
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trustfuse_ray.stages.profile import char_pair_keys
+
+    texts_st = st.lists(
+        st.one_of(st.none(),
+                  st.text(alphabet=st.characters(
+                      blacklist_categories=("Cs",)), max_size=40)),
+        min_size=0, max_size=8)
+
+    @settings(max_examples=60, deadline=None)
+    @given(texts_st)
+    def check(texts):
+        arr = pa.array(texts, pa.string())
+        docix, keys = char_pair_keys(arr)
+        got = {}
+        for d, k in zip(docix, keys):
+            got.setdefault(int(d), []).append(
+                (chr(int(k) >> 21), chr(int(k) & 0x1FFFFF)))
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(arr), r"\s+").to_pylist()
+        want = {}
+        for i, ws in enumerate(words):
+            ps = []
+            for w in (ws or []):
+                ps += list(zip(w, w[1:]))
+            if ps:
+                want[i] = ps
+        assert got == want
+
+    check()

@@ -854,7 +854,13 @@ def char_pair_keys(col) -> tuple[np.ndarray, np.ndarray]:
     decoded to a codepoint ndarray via utf-32-le (unicode-exact — DuckDB
     ``substr`` replays it).  Returns (docix, keys) with
     ``key = left << 21 | right``; separators never pair, so word and doc
-    boundaries are respected without any per-row loop."""
+    boundaries are respected without any per-row loop.
+
+    Whitespace boundary: Arrow's RE2 ``\s`` is ASCII ([\t\n\f\r ]),
+    while DuckDB's ``\s`` also matches Unicode spaces (NBSP, em-space) —
+    identical on ASCII corpora (all fixtures here); pin an explicit
+    ``[\t\n\f\r ]`` class on the SQL side if a corpus carries Unicode
+    whitespace."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     toks = pc.split_pattern_regex(
