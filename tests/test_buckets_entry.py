@@ -96,3 +96,16 @@ def test_pipeline_determinism(synth_dir):
     r2, w2 = run_once()
     assert r1 == r2
     assert w1 == w2
+
+
+def test_kg_pipeline_resolve_flag(synth_dir):
+    from trustfuse_ray.pipelines.kg import run_kg_pipeline
+
+    base, _ = run_kg_pipeline("sf0.001", model="Voting")
+    res, _ = run_kg_pipeline("sf0.001", model="Voting", resolve=True)
+    n_base = len(set(r["entity"] for r in
+                     base.select_columns(["entity"]).take_all()))
+    n_res = len(set(r["entity"] for r in
+                    res.select_columns(["entity"]).take_all()))
+    # canonicalization can only merge entities, never invent them
+    assert 0 < n_res <= n_base

@@ -151,15 +151,53 @@ def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
     return summary
 
 
+def apply_entity_resolution(claims, threshold: float = 0.9,
+                            block_len: int = 4, cap: int = 500,
+                            n_parts: int = 32):
+    """Optional fuzzy-canonicalization step between linking and fusion:
+    near-identical entity surface forms (`link.resolve_entities`) rewrite
+    to their cluster's canonical entity so they vote together.  The
+    mapping covers only clustered entities (bounded by the entity
+    vocabulary) and broadcasts via ``ray.put``."""
+    import ray
+
+    from trustfuse_ray.stages.link import resolve_entities
+
+    mapping = {r["entity"]: r["canon"]
+               for r in resolve_entities(claims, threshold=threshold,
+                                         block_len=block_len, cap=cap,
+                                         n_parts=n_parts).take_all()}
+    if not mapping:
+        return claims
+    map_ref = ray.put(mapping)
+
+    def _rewrite(batch):
+        import pyarrow as pa
+
+        m = ray.get(map_ref)
+        ents = batch["entity"].to_pylist()
+        i = batch.schema.get_field_index("entity")
+        return batch.set_column(
+            i, "entity", pa.array([m.get(e, e) for e in ents], pa.string()))
+
+    return claims.map_batches(_rewrite, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def run_kg_pipeline(sf_dir: str, model: str = "CRH", out_dir: str | None = None,
-                    concurrency: int | tuple | None = None, **model_kwargs):
+                    concurrency: int | tuple | None = None,
+                    resolve: bool = False, **model_kwargs):
     """Full pipeline over the synthetic corpus for ``sf_dir``.
 
-    Returns (triples Dataset, weights dict). If ``out_dir`` is given the
-    triples are written as Parquet with a source-weights sidecar.
+    ``resolve=True`` inserts the fuzzy entity-resolution step between
+    linking and fusion.  Returns (triples Dataset, weights dict). If
+    ``out_dir`` is given the triples are written as Parquet with a
+    source-weights sidecar.
     """
     data_dir = synth.generate(sf_dir)
     claims = build_claims(data_dir, concurrency=concurrency)
+    if resolve:
+        claims = apply_entity_resolution(claims)
     triples, weights = run_fusion(claims, make_model(model, **model_kwargs))
     if out_dir:
         triples = triples.materialize()

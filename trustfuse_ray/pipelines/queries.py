@@ -1289,24 +1289,9 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     near-miss surface forms of one entity vote together.  The mapping
     covers only clustered entities (bounded by the entity vocabulary) and
     broadcasts; unmapped entities pass through."""
-    import ray
+    from trustfuse_ray.pipelines.kg import apply_entity_resolution
 
-    from trustfuse_ray.stages.link import resolve_entities
-
-    mapping = {r["entity"]: r["canon"]
-               for r in resolve_entities(cached_claims(sf_dir), threshold=0.9,
-                                         block_len=4).take_all()}
-    map_ref = ray.put(mapping)
-
-    def _rewrite(batch: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        ents = batch["entity"].to_pylist()
-        out = [m.get(e, e) for e in ents]
-        i = batch.schema.get_field_index("entity")
-        return batch.set_column(i, "entity", pa.array(out, pa.string()))
-
-    canon_claims = cached_claims(sf_dir).map_batches(
-        _rewrite, batch_format="pyarrow", zero_copy_batch=True)
+    canon_claims = apply_entity_resolution(cached_claims(sf_dir))
     triples, _ = run_fusion(canon_claims, make_model("Voting"))
     return _voting_shape_ds(triples)
 
