@@ -94,7 +94,8 @@ def cmd_transcripts(args) -> int:
     from trustfuse_ray.pipelines.kg import (run_kg_pipeline_resumable)
 
     summary = run_kg_pipeline_resumable(args.data, args.out,
-                                        model=args.model)
+                                        model=args.model,
+                                        resolve=args.resolve)
     print(json.dumps({k: (len(v) if isinstance(v, list) else v)
                       for k, v in summary.items()}))
     return 0 if summary.get("status") == "complete" else 1
@@ -125,6 +126,8 @@ def main(argv=None) -> int:
                          "attr_types.json")
     tr.add_argument("--model", default="CRH")
     tr.add_argument("--out", required=True)
+    tr.add_argument("--resolve", action="store_true",
+                    help="fuzzy entity resolution before fusion")
     tr.set_defaults(fn=cmd_transcripts)
 
     args = ap.parse_args(argv)

@@ -60,6 +60,7 @@ def build_claims(data_dir: str, concurrency: int | tuple | None = None):
 def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
                               concurrency: int | tuple | None = None,
                               max_partitions: int | None = None,
+                              resolve: bool = False,
                               **model_kwargs) -> dict:
     """Checkpointed flagship pipeline.
 
@@ -130,6 +131,8 @@ def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
 
     triples_root = os.path.join(out_dir, "triples")
     all_fp = "|".join(ckpt.file_fingerprint(f) for f in files)
+    if resolve:
+        all_fp += "|resolved"  # flag change invalidates the fusion stage
     if ckpt.is_complete(triples_root, 0, all_fp):
         summary["status"] = "complete"
         summary["triples_skipped"] = True
@@ -137,6 +140,8 @@ def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
     t0 = _time.perf_counter()
     # directory read; the _manifests/ sidecar is ignored (underscore prefix)
     claims_all = ray.data.read_parquet(claims_root)
+    if resolve:
+        claims_all = apply_entity_resolution(claims_all)
     triples, weights = run_fusion(claims_all,
                                   make_model(model, **model_kwargs))
     triples = triples.materialize()
