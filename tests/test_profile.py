@@ -259,3 +259,15 @@ def test_char_pair_keys_property():
         assert got == want
 
     check()
+
+
+def test_table_profile_nulls_and_distinct():
+    from trustfuse_ray.stages.profile import table_profile
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(["x", "y", "x", None], pa.string()),
+        "b": pa.array([1, 1, 2, 3], pa.int64()),
+    })).repartition(2)
+    out = {r["column"]: (r["n_rows"], r["n_null"], r["n_distinct"])
+           for r in table_profile(ds, ["a", "b"]).take_all()}
+    assert out == {"a": (4, 1, 2), "b": (4, 0, 3)}

@@ -1296,6 +1296,15 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_events_table_profile(sf_dir: str):
+    """Schema-health profile of the events table: rows / nulls / exact
+    distinct per column (block-distinct combiner)."""
+    from trustfuse_ray.stages.profile import table_profile
+
+    return table_profile(_tbl(sf_dir, "events"),
+                         ["event_type", "user_id", "props"])
+
+
 def q_kg_source_agreement(sf_dir: str):
     """Source-trust drift: per (source, day window), categorical claims
     vs the fused majority truth — one (entity, attr) co-partition."""
@@ -1963,6 +1972,7 @@ def queries_map():
         "kg_truth_asof": q_kg_truth_asof,
         "conversation_dedup": q_conversation_dedup,
         "kg_source_agreement": q_kg_source_agreement,
+        "events_table_profile": q_events_table_profile,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4182,6 +4192,23 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "events_table_profile": """
+SELECT 'event_type' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT CAST(event_type AS VARCHAR)) AS BIGINT)
+         AS n_distinct
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CAST(user_id AS VARCHAR)) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'props', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CAST(props AS VARCHAR)) AS BIGINT)
+FROM events""",
         "kg_source_agreement": f"""
 WITH {_claims_cte(cache)},
 cc AS (

@@ -996,3 +996,57 @@ def rule_violations(ds, rules):
                              zero_copy_batch=True)
     return (partial.groupby("rule").sum("n_violations")
             .rename_columns({"sum(n_violations)": "n_violations"}))
+
+
+def table_profile(ds, columns):
+    """Per-column corpus profile: row count, null count and exact distinct
+    count for the named columns — the schema-health report an ingestion
+    pipeline emits per partition.  Each block collapses to its distinct
+    (column, value-as-string) pairs plus null/row partials; the global
+    distinct finishes in one groupby bounded by Σ per-column
+    cardinalities, never rows.  (Cast-to-string keys the distinct without
+    per-type branches; exact for string/int columns — the profile
+    columns.)"""
+    def _partial(batch: pa.Table) -> pa.Table:
+        names, kinds, vals = [], [], []
+        for c in columns:
+            col = batch[c]
+            names.append(c)
+            kinds.append("rows")
+            vals.append(str(len(batch)))
+            names.append(c)
+            kinds.append("nulls")
+            vals.append(str(int(pc.sum(
+                pc.is_null(col).cast(pa.int64())).as_py() or 0)))
+            u = pc.unique(pc.drop_null(col.combine_chunks()
+                          if isinstance(col, pa.ChunkedArray) else col)
+                          .cast(pa.string()))
+            for v in u.to_pylist():
+                names.append(c)
+                kinds.append("val")
+                vals.append(v)
+        return pa.table({"column": pa.array(names, pa.string()),
+                         "kind": pa.array(kinds, pa.string()),
+                         "v": pa.array(vals, pa.string())})
+
+    part = ds.select_columns(list(columns)).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _roll(group: pa.Table) -> pa.Table:
+        kinds = group["kind"].to_pylist()
+        vs = group["v"].to_pylist()
+        n_rows = sum(int(v) for k, v in zip(kinds, vs) if k == "rows")
+        n_null = sum(int(v) for k, v in zip(kinds, vs) if k == "nulls")
+        nd = len({v for k, v in zip(kinds, vs) if k == "val"})
+        return pa.table({
+            "column": group["column"][:1],
+            "n_rows": pa.array([n_rows], pa.int64()),
+            "n_null": pa.array([n_null], pa.int64()),
+            "n_distinct": pa.array([nd], pa.int64())})
+
+    return hash_group_apply(
+        part, ["column"], _roll, n_parts=min(8, max(1, len(columns))),
+        plasma_schema=pa.schema([("column", pa.string()),
+                                 ("n_rows", pa.int64()),
+                                 ("n_null", pa.int64()),
+                                 ("n_distinct", pa.int64())]))
