@@ -198,3 +198,39 @@ def test_snapshot_diff_added_changed_unchanged():
     assert out[("e3", "size")]["new_value_num"] == 15.0
     assert out[("e4", "shape")]["change"] == "added"
     assert out[("e4", "shape")]["old_value_str"] is None
+
+
+def test_truth_timeline_cumulative_convergence():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import truth_timeline
+
+    US = 1_000_000
+    rows = [
+        # e1/a: v1 leads early, v2 overtakes by the end
+        ("s1", "e1", "a", "v1", None, "categorical", 0),
+        ("s2", "e1", "a", "v2", None, "categorical", 3 * US),
+        ("s3", "e1", "a", "v2", None, "categorical", 4 * US),
+        # e2/q: quantity median shifts as claims arrive
+        ("s1", "e2", "q", None, 10.0, "quantity", 0),
+        ("s2", "e2", "q", None, 30.0, "quantity", 4 * US),
+    ]
+    claims = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "entity": pa.array([r[1] for r in rows], pa.string()),
+        "attr": pa.array([r[2] for r in rows], pa.string()),
+        "value_str": pa.array([r[3] for r in rows], pa.string()),
+        "value_num": pa.array([r[4] for r in rows], pa.float64()),
+        "value_type": pa.array([r[5] for r in rows], pa.string()),
+        "ts": pa.array([r[6] for r in rows], pa.timestamp("us")),
+    })).repartition(2)
+    out = {(r["cut"], r["entity"]): (r["value_str"], r["value_num"])
+           for r in truth_timeline(claims, n_cuts=4, n_parts=2).take_all()}
+    # range [0, 4s]; cuts at 1s, 2s, 3s, 4s
+    assert out[(1, "e1")] == ("v1", None)       # only v1 so far
+    assert out[(2, "e1")] == ("v1", None)
+    assert out[(3, "e1")] == ("v1", None)       # 1-1 tie -> min value
+    assert out[(4, "e1")] == ("v2", None)       # v2 majority
+    assert out[(1, "e2")] == (None, 10.0)
+    assert out[(4, "e2")] == (None, 20.0)       # median(10, 30)

@@ -1296,6 +1296,38 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_kg_truth_timeline(sf_dir: str):
+    """Truth evolution: voting-fused truth at 4 cumulative time cutoffs
+    (the reference's grow-only bucket semantics as one analytic)."""
+    from trustfuse_ray.reverse import truth_timeline
+
+    return truth_timeline(cached_claims(sf_dir), n_cuts=4)
+
+
+def _timeline_cut_sql(k: int, n: int) -> str:
+    base = f"""(SELECT DISTINCT source, entity, attr, value_str, value_num,
+                value_type
+        FROM claims, mm
+        WHERE epoch_us(ts) <= mm.lo + (mm.hi - mm.lo) * {k} // {n})"""
+    return f"""
+SELECT {k} AS cut, entity, attr, value_str,
+       CAST(NULL AS DOUBLE) AS value_num
+FROM (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM (SELECT entity, attr, value_str, count(*) AS c
+        FROM {base} dd
+        WHERE value_type <> 'quantity' AND value_str IS NOT NULL
+        GROUP BY 1, 2, 3) cc
+) w WHERE rn = 1
+UNION ALL
+SELECT {k}, entity, attr, CAST(NULL AS VARCHAR), median(value_num)
+FROM {base} dq
+WHERE value_type = 'quantity' AND value_num IS NOT NULL
+GROUP BY 2, 3"""
+
+
 def q_events_table_profile(sf_dir: str):
     """Schema-health profile of the events table: rows / nulls / exact
     distinct per column (block-distinct combiner)."""
@@ -1973,6 +2005,7 @@ def queries_map():
         "conversation_dedup": q_conversation_dedup,
         "kg_source_agreement": q_kg_source_agreement,
         "events_table_profile": q_events_table_profile,
+        "kg_truth_timeline": q_kg_truth_timeline,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4192,6 +4225,11 @@ FROM win w
 JOIN dedup d ON d.entity = w.entity AND d.attr = w.attr
             AND d.value_str = w.value_str
 GROUP BY 1, 2, 3""",
+        "kg_truth_timeline": f"""
+WITH {_claims_cte(cache)},
+mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+       FROM claims)
+{" UNION ALL ".join(_timeline_cut_sql(k, 4) for k in range(1, 5))}""",
         "events_table_profile": """
 SELECT 'event_type' AS column, CAST(count(*) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)

@@ -272,3 +272,91 @@ def source_agreement(claims, window_us: int = 86_400_000_000,
                                  ("n_agree", pa.int64())]))
     return (part.groupby(["source", "window"]).sum(["n", "n_agree"])
             .rename_columns({"sum(n)": "n", "sum(n_agree)": "n_agree"}))
+
+
+def truth_timeline(claims, n_cuts: int = 4, n_parts: int = 32):
+    """Truth evolution under cumulative claim growth — the reference's
+    DynamicDataset semantics (buckets only ever grow) as ONE analytic:
+    for each of ``n_cuts`` cumulative time cutoffs (global ts range split
+    in equal µs steps), the voting-fused truth over claims with
+    ``ts ≤ cutoff``.  Shows when each fact's truth stabilizes.
+
+    Shape: one tiny global (min, max) ts aggregate, then ONE
+    (entity, attr) co-partition; each group replays its own claims
+    against all cutoffs (group-local work × n_cuts, no extra exchange).
+    Returns (cut, entity, attr, value_str, value_num)."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    stats = claims.select_columns(["ts"]).map_batches(
+        lambda b: pa.table({
+            "lo": pa.array([pc.min(b["ts"].cast(pa.int64())).as_py()],
+                           pa.int64()),
+            "hi": pa.array([pc.max(b["ts"].cast(pa.int64())).as_py()],
+                           pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    lo = min(r["lo"] for r in stats if r["lo"] is not None)
+    hi = max(r["hi"] for r in stats if r["hi"] is not None)
+    cuts = [lo + (hi - lo) * k // n_cuts for k in range(1, n_cuts + 1)]
+
+    def _meta(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": batch["source"], "entity": batch["entity"],
+            "attr": batch["attr"], "value_str": batch["value_str"],
+            "value_num": batch["value_num"],
+            "value_type": batch["value_type"],
+            "ts_us": batch["ts"].cast(pa.int64())})
+
+    def _timeline(group: pa.Table) -> pa.Table:
+        srcs = group["source"].to_pylist()
+        vss = group["value_str"].to_pylist()
+        vns = group["value_num"].to_pylist()
+        vts = group["value_type"].to_pylist()
+        tss = group["ts_us"].to_pylist()
+        ent = group["entity"][0].as_py()
+        attr = group["attr"][0].as_py()
+        ock, ovs, ovn = [], [], []
+        for k, cut in enumerate(cuts, start=1):
+            seen = set()
+            cat: dict[str, int] = {}
+            nums = []
+            for s, vs, vn, vt, t in zip(srcs, vss, vns, vts, tss):
+                if t is None or t > cut:
+                    continue
+                key = (s, vs, vn, vt)
+                if key in seen:
+                    continue
+                seen.add(key)
+                if vt == "quantity":
+                    if vn is not None:
+                        nums.append(vn)
+                elif vs is not None:
+                    cat[vs] = cat.get(vs, 0) + 1
+            if cat:
+                win = sorted(cat.items(),
+                             key=lambda kv: (-kv[1], kv[0]))[0][0]
+                ock.append(k)
+                ovs.append(win)
+                ovn.append(None)
+            if nums:
+                ock.append(k)
+                ovs.append(None)
+                ovn.append(float(np.median(np.asarray(nums, np.float64))))
+        n = len(ock)
+        return pa.table({
+            "cut": pa.array(ock, pa.int64()),
+            "entity": pa.array([ent] * n, pa.string()),
+            "attr": pa.array([attr] * n, pa.string()),
+            "value_str": pa.array(ovs, pa.string()),
+            "value_num": pa.array(ovn, pa.float64())})
+
+    return hash_group_apply(
+        claims.map_batches(_meta, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity", "attr"], _timeline, n_parts=n_parts,
+        plasma_schema=pa.schema([("cut", pa.int64()),
+                                 ("entity", pa.string()),
+                                 ("attr", pa.string()),
+                                 ("value_str", pa.string()),
+                                 ("value_num", pa.float64())]))
