@@ -234,3 +234,70 @@ def test_truth_timeline_cumulative_convergence():
     assert out[(4, "e1")] == ("v2", None)       # v2 majority
     assert out[(1, "e2")] == (None, 10.0)
     assert out[(4, "e2")] == (None, 20.0)       # median(10, 30)
+
+
+def test_voting_incremental_random_consistency():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.fuse.voting import voting_incremental
+
+    rng = np.random.default_rng(7)
+    n = 500
+    ents = [f"e{rng.integers(0, 60)}" for _ in range(n)]
+    attrs = [f"a{rng.integers(0, 3)}" for _ in range(n)]
+    is_q = rng.random(n) < 0.3
+    tbl = pa.table({
+        "source": pa.array([f"s{rng.integers(0, 8)}" for _ in range(n)]),
+        "entity": pa.array(ents),
+        "attr": pa.array(attrs),
+        "value_str": pa.array(
+            [None if q else f"v{rng.integers(0, 4)}" for q in is_q]),
+        "value_num": pa.array(
+            [float(rng.integers(0, 50)) if q else None for q in is_q],
+            pa.float64()),
+        "value_type": pa.array(
+            ["quantity" if q else "categorical" for q in is_q]),
+    })
+    split = rng.random(n) < 0.3
+    prior = rd.from_arrow(tbl.filter(pa.array(~split))).repartition(3)
+    new = rd.from_arrow(tbl.filter(pa.array(split))).repartition(2)
+
+    def key(t):
+        return (t[0], t[1], t[2] or "", -1.0 if t[3] is None else t[3])
+
+    got = sorted(((r["entity"], r["attr"], r["value_str"], r["value_num"])
+                  for r in voting_incremental(prior, new,
+                                              n_parts=4).take_all()),
+                 key=key)
+
+    # sequential full-recompute oracle restricted to touched facts
+    touched = {(e, a) for e, a, s in
+               zip(tbl["entity"].to_pylist(), tbl["attr"].to_pylist(),
+                   split) if s}
+    dd = set(zip(*(tbl[c].to_pylist() for c in
+                   ("source", "entity", "attr", "value_str", "value_num",
+                    "value_type"))))
+    facts = {}
+    for s, e, a, vs, vn, vt in dd:
+        facts.setdefault((e, a), []).append((vs, vn, vt))
+    want = []
+    for (e, a), rows_ in facts.items():
+        if (e, a) not in touched:
+            continue
+        cat = {}
+        nums = []
+        for vs, vn, vt in rows_:
+            if vt == "quantity":
+                if vn is not None:
+                    nums.append(vn)
+            elif vs is not None:
+                cat[vs] = cat.get(vs, 0) + 1
+        if cat:
+            win = sorted(cat.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+            want.append((e, a, win, None))
+        if nums:
+            want.append((e, a, None,
+                         float(np.median(np.asarray(nums)))))
+    assert got == sorted(want, key=key)
