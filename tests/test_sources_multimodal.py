@@ -117,3 +117,20 @@ def test_scale_units_stage_groups():
     for vals in by_e.values():
         arr = np.array(vals)
         assert np.all(np.abs(np.log10(arr / np.median(arr))) <= 0.8)
+
+
+def test_media_dedup_body_hash():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.multimodal import (media_dedup,
+                                                 synth_media_from_docs)
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["same body", "same body", "other"], pa.string()),
+    }))
+    out = {r["media_id"]: (r["fp"], r["keep"]) for r in media_dedup(
+        synth_media_from_docs(docs), n_parts=2).take_all()}
+    assert out[0][0] == out[1][0] != out[2][0]
+    assert (out[0][1], out[1][1], out[2][1]) == (1, 0, 1)

@@ -1132,6 +1132,15 @@ def q_multimodal_features_long(sf_dir: str):
                              concurrency=(1, 4))
 
 
+def q_multimodal_dedup(sf_dir: str):
+    """Media content-hash dedup: md5 of the decoded payload body (binary
+    plumbing real; duplicates keep the smallest media_id)."""
+    from trustfuse_ray.stages.multimodal import (media_dedup,
+                                                 synth_media_from_docs)
+
+    return media_dedup(synth_media_from_docs(_tbl(sf_dir, "documents")))
+
+
 def q_multimodal_frames(sf_dir: str):
     """Frame sampling over opaque media payloads (video decode analog):
     the Ray-side plumbing (binary schema, flat_map row expansion) is real;
@@ -2006,6 +2015,7 @@ def queries_map():
         "kg_source_agreement": q_kg_source_agreement,
         "events_table_profile": q_events_table_profile,
         "kg_truth_timeline": q_kg_truth_timeline,
+        "multimodal_dedup": q_multimodal_dedup,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3242,6 +3252,15 @@ SELECT h.media_id, CAST(i AS INT) AS dim_idx,
 FROM h, range(0, 16) r(i)
 JOIN hexmap lo ON lo.hh = substr(h.hx, CAST(4*i+1 AS INT), 2)
 JOIN hexmap hi ON hi.hh = substr(h.hx, CAST(4*i+3 AS INT), 2)""",
+        "multimodal_dedup": """
+WITH a AS (
+  SELECT doc_id AS media_id, md5(coalesce(text, '')) AS fp
+  FROM documents
+)
+SELECT media_id, fp,
+       CAST(CASE WHEN media_id = min(media_id) OVER (PARTITION BY fp)
+                 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM a""",
         "multimodal_frames": r"""
 WITH m AS (
   SELECT doc_id AS media_id, coalesce(text,'') AS t,

@@ -135,3 +135,41 @@ def frame_sample(media, every_n_bytes: int = 1024, max_frames: int = 8):
         })
 
     return media.map_batches(_b, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def media_dedup(media, n_parts: int = 32):
+    """Content-hash dedup over binary media payloads: md5 of the DECODED
+    content body (payload minus the codec header — re-encodes of the same
+    content dedup together), duplicates keep the smallest media_id.  The
+    payload-parsing path is the real binary plumbing; only (media_id, fp)
+    rows enter the winner exchange — the media bytes never shuffle.
+
+    Returns (media_id, fp, keep)."""
+    import hashlib
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        fps = [hashlib.md5(p[12:]).hexdigest()
+               for p in batch["payload"].to_pylist()]
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "fp": pa.array(fps, pa.string())})
+
+    fps = media.select_columns(["media_id", "payload"]).map_batches(
+        _fp, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _keep(group: pa.Table) -> pa.Table:
+        ids = group["media_id"].to_pylist()
+        lo = min(ids)
+        return pa.table({
+            "media_id": group["media_id"],
+            "fp": group["fp"],
+            "keep": pa.array([1 if i == lo else 0 for i in ids],
+                             pa.int64())})
+
+    return hash_group_apply(
+        fps, ["fp"], _keep, n_parts=n_parts,
+        plasma_schema=pa.schema([("media_id", pa.int64()),
+                                 ("fp", pa.string()),
+                                 ("keep", pa.int64())]))
