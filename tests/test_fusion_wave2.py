@@ -301,3 +301,61 @@ def test_voting_incremental_random_consistency():
             want.append((e, a, None,
                          float(np.median(np.asarray(nums)))))
     assert got == sorted(want, key=key)
+
+
+def test_snapshot_diff_random_consistency():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import snapshot_diff
+
+    rng = np.random.default_rng(11)
+
+    def shaped(n, seed_off):
+        r = np.random.default_rng(seed_off)
+        ents = [f"e{r.integers(0, 40)}" for _ in range(n)]
+        attrs = [f"a{r.integers(0, 2)}" for _ in range(n)]
+        is_q = r.random(n) < 0.4
+        t = pa.table({
+            "entity": pa.array(ents), "attr": pa.array(attrs),
+            "value_str": pa.array(
+                [None if q else f"v{r.integers(0, 5)}" for q in is_q]),
+            "value_num": pa.array(
+                [float(r.integers(0, 9)) if q else None for q in is_q],
+                pa.float64()),
+        })
+        # one row per (entity, attr, kind) as fused snapshots have
+        seen, keep = set(), []
+        for i, (e, a, q) in enumerate(zip(ents, attrs, is_q)):
+            k = (e, a, bool(q))
+            keep.append(k not in seen)
+            seen.add(k)
+        return t.filter(pa.array(keep))
+
+    old_t = shaped(120, 1)
+    new_t = shaped(150, 2)
+    got = {(r["entity"], r["attr"],
+            "num" if r["new_value_str"] is None else "cat"):
+           (r["change"], r["old_value_str"], r["new_value_str"],
+            r["old_value_num"], r["new_value_num"])
+           for r in snapshot_diff(
+               rd.from_arrow(old_t).repartition(3),
+               rd.from_arrow(new_t).repartition(2),
+               n_parts=4).take_all()}
+    olds = {(e, a, "num" if vs is None else "cat"): (vs, vn)
+            for e, a, vs, vn in zip(*(old_t[c].to_pylist() for c in
+                                      old_t.column_names))}
+    want = {}
+    for e, a, vs, vn in zip(*(new_t[c].to_pylist()
+                              for c in new_t.column_names)):
+        k = (e, a, "num" if vs is None else "cat")
+        prev = olds.get(k)
+        if prev == (vs, vn):
+            continue
+        want[k] = ("added" if prev is None else "changed",
+                   None if prev is None else prev[0],
+                   vs,
+                   None if prev is None else prev[1],
+                   vn)
+    assert got == want
