@@ -11,7 +11,9 @@ from trustfuse_ray.pipelines.kg import run_kg_pipeline_resumable
 
 
 def _triples_set(out_dir):
-    t = pq.read_table(str(Path(out_dir) / "triples" / "part=00000"))
+    # hash-partitioned output: one __shard=N dir per entity key range
+    # (pyarrow dataset discovery skips the _manifests/ sidecar)
+    t = pq.read_table(str(Path(out_dir) / "triples"))
     return sorted(zip(t["entity"].to_pylist(), t["attr"].to_pylist(),
                       t["value_str"].to_pylist()))
 
@@ -54,6 +56,14 @@ def test_resume_skips_completed_partitions(synth_dir, tmp_path):
     # re-running a complete pipeline is a no-op for fusion too
     s_again = run_kg_pipeline_resumable(synth_dir, out1, model="Voting")
     assert s_again.get("triples_skipped") is True
+
+    # hash-partitioned output lineage: 16 shard manifests whose row
+    # counts sum to the fused total; shard 0 carries the model metrics
+    manifests = [json.loads(p.read_text()) for p in sorted(
+        (Path(out1) / "triples" / "_manifests").glob("part-*.json"))]
+    assert len(manifests) == 16
+    assert sum(m["rows"] for m in manifests) == len(_triples_set(out1))
+    assert "source_weights" in manifests[0]["metrics"]
 
     # corrupting an input fingerprint forces recompute of that partition
     mpath = Path(out1) / "claims" / "_manifests" / "part-00000.json"

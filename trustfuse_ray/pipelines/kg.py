@@ -133,7 +133,9 @@ def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
     all_fp = "|".join(ckpt.file_fingerprint(f) for f in files)
     if resolve:
         all_fp += "|resolved"  # flag change invalidates the fusion stage
-    if ckpt.is_complete(triples_root, 0, all_fp):
+    n_out = 16  # output key-range shards (resumable-output grain)
+    if all(ckpt.is_complete(triples_root, s, all_fp)
+           for s in range(n_out)):
         summary["status"] = "complete"
         summary["triples_skipped"] = True
         return summary
@@ -144,13 +146,35 @@ def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
         claims_all = apply_entity_resolution(claims_all)
     triples, weights = run_fusion(claims_all,
                                   make_model(model, **model_kwargs))
-    triples = triples.materialize()
-    triples.write_parquet(ckpt.partition_dir(triples_root, 0))
-    ckpt.write_manifest(
-        triples_root, 0, all_fp, rows=triples.count(),
-        wall_secs=_time.perf_counter() - t0,
-        metrics={"model": model,
-                 "source_weights": {str(b): w for b, w in weights.items()}})
+
+    # hash-partitioned output: one directory per entity key range, so a
+    # downstream consumer (or a re-run after a partial write) addresses
+    # shards independently — never one giant file
+    from trustfuse_ray.stages.common import fnv64
+
+    def _shard(batch):
+        import pyarrow as _pa
+
+        sh = [fnv64(e or "") % n_out
+              for e in batch["entity"].to_pylist()]
+        return batch.append_column("shard", _pa.array(sh, _pa.int32()))
+
+    triples = triples.map_batches(_shard, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    triples.write_parquet(triples_root, partition_cols=["shard"])
+    shard_rows = {int(r["shard"]): int(r["count()"]) for r in
+                  triples.groupby("shard").count().take_all()}
+    wall = _time.perf_counter() - t0
+    for sh in range(n_out):
+        metrics = {"rows": shard_rows.get(sh, 0)}
+        if sh == 0:
+            metrics.update({
+                "model": model,
+                "source_weights": {str(b): w for b, w in weights.items()}})
+        ckpt.write_manifest(
+            triples_root, sh, all_fp, rows=shard_rows.get(sh, 0),
+            wall_secs=wall, metrics=metrics,
+            data_dir=os.path.join(triples_root, f"shard={sh}"))
     summary["status"] = "complete"
     summary["triples"] = triples.count()
     return summary

@@ -44,8 +44,11 @@ def is_complete(root: str, part: int, input_fingerprint: str) -> bool:
 
 def write_manifest(root: str, part: int, input_fingerprint: str,
                    rows: int, wall_secs: float,
-                   metrics: dict | None = None) -> None:
-    d = partition_dir(root, part)
+                   metrics: dict | None = None,
+                   data_dir: str | None = None) -> None:
+    # data_dir overrides the default part=%05d layout (e.g. the
+    # hive-partitioned shard=N triple output)
+    d = data_dir or partition_dir(root, part)
     os.makedirs(d, exist_ok=True)
     os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
     nbytes = sum(f.stat().st_size for f in Path(d).glob("*.parquet"))
