@@ -959,8 +959,15 @@ def charlm_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
         docix, pk = char_pair_keys(batch[text_col])
         n = len(batch)
         if len(pk):
-            c_lr = cnts[np.searchsorted(ks, pk)]
-            c_l = lcs[np.searchsorted(lks, pk >> 21)]
+            ix = np.searchsorted(ks, pk)
+            lx = np.searchsorted(lks, pk >> 21)
+            # every batch pair was counted in the global phase-1 pass;
+            # a miss would mean silent mis-scoring, so fail loudly
+            if (ix >= len(ks)).any() or (ks[np.minimum(
+                    ix, len(ks) - 1)] != pk).any():
+                raise ValueError("charlm: pair missing from global counts")
+            c_lr = cnts[ix]
+            c_l = lcs[lx]
             contrib = _bitlen(c_lr + 1) - _bitlen(c_l + 1)
             score = np.bincount(docix, weights=contrib,
                                 minlength=n).astype(np.int64)
