@@ -1305,6 +1305,19 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_conversation_near_dups(sf_dir: str):
+    """Conversation-grain near-dup detection: MinHash-LSH over the
+    turn-ordered assembled conversation text (templated dialogues are the
+    transcript corpus's boilerplate)."""
+    from trustfuse_ray.stages.assemble import assembled_conv_docs
+    from trustfuse_ray.stages.dedup import minhash_lsh_pairs
+
+    data_dir = synth.generate(sf_dir)
+    return minhash_lsh_pairs(
+        assembled_conv_docs(read_transcripts(data_dir)), threshold=0.5,
+        hash_kind="md5")
+
+
 def q_kg_truth_timeline(sf_dir: str):
     """Truth evolution: voting-fused truth at 4 cumulative time cutoffs
     (the reference's grow-only bucket semantics as one analytic)."""
@@ -2016,6 +2029,7 @@ def queries_map():
         "events_table_profile": q_events_table_profile,
         "kg_truth_timeline": q_kg_truth_timeline,
         "multimodal_dedup": q_multimodal_dedup,
+        "conversation_near_dups": q_conversation_near_dups,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3837,6 +3851,14 @@ SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str, value_num
 FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
+SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "conversation_near_dups": f"""
+WITH {_minhash_sql(
+    f'''(SELECT CAST(regexp_extract(conv_id, '[0-9]+') AS BIGINT)
+               AS doc_id,
+             string_agg(text, chr(10) ORDER BY turn_idx) AS text
+      FROM read_parquet('{cache}/transcripts/*.parquet')
+      GROUP BY conv_id)''', 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
         "minhash_pairs_synth": f"""
 WITH {_minhash_sql(

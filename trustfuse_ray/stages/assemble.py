@@ -167,3 +167,26 @@ def conversation_dedup(transcripts, n_parts: int = 32):
         plasma_schema=pa.schema([("conv_id", pa.string()),
                                  ("fp", pa.string()),
                                  ("keep", pa.int64())]))
+
+
+def assembled_conv_docs(transcripts, n_parts: int = 32):
+    """Conversations as documents: turn-ordered assembled text keyed by
+    the numeric conv id — the input shape the document-grain dedup/
+    similarity operators expect (``doc_id``, ``text``)."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _asm(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group,
+                                sort_keys=[("turn_idx", "ascending")])
+        g = group.take(order)
+        txt = "\n".join(t or "" for t in g["text"].to_pylist())
+        cid = g["conv_id"][0].as_py() or ""
+        did = int("".join(ch for ch in cid if ch.isdigit()) or 0)
+        return pa.table({"doc_id": pa.array([did], pa.int64()),
+                         "text": pa.array([txt], pa.string())})
+
+    return hash_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "text"]),
+        ["conv_id"], _asm, n_parts=n_parts,
+        plasma_schema=pa.schema([("doc_id", pa.int64()),
+                                 ("text", pa.string())]))
