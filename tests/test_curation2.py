@@ -450,3 +450,21 @@ def test_substring_dedup_partition_invariant():
         got = sorted((r["doc_id"], r["text"], r["n_tokens"], r["n_cut"])
                      for r in got)
         assert got == want, n_parts
+
+
+def test_degree_histogram_exact():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.graph import degree_histogram
+
+    # a: degree 3, b: 2, c/d/e: 1 each
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "e")]
+    und = edges + [(y, x) for x, y in edges]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([e[0] for e in und], pa.string()),
+        "dst": pa.array([e[1] for e in und], pa.string()),
+    })).repartition(3)
+    got = {r["degree"]: r["n_nodes"]
+           for r in degree_histogram(ds).take_all()}
+    assert got == {3: 1, 2: 1, 1: 3}

@@ -1305,6 +1305,15 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_kg_degree_histogram(sf_dir: str):
+    """Degree distribution of the fused property graph (hub/skew
+    profile): per-block node-count combine, two tiny groupbys."""
+    from trustfuse_ray.stages.graph import degree_histogram
+
+    _, und = _und_property_edges(sf_dir)
+    return degree_histogram(und)
+
+
 def q_conversation_near_dups(sf_dir: str):
     """Conversation-grain near-dup detection: MinHash-LSH over the
     turn-ordered assembled conversation text (templated dialogues are the
@@ -2030,6 +2039,7 @@ def queries_map():
         "kg_truth_timeline": q_kg_truth_timeline,
         "multimodal_dedup": q_multimodal_dedup,
         "conversation_near_dups": q_conversation_near_dups,
+        "kg_degree_histogram": q_kg_degree_histogram,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3852,6 +3862,12 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "kg_degree_histogram": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+deg AS (SELECT src, count(*) AS d FROM ed GROUP BY 1)
+SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1""",
         "conversation_near_dups": f"""
 WITH {_minhash_sql(
     f'''(SELECT CAST(regexp_extract(conv_id, '[0-9]+') AS BIGINT)

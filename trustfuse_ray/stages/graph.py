@@ -746,3 +746,39 @@ def kg_negative_samples(triples, k: int = 2, n_parts: int = 32):
 
     return cat.map_batches(_sample, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def degree_histogram(edges, node_col: str = "src"):
+    """Degree distribution of an edge Dataset: (degree, n_nodes) — the
+    shape-of-the-graph profile (hub detection, skew planning for the
+    per-key graph rounds).  Per-block (node, n) combine → one node
+    groupby-sum → O(distinct degrees) histogram partials → tiny final
+    sum.  Nothing scales with edge count past the first combine."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        col = batch[node_col]
+        enc = pc.dictionary_encode(col.combine_chunks()
+                                   if isinstance(col, pa.ChunkedArray)
+                                   else col)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        counts = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({"node": enc.dictionary,
+                         "n": pa.array(counts, pa.int64())})
+
+    deg = (edges.select_columns([node_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node").sum("n"))
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["sum(n)"], dtype=np.int64)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"degree": pa.array(uniq, pa.int64()),
+                         "n_nodes": pa.array(cnt.astype(np.int64))})
+
+    return (deg.map_batches(_hist, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .groupby("degree").sum("n_nodes")
+            .rename_columns({"sum(n_nodes)": "n_nodes"}))
