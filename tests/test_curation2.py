@@ -468,3 +468,25 @@ def test_degree_histogram_exact():
     got = {r["degree"]: r["n_nodes"]
            for r in degree_histogram(ds).take_all()}
     assert got == {3: 1, 2: 1, 1: 3}
+
+
+def test_export_ntriples_roundtrip(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.graph import export_ntriples
+
+    t = pa.table({
+        "entity": pa.array(["e1", "e2", "e3"], pa.string()),
+        "attr": pa.array(["name", "size", "note"], pa.string()),
+        "value_str": pa.array(['va"l', None, "line\nbreak"], pa.string()),
+        "value_num": pa.array([None, 2.5, None], pa.float64()),
+    })
+    n = export_ntriples(rd.from_arrow(t).repartition(2), str(tmp_path))
+    assert n >= 1
+    body = "\n".join(p.read_text()
+                     for p in sorted(tmp_path.glob("*.nt")))
+    assert '<kg:e1> <kg:name> "va\\"l" .' in body
+    assert '<kg:e2> <kg:size> "2.5"^^' \
+           '<http://www.w3.org/2001/XMLSchema#double> .' in body
+    assert '"line\\nbreak"' in body

@@ -782,3 +782,48 @@ def degree_histogram(edges, node_col: str = "src"):
                             zero_copy_batch=True)
             .groupby("degree").sum("n_nodes")
             .rename_columns({"sum(n_nodes)": "n_nodes"}))
+
+
+def export_ntriples(triples, out_dir: str):
+    """Materialize fused triples as N-Triples text shards (one ``.nt``
+    file per block, written inside the map task — no driver collection):
+    ``<kg:entity> <kg:attr> "value" .`` with minimal N-Triples escaping.
+    The interchange-format sibling of the Parquet triple tables.
+
+    Returns the number of shards written."""
+    import os
+
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _esc(s: str) -> str:
+        return (s.replace("\\", "\\\\").replace('"', '\\"')
+                .replace("\n", "\\n"))
+
+    def _write(batch: pa.Table) -> pa.Table:
+        import uuid
+
+        ents = batch["entity"].to_pylist()
+        attrs = batch["attr"].to_pylist()
+        vs = batch["value_str"].to_pylist()
+        vn = batch["value_num"].to_pylist()
+        lines = []
+        for e, a, s, n in zip(ents, attrs, vs, vn):
+            if s is not None:
+                obj = f'"{_esc(s)}"'
+            elif n is not None:
+                obj = (f'"{n!r}"^^'
+                       "<http://www.w3.org/2001/XMLSchema#double>")
+            else:
+                continue
+            lines.append(f"<kg:{_esc(e)}> <kg:{_esc(a)}> {obj} .")
+        if lines:
+            path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.nt")
+            with open(path, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+        return pa.table({"n": pa.array([len(lines)], pa.int64())})
+
+    counts = triples.map_batches(_write, batch_format="pyarrow",
+                                 zero_copy_batch=True).take_all()
+    return sum(1 for r in counts if r["n"])
