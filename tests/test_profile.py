@@ -271,3 +271,27 @@ def test_table_profile_nulls_and_distinct():
     out = {r["column"]: (r["n_rows"], r["n_null"], r["n_distinct"])
            for r in table_profile(ds, ["a", "b"]).take_all()}
     assert out == {"a": (4, 1, 2), "b": (4, 0, 3)}
+
+
+def test_source_token_divergence_exact():
+    import collections
+
+    from trustfuse_ray.stages.profile import source_token_divergence
+
+    rows = [("s1", "a a b"), ("s1", "a c"), ("s2", "b b b d"), ("s2", "")]
+    docs = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(2)
+    got = {r["source"]: r["div_fx"]
+           for r in source_token_divergence(docs, n_parts=2).take_all()}
+    per = collections.Counter()
+    tot = collections.Counter()
+    for s, t in rows:
+        for w in t.strip().split() or [""]:
+            per[(s, w)] += 1
+            tot[w] += 1
+    want = collections.Counter()
+    for (s, w), n in per.items():
+        want[s] += n * ((n + 1).bit_length() - (tot[w] + 1).bit_length())
+    assert got == dict(want)

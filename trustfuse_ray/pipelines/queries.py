@@ -1305,6 +1305,14 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_source_divergence(sf_dir: str):
+    """Per-source token-distribution shift vs the corpus (integer
+    bit-length KL proxy; one token co-partition)."""
+    from trustfuse_ray.stages.profile import source_token_divergence
+
+    return source_token_divergence(_tbl(sf_dir, "documents"))
+
+
 def q_kg_degree_histogram(sf_dir: str):
     """Degree distribution of the fused property graph (hub/skew
     profile): per-block node-count combine, two tiny groupbys."""
@@ -2040,6 +2048,7 @@ def queries_map():
         "multimodal_dedup": q_multimodal_dedup,
         "conversation_near_dups": q_conversation_near_dups,
         "kg_degree_histogram": q_kg_degree_histogram,
+        "source_divergence": q_source_divergence,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3862,6 +3871,20 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "source_divergence": r"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+           AS token
+  FROM documents
+),
+c AS (SELECT source, token, count(*) AS n FROM toks GROUP BY 1, 2),
+g AS (SELECT token, sum(n) AS ng FROM c GROUP BY 1)
+SELECT c.source,
+       CAST(sum(c.n * (length(bin(c.n + 1)) - length(bin(g.ng + 1))))
+            AS BIGINT) AS div_fx
+FROM c JOIN g USING (token)
+GROUP BY 1""",
         "kg_degree_histogram": f"""
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},

@@ -1057,3 +1057,57 @@ def table_profile(ds, columns):
                                  ("n_rows", pa.int64()),
                                  ("n_null", pa.int64()),
                                  ("n_distinct", pa.int64())]))
+
+
+def source_token_divergence(docs, text_col: str = "text",
+                            source_col: str = "source",
+                            n_parts: int = 32):
+    """Per-source token-distribution shift vs the whole corpus — the
+    mixing diagnostic that flags a feed drifting away from the corpus
+    distribution.  Integer KL-proxy: for each (source, token),
+    ``n_s · (bitlen(n_s + 1) − bitlen(n + 1))`` summed per source (the
+    DSIR/charlm bit-length log, so SQL replays it exactly; more negative
+    = the source's tokens are rarer corpus-wide).
+
+    Shape: per-block (source, token, n) combine → ONE token co-partition
+    computes the global count in-group and emits per-source contribution
+    partials → final tiny source groupby."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch[text_col].cast(pa.string())),
+            _SPLIT_RX)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        srcs = batch[source_col].to_pylist()
+        flat_src = pa.array(np.repeat(np.asarray(srcs, dtype=object),
+                                      lens.astype(np.int64)))
+        t = pa.table({"source": flat_src, "token": toks.flatten()})
+        g = t.group_by(["source", "token"]).aggregate([("token", "count")])
+        return g.rename_columns(["source", "token", "n"])
+
+    def _contrib(group: pa.Table) -> pa.Table:
+        ns = np.asarray(group["n"], dtype=np.int64)
+        # finish the global combine for this token, then score per source
+        srcs = group["source"].to_pylist()
+        agg: dict[str, int] = {}
+        for s, n in zip(srcs, ns):
+            agg[s] = agg.get(s, 0) + int(n)
+        glob = sum(agg.values())
+        bg = (glob + 1).bit_length()
+        out_s = sorted(agg)
+        contrib = [agg[s] * ((agg[s] + 1).bit_length() - bg)
+                   for s in out_s]
+        return pa.table({"source": pa.array(out_s, pa.string()),
+                         "c": pa.array(contrib, pa.int64())})
+
+    partial = docs.select_columns([source_col, text_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_tok = hash_group_apply(
+        partial, ["token"], _contrib, n_parts=n_parts,
+        plasma_schema=pa.schema([("source", pa.string()),
+                                 ("c", pa.int64())]))
+    return (per_tok.groupby("source").sum("c")
+            .rename_columns({"sum(c)": "div_fx"}))
