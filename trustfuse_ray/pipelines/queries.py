@@ -1305,6 +1305,14 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_kg_entity_mentions(sf_dir: str):
+    """Hot-entity skew profile: distinct conversations + claims per
+    entity (block (entity, conv) combine, one entity co-partition)."""
+    from trustfuse_ray.reverse import entity_mention_stats
+
+    return entity_mention_stats(cached_claims(sf_dir))
+
+
 def q_source_divergence(sf_dir: str):
     """Per-source token-distribution shift vs the corpus (integer
     bit-length KL proxy; one token co-partition)."""
@@ -2049,6 +2057,7 @@ def queries_map():
         "conversation_near_dups": q_conversation_near_dups,
         "kg_degree_histogram": q_kg_degree_histogram,
         "source_divergence": q_source_divergence,
+        "kg_entity_mentions": q_kg_entity_mentions,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3871,6 +3880,11 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "kg_entity_mentions": f"""
+WITH {_claims_cte(cache)}
+SELECT entity, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(count(*) AS BIGINT) AS n_claims
+FROM claims GROUP BY 1""",
         "source_divergence": r"""
 WITH toks AS (
   SELECT source,

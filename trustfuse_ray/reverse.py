@@ -360,3 +360,38 @@ def truth_timeline(claims, n_cuts: int = 4, n_parts: int = 32):
                                  ("attr", pa.string()),
                                  ("value_str", pa.string()),
                                  ("value_num", pa.float64())]))
+
+
+def entity_mention_stats(claims, n_parts: int = 32):
+    """Per-entity mention footprint: how many distinct conversations and
+    claims assert facts about each entity — the hot-entity skew profile
+    the salted fusion paths are sized against.
+
+    Per-block (entity, conv_id, n) combine bounds the exchange by
+    distinct (entity, conversation) pairs per block; one entity
+    co-partition finishes.  Returns (entity, n_convs, n_claims)."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["entity", "conv_id"])
+        return (t.group_by(["entity", "conv_id"])
+                .aggregate([("conv_id", "count")])
+                .rename_columns(["entity", "conv_id", "n"]))
+
+    def _stats(group: pa.Table) -> pa.Table:
+        convs = set(group["conv_id"].to_pylist())
+        n = int(np.asarray(group["n"], dtype=np.int64).sum())
+        return pa.table({
+            "entity": group["entity"][:1],
+            "n_convs": pa.array([len(convs)], pa.int64()),
+            "n_claims": pa.array([n], pa.int64())})
+
+    return hash_group_apply(
+        claims.map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity"], _stats, n_parts=n_parts,
+        plasma_schema=pa.schema([("entity", pa.string()),
+                                 ("n_convs", pa.int64()),
+                                 ("n_claims", pa.int64())]))
