@@ -1305,6 +1305,14 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_token_postings(sf_dir: str):
+    """Inverted-index postings for the top-20 corpus tokens
+    (broadcast vocabulary, streaming distinct-containment pass)."""
+    from trustfuse_ray.stages.profile import heavy_hitter_postings
+
+    return heavy_hitter_postings(_tbl(sf_dir, "documents"), k=20)
+
+
 def q_kg_entity_mentions(sf_dir: str):
     """Hot-entity skew profile: distinct conversations + claims per
     entity (block (entity, conv) combine, one entity co-partition)."""
@@ -2058,6 +2066,7 @@ def queries_map():
         "kg_degree_histogram": q_kg_degree_histogram,
         "source_divergence": q_source_divergence,
         "kg_entity_mentions": q_kg_entity_mentions,
+        "token_postings": q_token_postings,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3880,6 +3889,17 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "token_postings": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+           AS token
+  FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+top AS (SELECT token FROM c ORDER BY n DESC, token LIMIT 20)
+SELECT DISTINCT t.token, t.doc_id
+FROM toks t JOIN top USING (token)""",
         "kg_entity_mentions": f"""
 WITH {_claims_cte(cache)}
 SELECT entity, CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,

@@ -1111,3 +1111,44 @@ def source_token_divergence(docs, text_col: str = "text",
                                  ("c", pa.int64())]))
     return (per_tok.groupby("source").sum("c")
             .rename_columns({"sum(c)": "div_fx"}))
+
+
+def heavy_hitter_postings(docs, k: int = 20, text_col: str = "text",
+                          id_col: str = "doc_id"):
+    """Inverted-index postings for the corpus's top-``k`` tokens: one
+    (token, doc_id) row per distinct containment — the retrieval-side
+    data product (bounded: heavy hitters only, so the posting table is
+    k × df rows, never vocabulary-sized).
+
+    Shape: the top-k vocabulary comes from :func:`top_tokens` (map-side
+    combine) and broadcasts via ``ray.put``; the posting pass is one
+    streaming filter per block with a per-block distinct."""
+    import ray
+
+    vocab = [r["token"] for r in top_tokens(docs, k=k,
+                                            text_col=text_col).take_all()]
+    vref = ray.put(set(vocab))
+
+    def _post(batch: pa.Table) -> pa.Table:
+        vs = ray.get(vref)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch[text_col].cast(pa.string())),
+            _SPLIT_RX)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = np.repeat(np.asarray(batch[id_col], dtype=np.int64),
+                        lens.astype(np.int64))
+        flat = toks.flatten().to_pylist()
+        pairs = sorted({(t, int(d)) for t, d in zip(flat, ids)
+                        if t in vs})
+        return pa.table({
+            "token": pa.array([p[0] for p in pairs], pa.string()),
+            id_col: pa.array([p[1] for p in pairs], pa.int64())})
+
+    posts = docs.select_columns([id_col, text_col]).map_batches(
+        _post, batch_format="pyarrow", zero_copy_batch=True)
+    # finish the global distinct (a doc can span blocks only if its id
+    # repeats; also dedups retry artifacts)
+    return (posts.groupby(["token", id_col]).count()
+            .drop_columns(["count()"]))
