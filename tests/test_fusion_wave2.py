@@ -359,3 +359,34 @@ def test_snapshot_diff_random_consistency():
                    None if prev is None else prev[1],
                    vn)
     assert got == want
+
+
+def test_fact_stability_flip_points():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import fact_stability
+
+    US = 1_000_000
+    rows = [
+        # e1: v1 until a late v2 majority -> stable at the last cut
+        ("s1", "e1", "a", "v1", None, "categorical", 0),
+        ("s2", "e1", "a", "v2", None, "categorical", 3 * US),
+        ("s3", "e1", "a", "v2", None, "categorical", 4 * US),
+        # e2: same truth from its first appearance -> stable at cut 1
+        ("s1", "e2", "a", "x", None, "categorical", 0),
+    ]
+    claims = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "entity": pa.array([r[1] for r in rows], pa.string()),
+        "attr": pa.array([r[2] for r in rows], pa.string()),
+        "value_str": pa.array([r[3] for r in rows], pa.string()),
+        "value_num": pa.array([r[4] for r in rows], pa.float64()),
+        "value_type": pa.array([r[5] for r in rows], pa.string()),
+        "ts": pa.array([r[6] for r in rows], pa.timestamp("us")),
+    })).repartition(2)
+    out = {(r["entity"], r["kind"]): (r["stable_cut"], r["n_cuts_present"])
+           for r in fact_stability(claims, n_cuts=4,
+                                   n_parts=2).take_all()}
+    assert out[("e1", "cat")] == (4, 4)   # flips at the final cut
+    assert out[("e2", "cat")] == (1, 4)   # never flips

@@ -1305,6 +1305,14 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_kg_fact_stability(sf_dir: str):
+    """Per-fact truth-convergence point across the 4 cumulative cutoffs
+    (smallest cut from which the fused value never changes)."""
+    from trustfuse_ray.reverse import fact_stability
+
+    return fact_stability(cached_claims(sf_dir), n_cuts=4)
+
+
 def q_token_postings(sf_dir: str):
     """Inverted-index postings for the top-20 corpus tokens
     (broadcast vocabulary, streaming distinct-containment pass)."""
@@ -2067,6 +2075,7 @@ def queries_map():
         "source_divergence": q_source_divergence,
         "kg_entity_mentions": q_kg_entity_mentions,
         "token_postings": q_token_postings,
+        "kg_fact_stability": q_kg_fact_stability,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3889,6 +3898,48 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "kg_fact_stability": f"""
+WITH {_claims_cte(cache)},
+mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+       FROM claims),
+tl AS ({" UNION ALL ".join(_timeline_cut_sql(k, 4)
+                           for k in range(1, 5))}),
+k AS (
+  SELECT cut, entity, attr,
+         CASE WHEN value_str IS NULL THEN 'num' ELSE 'cat' END AS kind,
+         value_str, value_num
+  FROM tl
+),
+f AS (
+  SELECT entity, attr, kind, max(cut) AS last_cut,
+         CAST(count(*) AS BIGINT) AS n_cuts_present
+  FROM k GROUP BY 1, 2, 3
+),
+fin AS (
+  SELECT k.entity, k.attr, k.kind,
+         k.value_str AS fvs, k.value_num AS fvn
+  FROM k JOIN f ON f.entity = k.entity AND f.attr = k.attr
+               AND f.kind = k.kind AND k.cut = f.last_cut
+),
+mis AS (
+  SELECT k.entity, k.attr, k.kind, max(k.cut) AS m
+  FROM k JOIN fin ON fin.entity = k.entity AND fin.attr = k.attr
+                 AND fin.kind = k.kind
+  WHERE k.value_str IS DISTINCT FROM fin.fvs
+     OR k.value_num IS DISTINCT FROM fin.fvn
+  GROUP BY 1, 2, 3
+),
+st AS (
+  SELECT k.entity, k.attr, k.kind,
+         CAST(min(k.cut) AS BIGINT) AS stable_cut
+  FROM k LEFT JOIN mis ON mis.entity = k.entity AND mis.attr = k.attr
+                      AND mis.kind = k.kind
+  WHERE k.cut > coalesce(mis.m, -1)
+  GROUP BY 1, 2, 3
+)
+SELECT st.entity, st.attr, st.kind, st.stable_cut, f.n_cuts_present
+FROM st JOIN f ON f.entity = st.entity AND f.attr = st.attr
+              AND f.kind = st.kind""",
         "token_postings": r"""
 WITH toks AS (
   SELECT doc_id,

@@ -395,3 +395,59 @@ def entity_mention_stats(claims, n_parts: int = 32):
         plasma_schema=pa.schema([("entity", pa.string()),
                                  ("n_convs", pa.int64()),
                                  ("n_claims", pa.int64())]))
+
+
+def fact_stability(claims, n_cuts: int = 4, n_parts: int = 32):
+    """Convergence point of each fact's truth under cumulative growth:
+    the smallest cutoff index from which the fused value never changes
+    again (derived from :func:`truth_timeline`'s cuts).  Facts whose
+    truth first appears at cut c and never flips report ``stable_cut=c``;
+    late flips push it up — the fusion-confidence analytic.
+
+    One extra (entity, attr) co-partition over the tiny timeline stream.
+    Returns (entity, attr, kind, stable_cut, n_cuts_present)."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    timeline = truth_timeline(claims, n_cuts=n_cuts, n_parts=n_parts)
+
+    def _stab(group: pa.Table) -> pa.Table:
+        cuts = group["cut"].to_pylist()
+        vss = group["value_str"].to_pylist()
+        vns = group["value_num"].to_pylist()
+        ent = group["entity"][0].as_py()
+        attr = group["attr"][0].as_py()
+        per_kind: dict[str, list] = {}
+        for c, vs, vn in zip(cuts, vss, vns):
+            kind = "num" if vs is None else "cat"
+            per_kind.setdefault(kind, []).append((c, vs, vn))
+        oe, oa, ok, os_, on = [], [], [], [], []
+        for kind, rows in sorted(per_kind.items()):
+            rows.sort()
+            final = rows[-1][1:]
+            stable = rows[-1][0]
+            for c, vs, vn in reversed(rows):
+                if (vs, vn) == final:
+                    stable = c
+                else:
+                    break
+            oe.append(ent)
+            oa.append(attr)
+            ok.append(kind)
+            os_.append(stable)
+            on.append(len(rows))
+        return pa.table({
+            "entity": pa.array(oe, pa.string()),
+            "attr": pa.array(oa, pa.string()),
+            "kind": pa.array(ok, pa.string()),
+            "stable_cut": pa.array(os_, pa.int64()),
+            "n_cuts_present": pa.array(on, pa.int64())})
+
+    return hash_group_apply(
+        timeline, ["entity", "attr"], _stab, n_parts=n_parts,
+        plasma_schema=pa.schema([("entity", pa.string()),
+                                 ("attr", pa.string()),
+                                 ("kind", pa.string()),
+                                 ("stable_cut", pa.int64()),
+                                 ("n_cuts_present", pa.int64())]))
