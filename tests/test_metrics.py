@@ -198,3 +198,34 @@ def test_source_agreement_windows():
            for r in source_agreement(claims, n_parts=2).take_all()}
     assert out == {("s1", 0): (1, 1), ("s2", 0): (1, 1),
                    ("s1", 1): (1, 1), ("s3", 1): (1, 0)}
+
+
+def test_attr_value_entropy_exact():
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import attr_value_entropy
+
+    rows = [
+        # attr a: values v1 (2 entities) + v2 (1) -> N=3
+        ("e1", "a", "v1"), ("e2", "a", "v1"), ("e3", "a", "v2"),
+        # cross-block duplicate assertion must not double-count
+        ("e1", "a", "v1"),
+        # attr b: single value -> entropy from one group
+        ("e1", "b", "x"),
+        # quantity rows excluded
+        ("e1", "q", None),
+    ]
+    claims = rd.from_arrow(pa.table({
+        "entity": pa.array([r[0] for r in rows], pa.string()),
+        "attr": pa.array([r[1] for r in rows], pa.string()),
+        "value_str": pa.array([r[2] for r in rows], pa.string()),
+        "value_type": pa.array(
+            ["quantity" if r[1] == "q" else "categorical" for r in rows],
+            pa.string()),
+    })).repartition(3)
+    out = {r["attr"]: (r["n_assertions"], r["n_values"], r["entropy_fx"])
+           for r in attr_value_entropy(claims, n_parts=2).take_all()}
+    bl = lambda x: x.bit_length()
+    ea = 2 * (bl(4) - bl(3)) + 1 * (bl(4) - bl(2))
+    eb = 1 * (bl(2) - bl(2))
+    assert out == {"a": (3, 2, ea), "b": (1, 1, eb)}

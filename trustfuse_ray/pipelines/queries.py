@@ -1305,6 +1305,14 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_kg_attr_entropy(sf_dir: str):
+    """Per-attribute value-diversity (integer surprisal sum over distinct
+    categorical assertions)."""
+    from trustfuse_ray.reverse import attr_value_entropy
+
+    return attr_value_entropy(cached_claims(sf_dir))
+
+
 def q_kg_fact_stability(sf_dir: str):
     """Per-fact truth-convergence point across the 4 cumulative cutoffs
     (smallest cut from which the fused value never changes)."""
@@ -2076,6 +2084,7 @@ def queries_map():
         "kg_entity_mentions": q_kg_entity_mentions,
         "token_postings": q_token_postings,
         "kg_fact_stability": q_kg_fact_stability,
+        "kg_attr_entropy": q_kg_attr_entropy,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3898,6 +3907,23 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "kg_attr_entropy": f"""
+WITH {_claims_cte(cache)},
+dd AS (
+  SELECT DISTINCT entity, attr, value_str
+  FROM claims WHERE value_type <> 'quantity' AND value_str IS NOT NULL
+),
+vc AS (SELECT attr, value_str, count(*) AS n FROM dd GROUP BY 1, 2),
+tot AS (SELECT attr, sum(n) AS total, count(*) AS n_values
+        FROM vc GROUP BY 1)
+SELECT vc.attr,
+       CAST(max(tot.total) AS BIGINT) AS n_assertions,
+       CAST(max(tot.n_values) AS BIGINT) AS n_values,
+       CAST(sum(vc.n * (length(bin(tot.total + 1))
+                        - length(bin(vc.n + 1)))) AS BIGINT)
+         AS entropy_fx
+FROM vc JOIN tot USING (attr)
+GROUP BY 1""",
         "kg_fact_stability": f"""
 WITH {_claims_cte(cache)},
 mm AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi

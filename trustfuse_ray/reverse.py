@@ -451,3 +451,48 @@ def fact_stability(claims, n_cuts: int = 4, n_parts: int = 32):
                                  ("kind", pa.string()),
                                  ("stable_cut", pa.int64()),
                                  ("n_cuts_present", pa.int64())]))
+
+
+def attr_value_entropy(claims, n_parts: int = 32):
+    """Per-attribute value-diversity profile: over globally-distinct
+    (entity, attr, value_str) categorical assertions, the integer
+    surprisal sum ``Σ_v n_v · (bitlen(N + 1) − bitlen(n_v + 1))`` (the
+    bit-length entropy proxy, SQL-exact) plus the distinct value count —
+    high values mean heavily contested / diverse attributes.
+
+    Map-side distinct bounds the exchange; one attr co-partition.
+    Returns (attr, n_assertions, n_values, entropy_fx)."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _dd(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(batch["value_type"], "quantity"),
+                       pc.is_valid(batch["value_str"]))
+        t = batch.filter(keep).select(["entity", "attr", "value_str"])
+        return t.group_by(["entity", "attr", "value_str"]).aggregate([])
+
+    def _ent(group: pa.Table) -> pa.Table:
+        rows = set(zip(group["entity"].to_pylist(),
+                       group["value_str"].to_pylist()))
+        counts: dict[str, int] = {}
+        for _, v in rows:
+            counts[v] = counts.get(v, 0) + 1
+        total = sum(counts.values())
+        bt = (total + 1).bit_length()
+        ent = sum(n * (bt - (n + 1).bit_length())
+                  for n in counts.values())
+        return pa.table({
+            "attr": group["attr"][:1],
+            "n_assertions": pa.array([total], pa.int64()),
+            "n_values": pa.array([len(counts)], pa.int64()),
+            "entropy_fx": pa.array([ent], pa.int64())})
+
+    return hash_group_apply(
+        claims.map_batches(_dd, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["attr"], _ent, n_parts=min(n_parts, 8),
+        plasma_schema=pa.schema([("attr", pa.string()),
+                                 ("n_assertions", pa.int64()),
+                                 ("n_values", pa.int64()),
+                                 ("entropy_fx", pa.int64())]))
