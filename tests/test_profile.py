@@ -295,3 +295,22 @@ def test_source_token_divergence_exact():
     for (s, w), n in per.items():
         want[s] += n * ((n + 1).bit_length() - (tot[w] + 1).bit_length())
     assert got == dict(want)
+
+
+def test_winsorized_stats_exact():
+    import numpy as np
+
+    from trustfuse_ray.stages.profile import winsorized_stats
+
+    vals = list(range(100))          # p1 idx floor(.01*99)=0 -> lo=0
+    vals[99] = 10_000                # p99 idx 98 -> hi=98, one high clip
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array(["t"] * 100, pa.string()),
+        "value": pa.array([float(v) for v in vals], pa.float64()),
+    })).repartition(3)
+    out = winsorized_stats(ds, q_lo=0.01, q_hi=0.99,
+                           n_parts=2).take_all()[0]
+    assert out["n"] == 100
+    assert out["n_clipped_low"] == 0 and out["n_clipped_high"] == 1
+    clipped = np.clip(np.array(vals, float), 0.0, 98.0)
+    assert out["sum_clipped_fx"] == int(np.floor(clipped * 1000).sum())

@@ -1305,6 +1305,14 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_events_winsorized(sf_dir: str):
+    """Outlier-robust per-type stats: clip at discrete [p01, p99],
+    fixed-point clipped sums (order-free integer aggregation)."""
+    from trustfuse_ray.stages.profile import winsorized_stats
+
+    return winsorized_stats(_tbl(sf_dir, "events"))
+
+
 def q_kg_attr_entropy(sf_dir: str):
     """Per-attribute value-diversity (integer surprisal sum over distinct
     categorical assertions)."""
@@ -2085,6 +2093,7 @@ def queries_map():
         "token_postings": q_token_postings,
         "kg_fact_stability": q_kg_fact_stability,
         "kg_attr_entropy": q_kg_attr_entropy,
+        "events_winsorized": q_events_winsorized,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3907,6 +3916,33 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "events_winsorized": """
+WITH r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+q AS (
+  SELECT event_type, max(n) AS n,
+         max(CASE WHEN rn = lo_rn THEN value END) AS lo,
+         max(CASE WHEN rn = hi_rn THEN value END) AS hi
+  FROM (SELECT event_type, value, rn, n,
+               CAST(floor(0.01 * (n - 1)) AS BIGINT) + 1 AS lo_rn,
+               CAST(floor(0.99 * (n - 1)) AS BIGINT) + 1 AS hi_rn
+        FROM r) rq
+  GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(max(q.n) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_low,
+       CAST(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_high,
+       CAST(sum(CAST(floor(least(greatest(e.value, q.lo), q.hi) * 1000)
+                     AS BIGINT)) AS BIGINT) AS sum_clipped_fx
+FROM events e JOIN q USING (event_type)
+GROUP BY 1""",
         "kg_attr_entropy": f"""
 WITH {_claims_cte(cache)},
 dd AS (

@@ -1152,3 +1152,44 @@ def heavy_hitter_postings(docs, k: int = 20, text_col: str = "text",
     # repeats; also dedups retry artifacts)
     return (posts.groupby(["token", id_col]).count()
             .drop_columns(["count()"]))
+
+
+def winsorized_stats(ds, key_col: str = "event_type",
+                     value_col: str = "value",
+                     q_lo: float = 0.01, q_hi: float = 0.99,
+                     fx_scale: int = 1000, n_parts: int = 16):
+    """Outlier-robust per-key aggregation: clip values at the key's
+    discrete [q_lo, q_hi] quantiles (the value at ``floor(q·(n−1))`` of
+    the sorted group — the same rule as :func:`value_quantiles`, so both
+    sides agree bit-for-bit), then report clip counts and the
+    fixed-point sum ``Σ floor(clipped · fx_scale)`` (integer, so the
+    groupby-sum is order-free and SQL-exact).
+
+    Shape: quantile cut + clip + sum all happen inside ONE key
+    co-partition (group = locality unit, as value_quantiles documents).
+    Returns (key, n, n_clipped_low, n_clipped_high, sum_clipped_fx)."""
+    def _wins(group: pa.Table) -> pa.Table:
+        vals = np.asarray(group[value_col], dtype=np.float64)
+        vs = np.sort(vals)
+        n = len(vs)
+        lo = vs[int(np.floor(q_lo * (n - 1)))]
+        hi = vs[int(np.floor(q_hi * (n - 1)))]
+        clipped = np.clip(vals, lo, hi)
+        return pa.table({
+            key_col: group[key_col][:1],
+            "n": pa.array([n], pa.int64()),
+            "n_clipped_low": pa.array([int((vals < lo).sum())], pa.int64()),
+            "n_clipped_high": pa.array([int((vals > hi).sum())],
+                                       pa.int64()),
+            "sum_clipped_fx": pa.array(
+                [int(np.floor(clipped * fx_scale).astype(np.int64).sum())],
+                pa.int64())})
+
+    return hash_group_apply(
+        ds.select_columns([key_col, value_col]), [key_col], _wins,
+        n_parts=n_parts,
+        plasma_schema=pa.schema([(key_col, pa.string()),
+                                 ("n", pa.int64()),
+                                 ("n_clipped_low", pa.int64()),
+                                 ("n_clipped_high", pa.int64()),
+                                 ("sum_clipped_fx", pa.int64())]))
