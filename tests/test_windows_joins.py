@@ -399,3 +399,22 @@ def test_mixture_order_prefix_proportions():
                                           {"A": 3, "B": 1},
                                           n_parts=2).take_all())
     assert again == out
+
+
+def test_anomaly_windows_exact_z2():
+    from trustfuse_ray.stages.windows import anomaly_windows
+
+    DAY = 86_400_000_000
+    # type t: 10 windows of count 5 plus one spike of 50
+    rows = []
+    for w in range(10):
+        rows += [("t", w * DAY + i) for i in range(5)]
+    rows += [("t", 10 * DAY + i) for i in range(50)]
+    ds = rd.from_arrow(pa.table({
+        "event_type": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })).repartition(4)
+    out = {r["window"]: (r["cnt"], r["is_anomaly"])
+           for r in anomaly_windows(ds, n_parts=2).take_all()}
+    assert out[10] == (50, 1)
+    assert all(v == (5, 0) for w, v in out.items() if w < 10)

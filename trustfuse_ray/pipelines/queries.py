@@ -1305,6 +1305,14 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_events_anomaly_windows(sf_dir: str):
+    """Windowed anomaly detection: per-type daily counts flagged by the
+    exact integer z² rule (k=3)."""
+    from trustfuse_ray.stages.windows import anomaly_windows
+
+    return anomaly_windows(_tbl(sf_dir, "events"))
+
+
 def q_events_winsorized(sf_dir: str):
     """Outlier-robust per-type stats: clip at discrete [p01, p99],
     fixed-point clipped sums (order-free integer aggregation)."""
@@ -2094,6 +2102,7 @@ def queries_map():
         "kg_fact_stability": q_kg_fact_stability,
         "kg_attr_entropy": q_kg_attr_entropy,
         "events_winsorized": q_events_winsorized,
+        "events_anomaly_windows": q_events_anomaly_windows,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3916,6 +3925,22 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "events_anomaly_windows": """
+WITH w AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS window,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, count(*) AS n, sum(cnt) AS s,
+         sum(cnt * cnt) AS q
+  FROM w GROUP BY 1
+)
+SELECT w.event_type, w.window, w.cnt,
+       CAST(CASE WHEN (st.n * w.cnt - st.s) * (st.n * w.cnt - st.s)
+                      > 9 * (st.n * st.q - st.s * st.s)
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM w JOIN st USING (event_type)""",
         "events_winsorized": """
 WITH r AS (
   SELECT event_type, value,

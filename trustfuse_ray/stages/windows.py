@@ -634,3 +634,63 @@ def global_row_number(ds, sort_keys, pos_col: str = "pos"):
     offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
     return rd.from_arrow_refs(
         [_tag.remote(r, int(o)) for r, o in zip(refs, offs)])
+
+
+def anomaly_windows(events, key_col: str = "event_type",
+                    ts_col: str = "ts", window_us: int = 86_400_000_000,
+                    k: int = 3, n_parts: int = 16):
+    """Windowed anomaly detection: tumbling per-key window counts, then
+    flag windows whose count deviates from the key's mean by more than
+    ``k`` standard deviations — decided by the EXACT integer z² test
+    ``(n·c − S)² > k²·(n·Q − S²)`` (no float stddev; the group_outliers
+    rule applied to window counts), so the whole detector replays in
+    SQL.  Only windows PRESENT in the data participate (empty windows
+    are not imputed — documented semantic).
+
+    Shape: per-block (key, window, n) combine → one (key) co-partition
+    computes the stats and flags in-group.  Returns
+    (key, window, cnt, is_anomaly)."""
+    import functools
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch[ts_col].cast(pa.int64()), dtype=np.int64)
+        win = ts // np.int64(window_us)
+        t = pa.table({key_col: batch[key_col],
+                      "window": pa.array(win, pa.int64())})
+        return (t.group_by([key_col, "window"])
+                .aggregate([("window", "count")])
+                .rename_columns([key_col, "window", "n"]))
+
+    def _flag(group: pa.Table) -> pa.Table:
+        wins = np.asarray(group["window"], dtype=np.int64)
+        ns = np.asarray(group["n"], dtype=np.int64)
+        # finish the global per-window combine
+        order = np.argsort(wins, kind="stable")
+        wins, ns = wins[order], ns[order]
+        starts = np.nonzero(np.concatenate(([True],
+                                            wins[1:] != wins[:-1])))[0]
+        uw = wins[starts]
+        cnt = np.add.reduceat(ns, starts)
+        n = len(uw)
+        s = int(cnt.sum())
+        q = int((cnt.astype(object) ** 2).sum())
+        lhs = (n * cnt.astype(object) - s) ** 2
+        rhs = (k * k) * (n * q - s * s)
+        flag = np.array([int(a > rhs) for a in lhs], dtype=np.int64)
+        return pa.table({
+            key_col: pa.array([group[key_col][0].as_py()] * n,
+                              pa.string()),
+            "window": pa.array(uw, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "is_anomaly": pa.array(flag)})
+
+    return hash_group_apply(
+        events.select_columns([key_col, ts_col]).map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col], _flag, n_parts=n_parts,
+        plasma_schema=pa.schema([(key_col, pa.string()),
+                                 ("window", pa.int64()),
+                                 ("cnt", pa.int64()),
+                                 ("is_anomaly", pa.int64())]))
