@@ -163,3 +163,28 @@ def test_null_text_rows_survive_minhash_and_pack():
     nt = dict(zip(packed["doc_id"].astype(int), packed["n_tokens"]))
     assert nt[2] == 1  # '' token, same as fill_null('') semantics
     assert (packed["seq_pos"] >= 0).all()
+
+
+def test_lang_consistency_agreement_counts():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.text import lang_consistency
+
+    rows = [
+        # labeled en, clearly en -> agree
+        ("s1", "en", "the cat and the dog is in that house"),
+        # labeled fr, clearly en -> disagree
+        ("s1", "fr", "the cat and the dog of it"),
+        # labeled und, no markers -> agree
+        ("s2", "und", "zzz qqq"),
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })).repartition(2)
+    out = {r["source"]: (r["n_docs"], r["n_agree"])
+           for r in lang_consistency(docs).take_all()}
+    assert out == {"s1": (2, 1), "s2": (1, 1)}

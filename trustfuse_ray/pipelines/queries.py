@@ -1305,6 +1305,14 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_lang_consistency(sf_dir: str):
+    """Per-source agreement between the labeled lang column and the
+    marker-set language ID (label-audit actor-pool pass)."""
+    from trustfuse_ray.stages.text import lang_consistency
+
+    return lang_consistency(_tbl(sf_dir, "documents"))
+
+
 def q_events_anomaly_windows(sf_dir: str):
     """Windowed anomaly detection: per-type daily counts flagged by the
     exact integer z² rule (k=3)."""
@@ -2103,6 +2111,7 @@ def queries_map():
         "kg_attr_entropy": q_kg_attr_entropy,
         "events_winsorized": q_events_winsorized,
         "events_anomaly_windows": q_events_anomaly_windows,
+        "lang_consistency": q_lang_consistency,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3925,6 +3934,39 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "lang_consistency": r"""
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))
+           AS toks
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+    len(list_intersect(toks,
+        ['der','die','und','das','ist','nicht','ein','zu'])) AS h_de,
+    len(list_intersect(toks,
+        ['the','and','of','to','is','in','that','it'])) AS h_en,
+    len(list_intersect(toks,
+        ['el','la','los','y','de','es','que','una'])) AS h_es,
+    len(list_intersect(toks,
+        ['le','la','les','et','de','est','que','une'])) AS h_fr
+  FROM d
+),
+pred AS (
+  SELECT doc_id,
+    CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         WHEN h_es >= h_fr THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM h
+)
+SELECT doc.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN p.lang_pred = doc.lang THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_agree
+FROM pred p JOIN documents doc USING (doc_id)
+GROUP BY 1""",
         "events_anomaly_windows": """
 WITH w AS (
   SELECT event_type, epoch_us(ts) // 86400000000 AS window,

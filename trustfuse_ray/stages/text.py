@@ -184,3 +184,42 @@ def quality_classify(docs, **kw):
     kw.setdefault("batch_size", 1024)
     return docs.map_batches(QualityClassifier, batch_format="pyarrow",
                             zero_copy_batch=True, **kw)
+
+
+class LangConsistencyScorer(LangIdScorer):
+    """Actor-pool label-audit stage: runs the marker-set language ID and
+    reduces the batch to per-source (n_docs, n_agree) partials against
+    the corpus's ``lang`` label column — the labeled-metadata audit a
+    crawl pipeline runs before trusting upstream labels."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        preds = LangIdScorer.__call__(
+            self, batch)["lang_pred"].to_pylist()
+        labels = batch["lang"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        agg: dict[str, list] = {}
+        for s, p, l in zip(srcs, preds, labels):
+            st = agg.setdefault(s or "", [0, 0])
+            st[0] += 1
+            st[1] += int(p == l)
+        ks = sorted(agg)
+        return pa.table({
+            "source": pa.array(ks, pa.string()),
+            "n_docs": pa.array([agg[k][0] for k in ks], pa.int64()),
+            "n_agree": pa.array([agg[k][1] for k in ks], pa.int64())})
+
+
+def lang_consistency(docs, concurrency=(1, 4)):
+    """Per-source agreement between the labeled ``lang`` column and the
+    marker-set prediction.  One actor-pool pass emitting per-source
+    partials; a tiny groupby finishes."""
+    part = docs.select_columns(["doc_id", "source", "lang",
+                                "text"]).map_batches(
+        LangConsistencyScorer, batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=concurrency)
+    return (part.groupby("source").sum(["n_docs", "n_agree"])
+            .rename_columns({"sum(n_docs)": "n_docs",
+                             "sum(n_agree)": "n_agree"}))
