@@ -1305,6 +1305,15 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_kg_multi_truth(sf_dir: str):
+    """Deterministic multi-truth emit (LTM's multi-valued semantics
+    without the sampler): every categorical value with ≥ 2 distinct
+    supporting sources."""
+    from trustfuse_ray.reverse import multi_truth
+
+    return multi_truth(cached_claims(sf_dir), min_support=2)
+
+
 def q_lang_consistency(sf_dir: str):
     """Per-source agreement between the labeled lang column and the
     marker-set language ID (label-audit actor-pool pass)."""
@@ -2112,6 +2121,7 @@ def queries_map():
         "events_winsorized": q_events_winsorized,
         "events_anomaly_windows": q_events_anomaly_windows,
         "lang_consistency": q_lang_consistency,
+        "kg_multi_truth": q_kg_multi_truth,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3934,6 +3944,14 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "kg_multi_truth": f"""
+WITH {_claims_cte(cache)},
+dd AS (
+  SELECT DISTINCT source, entity, attr, value_str
+  FROM claims WHERE value_type <> 'quantity' AND value_str IS NOT NULL
+)
+SELECT entity, attr, value_str, CAST(count(*) AS BIGINT) AS support
+FROM dd GROUP BY 1, 2, 3 HAVING count(*) >= 2""",
         "lang_consistency": r"""
 WITH d AS (
   SELECT doc_id,

@@ -496,3 +496,47 @@ def attr_value_entropy(claims, n_parts: int = 32):
                                  ("n_assertions", pa.int64()),
                                  ("n_values", pa.int64()),
                                  ("entropy_fx", pa.int64())]))
+
+
+def multi_truth(claims, min_support: int = 2, n_parts: int = 32):
+    """Deterministic multi-truth emit — the reference LTM's multi-valued
+    output semantics (a fact can hold SEVERAL true values, e.g. a book's
+    authors) without the Gibbs sampler: every categorical value asserted
+    by at least ``min_support`` distinct sources is emitted as a truth,
+    with its support count.
+
+    Map-side distinct + ONE (entity, attr) co-partition.  Returns
+    (entity, attr, value_str, support)."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _dd(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(batch["value_type"], "quantity"),
+                       pc.is_valid(batch["value_str"]))
+        t = batch.filter(keep).select(["source", "entity", "attr",
+                                       "value_str"])
+        return t.group_by(["source", "entity", "attr",
+                           "value_str"]).aggregate([])
+
+    def _emit(group: pa.Table) -> pa.Table:
+        pairs = set(zip(group["source"].to_pylist(),
+                        group["value_str"].to_pylist()))
+        counts: dict[str, int] = {}
+        for _, v in pairs:
+            counts[v] = counts.get(v, 0) + 1
+        vals = sorted(v for v, n in counts.items() if n >= min_support)
+        ent = group["entity"][0].as_py()
+        attr = group["attr"][0].as_py()
+        return pa.table({
+            "entity": pa.array([ent] * len(vals), pa.string()),
+            "attr": pa.array([attr] * len(vals), pa.string()),
+            "value_str": pa.array(vals, pa.string()),
+            "support": pa.array([counts[v] for v in vals], pa.int64())})
+
+    return hash_group_apply(
+        claims.map_batches(_dd, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity", "attr"], _emit, n_parts=n_parts,
+        plasma_schema=pa.schema([("entity", pa.string()),
+                                 ("attr", pa.string()),
+                                 ("value_str", pa.string()),
+                                 ("support", pa.int64())]))
