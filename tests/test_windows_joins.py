@@ -418,3 +418,18 @@ def test_anomaly_windows_exact_z2():
            for r in anomaly_windows(ds, n_parts=2).take_all()}
     assert out[10] == (50, 1)
     assert all(v == (5, 0) for w, v in out.items() if w < 10)
+
+
+def test_active_users_dau_wau():
+    from trustfuse_ray.stages.windows import active_users
+
+    DAY = 86_400_000_000
+    rows = [(1, 0), (2, 0), (1, 0), (1, DAY), (3, 8 * DAY)]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    })).repartition(3)
+    got = sorted((r["period_kind"], r["period"], r["n_active"])
+                 for r in active_users(ds).take_all())
+    assert got == [("day", 0, 2), ("day", 1, 1), ("day", 8, 1),
+                   ("week", 0, 2), ("week", 1, 1)]

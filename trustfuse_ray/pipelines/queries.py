@@ -1305,6 +1305,14 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q_events_active_users(sf_dir: str):
+    """DAU/WAU engagement: distinct users per day and 7-day week
+    (per-block distinct combiners)."""
+    from trustfuse_ray.stages.windows import active_users
+
+    return active_users(_tbl(sf_dir, "events"))
+
+
 def q_kg_multi_truth(sf_dir: str):
     """Deterministic multi-truth emit (LTM's multi-valued semantics
     without the sampler): every categorical value with ≥ 2 distinct
@@ -2122,6 +2130,7 @@ def queries_map():
         "events_anomaly_windows": q_events_anomaly_windows,
         "lang_consistency": q_lang_consistency,
         "kg_multi_truth": q_kg_multi_truth,
+        "events_active_users": q_events_active_users,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3944,6 +3953,14 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "events_active_users": """
+SELECT 'day' AS period_kind, epoch_us(ts) // 86400000000 AS period,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'week', (epoch_us(ts) // 86400000000) // 7,
+       CAST(count(DISTINCT user_id) AS BIGINT)
+FROM events GROUP BY 2""",
         "kg_multi_truth": f"""
 WITH {_claims_cte(cache)},
 dd AS (

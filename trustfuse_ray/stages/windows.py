@@ -694,3 +694,42 @@ def anomaly_windows(events, key_col: str = "event_type",
                                  ("window", pa.int64()),
                                  ("cnt", pa.int64()),
                                  ("is_anomaly", pa.int64())]))
+
+
+def active_users(events, user_col: str = "user_id", ts_col: str = "ts",
+                 day_us: int = 86_400_000_000):
+    """Daily + weekly active users: distinct ``user_col`` per tumbling
+    day and per 7-day week (week = day // 7 — exact integer µs
+    arithmetic).  Per-block distinct (period, user) combiners bound the
+    exchange by active users per block; two small groupbys finish.
+    Returns (period_kind, period, n_active)."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch[ts_col].cast(pa.int64()), dtype=np.int64)
+        day = ts // np.int64(day_us)
+        t = pa.table({
+            "kind": pa.array(["day"] * len(ts) + ["week"] * len(ts),
+                             pa.string()),
+            "period": pa.array(np.concatenate([day, day // 7]),
+                               pa.int64()),
+            "user": pa.array(np.concatenate([
+                np.asarray(batch[user_col].cast(pa.int64()),
+                           dtype=np.int64)] * 2)),
+        })
+        return t.group_by(["kind", "period", "user"]).aggregate([])
+
+    distinct = (events.select_columns([user_col, ts_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["kind", "period", "user"]).count()
+        .drop_columns(["count()"]))
+
+    def _count(batch: pa.Table) -> pa.Table:
+        t = pa.table({"period_kind": batch["kind"],
+                      "period": batch["period"]})
+        return (t.group_by(["period_kind", "period"])
+                .aggregate([("period", "count")])
+                .rename_columns(["period_kind", "period", "n"]))
+
+    return (distinct.map_batches(_count, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby(["period_kind", "period"]).sum("n")
+            .rename_columns({"sum(n)": "n_active"}))
