@@ -1305,6 +1305,70 @@ def q_kg_fuse_voting_resolved(sf_dir: str):
     return _voting_shape_ds(triples)
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: top-10 open BUILDING-segment orders by revenue of
+    late-shipped lines.  Customer keys for one segment broadcast (a
+    filtered dimension slice); lineitem collapses map-side to per-order
+    fixed-point revenue partials before ONE hash join with the filtered
+    orders.  Revenue sums are exact int64 micro-units (order-free)."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    cut = datetime(1998, 7, 1)
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    ckeys = cust.filter(pc.equal(cust["c_mktsegment"],
+                                 "BUILDING"))["c_custkey"].combine_chunks()
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.less(batch["o_orderdate"], pa.scalar(cut)),
+                       pc.is_in(batch["o_custkey"], value_set=ckeys))
+        return batch.filter(keep).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(cut)))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        fx = pc.cast(pc.round(pc.multiply(rev,
+                                          pa.scalar(float(Q1_SCALE))),
+                              round_mode="half_towards_infinity"),
+                     pa.int64())
+        p = pa.table({"l_orderkey": t["l_orderkey"], "rev_fx": fx})
+        return (pa.TableGroupBy(p, ["l_orderkey"], use_threads=False)
+                .aggregate([("rev_fx", "sum")])
+                .rename_columns(["l_orderkey", "rev_fx"]))
+
+    orders = _tbl(sf_dir, "orders").map_batches(
+        _orders, batch_format="pyarrow", zero_copy_batch=True)
+    li = (_tbl(sf_dir, "lineitem")
+          .select_columns(["l_orderkey", "l_shipdate", "l_extendedprice",
+                           "l_discount"])
+          .map_batches(_li_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby("l_orderkey").sum("rev_fx")
+          .rename_columns({"sum(rev_fx)": "rev_fx"}))
+    joined = li.join(orders, join_type="inner", num_partitions=8,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+    # distributed sort + limit — the top-10 never materializes more than
+    # 10 rows on the driver
+    top = (joined.sort(["rev_fx", "o_orderdate", "l_orderkey"],
+                       descending=[True, False, False]).limit(10))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "revenue": pc.divide(
+                batch["rev_fx"].cast(pa.float64()),
+                pa.scalar(float(Q1_SCALE))),
+            "o_orderdate": batch["o_orderdate"],
+            "o_orderpriority": batch["o_orderpriority"]})
+
+    return top.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_events_active_users(sf_dir: str):
     """DAU/WAU engagement: distinct users per day and 7-day week
     (per-block distinct combiners)."""
@@ -2131,6 +2195,7 @@ def queries_map():
         "lang_consistency": q_lang_consistency,
         "kg_multi_truth": q_kg_multi_truth,
         "events_active_users": q_events_active_users,
+        "q3_shipping_priority": q3_shipping_priority,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -3953,6 +4018,19 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "q3_shipping_priority": f"""
+SELECT l_orderkey,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
+                AS BIGINT)) / {Q1_SCALE}.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-07-01'
+  AND l_shipdate > TIMESTAMP '1998-07-01'
+GROUP BY 1, 3, 4
+ORDER BY 2 DESC, o_orderdate, l_orderkey
+LIMIT 10""",
         "events_active_users": """
 SELECT 'day' AS period_kind, epoch_us(ts) // 86400000000 AS period,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
