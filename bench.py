@@ -81,6 +81,13 @@ def _cpu_probe(n_procs: int) -> float:
 def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    # Host-context probe FIRST (before ray.init, so it doesn't contend with
+    # the pipeline): measured work-units/sec this shared host delivers at
+    # the benchmark's concurrency right now.  Carried inline in the JSON so
+    # the per-round artifact can be read against ambient load without
+    # cross-referencing BASELINE.md (clean morning windows have measured
+    # ~2.4× the busy-window compute on this host).
+    probe = _cpu_probe(min(num_cpus, os.cpu_count() or num_cpus))
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              log_to_driver=False)
     from trustfuse_ray import synth
@@ -167,6 +174,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
             counts["triples_crh"] / kg_secs, 1) if kg_secs else None,
         "claims": counts["claims"],
         "triples": counts["triples_crh"],
+        "cpu_probe_units_per_sec": probe,
     }
     ray.shutdown()
     return result

@@ -185,32 +185,72 @@ def apply_entity_resolution(claims, threshold: float = 0.9,
                             n_parts: int = 32):
     """Optional fuzzy-canonicalization step between linking and fusion:
     near-identical entity surface forms (`link.resolve_entities`) rewrite
-    to their cluster's canonical entity so they vote together.  The
-    mapping covers only clustered entities (bounded by the entity
-    vocabulary) and broadcasts via ``ray.put``."""
-    import ray
+    to their cluster's canonical entity so they vote together.
 
+    Shape: a co-partitioned hash join — claims ⋈ mapping on ``entity``,
+    ``entity ← coalesce(canon, entity)`` — over the same two-wave plasma
+    exchange the CC/translate stages use.  The mapping stays a Dataset
+    end-to-end (never ``take_all``'d to the driver, never broadcast): on a
+    100-TB corpus with a hot dirty entity space the clustered vocabulary
+    is itself huge, so both sides shuffle on ``hash(entity) % n_parts``
+    and each partition task sees only its slice of the mapping.  The
+    per-partition rewrite is vectorized (``pc.index_in`` + ``pc.take`` +
+    ``pc.if_else``), not a Python dict probe per row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import _add_part, plasma_exchange
     from trustfuse_ray.stages.link import resolve_entities
 
-    mapping = {r["entity"]: r["canon"]
-               for r in resolve_entities(claims, threshold=threshold,
-                                         block_len=block_len, cap=cap,
-                                         n_parts=n_parts).take_all()}
-    if not mapping:
-        return claims
-    map_ref = ray.put(mapping)
+    mapping = resolve_entities(claims, threshold=threshold,
+                               block_len=block_len, cap=cap,
+                               n_parts=n_parts)
+    claims = claims.materialize()
+    sch = claims.schema()
+    base = pa.schema(list(zip(sch.names, sch.types)))
+    # shared exchange schema: claim columns + nullable __canon + __part.
+    # Mapping rows carry (entity, __canon) with the other claim columns
+    # null; claim rows carry __canon=null — validity of __canon is the
+    # side tag inside a partition (canon is never null by construction).
+    union = base.append(pa.field("__canon", pa.string())).append(
+        pa.field("__part", pa.int32()))
 
-    def _rewrite(batch):
-        import pyarrow as pa
+    def _claim_side(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "__canon", pa.nulls(len(batch), pa.string()))
+        return _add_part(batch, keys=["entity"], n_parts=n_parts)
 
-        m = ray.get(map_ref)
-        ents = batch["entity"].to_pylist()
-        i = batch.schema.get_field_index("entity")
-        return batch.set_column(
-            i, "entity", pa.array([m.get(e, e) for e in ents], pa.string()))
+    def _map_side(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {}
+        for f in base:
+            cols[f.name] = (batch["entity"].cast(pa.string())
+                            if f.name == "entity" else pa.nulls(n, f.type))
+        t = pa.table(cols).append_column(
+            "__canon", batch["canon"].cast(pa.string()))
+        return _add_part(t, keys=["entity"], n_parts=n_parts)
 
-    return claims.map_batches(_rewrite, batch_format="pyarrow",
-                              zero_copy_batch=True)
+    def _join(tbl: pa.Table) -> pa.Table:
+        is_map = pc.is_valid(tbl["__canon"])
+        crows = tbl.filter(pc.invert(is_map))
+        mrows = tbl.filter(is_map)
+        out = crows
+        if len(mrows) and len(crows):
+            idx = pc.index_in(crows["entity"],
+                              value_set=mrows["entity"].combine_chunks())
+            canon = pc.take(mrows["__canon"].combine_chunks(), idx)
+            ent = pc.if_else(pc.is_valid(canon), canon,
+                             crows["entity"]).cast(pa.string())
+            i = crows.schema.get_field_index("entity")
+            out = crows.set_column(i, "entity", ent)
+        return out.drop_columns(["__canon"])
+
+    cside = claims.map_batches(_claim_side, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    mside = mapping.map_batches(_map_side, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return plasma_exchange([cside, mside], _join, n_parts,
+                           part_col="__part", empty_schema=union)
 
 
 def run_kg_pipeline(sf_dir: str, model: str = "CRH", out_dir: str | None = None,
