@@ -232,6 +232,8 @@ def _emit_compare(Model, rounds=2, seed=3):
         if out is None:
             out = {0: np.zeros((N_CHANNELS, n_src))}
             for f in facts:
+                if model.numeric_only and not f.is_numeric:
+                    continue
                 model.accumulate(f, state[0], out[0])
         state[0], _ = model.reduce(state[0], out[0], np.ones(n_src), rnd)
     batched = _emit_facts(facts, model, state, cache)
@@ -269,6 +271,36 @@ def test_crh_emit_batched_matches_loop():
 def test_truthfinder_emit_batched_matches_loop():
     from trustfuse_ray.fuse.truthfinder import TruthFinder
     _emit_compare(TruthFinder)
+
+
+def test_accu_emit_batched_matches_loop():
+    from trustfuse_ray.fuse.accu import Accu
+    _emit_compare(Accu, rounds=3)
+    _emit_compare(Accu, rounds=3, seed=11)
+
+
+def test_slimfast_emit_batched_matches_loop():
+    from trustfuse_ray.fuse.slimfast import SLiMFast
+    _emit_compare(SLiMFast, rounds=3)
+    _emit_compare(SLiMFast, rounds=3, seed=11)
+
+
+def test_gtm_emit_batched_matches_loop():
+    from trustfuse_ray.fuse.gtm import GTM
+    _emit_compare(GTM, rounds=3)
+    _emit_compare(GTM, rounds=3, seed=11)
+
+
+def test_catd_emit_batched_matches_loop():
+    from trustfuse_ray.fuse.catd import CATD
+    _emit_compare(CATD, rounds=3)
+    _emit_compare(CATD, rounds=3, seed=11)
+
+
+def test_kdem_emit_batched_matches_loop():
+    from trustfuse_ray.fuse.kdem import KDEm
+    _emit_compare(KDEm, rounds=3)
+    _emit_compare(KDEm, rounds=3, seed=11)
 
 
 def _random_facts_big(seed=11, n=80, n_src=40):

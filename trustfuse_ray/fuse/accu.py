@@ -99,6 +99,17 @@ class Accu(FusionModel):
 
         V.accu_accumulate_batch(self, st, state, out)
 
+    def prepare_emit(self, facts, bid, cache):
+        from trustfuse_ray.fuse import vectorized as V
+
+        V.bayes_prepare_emit(self, facts, bid, cache)
+
+    def emit_batch(self, facts, state, bid, cache):
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.bayes_emit_batch(self, facts, state, bid, cache,
+                                  none_sentinel=True)
+
     def reduce(self, state, stats, counts, round_no):
         tot = np.maximum(stats[1], 1.0)
         acc = stats[0] / tot

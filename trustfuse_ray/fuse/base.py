@@ -508,9 +508,15 @@ def _make_fact_shard():
 
     @ray.remote(num_cpus=0)
     class FactShard:
-        """Holds one shard of packed fact blocks for a whole FusionSession:
-        blocks are fetched zero-copy from the object store once, parsed into
-        Fact structs once, then served to every round of every model.
+        """Holds one shard of packed fact blocks for a whole FusionSession.
+
+        Memory model: the shard keeps only the packed ARROW tables plus the
+        per-model segmented numpy structs (fuse/vectorized.py).  ``Fact``
+        objects are streamed per bucket while building structs and then
+        dropped — the ~5×-Arrow Python-object layer never persists.  Only
+        models WITHOUT a batched round kernel (CATD/KDEm per-fact math)
+        lazily materialize the full Fact list, because their rounds walk it
+        every iteration.
 
         num_cpus=0: the pool is the ONLY computation running during fusion
         rounds, and reserving CPUs would deadlock any Dataset execution the
@@ -518,7 +524,8 @@ def _make_fact_shard():
 
         def __init__(self, block_refs=None):
             self.tables = []
-            self.facts: list[Fact] = []
+            self.facts = None           # lazy; loop-path models only
+            self.src_index = None
             self._vcache: dict = {}
             if block_refs is not None:
                 self.load(block_refs)
@@ -556,21 +563,72 @@ def _make_fact_shard():
             return acc
 
         def parse(self, src_index) -> int:
-            self.facts = []
+            """Bind the source index and normalize tables to ONE bucket-
+            contiguous table so bucket groups can stream (packed tables are
+            already sorted by bucket_id; a stable sort keeps the original
+            relative fact order after concat — same summation order as the
+            old eager list parse)."""
+            self.src_index = src_index
+            self.facts = None
             self._vcache = {}
+            if len(self.tables) > 1:
+                tbl = pa.concat_tables(
+                    [t.cast(self.tables[0].schema) for t in self.tables])
+                tbl = tbl.take(pc.sort_indices(
+                    tbl, sort_keys=[("bucket_id", "ascending")]))
+                self.tables = [tbl]
+            return sum(len(t) for t in self.tables)
+
+        def _iter_groups(self, numeric_only: bool):
+            """Stream (bucket_id, [Fact…]) groups; Facts live only for the
+            duration of one group's struct/emit build."""
+            cur_bid, cur, seen = None, [], set()
             for t in self.tables:
-                self.facts.extend(iter_facts(t, src_index))
-            self.tables = []  # blocks no longer needed
-            return len(self.facts)
+                for f in iter_facts(t, self.src_index):
+                    if numeric_only and not f.is_numeric:
+                        continue
+                    if f.bucket_id != cur_bid and cur:
+                        yield cur_bid, cur
+                        seen.add(cur_bid)
+                        cur = []
+                    if f.bucket_id in seen:   # table not bucket-contiguous
+                        raise AssertionError(
+                            f"bucket {f.bucket_id} split across groups")
+                    cur_bid = f.bucket_id
+                    cur.append(f)
+            if cur:
+                yield cur_bid, cur
+
+        def _ensure_facts(self) -> list:
+            if self.facts is None:
+                self.facts = []
+                for t in self.tables:
+                    self.facts.extend(iter_facts(t, self.src_index))
+            return self.facts
+
+        def _structs(self, model) -> dict:
+            key = model.batch_key()
+            structs = self._vcache.get(key)
+            if structs is None:
+                structs = self._vcache[key] = {}
+                prep = getattr(model, "prepare_emit", None)
+                for bid, fl in self._iter_groups(model.numeric_only):
+                    structs[bid] = model.build_batch(fl)
+                    if prep is not None:
+                        # emit metadata built in the SAME pass — the final
+                        # emit then never re-parses Facts from Arrow
+                        prep(fl, bid, self._vcache)
+            return structs
 
         def stats(self, model, state, n_sources) -> dict:
-            outs = _batched_stats(self.facts, model, state, n_sources,
-                                  self._vcache)
-            if outs is not None:
-                return outs
             outs = {bid: np.zeros((N_CHANNELS, n), dtype=np.float64)
                     for bid, n in n_sources.items()}
-            for fact in self.facts:
+            if getattr(model, "build_batch", None) is not None:
+                for bid, st in self._structs(model).items():
+                    if st is not None:
+                        model.accumulate_batch(st, state[bid], outs[bid])
+                return outs
+            for fact in self._ensure_facts():
                 if model.numeric_only and not fact.is_numeric:
                     continue
                 model.accumulate(fact, state[fact.bucket_id],
@@ -578,7 +636,36 @@ def _make_fact_shard():
             return outs
 
         def emit(self, model, state) -> pa.Table:
-            return _emit_facts(self.facts, model, state, self._vcache)
+            if getattr(model, "emit_batch", None) is not None:
+                groups = None
+                key_fn = getattr(model, "batch_key", None)
+                if key_fn is not None:
+                    key = key_fn()
+                    structs = self._vcache.get(key)
+                    emeta = self._vcache.get(("emit",) + key)
+                    if (structs is not None and emeta is not None
+                            and set(structs) <= set(emeta)):
+                        # structs + emit meta fully cached by the rounds'
+                        # streaming pass: no Fact re-parse needed at all
+                        groups = ((bid, []) for bid in structs)
+                if groups is None and self.facts is not None:
+                    by: dict[int, list] = {}
+                    for f in self.facts:
+                        if model.numeric_only and not f.is_numeric:
+                            continue
+                        by.setdefault(f.bucket_id, []).append(f)
+                    groups = by.items()
+                if groups is None:
+                    groups = self._iter_groups(model.numeric_only)
+                tables = [t for t in (
+                    model.emit_batch(fl, state[bid], bid, self._vcache)
+                    for bid, fl in groups)
+                    if t is not None and len(t)]
+                if tables:
+                    return pa.concat_tables(tables)
+                return _emit_facts_loop([], model, state)
+            return _emit_facts(self._ensure_facts(), model, state,
+                               self._vcache)
 
     return FactShard
 

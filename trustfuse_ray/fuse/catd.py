@@ -62,3 +62,9 @@ class CATD(FusionModel):
         t = self._truth(fact, state)
         snapped = float(fact.values[int(np.argmin(np.abs(fact.values - t)))])
         return [snapped], 1.0
+
+    def emit_batch(self, facts, state, bid, cache):
+        # final-emit only (keeps the per-fact BLAS dot; see the round note)
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.catd_emit_batch(self, facts, state, bid, cache)

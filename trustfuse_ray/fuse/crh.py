@@ -115,6 +115,11 @@ class CRH(FusionModel):
 
         V.crh_accumulate_batch(self, st, state, out)
 
+    def prepare_emit(self, facts, bid, cache):
+        from trustfuse_ray.fuse import vectorized as V
+
+        V.crh_prepare_emit(self, facts, bid, cache)
+
     def emit_batch(self, facts, state, bid, cache):
         from trustfuse_ray.fuse import vectorized as V
 

@@ -102,6 +102,16 @@ class GTM(FusionModel):
 
         V.gtm_accumulate_batch(self, st, state, out)
 
+    def prepare_emit(self, facts, bid, cache):
+        from trustfuse_ray.fuse import vectorized as V
+
+        V.gtm_prepare_emit(self, facts, bid, cache)
+
+    def emit_batch(self, facts, state, bid, cache):
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.gtm_emit_batch(self, facts, state, bid, cache)
+
     def reduce(self, state, stats, counts, round_no):
         sigma = stats[0] / (2 * (self.alpha + 1) + stats[1])
         new = {"sigma": sigma, "sigma_prev": state["sigma"],

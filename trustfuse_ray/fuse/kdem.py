@@ -119,5 +119,11 @@ class KDEm(FusionModel):
         j = int(np.argmax(density))
         return [float(fact.values[j])], float(w[j])
 
+    def emit_batch(self, facts, state, bid, cache):
+        # batched assembly around the (inherently per-fact) kernel replay
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.kdem_emit_batch(self, facts, state, bid, cache)
+
     def weights(self, state):
         return state["c"]

@@ -199,3 +199,61 @@ def run_ltm(claims, max_itr: int = 10, burnin: int = 8, thin: int = 2,
                           alpha_set=alpha_set, beta_set=beta_set,
                           output=output),
         n_parts=n_parts)
+
+
+def _neg_group(g: pa.Table) -> pa.Table:
+    """One (bucket, attr, entity) group → its boolean claim grid."""
+    bid = g["bucket_id"][0].as_py()
+    attr = g["attr"][0].as_py()
+    ent = g["entity"][0].as_py()
+    vals = g["value_str"].to_pylist()
+    srcs = g["source"].to_pylist()
+    uv = sorted(set(vals))
+    us = sorted(set(srcs))
+    vi = {v: i for i, v in enumerate(uv)}
+    si = {s: i for i, s in enumerate(us)}
+    lab = np.zeros((len(us), len(uv)), dtype=np.int32)
+    for v, s in zip(vals, srcs):
+        lab[si[s], vi[v]] = 1
+    ns, nv = len(us), len(uv)
+    return pa.table({
+        "bucket_id": pa.array(np.full(ns * nv, bid, dtype=np.int32)),
+        "entity": pa.array([ent] * (ns * nv), pa.string()),
+        "attr": pa.array([attr] * (ns * nv), pa.string()),
+        "value_str": pa.array(list(uv) * ns, pa.string()),
+        "source": pa.array(np.repeat(np.array(us, dtype=object), nv),
+                           pa.string()),
+        "label": pa.array(lab.ravel(), pa.int32()),
+    })
+
+
+def ltm_negative_claims(claims, n_parts: int = 64):
+    """The DETERMINISTIC half of LTM: the boolean-claim IR with synthesized
+    negative claims (reference ltm.py:117-166) — a source that covered an
+    entity under an attribute but did not assert value v gets a "0" claim
+    for (entity, v); asserting sources get "1".
+
+    Pure set algebra (unlike the Gibbs chain), so it is SQL-expressible and
+    sits under the hash-match correctness gate.  Shape: map-side distinct
+    combiner (the shuffle moves only distinct assertion rows), then ONE
+    hash exchange on (bucket_id, attr, entity); each group emits its
+    |sources| × |values| grid — bounded by per-entity fan-in, never a
+    global product.
+
+    Returns Dataset(bucket_id, entity, attr, value_str, source, label).
+    """
+    keep = ["bucket_id", "entity", "attr", "value_str", "source"]
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        batch = batch.select(keep).filter(pc.is_valid(batch["value_str"]))
+        return pa.TableGroupBy(batch, keep, use_threads=False).aggregate([])
+
+    combined = claims.map_batches(_distinct, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    return hash_group_apply(
+        combined, ["bucket_id", "attr", "entity"], _neg_group,
+        n_parts=n_parts,
+        plasma_schema=pa.schema([
+            ("bucket_id", pa.int32()), ("entity", pa.string()),
+            ("attr", pa.string()), ("value_str", pa.string()),
+            ("source", pa.string()), ("label", pa.int32())]))

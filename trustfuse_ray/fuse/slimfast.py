@@ -92,6 +92,17 @@ class SLiMFast(FusionModel):
 
         V.slimfast_accumulate_batch(self, st, state, out)
 
+    def prepare_emit(self, facts, bid, cache):
+        from trustfuse_ray.fuse import vectorized as V
+
+        V.bayes_prepare_emit(self, facts, bid, cache)
+
+    def emit_batch(self, facts, state, bid, cache):
+        from trustfuse_ray.fuse import vectorized as V
+
+        return V.bayes_emit_batch(self, facts, state, bid, cache,
+                                  none_sentinel=False)
+
     def reduce(self, state, stats, counts, round_no):
         w = state["w_feat"]
         n_corr = stats[0].sum()

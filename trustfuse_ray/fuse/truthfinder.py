@@ -107,6 +107,11 @@ class TruthFinder(FusionModel):
 
         V.tf_accumulate_batch(self, st, state, out)
 
+    def prepare_emit(self, facts, bid, cache):
+        from trustfuse_ray.fuse import vectorized as V
+
+        V.tf_prepare_emit(self, facts, bid, cache)
+
     def emit_batch(self, facts, state, bid, cache):
         from trustfuse_ray.fuse import vectorized as V
 

@@ -380,13 +380,14 @@ def build_accu_batch(model, facts):
     appearance order (accu.py convert_input), score sums add in obs order
     within each value, and ties pick the FIRST-inserted value.  The
     all-scores ≤ −1 sentinel (best_v stays the int 0) is kept via a
-    precomputed zero-value group per fact."""
+    precomputed zero-value group per fact.  ``vg_values`` records each value
+    group's claimed value (insertion order) for the emit kernel."""
     from trustfuse_ray.fuse.accu import fact_observations
 
     if not facts:
         return None
     src_list, vg_list, cf_list = [], [], []
-    vg_counts, zero_vg, nobs = [], [], []
+    vg_counts, zero_vg, nobs, val_list = [], [], [], []
     base = 0
     for fi, fact in enumerate(facts):
         obs = fact_observations(fact)
@@ -395,6 +396,7 @@ def build_accu_batch(model, facts):
         for s, v in obs:
             if v not in vids:
                 vids[v] = len(vids)
+                val_list.append(v)
                 try:
                     if v == 0:
                         z = vids[v]
@@ -422,6 +424,7 @@ def build_accu_batch(model, facts):
         "single": vg_counts == 1,      # n_distinct == 1 facts
         "n_dist_claim": vg_counts[claim_fact],
         "n_vg": base,
+        "vg_values": np.array(val_list, dtype=object),
     }
 
 
@@ -540,21 +543,20 @@ def _concat_emit(tables):
     return pa.concat_tables(tables)
 
 
-def crh_emit_batch(model, facts, state, bid, cache):
-    """CRH truth emission over one bucket's facts, reusing the cached round
-    structs (build_crh_batch) — categorical argmax / numeric argmin with the
-    SAME reduceat summation order as crh_accumulate_batch."""
+def crh_prepare_emit(model, facts, bid, cache):
+    """Build (and cache) CRH's emit metadata for one bucket.  Shard actors
+    call this during the SAME streaming pass that builds the round structs,
+    so the final emit never has to re-parse Facts from the Arrow tables."""
     key = model.batch_key()
     structs = cache.setdefault(key, {})
     st = structs.get(bid)
     if st is None:
         st = structs[bid] = model.build_batch(facts)
-    ekey = ("emit",) + key
-    emeta = cache.setdefault(ekey, {})
+    emeta = cache.setdefault(("emit",) + key, {})
     em = emeta.get(bid)
-    cats = [f for f in facts if not f.is_numeric]
-    nums = [f for f in facts if f.is_numeric]
     if em is None:
+        cats = [f for f in facts if not f.is_numeric]
+        nums = [f for f in facts if f.is_numeric]
         vg_values = None
         if st["cat"] is not None:
             vg_values = np.empty(st["cat"]["n_vg"], dtype=object)
@@ -568,6 +570,14 @@ def crh_emit_batch(model, facts, state, bid, cache):
             "vn_flat": (np.concatenate([f.values for f in nums])
                         if nums else np.zeros(0)),
         }
+    return st, em
+
+
+def crh_emit_batch(model, facts, state, bid, cache):
+    """CRH truth emission over one bucket's facts, reusing the cached round
+    structs (build_crh_batch) — categorical argmax / numeric argmin with the
+    SAME reduceat summation order as crh_accumulate_batch."""
+    st, em = crh_prepare_emit(model, facts, bid, cache)
     w = state["w"]
     out = []
     cat = st["cat"]
@@ -599,19 +609,16 @@ def crh_emit_batch(model, facts, state, bid, cache):
     return _concat_emit(out)
 
 
-def tf_emit_batch(model, facts, state, bid, cache):
-    """TruthFinder emission: per-claim scores from the cached batched
-    machinery (tau_prev), first-argmax claim per fact, winner = first claim
-    asserting the same distinct value."""
+def tf_prepare_emit(model, facts, bid, cache):
+    """Cache TruthFinder's emit metadata (see crh_prepare_emit)."""
     key = model.batch_key()
     structs = cache.setdefault(key, {})
     st = structs.get(bid)
     if st is None:
         st = structs[bid] = model.build_batch(facts)
     if st is None:
-        return None
-    ekey = ("emit",) + key
-    emeta = cache.setdefault(ekey, {})
+        return None, None
+    emeta = cache.setdefault(("emit",) + key, {})
     em = emeta.get(bid)
     if em is None:
         meta = _emit_meta(list(facts))
@@ -622,6 +629,16 @@ def tf_emit_batch(model, facts, state, bid, cache):
                 [np.asarray(f.values, dtype=object) for f in facts])
                 if len(meta["m"]) else np.zeros(0, dtype=object)),
         }
+    return st, em
+
+
+def tf_emit_batch(model, facts, state, bid, cache):
+    """TruthFinder emission: per-claim scores from the cached batched
+    machinery (tau_prev), first-argmax claim per fact, winner = first claim
+    asserting the same distinct value."""
+    st, em = tf_prepare_emit(model, facts, bid, cache)
+    if st is None:
+        return None
     meta = em["meta"]
     s = tf_claim_scores_batch(model, st, state["tau_prev"])
     mx = np.maximum.reduceat(s, meta["starts"])
@@ -700,3 +717,236 @@ def voting_emit_batch(model, facts, state, bid, cache):
         win = _winner_cids(hit, meta)
         out.append(_emit_rows(bid, meta, med, conf, win, numeric=True))
     return _concat_emit(out)
+
+
+# ---------------------------------------------------------------------------
+# Batched emit for the remaining non-Gibbs models (ACCU / SLiMFast / GTM /
+# CATD / KDEm) — closes the last per-fact Python loop in the session paths.
+# CATD and KDEm keep their per-fact truth MATH (BLAS dot / kernel-matrix
+# replay) bitwise-identical to fact_truth — their weights are sum-order
+# sensitive (see the CATD round-kernel note) — while winner lineage and row
+# assembly run segmented like everything else.
+# ---------------------------------------------------------------------------
+
+
+def _emit_values_split(bid, meta, is_num, truth, conf, win, keep=None):
+    """Assemble emit rows from per-fact object-valued truths, split into the
+    string and numeric subsets (the _emit_facts output schema emits value_num
+    only for numeric facts)."""
+    if keep is None:
+        keep = np.ones(len(is_num), dtype=bool)
+    out = []
+    sel = keep & ~is_num
+    if sel.any():
+        sub = {k: meta[k][sel] for k in ("entity", "attr", "vtype", "m")}
+        vals = np.array([str(v) for v in truth[sel]], dtype=object)
+        out.append(_emit_rows(bid, sub, vals, conf[sel], win[sel],
+                              numeric=False))
+    sel = keep & is_num
+    if sel.any():
+        sub = {k: meta[k][sel] for k in ("entity", "attr", "vtype", "m")}
+        out.append(_emit_rows(bid, sub, truth[sel].astype(np.float64),
+                              conf[sel], win[sel], numeric=True))
+    return _concat_emit(out)
+
+
+def _bayes_emit_meta(facts, cache, ekey, bid):
+    emeta = cache.setdefault(ekey, {})
+    em = emeta.get(bid)
+    if em is None:
+        meta = _emit_meta(list(facts))
+        em = emeta[bid] = {
+            "meta": meta,
+            "is_num": np.array([f.is_numeric for f in facts], dtype=bool),
+            "vals": (np.concatenate(
+                [np.asarray(f.values, dtype=object) for f in facts])
+                if len(meta["m"]) else np.zeros(0, dtype=object)),
+        }
+    return em
+
+
+def bayes_prepare_emit(model, facts, bid, cache):
+    """Cache ACCU/SLiMFast emit metadata (see crh_prepare_emit)."""
+    key = model.batch_key()
+    structs = cache.setdefault(key, {})
+    st = structs.get(bid)
+    if st is None:
+        st = structs[bid] = model.build_batch(facts)
+    if st is None:
+        return None, None
+    return st, _bayes_emit_meta(facts, cache, ("emit",) + key, bid)
+
+
+def bayes_emit_batch(model, facts, state, bid, cache, *, none_sentinel):
+    """Shared ACCU/SLiMFast emission: the winning value group per fact from
+    the cached appearance-order structs, with the SAME segmented score sums
+    as the round kernels.  ``none_sentinel=True`` (ACCU) drops facts whose
+    scores are all ≤ −1 — fact_truth returns [None] for those and the loop
+    emitter skips them (accu.py:110-116)."""
+    st, em = bayes_prepare_emit(model, facts, bid, cache)
+    if st is None:
+        return None
+    meta = em["meta"]
+    acc = state["acc"]
+    nd = st["n_dist_claim"].astype(np.float64)
+    term = np.log(np.maximum(nd - 1.0, 1.0) * acc[st["src_o"]]
+                  / (1.0 - acc[st["src_o"]]))
+    s_vg = np.add.reduceat(term[st["perm"]], st["vg_starts"]) \
+        if st["n_vg"] else np.zeros(0)
+    mx = np.maximum.reduceat(s_vg, st["vgf_starts"])
+    win_vg = _seg_first_arg(mx, s_vg, st["vgf_starts"], st["vg_counts"],
+                            is_min=False)
+    win_vg = np.where(st["single"], st["vgf_starts"], win_vg)
+    truth = st["vg_values"][win_vg]
+    hit = em["vals"] == np.repeat(truth, meta["m"])
+    win = _winner_cids(hit, meta)
+    keep = None
+    if none_sentinel:
+        keep = st["single"] | (mx > -1.0)
+    conf = np.ones(len(meta["m"]))
+    return _emit_values_split(bid, meta, em["is_num"], truth, conf, win,
+                              keep)
+
+
+def _num_emit_meta(facts, cache, ekey, bid, extra=None):
+    """Numeric-model emit meta: flats + optional per-fact extras built by
+    ``extra(fact) -> dict of lists appended``."""
+    emeta = cache.setdefault(ekey, {})
+    em = emeta.get(bid)
+    if em is None:
+        nums = [f for f in facts if f.is_numeric]
+        meta = _emit_meta(nums)
+        em = {
+            "meta": meta,
+            "vn_flat": (np.concatenate(
+                [np.asarray(f.values, dtype=np.float64) for f in nums])
+                if nums else np.zeros(0)),
+        }
+        if extra is not None:
+            em.update(extra(nums))
+        emeta[bid] = em
+    return em
+
+
+def _snap_emit(model, bid, em, t, conf=None):
+    """Snap per-fact truth ``t`` to the nearest claimed value (numpy argmin
+    first-occurrence) and emit with first-asserting-claim lineage."""
+    meta = em["meta"]
+    if not len(meta["m"]):
+        return None
+    d = np.abs(em["vn_flat"] - np.repeat(t, meta["m"]))
+    mn = np.minimum.reduceat(d, meta["starts"])
+    j = _seg_first_arg(mn, d, meta["starts"], meta["m"], is_min=True)
+    v = em["vn_flat"][j]
+    hit = em["vn_flat"] == np.repeat(v, meta["m"])
+    win = _winner_cids(hit, meta)
+    if conf is None:
+        conf = np.ones(len(meta["m"]))
+    return _emit_rows(bid, meta, v, conf, win, numeric=True)
+
+
+def gtm_prepare_emit(model, facts, bid, cache):
+    """Cache GTM emit metadata (see crh_prepare_emit)."""
+    def extra(nums):
+        prior, sige, cns, iks, kcnt = [], [], [], [], []
+        for f in nums:
+            p, se, cn, ik = model._prep(f)
+            prior.append(p)
+            sige.append(se)
+            cns.append(np.asarray(cn, dtype=np.float64))
+            iks.append(np.asarray(ik, dtype=np.int64))
+            kcnt.append(len(cn))
+        kcnt = np.asarray(kcnt, dtype=np.int64)
+        return {
+            "prior": np.asarray(prior), "sigma_e": np.asarray(sige),
+            "cn": (np.concatenate(cns) if cns else np.zeros(0)),
+            "ik": (np.concatenate(iks) if iks
+                   else np.zeros(0, dtype=np.int64)),
+            "kcnt": kcnt,
+            "kstarts": (np.concatenate(([0], np.cumsum(kcnt)[:-1]))
+                        if len(kcnt) else np.zeros(0, dtype=np.int64)),
+        }
+
+    return _num_emit_meta(facts, cache, ("emit",) + model.batch_key(), bid,
+                          extra)
+
+
+def gtm_emit_batch(model, facts, state, bid, cache):
+    """GTM emission: truth = expectation under sigma_{R-1} (the reference's
+    last in-loop truth), de-normalized and snapped to the nearest ORIGINAL
+    claim (outliers included) — gtm.py:115-126 semantics, segmented."""
+    em = gtm_prepare_emit(model, facts, bid, cache)
+    if not len(em["meta"]["m"]):
+        return None
+    sigma = state["sigma_prev"] if state["sigma_prev"] is not None \
+        else state["sigma"]
+    t = em["prior"].copy()
+    if sigma is not None and len(em["cn"]):
+        s2 = sigma[em["ik"]] ** 2
+        nfacts = len(em["kcnt"])
+        segn = np.zeros(nfacts)
+        segd = np.zeros(nfacts)
+        nz = em["kcnt"] > 0
+        if nz.any():
+            segn[nz] = np.add.reduceat(em["cn"] / s2, em["kstarts"][nz])
+            segd[nz] = np.add.reduceat(1.0 / s2, em["kstarts"][nz])
+        tk = ((model.mu0 / model.sigma0 ** 2 + segn)
+              / (1.0 / model.sigma0 ** 2 + segd))
+        t = np.where(nz, tk * em["sigma_e"] + em["prior"], em["prior"])
+    return _snap_emit(model, bid, em, t)
+
+
+def catd_emit_batch(model, facts, state, bid, cache):
+    """CATD emission: per-fact weighted-mean truth with the EXACT per-fact
+    BLAS dot fact_truth uses (sum-order parity; see the round-kernel note),
+    snapped to the nearest claimed value with segmented lineage."""
+    def extra(nums):
+        return {
+            "vals": [np.asarray(f.values, dtype=np.float64) for f in nums],
+            "srcs": [np.asarray(f.src_idx, dtype=np.int64) for f in nums],
+            "median": np.asarray([float(np.median(f.values))
+                                  for f in nums]),
+        }
+
+    em = _num_emit_meta(facts, cache, ("emit", "catd"), bid, extra)
+    if not len(em["meta"]["m"]):
+        return None
+    if state["first"]:
+        t = em["median"]
+    else:
+        w = state["w"]
+        t = np.asarray([float(np.dot(w[s], v) / w[s].sum())
+                        for s, v in zip(em["srcs"], em["vals"])])
+    return _snap_emit(model, bid, em, t)
+
+
+def kdem_emit_batch(model, facts, state, bid, cache):
+    """KDEm emission: per-fact opinion-weight replay (kernel-matrix math is
+    inherently per fact and bitwise-matches fact_truth), then the published-
+    KDEm max-density claim, with segmented lineage/assembly."""
+    from types import SimpleNamespace
+
+    def extra(nums):
+        return {
+            "vals": [np.asarray(f.values, dtype=np.float64) for f in nums],
+            "srcs": [np.asarray(f.src_idx, dtype=np.int64) for f in nums],
+        }
+
+    em = _num_emit_meta(facts, cache, ("emit", "kdem"), bid, extra)
+    meta = em["meta"]
+    if not len(meta["m"]):
+        return None
+    c_hist = state["c_hist"][:-1]
+    vs = np.empty(len(meta["m"]))
+    confs = np.empty(len(meta["m"]))
+    for i, (v, s) in enumerate(zip(em["vals"], em["srcs"])):
+        shim = SimpleNamespace(values=v, src_idx=s)
+        w, _nm = model._replay_w(shim, c_hist)
+        K = model._kernel_matrix(v)
+        density = K @ w
+        j = int(np.argmax(density))
+        vs[i] = float(v[j])
+        confs[i] = float(w[j])
+    hit = em["vn_flat"] == np.repeat(vs, meta["m"])
+    win = _winner_cids(hit, meta)
+    return _emit_rows(bid, meta, vs, confs, win, numeric=True)

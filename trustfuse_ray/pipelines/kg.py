@@ -57,17 +57,42 @@ def build_claims(data_dir: str, concurrency: int | tuple | None = None):
         concurrency=concurrency)
 
 
+def bundle_files(files: list[str], target_bytes: int) -> list[list[str]]:
+    """Group sorted input files into partition bundles of ~``target_bytes``
+    each (greedy fill, order-preserving).  At 10⁵ input files a per-file
+    partition grain means 10⁵ pipeline launches and 10⁵ manifests; bundling
+    to ~256 MB–1 GB keeps the resumable unit a few seconds-to-minutes of
+    work while the bundle's internal read still parallelizes via Parquet
+    row-group blocks."""
+    bundles: list[list[str]] = []
+    cur: list[str] = []
+    cur_bytes = 0
+    for f in files:
+        cur.append(f)
+        cur_bytes += os.stat(f).st_size
+        if cur_bytes >= target_bytes:
+            bundles.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        bundles.append(cur)
+    return bundles
+
+
 def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
                               concurrency: int | tuple | None = None,
                               max_partitions: int | None = None,
                               resolve: bool = False,
+                              bundle_bytes: int = 256 * 1024 * 1024,
                               **model_kwargs) -> dict:
     """Checkpointed flagship pipeline.
 
-    Stage A (embarrassingly parallel per transcript file): extract + link →
-    ``out_dir/claims/part={p}`` + manifest.  A resumed run skips partitions
-    whose manifest is complete for the same input file.  ``max_partitions``
-    lets tests simulate a mid-run kill.
+    Stage A (embarrassingly parallel per input BUNDLE — a group of
+    transcript files totalling ~``bundle_bytes``): extract + link →
+    ``out_dir/claims/part={p}`` + manifest.  A resumed run skips bundles
+    whose manifest is complete for the same input files (manifests are
+    checked in parallel — a serial scan is itself a bottleneck at 10⁵
+    partitions).  ``max_partitions`` lets tests simulate a mid-run kill;
+    ``bundle_bytes=1`` degenerates to one file per bundle.
 
     Stage B (global): fusion over all completed claim partitions →
     ``out_dir/triples`` + manifest carrying triple counts + source weights
@@ -88,29 +113,38 @@ def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
     alias_path = os.path.join(data_dir, "aliases.parquet")
     files = sorted(glob.glob(os.path.join(data_dir, "transcripts",
                                           "*.parquet")))
+    bundles = bundle_files(files, bundle_bytes)
     claims_root = os.path.join(out_dir, "claims")
+
+    def _bundle_fp(bundle: list[str]) -> str:
+        return "|".join(ckpt.file_fingerprint(f) for f in bundle)
+
+    n_check = len(bundles) if max_partitions is None \
+        else min(max_partitions, len(bundles))
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        fps = list(pool.map(_bundle_fp, bundles[:n_check]))
+        complete = list(pool.map(
+            lambda a: ckpt.is_complete(claims_root, a[0], a[1]),
+            enumerate(fps)))
     done, skipped, pending = [], [], []
-    for p, f in enumerate(files):
-        if max_partitions is not None and len(done) + len(skipped) \
-                + len(pending) >= max_partitions:
-            break
-        fp = ckpt.file_fingerprint(f)
-        if ckpt.is_complete(claims_root, p, fp):
+    for p in range(n_check):
+        if complete[p]:
             skipped.append(p)
         else:
-            pending.append((p, f, fp))
+            pending.append((p, bundles[p], fps[p]))
 
     def _do_partition(job):
-        p, f, fp = job
+        p, bundle, fp = job
         t0 = _time.perf_counter()
-        ds = ray.data.read_parquet(f)
+        ds = ray.data.read_parquet(bundle)
         claims = extract_link_canonicalize(
             ds, alias_path, attr_types,
             concurrency=concurrency or (1, 4)).materialize()
         claims.write_parquet(ckpt.partition_dir(claims_root, p))
-        ckpt.write_manifest(claims_root, p, fp, rows=claims.count(),
-                            wall_secs=_time.perf_counter() - t0,
-                            metrics={"input_file": os.path.basename(f)})
+        ckpt.write_manifest(
+            claims_root, p, fp, rows=claims.count(),
+            wall_secs=_time.perf_counter() - t0,
+            metrics={"input_files": [os.path.basename(f) for f in bundle]})
         return p
 
     # a few concurrent partition pipelines keep the cluster busy while
@@ -124,8 +158,9 @@ def run_kg_pipeline_resumable(data_dir: str, out_dir: str, model: str = "CRH",
 
     summary = {"claims_partitions_done": done,
                "claims_partitions_skipped": skipped,
-               "total_partitions": len(files)}
-    if max_partitions is not None and len(done) + len(skipped) < len(files):
+               "total_partitions": len(bundles)}
+    if max_partitions is not None and \
+            len(done) + len(skipped) < len(bundles):
         summary["status"] = "partial"
         return summary
 
