@@ -390,3 +390,31 @@ def test_fact_stability_flip_points():
                                    n_parts=2).take_all()}
     assert out[("e1", "cat")] == (4, 4)   # flips at the final cut
     assert out[("e2", "cat")] == (1, 4)   # never flips
+
+
+def test_ltm_negative_claims_semantics(ray_session):
+    """Synthesized negatives (reference ltm.py:117-166): a source that
+    covered an entity under an attr but did not assert value v gets a 0
+    claim for (entity, v); asserting sources get 1; sources that never
+    covered the entity get NO row."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.fuse.ltm import ltm_negative_claims
+
+    claims = pa.table({
+        "bucket_id": pa.array([0] * 5, pa.int32()),
+        "entity": ["e1", "e1", "e1", "e2", "e1"],
+        "attr": ["a", "a", "a", "a", "b"],
+        "value_str": ["v1", "v2", "v1", "v9", "x"],
+        "source": ["s1", "s2", "s2", "s3", "s1"],
+    })
+    out = ltm_negative_claims(rd.from_arrow(claims), n_parts=4).to_pandas()
+    got = {(r.entity, r.attr, r.value_str, r.source): r.label
+           for r in out.itertuples()}
+    assert got == {
+        ("e1", "a", "v1", "s1"): 1, ("e1", "a", "v2", "s1"): 0,
+        ("e1", "a", "v1", "s2"): 1, ("e1", "a", "v2", "s2"): 1,
+        ("e2", "a", "v9", "s3"): 1,
+        ("e1", "b", "x", "s1"): 1,
+    }

@@ -131,6 +131,15 @@ def q_fuse_ltm(sf_dir: str):
     return run_ltm(cached_claims(sf_dir))
 
 
+def q_ltm_negatives(sf_dir: str):
+    """Deterministic LTM boolean-claim IR with synthesized negatives
+    (reference ltm.py:117-166) — the SQL-expressible half of LTM, under
+    the hash gate; only the Gibbs sampler itself remains oracle-less."""
+    from trustfuse_ray.fuse.ltm import ltm_negative_claims
+
+    return ltm_negative_claims(cached_claims(sf_dir))
+
+
 def q_ltm_quality(sf_dir: str):
     from trustfuse_ray.fuse.ltm import run_ltm
 
@@ -2101,6 +2110,7 @@ _DRIVER_WINDOW = [
     "kg_fuse_gtm",
     "kg_fuse_kdem",
     "kg_multi_truth",
+    "kg_ltm_negatives",
     "kg_weights_crh",
     "kg_weights_tf",
     "kg_top_sources_crh1",
@@ -2135,7 +2145,6 @@ _DRIVER_WINDOW = [
     "ann_topk",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "events_sessionize",
 ]
 
 # Permanently oracle-less entries (documented: PCG64 Gibbs sampling and the
@@ -2197,6 +2206,7 @@ def _all_queries():
         # full-claims variant covered by the pytest parity suites
         "kg_fuse_kdem": q_fuse_kdemn,
         "kg_fuse_ltm": q_fuse_ltm,
+        "kg_ltm_negatives": q_ltm_negatives,
         "kg_ltm_source_quality": q_ltm_quality,
         "kg_weights_crh": functools.partial(q_weights_crhn, rounds=10),
         "kg_weights_tf": functools.partial(q_weights_tfn, rounds=10),
@@ -3317,6 +3327,21 @@ WITH {_claims_cte(cache)}
 SELECT source, entity, attr, value_str, count(*) AS n
 FROM claims
 GROUP BY 1, 2, 3, 4""",
+        "kg_ltm_negatives": f"""
+WITH {_claims_cte(cache)},
+cl AS (SELECT DISTINCT CAST(0 AS INT) AS bucket_id, entity, attr,
+              value_str, source
+       FROM claims WHERE value_str IS NOT NULL),
+fv AS (SELECT DISTINCT bucket_id, entity, attr, value_str FROM cl),
+cov AS (SELECT DISTINCT bucket_id, entity, attr, source FROM cl)
+SELECT fv.bucket_id, fv.entity, fv.attr, fv.value_str, cov.source,
+       CAST(CASE WHEN p.source IS NULL THEN 0 ELSE 1 END AS INT) AS label
+FROM fv
+JOIN cov ON fv.bucket_id = cov.bucket_id AND fv.entity = cov.entity
+        AND fv.attr = cov.attr
+LEFT JOIN cl p ON p.bucket_id = fv.bucket_id AND p.entity = fv.entity
+              AND p.attr = fv.attr AND p.value_str = fv.value_str
+              AND p.source = cov.source""",
         "kg_fuse_voting": f"""
 WITH {_claims_cte(cache)},
 dedup AS (
