@@ -187,3 +187,24 @@ def test_lsh_topk_recall_vs_brute():
         assert r["score"] <= 1.0 + 1e-9
     recall = len(b & l) / len(b)
     assert recall > 0.2  # 4 planes / exact-bucket probe: partial by design
+
+
+def test_pq_topk_recall_vs_brute():
+    ds, mat = _emb_ds(n=400)
+    queries = sorted(ds.filter(expr="vec_id < 3").take_all(),
+                     key=lambda r: r["vec_id"])
+    brute = ann.brute_topk(ds, queries, k=5).take_all()
+    b = {(r["query_id"], r["vec_id"]) for r in brute}
+    # shortlist=None re-ranks every row per block → exact (the gate mode)
+    pq = ann.pq_topk(ds, queries, k=5, shortlist=None).take_all()
+    assert b == {(r["query_id"], r["vec_id"]) for r in pq}
+    # finite shortlist = the pruning path; ADC shortlist of 4k keeps
+    # high-but-not-guaranteed recall
+    pq2 = ann.pq_topk(ds, queries, k=5, shortlist=20).take_all()
+    v2 = {(r["query_id"], r["vec_id"]) for r in pq2}
+    assert len(b & v2) / len(b) >= 0.6
+    # deterministic codebooks: same seed → identical results
+    books1 = ann.train_pq_codebooks(ds)
+    books2 = ann.train_pq_codebooks(ds)
+    import numpy as np
+    assert np.array_equal(books1, books2)

@@ -1799,6 +1799,20 @@ def q_ann_topk(sf_dir: str):
     return ann.brute_topk(emb, queries, k=10)
 
 
+def q_pq_topk(sf_dir: str):
+    """Product-quantization ANN (per-subspace codebooks + ADC lookup-table
+    scoring + exact shortlist re-rank).  shortlist=None re-ranks every row
+    per block, so the result is EXACTLY the brute top-k — independent of
+    codebook float noise — putting the PQ machinery (sample-trained
+    codebooks, distributed encode, ADC tables, re-rank, global merge) under
+    the SQL hash gate; the pruning trade (finite shortlist) stays covered
+    by test_pq_topk_recall_vs_brute."""
+    emb = _tbl(sf_dir, "embeddings")
+    queries = sorted(emb.filter(expr="vec_id < 5").take_all(),
+                     key=lambda r: r["vec_id"])
+    return ann.pq_topk(emb, queries, k=10, shortlist=None)
+
+
 def q_line_dedup_synth(sf_dir: str):
     """Corpus-wide line-level dedup (RefinedWeb-style) over the multiline
     synthetic corpus: boilerplate lines survive only at their first global
@@ -2308,6 +2322,7 @@ def _all_queries():
         "ann_topk": q_ann_topk,
         "ann_lsh_topk": q_lsh_topk,
         "ann_ivf_topk": q_ivf_topk,
+        "ann_pq_topk": q_pq_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "kg_top_sources": functools.partial(q_top_sources_crhn, rounds=10),
         "multimodal_features": q_multimodal_features,
@@ -4469,6 +4484,7 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         # nprobe == n_lists probes every IVF list → the exact brute top-k,
         # independent of the k-means coarse quantizer's float noise
         "ann_ivf_topk": _ANN_TOPK_SQL,
+        "ann_pq_topk": _ANN_TOPK_SQL,
         "ann_lsh_topk": _lsh_topk_sql(),
         "line_dedup_synth": f"""
 WITH d AS (
