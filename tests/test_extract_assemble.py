@@ -198,3 +198,26 @@ def test_conversation_dedup_keeps_min_conv():
         rd.from_arrow(t).repartition(3), n_parts=2).take_all()}
     assert out["c1"][0] == out["c2"][0] != out["c3"][0]
     assert (out["c1"][1], out["c2"][1], out["c3"][1]) == (1, 0, 1)
+
+
+def test_sft_pairs_prompt_assembly():
+    from trustfuse_ray.stages.assemble import sft_pairs
+
+    # turns arrive shuffled; assistant turn 0 has no context and is skipped
+    out = sft_pairs(_transcripts([
+        ("c1", 2, "assistant", "final answer", "kb"),
+        ("c1", 0, "assistant", "no context yet", "kb"),
+        ("c1", 1, "user", "question?", ""),
+        ("c2", 0, "user", "hi", ""),
+        ("c2", 1, "tool", "lookup", "db"),
+        ("c2", 2, "assistant", "resp", "kb"),
+    ]), n_parts=4).take_all()
+    by = {(r["conv_id"], r["turn_idx"]): r for r in out}
+    assert set(by) == {("c1", 2), ("c2", 2)}
+    r = by[("c1", 2)]
+    assert r["prompt"] == "assistant: no context yet\nuser: question?"
+    assert r["response"] == "final answer"
+    assert r["n_context_turns"] == 2
+    assert r["prompt_chars"] == len(r["prompt"])
+    assert r["response_chars"] == len("final answer")
+    assert by[("c2", 2)]["prompt"] == "user: hi\ntool: lookup"

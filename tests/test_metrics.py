@@ -229,3 +229,22 @@ def test_attr_value_entropy_exact():
     ea = 2 * (bl(4) - bl(3)) + 1 * (bl(4) - bl(2))
     eb = 1 * (bl(2) - bl(2))
     assert out == {"a": (3, 2, ea), "b": (1, 1, eb)}
+
+
+def test_entity_signatures_groups_types():
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import entity_signatures
+
+    rows = [  # e1,e2 share {a,b}; e3 has {a}; duplicates must not count
+        ("e1", "a"), ("e1", "b"), ("e1", "a"),
+        ("e2", "b"), ("e2", "a"),
+        ("e3", "a"),
+    ]
+    claims = rd.from_arrow(pa.table({
+        "entity": pa.array([r[0] for r in rows], pa.string()),
+        "attr": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(3)
+    out = {r["signature"]: (r["n_attrs"], r["n_entities"])
+           for r in entity_signatures(claims, n_parts=4).take_all()}
+    assert out == {"a,b": (2, 2), "a": (1, 1)}

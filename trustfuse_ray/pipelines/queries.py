@@ -1608,6 +1608,16 @@ def q_conversation_profile(sf_dir: str):
     return conversation_profile(read_transcripts(data_dir))
 
 
+def q_sft_pairs(sf_dir: str):
+    """Instruction-tuning pair assembly over the transcript corpus: every
+    assistant turn with context becomes a (prompt, response) training
+    example; one conv_id exchange, prompt built in-group."""
+    from trustfuse_ray.stages.assemble import sft_pairs
+
+    data_dir = synth.generate(sf_dir)
+    return sft_pairs(read_transcripts(data_dir))
+
+
 def q_embedding_quantize(sf_dir: str):
     """SQ8 scalar quantization of the embedding table: per-dim global
     ranges (O(dim)-row block partials) → broadcast → streaming encode."""
@@ -1622,6 +1632,15 @@ def q_kg_conflict_profile(sf_dir: str):
     from trustfuse_ray.reverse import conflict_profile
 
     return conflict_profile(cached_claims(sf_dir))
+
+
+def q_kg_entity_signatures(sf_dir: str):
+    """Schema induction: entities grouped into implicit types by their
+    sorted distinct attribute signature; map-side (entity, attr) distinct
+    bounds the single entity exchange."""
+    from trustfuse_ray.reverse import entity_signatures
+
+    return entity_signatures(cached_claims(sf_dir))
 
 
 def q_kg_voting_incremental(sf_dir: str):
@@ -2270,11 +2289,13 @@ def _all_queries():
         "kg_provenance": q_kg_provenance,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_voting_incremental": q_kg_voting_incremental,
+        "kg_entity_signatures": q_kg_entity_signatures,
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
         "embedding_quantize": q_embedding_quantize,
         "conversation_profile": q_conversation_profile,
+        "sft_pairs": q_sft_pairs,
         "charlm_scores": q_charlm_scores,
         "kg_claim_quality": q_kg_claim_quality,
         "kg_truth_asof": q_kg_truth_asof,
@@ -4896,6 +4917,21 @@ SELECT conv_id,
        CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
 FROM read_parquet('{cache}/transcripts/*.parquet')
 GROUP BY 1""",
+        "sft_pairs": f"""
+WITH w AS (
+  SELECT conv_id, turn_idx, role, text,
+    string_agg(role || ': ' || coalesce(text,''), chr(10)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt,
+    CAST(count(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+      AS n_context_turns
+  FROM read_parquet('{cache}/transcripts/*.parquet'))
+SELECT conv_id, turn_idx, prompt, coalesce(text,'') AS response,
+       n_context_turns,
+       CAST(length(prompt) AS BIGINT) AS prompt_chars,
+       CAST(length(coalesce(text,'')) AS BIGINT) AS response_chars
+FROM w WHERE role = 'assistant' AND prompt IS NOT NULL""",
         "embedding_quantize": """
 WITH x AS (
   SELECT vec_id, unnest(embedding) AS v,
@@ -5032,6 +5068,14 @@ SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
        CAST(max(n_values) AS BIGINT) AS max_values,
        CAST(sum(n_rows) AS BIGINT) AS n_value_rows
 FROM perfact GROUP BY 1""",
+        "kg_entity_signatures": f"""
+WITH {_claims_cte(cache)},
+sig AS (
+  SELECT entity, string_agg(DISTINCT attr, ',' ORDER BY attr) AS signature,
+         CAST(count(DISTINCT attr) AS BIGINT) AS n_attrs
+  FROM claims GROUP BY entity)
+SELECT signature, n_attrs, CAST(count(*) AS BIGINT) AS n_entities
+FROM sig GROUP BY 1, 2""",
         "kg_voting_incremental": f"""
 WITH {_claims_cte(cache)},
 inc AS (

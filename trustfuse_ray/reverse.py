@@ -540,3 +540,46 @@ def multi_truth(claims, min_support: int = 2, n_parts: int = 32):
                                  ("attr", pa.string()),
                                  ("value_str", pa.string()),
                                  ("support", pa.int64())]))
+
+
+def entity_signatures(claims, n_parts: int = 32):
+    """Ontology-style entity typing: each entity's *attribute signature*
+    (sorted distinct attrs joined by ',') groups entities into implicit
+    types — the schema-induction profile a KG-construction pipeline
+    reports before deciding entity classes.
+
+    Shape: map-side distinct on (entity, attr) bounds the exchange to the
+    entity-attribute incidence; the signature reduces inside ONE entity
+    co-partition; the per-signature rollup is a second small exchange
+    bounded by the number of OBSERVED attribute combinations (≤ 2^|attrs|
+    but in practice tiny next to the claim stream)."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _dd(batch: pa.Table) -> pa.Table:
+        cols = ["entity", "attr"]
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    def _sig(group: pa.Table) -> pa.Table:
+        attrs = sorted(set(group["attr"].to_pylist()))
+        return pa.table({
+            "signature": pa.array([",".join(attrs)], pa.string()),
+            "n_attrs": pa.array([len(attrs)], pa.int64())})
+
+    sigs = hash_group_apply(
+        claims.map_batches(_dd, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity"], _sig, n_parts=n_parts,
+        plasma_schema=pa.schema([("signature", pa.string()),
+                                 ("n_attrs", pa.int64())]))
+
+    def _rollup(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "signature": group["signature"][:1],
+            "n_attrs": group["n_attrs"][:1],
+            "n_entities": pa.array([len(group)], pa.int64())})
+
+    return hash_group_apply(
+        sigs, ["signature"], _rollup, n_parts=n_parts,
+        plasma_schema=pa.schema([("signature", pa.string()),
+                                 ("n_attrs", pa.int64()),
+                                 ("n_entities", pa.int64())]))
