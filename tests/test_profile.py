@@ -314,3 +314,21 @@ def test_winsorized_stats_exact():
     assert out["n_clipped_low"] == 0 and out["n_clipped_high"] == 1
     clipped = np.clip(np.array(vals, float), 0.0, 98.0)
     assert out["sum_clipped_fx"] == int(np.floor(clipped * 1000).sum())
+
+
+def test_bpe_merges_trainer_semantics():
+    import ray.data as rd
+
+    from trustfuse_ray.stages.profile import _bpe_apply, bpe_merges
+
+    # adjacent merges stay mergeable; overlap is left-to-right non-overlap
+    assert _bpe_apply("abab", [("a", "b")]) == ["ab", "ab"]
+    assert _bpe_apply("aaa", [("a", "a")]) == ["aa", "a"]
+    assert _bpe_apply("aaa", [("a", "a"), ("aa", "a")]) == ["aaa"]
+
+    docs = rd.from_items([{"text": "ab ab ab"}, {"text": "aaa aaa"}]
+                         ).repartition(2)
+    out = [(r["merge_idx"], r["l"], r["r"], r["n"])
+           for r in bpe_merges(docs, n_merges=4).take_all()]
+    # (a,a) n=4 wins round 0; (a,b) n=3; (aa,a) n=2; then no pairs -> stop
+    assert out == [(0, "a", "a", 4), (1, "a", "b", 3), (2, "aa", "a", 2)]

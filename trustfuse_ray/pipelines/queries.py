@@ -1634,6 +1634,15 @@ def q_kg_conflict_profile(sf_dir: str):
     return conflict_profile(cached_claims(sf_dir))
 
 
+def q_bpe_train(sf_dir: str):
+    """Full BPE trainer loop: 4 merge rounds over the documents word
+    vocabulary (corpus read once into distinct-word counts; each round is
+    one vocab pass + a tiny pair groupby + a per-block argmax reduce)."""
+    from trustfuse_ray.stages.profile import bpe_merges
+
+    return bpe_merges(_tbl(sf_dir, "documents"), n_merges=4)
+
+
 def q_kg_entity_signatures(sf_dir: str):
     """Schema induction: entities grouped into implicit types by their
     sorted distinct attribute signature; map-side (entity, attr) distinct
@@ -2285,6 +2294,7 @@ def _all_queries():
         "token_pack": q_token_pack,
         "top_tokens": q_top_tokens,
         "bpe_pairs": q_bpe_pairs,
+        "bpe_train": q_bpe_train,
         "mixture_schedule": q_mixture_schedule,
         "kg_provenance": q_kg_provenance,
         "kg_negative_samples": q_kg_negative_samples,
@@ -2367,6 +2377,48 @@ def _all_queries():
         "kg_entity_resolution": q_kg_entity_resolution,
         "token_chunks": q_token_chunks,
     }
+
+
+def _bpe_merges_sql(n_rounds: int = 4) -> str:
+    """SQL replay of the full BPE trainer (`stages/profile.py::bpe_merges`),
+    one CTE chain per unrolled round.  Words render as a two-char-boundary
+    symbol string (chr(30)||chr(31)); merge application is DuckDB
+    ``replace`` with a pattern that consumes the left half of the trailing
+    boundary, matching the engine's left-to-right non-overlapping rule
+    byte-for-byte."""
+    X, Y = "chr(30)", "chr(31)"
+    B = f"({X} || {Y})"
+    parts = [f"""
+words AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+          AS word FROM documents)
+  WHERE word <> '' GROUP BY 1),
+r0 AS (
+  SELECT {B} || array_to_string(string_split(word, ''), {B}) || {B} AS repr,
+         n FROM words)"""]
+    for i in range(n_rounds):
+        parts.append(f""",
+s{i} AS (
+  SELECT list_filter(string_split(repr, {B}), x -> x <> '') AS syms, n
+  FROM r{i}),
+ix{i} AS (
+  SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS i
+  FROM s{i} WHERE len(syms) >= 2),
+p{i} AS (SELECT syms[i] AS l, syms[i + 1] AS r, n FROM ix{i}),
+b{i} AS (
+  SELECT l, r, CAST(sum(n) AS BIGINT) AS n
+  FROM p{i} GROUP BY 1, 2 ORDER BY n DESC, l, r LIMIT 1)""")
+        if i + 1 < n_rounds:
+            parts.append(f""",
+r{i + 1} AS (
+  SELECT replace(w.repr, {Y} || b.l || {X} || {Y} || b.r || {X},
+                 {Y} || b.l || b.r || {X}) AS repr, w.n
+  FROM r{i} w, b{i} b)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_idx, l, r, n FROM b{i}"
+        for i in range(n_rounds))
+    return "WITH " + "".join(parts) + "\n" + sel
 
 
 def _claims_cte(cache: str) -> str:
@@ -3896,6 +3948,7 @@ WITH toks AS (
 ),
 c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
 SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50""",
+        "bpe_train": _bpe_merges_sql(4),
         "bpe_pairs": r"""
 WITH w AS (
   SELECT unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))

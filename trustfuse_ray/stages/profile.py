@@ -1193,3 +1193,118 @@ def winsorized_stats(ds, key_col: str = "event_type",
                                  ("n_clipped_low", pa.int64()),
                                  ("n_clipped_high", pa.int64()),
                                  ("sum_clipped_fx", pa.int64())]))
+
+
+_BPE_X, _BPE_Y = "\x1e", "\x1f"  # symbol-boundary sentinels (never in text)
+
+
+def _bpe_apply(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Apply the learned merge rules in order to one word; merge
+    application is left-to-right non-overlapping — expressed as a plain
+    string replace over a two-char-boundary representation so DuckDB
+    ``replace`` reproduces it byte-for-byte (the pattern consumes the
+    left half of the following boundary, keeping back-to-back merges
+    adjacent)."""
+    X, Y = _BPE_X, _BPE_Y
+    rep = (X + Y) + (X + Y).join(word) + (X + Y)
+    for l, r in merges:
+        rep = rep.replace(Y + l + X + Y + r + X, Y + l + r + X)
+    return [s for s in rep.split(X + Y) if s]
+
+
+def bpe_merges(docs, n_merges: int = 4, text_col: str = "text"):
+    """BPE vocabulary induction, full trainer loop (Sennrich et al. 2016):
+    ``n_merges`` rounds of (global adjacent-pair counts over the word
+    vocabulary → argmax pair, ties to the lexicographically smallest →
+    merge everywhere).  Returns one row per learned rule
+    (merge_idx, l, r, n) where n is the pair's occurrence-weighted count
+    the round it won.
+
+    Scale shape: the corpus is read ONCE into a distinct-word count table
+    (exchange bounded by the word vocabulary — the classic trainer trick);
+    each round is one streaming pass over that vocab (the per-word Python
+    walk is vocab-bounded, never corpus-bounded), a tiny (l, r) pair
+    groupby, and a per-block argmax reduce, so the driver only ever sees
+    ≤ #blocks candidate rows per round.  The merge list itself is O(n_merges)
+    and ships via closure capture."""
+    import re
+
+    import ray.data as rd
+
+    def _word_counts(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for t in batch[text_col].to_pylist():
+            if t:
+                words.extend(w for w in re.split(r"\s+", t.strip()) if w)
+        if not words:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        arr = np.array(words)
+        uniq, cnt = np.unique(arr, return_counts=True)
+        return pa.table({"word": pa.array(uniq.tolist(), pa.string()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    vocab = docs.select_columns([text_col]).map_batches(
+        _word_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("word").sum("n").rename_columns({"sum(n)": "n"}).materialize()
+
+    merges: list[tuple[str, str]] = []
+    won: list[int] = []
+    for _round in range(n_merges):
+        cur = list(merges)
+
+        def _pair_partial(batch: pa.Table) -> pa.Table:
+            out: dict[tuple[str, str], int] = {}
+            for word, n in zip(batch["word"].to_pylist(),
+                               batch["n"].to_pylist()):
+                syms = _bpe_apply(word, cur)
+                for a, b in zip(syms, syms[1:]):
+                    out[(a, b)] = out.get((a, b), 0) + int(n)
+            if not out:
+                return pa.table({"l": pa.array([], pa.string()),
+                                 "r": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            ks = list(out)
+            return pa.table({
+                "l": pa.array([k[0] for k in ks], pa.string()),
+                "r": pa.array([k[1] for k in ks], pa.string()),
+                "n": pa.array([out[k] for k in ks], pa.int64())})
+
+        def _block_best(batch: pa.Table) -> pa.Table:
+            if not len(batch):
+                return batch
+            best = None
+            for n, l, r in zip(batch["n"].to_pylist(),
+                               batch["l"].to_pylist(),
+                               batch["r"].to_pylist()):
+                if (best is None or n > best[0]
+                        or (n == best[0] and (l, r) < (best[1], best[2]))):
+                    best = (n, l, r)
+            # max count, ties to the lexicographically SMALLEST (l, r) —
+            # the SQL ``ORDER BY n DESC, l, r LIMIT 1`` rule exactly
+            return pa.table({"l": pa.array([best[1]], pa.string()),
+                             "r": pa.array([best[2]], pa.string()),
+                             "n": pa.array([best[0]], pa.int64())})
+
+        cands = (vocab.map_batches(_pair_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                 .groupby(["l", "r"]).sum("n")
+                 .rename_columns({"sum(n)": "n"})
+                 .map_batches(_block_best, batch_format="pyarrow")
+                 .take_all())
+        if not cands:
+            break
+        top = None
+        for c in cands:
+            if (top is None or c["n"] > top["n"]
+                    or (c["n"] == top["n"]
+                        and (c["l"], c["r"]) < (top["l"], top["r"]))):
+                top = c
+        merges.append((top["l"], top["r"]))
+        won.append(int(top["n"]))
+
+    return rd.from_arrow(pa.table({
+        "merge_idx": pa.array(range(len(merges)), pa.int64()),
+        "l": pa.array([m[0] for m in merges], pa.string()),
+        "r": pa.array([m[1] for m in merges], pa.string()),
+        "n": pa.array(won, pa.int64())}))
