@@ -490,3 +490,21 @@ def test_export_ntriples_roundtrip(tmp_path):
     assert '<kg:e2> <kg:size> "2.5"^^' \
            '<http://www.w3.org/2001/XMLSchema#double> .' in body
     assert '"line\\nbreak"' in body
+
+
+def test_length_bucket_batches_assignment():
+    import ray.data as rd
+
+    from trustfuse_ray.stages.curation import length_bucket_batches
+
+    docs = rd.from_items(
+        [{"doc_id": i, "text": "w"} for i in range(1, 6)]  # 1 word each
+        + [{"doc_id": 10, "text": "a b c d e f g"}]        # 7 words
+    ).repartition(3)
+    out = {r["doc_id"]: (r["n_words"], r["bucket"], r["batch_idx"])
+           for r in length_bucket_batches(docs, batch_size=2).take_all()}
+    # bit_length(1+1)=2 for the five 1-word docs; ranks by doc_id
+    assert out[1] == (1, 2, 0) and out[2] == (1, 2, 0)
+    assert out[3] == (1, 2, 1) and out[4] == (1, 2, 1)
+    assert out[5] == (1, 2, 2)
+    assert out[10] == (7, 4, 0)  # bit_length(7+1) = 4

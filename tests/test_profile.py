@@ -332,3 +332,16 @@ def test_bpe_merges_trainer_semantics():
            for r in bpe_merges(docs, n_merges=4).take_all()]
     # (a,a) n=4 wins round 0; (a,b) n=3; (aa,a) n=2; then no pairs -> stop
     assert out == [(0, "a", "a", 4), (1, "a", "b", 3), (2, "aa", "a", 2)]
+
+
+def test_bpe_encode_counts():
+    import ray.data as rd
+
+    from trustfuse_ray.stages.profile import bpe_encode
+
+    docs = rd.from_items([{"doc_id": 1, "text": "ab ab ab"},
+                          {"doc_id": 2, "text": "aaa aaa"}]).repartition(2)
+    out = {r["doc_id"]: (r["n_words"], r["n_tokens"])
+           for r in bpe_encode(docs, n_merges=4).take_all()}
+    # learned merges: (a,a),(a,b),(aa,a) -> "ab"=1 token, "aaa"=1 token
+    assert out == {1: (3, 3), 2: (2, 2)}

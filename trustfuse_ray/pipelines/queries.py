@@ -1643,6 +1643,24 @@ def q_bpe_train(sf_dir: str):
     return bpe_merges(_tbl(sf_dir, "documents"), n_merges=4)
 
 
+def q_length_bucket_batches(sf_dir: str):
+    """Padding-efficient batch assignment: power-of-two length buckets,
+    deterministic in-bucket order, batch_idx = rank // 32; one
+    range-partitioned sort + metadata ordinals."""
+    from trustfuse_ray.stages.curation import length_bucket_batches
+
+    return length_bucket_batches(_tbl(sf_dir, "documents"), batch_size=32)
+
+
+def q_bpe_encode(sf_dir: str):
+    """Corpus encoding under the trained BPE vocabulary: per-document
+    word and subword-token counts; merges broadcast by closure, encode is
+    one streaming pass with no exchange."""
+    from trustfuse_ray.stages.profile import bpe_encode
+
+    return bpe_encode(_tbl(sf_dir, "documents"), n_merges=4)
+
+
 def q_kg_entity_signatures(sf_dir: str):
     """Schema induction: entities grouped into implicit types by their
     sorted distinct attribute signature; map-side (entity, attr) distinct
@@ -2295,6 +2313,8 @@ def _all_queries():
         "top_tokens": q_top_tokens,
         "bpe_pairs": q_bpe_pairs,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
+        "length_bucket_batches": q_length_bucket_batches,
         "mixture_schedule": q_mixture_schedule,
         "kg_provenance": q_kg_provenance,
         "kg_negative_samples": q_kg_negative_samples,
@@ -2419,6 +2439,47 @@ r{i + 1} AS (
         f"SELECT CAST({i} AS BIGINT) AS merge_idx, l, r, n FROM b{i}"
         for i in range(n_rounds))
     return "WITH " + "".join(parts) + "\n" + sel
+
+
+def _bpe_encode_sql(n_rounds: int = 4) -> str:
+    """SQL replay of `stages/profile.py::bpe_encode`: the trainer chain of
+    :func:`_bpe_merges_sql` plus an encode chain applying every learned
+    rule to the distinct-word table, joined back per document."""
+    X, Y = "chr(30)", "chr(31)"
+    B = f"({X} || {Y})"
+    train = _bpe_merges_sql(n_rounds)
+    chain = train[len("WITH "):train.rindex("\nSELECT CAST(0")]
+    enc = [f""",
+dw AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+                 AS word FROM documents)
+  WHERE word <> ''),
+e0 AS (
+  SELECT word,
+         {B} || array_to_string(string_split(word, ''), {B}) || {B} AS repr
+  FROM words)"""]
+    for i in range(n_rounds):
+        enc.append(f""",
+e{i + 1} AS (
+  SELECT e.word, replace(e.repr, {Y} || b.l || {X} || {Y} || b.r || {X},
+                         {Y} || b.l || b.r || {X}) AS repr
+  FROM e{i} e, b{i} b)""")
+    enc.append(f""",
+tok AS (
+  SELECT word,
+         CAST(len(list_filter(string_split(repr, {B}), x -> x <> ''))
+              AS BIGINT) AS nt
+  FROM e{n_rounds}),
+agg AS (
+  SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(t.nt) AS BIGINT) AS n_tokens
+  FROM dw d JOIN tok t USING (word) GROUP BY 1)
+SELECT ids.doc_id, coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_tokens, 0) AS n_tokens
+FROM (SELECT doc_id FROM documents) ids LEFT JOIN agg a USING (doc_id)""")
+    return "WITH " + chain + "".join(enc)
 
 
 def _claims_cte(cache: str) -> str:
@@ -3949,6 +4010,21 @@ WITH toks AS (
 c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
 SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50""",
         "bpe_train": _bpe_merges_sql(4),
+        "bpe_encode": _bpe_encode_sql(4),
+        "length_bucket_batches": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           string_split_regex(trim(coalesce(text, '')), '\s+'),
+           w -> w <> '')) AS BIGINT) AS n_words
+  FROM documents),
+b AS (SELECT doc_id, n_words,
+             CAST(length(bin(n_words + 1)) AS BIGINT) AS bucket FROM t),
+r AS (SELECT doc_id, n_words, bucket,
+             row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM b)
+SELECT doc_id, n_words, bucket, CAST((rn - 1) // 32 AS BIGINT) AS batch_idx
+FROM r""",
         "bpe_pairs": r"""
 WITH w AS (
   SELECT unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))

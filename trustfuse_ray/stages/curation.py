@@ -1202,3 +1202,57 @@ def mixture_order(docs, weights: dict[str, int],
                                  ("__prio", pa.float64())]))
     return global_row_number(
         ranked, ["__prio", source_col]).drop_columns(["__prio"])
+
+
+def length_bucket_batches(docs, batch_size: int = 32,
+                          text_col: str = "text", id_col: str = "doc_id"):
+    """Padding-efficient training batches: docs bucket by length scale
+    (bucket = bit_length(n_words + 1), so each bucket spans one power of
+    two) and within a bucket take deterministic doc_id order; batch_idx
+    is the 0-based ``rank // batch_size`` — sequences of similar length
+    land in the same batch, the padding-waste killer for packed training.
+
+    Shape: one streaming length pass (ids + counts only — text never
+    moves), ONE range-partitioned sort over (bucket, doc_id) with
+    metadata-only global ordinals (`windows.global_row_number` — no
+    per-bucket group task, so a hot bucket holding most of the corpus
+    still spreads over the whole cluster), then per-bucket rank = global
+    ordinal − bucket's min ordinal, where the min-ordinal table is one
+    tiny groupby (≤ ~64 rows) broadcast by closure.
+
+    Returns (doc_id, n_words, bucket, batch_idx)."""
+    import re
+
+    from trustfuse_ray.stages.windows import global_row_number
+
+    def _len(batch: pa.Table) -> pa.Table:
+        ns = [len([w for w in re.split(r"\s+", (t or "").strip()) if w])
+              for t in batch[text_col].to_pylist()]
+        n_arr = np.array(ns, dtype=np.int64)
+        buckets = np.array([int(n + 1).bit_length() for n in ns],
+                           dtype=np.int64)
+        return pa.table({id_col: batch[id_col],
+                         "n_words": pa.array(n_arr, pa.int64()),
+                         "bucket": pa.array(buckets, pa.int64())})
+
+    lens = docs.select_columns([id_col, text_col]).map_batches(
+        _len, batch_format="pyarrow", zero_copy_batch=True)
+    pos = global_row_number(lens, ["bucket", id_col], pos_col="__pos")
+    base_rows = (pos.groupby("bucket").min("__pos")
+                 .rename_columns({"min(__pos)": "base"}).take_all())
+    base_rows.sort(key=lambda r: r["bucket"])
+    bkeys = np.array([r["bucket"] for r in base_rows], dtype=np.int64)
+    bvals = np.array([r["base"] for r in base_rows], dtype=np.int64)
+
+    def _batchidx(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["bucket"], dtype=np.int64)
+        p = np.asarray(batch["__pos"], dtype=np.int64)
+        off = bvals[np.searchsorted(bkeys, b)]
+        return pa.table({
+            id_col: batch[id_col],
+            "n_words": batch["n_words"],
+            "bucket": batch["bucket"],
+            "batch_idx": pa.array((p - off) // batch_size, pa.int64())})
+
+    return pos.map_batches(_batchidx, batch_format="pyarrow",
+                           zero_copy_batch=True)

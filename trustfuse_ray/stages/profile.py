@@ -1308,3 +1308,34 @@ def bpe_merges(docs, n_merges: int = 4, text_col: str = "text"):
         "l": pa.array([m[0] for m in merges], pa.string()),
         "r": pa.array([m[1] for m in merges], pa.string()),
         "n": pa.array(won, pa.int64())}))
+
+
+def bpe_encode(docs, n_merges: int = 4, text_col: str = "text",
+               id_col: str = "doc_id"):
+    """Apply a learned BPE merge list to the corpus: per document, the
+    subword token count under the trained vocabulary (the padding/packing
+    statistic a tokenizer change shifts).  Trains via :func:`bpe_merges`
+    (tiny result), broadcasts the merge list by closure, then ONE
+    streaming pass over the corpus — no exchange at all on the encode
+    side.  Returns (doc_id, n_words, n_tokens)."""
+    import re
+
+    merges = [(r["l"], r["r"])
+              for r in bpe_merges(docs, n_merges=n_merges,
+                                  text_col=text_col).take_all()]
+
+    def _encode(batch: pa.Table) -> pa.Table:
+        ids, n_words, n_tokens = [], [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            words = [w for w in re.split(r"\s+", (t or "").strip()) if w]
+            ids.append(did)
+            n_words.append(len(words))
+            n_tokens.append(sum(len(_bpe_apply(w, merges)) for w in words))
+        return pa.table({
+            id_col: pa.array(ids, batch[id_col].type),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64())})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _encode, batch_format="pyarrow", zero_copy_batch=True)
