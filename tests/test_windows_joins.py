@@ -433,3 +433,19 @@ def test_active_users_dau_wau():
                  for r in active_users(ds).take_all())
     assert got == [("day", 0, 2), ("day", 1, 1), ("day", 8, 1),
                    ("week", 0, 2), ("week", 1, 1)]
+
+
+def test_kcore_peels_pendants():
+    from trustfuse_ray.stages.graph import kcore
+
+    # triangle a-b-c, pendant d-a, and a 2-chain d-e hanging off it
+    und = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e")]
+    rows = und + [(y, x) for x, y in und]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], pa.string()),
+        "dst": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(3)
+    out = {r["node"]: r["degree"]
+           for r in kcore(edges, k=2, rounds=8, n_parts=4).take_all()}
+    # e peels first (deg 1), then d (deg 1 after e left) -> triangle only
+    assert out == {"a": 2, "b": 2, "c": 2}

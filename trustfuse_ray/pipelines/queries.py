@@ -1996,6 +1996,35 @@ ed AS (
 )"""
 
 
+def _kcore_sql(k: int = 2, rounds: int = 8) -> str:
+    """Unrolled k-core peel over the ``ed`` edge CTE: each round filters
+    edges to alive-on-both-ends, recounts degrees, keeps nodes ≥ k; the
+    final select is the degree table over the round-``rounds`` core
+    (`stages/graph.py::kcore` runs the identical fixed-round peel with a
+    convergence early-exit that cannot change the result)."""
+    # every a{i} is referenced twice by e{i+1}, and ed once per round —
+    # MATERIALIZED stops DuckDB inlining the chain into a 2^rounds
+    # expansion of the claim extraction
+    parts = ["edm AS MATERIALIZED (SELECT src, dst FROM ed)",
+             "a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edm)"]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+e{i} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edm e
+  JOIN a{i - 1} s ON e.src = s.node
+  JOIN a{i - 1} t ON e.dst = t.node),
+d{i} AS (SELECT src, count(*) AS c FROM e{i} GROUP BY 1),
+a{i} AS MATERIALIZED (SELECT src AS node FROM d{i} WHERE c >= {k})""")
+    parts.append(f"""
+ef AS MATERIALIZED (
+  SELECT e.src, e.dst FROM edm e
+  JOIN a{rounds} s ON e.src = s.node
+  JOIN a{rounds} t ON e.dst = t.node),
+df AS (SELECT src, count(*) AS c FROM ef GROUP BY 1)""")
+    return (",\n".join(parts)
+            + "\nSELECT src AS node, CAST(c AS BIGINT) AS degree FROM df")
+
+
 def _pagerank_rounds_sql(rounds: int = 5, scale: int = 1_000_000,
                          personalized: bool = False,
                          where: str | None = None) -> str:
@@ -2091,6 +2120,17 @@ def q_kg_entity_resolution(sf_dir: str):
 
     return resolve_entities(cached_claims(sf_dir), threshold=0.9,
                             block_len=4)
+
+
+def q_kg_kcore(sf_dir: str):
+    """2-core of the fused property graph (iterative peel, ≤8 rounds):
+    the cyclic backbone that survives dropping degree-1 chains — two
+    plasma semi-joins + one degree groupby per round, alive/edge sets
+    are Datasets throughout."""
+    from trustfuse_ray.stages.graph import kcore
+
+    _, und = _und_property_edges(sf_dir)
+    return kcore(und, k=2, rounds=8)
 
 
 def q_kg_pagerank_pers(sf_dir: str):
@@ -2391,6 +2431,7 @@ def _all_queries():
         "semantic_dedup": q_semantic_dedup,
         "kg_khop": q_kg_khop,
         "kg_pagerank": q_kg_pagerank,
+        "kg_kcore": q_kg_kcore,
         "kg_pagerank_pers": q_kg_pagerank_pers,
         "kg_triangles": q_kg_triangles,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
@@ -4854,6 +4895,10 @@ SELECT e.vec_id,
        CAST(coalesce(l.label, e.vec_id) AS BIGINT) AS label,
        coalesce(l.label, e.vec_id) = e.vec_id AS keep
 FROM embeddings e LEFT JOIN lab l ON l.node = e.vec_id""",
+        "kg_kcore": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+{_kcore_sql(2, 8)}""",
         "kg_pagerank": f"""
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},

@@ -827,3 +827,103 @@ def export_ntriples(triples, out_dir: str):
     counts = triples.map_batches(_write, batch_format="pyarrow",
                                  zero_copy_batch=True).take_all()
     return sum(1 for r in counts if r["n"])
+
+
+def kcore(edges, k: int = 3, rounds: int = 8, src: str = "src",
+          dst: str = "dst", n_parts: int = 32):
+    """k-core decomposition by iterative peeling: repeatedly drop nodes of
+    degree < k until stable (≤ ``rounds`` rounds — the SQL oracle unrolls
+    the same fixed count, and a converged peel makes the remaining rounds
+    no-ops, so early exit never changes the result).  Returns
+    (node, degree) over the final core-induced subgraph.
+
+    Scale shape: the alive set and the edge set are DATASETS end-to-end —
+    each round is two plasma semi-join exchanges (filter edges by alive
+    src, then by alive dst) plus one degree groupby; traffic is O(alive
+    edges) and shrinks monotonically.  Input must carry both directions
+    of each undirected edge (as `und_edges_from_triples` emits)."""
+    import ray.data as rd
+
+    from trustfuse_ray.stages.common import _add_part, plasma_exchange
+
+    ex_schema = pa.schema([("node", pa.string()), ("other", pa.string()),
+                           ("side", pa.int8()), ("__part", pa.int32())])
+
+    def _as_state(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch[src].cast(pa.string()),
+            "other": batch[dst].cast(pa.string()),
+            "side": pa.array(np.zeros(len(batch), np.int8))})
+
+    def _alive_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "node": batch["node"].cast(pa.string()),
+            "other": pa.array([""] * n, pa.string()),
+            "side": pa.array(np.ones(n, np.int8))})
+
+    def _semi(tbl: pa.Table) -> pa.Table:
+        """Adjacency rows (side 0) whose node-run holds an alive row
+        (side 1) survive, re-emitted keyed by the OTHER endpoint."""
+        out_schema = pa.schema([("node", pa.string()),
+                                ("other", pa.string()),
+                                ("side", pa.int8())])
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        node = tbl["node"].to_pandas().to_numpy(dtype=object)
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        order = np.lexsort((side, node))
+        ns, ss = node[order], side[order]
+        n = len(ns)
+        head = np.ones(n, dtype=bool)
+        head[1:] = ns[1:] != ns[:-1]
+        run_id = np.cumsum(head) - 1
+        has_alive = np.zeros(int(run_id[-1]) + 1, dtype=bool)
+        has_alive[run_id[ss == 1]] = True
+        adj = (ss == 0) & has_alive[run_id]
+        if not adj.any():
+            return out_schema.empty_table()
+        sel = pa.array(order[adj])
+        return pa.table({
+            "node": tbl["other"].take(sel),
+            "other": tbl["node"].take(sel),
+            "side": pa.array(np.zeros(int(adj.sum()), np.int8))})
+
+    def _keyed(ds):
+        return ds.map_batches(
+            functools.partial(_add_part, keys=["node"], n_parts=n_parts),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    state = edges.map_batches(_as_state, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    alive = (state.groupby("node").count()
+             .select_columns(["node"]).materialize())
+    n_alive = alive.count()
+
+    def _both_ends_filter(st, al):
+        """edges(st) semi-joined against alive(al) on src then dst; output
+        is keyed by src again (two exchanges)."""
+        by_dst = plasma_exchange(
+            [_keyed(st), _keyed(al.map_batches(
+                _alive_rows, batch_format="pyarrow"))],
+            _semi, n_parts, part_col="__part", empty_schema=ex_schema)
+        # rows are now (node=dst, other=src); second pass filters on dst
+        # and flips back to src-keyed rows
+        return plasma_exchange(
+            [_keyed(by_dst), _keyed(al.map_batches(
+                _alive_rows, batch_format="pyarrow"))],
+            _semi, n_parts, part_col="__part", empty_schema=ex_schema)
+
+    for _ in range(rounds):
+        state = _both_ends_filter(state, alive).materialize()
+        deg = (state.groupby("node").count()
+               .rename_columns({"count()": "degree"}))
+        alive = (deg.filter(expr=f"degree >= {int(k)}")
+                 .select_columns(["node"]).materialize())
+        cur = alive.count()
+        if cur == n_alive:
+            break
+        n_alive = cur
+    final = _both_ends_filter(state, alive)
+    return (final.groupby("node").count()
+            .rename_columns({"count()": "degree"}))
