@@ -449,3 +449,27 @@ def test_kcore_peels_pendants():
            for r in kcore(edges, k=2, rounds=8, n_parts=4).take_all()}
     # e peels first (deg 1), then d (deg 1 after e left) -> triangle only
     assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_rolling_active_users_window():
+    import numpy as np
+
+    from trustfuse_ray.stages.windows import rolling_active_users
+
+    day = 86_400_000_000
+    rows = [  # (day, user): u1 active d0; u2 active d0,d8; u3 active d2
+        (0, 1), (0, 2), (2, 3), (8, 2), (0, 1),  # dup event same day
+    ]
+    events = rd.from_arrow(pa.table({
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[0] * day for r in rows],
+                                dtype="datetime64[us]")),
+    })).repartition(2)
+    out = {r["day"]: r["n_active"]
+           for r in rolling_active_users(events, window_days=7).take_all()}
+    assert out[0] == 2          # u1, u2
+    assert out[2] == 3          # u1, u2 (d0 in window), u3
+    assert out[6] == 3          # d0..d6 all in window
+    assert out[7] == 1          # only u3 (d2); d0 aged out
+    assert out[8] == 2          # u3 (d2) + u2 (d8)
+    assert out[14] == 1 and 15 not in out  # d8+6 last day u2 counts

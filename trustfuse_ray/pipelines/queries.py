@@ -1386,6 +1386,15 @@ def q_events_active_users(sf_dir: str):
     return active_users(_tbl(sf_dir, "events"))
 
 
+def q_events_rolling_active(sf_dir: str):
+    """Rolling 7-day active users per day — exact sliding-window distinct
+    via (day, user) fan-out to contributing window days; exchange bounded
+    by daily actives × window, never raw events."""
+    from trustfuse_ray.stages.windows import rolling_active_users
+
+    return rolling_active_users(_tbl(sf_dir, "events"), window_days=7)
+
+
 def q_kg_multi_truth(sf_dir: str):
     """Deterministic multi-truth emit (LTM's multi-valued semantics
     without the sampler): every categorical value with ≥ 2 distinct
@@ -2386,6 +2395,7 @@ def _all_queries():
         "lang_consistency": q_lang_consistency,
         "kg_multi_truth": q_kg_multi_truth,
         "events_active_users": q_events_active_users,
+        "events_rolling_active": q_events_rolling_active,
         "q3_shipping_priority": q3_shipping_priority,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
@@ -4338,6 +4348,14 @@ WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
 GROUP BY 1, 3, 4
 ORDER BY 2 DESC, o_orderdate, l_orderkey
 LIMIT 10""",
+        "events_rolling_active": """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id AS u
+  FROM events),
+w AS (
+  SELECT DISTINCT du.day + g.i AS day, du.u
+  FROM du, (SELECT unnest(generate_series(0, 6)) AS i) g)
+SELECT day, CAST(count(*) AS BIGINT) AS n_active FROM w GROUP BY 1""",
         "events_active_users": """
 SELECT 'day' AS period_kind, epoch_us(ts) // 86400000000 AS period,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_active

@@ -733,3 +733,50 @@ def active_users(events, user_col: str = "user_id", ts_col: str = "ts",
                                  zero_copy_batch=True)
             .groupby(["period_kind", "period"]).sum("n")
             .rename_columns({"sum(n)": "n_active"}))
+
+
+def rolling_active_users(events, window_days: int = 7,
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         day_us: int = 86_400_000_000):
+    """Rolling ``window_days``-day active users per day: for each day d,
+    distinct users active in (d − window + 1 .. d).  Exact (no sketch):
+    each distinct (day, user) pair fans out to the ``window_days`` window
+    days it contributes to, and a second distinct+count finishes — the
+    exchange is bounded by (active users per day) × window, never by raw
+    events.  Days with no active window are absent.  Returns
+    (day, n_active)."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch[ts_col].cast(pa.int64()), dtype=np.int64)
+        day = ts // np.int64(day_us)
+        t = pa.table({
+            "day": pa.array(day, pa.int64()),
+            "user": pa.array(np.asarray(batch[user_col].cast(pa.int64()),
+                                        dtype=np.int64))})
+        return t.group_by(["day", "user"]).aggregate([])
+
+    day_user = (events.select_columns([user_col, ts_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "user"]).count().drop_columns(["count()"]))
+
+    def _fanout(batch: pa.Table) -> pa.Table:
+        day = np.asarray(batch["day"], dtype=np.int64)
+        user = np.asarray(batch["user"], dtype=np.int64)
+        w = np.arange(window_days, dtype=np.int64)
+        wday = (day[:, None] + w[None, :]).ravel()
+        wuser = np.repeat(user, window_days)
+        return pa.table({"day": pa.array(wday, pa.int64()),
+                         "user": pa.array(wuser, pa.int64())})
+
+    windowed = (day_user.map_batches(_fanout, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+                .groupby(["day", "user"]).count().drop_columns(["count()"]))
+
+    def _count(batch: pa.Table) -> pa.Table:
+        return (batch.select(["day"]).group_by(["day"])
+                .aggregate([("day", "count")])
+                .rename_columns(["day", "n"]))
+
+    return (windowed.map_batches(_count, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("day").sum("n")
+            .rename_columns({"sum(n)": "n_active"}))
