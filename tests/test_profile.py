@@ -345,3 +345,26 @@ def test_bpe_encode_counts():
            for r in bpe_encode(docs, n_merges=4).take_all()}
     # learned merges: (a,a),(a,b),(aa,a) -> "ab"=1 token, "aaa"=1 token
     assert out == {1: (3, 3), 2: (2, 2)}
+
+
+def test_per_source_median_gate():
+    import ray.data as rd
+
+    from trustfuse_ray.stages.text import per_source_median_gate
+
+    # src A: three docs with strictly increasing scores; lower median is
+    # the middle one -> exactly two keep.  src B: single doc -> keeps.
+    docs = rd.from_items([
+        {"doc_id": 1, "source": "A", "text": "the the the"},
+        {"doc_id": 2, "source": "A", "text": "a b"},
+        {"doc_id": 3, "source": "A", "text": "x" * 200},
+        {"doc_id": 4, "source": "B", "text": "whatever"},
+    ]).repartition(2)
+    out = {r["doc_id"]: (r["score_fp"], r["keep"])
+           for r in per_source_median_gate(docs, n_parts=4).take_all()}
+    scores = {d: s for d, (s, _) in out.items()}
+    med_a = sorted([scores[1], scores[2], scores[3]])[1]
+    for d in (1, 2, 3):
+        assert out[d][1] == (scores[d] >= med_a)
+    assert sum(out[d][1] for d in (1, 2, 3)) == 2
+    assert out[4][1] is True or out[4][1] == True  # noqa: E712

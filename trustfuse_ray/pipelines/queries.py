@@ -1386,6 +1386,15 @@ def q_events_active_users(sf_dir: str):
     return active_users(_tbl(sf_dir, "events"))
 
 
+def q_source_median_gate(sf_dir: str):
+    """Per-source relative quality gate: keep docs at/above their own
+    source's discrete median score; thresholds derive from (source,
+    score) histograms, never re-sorted raw rows."""
+    from trustfuse_ray.stages.text import per_source_median_gate
+
+    return per_source_median_gate(_tbl(sf_dir, "documents"))
+
+
 def q_events_rolling_active(sf_dir: str):
     """Rolling 7-day active users per day — exact sliding-window distinct
     via (day, user) fan-out to contributing window days; exchange bounded
@@ -2409,6 +2418,7 @@ def _all_queries():
         "distinct_users": q_distinct_users,
         "hll_registers": q_hll_registers,
         "quality_classify": q_quality_classify,
+        "source_median_gate": q_source_median_gate,
         "embedding_centroids": q_embedding_centroids,
         "bottomk_sample": q_bottomk_sample,
         "text_quality": q_text_quality,
@@ -4265,6 +4275,24 @@ SELECT doc_id,
        CAST((length(lower(text)) - length(replace(lower(text), 'the', '')))
             / 3 AS BIGINT) AS the_count
 FROM documents""",
+        "source_median_gate": r"""
+WITH f AS (
+  SELECT doc_id, source,
+         3 * CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           - length(text)
+           + 50 * CAST((length(lower(text))
+                        - length(replace(lower(text), 'the', ''))) / 3
+                       AS BIGINT)
+           + 100 AS score_fp
+  FROM documents),
+med AS (
+  SELECT source, score_fp AS med FROM (
+    SELECT source, score_fp,
+           row_number() OVER (PARTITION BY source ORDER BY score_fp) AS rn,
+           count(*) OVER (PARTITION BY source) AS n
+    FROM f) WHERE rn - 1 = (n - 1) // 2)
+SELECT f.doc_id, f.source, f.score_fp, f.score_fp >= m.med AS keep
+FROM f JOIN med m USING (source)""",
         "quality_classify": r"""
 WITH f AS (
   SELECT doc_id,

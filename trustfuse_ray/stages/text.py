@@ -223,3 +223,67 @@ def lang_consistency(docs, concurrency=(1, 4)):
     return (part.groupby("source").sum(["n_docs", "n_agree"])
             .rename_columns({"sum(n_docs)": "n_docs",
                              "sum(n_agree)": "n_agree"}))
+
+
+def per_source_median_gate(docs, n_parts: int = 16):
+    """Per-source relative quality gate: keep a doc iff its integer
+    quality score is ≥ its OWN source's discrete lower-median score —
+    the "filter each provider against its own distribution" rule that
+    stops a high-volume low-quality source from drowning the corpus gate.
+
+    Shape: one scoring pass (integer linear head, exact); per-block
+    (source, score) count partials bound the exchange by per-block score
+    diversity; per-source lower median (rank floor((n−1)/2) of the
+    ascending scores) derives inside a source co-partition from the
+    histogram — never from re-sorted raw rows; the threshold table is
+    #sources rows, collected once and applied in a second streaming
+    pass.  Returns (doc_id, source, score_fp, keep)."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    clf = QualityClassifier()
+
+    def _score(batch: pa.Table) -> pa.Table:
+        out = clf(batch)
+        return pa.table({"doc_id": out["doc_id"],
+                         "source": batch["source"],
+                         "score_fp": out["score_fp"]})
+
+    scored = docs.map_batches(_score, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        t = batch.select(["source", "score_fp"])
+        return (t.group_by(["source", "score_fp"])
+                .aggregate([("score_fp", "count")])
+                .rename_columns(["source", "score_fp", "n"]))
+
+    hist = (scored.map_batches(_hist, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(["source", "score_fp"]).sum("n")
+            .rename_columns({"sum(n)": "n"}))
+
+    def _median(group: pa.Table) -> pa.Table:
+        scores = np.asarray(group["score_fp"], dtype=np.int64)
+        counts = np.asarray(group["n"], dtype=np.int64)
+        order = np.argsort(scores)
+        scores, counts = scores[order], counts[order]
+        rank = (counts.sum() - 1) // 2
+        idx = int(np.searchsorted(np.cumsum(counts), rank + 1))
+        return pa.table({
+            "source": group["source"][:1],
+            "med": pa.array([int(scores[idx])], pa.int64())})
+
+    med_rows = hash_group_apply(
+        hist, ["source"], _median, n_parts=n_parts,
+        plasma_schema=pa.schema([("source", pa.string()),
+                                 ("med", pa.int64())])).take_all()
+    med = {r["source"]: r["med"] for r in med_rows}
+
+    def _gate(batch: pa.Table) -> pa.Table:
+        srcs = batch["source"].to_pylist()
+        thr = np.array([med[s] for s in srcs], dtype=np.int64)
+        sc = np.asarray(batch["score_fp"], dtype=np.int64)
+        return batch.append_column("keep", pa.array(sc >= thr))
+
+    return scored.map_batches(_gate, batch_format="pyarrow",
+                              zero_copy_batch=True)
