@@ -248,3 +248,52 @@ def test_entity_signatures_groups_types():
     out = {r["signature"]: (r["n_attrs"], r["n_entities"])
            for r in entity_signatures(claims, n_parts=4).take_all()}
     assert out == {"a,b": (2, 2), "a": (1, 1)}
+
+
+def test_source_pair_agreement_counts():
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import source_pair_agreement
+
+    rows = [  # fact e1/a: s1=v1, s2=v1, s3=v2; fact e2/a: s1=v1, s2=v2
+        ("s1", "e1", "a", "v1"), ("s2", "e1", "a", "v1"),
+        ("s3", "e1", "a", "v2"), ("s1", "e1", "a", "v1"),  # dup
+        ("s1", "e2", "a", "v1"), ("s2", "e2", "a", "v2"),
+    ]
+    claims = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "entity": pa.array([r[1] for r in rows], pa.string()),
+        "attr": pa.array([r[2] for r in rows], pa.string()),
+        "value_str": pa.array([r[3] for r in rows], pa.string()),
+        "value_type": pa.array(["categorical"] * len(rows), pa.string()),
+    })).repartition(3)
+    out = {(r["s1"], r["s2"]): (r["n_shared"], r["n_agree"])
+           for r in source_pair_agreement(claims, min_shared=2,
+                                          n_parts=4).take_all()}
+    # only (s1,s2) shares >= 2 facts: agree on e1, disagree on e2
+    assert out == {("s1", "s2"): (2, 1)}
+
+
+def test_voting_recency_prefers_fresh():
+    import numpy as np
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import voting_recency
+
+    day = 86_400_000_000
+    rows = [  # v_old asserted by 2 sources on day 0; v_new by 1 on day 9
+        ("s1", 0, "v_old"), ("s2", 0, "v_old"), ("s3", 9, "v_new"),
+        ("s1", 0, "v_old"),  # duplicate must not double-count
+    ]
+    claims = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "entity": pa.array(["e"] * len(rows), pa.string()),
+        "attr": pa.array(["a"] * len(rows), pa.string()),
+        "value_str": pa.array([r[2] for r in rows], pa.string()),
+        "value_type": pa.array(["categorical"] * len(rows), pa.string()),
+        "ts": pa.array(np.array([r[1] * day for r in rows],
+                                dtype="datetime64[us]")),
+    })).repartition(2)
+    out = voting_recency(claims, n_parts=4).take_all()
+    # weights: v_old = 1+1 = 2, v_new = 10 -> freshness wins
+    assert [(r["value_str"], r["w"]) for r in out] == [("v_new", 10)]

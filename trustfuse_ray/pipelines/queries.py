@@ -1688,6 +1688,24 @@ def q_kg_entity_signatures(sf_dir: str):
     return entity_signatures(cached_claims(sf_dir))
 
 
+def q_kg_voting_recency(sf_dir: str):
+    """Freshness-biased fusion: recency-weighted voting (weight = days
+    since the fact's earliest assertion + 1, exact integers); one
+    (entity, attr) co-partition."""
+    from trustfuse_ray.reverse import voting_recency
+
+    return voting_recency(cached_claims(sf_dir))
+
+
+def q_kg_source_pairs(sf_dir: str):
+    """Copy-detection precursor: per unordered source pair, shared
+    categorical facts and agreements; per-fact pair partials, one tiny
+    (s1, s2) groupby."""
+    from trustfuse_ray.reverse import source_pair_agreement
+
+    return source_pair_agreement(cached_claims(sf_dir))
+
+
 def q_kg_voting_incremental(sf_dir: str):
     """Incremental fusion maintenance: fold the md5(conv_id)%5==0 slice
     of the corpus into the prior slice's fused state; only touched
@@ -2378,6 +2396,8 @@ def _all_queries():
         "kg_negative_samples": q_kg_negative_samples,
         "kg_voting_incremental": q_kg_voting_incremental,
         "kg_entity_signatures": q_kg_entity_signatures,
+        "kg_source_pairs": q_kg_source_pairs,
+        "kg_voting_recency": q_kg_voting_recency,
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
@@ -5288,6 +5308,36 @@ SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
        CAST(max(n_values) AS BIGINT) AS max_values,
        CAST(sum(n_rows) AS BIGINT) AS n_value_rows
 FROM perfact GROUP BY 1""",
+        "kg_voting_recency": f"""
+WITH {_claims_cte(cache)},
+dd AS (
+  SELECT DISTINCT source, entity, attr, value_str,
+         epoch_us(ts) // 86400000000 AS day
+  FROM claims WHERE value_type <> 'quantity' AND value_str IS NOT NULL),
+wts AS (
+  SELECT entity, attr, value_str,
+         day - min(day) OVER (PARTITION BY entity, attr) + 1 AS w
+  FROM dd),
+tot AS (SELECT entity, attr, value_str, CAST(sum(w) AS BIGINT) AS w
+        FROM wts GROUP BY 1, 2, 3),
+rk AS (SELECT *, row_number() OVER (PARTITION BY entity, attr
+                                    ORDER BY w DESC, value_str) AS rn
+       FROM tot)
+SELECT entity, attr, value_str, w FROM rk WHERE rn = 1""",
+        "kg_source_pairs": f"""
+WITH {_claims_cte(cache)},
+dd AS (
+  SELECT DISTINCT source, entity, attr, value_str FROM claims
+  WHERE value_type <> 'quantity' AND value_str IS NOT NULL),
+pairs AS (
+  SELECT a.entity, a.attr, a.source AS s1, b.source AS s2,
+         max(CASE WHEN a.value_str = b.value_str THEN 1 ELSE 0 END) AS agree
+  FROM dd a JOIN dd b
+    ON a.entity = b.entity AND a.attr = b.attr AND a.source < b.source
+  GROUP BY 1, 2, 3, 4)
+SELECT s1, s2, CAST(count(*) AS BIGINT) AS n_shared,
+       CAST(sum(agree) AS BIGINT) AS n_agree
+FROM pairs GROUP BY 1, 2 HAVING count(*) >= 2""",
         "kg_entity_signatures": f"""
 WITH {_claims_cte(cache)},
 sig AS (

@@ -583,3 +583,115 @@ def entity_signatures(claims, n_parts: int = 32):
         plasma_schema=pa.schema([("signature", pa.string()),
                                  ("n_attrs", pa.int64()),
                                  ("n_entities", pa.int64())]))
+
+
+def source_pair_agreement(claims, min_shared: int = 2, n_parts: int = 32):
+    """Source-dependence statistic (the copy-detection precursor of
+    ACCU-style models): for every unordered source pair sharing at least
+    ``min_shared`` categorical facts, how many facts both assert and on
+    how many they agree (same value_str).  High agreement on many shared
+    facts flags copying / shared provenance.
+
+    Shape: map-side distinct of (source, entity, attr, value_str) bounds
+    the exchange; per-fact groups emit their source-pair partials (a fact
+    touches |sources-on-fact|² pairs — bounded by per-fact fan-in, the
+    conflict profile's skew guard applies); one tiny (s1, s2) groupby
+    finishes.  Returns (s1, s2, n_shared, n_agree)."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(batch["value_type"], "quantity"),
+                       pc.is_valid(batch["value_str"]))
+        t = batch.filter(keep).select(
+            ["source", "entity", "attr", "value_str"])
+        return t.group_by(
+            ["source", "entity", "attr", "value_str"]).aggregate([])
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        by_src: dict[str, set] = {}
+        for s, v in zip(group["source"].to_pylist(),
+                        group["value_str"].to_pylist()):
+            by_src.setdefault(s, set()).add(v)
+        srcs = sorted(by_src)
+        a, b, ag = [], [], []
+        for i, s1 in enumerate(srcs):
+            for s2 in srcs[i + 1:]:
+                a.append(s1)
+                b.append(s2)
+                ag.append(1 if by_src[s1] & by_src[s2] else 0)
+        return pa.table({
+            "s1": pa.array(a, pa.string()),
+            "s2": pa.array(b, pa.string()),
+            "n_shared": pa.array(np.ones(len(a), np.int64)),
+            "n_agree": pa.array(ag, pa.int64())})
+
+    pair_schema = pa.schema([("s1", pa.string()), ("s2", pa.string()),
+                             ("n_shared", pa.int64()),
+                             ("n_agree", pa.int64())])
+    partials = hash_group_apply(
+        claims.map_batches(_distinct, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity", "attr"], _pairs, n_parts=n_parts,
+        plasma_schema=pair_schema)
+    agg = (partials.groupby(["s1", "s2"]).sum(["n_shared", "n_agree"])
+           .rename_columns({"sum(n_shared)": "n_shared",
+                            "sum(n_agree)": "n_agree"}))
+    return agg.filter(expr=f"n_shared >= {int(min_shared)}")
+
+
+def voting_recency(claims, day_us: int = 86_400_000_000,
+                   n_parts: int = 32):
+    """Recency-weighted voting over categorical facts: each distinct
+    (source, value, day) assertion carries integer weight
+    ``day − fact's earliest day + 1``, so newer assertions outvote stale
+    ones — the freshness-biased fusion rule for cumulative claim streams
+    (stale mirrors decay instead of tying forever).  Winner per fact =
+    max summed weight, ties to the lexicographically smallest value.
+
+    Shape: map-side distinct of (source, entity, attr, value_str, day)
+    bounds the exchange; weights and the argmax reduce inside ONE
+    (entity, attr) co-partition.  Integer arithmetic throughout — DuckDB
+    replays it exactly.  Returns (entity, attr, value_str, w)."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(batch["value_type"], "quantity"),
+                       pc.is_valid(batch["value_str"]))
+        t = batch.filter(keep)
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(day_us, pa.int64()))
+        t = pa.table({"source": t["source"], "entity": t["entity"],
+                      "attr": t["attr"], "value_str": t["value_str"],
+                      "day": day})
+        return t.group_by(
+            ["source", "entity", "attr", "value_str", "day"]).aggregate([])
+
+    def _vote(group: pa.Table) -> pa.Table:
+        # the map-side distinct is per BLOCK; finish the global distinct
+        # over (source, value, day) before weighting
+        rows = set(zip(group["source"].to_pylist(),
+                       group["value_str"].to_pylist(),
+                       np.asarray(group["day"], dtype=np.int64).tolist()))
+        dmin = min(d for _, _, d in rows)
+        totals: dict[str, int] = {}
+        for _, v, d in rows:
+            totals[v] = totals.get(v, 0) + int(d - dmin + 1)
+        win = sorted(totals.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        return pa.table({
+            "entity": group["entity"][:1],
+            "attr": group["attr"][:1],
+            "value_str": pa.array([win[0]], pa.string()),
+            "w": pa.array([win[1]], pa.int64())})
+
+    return hash_group_apply(
+        claims.map_batches(_distinct, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity", "attr"], _vote, n_parts=n_parts,
+        plasma_schema=pa.schema([("entity", pa.string()),
+                                 ("attr", pa.string()),
+                                 ("value_str", pa.string()),
+                                 ("w", pa.int64())]))
