@@ -297,3 +297,29 @@ def test_voting_recency_prefers_fresh():
     out = voting_recency(claims, n_parts=4).take_all()
     # weights: v_old = 1+1 = 2, v_new = 10 -> freshness wins
     assert [(r["value_str"], r["w"]) for r in out] == [("v_new", 10)]
+
+
+def test_fact_history_reigns():
+    import numpy as np
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import fact_history
+
+    day = 86_400_000_000
+    rows = [  # day0: v1 leads; day1: v2 takes over 2-1; day2: v1 back 3-2
+        ("s1", 0, "v1"), ("s2", 1, "v2"), ("s3", 1, "v2"),
+        ("s4", 2, "v1"), ("s5", 2, "v1"),
+    ]
+    claims = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "entity": pa.array(["e"] * len(rows), pa.string()),
+        "attr": pa.array(["a"] * len(rows), pa.string()),
+        "value_str": pa.array([r[2] for r in rows], pa.string()),
+        "value_type": pa.array(["categorical"] * len(rows), pa.string()),
+        "ts": pa.array(np.array([r[1] * day for r in rows],
+                                dtype="datetime64[us]")),
+    })).repartition(2)
+    out = [(r["value_str"], r["valid_from_day"], r["valid_to_day"])
+           for r in sorted(fact_history(claims, n_parts=4).take_all(),
+                           key=lambda r: r["valid_from_day"])]
+    assert out == [("v1", 0, 0), ("v2", 1, 1), ("v1", 2, -1)]

@@ -1688,6 +1688,15 @@ def q_kg_entity_signatures(sf_dir: str):
     return entity_signatures(cached_claims(sf_dir))
 
 
+def q_kg_fact_history(sf_dir: str):
+    """SCD2 fact history: validity intervals of the cumulative voting
+    truth per categorical fact at day grain (−1 = still current);
+    group-local replay after a map-side distinct."""
+    from trustfuse_ray.reverse import fact_history
+
+    return fact_history(cached_claims(sf_dir))
+
+
 def q_kg_voting_recency(sf_dir: str):
     """Freshness-biased fusion: recency-weighted voting (weight = days
     since the fact's earliest assertion + 1, exact integers); one
@@ -2398,6 +2407,7 @@ def _all_queries():
         "kg_entity_signatures": q_kg_entity_signatures,
         "kg_source_pairs": q_kg_source_pairs,
         "kg_voting_recency": q_kg_voting_recency,
+        "kg_fact_history": q_kg_fact_history,
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
@@ -5308,6 +5318,36 @@ SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
        CAST(max(n_values) AS BIGINT) AS max_values,
        CAST(sum(n_rows) AS BIGINT) AS n_value_rows
 FROM perfact GROUP BY 1""",
+        "kg_fact_history": f"""
+WITH {_claims_cte(cache)},
+dd AS MATERIALIZED (
+  SELECT DISTINCT source, entity, attr, value_str,
+         epoch_us(ts) // 86400000000 AS day
+  FROM claims WHERE value_type <> 'quantity' AND value_str IS NOT NULL),
+days AS (SELECT DISTINCT entity, attr, day FROM dd),
+sup AS (
+  SELECT y.entity, y.attr, y.day AS d, x.value_str,
+         count(DISTINCT x.source) AS c
+  FROM days y JOIN dd x
+    ON x.entity = y.entity AND x.attr = y.attr AND x.day <= y.day
+  GROUP BY 1, 2, 3, 4),
+win AS (
+  SELECT entity, attr, d, value_str FROM (
+    SELECT *, row_number() OVER (PARTITION BY entity, attr, d
+                                 ORDER BY c DESC, value_str) AS rn
+    FROM sup) WHERE rn = 1),
+chg AS (
+  SELECT entity, attr, d, value_str,
+         lag(value_str) OVER (PARTITION BY entity, attr ORDER BY d) AS prev
+  FROM win),
+reign AS (
+  SELECT entity, attr, value_str, d AS valid_from_day,
+         coalesce(lead(d) OVER (PARTITION BY entity, attr ORDER BY d) - 1,
+                  -1) AS valid_to_day
+  FROM chg WHERE prev IS NULL OR prev <> value_str)
+SELECT entity, attr, value_str, valid_from_day,
+       CAST(valid_to_day AS BIGINT) AS valid_to_day
+FROM reign""",
         "kg_voting_recency": f"""
 WITH {_claims_cte(cache)},
 dd AS (

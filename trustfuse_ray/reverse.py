@@ -695,3 +695,74 @@ def voting_recency(claims, day_us: int = 86_400_000_000,
                                  ("attr", pa.string()),
                                  ("value_str", pa.string()),
                                  ("w", pa.int64())]))
+
+
+def fact_history(claims, day_us: int = 86_400_000_000, n_parts: int = 32):
+    """Temporal-KG fact history (SCD2-style): per categorical fact, the
+    validity intervals of the cumulative voting truth at day granularity —
+    one row per (entity, attr, value) reign with ``valid_from_day`` /
+    ``valid_to_day`` (−1 = still current).  Truth at day d = the value
+    with most distinct supporting sources among assertions with
+    day ≤ d, ties to the lexicographically smallest value (voting
+    semantics under DynamicDataset cumulative growth).
+
+    Shape: map-side distinct of (source, entity, attr, value_str, day)
+    bounds the exchange; each (entity, attr) group replays its own
+    assertion days locally (the truth_timeline trick at day grain) and
+    emits only change points."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(batch["value_type"], "quantity"),
+                       pc.is_valid(batch["value_str"]))
+        t = batch.filter(keep)
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(day_us, pa.int64()))
+        t = pa.table({"source": t["source"], "entity": t["entity"],
+                      "attr": t["attr"], "value_str": t["value_str"],
+                      "day": day})
+        return t.group_by(
+            ["source", "entity", "attr", "value_str", "day"]).aggregate([])
+
+    out_schema = pa.schema([
+        ("entity", pa.string()), ("attr", pa.string()),
+        ("value_str", pa.string()), ("valid_from_day", pa.int64()),
+        ("valid_to_day", pa.int64())])
+
+    def _history(group: pa.Table) -> pa.Table:
+        rows = sorted(set(zip(
+            np.asarray(group["day"], dtype=np.int64).tolist(),
+            group["source"].to_pylist(),
+            group["value_str"].to_pylist())))
+        ent = group["entity"][0].as_py()
+        attr = group["attr"][0].as_py()
+        support: dict[str, set] = {}
+        reigns: list[list] = []  # [value, from_day]
+        i, n = 0, len(rows)
+        while i < n:
+            d = rows[i][0]
+            while i < n and rows[i][0] == d:
+                _, s, v = rows[i]
+                support.setdefault(v, set()).add(s)
+                i += 1
+            win = sorted(support.items(),
+                         key=lambda kv: (-len(kv[1]), kv[0]))[0][0]
+            if not reigns or reigns[-1][0] != win:
+                reigns.append([win, d])
+        m = len(reigns)
+        return pa.table({
+            "entity": pa.array([ent] * m, pa.string()),
+            "attr": pa.array([attr] * m, pa.string()),
+            "value_str": pa.array([r[0] for r in reigns], pa.string()),
+            "valid_from_day": pa.array([r[1] for r in reigns], pa.int64()),
+            "valid_to_day": pa.array(
+                [reigns[j + 1][1] - 1 if j + 1 < m else -1
+                 for j in range(m)], pa.int64())})
+
+    return hash_group_apply(
+        claims.map_batches(_distinct, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity", "attr"], _history, n_parts=n_parts,
+        plasma_schema=out_schema)
