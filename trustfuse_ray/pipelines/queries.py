@@ -2257,10 +2257,10 @@ _DRIVER_WINDOW = [
     "kg_multi_truth",
     "kg_ltm_negatives",
     "kg_weights_crh",
-    "kg_weights_tf",
+    "kg_fact_history",
     "kg_top_sources_crh1",
     "kg_metrics_crh",
-    "kg_metrics_crh1",
+    "sft_pairs",
     "kg_entity_resolution",
     "kg_fuse_voting_resolved",
     "kg_pagerank",
@@ -2281,10 +2281,10 @@ _DRIVER_WINDOW = [
     "doc_fingerprint",
     "dsir_weights",
     "dsir_select",
-    "text_quality",
+    "source_median_gate",
     "lang_id",
     "token_pack",
-    "token_count",
+    "bpe_train",
     "doc_curation",
     "pretrain_dataset",
     "ann_topk",
