@@ -323,3 +323,23 @@ def test_fact_history_reigns():
            for r in sorted(fact_history(claims, n_parts=4).take_all(),
                            key=lambda r: r["valid_from_day"])]
     assert out == [("v1", 0, 0), ("v2", 1, 1), ("v1", 2, -1)]
+
+
+def test_dangling_refs_audit():
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import dangling_refs
+
+    rows = [  # e1 refs e2 (exists) and eX (dangling, from 2 entities)
+        ("e1", "neighbor", "e2"), ("e1", "neighbor", "eX"),
+        ("e3", "neighbor", "eX"), ("e2", "color", "red"),
+        ("e1", "neighbor", "eX"),  # dup pair must not double-count
+    ]
+    claims = rd.from_arrow(pa.table({
+        "entity": pa.array([r[0] for r in rows], pa.string()),
+        "attr": pa.array([r[1] for r in rows], pa.string()),
+        "value_str": pa.array([r[2] for r in rows], pa.string()),
+    })).repartition(2)
+    out = {r["ref"]: (r["n_refs"], r["dangling"])
+           for r in dangling_refs(claims, n_parts=4).take_all()}
+    assert out == {"e2": (1, False), "eX": (2, True)}

@@ -1688,6 +1688,15 @@ def q_kg_entity_signatures(sf_dir: str):
     return entity_signatures(cached_claims(sf_dir))
 
 
+def q_kg_dangling_refs(sf_dir: str):
+    """Referential-integrity audit: neighbor-valued targets never seen
+    as claim subjects; tagged-union co-partition anti-join, map-side
+    distinct on both sides."""
+    from trustfuse_ray.reverse import dangling_refs
+
+    return dangling_refs(cached_claims(sf_dir))
+
+
 def q_kg_fact_history(sf_dir: str):
     """SCD2 fact history: validity intervals of the cumulative voting
     truth per categorical fact at day grain (−1 = still current);
@@ -2408,6 +2417,7 @@ def _all_queries():
         "kg_source_pairs": q_kg_source_pairs,
         "kg_voting_recency": q_kg_voting_recency,
         "kg_fact_history": q_kg_fact_history,
+        "kg_dangling_refs": q_kg_dangling_refs,
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
@@ -5318,6 +5328,16 @@ SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
        CAST(max(n_values) AS BIGINT) AS max_values,
        CAST(sum(n_rows) AS BIGINT) AS n_value_rows
 FROM perfact GROUP BY 1""",
+        "kg_dangling_refs": f"""
+WITH {_claims_cte(cache)},
+refs AS (
+  SELECT DISTINCT value_str AS ref, entity AS src FROM claims
+  WHERE attr = 'neighbor' AND value_str IS NOT NULL),
+subj AS (SELECT DISTINCT entity AS ref FROM claims)
+SELECT r.ref, CAST(count(DISTINCT r.src) AS BIGINT) AS n_refs,
+       max(s.ref) IS NULL AS dangling
+FROM refs r LEFT JOIN subj s ON r.ref = s.ref
+GROUP BY 1""",
         "kg_fact_history": f"""
 WITH {_claims_cte(cache)},
 dd AS MATERIALIZED (

@@ -766,3 +766,64 @@ def fact_history(claims, day_us: int = 86_400_000_000, n_parts: int = 32):
                            zero_copy_batch=True),
         ["entity", "attr"], _history, n_parts=n_parts,
         plasma_schema=out_schema)
+
+
+def dangling_refs(claims, ref_attrs: tuple[str, ...] = ("neighbor",),
+                  n_parts: int = 32):
+    """KG referential-integrity audit: entity-valued assertions (the
+    ``ref_attrs`` columns, e.g. ``neighbor``) whose target never appears
+    as a claim SUBJECT — dangling edges a downstream graph build would
+    drop silently.  Returns (ref, n_refs) with n_refs = distinct
+    referencing entities.
+
+    Shape: both sides collapse map-side to distinct pairs; ONE
+    co-partition on the referenced id unions tagged streams and the
+    anti-join + count happen in-group — no broadcast of either side."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    attrs = set(ref_attrs)
+
+    def _refs(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_in(batch["attr"],
+                                value_set=pa.array(sorted(attrs))),
+                       pc.is_valid(batch["value_str"]))
+        t = batch.filter(keep)
+        out = pa.table({"ref": t["value_str"].cast(pa.string()),
+                        "src": t["entity"].cast(pa.string())})
+        out = out.group_by(["ref", "src"]).aggregate([])
+        return pa.table({"ref": out["ref"], "src": out["src"],
+                         "side": pa.array(np.zeros(len(out), np.int8))})
+
+    def _subjects(batch: pa.Table) -> pa.Table:
+        t = pa.table({"ref": batch["entity"].cast(pa.string())})
+        t = t.group_by(["ref"]).aggregate([])
+        n = len(t)
+        return pa.table({"ref": t["ref"],
+                         "src": pa.array([""] * n, pa.string()),
+                         "side": pa.array(np.ones(n, np.int8))})
+
+    tagged = claims.map_batches(_refs, batch_format="pyarrow",
+                                zero_copy_batch=True).union(
+        claims.map_batches(_subjects, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def _audit(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"], dtype=np.int8)
+        srcs = {s for s, sd in zip(group["src"].to_pylist(), side)
+                if sd == 0}
+        if not srcs:  # subject never referenced: not a ref row
+            return pa.schema([("ref", pa.string()),
+                              ("n_refs", pa.int64()),
+                              ("dangling", pa.bool_())]).empty_table()
+        return pa.table({
+            "ref": group["ref"][:1],
+            "n_refs": pa.array([len(srcs)], pa.int64()),
+            "dangling": pa.array([not bool((side == 1).any())])})
+
+    return hash_group_apply(
+        tagged, ["ref"], _audit, n_parts=n_parts,
+        plasma_schema=pa.schema([("ref", pa.string()),
+                                 ("n_refs", pa.int64()),
+                                 ("dangling", pa.bool_())]))
