@@ -113,3 +113,45 @@ def test_round3_wave_empty():
         "embedding": pa.array([], pa.list_(pa.float32())),
     }))
     assert embedding_quantize(embs).take_all() == []
+
+
+def test_round4_ops_empty():
+    import numpy as np
+
+    from trustfuse_ray.reverse import (dangling_refs, entity_signatures,
+                                       fact_history, source_pair_agreement,
+                                       voting_recency)
+    from trustfuse_ray.stages.assemble import sft_pairs
+    from trustfuse_ray.stages.curation import length_bucket_batches
+    from trustfuse_ray.stages.profile import bpe_encode, bpe_merges
+    from trustfuse_ray.stages.text import per_source_median_gate
+    from trustfuse_ray.stages.windows import rolling_active_users
+
+    e_docs = _empty_docs()
+    assert bpe_merges(e_docs).take_all() == []
+    assert bpe_encode(e_docs).take_all() == []
+    assert length_bucket_batches(e_docs).take_all() == []
+    assert per_source_median_gate(e_docs).take_all() == []
+    assert rolling_active_users(_empty_events()).take_all() == []
+
+    e_claims = rd.from_arrow(pa.table({
+        "source": pa.array([], pa.string()),
+        "entity": pa.array([], pa.string()),
+        "attr": pa.array([], pa.string()),
+        "value_str": pa.array([], pa.string()),
+        "value_type": pa.array([], pa.string()),
+        "ts": pa.array(np.array([], np.int64), pa.timestamp("us")),
+    }))
+    assert entity_signatures(e_claims).take_all() == []
+    assert source_pair_agreement(e_claims).take_all() == []
+    assert voting_recency(e_claims).take_all() == []
+    assert fact_history(e_claims).take_all() == []
+    assert dangling_refs(e_claims).take_all() == []
+
+    e_turns = rd.from_arrow(pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "turn_idx": pa.array([], pa.int32()),
+        "role": pa.array([], pa.string()),
+        "text": pa.array([], pa.string()),
+    }))
+    assert sft_pairs(e_turns).take_all() == []
