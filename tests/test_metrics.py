@@ -343,3 +343,25 @@ def test_dangling_refs_audit():
     out = {r["ref"]: (r["n_refs"], r["dangling"])
            for r in dangling_refs(claims, n_parts=4).take_all()}
     assert out == {"e2": (1, False), "eX": (2, True)}
+
+
+def test_key_discovery_uniqueness():
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import key_discovery
+
+    rows = [  # ssn: unique per entity; color: red shared by 2 entities
+        ("e1", "ssn", "s1"), ("e2", "ssn", "s2"),
+        ("e1", "color", "red"), ("e2", "color", "red"),
+        ("e3", "color", "blue"), ("e1", "ssn", "s1"),  # dup
+    ]
+    claims = rd.from_arrow(pa.table({
+        "entity": pa.array([r[0] for r in rows], pa.string()),
+        "attr": pa.array([r[1] for r in rows], pa.string()),
+        "value_str": pa.array([r[2] for r in rows], pa.string()),
+        "value_type": pa.array(["categorical"] * len(rows), pa.string()),
+    })).repartition(2)
+    out = {r["attr"]: (r["n_values"], r["n_unique_values"],
+                       r["max_entities_per_value"])
+           for r in key_discovery(claims, n_parts=4).take_all()}
+    assert out == {"ssn": (2, 2, 1), "color": (2, 1, 2)}

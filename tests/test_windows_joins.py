@@ -473,3 +473,27 @@ def test_rolling_active_users_window():
     assert out[7] == 1          # only u3 (d2); d0 aged out
     assert out[8] == 2          # u3 (d2) + u2 (d8)
     assert out[14] == 1 and 15 not in out  # d8+6 last day u2 counts
+
+
+def test_event_dedup_window_keeps_min_id():
+    import numpy as np
+
+    from trustfuse_ray.stages.windows import event_dedup_window
+
+    m = 1_000_000
+    rows = [  # u1/click: two in window 0, one in window 1; u2 separate
+        (5, 1, "click", 30 * m), (3, 1, "click", 500 * m),
+        (9, 1, "click", 700 * m), (7, 2, "click", 30 * m),
+        (8, 1, "view", 30 * m),
+    ]
+    events = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array(np.array([r[3] for r in rows],
+                                dtype="datetime64[us]")),
+    })).repartition(2)
+    out = {(r["user_id"], r["event_type"], r["w"]): r["event_id"]
+           for r in event_dedup_window(events, window_s=600).take_all()}
+    assert out == {(1, "click", 0): 3, (1, "click", 1): 9,
+                   (2, "click", 0): 7, (1, "view", 0): 8}

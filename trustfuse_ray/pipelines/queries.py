@@ -1688,6 +1688,22 @@ def q_kg_entity_signatures(sf_dir: str):
     return entity_signatures(cached_claims(sf_dir))
 
 
+def q_events_dedup_window(sf_dir: str):
+    """At-least-once compaction: (user, type) duplicates inside a 10-min
+    tumbling window collapse to the smallest event_id; pure groupby-min."""
+    from trustfuse_ray.stages.windows import event_dedup_window
+
+    return event_dedup_window(_tbl(sf_dir, "events"), window_s=600)
+
+
+def q_kg_key_discovery(sf_dir: str):
+    """Inverse-functional-property mining: per attribute, value
+    uniqueness stats (key candidates for ER); two bounded exchanges."""
+    from trustfuse_ray.reverse import key_discovery
+
+    return key_discovery(cached_claims(sf_dir))
+
+
 def q_kg_dangling_refs(sf_dir: str):
     """Referential-integrity audit: neighbor-valued targets never seen
     as claim subjects; tagged-union co-partition anti-join, map-side
@@ -2418,6 +2434,8 @@ def _all_queries():
         "kg_voting_recency": q_kg_voting_recency,
         "kg_fact_history": q_kg_fact_history,
         "kg_dangling_refs": q_kg_dangling_refs,
+        "events_dedup_window": q_events_dedup_window,
+        "kg_key_discovery": q_kg_key_discovery,
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
@@ -5328,6 +5346,23 @@ SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
        CAST(max(n_values) AS BIGINT) AS max_values,
        CAST(sum(n_rows) AS BIGINT) AS n_value_rows
 FROM perfact GROUP BY 1""",
+        "events_dedup_window": """
+SELECT user_id, event_type, epoch_us(ts) // 600000000 AS w,
+       CAST(min(event_id) AS BIGINT) AS event_id
+FROM events GROUP BY 1, 2, 3""",
+        "kg_key_discovery": f"""
+WITH {_claims_cte(cache)},
+dd AS (
+  SELECT DISTINCT attr, value_str, entity FROM claims
+  WHERE value_type <> 'quantity' AND value_str IS NOT NULL),
+perval AS (
+  SELECT attr, value_str, count(DISTINCT entity) AS ne
+  FROM dd GROUP BY 1, 2)
+SELECT attr, CAST(count(*) AS BIGINT) AS n_values,
+       CAST(sum(CASE WHEN ne = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique_values,
+       CAST(max(ne) AS BIGINT) AS max_entities_per_value
+FROM perval GROUP BY 1""",
         "kg_dangling_refs": f"""
 WITH {_claims_cte(cache)},
 refs AS (

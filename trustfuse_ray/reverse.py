@@ -827,3 +827,51 @@ def dangling_refs(claims, ref_attrs: tuple[str, ...] = ("neighbor",),
         plasma_schema=pa.schema([("ref", pa.string()),
                                  ("n_refs", pa.int64()),
                                  ("dangling", pa.bool_())]))
+
+
+def key_discovery(claims, n_parts: int = 32):
+    """Inverse-functional-property mining: per attribute, how close its
+    values come to uniquely identifying entities — the key-discovery
+    audit that picks natural keys for entity resolution.  Per attr:
+    distinct values, values asserted for exactly one entity, and the
+    max entities sharing one value.
+
+    Shape: map-side distinct of (attr, value_str, entity); per-value
+    entity counts reduce in ONE (attr, value) co-partition; the per-attr
+    rollup groups the tiny per-value stream."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _dd(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(batch["value_type"], "quantity"),
+                       pc.is_valid(batch["value_str"]))
+        t = batch.filter(keep).select(["attr", "value_str", "entity"])
+        return t.group_by(["attr", "value_str", "entity"]).aggregate([])
+
+    def _perval(group: pa.Table) -> pa.Table:
+        ents = set(group["entity"].to_pylist())
+        return pa.table({"attr": group["attr"][:1],
+                         "n_entities": pa.array([len(ents)], pa.int64())})
+
+    perval = hash_group_apply(
+        claims.map_batches(_dd, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["attr", "value_str"], _perval, n_parts=n_parts,
+        plasma_schema=pa.schema([("attr", pa.string()),
+                                 ("n_entities", pa.int64())]))
+
+    def _rollup(group: pa.Table) -> pa.Table:
+        ne = np.asarray(group["n_entities"], dtype=np.int64)
+        return pa.table({
+            "attr": group["attr"][:1],
+            "n_values": pa.array([len(ne)], pa.int64()),
+            "n_unique_values": pa.array([int((ne == 1).sum())], pa.int64()),
+            "max_entities_per_value": pa.array([int(ne.max())], pa.int64())})
+
+    return hash_group_apply(
+        perval, ["attr"], _rollup, n_parts=min(n_parts, 8),
+        plasma_schema=pa.schema([("attr", pa.string()),
+                                 ("n_values", pa.int64()),
+                                 ("n_unique_values", pa.int64()),
+                                 ("max_entities_per_value", pa.int64())]))

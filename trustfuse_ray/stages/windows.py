@@ -780,3 +780,30 @@ def rolling_active_users(events, window_days: int = 7,
                                  zero_copy_batch=True)
             .groupby("day").sum("n")
             .rename_columns({"sum(n)": "n_active"}))
+
+
+def event_dedup_window(events, window_s: int = 600,
+                       user_col: str = "user_id",
+                       type_col: str = "event_type", ts_col: str = "ts",
+                       id_col: str = "event_id"):
+    """At-least-once delivery compaction: events of the same
+    (user, type) inside one tumbling ``window_s`` window are duplicates;
+    the smallest event_id survives — the idempotency-window dedup every
+    ingestion pipeline runs before sessionization.  Pure hash-shuffle
+    min-combine (groupby min), no sort.  Returns
+    (user_id, event_type, w, event_id)."""
+    win_us = int(window_s) * 1_000_000
+
+    def _key(batch: pa.Table) -> pa.Table:
+        w = pc.divide(batch[ts_col].cast(pa.int64()),
+                      pa.scalar(win_us, pa.int64()))
+        return pa.table({user_col: batch[user_col],
+                         type_col: batch[type_col],
+                         "w": w,
+                         id_col: batch[id_col]})
+
+    return (events.select_columns([user_col, type_col, ts_col, id_col])
+            .map_batches(_key, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby([user_col, type_col, "w"]).min(id_col)
+            .rename_columns({f"min({id_col})": id_col}))
