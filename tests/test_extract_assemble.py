@@ -221,3 +221,18 @@ def test_sft_pairs_prompt_assembly():
     assert r["prompt_chars"] == len(r["prompt"])
     assert r["response_chars"] == len("final answer")
     assert by[("c2", 2)]["prompt"] == "user: hi\ntool: lookup"
+
+
+def test_role_transitions_counts():
+    from trustfuse_ray.stages.assemble import role_transitions
+
+    out = {(r["role_from"], r["role_to"]): r["n"]
+           for r in role_transitions(_transcripts([
+               ("c1", 1, "user", "q", ""),       # shuffled turn order
+               ("c1", 0, "assistant", "a", "kb"),
+               ("c1", 2, "assistant", "a", "kb"),
+               ("c2", 0, "user", "q", ""),
+               ("c2", 1, "assistant", "a", "kb"),
+               ("c3", 0, "tool", "solo turn", "db"),
+           ]), n_parts=4).take_all()}
+    assert out == {("assistant", "user"): 1, ("user", "assistant"): 2}

@@ -1688,6 +1688,15 @@ def q_kg_entity_signatures(sf_dir: str):
     return entity_signatures(cached_claims(sf_dir))
 
 
+def q_role_transitions(sf_dir: str):
+    """Dialogue turn-taking Markov profile: (role_from, role_to) counts
+    across consecutive turns; text never read, one conv_id exchange."""
+    from trustfuse_ray.stages.assemble import role_transitions
+
+    data_dir = synth.generate(sf_dir)
+    return role_transitions(read_transcripts(data_dir))
+
+
 def q_events_dedup_window(sf_dir: str):
     """At-least-once compaction: (user, type) duplicates inside a 10-min
     tumbling window collapse to the smallest event_id; pure groupby-min."""
@@ -2434,6 +2443,7 @@ def _all_queries():
         "kg_voting_recency": q_kg_voting_recency,
         "kg_fact_history": q_kg_fact_history,
         "kg_dangling_refs": q_kg_dangling_refs,
+        "role_transitions": q_role_transitions,
         "events_dedup_window": q_events_dedup_window,
         "kg_key_discovery": q_kg_key_discovery,
         "kg_conflict_profile": q_kg_conflict_profile,
@@ -5346,6 +5356,14 @@ SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
        CAST(max(n_values) AS BIGINT) AS max_values,
        CAST(sum(n_rows) AS BIGINT) AS n_value_rows
 FROM perfact GROUP BY 1""",
+        "role_transitions": f"""
+WITH t AS (
+  SELECT conv_id, role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS role_to
+  FROM read_parquet('{cache}/transcripts/*.parquet'))
+SELECT role AS role_from, role_to, CAST(count(*) AS BIGINT) AS n
+FROM t WHERE role_to IS NOT NULL GROUP BY 1, 2""",
         "events_dedup_window": """
 SELECT user_id, event_type, epoch_us(ts) // 600000000 AS w,
        CAST(min(event_id) AS BIGINT) AS event_id

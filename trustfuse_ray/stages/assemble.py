@@ -247,3 +247,38 @@ def sft_pairs(transcripts, n_parts: int = 32):
     return hash_group_apply(
         transcripts.select_columns(["conv_id", "turn_idx", "role", "text"]),
         ["conv_id"], _pairs, n_parts=n_parts, plasma_schema=schema)
+
+
+def role_transitions(transcripts, n_parts: int = 32):
+    """Turn-taking profile: counts of (role_from, role_to) transitions
+    across consecutive turns within each conversation — the Markov
+    dialogue-structure statistic (who follows whom) a transcript corpus
+    reports before SFT-pair extraction.
+
+    Shape: text is never read; one conv_id exchange of (conv_id,
+    turn_idx, role); in-group sort + shifted zip, then a tiny
+    (role_from, role_to) groupby."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group,
+                                sort_keys=[("turn_idx", "ascending")])
+        roles = group["role"].take(order).to_pylist()
+        if len(roles) < 2:
+            return pa.schema([("role_from", pa.string()),
+                              ("role_to", pa.string()),
+                              ("n", pa.int64())]).empty_table()
+        t = pa.table({"role_from": pa.array(roles[:-1], pa.string()),
+                      "role_to": pa.array(roles[1:], pa.string())})
+        return (t.group_by(["role_from", "role_to"])
+                .aggregate([("role_to", "count")])
+                .rename_columns(["role_from", "role_to", "n"]))
+
+    partials = hash_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "role"]),
+        ["conv_id"], _pairs, n_parts=n_parts,
+        plasma_schema=pa.schema([("role_from", pa.string()),
+                                 ("role_to", pa.string()),
+                                 ("n", pa.int64())]))
+    return (partials.groupby(["role_from", "role_to"]).sum("n")
+            .rename_columns({"sum(n)": "n"}))
