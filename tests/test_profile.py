@@ -368,3 +368,34 @@ def test_per_source_median_gate():
         assert out[d][1] == (scores[d] >= med_a)
     assert sum(out[d][1] for d in (1, 2, 3)) == 2
     assert out[4][1] is True or out[4][1] == True  # noqa: E712
+
+
+def test_histogram_quantiles_edges():
+    import ray.data as rd
+
+    from trustfuse_ray.stages.profile import histogram_quantiles
+
+    # 10 values 5,15,...,95 in bins 0..9 of width 10 over [0,100)
+    events = rd.from_items([{"event_type": "a", "value": float(5 + 10 * i)}
+                            for i in range(10)]).repartition(2)
+    out = histogram_quantiles(events, key_col="event_type",
+                              value_col="value", lo=0.0, hi=100.0,
+                              bins=10, qs=(0.5, 0.9)).take_all()
+    r = out[0]
+    # rank p50 = floor(.5*9)=4 -> bin 4 -> upper edge 50; p90 rank 8 -> 90
+    assert (r["n"], r["p50"], r["p90"]) == (10, 50.0, 90.0)
+
+
+def test_oov_rates_against_topk():
+    import ray.data as rd
+
+    from trustfuse_ray.stages.profile import oov_rates
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "a a a b"},
+        {"doc_id": 2, "text": "a rare"},
+    ]).repartition(2)
+    out = {r["doc_id"]: (r["n_tokens"], r["n_oov"])
+           for r in oov_rates(docs, k=2).take_all()}
+    # top-2 vocab = {a, b}; 'rare' is OOV
+    assert out == {1: (4, 0), 2: (2, 1)}

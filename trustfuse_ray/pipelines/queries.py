@@ -1688,6 +1688,23 @@ def q_kg_entity_signatures(sf_dir: str):
     return entity_signatures(cached_claims(sf_dir))
 
 
+def q_histogram_quantiles(sf_dir: str):
+    """Approximate per-key quantiles from the mergeable fixed-width
+    histogram (bin upper edges) — the unbounded-key scale path."""
+    from trustfuse_ray.stages.profile import histogram_quantiles
+
+    return histogram_quantiles(_tbl(sf_dir, "events"), lo=0.0, hi=500.0,
+                               bins=20)
+
+
+def q_oov_rates(sf_dir: str):
+    """Out-of-vocabulary audit under the corpus top-64 vocab (tiny
+    driver-collected list, closure broadcast; one streaming scan)."""
+    from trustfuse_ray.stages.profile import oov_rates
+
+    return oov_rates(_tbl(sf_dir, "documents"), k=64)
+
+
 def q_role_transitions(sf_dir: str):
     """Dialogue turn-taking Markov profile: (role_from, role_to) counts
     across consecutive turns; text never read, one conv_id exchange."""
@@ -2443,6 +2460,8 @@ def _all_queries():
         "kg_voting_recency": q_kg_voting_recency,
         "kg_fact_history": q_kg_fact_history,
         "kg_dangling_refs": q_kg_dangling_refs,
+        "histogram_quantiles": q_histogram_quantiles,
+        "oov_rates": q_oov_rates,
         "role_transitions": q_role_transitions,
         "events_dedup_window": q_events_dedup_window,
         "kg_key_discovery": q_kg_key_discovery,
@@ -5356,6 +5375,39 @@ SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
        CAST(max(n_values) AS BIGINT) AS max_values,
        CAST(sum(n_rows) AS BIGINT) AS n_value_rows
 FROM perfact GROUP BY 1""",
+        "histogram_quantiles": """
+WITH h AS (
+  SELECT event_type,
+         CAST(least(greatest(floor(value / 25.0), 0), 19) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS total
+  FROM h)
+SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+  min(CASE WHEN cum >= CAST(floor(0.5 * (total - 1)) AS BIGINT) + 1
+           THEN (bin + 1) * 25.0 END) AS p50,
+  min(CASE WHEN cum >= CAST(floor(0.9 * (total - 1)) AS BIGINT) + 1
+           THEN (bin + 1) * 25.0 END) AS p90,
+  min(CASE WHEN cum >= CAST(floor(0.99 * (total - 1)) AS BIGINT) + 1
+           THEN (bin + 1) * 25.0 END) AS p99
+FROM c GROUP BY 1""",
+        "oov_rates": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS tok
+  FROM documents),
+tk AS (
+  SELECT tok FROM (
+    SELECT tok, count(*) AS n FROM toks WHERE tok <> '' GROUP BY 1)
+  ORDER BY n DESC, tok LIMIT 64)
+SELECT t.doc_id, CAST(count(*) FILTER (t.tok <> '') AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (t.tok <> ''
+                             AND t.tok NOT IN (SELECT tok FROM tk))
+            AS BIGINT) AS n_oov
+FROM toks t GROUP BY 1""",
         "role_transitions": f"""
 WITH t AS (
   SELECT conv_id, role,

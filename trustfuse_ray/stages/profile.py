@@ -1339,3 +1339,70 @@ def bpe_encode(docs, n_merges: int = 4, text_col: str = "text",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         _encode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def histogram_quantiles(ds, key_col: str = "event_type",
+                        value_col: str = "value", lo: float = 0.0,
+                        hi: float = 1000.0, bins: int = 20,
+                        qs: tuple[float, ...] = (0.5, 0.9, 0.99)):
+    """Approximate per-key quantiles from the mergeable fixed-width
+    histogram — the unbounded-key-space path where
+    :func:`value_quantiles`'s one-task-per-key exact sort does not hold:
+    per-block partials are O(keys × bins) regardless of rows, and each
+    quantile reports its bin's UPPER EDGE (deterministic integer bin
+    arithmetic, so SQL replays it bit-for-bit).  Returns
+    (key, n, p50..p99 upper edges as float64)."""
+    width = (hi - lo) / bins
+    hist = value_histogram(ds, key_col=key_col, value_col=value_col,
+                           lo=lo, hi=hi, bins=bins)
+
+    def _quant(group: pa.Table) -> pa.Table:
+        b = np.asarray(group["bin"], dtype=np.int64)
+        n = np.asarray(group["n"], dtype=np.int64)
+        order = np.argsort(b)
+        b, n = b[order], n[order]
+        total = int(n.sum())
+        cum = np.cumsum(n)
+        row = {key_col: group[key_col][:1],
+               "n": pa.array([total], pa.int64())}
+        for q in qs:
+            rank = int(np.floor(q * (total - 1)))
+            idx = int(np.searchsorted(cum, rank + 1))
+            edge = lo + (float(b[idx]) + 1.0) * width
+            row[f"p{int(q * 100)}"] = pa.array([edge], pa.float64())
+        return pa.table(row)
+
+    out_schema = pa.schema(
+        [(key_col, pa.string()), ("n", pa.int64())]
+        + [(f"p{int(q * 100)}", pa.float64()) for q in qs])
+    return hash_group_apply(hist, [key_col], _quant, n_parts=8,
+                            plasma_schema=out_schema)
+
+
+def oov_rates(docs, k: int = 64, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Out-of-vocabulary audit: per document, how many whitespace tokens
+    fall outside the corpus top-``k`` vocabulary — the coverage statistic
+    a vocab-pruning decision needs.  The top-k vocab is a tiny
+    driver-collected list (broadcast by closure); the scan is one
+    streaming pass.  Returns (doc_id, n_tokens, n_oov)."""
+    import re
+
+    vocab = {r["token"] for r in top_tokens(docs, k=k,
+                                            text_col=text_col).take_all()}
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        ids, nt, no = [], [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            toks = [w for w in re.split(r"\s+", (t or "").strip()) if w]
+            ids.append(did)
+            nt.append(len(toks))
+            no.append(sum(1 for w in toks if w not in vocab))
+        return pa.table({
+            id_col: pa.array(ids, batch[id_col].type),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_oov": pa.array(no, pa.int64())})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _scan, batch_format="pyarrow", zero_copy_batch=True)
