@@ -171,3 +171,32 @@ def test_pretrain_resumable_skips_completed_partitions(tmp_path):
     m0 = json.loads((Path(out1) / "pretrain" / "_manifests" /
                      "part-00000.json").read_text())
     assert m0["metrics"]["tokens"] > 0
+
+
+def test_sft_dataset_dedup_and_gates():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.pipelines.curate import sft_dataset
+
+    long_resp = "r" * 40
+    turns = []
+    # c1 and c2 are exact duplicate conversations -> c1 survives
+    for cid in ("c1", "c2"):
+        turns += [(cid, 0, "user", "hello"),
+                  (cid, 1, "assistant", long_resp)]
+    # c3 unique but its response is too short to pass the gate
+    turns += [("c3", 0, "user", "hi"), ("c3", 1, "assistant", "short")]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([t[0] for t in turns], pa.string()),
+        "turn_idx": pa.array([t[1] for t in turns], pa.int32()),
+        "role": pa.array([t[2] for t in turns], pa.string()),
+        "text": pa.array([t[3] for t in turns], pa.string()),
+    })).repartition(3)
+    out = sft_dataset(ds, min_response_chars=30, max_prompt_chars=2000,
+                      n_parts=4).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["conv_id"] == "c1" and r["response"] == long_resp
+    assert r["prompt"] == "user: hello"
+    assert 0 <= r["shard"] < 8

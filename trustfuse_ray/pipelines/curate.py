@@ -258,3 +258,76 @@ def pretrain_dataset_resumable(docs_files, out_dir: str,
     summary["status"] = "complete"
     summary["rows"] = len(keep)
     return summary
+
+
+def sft_dataset(transcripts, min_response_chars: int = 30,
+                max_prompt_chars: int = 2000, n_shards: int = 8,
+                n_parts: int = 32):
+    """Composed SFT dataset build — the transcript-corpus analog of
+    :func:`pretrain_dataset`: conversation-grain exact dedup →
+    instruction-pair assembly over SURVIVING conversations → length
+    gates → deterministic shard assignment.
+
+    Shape: the dedup winner list rejoins the turn stream through the
+    SAME conv_id co-partition that assembles pairs (tagged union — one
+    exchange does semi-join + assembly; the keep list is never a driver
+    set); gates and shard ids are one streaming pass
+    (md5_64 == DuckDB md5_number_lower, so the full build replays in
+    SQL).  Returns SFT pairs + ``shard``."""
+    from trustfuse_ray.stages.assemble import (SFT_PAIR_SCHEMA,
+                                               _sft_pairs_group,
+                                               conversation_dedup)
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    winners = (conversation_dedup(transcripts, n_parts=n_parts)
+               .filter(expr="keep == 1").select_columns(["conv_id"]))
+
+    def _tag_turns(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_id": batch["conv_id"].cast(pa.string()),
+            "turn_idx": batch["turn_idx"].cast(pa.int32()),
+            "role": batch["role"].cast(pa.string()),
+            "text": batch["text"].cast(pa.string()),
+            "side": pa.array(np.zeros(len(batch), np.int8))})
+
+    def _tag_keep(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "conv_id": batch["conv_id"].cast(pa.string()),
+            "turn_idx": pa.array(np.zeros(n, np.int32)),
+            "role": pa.array([""] * n, pa.string()),
+            "text": pa.array([""] * n, pa.string()),
+            "side": pa.array(np.ones(n, np.int8))})
+
+    tagged = transcripts.select_columns(
+        ["conv_id", "turn_idx", "role", "text"]).map_batches(
+        _tag_turns, batch_format="pyarrow", zero_copy_batch=True).union(
+        winners.map_batches(_tag_keep, batch_format="pyarrow"))
+
+    def _gated_pairs(group: pa.Table) -> pa.Table:
+        side = group["side"]
+        if pc.sum(side).as_py() == 0:  # no winner marker: deduped away
+            return SFT_PAIR_SCHEMA.empty_table()
+        turns = group.filter(pc.equal(side, 0)).drop_columns(["side"])
+        if len(turns) == 0:
+            return SFT_PAIR_SCHEMA.empty_table()
+        return _sft_pairs_group(turns)
+
+    pairs = hash_group_apply(tagged, ["conv_id"], _gated_pairs,
+                             n_parts=n_parts,
+                             plasma_schema=SFT_PAIR_SCHEMA)
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(batch["response_chars"],
+                             pa.scalar(min_response_chars, pa.int64())),
+            pc.less_equal(batch["prompt_chars"],
+                          pa.scalar(max_prompt_chars, pa.int64())))
+        t = batch.filter(keep)
+        shard = [_md5_token64(f"{c}#{i}") % n_shards
+                 for c, i in zip(t["conv_id"].to_pylist(),
+                                 t["turn_idx"].to_pylist())]
+        return t.append_column("shard", pa.array(shard, pa.int64()))
+
+    return pairs.map_batches(_finalize, batch_format="pyarrow",
+                             zero_copy_batch=True)

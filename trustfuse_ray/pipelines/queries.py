@@ -1688,6 +1688,16 @@ def q_kg_entity_signatures(sf_dir: str):
     return entity_signatures(cached_claims(sf_dir))
 
 
+def q_sft_dataset(sf_dir: str):
+    """Composed SFT dataset build: conversation dedup → pair assembly
+    over survivors (one fused conv_id exchange) → length gates →
+    md5 shard assignment."""
+    from trustfuse_ray.pipelines.curate import sft_dataset
+
+    data_dir = synth.generate(sf_dir)
+    return sft_dataset(read_transcripts(data_dir))
+
+
 def q_histogram_quantiles(sf_dir: str):
     """Approximate per-key quantiles from the mergeable fixed-width
     histogram (bin upper edges) — the unbounded-key scale path."""
@@ -2460,6 +2470,7 @@ def _all_queries():
         "kg_voting_recency": q_kg_voting_recency,
         "kg_fact_history": q_kg_fact_history,
         "kg_dangling_refs": q_kg_dangling_refs,
+        "sft_dataset": q_sft_dataset,
         "histogram_quantiles": q_histogram_quantiles,
         "oov_rates": q_oov_rates,
         "role_transitions": q_role_transitions,
@@ -5375,6 +5386,34 @@ SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
        CAST(max(n_values) AS BIGINT) AS max_values,
        CAST(sum(n_rows) AS BIGINT) AS n_value_rows
 FROM perfact GROUP BY 1""",
+        "sft_dataset": f"""
+WITH tr AS (SELECT * FROM read_parquet('{cache}/transcripts/*.parquet')),
+asm AS (
+  SELECT conv_id, md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS fp
+  FROM tr GROUP BY 1),
+win AS (
+  SELECT conv_id FROM (
+    SELECT conv_id, min(conv_id) OVER (PARTITION BY fp) AS lo FROM asm)
+  WHERE conv_id = lo),
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+    string_agg(role || ': ' || coalesce(text,''), chr(10)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt,
+    CAST(count(*) OVER (PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT)
+      AS n_context_turns
+  FROM tr WHERE conv_id IN (SELECT conv_id FROM win)),
+p AS (
+  SELECT conv_id, turn_idx, prompt, coalesce(text,'') AS response,
+         n_context_turns,
+         CAST(length(prompt) AS BIGINT) AS prompt_chars,
+         CAST(length(coalesce(text,'')) AS BIGINT) AS response_chars
+  FROM w WHERE role = 'assistant' AND prompt IS NOT NULL)
+SELECT *, CAST(md5_number_lower(conv_id || '#'
+                                || CAST(turn_idx AS VARCHAR)) % 8
+               AS BIGINT) AS shard
+FROM p WHERE response_chars >= 30 AND prompt_chars <= 2000""",
         "histogram_quantiles": """
 WITH h AS (
   SELECT event_type,

@@ -192,6 +192,47 @@ def assembled_conv_docs(transcripts, n_parts: int = 32):
                                  ("text", pa.string())]))
 
 
+SFT_PAIR_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("prompt", pa.string()), ("response", pa.string()),
+    ("n_context_turns", pa.int64()), ("prompt_chars", pa.int64()),
+    ("response_chars", pa.int64())])
+
+
+def _sft_pairs_group(group: pa.Table) -> pa.Table:
+    """One conversation's turns → its (prompt, response) pairs; shared by
+    :func:`sft_pairs` and the composed SFT dataset build."""
+    order = pc.sort_indices(group, sort_keys=[("turn_idx", "ascending")])
+    g = group.take(order)
+    roles = g["role"].to_pylist()
+    texts = g["text"].to_pylist()
+    tix = g["turn_idx"].to_pylist()
+    cid = g["conv_id"][0].as_py()
+    out = {k: [] for k in ("turn_idx", "prompt", "response",
+                           "n_context_turns")}
+    parts: list[str] = []
+    for i, (r, t) in enumerate(zip(roles, texts)):
+        if r == "assistant" and parts:
+            out["turn_idx"].append(tix[i])
+            out["prompt"].append("\n".join(parts))
+            out["response"].append(t or "")
+            out["n_context_turns"].append(i)
+        parts.append(f"{r}: {t or ''}")
+    if not out["turn_idx"]:
+        return SFT_PAIR_SCHEMA.empty_table()
+    prompts = pa.array(out["prompt"], pa.string())
+    resps = pa.array(out["response"], pa.string())
+    n = len(out["turn_idx"])
+    return pa.table({
+        "conv_id": pa.array([cid] * n, pa.string()),
+        "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+        "prompt": prompts,
+        "response": resps,
+        "n_context_turns": pa.array(out["n_context_turns"], pa.int64()),
+        "prompt_chars": pc.utf8_length(prompts).cast(pa.int64()),
+        "response_chars": pc.utf8_length(resps).cast(pa.int64())})
+
+
 def sft_pairs(transcripts, n_parts: int = 32):
     """Supervised-fine-tuning pair assembly: for every assistant turn with
     at least one preceding turn, emit (prompt = all prior turns rendered
@@ -206,47 +247,10 @@ def sft_pairs(transcripts, n_parts: int = 32):
     exchange — only (conv_id, turn_idx, role, text) moves."""
     from trustfuse_ray.stages.common import hash_group_apply
 
-    schema = pa.schema([
-        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
-        ("prompt", pa.string()), ("response", pa.string()),
-        ("n_context_turns", pa.int64()), ("prompt_chars", pa.int64()),
-        ("response_chars", pa.int64())])
-
-    def _pairs(group: pa.Table) -> pa.Table:
-        order = pc.sort_indices(group,
-                                sort_keys=[("turn_idx", "ascending")])
-        g = group.take(order)
-        roles = g["role"].to_pylist()
-        texts = g["text"].to_pylist()
-        tix = g["turn_idx"].to_pylist()
-        cid = g["conv_id"][0].as_py()
-        out = {k: [] for k in ("turn_idx", "prompt", "response",
-                               "n_context_turns")}
-        parts: list[str] = []
-        for i, (r, t) in enumerate(zip(roles, texts)):
-            if r == "assistant" and parts:
-                out["turn_idx"].append(tix[i])
-                out["prompt"].append("\n".join(parts))
-                out["response"].append(t or "")
-                out["n_context_turns"].append(i)
-            parts.append(f"{r}: {t or ''}")
-        if not out["turn_idx"]:
-            return schema.empty_table()
-        prompts = pa.array(out["prompt"], pa.string())
-        resps = pa.array(out["response"], pa.string())
-        n = len(out["turn_idx"])
-        return pa.table({
-            "conv_id": pa.array([cid] * n, pa.string()),
-            "turn_idx": pa.array(out["turn_idx"], pa.int32()),
-            "prompt": prompts,
-            "response": resps,
-            "n_context_turns": pa.array(out["n_context_turns"], pa.int64()),
-            "prompt_chars": pc.utf8_length(prompts).cast(pa.int64()),
-            "response_chars": pc.utf8_length(resps).cast(pa.int64())})
-
     return hash_group_apply(
         transcripts.select_columns(["conv_id", "turn_idx", "role", "text"]),
-        ["conv_id"], _pairs, n_parts=n_parts, plasma_schema=schema)
+        ["conv_id"], _sft_pairs_group, n_parts=n_parts,
+        plasma_schema=SFT_PAIR_SCHEMA)
 
 
 def role_transitions(transcripts, n_parts: int = 32):
