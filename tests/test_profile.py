@@ -399,3 +399,46 @@ def test_oov_rates_against_topk():
            for r in oov_rates(docs, k=2).take_all()}
     # top-2 vocab = {a, b}; 'rare' is OOV
     assert out == {1: (4, 0), 2: (2, 1)}
+
+
+def _bpe_apply_reference(word, merges):
+    """Straightforward list-walk merge (left-to-right, non-overlapping),
+    the textbook rule the sentinel-replace trick must reproduce."""
+    syms = list(word)
+    for l, r in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_apply_matches_reference_walk():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trustfuse_ray.stages.profile import _bpe_apply
+
+    alphabet = st.sampled_from("abc")
+    words = st.text(alphabet, max_size=12)
+
+    @settings(max_examples=300, deadline=None)
+    @given(word=words, seq=st.lists(
+        st.tuples(st.text(alphabet, min_size=1, max_size=2),
+                  st.text(alphabet, min_size=1, max_size=2)),
+        max_size=4))
+    def _check(word, seq):
+        # grow merges the way the trainer does: later rules may reference
+        # tokens created by earlier ones
+        merges = []
+        for l, r in seq:
+            merges.append((l, r))
+        assert _bpe_apply(word, merges) == _bpe_apply_reference(word,
+                                                               merges)
+
+    _check()
