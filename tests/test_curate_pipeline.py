@@ -200,3 +200,26 @@ def test_sft_dataset_dedup_and_gates():
     assert r["conv_id"] == "c1" and r["response"] == long_resp
     assert r["prompt"] == "user: hello"
     assert 0 <= r["shard"] < 8
+
+
+def test_dpo_pairs_cyclic_negative():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.pipelines.curate import dpo_pairs
+
+    turns = []
+    for cid, resp in (("c1", "r1"), ("c2", "r2"), ("c3", "r3")):
+        turns += [(cid, 0, "user", "q"), (cid, 1, "assistant", resp)]
+    turns += [("c4", 0, "user", "q"), ("c4", 3, "assistant", "solo")]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([t[0] for t in turns], pa.string()),
+        "turn_idx": pa.array([t[1] for t in turns], pa.int32()),
+        "role": pa.array([t[2] for t in turns], pa.string()),
+        "text": pa.array([t[3] for t in turns], pa.string()),
+    })).repartition(3)
+    out = {r["conv_id"]: (r["chosen"], r["rejected"])
+           for r in dpo_pairs(ds, n_parts=4).take_all()}
+    # cyclic shift at turn 1; c4's position-3 singleton is dropped
+    assert out == {"c1": ("r1", "r2"), "c2": ("r2", "r3"),
+                   "c3": ("r3", "r1")}

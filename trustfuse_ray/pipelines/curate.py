@@ -331,3 +331,51 @@ def sft_dataset(transcripts, min_response_chars: int = 30,
 
     return pairs.map_batches(_finalize, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def dpo_pairs(transcripts, n_parts: int = 32):
+    """Preference-pair construction (DPO-style): every SFT example
+    becomes (prompt, chosen, rejected) where ``rejected`` is another
+    conversation's assistant response at the SAME turn position — the
+    deterministic cyclic-shift negative (next conv_id in order, wrapping)
+    that gives each example a plausible-but-wrong completion without any
+    RNG.  Positions with a single conversation are dropped (no distinct
+    negative exists).
+
+    Shape: pairs assemble in the conv_id exchange (:func:`sft_pairs`);
+    the negative pick is ONE turn_idx co-partition with an in-group sort
+    by conv_id and a cyclic shift.  turn_idx is a low-cardinality key —
+    the in-group sort assumes one position's examples fit a task, the
+    documented partitioning assumption (salt by prompt-hash ranges if a
+    position outgrows it)."""
+    from trustfuse_ray.stages.assemble import sft_pairs
+
+    pairs = sft_pairs(transcripts, n_parts=n_parts)
+
+    def _neg(group: pa.Table) -> pa.Table:
+        empty = pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("prompt", pa.string()), ("chosen", pa.string()),
+            ("rejected", pa.string())]).empty_table()
+        if len(group) < 2:
+            return empty
+        order = pc.sort_indices(group,
+                                sort_keys=[("conv_id", "ascending")])
+        g = group.take(order)
+        resp = g["response"].to_pylist()
+        rejected = resp[1:] + resp[:1]
+        return pa.table({
+            "conv_id": g["conv_id"],
+            "turn_idx": g["turn_idx"],
+            "prompt": g["prompt"],
+            "chosen": g["response"],
+            "rejected": pa.array(rejected, pa.string())})
+
+    return hash_group_apply(
+        pairs.select_columns(["conv_id", "turn_idx", "prompt",
+                              "response"]),
+        ["turn_idx"], _neg, n_parts=min(n_parts, 16),
+        plasma_schema=pa.schema([
+            ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+            ("prompt", pa.string()), ("chosen", pa.string()),
+            ("rejected", pa.string())]))

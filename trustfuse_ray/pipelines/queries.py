@@ -1688,6 +1688,16 @@ def q_kg_entity_signatures(sf_dir: str):
     return entity_signatures(cached_claims(sf_dir))
 
 
+def q_dpo_pairs(sf_dir: str):
+    """DPO preference pairs: rejected = cyclic-shift negative (next
+    conversation's response at the same turn position); one turn_idx
+    co-partition after pair assembly."""
+    from trustfuse_ray.pipelines.curate import dpo_pairs
+
+    data_dir = synth.generate(sf_dir)
+    return dpo_pairs(read_transcripts(data_dir))
+
+
 def q_sft_dataset(sf_dir: str):
     """Composed SFT dataset build: conversation dedup → pair assembly
     over survivors (one fused conv_id exchange) → length gates →
@@ -2471,6 +2481,7 @@ def _all_queries():
         "kg_fact_history": q_kg_fact_history,
         "kg_dangling_refs": q_kg_dangling_refs,
         "sft_dataset": q_sft_dataset,
+        "dpo_pairs": q_dpo_pairs,
         "histogram_quantiles": q_histogram_quantiles,
         "oov_rates": q_oov_rates,
         "role_transitions": q_role_transitions,
@@ -5386,6 +5397,28 @@ SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
        CAST(max(n_values) AS BIGINT) AS max_values,
        CAST(sum(n_rows) AS BIGINT) AS n_value_rows
 FROM perfact GROUP BY 1""",
+        "dpo_pairs": f"""
+WITH w AS (
+  SELECT conv_id, turn_idx, role, text,
+    string_agg(role || ': ' || coalesce(text,''), chr(10)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt
+  FROM read_parquet('{cache}/transcripts/*.parquet')),
+p AS (
+  SELECT conv_id, turn_idx, prompt, coalesce(text,'') AS response
+  FROM w WHERE role = 'assistant' AND prompt IS NOT NULL),
+x AS (
+  SELECT conv_id, turn_idx, prompt, response AS chosen,
+         coalesce(
+           lead(response) OVER (PARTITION BY turn_idx ORDER BY conv_id),
+           first_value(response) OVER (
+             PARTITION BY turn_idx ORDER BY conv_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+           AS rejected,
+         count(*) OVER (PARTITION BY turn_idx) AS np
+  FROM p)
+SELECT conv_id, turn_idx, prompt, chosen, rejected
+FROM x WHERE np >= 2""",
         "sft_dataset": f"""
 WITH tr AS (SELECT * FROM read_parquet('{cache}/transcripts/*.parquet')),
 asm AS (
