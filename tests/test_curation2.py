@@ -508,3 +508,24 @@ def test_length_bucket_batches_assignment():
     assert out[3] == (1, 2, 1) and out[4] == (1, 2, 1)
     assert out[5] == (1, 2, 2)
     assert out[10] == (7, 4, 0)  # bit_length(7+1) = 4
+
+
+def test_span_corruption_deterministic_mask():
+    import ray.data as rd
+
+    from trustfuse_ray.stages.curation import span_corruption
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    toks = ["t0", "t1", "t2", "t3", "t4", "t5"]
+    docs = rd.from_items([{"doc_id": 7, "text": " ".join(toks)},
+                          {"doc_id": 8, "text": "a b c"}]).repartition(2)
+    out = {r["doc_id"]: r for r in span_corruption(docs,
+                                                   span_len=3).take_all()}
+    assert 8 not in out  # 3 tokens < span_len + 1: dropped
+    start = _md5_token64("7") % (6 - 3 + 1)
+    r = out[7]
+    assert r["start"] == start
+    assert r["input_text"] == " ".join(
+        toks[:start] + ["<extra_id_0>"] + toks[start + 3:])
+    assert r["target_text"] == " ".join(["<extra_id_0>"]
+                                        + toks[start:start + 3])

@@ -1688,6 +1688,14 @@ def q_kg_entity_signatures(sf_dir: str):
     return entity_signatures(cached_claims(sf_dir))
 
 
+def q_span_corruption(sf_dir: str):
+    """T5-style span-corruption examples: one deterministic md5-indexed
+    masked span per doc; streaming pass, no exchange."""
+    from trustfuse_ray.stages.curation import span_corruption
+
+    return span_corruption(_tbl(sf_dir, "documents"), span_len=3)
+
+
 def q_dpo_pairs(sf_dir: str):
     """DPO preference pairs: rejected = cyclic-shift negative (next
     conversation's response at the same turn position); one turn_idx
@@ -2482,6 +2490,7 @@ def _all_queries():
         "kg_dangling_refs": q_kg_dangling_refs,
         "sft_dataset": q_sft_dataset,
         "dpo_pairs": q_dpo_pairs,
+        "span_corruption": q_span_corruption,
         "histogram_quantiles": q_histogram_quantiles,
         "oov_rates": q_oov_rates,
         "role_transitions": q_role_transitions,
@@ -5397,6 +5406,25 @@ SELECT attr, CAST(count(*) AS BIGINT) AS n_facts,
        CAST(max(n_values) AS BIGINT) AS max_values,
        CAST(sum(n_rows) AS BIGINT) AS n_value_rows
 FROM perfact GROUP BY 1""",
+        "span_corruption": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     w -> w <> '') AS toks
+  FROM documents),
+x AS (
+  SELECT doc_id, toks,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+              % (len(toks) - 2) AS BIGINT) AS start
+  FROM t WHERE len(toks) >= 4)
+SELECT doc_id, start,
+  array_to_string(list_concat(list_concat(toks[1:start],
+                                          ['<extra_id_0>']),
+                              toks[start + 4:]), ' ') AS input_text,
+  array_to_string(list_concat(['<extra_id_0>'],
+                              toks[start + 1:start + 3]), ' ')
+    AS target_text
+FROM x""",
         "dpo_pairs": f"""
 WITH w AS (
   SELECT conv_id, turn_idx, role, text,

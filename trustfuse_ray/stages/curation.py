@@ -1256,3 +1256,45 @@ def length_bucket_batches(docs, batch_size: int = 32,
 
     return pos.map_batches(_batchidx, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def span_corruption(docs, span_len: int = 3, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """T5-style span-corruption example builder (one span per doc):
+    mask a run of ``span_len`` whitespace tokens at a DETERMINISTIC
+    position — ``md5_64(doc_id) % (n_tokens − span_len + 1)`` — emitting
+    (input with a sentinel, target = sentinel + the masked tokens).
+    Docs shorter than ``span_len + 1`` tokens are dropped (nothing left
+    to condition on).  No RNG: the same corpus always yields the same
+    pretraining examples, and the oracle replays the build exactly.
+
+    Shape: one streaming pass, no exchange; the md5 kernel is the
+    SQL-compatible `_md5_token64`."""
+    import re
+
+    from trustfuse_ray.stages.dedup import _md5_token64
+
+    sent = "<extra_id_0>"
+
+    def _mask(batch: pa.Table) -> pa.Table:
+        ids, inp, tgt, st = [], [], [], []
+        for did, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            toks = [w for w in re.split(r"\s+", (t or "").strip()) if w]
+            n = len(toks)
+            if n < span_len + 1:
+                continue
+            start = _md5_token64(str(did)) % (n - span_len + 1)
+            ids.append(did)
+            st.append(start)
+            inp.append(" ".join(toks[:start] + [sent]
+                                + toks[start + span_len:]))
+            tgt.append(" ".join([sent] + toks[start:start + span_len]))
+        return pa.table({
+            id_col: pa.array(ids, batch[id_col].type),
+            "start": pa.array(st, pa.int64()),
+            "input_text": pa.array(inp, pa.string()),
+            "target_text": pa.array(tgt, pa.string())})
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        _mask, batch_format="pyarrow", zero_copy_batch=True)
