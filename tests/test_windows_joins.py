@@ -497,3 +497,23 @@ def test_event_dedup_window_keeps_min_id():
            for r in event_dedup_window(events, window_s=600).take_all()}
     assert out == {(1, "click", 0): 3, (1, "click", 1): 9,
                    (2, "click", 0): 7, (1, "view", 0): 8}
+
+
+def test_link_candidates_common_neighbors():
+    from trustfuse_ray.stages.graph import link_candidates
+
+    # a-n1-b and a-n2-b paths: (a,b) share {n1,n2}; (n1,n2) share {a,b};
+    # the direct a-c edge keeps (a,c) out of the candidate list
+    und = [("a", "n1"), ("n1", "b"), ("a", "n2"), ("n2", "b"), ("a", "c"),
+           ("c", "n1")]
+    rows = und + [(y, x) for x, y in und]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], pa.string()),
+        "dst": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(3)
+    out = {(r["a"], r["b"]): r["n_common"]
+           for r in link_candidates(edges, min_common=2, hub_cap=64,
+                                    n_parts=4).take_all()}
+    # (a,b): {n1,n2}; (n1,n2): {a,b}; (b,c): {a? no - a-b not edge;
+    # n1 yes, a no} -> {n1} only 1 -> excluded; (a,c) adjacent -> excluded
+    assert out == {("a", "b"): 2, ("n1", "n2"): 2}

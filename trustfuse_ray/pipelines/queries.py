@@ -2257,6 +2257,35 @@ def q_kg_kcore(sf_dir: str):
     return kcore(und, k=2, rounds=8)
 
 
+def q_kg_link_candidates(sf_dir: str):
+    """KG-completion shortlist by common-neighbor mining over the
+    entity ↔ (attr=value) bipartite projection of the fused graph:
+    entity pairs agreeing on ≥2 fused values (and value pairs
+    co-occurring in ≥2 entities), hub-capped at 256; two co-partitions,
+    tagged anti-join.  (The tripartite property graph keeps attr nodes
+    per-entity, so candidates only exist on this projection.)"""
+    import pyarrow as _pa
+
+    from trustfuse_ray.stages.graph import link_candidates
+
+    triples = q_fuse_voting_sqlable(sf_dir)
+
+    def _bip(batch):
+        import pyarrow.compute as _pc
+        t = batch.filter(_pc.is_valid(batch["value_str"]))
+        ent = t["entity"].cast(_pa.string())
+        val = _pc.binary_join_element_wise(
+            t["attr"].cast(_pa.string()),
+            t["value_str"].cast(_pa.string()), "=")
+        return _pa.concat_tables([
+            _pa.table({"src": ent, "dst": val}),
+            _pa.table({"src": val, "dst": ent})]).combine_chunks()
+
+    und = triples.map_batches(_bip, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return link_candidates(und, min_common=2, hub_cap=256)
+
+
 def q_kg_pagerank_pers(sf_dir: str):
     """Personalized PageRank from the two smallest entities (the kg_khop
     seed set): restart mass only on the seeds → relevance-to-seeds
@@ -2570,6 +2599,7 @@ def _all_queries():
         "kg_khop": q_kg_khop,
         "kg_pagerank": q_kg_pagerank,
         "kg_kcore": q_kg_kcore,
+        "kg_link_candidates": q_kg_link_candidates,
         "kg_pagerank_pers": q_kg_pagerank_pers,
         "kg_triangles": q_kg_triangles,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
@@ -5059,6 +5089,29 @@ SELECT e.vec_id,
        CAST(coalesce(l.label, e.vec_id) AS BIGINT) AS label,
        coalesce(l.label, e.vec_id) = e.vec_id AS keep
 FROM embeddings e LEFT JOIN lab l ON l.node = e.vec_id""",
+        "kg_link_candidates": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+bip AS (
+  SELECT entity AS src, attr || '=' || value_str AS dst FROM fused
+  WHERE value_str IS NOT NULL
+  UNION ALL
+  SELECT attr || '=' || value_str, entity FROM fused
+  WHERE value_str IS NOT NULL),
+nd AS MATERIALIZED (SELECT DISTINCT src, dst FROM bip),
+ok AS MATERIALIZED (
+  SELECT src AS node FROM nd GROUP BY 1
+  HAVING count(*) >= 2 AND count(*) <= 256),
+cn AS (
+  SELECT e1.dst AS a, e2.dst AS b, CAST(count(*) AS BIGINT) AS n_common
+  FROM nd e1 JOIN nd e2 ON e1.src = e2.src AND e1.dst < e2.dst
+  WHERE e1.src IN (SELECT node FROM ok)
+  GROUP BY 1, 2),
+ex AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM nd)
+SELECT c.a, c.b, c.n_common FROM cn c
+LEFT JOIN ex ON ex.a = c.a AND ex.b = c.b
+WHERE ex.a IS NULL AND c.n_common >= 2""",
         "kg_kcore": f"""
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},

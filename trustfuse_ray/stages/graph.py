@@ -927,3 +927,81 @@ def kcore(edges, k: int = 3, rounds: int = 8, src: str = "src",
     final = _both_ends_filter(state, alive)
     return (final.groupby("node").count()
             .rename_columns({"count()": "degree"}))
+
+
+def link_candidates(edges, min_common: int = 2, hub_cap: int = 64,
+                    src: str = "src", dst: str = "dst", n_parts: int = 32):
+    """Link-prediction candidates by common-neighbor mining: unordered
+    node pairs sharing ≥ ``min_common`` neighbors that are NOT already
+    connected — the KG-completion shortlist.  Nodes with more than
+    ``hub_cap`` neighbors are skipped as common neighbors (hubs connect
+    everything and convey no signal — the standard heuristic, and the
+    O(deg²) pair fan-out stop-cap; same rule in the SQL oracle).
+
+    Shape: one co-partition on the shared-neighbor node emits its
+    O(min(deg, cap)²) pair partials; a second (a, b) co-partition sums
+    counts and anti-joins the tagged existing-edge stream.  Input must
+    carry both directions of each undirected edge."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _node_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch[src].cast(pa.string()),
+                         "other": batch[dst].cast(pa.string())})
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        empty = pa.schema([("a", pa.string()), ("b", pa.string()),
+                           ("n", pa.int64()),
+                           ("side", pa.int8())]).empty_table()
+        nbrs = sorted(set(group["other"].to_pylist()))
+        if len(nbrs) < 2 or len(nbrs) > hub_cap:
+            return empty
+        a, b = [], []
+        for i, x in enumerate(nbrs):
+            for y in nbrs[i + 1:]:
+                a.append(x)
+                b.append(y)
+        n = len(a)
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string()),
+                         "n": pa.array(np.ones(n, np.int64)),
+                         "side": pa.array(np.zeros(n, np.int8))})
+
+    partials = hash_group_apply(
+        edges.map_batches(_node_rows, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["node"], _pairs, n_parts=n_parts,
+        plasma_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                                 ("n", pa.int64()), ("side", pa.int8())]))
+
+    def _edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch[src].cast(pa.string())
+        d = batch[dst].cast(pa.string())
+        lo = pc.min_element_wise(s, d)
+        hi = pc.max_element_wise(s, d)
+        n = len(batch)
+        return pa.table({"a": lo, "b": hi,
+                         "n": pa.array(np.zeros(n, np.int64)),
+                         "side": pa.array(np.ones(n, np.int8))})
+
+    tagged = partials.union(edges.map_batches(
+        _edge_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def _reduce(group: pa.Table) -> pa.Table:
+        empty = pa.schema([("a", pa.string()), ("b", pa.string()),
+                           ("n_common", pa.int64())]).empty_table()
+        side = np.asarray(group["side"], dtype=np.int8)
+        if (side == 1).any():  # already connected
+            return empty
+        total = int(np.asarray(group["n"], dtype=np.int64).sum())
+        if total < min_common:
+            return empty
+        return pa.table({"a": group["a"][:1], "b": group["b"][:1],
+                         "n_common": pa.array([total], pa.int64())})
+
+    return hash_group_apply(
+        tagged, ["a", "b"], _reduce, n_parts=n_parts,
+        plasma_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                                 ("n_common", pa.int64())]))
