@@ -275,7 +275,6 @@ def sft_dataset(transcripts, min_response_chars: int = 30,
     (md5_64 == DuckDB md5_number_lower, so the full build replays in
     SQL).  Returns SFT pairs + ``shard``."""
     from trustfuse_ray.stages.assemble import (SFT_PAIR_SCHEMA,
-                                               _sft_pairs_group,
                                                conversation_dedup)
     from trustfuse_ray.stages.dedup import _md5_token64
 
@@ -308,26 +307,60 @@ def sft_dataset(transcripts, min_response_chars: int = 30,
         side = group["side"]
         if pc.sum(side).as_py() == 0:  # no winner marker: deduped away
             return SFT_PAIR_SCHEMA.empty_table()
-        turns = group.filter(pc.equal(side, 0)).drop_columns(["side"])
+        turns = group.filter(pc.equal(side, 0))
         if len(turns) == 0:
             return SFT_PAIR_SCHEMA.empty_table()
-        return _sft_pairs_group(turns)
+        # gate INSIDE the group with a running length counter so an
+        # over-budget prompt (quadratic in conversation length) is never
+        # materialized — the wall-clock killer at sf0.1 was building
+        # full-context strings destined for the length filter
+        order = pc.sort_indices(turns,
+                                sort_keys=[("turn_idx", "ascending")])
+        g = turns.take(order)
+        roles = g["role"].to_pylist()
+        texts = g["text"].to_pylist()
+        tix = g["turn_idx"].to_pylist()
+        cid = g["conv_id"][0].as_py()
+        out = {k: [] for k in ("turn_idx", "prompt", "response",
+                               "n_context_turns")}
+        parts: list[str] = []
+        run_len = 0  # == len("\n".join(parts))
+        for i, (r, t) in enumerate(zip(roles, texts)):
+            if r == "assistant" and parts:
+                resp = t or ""
+                if (len(resp) >= min_response_chars
+                        and run_len <= max_prompt_chars):
+                    out["turn_idx"].append(tix[i])
+                    out["prompt"].append("\n".join(parts))
+                    out["response"].append(resp)
+                    out["n_context_turns"].append(i)
+            piece = f"{r}: {t or ''}"
+            run_len += len(piece) + (1 if parts else 0)
+            parts.append(piece)
+        if not out["turn_idx"]:
+            return SFT_PAIR_SCHEMA.empty_table()
+        prompts = pa.array(out["prompt"], pa.string())
+        resps = pa.array(out["response"], pa.string())
+        n = len(out["turn_idx"])
+        return pa.table({
+            "conv_id": pa.array([cid] * n, pa.string()),
+            "turn_idx": pa.array(out["turn_idx"], pa.int32()),
+            "prompt": prompts,
+            "response": resps,
+            "n_context_turns": pa.array(out["n_context_turns"],
+                                        pa.int64()),
+            "prompt_chars": pc.utf8_length(prompts).cast(pa.int64()),
+            "response_chars": pc.utf8_length(resps).cast(pa.int64())})
 
     pairs = hash_group_apply(tagged, ["conv_id"], _gated_pairs,
                              n_parts=n_parts,
                              plasma_schema=SFT_PAIR_SCHEMA)
 
     def _finalize(batch: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.greater_equal(batch["response_chars"],
-                             pa.scalar(min_response_chars, pa.int64())),
-            pc.less_equal(batch["prompt_chars"],
-                          pa.scalar(max_prompt_chars, pa.int64())))
-        t = batch.filter(keep)
         shard = [_md5_token64(f"{c}#{i}") % n_shards
-                 for c, i in zip(t["conv_id"].to_pylist(),
-                                 t["turn_idx"].to_pylist())]
-        return t.append_column("shard", pa.array(shard, pa.int64()))
+                 for c, i in zip(batch["conv_id"].to_pylist(),
+                                 batch["turn_idx"].to_pylist())]
+        return batch.append_column("shard", pa.array(shard, pa.int64()))
 
     return pairs.map_batches(_finalize, batch_format="pyarrow",
                              zero_copy_batch=True)
