@@ -365,3 +365,23 @@ def test_key_discovery_uniqueness():
                        r["max_entities_per_value"])
            for r in key_discovery(claims, n_parts=4).take_all()}
     assert out == {"ssn": (2, 2, 1), "color": (2, 1, 2)}
+
+
+def test_tool_yield_joins_both_sides():
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import tool_yield
+
+    tr = rd.from_arrow(pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2", "c1"], pa.string()),
+        "role": pa.array(["assistant", "tool", "assistant", "user"],
+                         pa.string()),
+        "tool": pa.array(["kb", "db", "kb", ""], pa.string()),
+    })).repartition(2)
+    cl = rd.from_arrow(pa.table({
+        "source": pa.array(["assistant:kb", "assistant:kb"], pa.string()),
+    })).repartition(2)
+    out = {r["source"]: (r["n_turns"], r["n_convs"], r["n_claims"])
+           for r in tool_yield(tr, cl, n_parts=4).take_all()}
+    # user turns excluded; tool:db produced no claims but still reports
+    assert out == {"assistant:kb": (2, 2, 2), "tool:db": (1, 1, 0)}

@@ -1750,6 +1750,16 @@ def q_events_dedup_window(sf_dir: str):
     return event_dedup_window(_tbl(sf_dir, "events"), window_s=600)
 
 
+def q_kg_tool_yield(sf_dir: str):
+    """Per-tool extraction yield: eligible turns, conversations and
+    extracted claims per role:tool source; both sides pre-aggregate
+    map-side and meet in one tiny source co-partition."""
+    from trustfuse_ray.reverse import tool_yield
+
+    data_dir = synth.generate(sf_dir)
+    return tool_yield(read_transcripts(data_dir), cached_claims(sf_dir))
+
+
 def q_kg_key_discovery(sf_dir: str):
     """Inverse-functional-property mining: per attribute, value
     uniqueness stats (key candidates for ER); two bounded exchanges."""
@@ -2525,6 +2535,7 @@ def _all_queries():
         "role_transitions": q_role_transitions,
         "events_dedup_window": q_events_dedup_window,
         "kg_key_discovery": q_kg_key_discovery,
+        "kg_tool_yield": q_kg_tool_yield,
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
@@ -5573,6 +5584,20 @@ FROM t WHERE role_to IS NOT NULL GROUP BY 1, 2""",
 SELECT user_id, event_type, epoch_us(ts) // 600000000 AS w,
        CAST(min(event_id) AS BIGINT) AS event_id
 FROM events GROUP BY 1, 2, 3""",
+        "kg_tool_yield": f"""
+WITH {_claims_cte(cache)},
+t AS (
+  SELECT role || ':' || coalesce(tool, '') AS source, conv_id
+  FROM read_parquet('{cache}/transcripts/*.parquet')
+  WHERE role IN ('assistant', 'tool')),
+ts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_turns,
+              CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+       FROM t GROUP BY 1),
+cs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_claims
+       FROM claims GROUP BY 1)
+SELECT ts.source, ts.n_turns, ts.n_convs,
+       coalesce(cs.n_claims, 0) AS n_claims
+FROM ts LEFT JOIN cs USING (source)""",
         "kg_key_discovery": f"""
 WITH {_claims_cte(cache)},
 dd AS (
