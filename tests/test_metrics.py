@@ -385,3 +385,25 @@ def test_tool_yield_joins_both_sides():
            for r in tool_yield(tr, cl, n_parts=4).take_all()}
     # user turns excluded; tool:db produced no claims but still reports
     assert out == {"assistant:kb": (2, 2, 2), "tool:db": (1, 1, 0)}
+
+
+def test_fd_mining_detects_dependency():
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import fd_mining
+
+    rows = [  # country -> currency is an FD; currency -> country is not
+        ("e1", "country", "FR"), ("e1", "currency", "EUR"),
+        ("e2", "country", "DE"), ("e2", "currency", "EUR"),
+        ("e3", "country", "FR"), ("e3", "currency", "EUR"),
+    ]
+    triples = rd.from_arrow(pa.table({
+        "entity": pa.array([r[0] for r in rows], pa.string()),
+        "attr": pa.array([r[1] for r in rows], pa.string()),
+        "value_str": pa.array([r[2] for r in rows], pa.string()),
+    })).repartition(2)
+    out = {(r["a"], r["b"]): (r["support"], r["n_lhs_values"],
+                              r["n_violations"])
+           for r in fd_mining(triples, n_parts=4).take_all()}
+    assert out[("country", "currency")] == (3, 2, 0)   # exact FD
+    assert out[("currency", "country")] == (3, 1, 1)   # EUR -> {FR, DE}

@@ -1750,6 +1750,16 @@ def q_events_dedup_window(sf_dir: str):
     return event_dedup_window(_tbl(sf_dir, "events"), window_s=600)
 
 
+def q_kg_fd_mining(sf_dir: str):
+    """Attribute functional-dependency mining over the fused categorical
+    graph: per ordered attr pair, support / distinct LHS values / FD
+    violations; entity co-partition → (a,b,va) co-partition → tiny
+    rollup."""
+    from trustfuse_ray.reverse import fd_mining
+
+    return fd_mining(q_fuse_voting_sqlable(sf_dir))
+
+
 def q_kg_tool_yield(sf_dir: str):
     """Per-tool extraction yield: eligible turns, conversations and
     extracted claims per role:tool source; both sides pre-aggregate
@@ -2536,6 +2546,7 @@ def _all_queries():
         "events_dedup_window": q_events_dedup_window,
         "kg_key_discovery": q_kg_key_discovery,
         "kg_tool_yield": q_kg_tool_yield,
+        "kg_fd_mining": q_kg_fd_mining,
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
@@ -5584,6 +5595,22 @@ FROM t WHERE role_to IS NOT NULL GROUP BY 1, 2""",
 SELECT user_id, event_type, epoch_us(ts) // 600000000 AS w,
        CAST(min(event_id) AS BIGINT) AS event_id
 FROM events GROUP BY 1, 2, 3""",
+        "kg_fd_mining": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+c AS (SELECT entity, attr, value_str FROM fused
+      WHERE value_str IS NOT NULL),
+p AS (
+  SELECT x.attr AS a, y.attr AS b, x.value_str AS va, y.value_str AS vb
+  FROM c x JOIN c y ON x.entity = y.entity AND x.attr <> y.attr),
+l AS (SELECT a, b, va, count(*) AS support,
+             count(DISTINCT vb) AS n_rhs
+      FROM p GROUP BY 1, 2, 3)
+SELECT a, b, CAST(sum(support) AS BIGINT) AS support,
+       CAST(count(*) AS BIGINT) AS n_lhs_values,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM l GROUP BY 1, 2""",
         "kg_tool_yield": f"""
 WITH {_claims_cte(cache)},
 t AS (

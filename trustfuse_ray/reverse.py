@@ -941,3 +941,78 @@ def tool_yield(transcripts, claims, n_parts: int = 8):
                                  ("n_turns", pa.int64()),
                                  ("n_convs", pa.int64()),
                                  ("n_claims", pa.int64())]))
+
+
+def fd_mining(triples, n_parts: int = 32):
+    """Functional-dependency mining over the fused graph (schema
+    discovery): for every ordered attribute pair (a → b), does an
+    entity's value of ``a`` determine its value of ``b``?  Reports per
+    pair: entities carrying both attrs, distinct LHS values, and LHS
+    values mapping to >1 distinct RHS value (violations; 0 = exact FD).
+
+    Shape: ONE entity co-partition emits per-entity attr-pair rows
+    (≤ |attrs|² each, attrs are a tiny domain); a second
+    (a, b, va) co-partition counts distinct RHS; the per-(a, b) rollup
+    is tiny.  Categorical triples only."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _cat(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["value_str"]))
+        return pa.table({"entity": t["entity"].cast(pa.string()),
+                         "attr": t["attr"].cast(pa.string()),
+                         "value_str": t["value_str"].cast(pa.string())})
+
+    def _entity_pairs(group: pa.Table) -> pa.Table:
+        av = {a: v for a, v in zip(group["attr"].to_pylist(),
+                                   group["value_str"].to_pylist())}
+        attrs = sorted(av)
+        a_out, b_out, va, vb = [], [], [], []
+        for a in attrs:
+            for b in attrs:
+                if a != b:
+                    a_out.append(a)
+                    b_out.append(b)
+                    va.append(av[a])
+                    vb.append(av[b])
+        return pa.table({"a": pa.array(a_out, pa.string()),
+                         "b": pa.array(b_out, pa.string()),
+                         "va": pa.array(va, pa.string()),
+                         "vb": pa.array(vb, pa.string())})
+
+    pairs = hash_group_apply(
+        triples.map_batches(_cat, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["entity"], _entity_pairs, n_parts=n_parts,
+        plasma_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                                 ("va", pa.string()),
+                                 ("vb", pa.string())]))
+
+    def _lhs(group: pa.Table) -> pa.Table:
+        vbs = set(group["vb"].to_pylist())
+        return pa.table({"a": group["a"][:1], "b": group["b"][:1],
+                         "support": pa.array([len(group)], pa.int64()),
+                         "n_rhs": pa.array([len(vbs)], pa.int64())})
+
+    lhs = hash_group_apply(
+        pairs, ["a", "b", "va"], _lhs, n_parts=n_parts,
+        plasma_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                                 ("support", pa.int64()),
+                                 ("n_rhs", pa.int64())]))
+
+    def _rollup(group: pa.Table) -> pa.Table:
+        sup = np.asarray(group["support"], dtype=np.int64)
+        nr = np.asarray(group["n_rhs"], dtype=np.int64)
+        return pa.table({
+            "a": group["a"][:1], "b": group["b"][:1],
+            "support": pa.array([int(sup.sum())], pa.int64()),
+            "n_lhs_values": pa.array([len(sup)], pa.int64()),
+            "n_violations": pa.array([int((nr > 1).sum())], pa.int64())})
+
+    return hash_group_apply(
+        lhs, ["a", "b"], _rollup, n_parts=min(n_parts, 8),
+        plasma_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
+                                 ("support", pa.int64()),
+                                 ("n_lhs_values", pa.int64()),
+                                 ("n_violations", pa.int64())]))
