@@ -407,3 +407,58 @@ def test_fd_mining_detects_dependency():
            for r in fd_mining(triples, n_parts=4).take_all()}
     assert out[("country", "currency")] == (3, 2, 0)   # exact FD
     assert out[("currency", "country")] == (3, 1, 1)   # EUR -> {FR, DE}
+
+
+def test_fact_history_property_vs_brute():
+    """Randomized cross-check: fact_history's change-point compression
+    equals a brute per-day cumulative-vote replay."""
+    import numpy as np
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trustfuse_ray.reverse import fact_history
+
+    day = 86_400_000_000
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 3),      # source id
+                              st.integers(0, 4),      # day
+                              st.integers(0, 2)),     # value id
+                    min_size=1, max_size=12))
+    def _check(obs):
+        rows = [(f"s{s}", d, f"v{v}") for s, d, v in obs]
+        claims = rd.from_arrow(pa.table({
+            "source": pa.array([r[0] for r in rows], pa.string()),
+            "entity": pa.array(["e"] * len(rows), pa.string()),
+            "attr": pa.array(["a"] * len(rows), pa.string()),
+            "value_str": pa.array([r[2] for r in rows], pa.string()),
+            "value_type": pa.array(["categorical"] * len(rows),
+                                   pa.string()),
+            "ts": pa.array(np.array([r[1] * day for r in rows],
+                                    dtype="datetime64[us]")),
+        })).repartition(2)
+        got = sorted(
+            (r["valid_from_day"], r["value_str"], r["valid_to_day"])
+            for r in fact_history(claims, n_parts=2).take_all())
+
+        # brute replay
+        dd = sorted({(d, f"s{s}", f"v{v}") for s, d, v in obs})
+        days = sorted({d for d, _, _ in dd})
+        reigns = []
+        for cut in days:
+            sup = {}
+            for d, s, v in dd:
+                if d <= cut:
+                    sup.setdefault(v, set()).add(s)
+            win = sorted(sup.items(),
+                         key=lambda kv: (-len(kv[1]), kv[0]))[0][0]
+            if not reigns or reigns[-1][1] != win:
+                reigns.append([cut, win])
+        want = sorted(
+            (fr, v, (reigns[j + 1][0] - 1 if j + 1 < len(reigns)
+                     else -1))
+            for j, (fr, v) in enumerate(reigns))
+        assert got == want
+
+    _check()
