@@ -32,7 +32,15 @@ def to_pandas(obj) -> pd.DataFrame:
         return obj
     if isinstance(obj, pa.Table):
         return obj.to_pandas()
-    return obj.to_pandas()  # ray Dataset
+    df = obj.to_pandas()  # ray Dataset
+    if len(df.columns) == 0 and len(df) == 0:
+        # Ray Data quirk: to_pandas() of an all-empty-block dataset drops
+        # the (known) schema; rebuild the typed empty frame from it
+        sch = obj.schema()
+        if sch is not None and sch.names:
+            df = pa.schema(list(zip(sch.names, sch.types))
+                           ).empty_table().to_pandas()
+    return df
 
 
 def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
