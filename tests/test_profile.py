@@ -442,3 +442,25 @@ def test_bpe_apply_matches_reference_walk():
                                                                merges)
 
     _check()
+
+
+def test_conv_lang_switches_counts():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.text import conv_lang_switches
+
+    turns = [  # en -> fr -> en = 2 switches, 2 langs
+        ("c1", 0, "the cat and the dog"),
+        ("c1", 1, "le chat est une merveille"),
+        ("c1", 2, "it is the best of all"),
+        ("c2", 0, "zzz qqq"),  # no markers -> und
+    ]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([t[0] for t in turns], pa.string()),
+        "turn_idx": pa.array([t[1] for t in turns], pa.int32()),
+        "text": pa.array([t[2] for t in turns], pa.string()),
+    })).repartition(2)
+    out = {r["conv_id"]: (r["n_turns"], r["n_langs"], r["n_switches"])
+           for r in conv_lang_switches(ds, n_parts=4).take_all()}
+    assert out == {"c1": (3, 2, 2), "c2": (1, 1, 0)}

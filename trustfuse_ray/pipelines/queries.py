@@ -1750,6 +1750,15 @@ def q_events_dedup_window(sf_dir: str):
     return event_dedup_window(_tbl(sf_dir, "events"), window_s=600)
 
 
+def q_conv_lang_switches(sf_dir: str):
+    """Conversation language-consistency QA: per-turn marker-set lang ID
+    (actor pool) → per-conv distinct langs + consecutive switches."""
+    from trustfuse_ray.stages.text import conv_lang_switches
+
+    data_dir = synth.generate(sf_dir)
+    return conv_lang_switches(read_transcripts(data_dir))
+
+
 def q_kg_fd_mining(sf_dir: str):
     """Attribute functional-dependency mining over the fused categorical
     graph: per ordered attr pair, support / distinct LHS values / FD
@@ -2547,6 +2556,7 @@ def _all_queries():
         "kg_key_discovery": q_kg_key_discovery,
         "kg_tool_yield": q_kg_tool_yield,
         "kg_fd_mining": q_kg_fd_mining,
+        "conv_lang_switches": q_conv_lang_switches,
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
@@ -5595,6 +5605,40 @@ FROM t WHERE role_to IS NOT NULL GROUP BY 1, 2""",
 SELECT user_id, event_type, epoch_us(ts) // 600000000 AS w,
        CAST(min(event_id) AS BIGINT) AS event_id
 FROM events GROUP BY 1, 2, 3""",
+        "conv_lang_switches": f"""
+WITH d AS (
+  SELECT conv_id, turn_idx,
+         list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))
+           AS toks
+  FROM read_parquet('{cache}/transcripts/*.parquet')),
+h AS (
+  SELECT conv_id, turn_idx,
+    len(list_intersect(toks,
+        ['der','die','und','das','ist','nicht','ein','zu'])) AS h_de,
+    len(list_intersect(toks,
+        ['the','and','of','to','is','in','that','it'])) AS h_en,
+    len(list_intersect(toks,
+        ['el','la','los','y','de','es','que','una'])) AS h_es,
+    len(list_intersect(toks,
+        ['le','la','les','et','de','est','que','une'])) AS h_fr
+  FROM d),
+l AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN greatest(h_de,h_en,h_es,h_fr) = 0 THEN 'und'
+         WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+         WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+         WHEN h_es >= h_fr THEN 'es'
+         ELSE 'fr' END AS lang
+  FROM h),
+t AS (
+  SELECT conv_id, lang,
+         lag(lang) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM l)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> lang
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+FROM t GROUP BY 1""",
         "kg_fd_mining": f"""
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},

@@ -287,3 +287,50 @@ def per_source_median_gate(docs, n_parts: int = 16):
 
     return scored.map_batches(_gate, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def conv_lang_switches(transcripts, n_parts: int = 32,
+                       concurrency=(1, 4)):
+    """Conversation-level language-consistency QA: score every turn with
+    the marker-set language ID (actor pool — marker tables built once per
+    actor) and report per conversation the distinct predicted languages
+    and the number of consecutive-turn switches.  Mixed-language
+    dialogues are a transcript-corpus defect signal.
+
+    Shape: the actor pool scores turns streaming (text never shuffles);
+    only (conv_id, turn_idx, lang) enters the ONE conv_id co-partition."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    class _TurnLang(LangIdScorer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            scored = LangIdScorer.__call__(self, pa.table({
+                "doc_id": pa.array(np.arange(len(batch), dtype=np.int64)),
+                "text": batch["text"]}))
+            return pa.table({"conv_id": batch["conv_id"],
+                             "turn_idx": batch["turn_idx"],
+                             "lang": scored["lang_pred"]})
+
+    langs = transcripts.select_columns(
+        ["conv_id", "turn_idx", "text"]).map_batches(
+        _TurnLang, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=concurrency)
+
+    def _stats(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group,
+                                sort_keys=[("turn_idx", "ascending")])
+        ls = group["lang"].take(order).to_pylist()
+        switches = sum(1 for a, b in zip(ls, ls[1:]) if a != b)
+        return pa.table({
+            "conv_id": group["conv_id"][:1],
+            "n_turns": pa.array([len(ls)], pa.int64()),
+            "n_langs": pa.array([len(set(ls))], pa.int64()),
+            "n_switches": pa.array([switches], pa.int64())})
+
+    return hash_group_apply(
+        langs, ["conv_id"], _stats, n_parts=n_parts,
+        plasma_schema=pa.schema([("conv_id", pa.string()),
+                                 ("n_turns", pa.int64()),
+                                 ("n_langs", pa.int64()),
+                                 ("n_switches", pa.int64())]))
