@@ -517,3 +517,26 @@ def test_link_candidates_common_neighbors():
     # (a,b): {n1,n2}; (n1,n2): {a,b}; (b,c): {a? no - a-b not edge;
     # n1 yes, a no} -> {n1} only 1 -> excluded; (a,c) adjacent -> excluded
     assert out == {("a", "b"): 2, ("n1", "n2"): 2}
+
+
+def test_session_type_pairs_cooccurrence():
+    import numpy as np
+
+    from trustfuse_ray.stages.windows import session_type_pairs
+
+    m = 60_000_000
+    rows = [  # u1 session1: A,B ; u1 session2 (2h later): B,C ; u2: A,B
+        (1, 1, "A", 0), (2, 1, "B", 5 * m),
+        (3, 1, "B", 200 * m), (4, 1, "C", 205 * m),
+        (5, 2, "A", 0), (6, 2, "B", 10 * m), (7, 2, "A", 12 * m),
+    ]
+    events = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array(np.array([r[3] for r in rows],
+                                dtype="datetime64[us]")),
+    })).repartition(2)
+    out = {(r["type_a"], r["type_b"]): r["n_sessions"]
+           for r in session_type_pairs(events, n_parts=4).take_all()}
+    assert out == {("A", "B"): 2, ("B", "C"): 1}

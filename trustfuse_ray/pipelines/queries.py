@@ -1750,6 +1750,15 @@ def q_events_dedup_window(sf_dir: str):
     return event_dedup_window(_tbl(sf_dir, "events"), window_s=600)
 
 
+def q_session_type_pairs(sf_dir: str):
+    """Within-session event-type co-occurrence (market-basket over
+    sessions): session rule in-group, O(|types|²) pair partials, one
+    tiny pair groupby."""
+    from trustfuse_ray.stages.windows import session_type_pairs
+
+    return session_type_pairs(_tbl(sf_dir, "events"))
+
+
 def q_conv_lang_switches(sf_dir: str):
     """Conversation language-consistency QA: per-turn marker-set lang ID
     (actor pool) → per-conv distinct langs + consecutive switches."""
@@ -2557,6 +2566,7 @@ def _all_queries():
         "kg_tool_yield": q_kg_tool_yield,
         "kg_fd_mining": q_kg_fd_mining,
         "conv_lang_switches": q_conv_lang_switches,
+        "session_type_pairs": q_session_type_pairs,
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
@@ -5605,6 +5615,28 @@ FROM t WHERE role_to IS NOT NULL GROUP BY 1, 2""",
 SELECT user_id, event_type, epoch_us(ts) // 600000000 AS w,
        CAST(min(event_id) AS BIGINT) AS event_id
 FROM events GROUP BY 1, 2, 3""",
+        "session_type_pairs": """
+WITH e AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+f AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e),
+g AS (
+  SELECT user_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f),
+d AS (SELECT DISTINCT user_id, sid, event_type FROM g),
+p AS (
+  SELECT x.event_type AS type_a, y.event_type AS type_b
+  FROM d x JOIN d y ON x.user_id = y.user_id AND x.sid = y.sid
+   AND x.event_type < y.event_type)
+SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY 1, 2""",
         "conv_lang_switches": f"""
 WITH d AS (
   SELECT conv_id, turn_idx,

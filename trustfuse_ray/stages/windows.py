@@ -807,3 +807,54 @@ def event_dedup_window(events, window_s: int = 600,
                          zero_copy_batch=True)
             .groupby([user_col, type_col, "w"]).min(id_col)
             .rename_columns({f"min({id_col})": id_col}))
+
+
+def session_type_pairs(events, gap_minutes: float = 30.0,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       id_col: str = "event_id",
+                       type_col: str = "event_type", n_parts: int = 16):
+    """Within-session behaviour co-occurrence (market-basket over
+    sessions): for every unordered pair of event types observed in the
+    SAME session, the number of sessions containing both.  The "what do
+    users do together" analytic feeding funnel design.
+
+    Shape: sessionization stays per-key in-group (one user exchange,
+    sessions numbered per key); distinct types per session emit
+    O(|types|²) pair partials (event-type domain is tiny); one tiny pair
+    groupby finishes."""
+    def _pairs_group(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            (ts_col, "ascending"), (id_col, "ascending")])
+        g = group.take(order)
+        ts = g[ts_col].cast(pa.int64()).to_numpy()
+        gap_us = int(gap_minutes * 60 * 1_000_000)
+        brk = np.ones(len(ts), dtype=np.int64)
+        if len(ts) > 1:
+            brk[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)
+        types = g[type_col].to_pylist()
+        per_session: dict[int, set] = {}
+        for s, t in zip(sid, types):
+            per_session.setdefault(int(s), set()).add(t)
+        a_out, b_out = [], []
+        for tset in per_session.values():
+            tl = sorted(tset)
+            for i, x in enumerate(tl):
+                for y in tl[i + 1:]:
+                    a_out.append(x)
+                    b_out.append(y)
+        return pa.table({
+            "type_a": pa.array(a_out, pa.string()),
+            "type_b": pa.array(b_out, pa.string()),
+            "n": pa.array(np.ones(len(a_out), np.int64))})
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    partials = hash_group_apply(
+        events.select_columns([key_col, ts_col, id_col, type_col]),
+        [key_col], _pairs_group, n_parts=n_parts,
+        plasma_schema=pa.schema([("type_a", pa.string()),
+                                 ("type_b", pa.string()),
+                                 ("n", pa.int64())]))
+    return (partials.groupby(["type_a", "type_b"]).sum("n")
+            .rename_columns({"sum(n)": "n_sessions"}))
