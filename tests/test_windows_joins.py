@@ -540,3 +540,24 @@ def test_session_type_pairs_cooccurrence():
     out = {(r["type_a"], r["type_b"]): r["n_sessions"]
            for r in session_type_pairs(events, n_parts=4).take_all()}
     assert out == {("A", "B"): 2, ("B", "C"): 1}
+
+
+def test_rule_inference_2hop_witnesses():
+    from trustfuse_ray.stages.graph import rule_inference_2hop
+
+    rows = [  # a->b->c (witness b), a->d->c (witness d), a->b only path
+        ("a", "neighbor", "b"), ("b", "neighbor", "c"),
+        ("a", "neighbor", "d"), ("d", "neighbor", "c"),
+        ("x", "color", "red"),  # other attr ignored
+        ("c", "neighbor", "a"),  # c->a: composes c->a->{b,d}
+    ]
+    triples = rd.from_arrow(pa.table({
+        "entity": pa.array([r[0] for r in rows], pa.string()),
+        "attr": pa.array([r[1] for r in rows], pa.string()),
+        "value_str": pa.array([r[2] for r in rows], pa.string()),
+    })).repartition(2)
+    out = {(r["x"], r["z"]): r["n_witnesses"]
+           for r in rule_inference_2hop(triples, n_parts=4).take_all()}
+    # a->c via b AND d; b->a via c; d->a via c; c->b, c->d via a
+    assert out == {("a", "c"): 2, ("b", "a"): 1, ("d", "a"): 1,
+                   ("c", "b"): 1, ("c", "d"): 1}

@@ -2295,6 +2295,14 @@ def q_kg_kcore(sf_dir: str):
     return kcore(und, k=2, rounds=8)
 
 
+def q_kg_rule_inference(sf_dir: str):
+    """Datalog-style relation composition: neighbor∘neighbor derived
+    pairs with witness counts; middle-node co-partition."""
+    from trustfuse_ray.stages.graph import rule_inference_2hop
+
+    return rule_inference_2hop(q_fuse_voting_sqlable(sf_dir))
+
+
 def q_kg_link_candidates(sf_dir: str):
     """KG-completion shortlist by common-neighbor mining over the
     entity ↔ (attr=value) bipartite projection of the fused graph:
@@ -2642,6 +2650,7 @@ def _all_queries():
         "kg_pagerank": q_kg_pagerank,
         "kg_kcore": q_kg_kcore,
         "kg_link_candidates": q_kg_link_candidates,
+        "kg_rule_inference": q_kg_rule_inference,
         "kg_pagerank_pers": q_kg_pagerank_pers,
         "kg_triangles": q_kg_triangles,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
@@ -5131,6 +5140,16 @@ SELECT e.vec_id,
        CAST(coalesce(l.label, e.vec_id) AS BIGINT) AS label,
        coalesce(l.label, e.vec_id) = e.vec_id AS keep
 FROM embeddings e LEFT JOIN lab l ON l.node = e.vec_id""",
+        "kg_rule_inference": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+r AS MATERIALIZED (
+  SELECT entity AS x, value_str AS y FROM fused
+  WHERE attr = 'neighbor' AND value_str IS NOT NULL),
+p AS (SELECT a.x, b.y AS z, a.y AS mid
+      FROM r a JOIN r b ON a.y = b.x WHERE a.x <> b.y)
+SELECT x, z, CAST(count(DISTINCT mid) AS BIGINT) AS n_witnesses
+FROM p GROUP BY 1, 2""",
         "kg_link_candidates": f"""
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},

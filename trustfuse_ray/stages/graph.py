@@ -1005,3 +1005,69 @@ def link_candidates(edges, min_common: int = 2, hub_cap: int = 64,
         tagged, ["a", "b"], _reduce, n_parts=n_parts,
         plasma_schema=pa.schema([("a", pa.string()), ("b", pa.string()),
                                  ("n_common", pa.int64())]))
+
+
+def rule_inference_2hop(triples, attr: str = "neighbor",
+                        n_parts: int = 32):
+    """Rule-based KG inference: compose a relation with itself —
+    ``attr(x, y) ∧ attr(y, z) ∧ x ≠ z → derived(x, z)`` — emitting each
+    derived pair with the number of distinct witnesses y.  The simplest
+    Datalog-style rule pass (neighbor-of-neighbor), the building block
+    of KG completion pipelines.
+
+    Shape: fused triples of ``attr`` co-partition on the MIDDLE node y
+    (each y holds its in/out lists; fan-out is deg_in × deg_out, the
+    hub-bounded rule cost); a second (x, z) groupby counts witnesses."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def _rel(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(batch["attr"], attr),
+                       pc.is_valid(batch["value_str"]))
+        t = batch.filter(keep)
+        return pa.table({"x": t["entity"].cast(pa.string()),
+                         "y": t["value_str"].cast(pa.string())})
+
+    rel = triples.map_batches(_rel, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _mid_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.schema([("mid", pa.string()),
+                              ("other", pa.string()),
+                              ("side", pa.int8())]).empty_table()
+        # row into y's group twice: as incoming (x -> y) and outgoing
+        # (y -> z); side 0 = incoming, 1 = outgoing
+        return pa.concat_tables([
+            pa.table({"mid": batch["y"], "other": batch["x"],
+                      "side": pa.array(np.zeros(n, np.int8))}),
+            pa.table({"mid": batch["x"], "other": batch["y"],
+                      "side": pa.array(np.ones(n, np.int8))}),
+        ]).combine_chunks()
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _compose(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"], dtype=np.int8)
+        others = group["other"].to_pylist()
+        xs = sorted({o for o, sd in zip(others, side) if sd == 0})
+        zs = sorted({o for o, sd in zip(others, side) if sd == 1})
+        a, b = [], []
+        for x in xs:
+            for z in zs:
+                if x != z:
+                    a.append(x)
+                    b.append(z)
+        return pa.table({"x": pa.array(a, pa.string()),
+                         "z": pa.array(b, pa.string()),
+                         "n": pa.array(np.ones(len(a), np.int64))})
+
+    pairs = hash_group_apply(
+        rel.map_batches(_mid_rows, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["mid"], _compose, n_parts=n_parts,
+        plasma_schema=pa.schema([("x", pa.string()), ("z", pa.string()),
+                                 ("n", pa.int64())]))
+    return (pairs.groupby(["x", "z"]).sum("n")
+            .rename_columns({"sum(n)": "n_witnesses"}))
