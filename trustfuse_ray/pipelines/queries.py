@@ -2603,6 +2603,7 @@ def _all_queries():
         "events_active_users": q_events_active_users,
         "events_rolling_active": q_events_rolling_active,
         "q3_shipping_priority": q3_shipping_priority,
+        "q10_returned_items": q10_returned_items,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4562,6 +4563,24 @@ FROM num1""",
         "minhash_pairs": f"""
 WITH {_minhash_sql("documents", 0.5)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "q10_returned_items": f"""
+WITH li AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
+                  AS BIGINT)) AS rev_fx
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+o AS (
+  SELECT o_orderkey, o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1996-04-01'),
+pcu AS (
+  SELECT o_custkey, sum(rev_fx) AS rev_fx
+  FROM li JOIN o ON li.l_orderkey = o.o_orderkey GROUP BY 1)
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
+       pcu.rev_fx / {Q1_SCALE}.0 AS revenue, c.c_acctbal, n.n_name
+FROM pcu JOIN customer c ON pcu.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY pcu.rev_fx DESC, pcu.o_custkey LIMIT 20""",
         "q3_shipping_priority": f"""
 SELECT l_orderkey,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
@@ -5972,3 +5991,77 @@ SELECT doc_id, CAST(g.i AS BIGINT) AS win_idx,
 FROM t, unnest(generate_series(
     0, (greatest(len(toks) - 64, 0) + 47) // 48)) g(i)""",
     }
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape: top-20 customers by revenue of RETURNED lines in
+    one quarter.  Lineitem collapses map-side to per-order fixed-point
+    revenue partials; ONE hash join with the quarter's orders re-keys
+    them to customers; the customer dimension joins by hash and the
+    nation names broadcast (25 rows).  Revenue sums are exact int64
+    micro-units (order-free), divided back out only in the final
+    20-row shape."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+
+    def _li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        fx = pc.cast(pc.round(pc.multiply(rev,
+                                          pa.scalar(float(Q1_SCALE))),
+                              round_mode="half_towards_infinity"),
+                     pa.int64())
+        p = pa.table({"l_orderkey": t["l_orderkey"], "rev_fx": fx})
+        return (pa.TableGroupBy(p, ["l_orderkey"], use_threads=False)
+                .aggregate([("rev_fx", "sum")])
+                .rename_columns(["l_orderkey", "rev_fx"]))
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["o_orderdate"],
+                                        pa.scalar(lo)),
+                       pc.less(batch["o_orderdate"], pa.scalar(hi)))
+        return batch.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    li = (_tbl(sf_dir, "lineitem")
+          .select_columns(["l_orderkey", "l_returnflag",
+                           "l_extendedprice", "l_discount"])
+          .map_batches(_li_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby("l_orderkey").sum("rev_fx")
+          .rename_columns({"sum(rev_fx)": "rev_fx"}))
+    orders = _tbl(sf_dir, "orders").map_batches(
+        _orders, batch_format="pyarrow", zero_copy_batch=True)
+    per_cust = (li.join(orders, join_type="inner", num_partitions=8,
+                        on=("l_orderkey",), right_on=("o_orderkey",))
+                .groupby("o_custkey").sum("rev_fx")
+                .rename_columns({"sum(rev_fx)": "rev_fx"}))
+    cust = _tbl(sf_dir, "customer").map_batches(
+        lambda b: b.select(["c_custkey", "c_name", "c_acctbal",
+                            "c_nationkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = per_cust.join(cust, join_type="inner", num_partitions=8,
+                           on=("o_custkey",), right_on=("c_custkey",))
+    top = joined.sort(["rev_fx", "o_custkey"],
+                      descending=[True, False]).limit(20)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        nk = batch["c_nationkey"].to_pylist()
+        return pa.table({
+            "c_custkey": batch["o_custkey"].cast(pa.int64()),
+            "c_name": batch["c_name"].cast(pa.string()),
+            "revenue": pc.divide(batch["rev_fx"].cast(pa.float64()),
+                                 pa.scalar(float(Q1_SCALE))),
+            "c_acctbal": batch["c_acctbal"].cast(pa.float64()),
+            "n_name": pa.array([nmap.get(k) for k in nk], pa.string())})
+
+    return top.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
