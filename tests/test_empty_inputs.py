@@ -155,3 +155,25 @@ def test_round4_ops_empty():
         "text": pa.array([], pa.string()),
     }))
     assert sft_pairs(e_turns).take_all() == []
+
+
+def test_round4_transcript_ops_null_text():
+    import numpy as np
+
+    from trustfuse_ray.stages.assemble import role_transitions, sft_pairs
+    from trustfuse_ray.stages.text import conv_lang_switches
+
+    turns = rd.from_arrow(pa.table({
+        "conv_id": pa.array(["c", "c", "c"], pa.string()),
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "role": pa.array(["user", "assistant", None], pa.string()),
+        "text": pa.array([None, "resp", None], pa.string()),
+    }))
+    pairs = sft_pairs(turns, n_parts=2).take_all()
+    assert [(r["turn_idx"], r["prompt"], r["response"]) for r in pairs] \
+        == [(1, "user: ", "resp")]
+    rt = {(r["role_from"], r["role_to"]): r["n"]
+          for r in role_transitions(turns, n_parts=2).take_all()}
+    assert rt == {("user", "assistant"): 1, ("assistant", ""): 1}
+    ls = conv_lang_switches(turns, n_parts=2).take_all()
+    assert ls[0]["n_turns"] == 3

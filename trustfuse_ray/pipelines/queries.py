@@ -5643,9 +5643,9 @@ SELECT t.doc_id, CAST(count(*) FILTER (t.tok <> '') AS BIGINT) AS n_tokens,
 FROM toks t GROUP BY 1""",
         "role_transitions": f"""
 WITH t AS (
-  SELECT conv_id, role,
-         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx)
-           AS role_to
+  SELECT conv_id, coalesce(role, '') AS role,
+         lead(coalesce(role, '')) OVER (PARTITION BY conv_id
+                                        ORDER BY turn_idx) AS role_to
   FROM read_parquet('{cache}/transcripts/*.parquet'))
 SELECT role AS role_from, role_to, CAST(count(*) AS BIGINT) AS n
 FROM t WHERE role_to IS NOT NULL GROUP BY 1, 2""",

@@ -267,7 +267,9 @@ def role_transitions(transcripts, n_parts: int = 32):
     def _pairs(group: pa.Table) -> pa.Table:
         order = pc.sort_indices(group,
                                 sort_keys=[("turn_idx", "ascending")])
-        roles = group["role"].take(order).to_pylist()
+        # null roles normalize to "" (the role:tool convention) so pair
+        # counting never drops null-keyed groups
+        roles = [r or "" for r in group["role"].take(order).to_pylist()]
         if len(roles) < 2:
             return pa.schema([("role_from", pa.string()),
                               ("role_to", pa.string()),
