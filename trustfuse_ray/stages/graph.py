@@ -837,22 +837,30 @@ def kcore(edges, k: int = 3, rounds: int = 8, src: str = "src",
     no-ops, so early exit never changes the result).  Returns
     (node, degree) over the final core-induced subgraph.
 
-    Scale shape: the alive set and the edge set are DATASETS end-to-end —
-    each round is two plasma semi-join exchanges (filter edges by alive
-    src, then by alive dst) plus one degree groupby; traffic is O(alive
-    edges) and shrinks monotonically.  Input must carry both directions
-    of each undirected edge (as `und_edges_from_triples` emits)."""
+    Scale shape: ONE plasma exchange per round — the adjacency is
+    hash-partitioned by DST once (static, materialized), and each round
+    co-partitions only the alive set against it, counting per-SRC edges
+    whose dst is alive.  Filtering the src side is unnecessary during
+    iteration: peeling is monotone (alive only shrinks), so a dropped
+    node's recomputed degree can only shrink and it can never re-enter
+    — the per-round degree of an alive node equals the both-ends-alive
+    degree the oracle computes.  The final output pass adds one alive
+    semi-join so reported rows are exactly the core-induced subgraph.
+    Input must carry both directions of each undirected edge (as
+    `und_edges_from_triples` emits)."""
     import ray.data as rd
+    import pyarrow.compute as pc
 
     from trustfuse_ray.stages.common import _add_part, plasma_exchange
 
     ex_schema = pa.schema([("node", pa.string()), ("other", pa.string()),
                            ("side", pa.int8()), ("__part", pa.int32())])
 
-    def _as_state(batch: pa.Table) -> pa.Table:
+    def _by_dst(batch: pa.Table) -> pa.Table:
+        # keyed by dst; "other" carries the src whose degree the row feeds
         return pa.table({
-            "node": batch[src].cast(pa.string()),
-            "other": batch[dst].cast(pa.string()),
+            "node": batch[dst].cast(pa.string()),
+            "other": batch[src].cast(pa.string()),
             "side": pa.array(np.zeros(len(batch), np.int8))})
 
     def _alive_rows(batch: pa.Table) -> pa.Table:
@@ -862,12 +870,16 @@ def kcore(edges, k: int = 3, rounds: int = 8, src: str = "src",
             "other": pa.array([""] * n, pa.string()),
             "side": pa.array(np.ones(n, np.int8))})
 
-    def _semi(tbl: pa.Table) -> pa.Table:
-        """Adjacency rows (side 0) whose node-run holds an alive row
-        (side 1) survive, re-emitted keyed by the OTHER endpoint."""
+    def _keyed(ds):
+        return ds.map_batches(
+            functools.partial(_add_part, keys=["node"], n_parts=n_parts),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    def _count_part(tbl: pa.Table) -> pa.Table:
+        """Partial per-src counts of adjacency rows whose dst-run holds an
+        alive row."""
         out_schema = pa.schema([("node", pa.string()),
-                                ("other", pa.string()),
-                                ("side", pa.int8())])
+                                ("n", pa.int64())])
         if len(tbl) == 0:
             return out_schema.empty_table()
         node = tbl["node"].to_pandas().to_numpy(dtype=object)
@@ -883,50 +895,79 @@ def kcore(edges, k: int = 3, rounds: int = 8, src: str = "src",
         adj = (ss == 0) & has_alive[run_id]
         if not adj.any():
             return out_schema.empty_table()
-        sel = pa.array(order[adj])
-        return pa.table({
-            "node": tbl["other"].take(sel),
-            "other": tbl["node"].take(sel),
-            "side": pa.array(np.zeros(int(adj.sum()), np.int8))})
+        srcs = tbl["other"].take(pa.array(order[adj]))
+        t = pa.table({"node": srcs})
+        return (t.group_by(["node"]).aggregate([("node", "count")])
+                .rename_columns(["node", "n"]))
 
-    def _keyed(ds):
-        return ds.map_batches(
-            functools.partial(_add_part, keys=["node"], n_parts=n_parts),
-            batch_format="pyarrow", zero_copy_batch=True)
-
-    state = edges.map_batches(_as_state, batch_format="pyarrow",
-                              zero_copy_batch=True).materialize()
-    alive = (state.groupby("node").count()
-             .select_columns(["node"]).materialize())
+    keyed_edges = _keyed(edges.map_batches(
+        _by_dst, batch_format="pyarrow", zero_copy_batch=True)
+    ).materialize()
+    alive = (edges.groupby(src).count()
+             .map_batches(lambda b: pa.table(
+                 {"node": b[src].cast(pa.string())}),
+                 batch_format="pyarrow"))
+    alive = alive.materialize()
     n_alive = alive.count()
 
-    def _both_ends_filter(st, al):
-        """edges(st) semi-joined against alive(al) on src then dst; output
-        is keyed by src again (two exchanges)."""
-        by_dst = plasma_exchange(
-            [_keyed(st), _keyed(al.map_batches(
+    def _round_degrees(al):
+        parts = plasma_exchange(
+            [keyed_edges, _keyed(al.map_batches(
                 _alive_rows, batch_format="pyarrow"))],
-            _semi, n_parts, part_col="__part", empty_schema=ex_schema)
-        # rows are now (node=dst, other=src); second pass filters on dst
-        # and flips back to src-keyed rows
-        return plasma_exchange(
-            [_keyed(by_dst), _keyed(al.map_batches(
-                _alive_rows, batch_format="pyarrow"))],
-            _semi, n_parts, part_col="__part", empty_schema=ex_schema)
+            _count_part, n_parts, part_col="__part",
+            empty_schema=ex_schema)
+        return (parts.groupby("node").sum("n")
+                .rename_columns({"sum(n)": "degree"}))
 
+    deg = None
     for _ in range(rounds):
-        state = _both_ends_filter(state, alive).materialize()
-        deg = (state.groupby("node").count()
-               .rename_columns({"count()": "degree"}))
-        alive = (deg.filter(expr=f"degree >= {int(k)}")
-                 .select_columns(["node"]).materialize())
-        cur = alive.count()
+        deg = _round_degrees(alive).materialize()
+        nxt = (deg.filter(expr=f"degree >= {int(k)}")
+               .select_columns(["node"]).materialize())
+        cur = nxt.count()
+        alive = nxt
         if cur == n_alive:
             break
         n_alive = cur
-    final = _both_ends_filter(state, alive)
-    return (final.groupby("node").count()
-            .rename_columns({"count()": "degree"}))
+    # final: degrees against the final alive set, reported only for
+    # alive nodes (one tagged co-partition semi-join)
+    final_deg = _round_degrees(alive)
+
+    def _deg_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": batch["node"].cast(pa.string()),
+            "other": batch["degree"].cast(pa.int64()).cast(pa.string()),
+            "side": pa.array(np.zeros(len(batch), np.int8))})
+
+    def _semi_out(tbl: pa.Table) -> pa.Table:
+        out_schema = pa.schema([("node", pa.string()),
+                                ("degree", pa.int64())])
+        if len(tbl) == 0:
+            return out_schema.empty_table()
+        node = tbl["node"].to_pandas().to_numpy(dtype=object)
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        order = np.lexsort((side, node))
+        ns, ss = node[order], side[order]
+        n = len(ns)
+        head = np.ones(n, dtype=bool)
+        head[1:] = ns[1:] != ns[:-1]
+        run_id = np.cumsum(head) - 1
+        has_alive = np.zeros(int(run_id[-1]) + 1, dtype=bool)
+        has_alive[run_id[ss == 1]] = True
+        keep = (ss == 0) & has_alive[run_id]
+        if not keep.any():
+            return out_schema.empty_table()
+        sel = pa.array(order[keep])
+        return pa.table({
+            "node": tbl["node"].take(sel),
+            "degree": pc.cast(pc.cast(tbl["other"].take(sel),
+                                      pa.float64()), pa.int64())})
+
+    return plasma_exchange(
+        [_keyed(final_deg.map_batches(_deg_rows,
+                                      batch_format="pyarrow")),
+         _keyed(alive.map_batches(_alive_rows, batch_format="pyarrow"))],
+        _semi_out, n_parts, part_col="__part", empty_schema=ex_schema)
 
 
 def link_candidates(edges, min_common: int = 2, hub_cap: int = 64,
