@@ -236,3 +236,15 @@ def test_role_transitions_counts():
                ("c3", 0, "tool", "solo turn", "db"),
            ]), n_parts=4).take_all()}
     assert out == {("assistant", "user"): 1, ("user", "assistant"): 2}
+
+
+def test_response_boilerplate_recurrence():
+    from trustfuse_ray.stages.assemble import response_boilerplate
+
+    out = response_boilerplate(_transcripts([
+        ("c1", 0, "user", "q", ""), ("c1", 1, "assistant", "SAME", "kb"),
+        ("c2", 0, "user", "q", ""), ("c2", 1, "assistant", "SAME", "kb"),
+        ("c3", 0, "user", "q", ""), ("c3", 1, "assistant", "unique", "kb"),
+    ]), n_parts=4).take_all()
+    assert len(out) == 1
+    assert (out[0]["n_pairs"], out[0]["n_convs"]) == (2, 2)

@@ -1706,6 +1706,16 @@ def q_dpo_pairs(sf_dir: str):
     return dpo_pairs(read_transcripts(data_dir))
 
 
+def q_sft_boilerplate(sf_dir: str):
+    """Templated-completion audit: md5-fingerprinted assistant responses
+    recurring across ≥2 SFT examples; text never enters the audit
+    exchange."""
+    from trustfuse_ray.stages.assemble import response_boilerplate
+
+    data_dir = synth.generate(sf_dir)
+    return response_boilerplate(read_transcripts(data_dir))
+
+
 def q_sft_dataset(sf_dir: str):
     """Composed SFT dataset build: conversation dedup → pair assembly
     over survivors (one fused conv_id exchange) → length gates →
@@ -2564,6 +2574,7 @@ def _all_queries():
         "kg_fact_history": q_kg_fact_history,
         "kg_dangling_refs": q_kg_dangling_refs,
         "sft_dataset": q_sft_dataset,
+        "sft_boilerplate": q_sft_boilerplate,
         "dpo_pairs": q_dpo_pairs,
         "span_corruption": q_span_corruption,
         "histogram_quantiles": q_histogram_quantiles,
@@ -5580,6 +5591,19 @@ x AS (
   FROM p)
 SELECT conv_id, turn_idx, prompt, chosen, rejected
 FROM x WHERE np >= 2""",
+        "sft_boilerplate": f"""
+WITH w AS (
+  SELECT conv_id, turn_idx, role, text,
+    string_agg(role || ': ' || coalesce(text,''), chr(10)) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prompt
+  FROM read_parquet('{cache}/transcripts/*.parquet')),
+p AS (
+  SELECT conv_id, md5(coalesce(text, '')) AS response_fp
+  FROM w WHERE role = 'assistant' AND prompt IS NOT NULL)
+SELECT response_fp, CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM p GROUP BY 1 HAVING count(*) >= 2""",
         "sft_dataset": f"""
 WITH tr AS (SELECT * FROM read_parquet('{cache}/transcripts/*.parquet')),
 asm AS (

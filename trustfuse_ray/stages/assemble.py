@@ -288,3 +288,47 @@ def role_transitions(transcripts, n_parts: int = 32):
                                  ("n", pa.int64())]))
     return (partials.groupby(["role_from", "role_to"]).sum("n")
             .rename_columns({"sum(n)": "n"}))
+
+
+def response_boilerplate(transcripts, min_repeats: int = 2,
+                         n_parts: int = 32):
+    """Boilerplate-completion audit over the SFT pair stream: assistant
+    responses whose exact text recurs across ≥ ``min_repeats`` examples
+    (templated answers — a label-noise signal for instruction tuning).
+    Returns (response_fp, n_pairs, n_convs) per recurring response.
+
+    Shape: pairs assemble in the conv_id exchange (:func:`sft_pairs`);
+    responses collapse to md5 fingerprints map-side, so the audit
+    exchange carries (fp, conv_id) only — never response text."""
+    import hashlib
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    pairs = sft_pairs(transcripts, n_parts=n_parts)
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5((t or "").encode()).hexdigest()
+               for t in batch["response"].to_pylist()]
+        return pa.table({"response_fp": pa.array(fps, pa.string()),
+                         "conv_id": batch["conv_id"]})
+
+    def _audit(group: pa.Table) -> pa.Table:
+        n = len(group)
+        empty = pa.schema([("response_fp", pa.string()),
+                           ("n_pairs", pa.int64()),
+                           ("n_convs", pa.int64())]).empty_table()
+        if n < min_repeats:
+            return empty
+        convs = set(group["conv_id"].to_pylist())
+        return pa.table({
+            "response_fp": group["response_fp"][:1],
+            "n_pairs": pa.array([n], pa.int64()),
+            "n_convs": pa.array([len(convs)], pa.int64())})
+
+    return hash_group_apply(
+        pairs.map_batches(_fp, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["response_fp"], _audit, n_parts=n_parts,
+        plasma_schema=pa.schema([("response_fp", pa.string()),
+                                 ("n_pairs", pa.int64()),
+                                 ("n_convs", pa.int64())]))
