@@ -561,3 +561,42 @@ def test_rule_inference_2hop_witnesses():
     # a->c via b AND d; b->a via c; d->a via c; c->b, c->d via a
     assert out == {("a", "c"): 2, ("b", "a"): 1, ("d", "a"): 1,
                    ("c", "b"): 1, ("c", "d"): 1}
+
+
+def test_kcore_property_vs_brute_peel():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from trustfuse_ray.stages.graph import kcore
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 7), st.integers(0, 7)),
+                    min_size=1, max_size=16), st.integers(1, 3))
+    def _check(raw, k):
+        und = {(f"n{a}", f"n{b}") for a, b in raw if a != b}
+        if not und:
+            return
+        rows = sorted(und | {(y, x) for x, y in und})
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([r[0] for r in rows], pa.string()),
+            "dst": pa.array([r[1] for r in rows], pa.string()),
+        })).repartition(2)
+        got = {r["node"]: r["degree"]
+               for r in kcore(edges, k=k, rounds=16, n_parts=4).take_all()}
+
+        # brute peel
+        adj = {}
+        for a, b in rows:
+            adj.setdefault(a, set()).add(b)
+        alive = set(adj)
+        while True:
+            drop = {n for n in alive
+                    if len(adj[n] & alive) < k}
+            if not drop:
+                break
+            alive -= drop
+        want = {n: len(adj[n] & alive) for n in alive
+                if len(adj[n] & alive) > 0}
+        assert got == want
+
+    _check()
