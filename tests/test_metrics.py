@@ -462,3 +462,24 @@ def test_fact_history_property_vs_brute():
         assert got == want
 
     _check()
+
+
+def test_claim_velocity_slope_sign():
+    import numpy as np
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import claim_velocity
+
+    day = 86_400_000_000
+    rows = ([("up", 0)] * 1 + [("up", 1)] * 2 + [("up", 2)] * 4
+            + [("down", 0)] * 4 + [("down", 1)] * 2 + [("down", 2)] * 1)
+    claims = rd.from_arrow(pa.table({
+        "entity": pa.array([r[0] for r in rows], pa.string()),
+        "ts": pa.array(np.array([r[1] * day for r in rows],
+                                dtype="datetime64[us]")),
+    })).repartition(3)
+    out = {r["entity"]: (r["n_days"], r["n_claims"], r["slope_num"])
+           for r in claim_velocity(claims, n_parts=4).take_all()}
+    # up: days (0,1,2) counts (1,2,4): 3*(0+2+8) - 3*7 = 30 - 21 = 9
+    assert out["up"] == (3, 7, 9)
+    assert out["down"] == (3, 7, -9)

@@ -1788,6 +1788,14 @@ def q_kg_fd_mining(sf_dir: str):
     return fd_mining(q_fuse_voting_sqlable(sf_dir))
 
 
+def q_kg_claim_velocity(sf_dir: str):
+    """Per-entity claim-arrival trend: exact integer least-squares slope
+    numerator over (day, count) pairs; one entity co-partition."""
+    from trustfuse_ray.reverse import claim_velocity
+
+    return claim_velocity(cached_claims(sf_dir))
+
+
 def q_kg_tool_yield(sf_dir: str):
     """Per-tool extraction yield: eligible turns, conversations and
     extracted claims per role:tool source; both sides pre-aggregate
@@ -2583,6 +2591,7 @@ def _all_queries():
         "events_dedup_window": q_events_dedup_window,
         "kg_key_discovery": q_kg_key_discovery,
         "kg_tool_yield": q_kg_tool_yield,
+        "kg_claim_velocity": q_kg_claim_velocity,
         "kg_fd_mining": q_kg_fd_mining,
         "conv_lang_switches": q_conv_lang_switches,
         "session_type_pairs": q_session_type_pairs,
@@ -5749,6 +5758,17 @@ SELECT a, b, CAST(sum(support) AS BIGINT) AS support,
        CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_violations
 FROM l GROUP BY 1, 2""",
+        "kg_claim_velocity": f"""
+WITH {_claims_cte(cache)},
+dc AS (
+  SELECT entity, epoch_us(ts) // 86400000000 AS day,
+         CAST(count(*) AS BIGINT) AS c
+  FROM claims GROUP BY 1, 2)
+SELECT entity, CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(c) AS BIGINT) AS n_claims,
+       CAST(count(*) * sum(day * c) - sum(day) * sum(c) AS BIGINT)
+         AS slope_num
+FROM dc GROUP BY 1""",
         "kg_tool_yield": f"""
 WITH {_claims_cte(cache)},
 t AS (

@@ -1016,3 +1016,51 @@ def fd_mining(triples, n_parts: int = 32):
                                  ("support", pa.int64()),
                                  ("n_lhs_values", pa.int64()),
                                  ("n_violations", pa.int64())]))
+
+
+def claim_velocity(claims, day_us: int = 86_400_000_000,
+                   n_parts: int = 32):
+    """Per-entity claim-arrival trend: over the entity's active days,
+    the exact integer least-squares slope NUMERATOR of claims-per-day
+    vs day — ``n·Σ(d·c) − Σd·Σc`` (positive = accelerating attention,
+    negative = fading).  All-integer arithmetic, so DuckDB replays it
+    bit-for-bit without float slope division.
+
+    Shape: map-side (entity, day) count partials bound the exchange by
+    active entity-days; stats reduce in ONE entity co-partition.
+    Returns (entity, n_days, n_claims, slope_num)."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch["ts"].cast(pa.int64()),
+                        pa.scalar(day_us, pa.int64()))
+        t = pa.table({"entity": batch["entity"].cast(pa.string()),
+                      "day": day})
+        return (t.group_by(["entity", "day"])
+                .aggregate([("day", "count")])
+                .rename_columns(["entity", "day", "c"]))
+
+    partials = (claims.select_columns(["entity", "ts"]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["entity", "day"]).sum("c")
+        .rename_columns({"sum(c)": "c"}))
+
+    def _trend(group: pa.Table) -> pa.Table:
+        d = np.asarray(group["day"], dtype=np.int64)
+        c = np.asarray(group["c"], dtype=np.int64)
+        n = len(d)
+        slope_num = int(n * int((d * c).sum()) - int(d.sum()) * int(c.sum()))
+        return pa.table({
+            "entity": group["entity"][:1],
+            "n_days": pa.array([n], pa.int64()),
+            "n_claims": pa.array([int(c.sum())], pa.int64()),
+            "slope_num": pa.array([slope_num], pa.int64())})
+
+    return hash_group_apply(
+        partials, ["entity"], _trend, n_parts=n_parts,
+        plasma_schema=pa.schema([("entity", pa.string()),
+                                 ("n_days", pa.int64()),
+                                 ("n_claims", pa.int64()),
+                                 ("slope_num", pa.int64())]))
