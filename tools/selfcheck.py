@@ -78,13 +78,21 @@ def values_equal(a: pd.DataFrame, b: pd.DataFrame) -> bool:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    window_only = "--window" in args
+    if window_only:
+        args.remove("--window")
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              log_to_driver=False)
     from trustfuse_ray.pipelines.queries import oracle_sql_map, queries_map
 
     qmap = queries_map()
+    if window_only:
+        # exactly the driver's 50-slot correctness window, in order
+        from trustfuse_ray.pipelines.queries import _DRIVER_WINDOW
+        qmap = {k: qmap[k] for k in _DRIVER_WINDOW}
     omap = oracle_sql_map(sf_dir)
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
