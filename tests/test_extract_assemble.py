@@ -248,3 +248,22 @@ def test_response_boilerplate_recurrence():
     ]), n_parts=4).take_all()
     assert len(out) == 1
     assert (out[0]["n_pairs"], out[0]["n_convs"]) == (2, 2)
+
+
+def test_conv_lead_summary_sentences():
+    from trustfuse_ray.stages.assemble import conv_lead_summary
+
+    out = {r["conv_id"]: r for r in conv_lead_summary(_transcripts([
+        ("c1", 1, "assistant", "Second turn. More.", "kb"),
+        ("c1", 0, "user", "First sentence. Rest here.", ""),
+        ("c2", 0, "user", "no period at all", ""),
+    ]), n_parts=4).take_all()}
+    r = out["c1"]
+    assert r["lead"] == "First sentence."
+    assert r["tail_lead"] == "Second turn."
+    assert r["n_turns"] == 2
+    assert r["total_chars"] == len("First sentence. Rest here.") + len(
+        "Second turn. More.")
+    # single-turn conv: lead and tail_lead are the same turn
+    assert out["c2"]["lead"] == "no period at all"
+    assert out["c2"]["tail_lead"] == "no period at all"

@@ -1706,6 +1706,15 @@ def q_dpo_pairs(sf_dir: str):
     return dpo_pairs(read_transcripts(data_dir))
 
 
+def q_conv_lead_summary(sf_dir: str):
+    """Extractive lead-sentence conversation summaries (deterministic
+    lead-N baseline); one conv_id exchange."""
+    from trustfuse_ray.stages.assemble import conv_lead_summary
+
+    data_dir = synth.generate(sf_dir)
+    return conv_lead_summary(read_transcripts(data_dir))
+
+
 def q_sft_boilerplate(sf_dir: str):
     """Templated-completion audit: md5-fingerprinted assistant responses
     recurring across ≥2 SFT examples; text never enters the audit
@@ -2583,6 +2592,7 @@ def _all_queries():
         "kg_dangling_refs": q_kg_dangling_refs,
         "sft_dataset": q_sft_dataset,
         "sft_boilerplate": q_sft_boilerplate,
+        "conv_lead_summary": q_conv_lead_summary,
         "dpo_pairs": q_dpo_pairs,
         "span_corruption": q_span_corruption,
         "histogram_quantiles": q_histogram_quantiles,
@@ -5600,6 +5610,26 @@ x AS (
   FROM p)
 SELECT conv_id, turn_idx, prompt, chosen, rejected
 FROM x WHERE np >= 2""",
+        "conv_lead_summary": f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, coalesce(text, '') AS text,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n,
+         sum(length(coalesce(text, ''))) OVER (PARTITION BY conv_id)
+           AS total_chars
+  FROM read_parquet('{cache}/transcripts/*.parquet')),
+fs AS (
+  SELECT conv_id, rn, n, total_chars,
+         CASE WHEN strpos(text, '.') > 0
+              THEN substr(text, 1, strpos(text, '.'))
+              ELSE text END AS s
+  FROM t WHERE rn = 1 OR rn = n)
+SELECT conv_id, CAST(max(n) AS BIGINT) AS n_turns,
+       min(CASE WHEN rn = 1 THEN s END) AS lead,
+       min(CASE WHEN rn = n THEN s END) AS tail_lead,
+       CAST(max(total_chars) AS BIGINT) AS total_chars
+FROM fs GROUP BY 1""",
         "sft_boilerplate": f"""
 WITH w AS (
   SELECT conv_id, turn_idx, role, text,

@@ -332,3 +332,44 @@ def response_boilerplate(transcripts, min_repeats: int = 2,
         plasma_schema=pa.schema([("response_fp", pa.string()),
                                  ("n_pairs", pa.int64()),
                                  ("n_convs", pa.int64())]))
+
+
+def conv_lead_summary(transcripts, n_parts: int = 32):
+    """Extractive conversation summarization (lead-sentence baseline):
+    per conversation, the first sentence of the FIRST turn and of the
+    LAST turn plus length stats — the deterministic extractive rule
+    (lead-N) that anchors summarization-quality evals before any model
+    runs.  A learned abstractive summarizer drops into the same
+    actor-pool slot; this baseline is exactly SQL-replayable.
+
+    Sentence rule: text up to and including the first '.', or the whole
+    turn if it has none.  One conv_id exchange; only first/last turns'
+    text leaves the group."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _first_sentence(t: str) -> str:
+        i = t.find(".")
+        return t[:i + 1] if i >= 0 else t
+
+    def _summ(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group,
+                                sort_keys=[("turn_idx", "ascending")])
+        g = group.take(order)
+        texts = [t or "" for t in g["text"].to_pylist()]
+        return pa.table({
+            "conv_id": g["conv_id"][:1],
+            "n_turns": pa.array([len(texts)], pa.int64()),
+            "lead": pa.array([_first_sentence(texts[0])], pa.string()),
+            "tail_lead": pa.array([_first_sentence(texts[-1])],
+                                  pa.string()),
+            "total_chars": pa.array([sum(len(t) for t in texts)],
+                                    pa.int64())})
+
+    return hash_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "text"]),
+        ["conv_id"], _summ, n_parts=n_parts,
+        plasma_schema=pa.schema([("conv_id", pa.string()),
+                                 ("n_turns", pa.int64()),
+                                 ("lead", pa.string()),
+                                 ("tail_lead", pa.string()),
+                                 ("total_chars", pa.int64())]))
