@@ -483,3 +483,24 @@ def test_claim_velocity_slope_sign():
     # up: days (0,1,2) counts (1,2,4): 3*(0+2+8) - 3*7 = 30 - 21 = 9
     assert out["up"] == (3, 7, 9)
     assert out["down"] == (3, 7, -9)
+
+
+def test_quantity_trimmed_drops_outliers():
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import quantity_trimmed
+
+    rows = [  # values 1, 10, 10, 1000 -> trim 1 & 1000 -> sum 20, n 2
+        ("s1", 1.0), ("s2", 10.0), ("s3", 10.0), ("s4", 1000.0),
+        ("s1", 1.0),  # dup (source, value) must not double-count
+    ]
+    claims = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "entity": pa.array(["e"] * len(rows), pa.string()),
+        "attr": pa.array(["a"] * len(rows), pa.string()),
+        "value_num": pa.array([r[1] for r in rows], pa.float64()),
+        "value_type": pa.array(["quantity"] * len(rows), pa.string()),
+    })).repartition(2)
+    out = quantity_trimmed(claims, n_parts=4).take_all()
+    assert [(r["n_used"], r["trimmed_sum_fx"]) for r in out] \
+        == [(2, 20_000_000)]

@@ -1797,6 +1797,14 @@ def q_kg_fd_mining(sf_dir: str):
     return fd_mining(q_fuse_voting_sqlable(sf_dir))
 
 
+def q_kg_quantity_trimmed(sf_dir: str):
+    """Robust quantity fusion: 1-trimmed exact micro-unit aggregates per
+    numeric fact; one (entity, attr) co-partition."""
+    from trustfuse_ray.reverse import quantity_trimmed
+
+    return quantity_trimmed(cached_claims(sf_dir))
+
+
 def q_kg_claim_velocity(sf_dir: str):
     """Per-entity claim-arrival trend: exact integer least-squares slope
     numerator over (day, count) pairs; one entity co-partition."""
@@ -2602,6 +2610,7 @@ def _all_queries():
         "kg_key_discovery": q_kg_key_discovery,
         "kg_tool_yield": q_kg_tool_yield,
         "kg_claim_velocity": q_kg_claim_velocity,
+        "kg_quantity_trimmed": q_kg_quantity_trimmed,
         "kg_fd_mining": q_kg_fd_mining,
         "conv_lang_switches": q_conv_lang_switches,
         "session_type_pairs": q_session_type_pairs,
@@ -5788,6 +5797,24 @@ SELECT a, b, CAST(sum(support) AS BIGINT) AS support,
        CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_violations
 FROM l GROUP BY 1, 2""",
+        "kg_quantity_trimmed": f"""
+WITH {_claims_cte(cache)},
+dd AS (
+  SELECT DISTINCT source, entity, attr,
+         CAST(round(value_num * 1000000) AS BIGINT) AS value_fx
+  FROM claims WHERE value_type = 'quantity' AND value_num IS NOT NULL),
+rk AS (
+  SELECT entity, attr, value_fx,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY value_fx, source) AS rn,
+         count(*) OVER (PARTITION BY entity, attr) AS n
+  FROM dd)
+SELECT entity, attr,
+       CAST(sum(CASE WHEN n < 3 OR (rn > 1 AND rn < n)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_used,
+       CAST(sum(CASE WHEN n < 3 OR (rn > 1 AND rn < n)
+                THEN value_fx ELSE 0 END) AS BIGINT) AS trimmed_sum_fx
+FROM rk GROUP BY 1, 2""",
         "kg_claim_velocity": f"""
 WITH {_claims_cte(cache)},
 dc AS (

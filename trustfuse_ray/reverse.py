@@ -1064,3 +1064,56 @@ def claim_velocity(claims, day_us: int = 86_400_000_000,
                                  ("n_days", pa.int64()),
                                  ("n_claims", pa.int64()),
                                  ("slope_num", pa.int64())]))
+
+
+def quantity_trimmed(claims, scale: int = 1_000_000, n_parts: int = 32):
+    """Robust quantity fusion: per numeric fact, the 1-trimmed
+    aggregate over the distinct (source, value) assertions — drop ONE
+    smallest and ONE largest assertion when ≥3 exist, then report the
+    exact int64 micro-unit sum and count of the survivors (no float
+    division — the consumer divides).  The outlier-resistant
+    alternative to the reference's plain median for heavy-tailed
+    numeric conflicts.
+
+    Shape: map-side distinct of (source, entity, attr, value_fx)
+    bounds the exchange; trim + sum reduce in ONE (entity, attr)
+    co-partition.  Returns (entity, attr, n_used, trimmed_sum_fx)."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(batch["value_type"], "quantity"),
+                       pc.is_valid(batch["value_num"]))
+        t = batch.filter(keep)
+        fx = pc.cast(pc.round(pc.multiply(
+            t["value_num"].cast(pa.float64()),
+            pa.scalar(float(scale))),
+            round_mode="half_towards_infinity"), pa.int64())
+        d = pa.table({"source": t["source"], "entity": t["entity"],
+                      "attr": t["attr"], "value_fx": fx})
+        return d.group_by(
+            ["source", "entity", "attr", "value_fx"]).aggregate([])
+
+    def _trim(group: pa.Table) -> pa.Table:
+        # finish the global distinct, then trim on the value multiset
+        rows = sorted(set(zip(group["source"].to_pylist(),
+                              np.asarray(group["value_fx"],
+                                         dtype=np.int64).tolist())))
+        vals = sorted(v for _, v in rows)
+        if len(vals) >= 3:
+            vals = vals[1:-1]
+        return pa.table({
+            "entity": group["entity"][:1],
+            "attr": group["attr"][:1],
+            "n_used": pa.array([len(vals)], pa.int64()),
+            "trimmed_sum_fx": pa.array([int(sum(vals))], pa.int64())})
+
+    return hash_group_apply(
+        claims.map_batches(_distinct, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity", "attr"], _trim, n_parts=n_parts,
+        plasma_schema=pa.schema([("entity", pa.string()),
+                                 ("attr", pa.string()),
+                                 ("n_used", pa.int64()),
+                                 ("trimmed_sum_fx", pa.int64())]))
