@@ -195,3 +195,27 @@ def test_tokenmix_signatures_match_scalar_reference():
         assert np.array_equal(got[i], exp), d
     # single-doc signature() routes through the same kernel
     assert np.array_equal(h.signature(docs[0]), got[0])
+
+
+def test_cluster_best_docs_keeps_quality_winner():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.dedup import cluster_best_docs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the fox runs away into the woods near the river") * 3
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # 1 and 2 near-identical (cluster); 2 carries one huge junk
+        # token (big char penalty, one token) -> lower score;
+        # 3 unrelated singleton
+        "text": pa.array([base, base + " " + "x" * 300,
+                          "completely different content here entirely"],
+                         pa.string()),
+    })).repartition(2)
+    out = {r["label"]: r["doc_id"]
+           for r in cluster_best_docs(docs, threshold=0.5,
+                                      hash_kind="md5").take_all()}
+    assert out[1] == 1      # cluster {1,2}: higher score wins
+    assert out[3] == 3      # singleton keeps itself

@@ -1039,6 +1039,14 @@ def q_minhash_clusters_synth(sf_dir: str):
         ray.data.read_parquet(path), threshold=0.6, hash_kind="md5")
 
 
+def q_cluster_best_docs(sf_dir: str):
+    """Quality-aware near-dup canonical pick over the planted-dup
+    corpus: each MinHash cluster keeps its highest-scoring member."""
+    path = synth.generate_documents(sf_dir)
+    return dedup.cluster_best_docs(
+        ray.data.read_parquet(path), threshold=0.6, hash_kind="md5")
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -2665,6 +2673,7 @@ def _all_queries():
         "minhash_pairs": q_minhash_pairs,
         "minhash_pairs_synth": q_minhash_pairs_synth,
         "minhash_clusters_synth": q_minhash_clusters_synth,
+        "cluster_best_docs": q_cluster_best_docs,
         "dedup_exact_synth": q_dedup_exact_synth,
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
@@ -4840,6 +4849,35 @@ SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
 WITH {_minhash_sql(
     f"read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')", 0.6)}
 SELECT doc_a, doc_b, jaccard_est FROM mh_pairs""",
+        "cluster_best_docs": f"""
+WITH RECURSIVE {_minhash_sql(
+    f"read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')", 0.6)},
+nodes AS (SELECT DISTINCT doc_a AS node FROM mh_pairs
+          UNION SELECT DISTINCT doc_b FROM mh_pairs),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+          UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+lab AS (SELECT node, min(root) AS label FROM reach GROUP BY node),
+q AS (
+  SELECT doc_id,
+         3 * CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                  AS BIGINT)
+         - length(text)
+         + 50 * CAST((length(lower(text))
+                      - length(replace(lower(text), 'the', ''))) / 3
+                     AS BIGINT)
+         + 100 AS score
+  FROM read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')),
+al AS (SELECT q.doc_id, coalesce(l.label, q.doc_id) AS label, q.score
+       FROM q LEFT JOIN lab l ON q.doc_id = l.node),
+rk AS (SELECT *, row_number() OVER (PARTITION BY label
+                                    ORDER BY score DESC, doc_id) AS rn
+       FROM al)
+SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
+FROM rk WHERE rn = 1""",
         "minhash_clusters_synth": f"""
 WITH RECURSIVE {_minhash_sql(
     f"read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')", 0.6)},

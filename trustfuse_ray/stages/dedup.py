@@ -882,3 +882,83 @@ def ivf_near_pairs(emb, threshold: float = 0.9, n_lists: int = 64,
     # the same pair can surface from up to nassign shared lists → keep one
     return (pairs.groupby(["doc_a", "doc_b"]).max("cos_part")
             .rename_columns({"max(cos_part)": "cosine"}))
+
+
+def cluster_best_docs(docs, threshold: float = 0.6,
+                      hash_kind: str = "md5", n_parts: int = 32):
+    """Quality-aware near-dup canonicalization: MinHash-LSH clusters keep
+    their HIGHEST-quality member (integer quality score, ties to the
+    smallest doc_id) instead of the blind min-id winner — the curation
+    policy that stops dedup from discarding the best copy of a template
+    family.  Docs outside every cluster are their own singleton winner.
+
+    Shape: cluster labels stay a Dataset (`minhash_cluster_labels`);
+    scores are one streaming integer pass; label attachment and the
+    per-cluster argmax are two co-partitions carrying (doc_id, label,
+    score) only.  Returns (label, doc_id, score_fp) — one row per
+    cluster."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+    from trustfuse_ray.stages.text import QualityClassifier
+
+    labels = minhash_cluster_labels(docs, threshold=threshold,
+                                    hash_kind=hash_kind)
+    clf = QualityClassifier()
+
+    def _score(batch: pa.Table) -> pa.Table:
+        out = clf(batch)
+        return pa.table({"doc_id": out["doc_id"].cast(pa.int64()),
+                         "label": pa.array(
+                             np.full(len(out), -1, np.int64)),
+                         "score": out["score_fp"],
+                         "side": pa.array(np.zeros(len(out), np.int8))})
+
+    def _label_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"doc_id": batch["node"].cast(pa.int64()),
+                         "label": batch["label"].cast(pa.int64()),
+                         "score": pa.array(np.zeros(n, np.int64)),
+                         "side": pa.array(np.ones(n, np.int8))})
+
+    tagged = docs.map_batches(_score, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        labels.map_batches(_label_rows, batch_format="pyarrow"))
+
+    def _attach(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"], dtype=np.int8)
+        did = int(group["doc_id"][0].as_py())
+        lab = did
+        score = 0
+        for i, sd in enumerate(side):
+            if sd == 1:
+                lab = int(group["label"][i].as_py())
+            else:
+                score = int(group["score"][i].as_py())
+        return pa.table({"label": pa.array([lab], pa.int64()),
+                         "doc_id": pa.array([did], pa.int64()),
+                         "score": pa.array([score], pa.int64())})
+
+    attached = hash_group_apply(
+        tagged, ["doc_id"], _attach, n_parts=n_parts,
+        plasma_schema=pa.schema([("label", pa.int64()),
+                                 ("doc_id", pa.int64()),
+                                 ("score", pa.int64())]))
+
+    def _best(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["doc_id"], dtype=np.int64)
+        sc = np.asarray(group["score"], dtype=np.int64)
+        best = None
+        for d, s in zip(ids, sc):
+            if best is None or s > best[1] or (s == best[1]
+                                              and d < best[0]):
+                best = (int(d), int(s))
+        return pa.table({"label": group["label"][:1],
+                         "doc_id": pa.array([best[0]], pa.int64()),
+                         "score_fp": pa.array([best[1]], pa.int64())})
+
+    return hash_group_apply(
+        attached, ["label"], _best, n_parts=n_parts,
+        plasma_schema=pa.schema([("label", pa.int64()),
+                                 ("doc_id", pa.int64()),
+                                 ("score_fp", pa.int64())]))
