@@ -600,3 +600,27 @@ def test_kcore_property_vs_brute_peel():
         assert got == want
 
     _check()
+
+
+def test_gap_histogram_buckets():
+    import numpy as np
+
+    from trustfuse_ray.stages.windows import gap_histogram
+
+    s = 1_000_000
+    rows = [  # u1 A at 0s, 1s, 9s -> gaps 1s (bucket 1), 8s (bucket 4?)
+        (1, 1, "A", 0), (2, 1, "A", 1 * s), (3, 1, "A", 9 * s),
+        (4, 1, "B", 0),  # single B: no gap
+        (5, 2, "A", 100 * s),  # different user: no cross-user gap
+    ]
+    events = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array(np.array([r[3] for r in rows],
+                                dtype="datetime64[us]")),
+    })).repartition(2)
+    out = {(r["event_type"], r["bucket"]): r["n"]
+           for r in gap_histogram(events, n_parts=4).take_all()}
+    # gap 1s -> bitlen(2)=2; gap 8s -> bitlen(9)=4
+    assert out == {("A", 2): 1, ("A", 4): 1}

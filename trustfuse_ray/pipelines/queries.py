@@ -1777,6 +1777,14 @@ def q_events_dedup_window(sf_dir: str):
     return event_dedup_window(_tbl(sf_dir, "events"), window_s=600)
 
 
+def q_events_gap_histogram(sf_dir: str):
+    """Per-type inter-arrival burstiness: log2-bucketed same-user gap
+    histogram; one user co-partition, tiny (type, bucket) exchange."""
+    from trustfuse_ray.stages.windows import gap_histogram
+
+    return gap_histogram(_tbl(sf_dir, "events"))
+
+
 def q_session_type_pairs(sf_dir: str):
     """Within-session event-type co-occurrence (market-basket over
     sessions): session rule in-group, O(|types|²) pair partials, one
@@ -2622,6 +2630,7 @@ def _all_queries():
         "kg_fd_mining": q_kg_fd_mining,
         "conv_lang_switches": q_conv_lang_switches,
         "session_type_pairs": q_session_type_pairs,
+        "events_gap_histogram": q_events_gap_histogram,
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
@@ -5763,6 +5772,19 @@ FROM t WHERE role_to IS NOT NULL GROUP BY 1, 2""",
 SELECT user_id, event_type, epoch_us(ts) // 600000000 AS w,
        CAST(min(event_id) AS BIGINT) AS event_id
 FROM events GROUP BY 1, 2, 3""",
+        "events_gap_histogram": """
+WITH e AS (
+  SELECT user_id, event_type, ts,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS prev
+  FROM events),
+g AS (
+  SELECT event_type,
+         CAST(length(bin((epoch_us(ts) - prev) // 1000000 + 1))
+              AS BIGINT) AS bucket
+  FROM e WHERE prev IS NOT NULL)
+SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY 1, 2""",
         "session_type_pairs": """
 WITH e AS (
   SELECT user_id, event_id, event_type, ts,

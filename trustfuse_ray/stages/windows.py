@@ -858,3 +858,51 @@ def session_type_pairs(events, gap_minutes: float = 30.0,
                                  ("n", pa.int64())]))
     return (partials.groupby(["type_a", "type_b"]).sum("n")
             .rename_columns({"sum(n)": "n_sessions"}))
+
+
+def gap_histogram(events, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts",
+                  id_col: str = "event_id", n_parts: int = 16):
+    """Burstiness profile: per event type, the log2-bucketed histogram
+    of inter-arrival gaps between a user's consecutive events of that
+    type (bucket = bit_length(gap_seconds + 1)) — the arrival-process
+    fingerprint capacity planning and anomaly baselines read.
+
+    Shape: ONE user co-partition; gaps derive from a single lexsort by
+    (type, ts, id) inside the group (runs per type, vectorized diff);
+    the exchange out is the tiny (type, bucket) count table."""
+    def _gaps(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[
+            (type_col, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")])
+        g = group.take(order)
+        types = g[type_col].to_pandas().to_numpy(dtype=object)
+        ts = np.asarray(g[ts_col].cast(pa.int64()), dtype=np.int64)
+        n = len(ts)
+        empty = pa.schema([(type_col, pa.string()),
+                           ("bucket", pa.int64()),
+                           ("n", pa.int64())]).empty_table()
+        if n < 2:
+            return empty
+        same = types[1:] == types[:-1]
+        if not same.any():
+            return empty
+        gaps_s = (ts[1:] - ts[:-1])[same] // 1_000_000
+        buckets = np.array([int(x + 1).bit_length() for x in gaps_s],
+                           dtype=np.int64)
+        t = pa.table({type_col: pa.array(types[1:][same]),
+                      "bucket": pa.array(buckets, pa.int64())})
+        return (t.group_by([type_col, "bucket"])
+                .aggregate([("bucket", "count")])
+                .rename_columns([type_col, "bucket", "n"]))
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    partials = hash_group_apply(
+        events.select_columns([user_col, type_col, ts_col, id_col]),
+        [user_col], _gaps, n_parts=n_parts,
+        plasma_schema=pa.schema([(type_col, pa.string()),
+                                 ("bucket", pa.int64()),
+                                 ("n", pa.int64())]))
+    return (partials.groupby([type_col, "bucket"]).sum("n")
+            .rename_columns({"sum(n)": "n"}))
