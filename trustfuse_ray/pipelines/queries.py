@@ -2335,6 +2335,14 @@ def q_kg_entity_resolution(sf_dir: str):
                             block_len=4)
 
 
+def q_kg_alias_table(sf_dir: str):
+    """ER alias dictionary: per canonical entity, sorted member list and
+    size; one canon co-partition over the resolve_entities mapping."""
+    from trustfuse_ray.stages.link import alias_table
+
+    return alias_table(cached_claims(sf_dir), threshold=0.9, block_len=4)
+
+
 def q_kg_kcore(sf_dir: str):
     """2-core of the fused property graph (iterative peel, ≤8 rounds):
     the cyclic backbone that survives dropping degree-1 chains — two
@@ -2713,6 +2721,7 @@ def _all_queries():
         "kg_triangles": q_kg_triangles,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
+        "kg_alias_table": q_kg_alias_table,
         "token_chunks": q_token_chunks,
     }
 
@@ -6065,6 +6074,25 @@ c1 AS (
 SELECT c1.entity, c1.attr, c1.value_str, CAST(c1.j AS BIGINT) AS j,
        p2.value_str AS neg_value
 FROM c1 JOIN pool p2 ON p2.attr = c1.attr AND p2.idx = c1.adj""",
+        "kg_alias_table": f"""
+WITH RECURSIVE {_claims_cte(cache)},
+ents AS (SELECT DISTINCT entity FROM claims),
+bl AS (SELECT entity, substr(entity, 1, 4) AS blk FROM ents),
+ok AS (SELECT blk FROM bl GROUP BY 1 HAVING count(*) BETWEEN 2 AND 500),
+e AS (SELECT x.entity AS a, y.entity AS b
+      FROM bl x JOIN bl y ON x.blk = y.blk AND x.entity < y.entity
+      JOIN ok ON ok.blk = x.blk
+      WHERE jaro_similarity(x.entity, y.entity) >= 0.9),
+sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v WHERE s.v <> r.u
+),
+mp AS (SELECT u AS entity, least(u, min(v)) AS canon FROM reach GROUP BY u)
+SELECT canon, CAST(count(*) AS BIGINT) AS n_members,
+       string_agg(entity, ',' ORDER BY entity) AS members
+FROM mp GROUP BY 1""",
         "kg_entity_resolution": f"""
 WITH RECURSIVE {_claims_cte(cache)},
 ents AS (SELECT DISTINCT entity FROM claims),

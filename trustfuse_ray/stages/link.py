@@ -328,3 +328,32 @@ def resolve_entities(claims, threshold: float = 0.9, block_len: int = 2,
         labeled, ["label"], _canon_group, n_parts=n_parts,
         plasma_schema=pa.schema([("entity", pa.string()),
                                  ("canon", pa.string())]))
+
+
+def alias_table(claims, threshold: float = 0.9, block_len: int = 4,
+                cap: int = 500, n_parts: int = 32):
+    """ER product as a consumable artifact: per canonical entity, the
+    sorted member list and its size — the alias dictionary downstream
+    linkers load (`resolve_entities` gives the per-entity mapping; this
+    rolls it up cluster-wise).  One canon co-partition over the
+    mapping; member strings aggregate in-group."""
+    import pyarrow as pa
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    mapping = resolve_entities(claims, threshold=threshold,
+                               block_len=block_len, cap=cap,
+                               n_parts=n_parts)
+
+    def _roll(group: pa.Table) -> pa.Table:
+        members = sorted(set(group["entity"].to_pylist()))
+        return pa.table({
+            "canon": group["canon"][:1],
+            "n_members": pa.array([len(members)], pa.int64()),
+            "members": pa.array([",".join(members)], pa.string())})
+
+    return hash_group_apply(
+        mapping, ["canon"], _roll, n_parts=n_parts,
+        plasma_schema=pa.schema([("canon", pa.string()),
+                                 ("n_members", pa.int64()),
+                                 ("members", pa.string())]))
