@@ -267,3 +267,31 @@ def test_conv_lead_summary_sentences():
     # single-turn conv: lead and tail_lead are the same turn
     assert out["c2"]["lead"] == "no period at all"
     assert out["c2"]["tail_lead"] == "no period at all"
+
+
+def test_assistant_latency_buckets():
+    import numpy as np
+    import ray.data as rd
+
+    from trustfuse_ray.stages.assemble import assistant_latency
+
+    s = 1_000_000
+    turns = [  # user at 0s; assistant kb at 1s (bucket bitlen(2)=2);
+        # assistant db at 9s (bitlen(10)=4); tool turns ignored
+        ("c", 0, "user", "", 0),
+        ("c", 1, "assistant", "kb", 1 * s),
+        ("c", 2, "tool", "db", 3 * s),
+        ("c", 3, "assistant", "db", 9 * s),
+        ("d", 0, "assistant", "kb", 0),  # no preceding user: skipped
+    ]
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([t[0] for t in turns], pa.string()),
+        "turn_idx": pa.array([t[1] for t in turns], pa.int32()),
+        "role": pa.array([t[2] for t in turns], pa.string()),
+        "tool": pa.array([t[3] for t in turns], pa.string()),
+        "ts": pa.array(np.array([t[4] for t in turns],
+                                dtype="datetime64[us]")),
+    })).repartition(2)
+    out = {(r["tool"], r["bucket"]): r["n"]
+           for r in assistant_latency(ds, n_parts=4).take_all()}
+    assert out == {("kb", 2): 1, ("db", 4): 1}

@@ -1714,6 +1714,15 @@ def q_dpo_pairs(sf_dir: str):
     return dpo_pairs(read_transcripts(data_dir))
 
 
+def q_assistant_latency(sf_dir: str):
+    """Assistant response-latency histogram per tool (gap from the most
+    recent user turn, log2 seconds buckets); one conv exchange."""
+    from trustfuse_ray.stages.assemble import assistant_latency
+
+    data_dir = synth.generate(sf_dir)
+    return assistant_latency(read_transcripts(data_dir))
+
+
 def q_conv_lead_summary(sf_dir: str):
     """Extractive lead-sentence conversation summaries (deterministic
     lead-N baseline); one conv_id exchange."""
@@ -2625,6 +2634,7 @@ def _all_queries():
         "sft_dataset": q_sft_dataset,
         "sft_boilerplate": q_sft_boilerplate,
         "conv_lead_summary": q_conv_lead_summary,
+        "assistant_latency": q_assistant_latency,
         "dpo_pairs": q_dpo_pairs,
         "span_corruption": q_span_corruption,
         "histogram_quantiles": q_histogram_quantiles,
@@ -5675,6 +5685,22 @@ x AS (
   FROM p)
 SELECT conv_id, turn_idx, prompt, chosen, rejected
 FROM x WHERE np >= 2""",
+        "assistant_latency": f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, coalesce(tool, '') AS tool,
+         epoch_us(ts) AS us,
+         max(CASE WHEN role = 'user' THEN epoch_us(ts) END)
+           OVER (PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_user
+  FROM read_parquet('{cache}/transcripts/*.parquet')),
+a AS (
+  SELECT tool,
+         CAST(length(bin((us - last_user) // 1000000 + 1)) AS BIGINT)
+           AS bucket
+  FROM t WHERE role = 'assistant' AND last_user IS NOT NULL)
+SELECT tool, bucket, CAST(count(*) AS BIGINT) AS n
+FROM a GROUP BY 1, 2""",
         "conv_lead_summary": f"""
 WITH t AS (
   SELECT conv_id, turn_idx, coalesce(text, '') AS text,

@@ -373,3 +373,58 @@ def conv_lead_summary(transcripts, n_parts: int = 32):
                                  ("lead", pa.string()),
                                  ("tail_lead", pa.string()),
                                  ("total_chars", pa.int64())]))
+
+
+def assistant_latency(transcripts, n_parts: int = 32):
+    """Assistant response-latency profile: for every assistant turn with
+    a preceding user turn in its conversation, the elapsed time since
+    the latest-timestamped preceding user turn, log2-bucketed
+    (bucket = bit_length(seconds + 1)) and counted per tool — the
+    support-ops latency histogram at exact integer precision.
+
+    Shape: ONE conv_id exchange of (turn_idx, role, tool, ts); the
+    last-user scan is a single ordered pass per conversation; the
+    exchange out is the tiny (tool, bucket) count table."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _lat(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group,
+                                sort_keys=[("turn_idx", "ascending")])
+        g = group.take(order)
+        roles = g["role"].to_pylist()
+        tools = g["tool"].to_pylist()
+        ts = np.asarray(g["ts"].cast(pa.int64()), dtype=np.int64)
+        empty = pa.schema([("tool", pa.string()),
+                           ("bucket", pa.int64()),
+                           ("n", pa.int64())]).empty_table()
+        out_tool, out_bucket = [], []
+        last_user = None
+        for r, t, tus in zip(roles, tools, ts):
+            if r == "user":
+                # max ts over preceding user turns (robust to
+                # non-monotone clocks; the oracle's window-max rule)
+                last_user = (int(tus) if last_user is None
+                             else max(last_user, int(tus)))
+            elif r == "assistant" and last_user is not None:
+                secs = (int(tus) - last_user) // 1_000_000
+                out_tool.append(t or "")
+                out_bucket.append(int(secs + 1).bit_length())
+        if not out_tool:
+            return empty
+        t = pa.table({"tool": pa.array(out_tool, pa.string()),
+                      "bucket": pa.array(out_bucket, pa.int64())})
+        return (t.group_by(["tool", "bucket"])
+                .aggregate([("bucket", "count")])
+                .rename_columns(["tool", "bucket", "n"]))
+
+    partials = hash_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "role",
+                                    "tool", "ts"]),
+        ["conv_id"], _lat, n_parts=n_parts,
+        plasma_schema=pa.schema([("tool", pa.string()),
+                                 ("bucket", pa.int64()),
+                                 ("n", pa.int64())]))
+    return (partials.groupby(["tool", "bucket"]).sum("n")
+            .rename_columns({"sum(n)": "n"}))
