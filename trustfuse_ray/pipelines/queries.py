@@ -2067,6 +2067,25 @@ def q_ann_topk(sf_dir: str):
     return ann.brute_topk(emb, queries, k=10)
 
 
+def q_ann_filtered_topk(sf_dir: str):
+    """Filtered vector search: brute cosine top-k restricted to corpus
+    vectors passing a metadata predicate (vec_id % 3 == 0) — the
+    predicate pushes into the streaming scan, shrinking every partial."""
+    import numpy as np
+
+    emb = _tbl(sf_dir, "embeddings")
+    queries = sorted(emb.filter(expr="vec_id < 5").take_all(),
+                     key=lambda r: r["vec_id"])
+
+    def _pred(batch):
+        mask = np.asarray(batch["vec_id"], dtype=np.int64) % 3 == 0
+        return batch.filter(pa.array(mask))
+
+    return ann.brute_topk(emb.map_batches(_pred, batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                          queries, k=10)
+
+
 def q_pq_topk(sf_dir: str):
     """Product-quantization ANN (per-subspace codebooks + ADC lookup-table
     scoring + exact shortlist re-rank).  shortlist=None re-ranks every row
@@ -2707,6 +2726,7 @@ def _all_queries():
         "ann_lsh_topk": q_lsh_topk,
         "ann_ivf_topk": q_ivf_topk,
         "ann_pq_topk": q_pq_topk,
+        "ann_filtered_topk": q_ann_filtered_topk,
         "embedding_near_pairs": q_embedding_near_pairs,
         "kg_top_sources": functools.partial(q_top_sources_crhn, rounds=10),
         "multimodal_features": q_multimodal_features,
@@ -5045,6 +5065,25 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         # independent of the k-means coarse quantizer's float noise
         "ann_ivf_topk": _ANN_TOPK_SQL,
         "ann_pq_topk": _ANN_TOPK_SQL,
+        "ann_filtered_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sc
+  FROM q CROSS JOIN embeddings e WHERE e.vec_id % 3 = 0
+),
+r AS (
+  SELECT query_id, vec_id, sc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sc DESC, vec_id) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+       round(sc, 6) AS score
+FROM r WHERE rank <= 10""",
         "ann_lsh_topk": _lsh_topk_sql(),
         "line_dedup_synth": f"""
 WITH d AS (
