@@ -777,3 +777,26 @@ def test_embedding_quantize_ranges_and_edges():
     # dim2: range [0,7.5] -> max maps to 255, min to 0
     assert out[(0, 2)] == 255 and out[(2, 2)] == 0
     assert all(0 <= c <= 255 for c in out.values())
+
+
+def test_late_interaction_maxsim_scores():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.ann import late_interaction_topk
+
+    # doc0 = vecs {e1, e2}; doc1 = vecs {e2-ish, -e1}; query = [e1, e2]
+    vecs = {0: [1.0, 0.0, 0.0], 1: [0.0, 1.0, 0.0],
+            2: [0.0, 1.0, 0.0], 3: [-1.0, 0.0, 0.0]}
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array(sorted(vecs), pa.int64()),
+        "embedding": pa.array([vecs[i] for i in sorted(vecs)],
+                              pa.list_(pa.float64())),
+    })).repartition(2)
+    queries = [{"vec_id": 0, "embedding": vecs[0]},
+               {"vec_id": 1, "embedding": vecs[1]}]
+    out = late_interaction_topk(emb, queries, k=2,
+                                group_div=2).take_all()
+    # doc0: max cos vs e1 = 1, vs e2 = 1 -> 2.0; doc1: 0 + 1 -> 1.0
+    assert [(r["doc_id"], r["rank"], r["score"]) for r in out] == [
+        (0, 1, 2.0), (1, 2, 1.0)]

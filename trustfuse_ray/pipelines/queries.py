@@ -2067,6 +2067,16 @@ def q_ann_topk(sf_dir: str):
     return ann.brute_topk(emb, queries, k=10)
 
 
+def q_ann_late_interaction(sf_dir: str):
+    """Late-interaction (MaxSim) multi-vector retrieval: docs =
+    vec_id // 8 groups; query = doc 0's vectors; exact fixed-point
+    score sums."""
+    emb = _tbl(sf_dir, "embeddings")
+    queries = sorted(emb.filter(expr="vec_id < 8").take_all(),
+                     key=lambda r: r["vec_id"])
+    return ann.late_interaction_topk(emb, queries, k=5, group_div=8)
+
+
 def q_ann_filtered_topk(sf_dir: str):
     """Filtered vector search: brute cosine top-k restricted to corpus
     vectors passing a metadata predicate (vec_id % 3 == 0) — the
@@ -2727,6 +2737,7 @@ def _all_queries():
         "ann_ivf_topk": q_ivf_topk,
         "ann_pq_topk": q_pq_topk,
         "ann_filtered_topk": q_ann_filtered_topk,
+        "ann_late_interaction": q_ann_late_interaction,
         "embedding_near_pairs": q_embedding_near_pairs,
         "kg_top_sources": functools.partial(q_top_sources_crhn, rounds=10),
         "multimodal_features": q_multimodal_features,
@@ -5065,6 +5076,24 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         # independent of the k-means coarse quantizer's float noise
         "ann_ivf_topk": _ANN_TOPK_SQL,
         "ann_pq_topk": _ANN_TOPK_SQL,
+        "ann_late_interaction": """
+WITH q AS (
+  SELECT vec_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT e.vec_id // 8 AS doc, q.vec_id AS qv,
+         max(list_cosine_similarity(q.qe, e.embedding::DOUBLE[])) AS mx
+  FROM q CROSS JOIN embeddings e GROUP BY 1, 2),
+d AS (
+  SELECT doc, sum(CAST(round(mx * 1000000) AS BIGINT)) AS score_fx
+  FROM s GROUP BY 1),
+r AS (
+  SELECT doc, score_fx,
+         row_number() OVER (ORDER BY score_fx DESC, doc) AS rank
+  FROM d)
+SELECT doc AS doc_id, CAST(rank AS BIGINT) AS rank,
+       score_fx / 1000000.0 AS score
+FROM r WHERE rank <= 5""",
         "ann_filtered_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe

@@ -448,3 +448,76 @@ def pq_topk(embeddings, queries, k: int = 10, m_sub: int = 8,
                                      batch_size=batch_size)
     return partial.groupby("query_id").map_groups(
         functools.partial(_topk_merge, k=k), batch_format="pyarrow")
+
+
+def late_interaction_topk(embeddings, query_rows, k: int = 5,
+                          group_div: int = 8, batch_size: int = 4096):
+    """Late-interaction (MaxSim) multi-vector retrieval: corpus vectors
+    group into documents (``doc = vec_id // group_div``); a document's
+    score is Σ over query vectors of the MAX cosine against any of its
+    vectors (the ColBERT scoring rule).  Returns the top-``k`` docs as
+    (doc_id, rank, score).
+
+    Shape: the query matrix broadcasts once (``ray.put``); each block
+    computes its (doc, query) max-cos partials with one matmul; a
+    (doc, q) max groupby then a per-doc sum reduce — both exchanges are
+    bounded by docs × query-vectors, never corpus vectors.  Each
+    per-query max rounds to int64 micro-units BEFORE the sum (max is
+    order-free; float sums are not), so the doc score is exact and
+    DuckDB replays it bit-for-bit."""
+    qids, qmat = _as_matrix(query_rows)
+    qn = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True),
+                           1e-12)
+    query_ref = ray.put((qids, qn))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        _, qn_ = ray.get(query_ref) if isinstance(
+            query_ref, ray.ObjectRef) else query_ref
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        mat = list_matrix(batch["embedding"])
+        mn = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True),
+                              1e-12)
+        sims = qn_ @ mn.T  # (q, rows)
+        docs = ids // group_div
+        uniq, inv = np.unique(docs, return_inverse=True)
+        nq = sims.shape[0]
+        acc = np.full((nq, len(uniq)), -2.0)
+        for qi in range(nq):
+            np.maximum.at(acc[qi], inv, sims[qi])
+        return pa.table({
+            "doc": pa.array(np.tile(uniq, nq), pa.int64()),
+            "q": pa.array(np.repeat(np.arange(nq, dtype=np.int64),
+                                    len(uniq))),
+            "mx": pa.array(acc.ravel(), pa.float64())})
+
+    partials = embeddings.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size)
+    per_q = (partials.groupby(["doc", "q"]).max("mx")
+             .rename_columns({"max(mx)": "mx"}))
+
+    def _fx(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        fx = pc.cast(pc.round(pc.multiply(batch["mx"],
+                                          pa.scalar(1e6)),
+                              round_mode="half_towards_infinity"),
+                     pa.int64())
+        return pa.table({"doc": batch["doc"], "fx": fx})
+
+    per_doc = (per_q.map_batches(_fx, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+               .groupby("doc").sum("fx")
+               .rename_columns({"sum(fx)": "score_fx"}))
+    top = per_doc.sort(["score_fx", "doc"],
+                       descending=[True, False]).limit(k).repartition(1)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "doc_id": batch["doc"].cast(pa.int64()),
+            "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "score": pa.array(
+                np.asarray(batch["score_fx"], dtype=np.int64) / 1e6,
+                pa.float64())})
+
+    return top.map_batches(_shape, batch_format="pyarrow")
