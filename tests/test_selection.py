@@ -800,3 +800,27 @@ def test_late_interaction_maxsim_scores():
     # doc0: max cos vs e1 = 1, vs e2 = 1 -> 2.0; doc1: 0 + 1 -> 1.0
     assert [(r["doc_id"], r["rank"], r["score"]) for r in out] == [
         (0, 1, 2.0), (1, 2, 1.0)]
+
+
+def test_rrf_fuse_combines_ranks():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from trustfuse_ray.stages.ann import rrf_fuse
+
+    def _lst(rows):
+        return rd.from_arrow(pa.table({
+            "query_id": pa.array([r[0] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int64()),
+        }))
+
+    # retriever A ranks v1 first; B ranks v2 first; v3 only in A
+    a = _lst([(0, 1, 1), (0, 2, 2), (0, 3, 3)])
+    b = _lst([(0, 2, 1), (0, 1, 2)])
+    out = rrf_fuse([a, b], k=3, c=60).take_all()
+    got = [(r["vec_id"], r["rank"]) for r in out]
+    # v1: 1/61+1/62 == v2: 1/62+1/61 -> tie, v1 wins by id; v3 last
+    assert got == [(1, 1), (2, 2), (3, 3)]
+    fx = {r["vec_id"]: r["score_fx"] for r in out}
+    assert fx[1] == fx[2] > fx[3]

@@ -2067,6 +2067,18 @@ def q_ann_topk(sf_dir: str):
     return ann.brute_topk(emb, queries, k=10)
 
 
+def q_ann_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of the brute, LSH and IVF retrievers'
+    top-10 lists (1/(60+rank), fixed-point terms, exact sums)."""
+    emb = _tbl(sf_dir, "embeddings")
+    queries = sorted(emb.filter(expr="vec_id < 5").take_all(),
+                     key=lambda r: r["vec_id"])
+    lists = [ann.brute_topk(emb, queries, k=10),
+             ann.lsh_topk(emb, queries, k=10),
+             ann.ivf_topk(emb, queries, k=10, n_lists=16, nprobe=16)]
+    return ann.rrf_fuse(lists, k=10, c=60)
+
+
 def q_ann_late_interaction(sf_dir: str):
     """Late-interaction (MaxSim) multi-vector retrieval: docs =
     vec_id // 8 groups; query = doc 0's vectors; exact fixed-point
@@ -2738,6 +2750,7 @@ def _all_queries():
         "ann_pq_topk": q_pq_topk,
         "ann_filtered_topk": q_ann_filtered_topk,
         "ann_late_interaction": q_ann_late_interaction,
+        "ann_rrf": q_ann_rrf,
         "embedding_near_pairs": q_embedding_near_pairs,
         "kg_top_sources": functools.partial(q_top_sources_crhn, rounds=10),
         "multimodal_features": q_multimodal_features,
@@ -5076,6 +5089,26 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         # independent of the k-means coarse quantizer's float noise
         "ann_ivf_topk": _ANN_TOPK_SQL,
         "ann_pq_topk": _ANN_TOPK_SQL,
+        "ann_rrf": f"""
+WITH b AS ({_ANN_TOPK_SQL}),
+l AS ({_lsh_topk_sql()}),
+i AS ({_ANN_TOPK_SQL}),
+u AS (
+  SELECT query_id, vec_id,
+         CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS fx FROM b
+  UNION ALL
+  SELECT query_id, vec_id,
+         CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS fx FROM l
+  UNION ALL
+  SELECT query_id, vec_id,
+         CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS fx FROM i),
+s AS (SELECT query_id, vec_id, CAST(sum(fx) AS BIGINT) AS score_fx
+      FROM u GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score_fx DESC, vec_id) AS rk
+      FROM s)
+SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rank, score_fx
+FROM r WHERE rk <= 10""",
         "ann_late_interaction": """
 WITH q AS (
   SELECT vec_id, embedding::DOUBLE[] AS qe

@@ -521,3 +521,56 @@ def late_interaction_topk(embeddings, query_rows, k: int = 5,
                 pa.float64())})
 
     return top.map_batches(_shape, batch_format="pyarrow")
+
+
+def rrf_fuse(ranked_lists, k: int = 10, c: int = 60):
+    """Reciprocal-rank fusion over multiple retrievers' (query_id,
+    vec_id, rank) lists: fused score = Σ_retriever 1/(c + rank) — the
+    standard zero-tuning rank-fusion rule.  Each term rounds to int64
+    nano-units BEFORE the sum (float sums are order-dependent; the
+    per-term value is deterministic), so the fused ranking is exact.
+    Returns (query_id, vec_id, rank, score_fx) per query top-``k``.
+
+    Shape: the tagged union of rank lists co-partitions on
+    (query_id, vec_id); the per-query top-k is a groupby + in-group
+    sort over ≤ Σ k_i candidates."""
+    import functools
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _term(batch: pa.Table) -> pa.Table:
+        r = np.asarray(batch["rank"], dtype=np.int64)
+        fx = np.round(1e9 / (c + r)).astype(np.int64)
+        return pa.table({"query_id": batch["query_id"].cast(pa.int64()),
+                         "vec_id": batch["vec_id"].cast(pa.int64()),
+                         "fx": pa.array(fx, pa.int64())})
+
+    tagged = None
+    for ds in ranked_lists:
+        t = ds.map_batches(_term, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        tagged = t if tagged is None else tagged.union(t)
+    sums = (tagged.groupby(["query_id", "vec_id"]).sum("fx")
+            .rename_columns({"sum(fx)": "score_fx"}))
+
+    def _topk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group, sort_keys=[("score_fx", "descending"),
+                              ("vec_id", "ascending")])
+        g = group.take(order[:k])
+        n = len(g)
+        return pa.table({
+            "query_id": g["query_id"],
+            "vec_id": g["vec_id"],
+            "rank": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "score_fx": g["score_fx"]})
+
+    return hash_group_apply(
+        sums, ["query_id"], _topk, n_parts=8,
+        plasma_schema=pa.schema([("query_id", pa.int64()),
+                                 ("vec_id", pa.int64()),
+                                 ("rank", pa.int64()),
+                                 ("score_fx", pa.int64())]))
