@@ -2521,7 +2521,7 @@ _DRIVER_WINDOW = [
     "kg_ltm_negatives",
     "kg_weights_crh",
     "kg_fact_history",
-    "kg_top_sources_crh1",
+    "kg_kcore",
     "kg_metrics_crh",
     "sft_pairs",
     "kg_entity_resolution",
