@@ -464,3 +464,19 @@ def test_conv_lang_switches_counts():
     out = {r["conv_id"]: (r["n_turns"], r["n_langs"], r["n_switches"])
            for r in conv_lang_switches(ds, n_parts=4).take_all()}
     assert out == {"c1": (3, 2, 2), "c2": (1, 1, 0)}
+
+
+def test_dataset_card_scalars():
+    import ray.data as rd
+
+    from trustfuse_ray.stages.profile import dataset_card
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "a b c", "source": "s1", "lang": "en"},
+        {"doc_id": 2, "text": "a b c", "source": "s2", "lang": "en"},
+        {"doc_id": 3, "text": "d e", "source": "s1", "lang": "fr"},
+    ]).repartition(2)
+    row = dataset_card(docs).take_all()[0]
+    assert (row["n_docs"], row["n_words"], row["n_sources"],
+            row["n_langs"], row["n_distinct_texts"],
+            row["n_exact_dups"]) == (3, 8, 2, 2, 2, 1)

@@ -1752,6 +1752,14 @@ def q_sft_dataset(sf_dir: str):
     return sft_dataset(read_transcripts(data_dir))
 
 
+def q_dataset_card(sf_dir: str):
+    """One-row dataset-card summary of the documents corpus; one
+    streaming pass, block partials collapse map-side."""
+    from trustfuse_ray.stages.profile import dataset_card
+
+    return dataset_card(_tbl(sf_dir, "documents"))
+
+
 def q_histogram_quantiles(sf_dir: str):
     """Approximate per-key quantiles from the mergeable fixed-width
     histogram (bin upper edges) — the unbounded-key scale path."""
@@ -2679,6 +2687,7 @@ def _all_queries():
         "dpo_pairs": q_dpo_pairs,
         "span_corruption": q_span_corruption,
         "histogram_quantiles": q_histogram_quantiles,
+        "dataset_card": q_dataset_card,
         "oov_rates": q_oov_rates,
         "role_transitions": q_role_transitions,
         "events_dedup_window": q_events_dedup_window,
@@ -5863,6 +5872,18 @@ SELECT *, CAST(md5_number_lower(conv_id || '#'
                                 || CAST(turn_idx AS VARCHAR)) % 8
                AS BIGINT) AS shard
 FROM p WHERE response_chars >= 30 AND prompt_chars <= 2000""",
+        "dataset_card": r"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(
+         string_split_regex(trim(coalesce(text, '')), '\s+'),
+         w -> w <> ''))) AS BIGINT) AS n_words,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT md5(coalesce(text, ''))) AS BIGINT)
+         AS n_distinct_texts,
+       CAST(count(*) - count(DISTINCT md5(coalesce(text, ''))) AS BIGINT)
+         AS n_exact_dups
+FROM documents""",
         "histogram_quantiles": """
 WITH h AS (
   SELECT event_type,

@@ -1406,3 +1406,58 @@ def oov_rates(docs, k: int = 64, text_col: str = "text",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         _scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dataset_card(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset-card statistics: the one-row corpus summary a release
+    ships — doc count, total whitespace words, distinct sources and
+    language labels, and exact-duplicate docs (md5 text fingerprints).
+    All integers; every number replays in SQL.
+
+    Shape: counts and word sums reduce from tiny per-block partials;
+    every DISTINCT count is a distributed map-side-dedup → groupby →
+    count-rows pipeline (the fingerprint universe never lands on the
+    driver — only six scalars do)."""
+    import hashlib
+    import re
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        words = sum(len([w for w in re.split(r"\s+", (t or "").strip())
+                         if w]) for t in texts)
+        return pa.table({
+            "n_docs": pa.array([len(texts)], pa.int64()),
+            "n_words": pa.array([words], pa.int64())})
+
+    def _distinct_count(col_fn) -> int:
+        def _dd(batch: pa.Table) -> pa.Table:
+            t = col_fn(batch)
+            return t.group_by(t.column_names).aggregate([])
+
+        return (docs.map_batches(_dd, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .groupby("k").count().count())
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": pa.array(
+            [hashlib.md5((t or "").encode()).hexdigest()
+             for t in batch[text_col].to_pylist()], pa.string())})
+
+    parts = docs.select_columns([text_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    n_docs = sum(p["n_docs"] for p in parts)
+    n_words = sum(p["n_words"] for p in parts)
+    n_texts = _distinct_count(_fp)
+    n_sources = _distinct_count(lambda b: pa.table(
+        {"k": b["source"].cast(pa.string())}))
+    n_langs = _distinct_count(lambda b: pa.table(
+        {"k": b["lang"].cast(pa.string())}))
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "n_docs": pa.array([n_docs], pa.int64()),
+        "n_words": pa.array([n_words], pa.int64()),
+        "n_sources": pa.array([n_sources], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "n_distinct_texts": pa.array([n_texts], pa.int64()),
+        "n_exact_dups": pa.array([n_docs - n_texts], pa.int64())}))
