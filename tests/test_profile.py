@@ -480,3 +480,19 @@ def test_dataset_card_scalars():
     assert (row["n_docs"], row["n_words"], row["n_sources"],
             row["n_langs"], row["n_distinct_texts"],
             row["n_exact_dups"]) == (3, 8, 2, 2, 2, 1)
+
+
+def test_bm25_prefers_term_density():
+    import ray.data as rd
+
+    from trustfuse_ray.stages.profile import bm25_topk
+
+    docs = rd.from_items([
+        {"doc_id": 1, "text": "cat cat cat dog"},     # dense in 'cat'
+        {"doc_id": 2, "text": "cat " + "x " * 50},    # one hit, long doc
+        {"doc_id": 3, "text": "dog only here"},       # no hit
+    ]).repartition(2)
+    out = bm25_topk(docs, terms=("cat",), k=3).take_all()
+    ranked = [r["doc_id"] for r in out]
+    scores = {r["doc_id"]: r["score_fx"] for r in out}
+    assert ranked[0] == 1 and scores[1] > scores[2] > scores[3] == 0

@@ -1752,6 +1752,15 @@ def q_sft_dataset(sf_dir: str):
     return sft_dataset(read_transcripts(data_dir))
 
 
+def q_bm25_topk(sf_dir: str):
+    """Exact-integer BM25 top-20 for a fixed query term set — the
+    lexical ranker next to the dense retrievers."""
+    from trustfuse_ray.stages.profile import bm25_topk
+
+    return bm25_topk(_tbl(sf_dir, "documents"),
+                     terms=("the", "table", "value"), k=20)
+
+
 def q_dataset_card(sf_dir: str):
     """One-row dataset-card summary of the documents corpus; one
     streaming pass, block partials collapse map-side."""
@@ -2688,6 +2697,7 @@ def _all_queries():
         "span_corruption": q_span_corruption,
         "histogram_quantiles": q_histogram_quantiles,
         "dataset_card": q_dataset_card,
+        "bm25_topk": q_bm25_topk,
         "oov_rates": q_oov_rates,
         "role_transitions": q_role_transitions,
         "events_dedup_window": q_events_dedup_window,
@@ -5872,6 +5882,46 @@ SELECT *, CAST(md5_number_lower(conv_id || '#'
                                 || CAST(turn_idx AS VARCHAR)) % 8
                AS BIGINT) AS shard
 FROM p WHERE response_chars >= 30 AND prompt_chars <= 2000""",
+        "bm25_topk": r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(trim(coalesce(text, '')), '\s+'),
+           w -> w <> '')) AS w
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+base AS (
+  SELECT d.doc_id, coalesce(dl.len, 0) AS len
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN dl USING (doc_id)),
+tf AS (
+  SELECT doc_id,
+         sum(CASE WHEN w = 'the' THEN 1 ELSE 0 END) AS tf0,
+         sum(CASE WHEN w = 'table' THEN 1 ELSE 0 END) AS tf1,
+         sum(CASE WHEN w = 'value' THEN 1 ELSE 0 END) AS tf2
+  FROM tok GROUP BY 1),
+g AS (
+  SELECT count(*) AS n, sum(len) // count(*) AS avglen,
+         (SELECT count(*) FROM tf WHERE tf0 > 0) AS df0,
+         (SELECT count(*) FROM tf WHERE tf1 > 0) AS df1,
+         (SELECT count(*) FROM tf WHERE tf2 > 0) AS df2
+  FROM base),
+sc AS (
+  SELECT b.doc_id,
+    CAST(length(bin(g.n // g.df0)) * 22 * coalesce(t.tf0, 0) * g.avglen
+         * 1048576
+         // (10 * g.avglen * coalesce(t.tf0, 0) + 3 * g.avglen
+             + 9 * b.len)
+       + length(bin(g.n // g.df1)) * 22 * coalesce(t.tf1, 0) * g.avglen
+         * 1048576
+         // (10 * g.avglen * coalesce(t.tf1, 0) + 3 * g.avglen
+             + 9 * b.len)
+       + length(bin(g.n // g.df2)) * 22 * coalesce(t.tf2, 0) * g.avglen
+         * 1048576
+         // (10 * g.avglen * coalesce(t.tf2, 0) + 3 * g.avglen
+             + 9 * b.len) AS BIGINT) AS score_fx
+  FROM base b LEFT JOIN tf t USING (doc_id) CROSS JOIN g)
+SELECT doc_id, score_fx FROM sc
+ORDER BY score_fx DESC, doc_id LIMIT 20""",
         "dataset_card": r"""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len(list_filter(

@@ -1461,3 +1461,81 @@ def dataset_card(docs, text_col: str = "text", id_col: str = "doc_id"):
         "n_langs": pa.array([n_langs], pa.int64()),
         "n_distinct_texts": pa.array([n_texts], pa.int64()),
         "n_exact_dups": pa.array([n_docs - n_texts], pa.int64())}))
+
+
+def bm25_topk(docs, terms: tuple[str, ...], k: int = 20,
+              text_col: str = "text", id_col: str = "doc_id"):
+    """BM25 ranking (exact-integer variant): top-``k`` docs for a fixed
+    term set under the classic k1=1.2 / b=0.75 weighting, evaluated in
+    pure integer arithmetic so DuckDB replays every score bit-for-bit —
+    idf ≈ bit_length(N // df) (integer log2) and the tf saturation
+    term becomes, after clearing the rational constants,
+
+        contrib = idf_bits · (22·tf·avglen·2^20)
+                  // (10·avglen·tf + 3·avglen + 9·len)
+
+    with ``avglen = total_words // N`` (floor).  The standard lexical
+    ranker next to the dense/late-interaction retrievers.
+
+    Shape: pass 1 computes per-doc (len, tf per term) partials and the
+    tiny global (N, total_words, df) aggregates; pass 2 scores
+    streaming with the broadcast scalars; the top-k is a distributed
+    sort+limit."""
+    import re
+
+    terms = tuple(terms)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        ids, lens = [], []
+        tfs = {t: [] for t in terms}
+        for did, tx in zip(batch[id_col].to_pylist(),
+                           batch[text_col].to_pylist()):
+            toks = [w for w in re.split(r"\s+", (tx or "").strip()) if w]
+            ids.append(did)
+            lens.append(len(toks))
+            for t in terms:
+                tfs[t].append(sum(1 for w in toks if w == t))
+        cols = {id_col: pa.array(ids, batch[id_col].type),
+                "len": pa.array(lens, pa.int64())}
+        for j, t in enumerate(terms):
+            cols[f"tf{j}"] = pa.array(tfs[t], pa.int64())
+        return pa.table(cols)
+
+    stats = docs.select_columns([id_col, text_col]).map_batches(
+        _stats, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def _agg(batch: pa.Table) -> pa.Table:
+        row = {"n": pa.array([len(batch)], pa.int64()),
+               "words": pa.array([int(np.asarray(
+                   batch["len"], dtype=np.int64).sum())], pa.int64())}
+        for j in range(len(terms)):
+            row[f"df{j}"] = pa.array([int((np.asarray(
+                batch[f"tf{j}"], dtype=np.int64) > 0).sum())], pa.int64())
+        return pa.table(row)
+
+    parts = stats.map_batches(_agg, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    n_docs = sum(p["n"] for p in parts)
+    avglen = sum(p["words"] for p in parts) // max(n_docs, 1)
+    dfs = [sum(p[f"df{j}"] for p in parts) for j in range(len(terms))]
+    idf_bits = [max(0, (n_docs // df)).bit_length() if df else 0
+                for df in dfs]
+
+    SCALE = 1 << 20
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ln = np.asarray(batch["len"], dtype=np.int64)
+        score = np.zeros(len(batch), dtype=np.int64)
+        for j in range(len(terms)):
+            tf = np.asarray(batch[f"tf{j}"], dtype=np.int64)
+            num = idf_bits[j] * 22 * tf * avglen * SCALE
+            den = 10 * avglen * tf + 3 * avglen + 9 * ln
+            score += np.where(den > 0, num // np.maximum(den, 1), 0)
+        return pa.table({id_col: batch[id_col],
+                         "score_fx": pa.array(score, pa.int64())})
+
+    scored = stats.map_batches(_score, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return (scored.sort(["score_fx", id_col], descending=[True, False])
+            .limit(k))
