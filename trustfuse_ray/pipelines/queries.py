@@ -1752,6 +1752,34 @@ def q_sft_dataset(sf_dir: str):
     return sft_dataset(read_transcripts(data_dir))
 
 
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of the exact-integer
+    BM25 ranking and the dense cosine top-10 for one query (doc ids and
+    vec ids share the 0..N-1 space in this corpus)."""
+    import numpy as np
+
+    from trustfuse_ray.stages.ann import rrf_fuse
+    from trustfuse_ray.stages.profile import bm25_topk
+
+    emb = _tbl(sf_dir, "embeddings")
+    queries = sorted(emb.filter(expr="vec_id < 1").take_all(),
+                     key=lambda r: r["vec_id"])
+    dense = ann.brute_topk(emb, queries, k=10)
+    lex = bm25_topk(_tbl(sf_dir, "documents"),
+                    terms=("the", "table", "value"), k=10)
+
+    def _as_ranked(batch):
+        n = len(batch)
+        return pa.table({
+            "query_id": pa.array(np.zeros(n, np.int64)),
+            "vec_id": batch["doc_id"].cast(pa.int64()),
+            "rank": pa.array(np.arange(1, n + 1, dtype=np.int64))})
+
+    lex_ranked = lex.repartition(1).map_batches(
+        _as_ranked, batch_format="pyarrow")
+    return rrf_fuse([dense, lex_ranked], k=10, c=60)
+
+
 def q_bm25_topk(sf_dir: str):
     """Exact-integer BM25 top-20 for a fixed query term set — the
     lexical ranker next to the dense retrievers."""
@@ -2698,6 +2726,7 @@ def _all_queries():
         "histogram_quantiles": q_histogram_quantiles,
         "dataset_card": q_dataset_card,
         "bm25_topk": q_bm25_topk,
+        "hybrid_search": q_hybrid_search,
         "oov_rates": q_oov_rates,
         "role_transitions": q_role_transitions,
         "events_dedup_window": q_events_dedup_window,
@@ -2797,6 +2826,48 @@ def _all_queries():
         "kg_alias_table": q_kg_alias_table,
         "token_chunks": q_token_chunks,
     }
+
+
+_BM25_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(trim(coalesce(text, '')), '\s+'),
+           w -> w <> '')) AS w
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
+base AS (
+  SELECT d.doc_id, coalesce(dl.len, 0) AS len
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN dl USING (doc_id)),
+tf AS (
+  SELECT doc_id,
+         sum(CASE WHEN w = 'the' THEN 1 ELSE 0 END) AS tf0,
+         sum(CASE WHEN w = 'table' THEN 1 ELSE 0 END) AS tf1,
+         sum(CASE WHEN w = 'value' THEN 1 ELSE 0 END) AS tf2
+  FROM tok GROUP BY 1),
+g AS (
+  SELECT count(*) AS n, sum(len) // count(*) AS avglen,
+         (SELECT count(*) FROM tf WHERE tf0 > 0) AS df0,
+         (SELECT count(*) FROM tf WHERE tf1 > 0) AS df1,
+         (SELECT count(*) FROM tf WHERE tf2 > 0) AS df2
+  FROM base),
+sc AS (
+  SELECT b.doc_id,
+    CAST(length(bin(g.n // g.df0)) * 22 * coalesce(t.tf0, 0) * g.avglen
+         * 1048576
+         // (10 * g.avglen * coalesce(t.tf0, 0) + 3 * g.avglen
+             + 9 * b.len)
+       + length(bin(g.n // g.df1)) * 22 * coalesce(t.tf1, 0) * g.avglen
+         * 1048576
+         // (10 * g.avglen * coalesce(t.tf1, 0) + 3 * g.avglen
+             + 9 * b.len)
+       + length(bin(g.n // g.df2)) * 22 * coalesce(t.tf2, 0) * g.avglen
+         * 1048576
+         // (10 * g.avglen * coalesce(t.tf2, 0) + 3 * g.avglen
+             + 9 * b.len) AS BIGINT) AS score_fx
+  FROM base b LEFT JOIN tf t USING (doc_id) CROSS JOIN g)
+SELECT doc_id, score_fx FROM sc
+ORDER BY score_fx DESC, doc_id LIMIT 20"""
 
 
 def _bpe_merges_sql(n_rounds: int = 4) -> str:
@@ -5882,46 +5953,39 @@ SELECT *, CAST(md5_number_lower(conv_id || '#'
                                 || CAST(turn_idx AS VARCHAR)) % 8
                AS BIGINT) AS shard
 FROM p WHERE response_chars >= 30 AND prompt_chars <= 2000""",
-        "bm25_topk": r"""
-WITH tok AS (
-  SELECT doc_id,
-         unnest(list_filter(
-           string_split_regex(trim(coalesce(text, '')), '\s+'),
-           w -> w <> '')) AS w
-  FROM documents),
-dl AS (SELECT doc_id, count(*) AS len FROM tok GROUP BY 1),
-base AS (
-  SELECT d.doc_id, coalesce(dl.len, 0) AS len
-  FROM (SELECT doc_id FROM documents) d LEFT JOIN dl USING (doc_id)),
-tf AS (
-  SELECT doc_id,
-         sum(CASE WHEN w = 'the' THEN 1 ELSE 0 END) AS tf0,
-         sum(CASE WHEN w = 'table' THEN 1 ELSE 0 END) AS tf1,
-         sum(CASE WHEN w = 'value' THEN 1 ELSE 0 END) AS tf2
-  FROM tok GROUP BY 1),
-g AS (
-  SELECT count(*) AS n, sum(len) // count(*) AS avglen,
-         (SELECT count(*) FROM tf WHERE tf0 > 0) AS df0,
-         (SELECT count(*) FROM tf WHERE tf1 > 0) AS df1,
-         (SELECT count(*) FROM tf WHERE tf2 > 0) AS df2
-  FROM base),
-sc AS (
-  SELECT b.doc_id,
-    CAST(length(bin(g.n // g.df0)) * 22 * coalesce(t.tf0, 0) * g.avglen
-         * 1048576
-         // (10 * g.avglen * coalesce(t.tf0, 0) + 3 * g.avglen
-             + 9 * b.len)
-       + length(bin(g.n // g.df1)) * 22 * coalesce(t.tf1, 0) * g.avglen
-         * 1048576
-         // (10 * g.avglen * coalesce(t.tf1, 0) + 3 * g.avglen
-             + 9 * b.len)
-       + length(bin(g.n // g.df2)) * 22 * coalesce(t.tf2, 0) * g.avglen
-         * 1048576
-         // (10 * g.avglen * coalesce(t.tf2, 0) + 3 * g.avglen
-             + 9 * b.len) AS BIGINT) AS score_fx
-  FROM base b LEFT JOIN tf t USING (doc_id) CROSS JOIN g)
-SELECT doc_id, score_fx FROM sc
-ORDER BY score_fx DESC, doc_id LIMIT 20""",
+        "hybrid_search": f"""
+WITH d AS (
+  WITH q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+    FROM embeddings WHERE vec_id < 1),
+  s AS (
+    SELECT q.query_id, e.vec_id,
+           list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sc
+    FROM q CROSS JOIN embeddings e),
+  r AS (
+    SELECT query_id, vec_id, sc,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY sc DESC, vec_id) AS rank
+    FROM s)
+  SELECT query_id, vec_id, rank FROM r WHERE rank <= 10),
+l AS (
+  SELECT 0 AS query_id, doc_id AS vec_id,
+         row_number() OVER (ORDER BY score_fx DESC, doc_id) AS rank
+  FROM ({_BM25_SQL.replace("LIMIT 20", "LIMIT 10")})),
+u AS (
+  SELECT query_id, vec_id,
+         CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS fx FROM d
+  UNION ALL
+  SELECT query_id, vec_id,
+         CAST(round(1000000000.0 / (60 + rank)) AS BIGINT) AS fx FROM l),
+t AS (SELECT query_id, vec_id, CAST(sum(fx) AS BIGINT) AS score_fx
+      FROM u GROUP BY 1, 2),
+r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score_fx DESC, vec_id)
+         AS rk FROM t)
+SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rank, score_fx
+FROM r2 WHERE rk <= 10""",
+        "bm25_topk": _BM25_SQL,
         "dataset_card": r"""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len(list_filter(
