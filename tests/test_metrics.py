@@ -504,3 +504,30 @@ def test_quantity_trimmed_drops_outliers():
     out = quantity_trimmed(claims, n_parts=4).take_all()
     assert [(r["n_used"], r["trimmed_sum_fx"]) for r in out] \
         == [(2, 20_000_000)]
+
+
+def test_contemporaneous_accuracy_timely_vs_hindsight():
+    import numpy as np
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import contemporaneous_accuracy
+
+    day = 86_400_000_000
+    rows = [  # day0: s1 says v1 (truth v1); day1: s2,s3 say v2 (truth
+        # flips to v2); s1's day-0 claim was timely-correct even though
+        # v2 wins in hindsight
+        ("s1", 0, "v1"), ("s2", 1, "v2"), ("s3", 1, "v2"),
+        ("s1", 2, "v1"),  # day2 truth is v2 -> untimely
+    ]
+    claims = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "entity": pa.array(["e"] * len(rows), pa.string()),
+        "attr": pa.array(["a"] * len(rows), pa.string()),
+        "value_str": pa.array([r[2] for r in rows], pa.string()),
+        "value_type": pa.array(["categorical"] * len(rows), pa.string()),
+        "ts": pa.array(np.array([r[1] * day for r in rows],
+                                dtype="datetime64[us]")),
+    })).repartition(2)
+    out = {r["source"]: (r["n_checked"], r["n_timely"])
+           for r in contemporaneous_accuracy(claims, n_parts=4).take_all()}
+    assert out == {"s1": (2, 1), "s2": (1, 1), "s3": (1, 1)}

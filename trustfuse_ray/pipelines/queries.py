@@ -1910,6 +1910,15 @@ def q_kg_dangling_refs(sf_dir: str):
     return dangling_refs(cached_claims(sf_dir))
 
 
+def q_kg_timely_accuracy(sf_dir: str):
+    """Temporal source audit: assertions checked against the cumulative
+    truth AT THEIR OWN DAY (fact_history intervals); one fact
+    co-partition does the replay and the audit together."""
+    from trustfuse_ray.reverse import contemporaneous_accuracy
+
+    return contemporaneous_accuracy(cached_claims(sf_dir))
+
+
 def q_kg_fact_history(sf_dir: str):
     """SCD2 fact history: validity intervals of the cumulative voting
     truth per categorical fact at day grain (−1 = still current);
@@ -2716,6 +2725,7 @@ def _all_queries():
         "kg_source_pairs": q_kg_source_pairs,
         "kg_voting_recency": q_kg_voting_recency,
         "kg_fact_history": q_kg_fact_history,
+        "kg_timely_accuracy": q_kg_timely_accuracy,
         "kg_dangling_refs": q_kg_dangling_refs,
         "sft_dataset": q_sft_dataset,
         "sft_boilerplate": q_sft_boilerplate,
@@ -6194,6 +6204,32 @@ SELECT r.ref, CAST(count(DISTINCT r.src) AS BIGINT) AS n_refs,
        max(s.ref) IS NULL AS dangling
 FROM refs r LEFT JOIN subj s ON r.ref = s.ref
 GROUP BY 1""",
+        "kg_timely_accuracy": f"""
+WITH {_claims_cte(cache)},
+dd AS MATERIALIZED (
+  SELECT DISTINCT source, entity, attr, value_str,
+         epoch_us(ts) // 86400000000 AS day
+  FROM claims WHERE value_type <> 'quantity' AND value_str IS NOT NULL),
+days AS (SELECT DISTINCT entity, attr, day FROM dd),
+sup AS (
+  SELECT y.entity, y.attr, y.day AS d, x.value_str,
+         count(DISTINCT x.source) AS c
+  FROM days y JOIN dd x
+    ON x.entity = y.entity AND x.attr = y.attr AND x.day <= y.day
+  GROUP BY 1, 2, 3, 4),
+win AS (
+  SELECT entity, attr, d, value_str AS truth FROM (
+    SELECT *, row_number() OVER (PARTITION BY entity, attr, d
+                                 ORDER BY c DESC, value_str) AS rn
+    FROM sup) WHERE rn = 1),
+a AS (
+  SELECT d2.source, d2.value_str, w.truth
+  FROM dd d2 JOIN win w
+    ON w.entity = d2.entity AND w.attr = d2.attr AND w.d = d2.day)
+SELECT source, CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(sum(CASE WHEN value_str = truth THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_timely
+FROM a GROUP BY 1""",
         "kg_fact_history": f"""
 WITH {_claims_cte(cache)},
 dd AS MATERIALIZED (

@@ -1117,3 +1117,73 @@ def quantity_trimmed(claims, scale: int = 1_000_000, n_parts: int = 32):
                                  ("attr", pa.string()),
                                  ("n_used", pa.int64()),
                                  ("trimmed_sum_fx", pa.int64())]))
+
+
+def contemporaneous_accuracy(claims, day_us: int = 86_400_000_000,
+                             n_parts: int = 32):
+    """Temporal-KG source audit: for every categorical assertion, was it
+    the CURRENT cumulative-voting truth on the day it was made (the
+    validity intervals of :func:`fact_history`)?  Per source: assertions
+    checked and contemporaneously-correct count — "right at the time"
+    beats "right in hindsight" for trust scoring under cumulative
+    growth.
+
+    Shape: ONE (entity, attr) co-partition replays the fact's truth
+    intervals (the fact_history walk) AND audits its own distinct
+    (source, value, day) assertions in the same group — no second join;
+    the per-source rollup is a tiny groupby."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(batch["value_type"], "quantity"),
+                       pc.is_valid(batch["value_str"]))
+        t = batch.filter(keep)
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(day_us, pa.int64()))
+        t = pa.table({"source": t["source"], "entity": t["entity"],
+                      "attr": t["attr"], "value_str": t["value_str"],
+                      "day": day})
+        return t.group_by(
+            ["source", "entity", "attr", "value_str", "day"]).aggregate([])
+
+    def _audit(group: pa.Table) -> pa.Table:
+        rows = sorted(set(zip(
+            np.asarray(group["day"], dtype=np.int64).tolist(),
+            group["source"].to_pylist(),
+            group["value_str"].to_pylist())))
+        # truth per assertion day (cumulative voting replay, day grain)
+        support: dict[str, set] = {}
+        truth_at: dict[int, str] = {}
+        i, n = 0, len(rows)
+        while i < n:
+            d = rows[i][0]
+            while i < n and rows[i][0] == d:
+                _, s, v = rows[i]
+                support.setdefault(v, set()).add(s)
+                i += 1
+            truth_at[d] = sorted(
+                support.items(), key=lambda kv: (-len(kv[1]), kv[0]))[0][0]
+        srcs: dict[str, list] = {}
+        for d, s, v in rows:
+            st = srcs.setdefault(s, [0, 0])
+            st[0] += 1
+            if truth_at[d] == v:
+                st[1] += 1
+        ks = sorted(srcs)
+        return pa.table({
+            "source": pa.array(ks, pa.string()),
+            "n_checked": pa.array([srcs[k][0] for k in ks], pa.int64()),
+            "n_timely": pa.array([srcs[k][1] for k in ks], pa.int64())})
+
+    partials = hash_group_apply(
+        claims.map_batches(_distinct, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity", "attr"], _audit, n_parts=n_parts,
+        plasma_schema=pa.schema([("source", pa.string()),
+                                 ("n_checked", pa.int64()),
+                                 ("n_timely", pa.int64())]))
+    return (partials.groupby("source").sum(["n_checked", "n_timely"])
+            .rename_columns({"sum(n_checked)": "n_checked",
+                             "sum(n_timely)": "n_timely"}))
