@@ -1714,6 +1714,15 @@ def q_dpo_pairs(sf_dir: str):
     return dpo_pairs(read_transcripts(data_dir))
 
 
+def q_conv_token_usage(sf_dir: str):
+    """Per-conversation token metering by role (whitespace tokens);
+    map-side counts, one conv rollup exchange."""
+    from trustfuse_ray.stages.assemble import conv_token_usage
+
+    data_dir = synth.generate(sf_dir)
+    return conv_token_usage(read_transcripts(data_dir))
+
+
 def q_assistant_latency(sf_dir: str):
     """Assistant response-latency histogram per tool (gap from the most
     recent user turn, log2 seconds buckets); one conv exchange."""
@@ -2731,6 +2740,7 @@ def _all_queries():
         "sft_boilerplate": q_sft_boilerplate,
         "conv_lead_summary": q_conv_lead_summary,
         "assistant_latency": q_assistant_latency,
+        "conv_token_usage": q_conv_token_usage,
         "dpo_pairs": q_dpo_pairs,
         "span_corruption": q_span_corruption,
         "histogram_quantiles": q_histogram_quantiles,
@@ -5886,6 +5896,21 @@ x AS (
   FROM p)
 SELECT conv_id, turn_idx, prompt, chosen, rejected
 FROM x WHERE np >= 2""",
+        "conv_token_usage": f"""
+WITH t AS (
+  SELECT conv_id, coalesce(role, '') AS role,
+         CAST(len(list_filter(
+           string_split_regex(trim(coalesce(text, '')), '\s+'),
+           w -> w <> '')) AS BIGINT) AS tok
+  FROM read_parquet('{cache}/transcripts/*.parquet'))
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN tok ELSE 0 END) AS BIGINT)
+         AS user_tokens,
+       CAST(sum(CASE WHEN role = 'assistant' THEN tok ELSE 0 END)
+            AS BIGINT) AS assistant_tokens,
+       CAST(sum(CASE WHEN role = 'tool' THEN tok ELSE 0 END) AS BIGINT)
+         AS tool_tokens
+FROM t GROUP BY 1""",
         "assistant_latency": f"""
 WITH t AS (
   SELECT conv_id, turn_idx, role, coalesce(tool, '') AS tool,

@@ -428,3 +428,50 @@ def assistant_latency(transcripts, n_parts: int = 32):
                                  ("n", pa.int64())]))
     return (partials.groupby(["tool", "bucket"]).sum("n")
             .rename_columns({"sum(n)": "n"}))
+
+
+def conv_token_usage(transcripts, n_parts: int = 32):
+    """Usage metering at conversation grain: whitespace-token counts per
+    role (user / assistant / tool) plus turns — the per-dialogue cost
+    report quota and billing pipelines aggregate.
+
+    Shape: tokens count map-side per turn (text never shuffles); the
+    conv rollup exchanges only (conv_id, role, n) partials."""
+    import re
+
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        toks = [len([w for w in re.split(r"\s+", (t or "").strip()) if w])
+                for t in batch["text"].to_pylist()]
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "role": batch["role"],
+            "tok": pa.array(np.asarray(toks, dtype=np.int64))})
+
+    def _roll(group: pa.Table) -> pa.Table:
+        roles = [r or "" for r in group["role"].to_pylist()]
+        toks = np.asarray(group["tok"], dtype=np.int64)
+        by = {"user": 0, "assistant": 0, "tool": 0}
+        for r, t in zip(roles, toks):
+            if r in by:
+                by[r] += int(t)
+        return pa.table({
+            "conv_id": group["conv_id"][:1],
+            "n_turns": pa.array([len(roles)], pa.int64()),
+            "user_tokens": pa.array([by["user"]], pa.int64()),
+            "assistant_tokens": pa.array([by["assistant"]], pa.int64()),
+            "tool_tokens": pa.array([by["tool"]], pa.int64())})
+
+    return hash_group_apply(
+        transcripts.select_columns(["conv_id", "role", "text"])
+        .map_batches(_counts, batch_format="pyarrow",
+                     zero_copy_batch=True),
+        ["conv_id"], _roll, n_parts=n_parts,
+        plasma_schema=pa.schema([("conv_id", pa.string()),
+                                 ("n_turns", pa.int64()),
+                                 ("user_tokens", pa.int64()),
+                                 ("assistant_tokens", pa.int64()),
+                                 ("tool_tokens", pa.int64())]))
