@@ -295,3 +295,17 @@ def test_assistant_latency_buckets():
     out = {(r["tool"], r["bucket"]): r["n"]
            for r in assistant_latency(ds, n_parts=4).take_all()}
     assert out == {("kb", 2): 1, ("db", 4): 1}
+
+
+def test_conv_tool_paths_order_and_counts():
+    from trustfuse_ray.stages.assemble import conv_tool_paths
+
+    out = {r["path"]: r["n_convs"]
+           for r in conv_tool_paths(_transcripts([
+               ("c1", 1, "tool", "x", "db"),
+               ("c1", 0, "assistant", "x", "kb"),
+               ("c2", 0, "assistant", "x", "kb"),
+               ("c2", 1, "tool", "x", "db"),
+               ("c3", 0, "user", "x", ""),  # no tools: dropped
+           ]), n_parts=4).take_all()}
+    assert out == {"kb->db": 2}

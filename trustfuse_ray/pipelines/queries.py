@@ -1714,6 +1714,15 @@ def q_dpo_pairs(sf_dir: str):
     return dpo_pairs(read_transcripts(data_dir))
 
 
+def q_conv_tool_paths(sf_dir: str):
+    """Tool-chain trajectories: ordered tool sequences per conversation,
+    counted corpus-wide; metadata-only exchange."""
+    from trustfuse_ray.stages.assemble import conv_tool_paths
+
+    data_dir = synth.generate(sf_dir)
+    return conv_tool_paths(read_transcripts(data_dir))
+
+
 def q_conv_token_usage(sf_dir: str):
     """Per-conversation token metering by role (whitespace tokens);
     map-side counts, one conv rollup exchange."""
@@ -2741,6 +2750,7 @@ def _all_queries():
         "conv_lead_summary": q_conv_lead_summary,
         "assistant_latency": q_assistant_latency,
         "conv_token_usage": q_conv_token_usage,
+        "conv_tool_paths": q_conv_tool_paths,
         "dpo_pairs": q_dpo_pairs,
         "span_corruption": q_span_corruption,
         "histogram_quantiles": q_histogram_quantiles,
@@ -5896,6 +5906,15 @@ x AS (
   FROM p)
 SELECT conv_id, turn_idx, prompt, chosen, rejected
 FROM x WHERE np >= 2""",
+        "conv_tool_paths": f"""
+WITH p AS (
+  SELECT conv_id,
+         string_agg(tool, '->' ORDER BY turn_idx) AS path
+  FROM read_parquet('{cache}/transcripts/*.parquet')
+  WHERE coalesce(tool, '') <> ''
+  GROUP BY 1)
+SELECT path, CAST(count(*) AS BIGINT) AS n_convs
+FROM p GROUP BY 1""",
         "conv_token_usage": f"""
 WITH t AS (
   SELECT conv_id, coalesce(role, '') AS role,

@@ -475,3 +475,33 @@ def conv_token_usage(transcripts, n_parts: int = 32):
                                  ("user_tokens", pa.int64()),
                                  ("assistant_tokens", pa.int64()),
                                  ("tool_tokens", pa.int64())]))
+
+
+def conv_tool_paths(transcripts, n_parts: int = 32):
+    """Agent-trajectory profile: each conversation's ordered sequence of
+    tool invocations (non-empty ``tool`` in turn order) as a path
+    string, counted across the corpus — which tool chains actually run,
+    the input to router/planner tuning.
+
+    Shape: text never read; (conv_id, turn_idx, tool) exchanges once;
+    path counts reduce in a tiny second groupby."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _path(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group,
+                                sort_keys=[("turn_idx", "ascending")])
+        tools = [t for t in group["tool"].take(order).to_pylist() if t]
+        if not tools:
+            return pa.schema([("path", pa.string()),
+                              ("n", pa.int64())]).empty_table()
+        return pa.table({"path": pa.array(["->".join(tools)],
+                                          pa.string()),
+                         "n": pa.array([1], pa.int64())})
+
+    partials = hash_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "tool"]),
+        ["conv_id"], _path, n_parts=n_parts,
+        plasma_schema=pa.schema([("path", pa.string()),
+                                 ("n", pa.int64())]))
+    return (partials.groupby("path").sum("n")
+            .rename_columns({"sum(n)": "n_convs"}))
