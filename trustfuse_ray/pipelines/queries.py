@@ -1928,6 +1928,34 @@ def q_kg_dangling_refs(sf_dir: str):
     return dangling_refs(cached_claims(sf_dir))
 
 
+def q_kg_recent_changes(sf_dir: str):
+    """Change digest: facts whose cumulative truth changed in the final
+    7 days of the corpus (fact_history reigns starting in that window,
+    excluding each fact's initial reign)."""
+    import pyarrow.compute as pc_
+
+    from trustfuse_ray.reverse import fact_history
+
+    hist = fact_history(cached_claims(sf_dir)).materialize()
+    max_day = hist.max("valid_from_day")
+
+    # exclude initial reigns: a fact's first reign has the fact's min
+    # valid_from_day — drop rows equal to the per-fact min via groupby
+    mins = (hist.groupby(["entity", "attr"]).min("valid_from_day")
+            .rename_columns({"min(valid_from_day)": "first_day"}))
+    joined = hist.join(mins, join_type="inner", num_partitions=8,
+                       on=("entity", "attr"))
+    def _flt(batch):
+        keep = pc_.and_(
+            pc_.greater(batch["valid_from_day"], batch["first_day"]),
+            pc_.greater_equal(batch["valid_from_day"],
+                              pa.scalar(max_day - 7, pa.int64())))
+        return batch.filter(keep).drop_columns(["first_day"])
+
+    return joined.map_batches(_flt, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def q_kg_timely_accuracy(sf_dir: str):
     """Temporal source audit: assertions checked against the cumulative
     truth AT THEIR OWN DAY (fact_history intervals); one fact
@@ -2744,6 +2772,7 @@ def _all_queries():
         "kg_voting_recency": q_kg_voting_recency,
         "kg_fact_history": q_kg_fact_history,
         "kg_timely_accuracy": q_kg_timely_accuracy,
+        "kg_recent_changes": q_kg_recent_changes,
         "kg_dangling_refs": q_kg_dangling_refs,
         "sft_dataset": q_sft_dataset,
         "sft_boilerplate": q_sft_boilerplate,
@@ -6248,6 +6277,39 @@ SELECT r.ref, CAST(count(DISTINCT r.src) AS BIGINT) AS n_refs,
        max(s.ref) IS NULL AS dangling
 FROM refs r LEFT JOIN subj s ON r.ref = s.ref
 GROUP BY 1""",
+        "kg_recent_changes": f"""
+WITH {_claims_cte(cache)},
+dd AS MATERIALIZED (
+  SELECT DISTINCT source, entity, attr, value_str,
+         epoch_us(ts) // 86400000000 AS day
+  FROM claims WHERE value_type <> 'quantity' AND value_str IS NOT NULL),
+days AS (SELECT DISTINCT entity, attr, day FROM dd),
+sup AS (
+  SELECT y.entity, y.attr, y.day AS d, x.value_str,
+         count(DISTINCT x.source) AS c
+  FROM days y JOIN dd x
+    ON x.entity = y.entity AND x.attr = y.attr AND x.day <= y.day
+  GROUP BY 1, 2, 3, 4),
+win AS (
+  SELECT entity, attr, d, value_str FROM (
+    SELECT *, row_number() OVER (PARTITION BY entity, attr, d
+                                 ORDER BY c DESC, value_str) AS rn
+    FROM sup) WHERE rn = 1),
+chg AS (
+  SELECT entity, attr, d, value_str,
+         lag(value_str) OVER (PARTITION BY entity, attr ORDER BY d) AS prev
+  FROM win),
+reign AS (
+  SELECT entity, attr, value_str, d AS valid_from_day,
+         coalesce(lead(d) OVER (PARTITION BY entity, attr ORDER BY d) - 1,
+                  -1) AS valid_to_day,
+         min(d) OVER (PARTITION BY entity, attr) AS first_day
+  FROM chg WHERE prev IS NULL OR prev <> value_str),
+mx AS (SELECT max(valid_from_day) AS m FROM reign)
+SELECT entity, attr, value_str, valid_from_day,
+       CAST(valid_to_day AS BIGINT) AS valid_to_day
+FROM reign, mx
+WHERE valid_from_day > first_day AND valid_from_day >= mx.m - 7""",
         "kg_timely_accuracy": f"""
 WITH {_claims_cte(cache)},
 dd AS MATERIALIZED (
