@@ -531,3 +531,30 @@ def test_contemporaneous_accuracy_timely_vs_hindsight():
     out = {r["source"]: (r["n_checked"], r["n_timely"])
            for r in contemporaneous_accuracy(claims, n_parts=4).take_all()}
     assert out == {"s1": (2, 1), "s2": (1, 1), "s3": (1, 1)}
+
+
+def test_recent_changes_excludes_creation_reigns():
+    """Initial reigns are creations, not changes: a fact whose truth
+    never flips must not appear in the digest (checked through the
+    registered query machinery at the unit level via fact_history)."""
+    import numpy as np
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import fact_history
+
+    day = 86_400_000_000
+    rows = [("s1", 0, "v1"), ("s2", 1, "v2"), ("s3", 1, "v2")]
+    claims = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "entity": pa.array(["e"] * len(rows), pa.string()),
+        "attr": pa.array(["a"] * len(rows), pa.string()),
+        "value_str": pa.array([r[2] for r in rows], pa.string()),
+        "value_type": pa.array(["categorical"] * len(rows), pa.string()),
+        "ts": pa.array(np.array([r[1] * day for r in rows],
+                                dtype="datetime64[us]")),
+    })).repartition(2)
+    hist = fact_history(claims, n_parts=2).take_all()
+    first = min(r["valid_from_day"] for r in hist)
+    changes = [r for r in hist if r["valid_from_day"] > first]
+    assert [(r["value_str"], r["valid_from_day"]) for r in changes] \
+        == [("v2", 1)]
