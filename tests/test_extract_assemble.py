@@ -309,3 +309,17 @@ def test_conv_tool_paths_order_and_counts():
                ("c3", 0, "user", "x", ""),  # no tools: dropped
            ]), n_parts=4).take_all()}
     assert out == {"kb->db": 2}
+
+
+def test_tool_transitions_skip_empty():
+    from trustfuse_ray.stages.assemble import tool_transitions
+
+    out = {(r["tool_from"], r["tool_to"]): r["n"]
+           for r in tool_transitions(_transcripts([
+               ("c1", 0, "assistant", "x", "kb"),
+               ("c1", 1, "user", "x", ""),       # empty tool skipped
+               ("c1", 2, "tool", "x", "db"),
+               ("c1", 3, "tool", "x", "db"),
+               ("c2", 0, "assistant", "x", "kb"),  # single tool: none
+           ]), n_parts=4).take_all()}
+    assert out == {("kb", "db"): 1, ("db", "db"): 1}

@@ -1714,6 +1714,15 @@ def q_dpo_pairs(sf_dir: str):
     return dpo_pairs(read_transcripts(data_dir))
 
 
+def q_tool_transitions(sf_dir: str):
+    """Next-tool router table: first-order Markov counts over
+    consecutive tool invocations per conversation."""
+    from trustfuse_ray.stages.assemble import tool_transitions
+
+    data_dir = synth.generate(sf_dir)
+    return tool_transitions(read_transcripts(data_dir))
+
+
 def q_conv_tool_paths(sf_dir: str):
     """Tool-chain trajectories: ordered tool sequences per conversation,
     counted corpus-wide; metadata-only exchange."""
@@ -2780,6 +2789,7 @@ def _all_queries():
         "assistant_latency": q_assistant_latency,
         "conv_token_usage": q_conv_token_usage,
         "conv_tool_paths": q_conv_tool_paths,
+        "tool_transitions": q_tool_transitions,
         "dpo_pairs": q_dpo_pairs,
         "span_corruption": q_span_corruption,
         "histogram_quantiles": q_histogram_quantiles,
@@ -5935,6 +5945,18 @@ x AS (
   FROM p)
 SELECT conv_id, turn_idx, prompt, chosen, rejected
 FROM x WHERE np >= 2""",
+        "tool_transitions": f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, tool
+  FROM read_parquet('{cache}/transcripts/*.parquet')
+  WHERE coalesce(tool, '') <> ''),
+p AS (
+  SELECT conv_id, tool AS tool_from,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           AS tool_to
+  FROM t)
+SELECT tool_from, tool_to, CAST(count(*) AS BIGINT) AS n
+FROM p WHERE tool_to IS NOT NULL GROUP BY 1, 2""",
         "conv_tool_paths": f"""
 WITH p AS (
   SELECT conv_id,

@@ -505,3 +505,38 @@ def conv_tool_paths(transcripts, n_parts: int = 32):
                                  ("n", pa.int64())]))
     return (partials.groupby("path").sum("n")
             .rename_columns({"sum(n)": "n_convs"}))
+
+
+def tool_transitions(transcripts, n_parts: int = 32):
+    """Router table for agent planning: (tool_from, tool_to) counts over
+    consecutive tool invocations within a conversation (empty-tool turns
+    skipped) — the first-order Markov model behind next-tool prediction.
+
+    Shape: text never read; one conv_id exchange of (turn_idx, tool);
+    in-group shifted zip over the non-empty tool sequence; tiny pair
+    groupby."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group,
+                                sort_keys=[("turn_idx", "ascending")])
+        tools = [t for t in group["tool"].take(order).to_pylist() if t]
+        empty = pa.schema([("tool_from", pa.string()),
+                           ("tool_to", pa.string()),
+                           ("n", pa.int64())]).empty_table()
+        if len(tools) < 2:
+            return empty
+        t = pa.table({"tool_from": pa.array(tools[:-1], pa.string()),
+                      "tool_to": pa.array(tools[1:], pa.string())})
+        return (t.group_by(["tool_from", "tool_to"])
+                .aggregate([("tool_to", "count")])
+                .rename_columns(["tool_from", "tool_to", "n"]))
+
+    partials = hash_group_apply(
+        transcripts.select_columns(["conv_id", "turn_idx", "tool"]),
+        ["conv_id"], _pairs, n_parts=n_parts,
+        plasma_schema=pa.schema([("tool_from", pa.string()),
+                                 ("tool_to", pa.string()),
+                                 ("n", pa.int64())]))
+    return (partials.groupby(["tool_from", "tool_to"]).sum("n")
+            .rename_columns({"sum(n)": "n"}))
