@@ -529,3 +529,17 @@ def test_span_corruption_deterministic_mask():
         toks[:start] + ["<extra_id_0>"] + toks[start + 3:])
     assert r["target_text"] == " ".join(["<extra_id_0>"]
                                         + toks[start:start + 3])
+
+
+def test_token_budget_sample_cuts_at_budget():
+    import ray.data as rd
+
+    from trustfuse_ray.stages.curation import token_budget_sample
+
+    docs = rd.from_items([{"doc_id": i, "text": "w " * 10}
+                          for i in range(10)]).repartition(3)
+    out = token_budget_sample(docs, budget_tokens=35).take_all()
+    # 10 tokens per doc -> exactly 3 docs fit a 35-token budget
+    assert len(out) == 3
+    assert sorted(r["cum"] for r in out) == [10, 20, 30]
+    assert all(r["n_tokens"] == 10 for r in out)

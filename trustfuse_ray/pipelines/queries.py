@@ -1669,6 +1669,15 @@ def q_bpe_train(sf_dir: str):
     return bpe_merges(_tbl(sf_dir, "documents"), n_merges=4)
 
 
+def q_token_budget_sample(sf_dir: str):
+    """Epoch budgeting: md5-ordered docs kept until a 20k-token global
+    budget fills; range sort + metadata prefix offsets."""
+    from trustfuse_ray.stages.curation import token_budget_sample
+
+    return token_budget_sample(_tbl(sf_dir, "documents"),
+                               budget_tokens=20_000)
+
+
 def q_length_bucket_batches(sf_dir: str):
     """Padding-efficient batch assignment: power-of-two length buckets,
     deterministic in-bucket order, batch_idx = rank // 32; one
@@ -2772,6 +2781,7 @@ def _all_queries():
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "length_bucket_batches": q_length_bucket_batches,
+        "token_budget_sample": q_token_budget_sample,
         "mixture_schedule": q_mixture_schedule,
         "kg_provenance": q_kg_provenance,
         "kg_negative_samples": q_kg_negative_samples,
@@ -4551,6 +4561,22 @@ c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY 1)
 SELECT token, n FROM c ORDER BY n DESC, token LIMIT 50""",
         "bpe_train": _bpe_merges_sql(4),
         "bpe_encode": _bpe_encode_sql(4),
+        "token_budget_sample": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           string_split_regex(trim(coalesce(text, '')), '\s+'),
+           w -> w <> '')) AS BIGINT) AS n_tokens,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+              & 9223372036854775807 AS BIGINT) AS k
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY k, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum
+  FROM t)
+SELECT doc_id, n_tokens, cum FROM c WHERE cum <= 20000""",
         "length_bucket_batches": r"""
 WITH t AS (
   SELECT doc_id,

@@ -1298,3 +1298,77 @@ def span_corruption(docs, span_len: int = 3, text_col: str = "text",
 
     return docs.select_columns([id_col, text_col]).map_batches(
         _mask, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_budget_sample(docs, budget_tokens: int, text_col: str = "text",
+                        id_col: str = "doc_id"):
+    """Epoch budgeting: keep documents in md5 order (unbiased, stable)
+    until a global whitespace-token budget is reached — the "fill a
+    1B-token epoch" cut.  A doc is kept iff the cumulative token count
+    UP TO AND INCLUDING it stays ≤ ``budget_tokens``; later docs drop.
+
+    Shape: ONE range-partitioned sort on the md5 key (the unavoidable
+    total order), then the cumulative sum derives without further
+    movement — per-block token totals are O(#blocks) driver scalars,
+    the exclusive prefix offsets broadcast back, and each block keeps
+    its qualifying prefix in place.  Returns (doc_id, n_tokens, cum)."""
+    import re
+
+    import ray
+
+    from trustfuse_ray.stages.dedup import _md5_token64
+    from trustfuse_ray.stages.windows import global_row_number
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        ns = [len([w for w in re.split(r"\s+", (t or "").strip()) if w])
+              for t in batch[text_col].to_pylist()]
+        keys = [_md5_token64(str(i)) & 0x7FFFFFFFFFFFFFFF
+                for i in ids]
+        return pa.table({id_col: batch[id_col],
+                         "n_tokens": pa.array(ns, pa.int64()),
+                         "__k": pa.array(keys, pa.int64())})
+
+    toks = docs.select_columns([id_col, text_col]).map_batches(
+        _tok, batch_format="pyarrow", zero_copy_batch=True)
+    ordered = global_row_number(toks, ["__k", id_col],
+                                pos_col="__pos").materialize()
+
+    # per-block token totals + first ordinal -> exclusive prefix offsets
+    import ray.data.block as _blk
+
+    @ray.remote
+    def _block_stats(t) -> tuple:
+        t = _blk.BlockAccessor.for_block(t).to_arrow()
+        if t.num_rows == 0:
+            return (None, 0)
+        return (int(np.asarray(t["__pos"], dtype=np.int64).min()),
+                int(np.asarray(t["n_tokens"], dtype=np.int64).sum()))
+
+    refs = ordered.to_arrow_refs()
+    stats = ray.get([_block_stats.remote(r) for r in refs])
+    stats = sorted((s for s in stats if s[0] is not None))
+    offsets = {}
+    run = 0
+    for pos0, tot in stats:
+        offsets[pos0] = run
+        run += tot
+
+    def _cut(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: batch[id_col],
+                             "n_tokens": batch["n_tokens"],
+                             "cum": pa.array([], pa.int64())})
+        pos = np.asarray(batch["__pos"], dtype=np.int64)
+        order = np.argsort(pos)
+        n = np.asarray(batch["n_tokens"], dtype=np.int64)[order]
+        cum = offsets[int(pos[order][0])] + np.cumsum(n)
+        keep = cum <= budget_tokens
+        sel = pa.array(order[keep])
+        return pa.table({
+            id_col: batch[id_col].take(sel),
+            "n_tokens": batch["n_tokens"].take(sel),
+            "cum": pa.array(cum[keep], pa.int64())})
+
+    return ordered.map_batches(_cut, batch_format="pyarrow",
+                               zero_copy_batch=True)
