@@ -558,3 +558,20 @@ def test_recent_changes_excludes_creation_reigns():
     changes = [r for r in hist if r["valid_from_day"] > first]
     assert [(r["value_str"], r["valid_from_day"]) for r in changes] \
         == [("v2", 1)]
+
+
+def test_source_specialization_entropy():
+    import ray.data as rd
+
+    from trustfuse_ray.reverse import source_specialization
+
+    rows = ([("spec", "a")] * 4                      # one attr only
+            + [("gen", "a"), ("gen", "b"), ("gen", "c"), ("gen", "d")])
+    claims = rd.from_arrow(pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "attr": pa.array([r[1] for r in rows], pa.string()),
+    })).repartition(2)
+    out = {r["source"]: (r["n_claims"], r["n_attrs"], r["entropy_fx"])
+           for r in source_specialization(claims, n_parts=4).take_all()}
+    # spec: 4*(bitlen(5)-bitlen(5)) = 0; gen: 4*(bitlen(5)-bitlen(2)) = 4
+    assert out == {"spec": (4, 1, 0), "gen": (4, 4, 4)}

@@ -1911,6 +1911,14 @@ def q_kg_quantity_trimmed(sf_dir: str):
     return quantity_trimmed(cached_claims(sf_dir))
 
 
+def q_kg_source_specialization(sf_dir: str):
+    """Specialist-vs-generalist source profile: integer surprisal
+    entropy over each source's attribute distribution."""
+    from trustfuse_ray.reverse import source_specialization
+
+    return source_specialization(cached_claims(sf_dir))
+
+
 def q_kg_claim_velocity(sf_dir: str):
     """Per-entity claim-arrival trend: exact integer least-squares slope
     numerator over (day, count) pairs; one entity co-partition."""
@@ -2812,6 +2820,7 @@ def _all_queries():
         "kg_key_discovery": q_kg_key_discovery,
         "kg_tool_yield": q_kg_tool_yield,
         "kg_claim_velocity": q_kg_claim_velocity,
+        "kg_source_specialization": q_kg_source_specialization,
         "kg_quantity_trimmed": q_kg_quantity_trimmed,
         "kg_fd_mining": q_kg_fd_mining,
         "conv_lang_switches": q_conv_lang_switches,
@@ -6277,6 +6286,19 @@ SELECT entity, attr,
        CAST(sum(CASE WHEN n < 3 OR (rn > 1 AND rn < n)
                 THEN value_fx ELSE 0 END) AS BIGINT) AS trimmed_sum_fx
 FROM rk GROUP BY 1, 2""",
+        "kg_source_specialization": f"""
+WITH {_claims_cte(cache)},
+sa AS (SELECT source, attr, CAST(count(*) AS BIGINT) AS n
+       FROM claims GROUP BY 1, 2),
+tot AS (SELECT source, CAST(sum(n) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_attrs
+        FROM sa GROUP BY 1)
+SELECT sa.source, tot.total AS n_claims, tot.n_attrs,
+       CAST(sum(sa.n * (length(bin(tot.total + 1))
+                        - length(bin(sa.n + 1)))) AS BIGINT)
+         AS entropy_fx
+FROM sa JOIN tot USING (source)
+GROUP BY 1, 2, 3""",
         "kg_claim_velocity": f"""
 WITH {_claims_cte(cache)},
 dc AS (

@@ -1187,3 +1187,48 @@ def contemporaneous_accuracy(claims, day_us: int = 86_400_000_000,
     return (partials.groupby("source").sum(["n_checked", "n_timely"])
             .rename_columns({"sum(n_checked)": "n_checked",
                              "sum(n_timely)": "n_timely"}))
+
+
+def source_specialization(claims, n_parts: int = 32):
+    """Source-specialization profile: per source, the integer surprisal
+    entropy of its assertion distribution over attributes
+    (Σ_a n_a · (bitlen(N + 1) − bitlen(n_a + 1)), the SQL-exact
+    bit-length proxy) plus distinct attrs and total assertions — low
+    entropy = specialist connector, high = generalist.
+
+    Map-side (source, attr) count partials bound the exchange; one
+    source co-partition.  Returns (source, n_claims, n_attrs,
+    entropy_fx)."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["source", "attr"])
+        return (t.group_by(["source", "attr"])
+                .aggregate([("attr", "count")])
+                .rename_columns(["source", "attr", "n"]))
+
+    partials = (claims.map_batches(_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                .groupby(["source", "attr"]).sum("n")
+                .rename_columns({"sum(n)": "n"}))
+
+    def _ent(group: pa.Table) -> pa.Table:
+        ns = np.asarray(group["n"], dtype=np.int64)
+        total = int(ns.sum())
+        bt = (total + 1).bit_length()
+        ent = int(sum(int(n) * (bt - (int(n) + 1).bit_length())
+                      for n in ns))
+        return pa.table({
+            "source": group["source"][:1],
+            "n_claims": pa.array([total], pa.int64()),
+            "n_attrs": pa.array([len(ns)], pa.int64()),
+            "entropy_fx": pa.array([ent], pa.int64())})
+
+    return hash_group_apply(
+        partials, ["source"], _ent, n_parts=min(n_parts, 8),
+        plasma_schema=pa.schema([("source", pa.string()),
+                                 ("n_claims", pa.int64()),
+                                 ("n_attrs", pa.int64()),
+                                 ("entropy_fx", pa.int64())]))
