@@ -1825,6 +1825,14 @@ def q_bm25_topk(sf_dir: str):
                      terms=("the", "table", "value"), k=20)
 
 
+def q_lang_distribution(sf_dir: str):
+    """Language-mix slice of the dataset card: per labelled language,
+    docs and token totals; one streaming pass."""
+    from trustfuse_ray.stages.profile import lang_distribution
+
+    return lang_distribution(_tbl(sf_dir, "documents"))
+
+
 def q_dataset_card(sf_dir: str):
     """One-row dataset-card summary of the documents corpus; one
     streaming pass, block partials collapse map-side."""
@@ -1865,6 +1873,14 @@ def q_events_dedup_window(sf_dir: str):
     from trustfuse_ray.stages.windows import event_dedup_window
 
     return event_dedup_window(_tbl(sf_dir, "events"), window_s=600)
+
+
+def q_events_peak_windows(sf_dir: str):
+    """Per-type busiest tumbling hour (ties to the earliest window);
+    block partials + tiny type co-partition argmax."""
+    from trustfuse_ray.stages.windows import peak_windows
+
+    return peak_windows(_tbl(sf_dir, "events"))
 
 
 def q_events_gap_histogram(sf_dir: str):
@@ -2812,6 +2828,7 @@ def _all_queries():
         "span_corruption": q_span_corruption,
         "histogram_quantiles": q_histogram_quantiles,
         "dataset_card": q_dataset_card,
+        "lang_distribution": q_lang_distribution,
         "bm25_topk": q_bm25_topk,
         "hybrid_search": q_hybrid_search,
         "oov_rates": q_oov_rates,
@@ -2826,6 +2843,7 @@ def _all_queries():
         "conv_lang_switches": q_conv_lang_switches,
         "session_type_pairs": q_session_type_pairs,
         "events_gap_histogram": q_events_gap_histogram,
+        "events_peak_windows": q_events_peak_windows,
         "kg_conflict_profile": q_kg_conflict_profile,
         "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_fuse_voting_resolved": q_kg_fuse_voting_resolved,
@@ -6126,6 +6144,12 @@ r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
 SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rank, score_fx
 FROM r2 WHERE rk <= 10""",
         "bm25_topk": _BM25_SQL,
+        "lang_distribution": r"""
+SELECT coalesce(lang, '') AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(list_filter(
+         string_split_regex(trim(coalesce(text, '')), '\s+'),
+         w -> w <> ''))) AS BIGINT) AS n_words
+FROM documents GROUP BY 1""",
         "dataset_card": r"""
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(len(list_filter(
@@ -6183,6 +6207,17 @@ FROM t WHERE role_to IS NOT NULL GROUP BY 1, 2""",
 SELECT user_id, event_type, epoch_us(ts) // 600000000 AS w,
        CAST(min(event_id) AS BIGINT) AS event_id
 FROM events GROUP BY 1, 2, 3""",
+        "events_peak_windows": """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS w,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, w) AS rn
+  FROM c)
+SELECT event_type, w AS peak_window, n AS n_events
+FROM r WHERE rn = 1""",
         "events_gap_histogram": """
 WITH e AS (
   SELECT user_id, event_type, ts,

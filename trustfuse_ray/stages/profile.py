@@ -1539,3 +1539,28 @@ def bm25_topk(docs, terms: tuple[str, ...], k: int = 20,
                                zero_copy_batch=True)
     return (scored.sort(["score_fx", id_col], descending=[True, False])
             .limit(k))
+
+
+def lang_distribution(docs, text_col: str = "text"):
+    """Corpus language mix: per labelled language, document count and
+    whitespace-token total — the distribution slice of the dataset card.
+    One streaming pass of per-block (lang, docs, words) partials; the
+    rollup groupby is bounded by the language label set."""
+    import re
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        langs = [x or "" for x in batch["lang"].to_pylist()]
+        words = [len([w for w in re.split(r"\s+", (t or "").strip())
+                      if w]) for t in batch[text_col].to_pylist()]
+        t = pa.table({"lang": pa.array(langs, pa.string()),
+                      "n_docs": pa.array(np.ones(len(langs), np.int64)),
+                      "n_words": pa.array(np.asarray(words, np.int64))})
+        return (t.group_by(["lang"])
+                .aggregate([("n_docs", "sum"), ("n_words", "sum")])
+                .rename_columns(["lang", "n_docs", "n_words"]))
+
+    return (docs.select_columns(["lang", text_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang").sum(["n_docs", "n_words"])
+        .rename_columns({"sum(n_docs)": "n_docs",
+                         "sum(n_words)": "n_words"}))

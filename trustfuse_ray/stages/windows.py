@@ -906,3 +906,49 @@ def gap_histogram(events, user_col: str = "user_id",
                                  ("n", pa.int64())]))
     return (partials.groupby([type_col, "bucket"]).sum("n")
             .rename_columns({"sum(n)": "n"}))
+
+
+def peak_windows(events, window_s: int = 3600,
+                 type_col: str = "event_type", ts_col: str = "ts",
+                 n_parts: int = 8):
+    """Peak detection: per event type, the single busiest tumbling
+    ``window_s`` window (most events; ties to the earliest window) —
+    the capacity-planning headline next to the full anomaly scan.
+
+    Shape: (type, window) counts reduce from per-block partials; the
+    per-type argmax runs in a tiny type co-partition."""
+    win_us = int(window_s) * 1_000_000
+
+    def _key(batch: pa.Table) -> pa.Table:
+        w = pc.divide(batch[ts_col].cast(pa.int64()),
+                      pa.scalar(win_us, pa.int64()))
+        t = pa.table({type_col: batch[type_col], "w": w})
+        return (t.group_by([type_col, "w"])
+                .aggregate([("w", "count")])
+                .rename_columns([type_col, "w", "n"]))
+
+    counts = (events.select_columns([type_col, ts_col]).map_batches(
+        _key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([type_col, "w"]).sum("n")
+        .rename_columns({"sum(n)": "n"}))
+
+    def _best(group: pa.Table) -> pa.Table:
+        ws = np.asarray(group["w"], dtype=np.int64)
+        ns = np.asarray(group["n"], dtype=np.int64)
+        best = None
+        for w, n in zip(ws, ns):
+            if best is None or n > best[1] or (n == best[1]
+                                              and w < best[0]):
+                best = (int(w), int(n))
+        return pa.table({
+            type_col: group[type_col][:1],
+            "peak_window": pa.array([best[0]], pa.int64()),
+            "n_events": pa.array([best[1]], pa.int64())})
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    return hash_group_apply(
+        counts, [type_col], _best, n_parts=n_parts,
+        plasma_schema=pa.schema([(type_col, pa.string()),
+                                 ("peak_window", pa.int64()),
+                                 ("n_events", pa.int64())]))
