@@ -323,3 +323,26 @@ def test_tool_transitions_skip_empty():
                ("c2", 0, "assistant", "x", "kb"),  # single tool: none
            ]), n_parts=4).take_all()}
     assert out == {("kb", "db"): 1, ("db", "db"): 1}
+
+
+def test_re_training_pairs_attach_text():
+    import ray.data as rd
+
+    from trustfuse_ray.stages.extract import re_training_pairs
+
+    claims = rd.from_arrow(pa.table({
+        "conv_id": pa.array(["c1", "c1"], pa.string()),
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "attr": pa.array(["color", "size"], pa.string()),
+        "entity": pa.array(["E1", "E1"], pa.string()),
+        "value_str": pa.array(["red", "big"], pa.string()),
+    })).repartition(2)
+    turns = _transcripts([
+        ("c1", 0, "tool", "E1 is red and big.", "db"),
+        ("c1", 1, "user", "no claims here", ""),
+    ])
+    out = sorted((r["relation"], r["value_str"], r["text"])
+                 for r in re_training_pairs(claims, turns,
+                                            n_parts=4).take_all())
+    assert out == [("color", "red", "E1 is red and big."),
+                   ("size", "big", "E1 is red and big.")]

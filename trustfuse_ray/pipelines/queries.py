@@ -1943,6 +1943,16 @@ def q_kg_claim_velocity(sf_dir: str):
     return claim_velocity(cached_claims(sf_dir))
 
 
+def q_re_training_pairs(sf_dir: str):
+    """Distant-supervision RE training pairs: canonical claims joined
+    back to their source turn text in one (conv, turn) co-partition."""
+    from trustfuse_ray.stages.extract import re_training_pairs
+
+    data_dir = synth.generate(sf_dir)
+    return re_training_pairs(cached_claims(sf_dir),
+                             read_transcripts(data_dir))
+
+
 def q_kg_tool_yield(sf_dir: str):
     """Per-tool extraction yield: eligible turns, conversations and
     extracted claims per role:tool source; both sides pre-aggregate
@@ -2836,6 +2846,7 @@ def _all_queries():
         "events_dedup_window": q_events_dedup_window,
         "kg_key_discovery": q_kg_key_discovery,
         "kg_tool_yield": q_kg_tool_yield,
+        "re_training_pairs": q_re_training_pairs,
         "kg_claim_velocity": q_kg_claim_velocity,
         "kg_source_specialization": q_kg_source_specialization,
         "kg_quantity_trimmed": q_kg_quantity_trimmed,
@@ -6345,6 +6356,15 @@ SELECT entity, CAST(count(*) AS BIGINT) AS n_days,
        CAST(count(*) * sum(day * c) - sum(day) * sum(c) AS BIGINT)
          AS slope_num
 FROM dc GROUP BY 1""",
+        "re_training_pairs": f"""
+WITH {_claims_cte(cache)},
+dd AS (
+  SELECT DISTINCT conv_id, turn_idx, attr, entity, value_str
+  FROM claims WHERE value_str IS NOT NULL)
+SELECT d.conv_id, d.turn_idx, coalesce(t.text, '') AS text,
+       d.attr AS relation, d.entity, d.value_str
+FROM dd d JOIN read_parquet('{cache}/transcripts/*.parquet') t
+  ON t.conv_id = d.conv_id AND t.turn_idx = d.turn_idx""",
         "kg_tool_yield": f"""
 WITH {_claims_cte(cache)},
 t AS (

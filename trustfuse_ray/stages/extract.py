@@ -228,3 +228,81 @@ def extract_triples(transcripts, concurrency: int | tuple | None = None,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def re_training_pairs(claims, transcripts, n_parts: int = 32):
+    """Distant-supervision training pairs for relation extraction: every
+    canonical claim joined back to its source turn's text →
+    (text, relation, entity, value) examples — the labelled-sentence
+    export an RE model trains on (the claim stream itself provides the
+    distant labels).
+
+    Shape: claims collapse map-side to distinct
+    (conv_id, turn_idx, attr, entity, value_str); ONE (conv_id,
+    turn_idx) co-partition attaches turn text (text moves once, only
+    for turns that yielded claims)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _cl(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch["value_str"])
+        t = batch.filter(keep).select(
+            ["conv_id", "turn_idx", "attr", "entity", "value_str"])
+        t = t.group_by(
+            ["conv_id", "turn_idx", "attr", "entity",
+             "value_str"]).aggregate([])
+        n = len(t)
+        return pa.table({
+            "conv_id": t["conv_id"].cast(pa.string()),
+            "turn_idx": t["turn_idx"].cast(pa.int32()),
+            "attr": t["attr"].cast(pa.string()),
+            "entity": t["entity"].cast(pa.string()),
+            "value_str": t["value_str"].cast(pa.string()),
+            "text": pa.array([""] * n, pa.string()),
+            "side": pa.array(np.zeros(n, np.int8))})
+
+    def _tx(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "conv_id": batch["conv_id"].cast(pa.string()),
+            "turn_idx": batch["turn_idx"].cast(pa.int32()),
+            "attr": pa.array([""] * n, pa.string()),
+            "entity": pa.array([""] * n, pa.string()),
+            "value_str": pa.array([""] * n, pa.string()),
+            "text": pc.fill_null(batch["text"].cast(pa.string()), ""),
+            "side": pa.array(np.ones(n, np.int8))})
+
+    tagged = claims.map_batches(_cl, batch_format="pyarrow",
+                                zero_copy_batch=True).union(
+        transcripts.select_columns(["conv_id", "turn_idx", "text"])
+        .map_batches(_tx, batch_format="pyarrow", zero_copy_batch=True))
+
+    out_schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("text", pa.string()), ("relation", pa.string()),
+        ("entity", pa.string()), ("value_str", pa.string())])
+
+    def _join(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"], dtype=np.int8)
+        tx = ""
+        for i in np.flatnonzero(side == 1):
+            tx = group["text"][int(i)].as_py() or ""
+            break
+        cl = np.flatnonzero(side == 0)
+        if len(cl) == 0:
+            return out_schema.empty_table()
+        sel = pa.array(cl)
+        n = len(cl)
+        return pa.table({
+            "conv_id": group["conv_id"].take(sel),
+            "turn_idx": group["turn_idx"].take(sel),
+            "text": pa.array([tx] * n, pa.string()),
+            "relation": group["attr"].take(sel),
+            "entity": group["entity"].take(sel),
+            "value_str": group["value_str"].take(sel)})
+
+    return hash_group_apply(tagged, ["conv_id", "turn_idx"], _join,
+                            n_parts=n_parts, plasma_schema=out_schema)
