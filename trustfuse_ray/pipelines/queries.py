@@ -1943,6 +1943,34 @@ def q_kg_claim_velocity(sf_dir: str):
     return claim_velocity(cached_claims(sf_dir))
 
 
+def q_kg_canon_drift(sf_dir: str):
+    """Canonicalization QA: per attribute, how many categorical claims
+    had their surface form rewritten by the canon layer
+    (raw_value <> value_str) — the normalization-impact report."""
+    import pyarrow.compute as pc_
+
+    def _drift(batch):
+        keep = pc_.and_(pc_.not_equal(batch["value_type"], "quantity"),
+                        pc_.is_valid(batch["value_str"]))
+        t = batch.filter(keep)
+        changed = pc_.not_equal(
+            pc_.fill_null(t["raw_value"].cast(pa.string()), ""),
+            t["value_str"].cast(pa.string()))
+        tt = pa.table({
+            "attr": t["attr"],
+            "n": pa.array([1] * len(t), pa.int64()),
+            "n_changed": changed.cast(pa.int64())})
+        return (tt.group_by(["attr"])
+                .aggregate([("n", "sum"), ("n_changed", "sum")])
+                .rename_columns(["attr", "n", "n_changed"]))
+
+    return (cached_claims(sf_dir).map_batches(
+        _drift, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("attr").sum(["n", "n_changed"])
+        .rename_columns({"sum(n)": "n_claims",
+                         "sum(n_changed)": "n_changed"}))
+
+
 def q_re_training_pairs(sf_dir: str):
     """Distant-supervision RE training pairs: canonical claims joined
     back to their source turn text in one (conv, turn) co-partition."""
@@ -2847,6 +2875,7 @@ def _all_queries():
         "kg_key_discovery": q_kg_key_discovery,
         "kg_tool_yield": q_kg_tool_yield,
         "re_training_pairs": q_re_training_pairs,
+        "kg_canon_drift": q_kg_canon_drift,
         "kg_claim_velocity": q_kg_claim_velocity,
         "kg_source_specialization": q_kg_source_specialization,
         "kg_quantity_trimmed": q_kg_quantity_trimmed,
@@ -6356,6 +6385,13 @@ SELECT entity, CAST(count(*) AS BIGINT) AS n_days,
        CAST(count(*) * sum(day * c) - sum(day) * sum(c) AS BIGINT)
          AS slope_num
 FROM dc GROUP BY 1""",
+        "kg_canon_drift": f"""
+WITH {_claims_cte(cache)}
+SELECT attr, CAST(count(*) AS BIGINT) AS n_claims,
+       CAST(sum(CASE WHEN raw_value <> trim(raw_value)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+FROM mz WHERE attr NOT IN ({qlist})
+GROUP BY 1""",
         "re_training_pairs": f"""
 WITH {_claims_cte(cache)},
 dd AS (
