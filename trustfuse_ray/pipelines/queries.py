@@ -2682,58 +2682,72 @@ def q_tfidf_terms(sf_dir: str):
 # analytics, the dedup/curation/selection waves, and one relational probe
 # each.  Queries with no SQL oracle (Gibbs LTM, the fake-codec multimodal
 # stub) are pinned to the very END of the dict so they never burn a slot.
-_DRIVER_WINDOW = [
+# Round-5 rotation: 15 PERMANENT §2-core slots (the fusion family +
+# extract/link/assemble/dedup/ER/metrics) followed by 35 FIRST-TIME
+# entries — queries with full DuckDB oracles that never had an official
+# CORRECTNESS row in rounds 1-4 (93 names had appeared; 99 had not).
+# History of which names have held an official slot lives in
+# tools/window_history.py (regenerated from CORRECTNESS_r0*.json).
+_PERMANENT_CORE = [
     "kg_extract_mentions",
     "kg_link_canon_claims",
     "kg_assemble_conversations",
     "kg_dedup_claims",
     "kg_fuse_voting",
-    "kg_voting_salted",
-    "kg_property_graph",
     "kg_fuse_crh",
     "kg_fuse_truthfinder",
     "kg_fuse_accu",
-    "kg_fuse_slimfast",
     "kg_fuse_catd",
     "kg_fuse_gtm",
     "kg_fuse_kdem",
+    "kg_fuse_slimfast",
     "kg_multi_truth",
-    "kg_ltm_negatives",
-    "kg_weights_crh",
-    "kg_fact_history",
-    "kg_kcore",
     "kg_metrics_crh",
-    "sft_pairs",
     "kg_entity_resolution",
-    "kg_fuse_voting_resolved",
-    "kg_pagerank",
-    "kg_bucketize_claims",
-    "kg_entity_cooccurrence",
-    "kg_truth_asof",
-    "kg_provenance",
-    "kg_conflict_profile",
-    "dedup_exact_docs",
-    "minhash_pairs_synth",
-    "minhash_clusters_synth",
-    "simhash_pairs",
-    "semantic_dedup",
-    "line_dedup_synth",
-    "substring_dedup",
-    "dedup_incremental_synth",
-    "decontaminate",
-    "doc_fingerprint",
-    "dsir_weights",
-    "dsir_select",
-    "source_median_gate",
-    "lang_id",
-    "token_pack",
-    "bpe_train",
-    "doc_curation",
-    "pretrain_dataset",
-    "ann_topk",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
 ]
+_ROUND5_ROTATION = [
+    # round-4 flagship wave, never officially checked
+    "sft_dataset",
+    "dpo_pairs",
+    "span_corruption",
+    "bm25_topk",
+    "hybrid_search",
+    "ann_pq_topk",
+    "ann_late_interaction",
+    "ann_filtered_topk",
+    "ann_rrf",
+    "kg_voting_incremental",
+    "kg_snapshot_diff",
+    "embedding_quantize",
+    "histogram_quantiles",
+    "kg_fd_mining",
+    "re_training_pairs",
+    # tokenizer / training-mix family
+    "bpe_encode",
+    "length_bucket_batches",
+    "mixture_schedule",
+    "token_budget_sample",
+    "dataset_card",
+    # KG temporal/audit analytics
+    "kg_voting_recency",
+    "kg_timely_accuracy",
+    "kg_recent_changes",
+    "kg_dangling_refs",
+    "kg_key_discovery",
+    # graph analytics beyond pagerank/kcore
+    "kg_rule_inference",
+    "kg_khop",
+    "kg_triangles",
+    "kg_pagerank_pers",
+    "kg_link_candidates",
+    # profiling / curation / joins
+    "tfidf_terms",
+    "pii_redact",
+    "quality_classify",
+    "events_range_join",
+    "q10_returned_items",
+]
+_DRIVER_WINDOW = _PERMANENT_CORE + _ROUND5_ROTATION
 
 # Permanently oracle-less entries (documented: PCG64 Gibbs sampling and the
 # fake-codec environment stub are not SQL-expressible) — always last.
