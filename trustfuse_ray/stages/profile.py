@@ -815,14 +815,12 @@ def pmi_top_bigrams(docs, k: int = 20, min_count: int = 5,
             "a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
             "n_ab": pa.array([], pa.int64()),
             "score": pa.array([], pa.int64())}))
-    cand_tokens = set(cand["a"]) | set(cand["b"])
-    tok_ref = ray.put(cand_tokens)
+    cand_tokens = sorted(set(cand["a"]) | set(cand["b"]))
+    tok_ref = ray.put(pa.array(cand_tokens, pa.string()))
 
     def _filter_uni(batch: pa.Table) -> pa.Table:
         cands = ray.get(tok_ref)  # zero-copy local plasma read
-        keep = pa.array([t in cands
-                         for t in batch["token"].to_pylist()])
-        return batch.filter(keep)
+        return batch.filter(pc.is_in(batch["token"], value_set=cands))
 
     uni = (uni_partial.map_batches(_filter_uni, batch_format="pyarrow",
                                    zero_copy_batch=True)
@@ -1481,24 +1479,30 @@ def bm25_topk(docs, terms: tuple[str, ...], k: int = 20,
     tiny global (N, total_words, df) aggregates; pass 2 scores
     streaming with the broadcast scalars; the top-k is a distributed
     sort+limit."""
-    import re
-
     terms = tuple(terms)
 
     def _stats(batch: pa.Table) -> pa.Table:
-        ids, lens = [], []
-        tfs = {t: [] for t in terms}
-        for did, tx in zip(batch[id_col].to_pylist(),
-                           batch[text_col].to_pylist()):
-            toks = [w for w in re.split(r"\s+", (tx or "").strip()) if w]
-            ids.append(did)
-            lens.append(len(toks))
-            for t in terms:
-                tfs[t].append(sum(1 for w in toks if w == t))
-        cols = {id_col: pa.array(ids, batch[id_col].type),
-                "len": pa.array(lens, pa.int64())}
+        # fully vectorized: Arrow split → flat token array + doc index via
+        # np.repeat; per-doc lengths and per-term tfs are bincounts over
+        # boolean masks (same kernel shape as _uni_partial above)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+            _SPLIT_RX)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nlist = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        nlist = np.nan_to_num(nlist.astype(np.float64)).astype(np.int64)
+        docix = np.repeat(np.arange(len(toks), dtype=np.int64), nlist)
+        flat = toks.flatten()
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        lens = np.bincount(docix[nonempty], minlength=len(toks))
+        cols = {id_col: batch[id_col],
+                "len": pa.array(lens.astype(np.int64), pa.int64())}
         for j, t in enumerate(terms):
-            cols[f"tf{j}"] = pa.array(tfs[t], pa.int64())
+            m = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            cols[f"tf{j}"] = pa.array(
+                np.bincount(docix[m], minlength=len(toks)).astype(np.int64),
+                pa.int64())
         return pa.table(cols)
 
     stats = docs.select_columns([id_col, text_col]).map_batches(
@@ -1546,15 +1550,23 @@ def lang_distribution(docs, text_col: str = "text"):
     whitespace-token total — the distribution slice of the dataset card.
     One streaming pass of per-block (lang, docs, words) partials; the
     rollup groupby is bounded by the language label set."""
-    import re
 
     def _partial(batch: pa.Table) -> pa.Table:
-        langs = [x or "" for x in batch["lang"].to_pylist()]
-        words = [len([w for w in re.split(r"\s+", (t or "").strip())
-                      if w]) for t in batch[text_col].to_pylist()]
-        t = pa.table({"lang": pa.array(langs, pa.string()),
-                      "n_docs": pa.array(np.ones(len(langs), np.int64)),
-                      "n_words": pa.array(np.asarray(words, np.int64))})
+        langs = pc.fill_null(batch["lang"].cast(pa.string()), "")
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+            _SPLIT_RX)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nlist = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        nlist = np.nan_to_num(nlist.astype(np.float64)).astype(np.int64)
+        docix = np.repeat(np.arange(len(toks), dtype=np.int64), nlist)
+        nonempty = pc.not_equal(
+            toks.flatten(), "").to_numpy(zero_copy_only=False)
+        words = np.bincount(docix[nonempty], minlength=len(toks))
+        t = pa.table({"lang": langs,
+                      "n_docs": pa.array(np.ones(len(batch), np.int64)),
+                      "n_words": pa.array(words.astype(np.int64))})
         return (t.group_by(["lang"])
                 .aggregate([("n_docs", "sum"), ("n_words", "sum")])
                 .rename_columns(["lang", "n_docs", "n_words"]))
