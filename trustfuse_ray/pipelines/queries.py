@@ -5762,7 +5762,8 @@ GROUP BY 1, 2""",
         "conversation_dedup": f"""
 WITH a AS (
   SELECT conv_id,
-         md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS fp
+         md5(string_agg(md5(coalesce(text, '')), chr(10)
+                        ORDER BY turn_idx)) AS fp
   FROM read_parquet('{cache}/transcripts/*.parquet')
   GROUP BY 1
 )
@@ -6140,7 +6141,8 @@ FROM p GROUP BY 1 HAVING count(*) >= 2""",
         "sft_dataset": f"""
 WITH tr AS (SELECT * FROM read_parquet('{cache}/transcripts/*.parquet')),
 asm AS (
-  SELECT conv_id, md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS fp
+  SELECT conv_id, md5(string_agg(md5(coalesce(text, '')), chr(10)
+                                 ORDER BY turn_idx)) AS fp
   FROM tr GROUP BY 1),
 win AS (
   SELECT conv_id FROM (
