@@ -74,6 +74,9 @@ def _counts_per_attr(flags) -> list[dict]:
     per_attr = (tuples.map_batches(_contrib, batch_format="pyarrow")
                 .groupby(["bucket_id", "attr"])
                 .sum(["tp", "fp", "tn", "fn", "gt_n", "hit"]))
+    # the groupby.sum above IS the tree aggregation — what reaches the
+    # driver here is one row per (bucket, attr), the same cardinality as
+    # the metrics dict being built
     return per_attr.take_all()
 
 
@@ -127,24 +130,51 @@ def get_metrics(triples, gt, claims,
     flags = gt_f.union(it_f).union(dpp_f)
     rows = _counts_per_attr(flags)
 
-    # specificity needs the IT−GT split per attr: reuse the tuple table
+    # specificity needs the IT−GT split per attr.  The tuple table is
+    # unbounded (one row per distinct claimed tuple), so the per-tuple
+    # contributions are computed INSIDE map_batches against the broadcast
+    # partial-order dict and tree-summed to (bucket, attr) — only that
+    # bounded rollup reaches the driver.
     spec_rows = None
     if partial_orders:
+        import ray as _ray
+
+        po_ref = _ray.put(partial_orders)
+        neg = specificity_mode == "negative"
+
+        def _spec_contrib(batch: pa.Table) -> pa.Table:
+            po_all = _ray.get(po_ref)
+            b = batch.filter(pc.equal(batch["max(it)"], 1))
+            g = np.asarray(b["max(gt)"], dtype=bool)
+            attrs = b["attr"].to_pylist()
+            vals = b["value"].to_pylist()
+            spec = np.zeros(len(b), np.float64)
+            nord = np.zeros(len(b), np.int64)
+            for i, (a, v) in enumerate(zip(attrs, vals)):
+                if not g[i]:
+                    if neg:
+                        spec[i] = -1.0
+                    continue
+                po = po_all.get(a)
+                if po is not None and v in po:
+                    spec[i] = po[v]
+                    nord[i] = 1
+            return pa.table({
+                "bucket_id": b["bucket_id"], "attr": b["attr"],
+                "spec": pa.array(spec), "n_ord": pa.array(nord),
+                "seen": pa.array(np.ones(len(b), np.int64))})
+
         tuples = flags.groupby(["bucket_id", "attr", "entity", "value"]).max(
-            ["gt", "it"]).take_all()
+            ["gt", "it"])
+        agg = (tuples.map_batches(_spec_contrib, batch_format="pyarrow")
+               .groupby(["bucket_id", "attr"])
+               .sum(["spec", "n_ord", "seen"]).take_all())
         spec_acc: dict[tuple, list] = {}
-        for t in tuples:
-            if not t["max(it)"]:
+        for t in agg:
+            if not t["sum(seen)"]:
                 continue
-            key = (t["bucket_id"], t["attr"])
-            po = partial_orders.get(t["attr"])
-            s = spec_acc.setdefault(key, [0.0, 0])  # [specificity, n_ordered]
-            if not t["max(gt)"]:
-                if specificity_mode == "negative":
-                    s[0] -= 1.0
-            elif po is not None and t["value"] in po:
-                s[0] += po[t["value"]]
-                s[1] += 1
+            spec_acc[(t["bucket_id"], t["attr"])] = [
+                float(t["sum(spec)"]), int(t["sum(n_ord)"])]
         spec_rows = spec_acc
 
     metrics = {"buckets": {}}
@@ -214,6 +244,28 @@ def get_metrics(triples, gt, claims,
     return metrics
 
 
+def _attr_runs(batch: pa.Table):
+    """(attrs, err-chunks) for one (attr, err) batch: group the batch's
+    error values by attr vectorized (sort + run boundaries)."""
+    if len(batch) == 0:
+        return [], []
+    g = batch.take(pc.sort_indices(batch, sort_keys=[("attr", "ascending")]))
+    attr = g["attr"]
+    if isinstance(attr, pa.ChunkedArray):
+        attr = attr.combine_chunks()
+    codes = pc.dictionary_encode(attr).indices.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n = len(codes)
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], n)
+    errs = np.asarray(g["err"], dtype=np.float64)
+    attrs = attr.take(pa.array(starts, pa.int64())).to_pylist()
+    return attrs, [errs[s:e] for s, e in zip(starts, ends)]
+
+
 def compute_mnad(triples, gt, attribute_types: dict[str, str]) -> float | None:
     """Mean Normalized Absolute Distance for quantity attributes
     (evaluation.py:355-385 semantics: per attr, MAE of GT vs fused values on
@@ -234,8 +286,14 @@ def compute_mnad(triples, gt, attribute_types: dict[str, str]) -> float | None:
     import ray
 
     qattrs = [a for a, t in attribute_types.items() if t == "quantity"]
-    g_tbl = pa.Table.from_pylist(
-        gt.select_columns(["entity", "attr", "value_num"]).take_all())
+    # GT is curated/small by construction — gather its Arrow blocks
+    # zero-copy (no per-row dict conversion) to build the broadcast table
+    g_blocks = [t for t in ray.get(
+        gt.select_columns(["entity", "attr", "value_num"]).to_arrow_refs())
+        if t.num_rows]
+    g_tbl = (pa.concat_tables(g_blocks) if g_blocks
+             else pa.schema([("entity", pa.string()), ("attr", pa.string()),
+                             ("value_num", pa.float64())]).empty_table())
     if len(g_tbl) == 0 or not qattrs:
         return None
     g_tbl = g_tbl.filter(
@@ -258,15 +316,19 @@ def compute_mnad(triples, gt, attribute_types: dict[str, str]) -> float | None:
         err = pc.abs(pc.subtract(j["gv"], j["fv"]))
         return pa.table({"attr": j["attr"], "err": err})
 
-    rows = (triples.select_columns(["entity", "attr", "value_num"])
-            .map_batches(_errs, batch_format="pyarrow", zero_copy_batch=True)
-            .take_all())
+    err_ds = (triples.select_columns(["entity", "attr", "value_num"])
+              .map_batches(_errs, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    # the error stream is |GT|-bounded (see docstring); accumulate it as
+    # numpy arrays per attr from Arrow batches — the exact sorted two-pass
+    # np.var (incl. the var == 0 → plain-MAE branch) needs the raw errors
     by_attr: dict[str, list] = {}
-    for r in rows:
-        by_attr.setdefault(r["attr"], []).append(r["err"])
+    for b in err_ds.iter_batches(batch_format="pyarrow"):
+        for a, chunk in zip(*_attr_runs(b)):
+            by_attr.setdefault(a, []).append(chunk)
     mae_tot, n_attr = 0.0, 0
-    for errs in by_attr.values():
-        err = np.sort(np.asarray(errs, dtype=np.float64))  # deterministic
+    for chunks in by_attr.values():
+        err = np.sort(np.concatenate(chunks)) if chunks else np.array([])
         if err.size == 0:
             continue
         mae = float(np.mean(err))
