@@ -326,9 +326,120 @@ def run_ours_wikiconflict(model_name: str):
     return ours
 
 
+def run_reference_ltm(spec: dict, k: int, max_itr: int) -> list[set]:
+    """k independent reference-LTM chains (the reference's Gibbs sampler is
+    unseeded, ltm.py:81-83 — seeding the global ``random`` per run gives k
+    reproducible draws from the same run-to-run distribution).  Returns one
+    (entity, attr, value) multi-truth set per run."""
+    _stub_reference_deps()
+    sys.path.insert(0, REF)
+    import random
+
+    from trustfuse.conflicting_dataset.dataset import StaticDataset
+    from trustfuse.models.ltm import LTM as RefLTM
+
+    class _P:
+        @staticmethod
+        def tqdm(it, *a, **kw):
+            return it
+
+    headers_gt = spec.get("headers_gt") or [h for h in spec["headers"]
+                                            if h != "Source"]
+    runs: list[set] = []
+    for i in range(k):
+        random.seed(7_000 + 97 * i)
+        ds = StaticDataset(spec["folder"],
+                           headers=(spec["headers"], headers_gt),
+                           entity_col_name=spec["entity_col"],
+                           attribute_types=spec["attr_types"])
+        ds.apply_data_preprocessing(spec["config_ref"], progress=_P)
+        ds.apply_metadata_preprocessing(spec["config_ref"], progress=_P)
+        model = RefLTM(ds, progress=_P, max_itr=max_itr)
+        triple_set: set = set()
+        for bid, inputs in model.model_input.items():
+            results = model.fuse(ds, bid, inputs, progress=_P)
+            for e, attrs in results[bid]["truth"].items():
+                for a, vals in attrs.items():
+                    for v in (vals or []):
+                        if v is None:
+                            continue
+                        e2 = ((str(e).lstrip("0") or "0")
+                              if str(e).isdigit() else str(e))
+                        triple_set.add((e2, a, str(v)))
+        runs.append(triple_set)
+    return runs
+
+
+def run_ours_ltm(spec: dict, max_itr: int) -> set:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 log_to_driver=False)
+    from trustfuse_ray.fuse.ltm import run_ltm
+    from trustfuse_ray.sources.static import melt_to_claims, read_static_tsv
+    from trustfuse_ray.stages.preprocess import (apply_preprocessing,
+                                                 focus_attributes)
+
+    attrs = [h for h in spec["headers"]
+             if h not in ("Source", spec["entity_col"])]
+    wide = read_static_tsv(os.path.join(spec["folder"], "conflicting_data"),
+                           spec["headers"])
+    claims = melt_to_claims(wide, entity_col=spec["entity_col"], attrs=attrs,
+                            attribute_types=spec["attr_types"])
+    claims = apply_preprocessing(claims, spec["config_ours"],
+                                 attr_types=spec["attr_types"])
+    if spec["focus"]:
+        claims = focus_attributes(claims, attributes=spec["focus"])
+    triples = run_ltm(claims, max_itr=max_itr)
+    out: set = set()
+    for r in triples.take_all():
+        e = r["entity"]
+        e = (e.lstrip("0") or "0") if e.isdigit() else e
+        out.add((e, r["attr"], r["value_str"]))
+    return out
+
+
+def _jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b) if (a | b) else 1.0
+
+
+def ltm_statistical_parity(ds_name: str, k: int = 5,
+                           max_itr: int = 100) -> None:
+    """The reference's Gibbs is unseeded, so assert DISTRIBUTIONAL
+    agreement: our (seeded, deterministic) multi-truth set must sit inside
+    the reference's own run-to-run Jaccard variance band."""
+    spec = dict(DATASETS[ds_name])
+    if ds_name == "flight":
+        spec["folder"] = _flight_subset()
+    refs = run_reference_ltm(spec, k=k, max_itr=max_itr)
+    ours = run_ours_ltm(spec, max_itr=max_itr)
+    ref_ref = [_jaccard(refs[i], refs[j])
+               for i in range(k) for j in range(i + 1, k)]
+    ours_ref = [_jaccard(ours, r) for r in refs]
+    import numpy as np
+    band_lo = float(min(ref_ref))
+    verdict = "pass" if float(np.mean(ours_ref)) >= band_lo - 0.02 else "FAIL"
+    print(json.dumps({
+        "model": "LTM", "dataset": ds_name, "runs": k, "max_itr": max_itr,
+        "ref_ref_jaccard": {"min": band_lo,
+                            "mean": float(np.mean(ref_ref)),
+                            "max": float(max(ref_ref))},
+        "ours_ref_jaccard": {"min": float(min(ours_ref)),
+                             "mean": float(np.mean(ours_ref)),
+                             "max": float(max(ours_ref))},
+        "ours_facts": len(ours),
+        "ref_facts": [len(r) for r in refs],
+        "verdict": verdict,
+    }))
+
+
 def main():
     model_name = sys.argv[1] if len(sys.argv) > 1 else "CRH"
     ds_name = sys.argv[2] if len(sys.argv) > 2 else "book"
+    if model_name == "LTM":
+        ltm_statistical_parity(ds_name)
+        return
     if ds_name == "wikiconflict":
         ref = run_reference_wikiconflict(model_name)
         ours = run_ours_wikiconflict(model_name)

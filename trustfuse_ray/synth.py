@@ -58,7 +58,11 @@ N_CONV_BY_SF = {"sf0.001": 160, "sf0.01": 1600, "sf0.1": 128000,
                 # larger corpora for the scaling bench (synthesized to /tmp;
                 # the N→4N criterion measures the regime where per-node work
                 # dominates fixed cost, which sf0.1's ~85 CPU-seconds cannot)
-                "sf0.2": 256000, "sf0.4": 512000}
+                "sf0.2": 256000, "sf0.4": 512000,
+                # 10× the bench corpus: the one-off superlinearity probe
+                # (VERDICT r4 #6) — confirms the linear walls observed
+                # sf0.2→sf0.4 hold another 2.5×
+                "sf1.0": 1280000}
 FILLERS = (
     "Let me check that for you",
     "Here is what I found",
@@ -245,7 +249,8 @@ def generate(sf_dir: str, root: str = "/tmp/trustfuse_ray_data",
     return out
 
 
-N_DOCS_BY_SF = {"sf0.001": 1000, "sf0.01": 5000, "sf0.1": 40000}
+N_DOCS_BY_SF = {"sf0.001": 1000, "sf0.01": 5000, "sf0.1": 40000,
+                "sf0.2": 80000, "sf0.4": 160000, "sf1.0": 400000}
 
 
 def generate_documents(sf_dir: str, root: str = "/tmp/trustfuse_ray_data",
