@@ -1149,6 +1149,19 @@ def q_multimodal_features_long(sf_dir: str):
                              concurrency=(1, 4))
 
 
+def q_multimodal_png_features(sf_dir: str):
+    """REAL image decode gate: documents → deterministic grayscale PNGs
+    (pure-stdlib encoder, functions/png.py) → actor-pool PNG decode →
+    integer pixel statistics.  The oracle recomputes width/height/px_sum/
+    px_nonzero straight from the generating text, so a hash match proves
+    the full PNG encode→DEFLATE→decode→unfilter path bit-exact."""
+    from trustfuse_ray.stages.multimodal import (png_features,
+                                                 synth_png_media_from_docs)
+
+    media = synth_png_media_from_docs(_tbl(sf_dir, "documents"))
+    return png_features(media)
+
+
 def q_multimodal_dedup(sf_dir: str):
     """Media content-hash dedup: md5 of the decoded payload body (binary
     plumbing real; duplicates keep the smallest media_id)."""
@@ -2744,7 +2757,7 @@ _ROUND5_ROTATION = [
     "tfidf_terms",
     "pii_redact",
     "quality_classify",
-    "events_range_join",
+    "multimodal_png_features",
     "q10_returned_items",
 ]
 _DRIVER_WINDOW = _PERMANENT_CORE + _ROUND5_ROTATION
@@ -2912,6 +2925,7 @@ def _all_queries():
         "events_table_profile": q_events_table_profile,
         "kg_truth_timeline": q_kg_truth_timeline,
         "multimodal_dedup": q_multimodal_dedup,
+        "multimodal_png_features": q_multimodal_png_features,
         "conversation_near_dups": q_conversation_near_dups,
         "kg_degree_histogram": q_kg_degree_histogram,
         "source_divergence": q_source_divergence,
@@ -4313,6 +4327,23 @@ SELECT h.media_id, CAST(i AS INT) AS dim_idx,
 FROM h, range(0, 16) r(i)
 JOIN hexmap lo ON lo.hh = substr(h.hx, CAST(4*i+1 AS INT), 2)
 JOIN hexmap hi ON hi.hh = substr(h.hx, CAST(4*i+3 AS INT), 2)""",
+        "multimodal_png_features": """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS len
+  FROM documents),
+g AS (
+  SELECT doc_id, t, len,
+         16 + len % 17 AS w, 16 + len % 13 AS h
+  FROM d)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(coalesce(list_sum(list_transform(
+             range(1, CAST(least(len, w * h) AS BIGINT) + 1),
+             i -> ascii(substr(t, CAST(i AS BIGINT), 1)))), 0)
+            AS BIGINT) AS px_sum,
+       CAST(least(len, w * h) AS BIGINT) AS px_nonzero
+FROM g""",
         "multimodal_dedup": """
 WITH a AS (
   SELECT doc_id AS media_id, md5(coalesce(text, '')) AS fp
