@@ -2941,6 +2941,8 @@ def _all_queries():
         "events_rolling_active": q_events_rolling_active,
         "q3_shipping_priority": q3_shipping_priority,
         "q10_returned_items": q10_returned_items,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q18_large_volume_customer": q18_large_volume_customer,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -4998,6 +5000,28 @@ SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name,
 FROM pcu JOIN customer c ON pcu.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 ORDER BY pcu.rev_fx DESC, pcu.o_custkey LIMIT 20""",
+        "q6_forecast_revenue": f"""
+SELECT sum(CAST(round(l_extendedprice * l_discount * {Q1_SCALE})
+                AS BIGINT)) / {Q1_SCALE}.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+        "q18_large_volume_customer": f"""
+WITH q AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_quantity * {Q1_SCALE}) AS BIGINT)) AS qty_fx
+  FROM lineitem GROUP BY 1
+  HAVING sum(CAST(round(l_quantity * {Q1_SCALE}) AS BIGINT))
+         > 250 * {Q1_SCALE})
+SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       CAST(o.o_orderkey AS BIGINT) AS o_orderkey, o.o_orderdate,
+       o.o_totalprice, q.qty_fx / {Q1_SCALE}.0 AS total_qty
+FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey LIMIT 100""",
         "q3_shipping_priority": f"""
 SELECT l_orderkey,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
@@ -6863,6 +6887,108 @@ def q10_returned_items(sf_dir: str):
                                  pa.scalar(float(Q1_SCALE))),
             "c_acctbal": batch["c_acctbal"].cast(pa.float64()),
             "n_name": pa.array([nmap.get(k) for k in nk], pa.string())})
+
+    return top.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape: one-row filtered aggregate (the cheapest possible
+    query at 100 TB IF the read is pruned).  Only the four needed columns
+    leave storage; each block reduces to a single fixed-point partial row,
+    so the "shuffle" moves one row per block.  No joins, no broadcast."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    lo, hi = datetime(1996, 1, 1), datetime(1997, 1, 1)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                    pc.less(batch["l_shipdate"], pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(batch["l_discount"],
+                                         pa.scalar(0.05)),
+                        pc.less_equal(batch["l_discount"],
+                                      pa.scalar(0.07))),
+                pc.less(batch["l_quantity"], pa.scalar(24.0))))
+        t = batch.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        fx = pc.cast(pc.round(
+            pc.multiply(rev, pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        s = pc.sum(fx).as_py() or 0
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "rev_fx": pa.array([s], pa.int64()),
+                         "n_lines": pa.array([len(t)], pa.int64())})
+
+    agg = (_tbl(sf_dir, "lineitem")
+           .select_columns(["l_shipdate", "l_discount", "l_quantity",
+                            "l_extendedprice"])
+           .map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("k").sum(["rev_fx", "n_lines"]))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue": pc.divide(
+                batch["sum(rev_fx)"].cast(pa.float64()),
+                pa.scalar(float(Q1_SCALE))),
+            "n_lines": batch["sum(n_lines)"].cast(pa.int64())})
+
+    return agg.map_batches(_finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q18_large_volume_customer(sf_dir: str):
+    """TPC-H Q18 shape: top-100 large-volume orders (HAVING on a grouped
+    sum, then two hash joins).  Quantity sums are map-side fixed-point
+    partials per orderkey, so the groupby exchange carries ≤ #orders rows
+    per block; the HAVING filter (> 250) runs BEFORE the joins, shrinking
+    the probe side to the rare heavy orders.  Tie-break (o_totalprice
+    desc, o_orderdate, o_orderkey) makes the limit deterministic."""
+    import pyarrow.compute as pc
+
+    thresh = 250 * Q1_SCALE
+
+    def _qty_partial(batch: pa.Table) -> pa.Table:
+        fx = pc.cast(pc.round(
+            pc.multiply(batch["l_quantity"], pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "qty_fx": fx})
+        return (pa.TableGroupBy(t, "l_orderkey", use_threads=False)
+                .aggregate([("qty_fx", "sum")])
+                .rename_columns(["l_orderkey", "qty_fx"]))
+
+    heavy = (_tbl(sf_dir, "lineitem")
+             .select_columns(["l_orderkey", "l_quantity"])
+             .map_batches(_qty_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("l_orderkey").sum("qty_fx")
+             .rename_columns({"sum(qty_fx)": "qty_fx"})
+             .filter(expr=f"qty_fx > {thresh}"))
+
+    orders = _tbl(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    ho = heavy.join(orders, join_type="inner", num_partitions=8,
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = _tbl(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_name"])
+    joined = ho.join(cust, join_type="inner", num_partitions=8,
+                     on=("o_custkey",), right_on=("c_custkey",))
+    top = joined.sort(["o_totalprice", "o_orderdate", "l_orderkey"],
+                      descending=[True, False, False]).limit(100)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_name": batch["c_name"].cast(pa.string()),
+            "c_custkey": batch["o_custkey"].cast(pa.int64()),
+            "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "o_orderdate": batch["o_orderdate"],
+            "o_totalprice": batch["o_totalprice"].cast(pa.float64()),
+            "total_qty": pc.divide(batch["qty_fx"].cast(pa.float64()),
+                                   pa.scalar(float(Q1_SCALE)))})
 
     return top.map_batches(_shape, batch_format="pyarrow",
                            zero_copy_batch=True)
