@@ -2943,6 +2943,10 @@ def _all_queries():
         "q10_returned_items": q10_returned_items,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_volume_customer": q18_large_volume_customer,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -5022,6 +5026,58 @@ SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
 FROM q JOIN orders o ON q.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey LIMIT 100""",
+        "q15_top_supplier": f"""
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
+                  AS BIGINT)) AS rev_fx
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY 1)
+SELECT CAST(r.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       r.rev_fx / {Q1_SCALE}.0 AS total_revenue
+FROM r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+WHERE r.rev_fx = (SELECT max(rev_fx) FROM r)""",
+        "q16_supplier_cnt": """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#45' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+GROUP BY 1, 2, 3""",
+        "q19_disjunctive_revenue": f"""
+SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
+                AS BIGINT)) / {Q1_SCALE}.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)""",
+        "q22_global_sales_opportunity": f"""
+WITH gate AS (
+  SELECT sum(CAST(round(c_acctbal * {Q1_SCALE}) AS BIGINT)) AS sum_fx,
+         count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0),
+rich AS (
+  SELECT c_custkey, c_nationkey, c_acctbal
+  FROM customer, gate
+  WHERE CAST(round(c_acctbal * {Q1_SCALE}) AS BIGINT) * gate.n_pos
+        > gate.sum_fx),
+inactive AS (
+  SELECT * FROM rich c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       sum(CAST(round(c_acctbal * {Q1_SCALE}) AS BIGINT)) / {Q1_SCALE}.0
+         AS totacctbal
+FROM inactive GROUP BY 1""",
         "q3_shipping_priority": f"""
 SELECT l_orderkey,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
@@ -6991,4 +7047,261 @@ def q18_large_volume_customer(sf_dir: str):
                                    pa.scalar(float(Q1_SCALE)))})
 
     return top.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape: the supplier(s) with max revenue in one quarter —
+    the scalar-subquery-max surface.  Lineitem reduces map-side to
+    per-supplier fixed-point partials (the exchange carries ≤ #suppliers
+    rows per block); the per-supplier total is small BY SPEC (supplier is
+    ~1e-5 × lineitem), so the max is taken driver-side on that tiny
+    aggregate and pushed back as a filter.  Ties all survive, like the
+    spec's WHERE total = (SELECT max...)."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    lo, hi = datetime(1996, 1, 1), datetime(1996, 4, 1)
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"])
+    skeys = supp["s_suppkey"].combine_chunks()
+    snames = supp["s_name"].combine_chunks()
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                       pc.less(batch["l_shipdate"], pa.scalar(hi)))
+        t = batch.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        fx = pc.cast(pc.round(
+            pc.multiply(rev, pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        p = pa.table({"s_suppkey": t["l_suppkey"], "rev_fx": fx})
+        return (pa.TableGroupBy(p, "s_suppkey", use_threads=False)
+                .aggregate([("rev_fx", "sum")])
+                .rename_columns(["s_suppkey", "rev_fx"]))
+
+    per_supp = (_tbl(sf_dir, "lineitem")
+                .select_columns(["l_suppkey", "l_shipdate",
+                                 "l_extendedprice", "l_discount"])
+                .map_batches(_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("s_suppkey").sum("rev_fx")
+                .rename_columns({"sum(rev_fx)": "rev_fx"}))
+    best = per_supp.max("rev_fx")  # scalar over the tiny per-supplier agg
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        names = pc.take(snames, pc.index_in(batch["s_suppkey"],
+                                            value_set=skeys))
+        return pa.table({
+            "s_suppkey": batch["s_suppkey"].cast(pa.int64()),
+            "s_name": names,
+            "total_revenue": pc.divide(batch["rev_fx"].cast(pa.float64()),
+                                       pa.scalar(float(Q1_SCALE)))})
+
+    return (per_supp.filter(expr=f"rev_fx == {best}")
+            .map_batches(_shape, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def q16_supplier_cnt(sf_dir: str):
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    — the COUNT(DISTINCT) surface.  The part→supplier relation comes from
+    lineitem (this corpus has no partsupp); distinct (partkey, suppkey)
+    pairs collapse map-side BEFORE the join, then one hash join re-keys
+    them to part attributes and a second distinct collapse per attr group
+    feeds the count.  Exclusions (one brand, one type, size set) are
+    filters at the part read."""
+    import pyarrow.compute as pc
+
+    sizes = pa.array([1, 4, 9, 14, 23, 36, 45, 49], pa.int32())
+
+    def _part_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.not_equal(batch["p_brand"], "Brand#45"),
+                    pc.not_equal(batch["p_type"], "PROMO")),
+            pc.is_in(pc.cast(batch["p_size"], pa.int32()),
+                     value_set=sizes))
+        return batch.filter(keep).select(
+            ["p_partkey", "p_brand", "p_type", "p_size"])
+
+    def _ps_distinct(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": batch["l_partkey"],
+                      "l_suppkey": batch["l_suppkey"]})
+        return (pa.TableGroupBy(t, ["l_partkey", "l_suppkey"],
+                                use_threads=False)
+                .aggregate([]))
+
+    part = _tbl(sf_dir, "part").map_batches(
+        _part_filter, batch_format="pyarrow", zero_copy_batch=True)
+    ps = (_tbl(sf_dir, "lineitem")
+          .select_columns(["l_partkey", "l_suppkey"])
+          .map_batches(_ps_distinct, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby(["l_partkey", "l_suppkey"]).count()
+          .drop_columns(["count()"]))
+    joined = ps.join(part, join_type="inner", num_partitions=8,
+                     on=("l_partkey",), right_on=("p_partkey",))
+    # distinct (brand, type, size, suppkey) then count per attr group
+    dist = (joined.groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+            .count().drop_columns(["count()"]))
+
+    def _cnt_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"p_brand": batch["p_brand"],
+                      "p_type": batch["p_type"],
+                      "p_size": pc.cast(batch["p_size"], pa.int64()),
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(t, ["p_brand", "p_type", "p_size"],
+                                use_threads=False)
+                .aggregate([("n", "sum")])
+                .rename_columns(["p_brand", "p_type", "p_size", "n"]))
+
+    return (dist.map_batches(_cnt_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby(["p_brand", "p_type", "p_size"]).sum("n")
+            .rename_columns({"sum(n)": "supplier_cnt"}))
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """TPC-H Q19 shape: revenue under a 3-arm disjunctive predicate that
+    spans BOTH join sides (brand+size from part, quantity from lineitem).
+    The part side prunes to the three brands before the hash join; the
+    disjunction evaluates vectorized post-join; one fixed-point one-row
+    aggregate comes back."""
+    import pyarrow.compute as pc
+
+    brands = pa.array(["Brand#12", "Brand#23", "Brand#34"])
+
+    def _part_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.is_in(batch["p_brand"], value_set=brands)).select(
+            ["p_partkey", "p_brand", "p_size"])
+
+    part = _tbl(sf_dir, "part").map_batches(
+        _part_filter, batch_format="pyarrow", zero_copy_batch=True)
+    li = _tbl(sf_dir, "lineitem").select_columns(
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+    joined = li.join(part, join_type="inner", num_partitions=8,
+                     on=("l_partkey",), right_on=("p_partkey",))
+
+    def _arm(batch, brand, smax, qlo, qhi):
+        return pc.and_(
+            pc.and_(pc.equal(batch["p_brand"], brand),
+                    pc.and_(pc.greater_equal(batch["p_size"], 1),
+                            pc.less_equal(batch["p_size"], smax))),
+            pc.and_(pc.greater_equal(batch["l_quantity"],
+                                     pa.scalar(float(qlo))),
+                    pc.less_equal(batch["l_quantity"],
+                                  pa.scalar(float(qhi)))))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = pc.or_(pc.or_(_arm(batch, "Brand#12", 15, 1, 11),
+                             _arm(batch, "Brand#23", 25, 10, 20)),
+                      _arm(batch, "Brand#34", 35, 20, 30))
+        t = batch.filter(keep)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        fx = pc.cast(pc.round(
+            pc.multiply(rev, pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        s = pc.sum(fx).as_py() or 0
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "rev_fx": pa.array([s], pa.int64()),
+                         "n_lines": pa.array([len(t)], pa.int64())})
+
+    agg = (joined.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("k").sum(["rev_fx", "n_lines"]))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue": pc.divide(batch["sum(rev_fx)"].cast(pa.float64()),
+                                 pa.scalar(float(Q1_SCALE))),
+            "n_lines": batch["sum(n_lines)"].cast(pa.int64())})
+
+    return agg.map_batches(_finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q22_global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape: per-nation count + balance of rich-but-inactive
+    customers — the scalar-AVG subquery + NOT EXISTS surface.  The AVG
+    gate is evaluated as an exact integer cross-multiply
+    (acctbal_fx * n_pos > sum_fx) so no float average ever exists; the
+    NOT EXISTS is the distributed anti semi-join against orders placed
+    on/after 2000-01-01 (the corpus keeps every customer active over its
+    full span, so the window makes the predicate non-trivial)."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.joins import semi_join
+
+    cust = _tbl(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    # exact scalar subquery: sum + count of positive balances in micro-units
+    def _avg_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["c_acctbal"], pa.scalar(0.0)))
+        fx = pc.cast(pc.round(
+            pc.multiply(t["c_acctbal"], pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "sum_fx": pa.array([pc.sum(fx).as_py() or 0],
+                                            pa.int64()),
+                         "n_pos": pa.array([len(t)], pa.int64())})
+
+    gate = (cust.map_batches(_avg_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("k").sum(["sum_fx", "n_pos"]).take_all())
+    sum_fx = int(gate[0]["sum(sum_fx)"])
+    n_pos = int(gate[0]["sum(n_pos)"])
+
+    def _rich(batch: pa.Table) -> pa.Table:
+        fx = pc.cast(pc.round(
+            pc.multiply(batch["c_acctbal"], pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        keep = pc.greater(pc.multiply(fx, pa.scalar(n_pos, pa.int64())),
+                          pa.scalar(sum_fx, pa.int64()))
+        return batch.filter(keep)
+
+    rich = cust.map_batches(_rich, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    from datetime import datetime
+    cut = datetime(2000, 1, 1)
+
+    def _recent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(cut))).select(
+            ["o_custkey"])
+
+    recent = _tbl(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderdate"]).map_batches(
+        _recent, batch_format="pyarrow", zero_copy_batch=True)
+    inactive = semi_join(rich, recent, "c_custkey", "o_custkey",
+                         payload_cols=["c_nationkey", "c_acctbal"],
+                         anti=True)
+
+    def _nat_partial(batch: pa.Table) -> pa.Table:
+        fx = pc.cast(pc.round(
+            pc.multiply(batch["c_acctbal"], pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"c_nationkey": batch["c_nationkey"],
+                      "bal_fx": fx,
+                      "numcust": pa.array(np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(t, "c_nationkey", use_threads=False)
+                .aggregate([("bal_fx", "sum"), ("numcust", "sum")])
+                .rename_columns(["c_nationkey", "bal_fx", "numcust"]))
+
+    agg = (inactive.map_batches(_nat_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+           .groupby("c_nationkey").sum(["bal_fx", "numcust"]))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": batch["c_nationkey"].cast(pa.int64()),
+            "numcust": batch["sum(numcust)"].cast(pa.int64()),
+            "totacctbal": pc.divide(batch["sum(bal_fx)"].cast(pa.float64()),
+                                    pa.scalar(float(Q1_SCALE)))})
+
+    return agg.map_batches(_finish, batch_format="pyarrow",
                            zero_copy_batch=True)
