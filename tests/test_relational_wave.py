@@ -17,7 +17,8 @@ from selfcheck import normalize, to_pandas, values_equal  # noqa: E402
 SF = "/root/testdata/sf0.001"
 WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "q18_large_volume_customer", "q19_disjunctive_revenue",
-        "q22_global_sales_opportunity"]
+        "q22_global_sales_opportunity", "rollup_revenue", "events_pivot",
+        "events_set_ops"]
 
 
 @pytest.fixture(scope="module")

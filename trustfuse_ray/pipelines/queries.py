@@ -2947,6 +2947,9 @@ def _all_queries():
         "q16_supplier_cnt": q16_supplier_cnt,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "rollup_revenue": q_rollup_revenue,
+        "events_pivot": q_events_pivot,
+        "events_set_ops": q_events_set_ops,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -5078,6 +5081,35 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
        sum(CAST(round(c_acctbal * {Q1_SCALE}) AS BIGINT)) / {Q1_SCALE}.0
          AS totacctbal
 FROM inactive GROUP BY 1""",
+        "rollup_revenue": f"""
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       sum(CAST(round(l_quantity * {Q1_SCALE}) AS BIGINT))
+         / {Q1_SCALE}.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
+                AS BIGINT)) / {Q1_SCALE}.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        "events_pivot": """
+SELECT CAST(day(ts) AS BIGINT) AS day,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+FROM events GROUP BY 1""",
+        "events_set_ops": """
+SELECT 'purchase_and_error' AS set_op, user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error')
+UNION ALL
+SELECT 'view_no_purchase', user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase')""",
         "q3_shipping_priority": f"""
 SELECT l_orderkey,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
@@ -7305,3 +7337,161 @@ def q22_global_sales_opportunity(sf_dir: str):
 
     return agg.map_batches(_finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP shape over lineitem: (returnflag, linestatus)
+    revenue/qty with per-flag subtotals and a grand total.  The 100-TB
+    plan computes ONLY the finest level distributed (map-side fixed-point
+    partials, one exchange); the coarser levels derive from that finest
+    aggregate, which is bounded by group cardinality (|R|×|S| rows), in a
+    single-block pass — never a second scan of the input.  Rolled-up keys
+    render as 'ALL' (COALESCE in the oracle) so the driver's column-sorted
+    hash sees identical values."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+
+        def fx(col):
+            return pc.cast(pc.round(
+                pc.multiply(col, pa.scalar(float(Q1_SCALE))),
+                round_mode="half_towards_infinity"), pa.int64())
+
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "l_linestatus": batch["l_linestatus"],
+                      "qty_fx": fx(batch["l_quantity"]),
+                      "rev_fx": fx(rev),
+                      "n_lines": pa.array(np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"],
+                                use_threads=False)
+                .aggregate([("qty_fx", "sum"), ("rev_fx", "sum"),
+                            ("n_lines", "sum")])
+                .rename_columns(["l_returnflag", "l_linestatus",
+                                 "qty_fx", "rev_fx", "n_lines"]))
+
+    finest = (_tbl(sf_dir, "lineitem")
+              .select_columns(["l_returnflag", "l_linestatus",
+                               "l_quantity", "l_extendedprice",
+                               "l_discount"])
+              .map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["l_returnflag", "l_linestatus"])
+              .sum(["qty_fx", "rev_fx", "n_lines"]))
+
+    def _rollup(batch: pa.Table) -> pa.Table:
+        # batch = the COMPLETE finest aggregate (repartition(1) upstream;
+        # tiny by spec).  Emit finest + per-flag subtotal + grand total.
+        t = batch.rename_columns(["l_returnflag", "l_linestatus",
+                                  "qty_fx", "rev_fx", "n_lines"])
+        by_flag = (pa.TableGroupBy(t, "l_returnflag", use_threads=False)
+                   .aggregate([("qty_fx", "sum"), ("rev_fx", "sum"),
+                               ("n_lines", "sum")])
+                   .rename_columns(["l_returnflag", "qty_fx", "rev_fx",
+                                    "n_lines"]))
+        n1 = len(by_flag)
+        lvl1 = pa.table({
+            "l_returnflag": by_flag["l_returnflag"],
+            "l_linestatus": pa.array(["ALL"] * n1),
+            "qty_fx": by_flag["qty_fx"], "rev_fx": by_flag["rev_fx"],
+            "n_lines": by_flag["n_lines"]})
+        lvl0 = pa.table({
+            "l_returnflag": pa.array(["ALL"]),
+            "l_linestatus": pa.array(["ALL"]),
+            "qty_fx": pa.array([pc.sum(t["qty_fx"]).as_py() or 0],
+                               pa.int64()),
+            "rev_fx": pa.array([pc.sum(t["rev_fx"]).as_py() or 0],
+                               pa.int64()),
+            "n_lines": pa.array([pc.sum(t["n_lines"]).as_py() or 0],
+                                pa.int64())})
+        out = pa.concat_tables([t, lvl1, lvl0])
+        return pa.table({
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": pc.divide(out["qty_fx"].cast(pa.float64()),
+                                 pa.scalar(float(Q1_SCALE))),
+            "revenue": pc.divide(out["rev_fx"].cast(pa.float64()),
+                                 pa.scalar(float(Q1_SCALE))),
+            "n_lines": out["n_lines"].cast(pa.int64())})
+
+    return finest.repartition(1).map_batches(
+        _rollup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT / crosstab shape: events day-of-month × event_type counts as
+    a WIDE table (one int64 column per type).  Each block reduces to
+    ≤ days × types conditional-count partial rows before the one exchange
+    — the classic conditional-aggregation pivot, never a per-type scan."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        day = pc.day(batch["ts"])
+        cols = {"day": pc.cast(day, pa.int64())}
+        for et in _EVENT_TYPES:
+            cols[f"n_{et}"] = pc.cast(
+                pc.equal(batch["event_type"], et), pa.int64())
+        t = pa.table(cols)
+        g = (pa.TableGroupBy(t, "day", use_threads=False)
+             .aggregate([(f"n_{et}", "sum") for et in _EVENT_TYPES]))
+        return g.rename_columns(["day"] + [f"n_{et}"
+                                           for et in _EVENT_TYPES])
+
+    agg = (_tbl(sf_dir, "events").select_columns(["ts", "event_type"])
+           .map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("day").sum([f"n_{et}" for et in _EVENT_TYPES]))
+    return agg.rename_columns(
+        {f"sum(n_{et})": f"n_{et}" for et in _EVENT_TYPES})
+
+
+def q_events_set_ops(sf_dir: str):
+    """INTERSECT / EXCEPT shape over per-user behaviour sets: users who
+    both purchased AND hit an error (INTERSECT), and users who viewed but
+    never purchased (EXCEPT).  Per-block max(flag) partials collapse each
+    user's whole history into 3 bits before the single exchange — set
+    membership never ships row-level events."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "has_purchase": pc.cast(
+                pc.equal(batch["event_type"], "purchase"), pa.int64()),
+            "has_error": pc.cast(
+                pc.equal(batch["event_type"], "error"), pa.int64()),
+            "has_view": pc.cast(
+                pc.equal(batch["event_type"], "view"), pa.int64())})
+        return (pa.TableGroupBy(t, "user_id", use_threads=False)
+                .aggregate([("has_purchase", "max"), ("has_error", "max"),
+                            ("has_view", "max")])
+                .rename_columns(["user_id", "has_purchase", "has_error",
+                                 "has_view"]))
+
+    flags = (_tbl(sf_dir, "events")
+             .select_columns(["user_id", "event_type"])
+             .map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("user_id")
+             .max(["has_purchase", "has_error", "has_view"]))
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        hp = pc.equal(batch["max(has_purchase)"], 1)
+        he = pc.equal(batch["max(has_error)"], 1)
+        hv = pc.equal(batch["max(has_view)"], 1)
+        both = batch.filter(pc.and_(hp, he))
+        vnp = batch.filter(pc.and_(hv, pc.invert(hp)))
+        return pa.table({
+            "set_op": pa.array(
+                ["purchase_and_error"] * len(both)
+                + ["view_no_purchase"] * len(vnp)),
+            "user_id": pa.concat_arrays(
+                [both["user_id"].combine_chunks().cast(pa.int64()),
+                 vnp["user_id"].combine_chunks().cast(pa.int64())])})
+
+    return flags.map_batches(_emit, batch_format="pyarrow",
+                             zero_copy_batch=True)
