@@ -2950,6 +2950,8 @@ def _all_queries():
         "rollup_revenue": q_rollup_revenue,
         "events_pivot": q_events_pivot,
         "events_set_ops": q_events_set_ops,
+        "embedding_gram": q_embedding_gram,
+        "pca_project": q_pca_project,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -5110,6 +5112,21 @@ SELECT 'view_no_purchase', user_id FROM (
   SELECT user_id FROM events WHERE event_type = 'view'
   EXCEPT
   SELECT user_id FROM events WHERE event_type = 'purchase')""",
+        "embedding_gram": """
+WITH e AS (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         unnest(generate_series(1, 64)) AS i
+  FROM embeddings),
+q AS (SELECT vec_id, i - 1 AS i,
+             CAST(round(x * 1000000) AS BIGINT) AS v FROM e)
+SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+       CAST(sum(a.v * b.v) AS BIGINT) AS g
+FROM q a JOIN q b USING (vec_id) WHERE a.i <= b.i GROUP BY 1, 2
+UNION ALL
+SELECT CAST(i AS BIGINT), -1, CAST(sum(v) AS BIGINT) FROM q GROUP BY 1
+UNION ALL
+SELECT -1, -1, CAST(count(DISTINCT vec_id) AS BIGINT) FROM q""",
+        "pca_project": _pca_project_sql(sf_dir),
         "q3_shipping_priority": f"""
 SELECT l_orderkey,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
@@ -7495,3 +7512,49 @@ def q_events_set_ops(sf_dir: str):
 
     return flags.map_batches(_emit, batch_format="pyarrow",
                              zero_copy_batch=True)
+
+
+def q_embedding_gram(sf_dir: str):
+    """Exact distributed second-moment statistic of the embedding corpus
+    (int64 micro-units): upper-triangle Gram entries (i, j, g), column
+    sums (i, -1, Σ) and the count (-1, -1, n) — the ONE O(d²)-per-block
+    exchange distributed PCA fits from (stages/pca.py).  Bit-identical
+    regardless of block order."""
+    from trustfuse_ray.stages import pca
+
+    return pca.gram_moments(_tbl(sf_dir, "embeddings"))
+
+
+def q_pca_project(sf_dir: str):
+    """Distributed PCA projection onto the top-4 components: exact
+    fixed-point moment fit (one tiny exchange + driver-side d×d eigh),
+    components broadcast into a per-block matmul.  The oracle inlines
+    the fitted mean/component literals (the ann LSH-plane pattern) and
+    re-projects in SQL."""
+    from trustfuse_ray.stages import pca
+
+    return pca.pca_project(_tbl(sf_dir, "embeddings"), k=4)
+
+
+def _pca_project_sql(sf_dir: str, k: int = 4) -> str:
+    from trustfuse_ray.stages import pca as _pca
+
+    table = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["embedding"])
+    fit = _pca.fit_pca_table(table)
+    W, mu, d = fit["components"][:k], fit["mean"], fit["d"]
+    rows = ", ".join(
+        "(" + f"{i + 1}, {mu[i]!r}, "
+        + ", ".join(repr(float(W[c, i])) for c in range(k)) + ")"
+        for i in range(d))
+    wnames = ", ".join(f"w{c + 1}" for c in range(k))
+    wcols = ",\n       ".join(
+        f"round(sum((CAST(round(x * 1000000) AS BIGINT) / 1000000.0"
+        f" - c.mu) * c.w{c + 1}), 6) AS pc{c + 1}"
+        for c in range(k))
+    return f"""
+WITH c(i, mu, {wnames}) AS (VALUES {rows}),
+e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             unnest(generate_series(1, {d})) AS i FROM embeddings)
+SELECT vec_id, {wcols}
+FROM e JOIN c USING (i) GROUP BY vec_id"""
