@@ -18,7 +18,9 @@ SF = "/root/testdata/sf0.001"
 WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "q18_large_volume_customer", "q19_disjunctive_revenue",
         "q22_global_sales_opportunity", "rollup_revenue", "events_pivot",
-        "events_set_ops"]
+        "events_set_ops", "embedding_gram", "pca_project",
+        "orders_above_cust_avg", "nation_revenue_share",
+        "events_daily_dense"]
 
 
 @pytest.fixture(scope="module")

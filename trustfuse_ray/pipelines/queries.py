@@ -2952,6 +2952,9 @@ def _all_queries():
         "events_set_ops": q_events_set_ops,
         "embedding_gram": q_embedding_gram,
         "pca_project": q_pca_project,
+        "orders_above_cust_avg": q_orders_above_cust_avg,
+        "nation_revenue_share": q_nation_revenue_share,
+        "events_daily_dense": q_events_daily_dense,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -5127,6 +5130,46 @@ SELECT CAST(i AS BIGINT), -1, CAST(sum(v) AS BIGINT) FROM q GROUP BY 1
 UNION ALL
 SELECT -1, -1, CAST(count(DISTINCT vec_id) AS BIGINT) FROM q""",
         "pca_project": _pca_project_sql(sf_dir),
+        "orders_above_cust_avg": """
+WITH fx AS (
+  SELECT o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_fx
+  FROM orders),
+st AS (
+  SELECT o_custkey, sum(price_fx) AS sum_fx, count(*) AS n
+  FROM fx GROUP BY 1)
+SELECT fx.o_custkey,
+       CAST(sum(CASE WHEN fx.price_fx * st.n > st.sum_fx
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM fx JOIN st USING (o_custkey)
+GROUP BY 1""",
+        "nation_revenue_share": """
+WITH pn AS (
+  SELECT c.c_nationkey,
+         sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev_fx
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       rev_fx / 100.0 AS revenue,
+       round(rev_fx / (SELECT CAST(sum(rev_fx) AS DOUBLE) FROM pn), 9)
+         AS share
+FROM pn""",
+        "events_daily_dense": """
+WITH obs AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT t.event_type, d.day
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series((SELECT min(day) FROM obs),
+                                      (SELECT max(day) FROM obs)))
+          AS day) d)
+SELECT s.event_type, CAST(s.day AS BIGINT) AS day,
+       CAST(coalesce(o.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN obs o
+  ON s.event_type = o.event_type AND s.day = o.day""",
         "q3_shipping_priority": f"""
 SELECT l_orderkey,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
@@ -7558,3 +7601,143 @@ e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
              unnest(generate_series(1, {d})) AS i FROM embeddings)
 SELECT vec_id, {wcols}
 FROM e JOIN c USING (i) GROUP BY vec_id"""
+
+
+def q_orders_above_cust_avg(sf_dir: str):
+    """Correlated-scalar-subquery shape: orders strictly above their OWN
+    customer's average order value.  Per-customer (sum, count) reduces
+    map-side in exact cents; the comparison re-joins the partials to the
+    order rows and evaluates the exact integer cross-multiply
+    (price_fx * n > sum_fx) — the float average never exists, so the
+    result is reproducible at any block order.  Returns per-customer
+    counts of above-average orders."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        fx = pc.cast(pc.round(
+            pc.multiply(batch["o_totalprice"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"o_custkey": batch["o_custkey"], "sum_fx": fx,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(t, "o_custkey", use_threads=False)
+                .aggregate([("sum_fx", "sum"), ("n", "sum")])
+                .rename_columns(["o_custkey", "sum_fx", "n"]))
+
+    orders = _tbl(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"])
+    stats = (orders.map_batches(_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("o_custkey").sum(["sum_fx", "n"])
+             .rename_columns({"sum(sum_fx)": "sum_fx", "sum(n)": "n"}))
+    joined = orders.join(stats, join_type="inner", num_partitions=8,
+                         on=("o_custkey",))
+
+    def _above(batch: pa.Table) -> pa.Table:
+        fx = pc.cast(pc.round(
+            pc.multiply(batch["o_totalprice"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        above = pc.greater(pc.multiply(fx, batch["n"]), batch["sum_fx"])
+        t = pa.table({"o_custkey": batch["o_custkey"],
+                      "n_above": pc.cast(above, pa.int64()),
+                      "n_orders": pa.array(np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(t, "o_custkey", use_threads=False)
+                .aggregate([("n_above", "sum"), ("n_orders", "sum")])
+                .rename_columns(["o_custkey", "n_above", "n_orders"]))
+
+    return (joined.map_batches(_above, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("o_custkey").sum(["n_above", "n_orders"])
+            .rename_columns({"sum(n_above)": "n_above",
+                             "sum(n_orders)": "n_orders"}))
+
+
+def q_nation_revenue_share(sf_dir: str):
+    """Ratio-to-report shape: each customer nation's share of total order
+    revenue.  One distributed pass of per-nation fixed-point partials
+    (customer→nation via ONE hash join); the grand total is the sum of
+    the tiny per-nation aggregate — derived, never a second scan — and
+    the share divides exact integers once at the end (round 9 dp)."""
+    import pyarrow.compute as pc
+
+    cust = _tbl(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        fx = pc.cast(pc.round(
+            pc.multiply(batch["o_totalprice"], pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"o_custkey": batch["o_custkey"], "rev_fx": fx})
+        return (pa.TableGroupBy(t, "o_custkey", use_threads=False)
+                .aggregate([("rev_fx", "sum")])
+                .rename_columns(["o_custkey", "rev_fx"]))
+
+    per_cust = (_tbl(sf_dir, "orders")
+                .select_columns(["o_custkey", "o_totalprice"])
+                .map_batches(_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("o_custkey").sum("rev_fx"))
+    per_nation = (per_cust.join(cust, join_type="inner", num_partitions=8,
+                                on=("o_custkey",), right_on=("c_custkey",))
+                  .groupby("c_nationkey").sum("sum(rev_fx)")
+                  .rename_columns({"sum(sum(rev_fx))": "rev_fx"}))
+
+    def _share(batch: pa.Table) -> pa.Table:
+        # batch = the complete per-nation aggregate (25 rows by spec)
+        total = pc.sum(batch["rev_fx"]).as_py() or 0
+        rev = batch["rev_fx"].cast(pa.float64())
+        return pa.table({
+            "c_nationkey": batch["c_nationkey"].cast(pa.int64()),
+            "revenue": pc.divide(rev, pa.scalar(100.0)),
+            "share": pc.round(pc.divide(rev, pa.scalar(float(total))),
+                              ndigits=9)})
+
+    return per_nation.repartition(1).map_batches(
+        _share, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_events_daily_dense(sf_dir: str):
+    """Calendar-spine gap-fill shape: per event_type DAILY counts over
+    the corpus's full [min, max] day span with zero-filled missing days
+    — the dense-time-series surface every monitoring pipeline needs.
+    Observed (type, day) counts reduce map-side; the spine is generated
+    from the global min/max day (a 2-value aggregate, broadcast) × the
+    fixed type domain and left-fills the gaps without ever scanning the
+    input twice."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.divide(pc.cast(batch["ts"], pa.int64()),
+                                pa.scalar(86_400_000_000, pa.int64())),
+                      pa.int64())
+        t = pa.table({"event_type": batch["event_type"], "day": day,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(t, ["event_type", "day"],
+                                use_threads=False)
+                .aggregate([("n", "sum")])
+                .rename_columns(["event_type", "day", "n"]))
+
+    observed = (_tbl(sf_dir, "events")
+                .select_columns(["ts", "event_type"])
+                .map_batches(_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(["event_type", "day"]).sum("n")
+                .rename_columns({"sum(n)": "n"}))
+
+    def _dense(batch: pa.Table) -> pa.Table:
+        # complete observed aggregate (≤ days × types rows by construction)
+        lo = pc.min(batch["day"]).as_py()
+        hi = pc.max(batch["day"]).as_py()
+        days = np.arange(lo, hi + 1, dtype=np.int64)
+        spine = pa.table({
+            "event_type": pa.array(np.repeat(_EVENT_TYPES, len(days))),
+            "day": pa.array(np.tile(days, len(_EVENT_TYPES)), pa.int64())})
+        joined = spine.join(batch, keys=["event_type", "day"],
+                            join_type="left outer")
+        n = joined["n"].combine_chunks()
+        return pa.table({
+            "event_type": joined["event_type"],
+            "day": joined["day"],
+            "n": pc.coalesce(n, pa.scalar(0, n.type)).cast(pa.int64())})
+
+    return observed.repartition(1).map_batches(
+        _dense, batch_format="pyarrow", zero_copy_batch=True)
