@@ -20,7 +20,7 @@ WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "q22_global_sales_opportunity", "rollup_revenue", "events_pivot",
         "events_set_ops", "embedding_gram", "pca_project",
         "orders_above_cust_avg", "nation_revenue_share",
-        "events_daily_dense"]
+        "events_daily_dense", "embedding_outliers"]
 
 
 @pytest.fixture(scope="module")

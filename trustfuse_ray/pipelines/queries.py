@@ -505,6 +505,18 @@ def q_fuse_weights(sf_dir: str, model: str = "CRH"):
 # ---------------------------------------------------------------------------
 
 
+def _fx_f64(arr):
+    """int64 fixed-point accumulator → float64 for display division.
+
+    ``safe=False``: pyarrow's checked cast refuses int64 > 2^53 (the
+    float-lossless bound), which grand totals exceed past ~sf0.1×10 —
+    the nearest-double conversion here is exactly what the DuckDB
+    oracle's BIGINT→DOUBLE division performs, so both sides round the
+    same way at any scale."""
+    import pyarrow.compute as _pc
+    return _pc.cast(arr, pa.float64(), safe=False)
+
+
 Q1_SCALE = 1_000_000  # fixed-point micro-units: float sums are order-
 # dependent in the last ulp (blocks sum in nondeterministic order), so both
 # the engine and the DuckDB oracle sum exact int64 micro-units and divide
@@ -552,7 +564,7 @@ def q1_pricing_summary(sf_dir: str):
         s = pa.scalar(float(Q1_SCALE))
 
         def un(c):
-            return pc.divide(pc.cast(batch[c], pa.float64()), s)
+            return pc.divide(_fx_f64(batch[c]), s)
 
         return pa.table({
             "l_returnflag": batch["l_returnflag"],
@@ -653,7 +665,7 @@ def q5_local_supplier_volume(sf_dir: str):
                                     value_set=nat_keys))
         return pa.table({
             "n_name": names,
-            "revenue": pc.divide(pc.cast(batch["sum(rev_fx)"], pa.float64()),
+            "revenue": pc.divide(_fx_f64(batch["sum(rev_fx)"]),
                                  pa.scalar(float(Q1_SCALE))),
         })
 
@@ -692,7 +704,7 @@ def q14_promo_revenue(sf_dir: str):
     def _finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "p_type": batch["p_type"],
-            "revenue": pc.divide(pc.cast(batch["sum(rev_fx)"], pa.float64()),
+            "revenue": pc.divide(_fx_f64(batch["sum(rev_fx)"]),
                                  pa.scalar(float(Q1_SCALE))),
             "n_items": batch["sum(n_items)"],
         })
@@ -1390,7 +1402,7 @@ def q3_shipping_priority(sf_dir: str):
         return pa.table({
             "l_orderkey": batch["l_orderkey"].cast(pa.int64()),
             "revenue": pc.divide(
-                batch["rev_fx"].cast(pa.float64()),
+                _fx_f64(batch["rev_fx"]),
                 pa.scalar(float(Q1_SCALE))),
             "o_orderdate": batch["o_orderdate"],
             "o_orderpriority": batch["o_orderpriority"]})
@@ -2955,6 +2967,7 @@ def _all_queries():
         "orders_above_cust_avg": q_orders_above_cust_avg,
         "nation_revenue_share": q_nation_revenue_share,
         "events_daily_dense": q_events_daily_dense,
+        "embedding_outliers": q_embedding_outliers,
         "value_quantiles": q_value_quantiles,
         "value_histogram": q_value_histogram,
         "events_props_extract": q_events_props_extract,
@@ -5130,6 +5143,7 @@ SELECT CAST(i AS BIGINT), -1, CAST(sum(v) AS BIGINT) FROM q GROUP BY 1
 UNION ALL
 SELECT -1, -1, CAST(count(DISTINCT vec_id) AS BIGINT) FROM q""",
         "pca_project": _pca_project_sql(sf_dir),
+        "embedding_outliers": _embedding_outliers_sql(sf_dir),
         "orders_above_cust_avg": """
 WITH fx AS (
   SELECT o_custkey,
@@ -7031,7 +7045,7 @@ def q10_returned_items(sf_dir: str):
         return pa.table({
             "c_custkey": batch["o_custkey"].cast(pa.int64()),
             "c_name": batch["c_name"].cast(pa.string()),
-            "revenue": pc.divide(batch["rev_fx"].cast(pa.float64()),
+            "revenue": pc.divide(_fx_f64(batch["rev_fx"]),
                                  pa.scalar(float(Q1_SCALE))),
             "c_acctbal": batch["c_acctbal"].cast(pa.float64()),
             "n_name": pa.array([nmap.get(k) for k in nk], pa.string())})
@@ -7081,7 +7095,7 @@ def q6_forecast_revenue(sf_dir: str):
     def _finish(batch: pa.Table) -> pa.Table:
         return pa.table({
             "revenue": pc.divide(
-                batch["sum(rev_fx)"].cast(pa.float64()),
+                _fx_f64(batch["sum(rev_fx)"]),
                 pa.scalar(float(Q1_SCALE))),
             "n_lines": batch["sum(n_lines)"].cast(pa.int64())})
 
@@ -7135,7 +7149,7 @@ def q18_large_volume_customer(sf_dir: str):
             "o_orderkey": batch["l_orderkey"].cast(pa.int64()),
             "o_orderdate": batch["o_orderdate"],
             "o_totalprice": batch["o_totalprice"].cast(pa.float64()),
-            "total_qty": pc.divide(batch["qty_fx"].cast(pa.float64()),
+            "total_qty": pc.divide(_fx_f64(batch["qty_fx"]),
                                    pa.scalar(float(Q1_SCALE)))})
 
     return top.map_batches(_shape, batch_format="pyarrow",
@@ -7189,7 +7203,7 @@ def q15_top_supplier(sf_dir: str):
         return pa.table({
             "s_suppkey": batch["s_suppkey"].cast(pa.int64()),
             "s_name": names,
-            "total_revenue": pc.divide(batch["rev_fx"].cast(pa.float64()),
+            "total_revenue": pc.divide(_fx_f64(batch["rev_fx"]),
                                        pa.scalar(float(Q1_SCALE)))})
 
     return (per_supp.filter(expr=f"rev_fx == {best}")
@@ -7308,7 +7322,7 @@ def q19_disjunctive_revenue(sf_dir: str):
 
     def _finish(batch: pa.Table) -> pa.Table:
         return pa.table({
-            "revenue": pc.divide(batch["sum(rev_fx)"].cast(pa.float64()),
+            "revenue": pc.divide(_fx_f64(batch["sum(rev_fx)"]),
                                  pa.scalar(float(Q1_SCALE))),
             "n_lines": batch["sum(n_lines)"].cast(pa.int64())})
 
@@ -7392,7 +7406,7 @@ def q22_global_sales_opportunity(sf_dir: str):
         return pa.table({
             "c_nationkey": batch["c_nationkey"].cast(pa.int64()),
             "numcust": batch["sum(numcust)"].cast(pa.int64()),
-            "totacctbal": pc.divide(batch["sum(bal_fx)"].cast(pa.float64()),
+            "totacctbal": pc.divide(_fx_f64(batch["sum(bal_fx)"]),
                                     pa.scalar(float(Q1_SCALE)))})
 
     return agg.map_batches(_finish, batch_format="pyarrow",
@@ -7469,9 +7483,9 @@ def q_rollup_revenue(sf_dir: str):
         return pa.table({
             "l_returnflag": out["l_returnflag"],
             "l_linestatus": out["l_linestatus"],
-            "sum_qty": pc.divide(out["qty_fx"].cast(pa.float64()),
+            "sum_qty": pc.divide(_fx_f64(out["qty_fx"]),
                                  pa.scalar(float(Q1_SCALE))),
-            "revenue": pc.divide(out["rev_fx"].cast(pa.float64()),
+            "revenue": pc.divide(_fx_f64(out["rev_fx"]),
                                  pa.scalar(float(Q1_SCALE))),
             "n_lines": out["n_lines"].cast(pa.int64())})
 
@@ -7684,7 +7698,7 @@ def q_nation_revenue_share(sf_dir: str):
     def _share(batch: pa.Table) -> pa.Table:
         # batch = the complete per-nation aggregate (25 rows by spec)
         total = pc.sum(batch["rev_fx"]).as_py() or 0
-        rev = batch["rev_fx"].cast(pa.float64())
+        rev = _fx_f64(batch["rev_fx"])
         return pa.table({
             "c_nationkey": batch["c_nationkey"].cast(pa.int64()),
             "revenue": pc.divide(rev, pa.scalar(100.0)),
@@ -7741,3 +7755,67 @@ def q_events_daily_dense(sf_dir: str):
 
     return observed.repartition(1).map_batches(
         _dense, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_embedding_outliers(sf_dir: str):
+    """Embedding-space outlier detection: Mahalanobis-style score in the
+    top-8 PCA subspace (Σ proj_c²/λ_c — the whitened squared norm), top
+    50 by score.  The fit is the exact-integer moment fit (stages/pca.py)
+    broadcast into one scoring pass; scores round to 6 dp BEFORE the
+    rank so the distributed sort's tie-break (score desc, vec_id) is
+    reproducible and matches the SQL oracle, which re-scores from the
+    same inlined fit literals."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages import pca
+
+    emb = _tbl(sf_dir, "embeddings")
+    fit = pca.fit_pca(emb)
+    k = 8
+    W, mu, lam = fit["components"][:k], fit["mean"], fit["eigvals"][:k]
+
+    def _score(batch: pa.Table) -> pa.Table:
+        q = pca._quantize(batch, "embedding")
+        if q.shape[0] == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        proj = (q / pca.FX - mu) @ W.T
+        score = (proj * proj / lam).sum(axis=1)
+        return pa.table({"vec_id": batch["vec_id"].cast(pa.int64()),
+                         "score": pa.array(np.round(score, 6),
+                                           pa.float64())})
+
+    return (emb.select_columns(["vec_id", "embedding"])
+            .map_batches(_score, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .sort(["score", "vec_id"], descending=[True, False])
+            .limit(50))
+
+
+def _embedding_outliers_sql(sf_dir: str, k: int = 8) -> str:
+    from trustfuse_ray.stages import pca as _pca
+
+    table = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["embedding"])
+    fit = _pca.fit_pca_table(table)
+    W, mu, lam = (fit["components"][:k], fit["mean"],
+                  fit["eigvals"][:k])
+    rows = ", ".join(
+        "(" + f"{i + 1}, {mu[i]!r}, "
+        + ", ".join(repr(float(W[c, i])) for c in range(k)) + ")"
+        for i in range(fit["d"]))
+    wnames = ", ".join(f"w{c + 1}" for c in range(k))
+    pcols = ", ".join(
+        f"sum((CAST(round(x * 1000000) AS BIGINT) / 1000000.0 - c.mu)"
+        f" * c.w{c + 1}) AS p{c + 1}" for c in range(k))
+    score = " + ".join(f"p{c + 1} * p{c + 1} / {lam[c]!r}"
+                       for c in range(k))
+    return f"""
+WITH c(i, mu, {wnames}) AS (VALUES {rows}),
+e AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+             unnest(generate_series(1, {fit["d"]})) AS i
+      FROM embeddings),
+p AS (SELECT vec_id, {pcols}
+      FROM e JOIN c USING (i) GROUP BY vec_id)
+SELECT vec_id, round({score}, 6) AS score
+FROM p ORDER BY score DESC, vec_id LIMIT 50"""
