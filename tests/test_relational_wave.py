@@ -20,7 +20,10 @@ WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "q22_global_sales_opportunity", "rollup_revenue", "events_pivot",
         "events_set_ops", "embedding_gram", "pca_project",
         "orders_above_cust_avg", "nation_revenue_share",
-        "events_daily_dense", "embedding_outliers"]
+        "events_daily_dense", "embedding_outliers",
+        "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+        "q12_late_priority", "q13_customer_distribution",
+        "q17_small_quantity_revenue", "q21_waiting_suppliers"]
 
 
 @pytest.fixture(scope="module")

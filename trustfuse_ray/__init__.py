@@ -1,0 +1,3 @@
+from trustfuse_ray import compat as _compat
+
+_compat.install()

@@ -2964,6 +2964,13 @@ def _all_queries():
         "q16_supplier_cnt": q16_supplier_cnt,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q12_late_priority": q12_late_priority,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "rollup_revenue": q_rollup_revenue,
         "events_pivot": q_events_pivot,
         "events_set_ops": q_events_set_ops,
@@ -5104,6 +5111,107 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
        sum(CAST(round(c_acctbal * {Q1_SCALE}) AS BIGINT)) / {Q1_SCALE}.0
          AS totacctbal
 FROM inactive GROUP BY 1""",
+        "q7_volume_shipping": f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * {Q1_SCALE})
+                AS BIGINT)) / {Q1_SCALE}.0 AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_3')
+    OR (ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_2'))
+GROUP BY 1, 2, 3""",
+        "q8_market_share": f"""
+WITH asia AS (
+  SELECT n_nationkey FROM nation JOIN region
+    ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+base AS (
+  SELECT o.o_orderdate, s.s_nationkey,
+         CAST(round(l.l_extendedprice * (1 - l.l_discount) * {Q1_SCALE})
+              AS BIGINT) AS fx
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey IN (SELECT n_nationkey FROM asia))
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN s_nationkey =
+                  (SELECT n_nationkey FROM nation
+                   WHERE n_name = 'NATION_5')
+                 THEN fx ELSE 0 END) AS DOUBLE)
+         / CAST(sum(fx) AS DOUBLE) AS mkt_share,
+       sum(fx) / {Q1_SCALE}.0 AS revenue
+FROM base GROUP BY 1""",
+        "q9_product_profit": f"""
+SELECT n.n_name AS nation,
+       CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * {Q1_SCALE})
+                AS BIGINT)
+           - CAST(round(l.l_quantity * p.p_retailprice * 0.1 * {Q1_SCALE})
+                  AS BIGINT)) / {Q1_SCALE}.0 AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE 'red %'
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2""",
+        "q12_late_priority": """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY 1""",
+        "q13_customer_distribution": """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY 1)
+GROUP BY 1""",
+        "q17_small_quantity_revenue": f"""
+WITH pk AS (
+  SELECT p_partkey FROM part
+  WHERE p_brand = 'Brand#12' AND p_type = 'SMALL'),
+g AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_quantity * {Q1_SCALE}) AS BIGINT)) AS sum_fx,
+         count(*) AS n
+  FROM lineitem JOIN pk ON l_partkey = p_partkey GROUP BY 1)
+SELECT coalesce(sum(CAST(round(l.l_extendedprice * {Q1_SCALE})
+                         AS BIGINT)), 0) / {Q1_SCALE}.0 / 7.0
+         AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN g ON l.l_partkey = g.l_partkey
+WHERE CAST(round(l.l_quantity * {Q1_SCALE}) AS BIGINT) * 5 * g.n
+      < g.sum_fx""",
+        "q21_waiting_suppliers": """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey AND n.n_name = 'NATION_3'
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY 1 ORDER BY numwait DESC, s.s_name LIMIT 100""",
         "rollup_revenue": f"""
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -7824,3 +7932,557 @@ p AS (SELECT vec_id, {pcols}
       FROM e JOIN c USING (i) GROUP BY vec_id)
 SELECT vec_id, round({score}, 6) AS score
 FROM p ORDER BY score DESC, vec_id LIMIT 50"""
+
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape (adapted: NATION_2 <-> NATION_3; this corpus keys
+    nations directly on customer/supplier — no partsupp): revenue shipped
+    between two nations by (supp_nation, cust_nation, ship-year),
+    1996-1997.  Supplier->nation is spec-tiny (~1e-5 x lineitem) and rides
+    the task closure; lineitem reduces map-side to per-(orderkey,
+    supp_nation, year) fixed-point partials BEFORE the orders/customer
+    hash joins, and the supplier-side nation filter prunes most lines
+    before any exchange.  Reference analog: the two-sided relational
+    joins of /root/reference/trustfuse (SURVEY §2.4)."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    lo, hi = datetime(1996, 1, 1), datetime(1998, 1, 1)
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    skeys = supp["s_suppkey"].combine_chunks()
+    snats = pc.cast(supp["s_nationkey"].combine_chunks(), pa.int64())
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip((int(k) for k in nat["n_nationkey"].to_pylist()),
+                       nat["n_name"].to_pylist()))
+    k1 = next(k for k, v in name_of.items() if v == "NATION_2")
+    k2 = next(k for k, v in name_of.items() if v == "NATION_3")
+    pair = pa.array([k1, k2], pa.int64())
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                       pc.less(batch["l_shipdate"], pa.scalar(hi)))
+        t = batch.filter(keep)
+        snat = pc.take(snats, pc.index_in(t["l_suppkey"], value_set=skeys))
+        t = t.append_column("supp_nat", snat)
+        t = t.filter(pc.is_in(t["supp_nat"], value_set=pair))
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        fx = pc.cast(pc.round(
+            pc.multiply(rev, pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        g = pa.table({"l_orderkey": t["l_orderkey"],
+                      "supp_nat": t["supp_nat"],
+                      "l_year": pc.cast(pc.year(t["l_shipdate"]),
+                                        pa.int64()),
+                      "rev_fx": fx})
+        return (pa.TableGroupBy(g, ["l_orderkey", "supp_nat", "l_year"],
+                                use_threads=False)
+                .aggregate([("rev_fx", "sum")])
+                .rename_columns(["l_orderkey", "supp_nat", "l_year",
+                                 "rev_fx"]))
+
+    li = (_tbl(sf_dir, "lineitem")
+          .select_columns(["l_orderkey", "l_suppkey", "l_shipdate",
+                           "l_extendedprice", "l_discount"])
+          .map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    orders = _tbl(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"])
+    jo = li.join(orders, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = _tbl(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"])
+    jc = jo.join(cust, join_type="inner", num_partitions=8,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    def _pair_partial(batch: pa.Table) -> pa.Table:
+        cnat = pc.cast(batch["c_nationkey"], pa.int64())
+        sn = batch["supp_nat"]
+        keep = pc.or_(
+            pc.and_(pc.equal(sn, k1), pc.equal(cnat, k2)),
+            pc.and_(pc.equal(sn, k2), pc.equal(cnat, k1)))
+        t = pa.table({"supp_nat": sn, "cust_nat": cnat,
+                      "l_year": batch["l_year"],
+                      "rev_fx": batch["rev_fx"]}).filter(keep)
+        return (pa.TableGroupBy(t, ["supp_nat", "cust_nat", "l_year"],
+                                use_threads=False)
+                .aggregate([("rev_fx", "sum")])
+                .rename_columns(["supp_nat", "cust_nat", "l_year",
+                                 "rev_fx"]))
+
+    agg = (jc.map_batches(_pair_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["supp_nat", "cust_nat", "l_year"]).sum("rev_fx")
+           .rename_columns({"sum(rev_fx)": "rev_fx"}))
+    nkeys = pa.array(list(name_of), pa.int64())
+    nnames = pa.array([name_of[k] for k in name_of])
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "supp_nation": pc.take(nnames, pc.index_in(
+                batch["supp_nat"], value_set=nkeys)),
+            "cust_nation": pc.take(nnames, pc.index_in(
+                batch["cust_nat"], value_set=nkeys)),
+            "l_year": batch["l_year"].cast(pa.int64()),
+            "revenue": pc.divide(_fx_f64(batch["rev_fx"]),
+                                 pa.scalar(float(Q1_SCALE)))})
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (adapted: region-ASIA consumers, p_type='PROMO'
+    parts, NATION_5's share; no partsupp in this corpus): national market
+    share per order year.  The part side prunes to one type BEFORE the
+    hash join; supplier->nation and the ASIA nation set are spec-tiny
+    closures; numerator and denominator are CASE-sums over the SAME
+    fixed-point revenue so the share rides one aggregation, one exchange
+    per join, no second scan."""
+    import pyarrow.compute as pc
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    skeys = supp["s_suppkey"].combine_chunks()
+    snats = pc.cast(supp["s_nationkey"].combine_chunks(), pa.int64())
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    asia_rk = next(int(k) for k, v in zip(
+        reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+        if v == "ASIA")
+    asia = pa.array([int(k) for k, r in zip(
+        nat["n_nationkey"].to_pylist(), nat["n_regionkey"].to_pylist())
+        if int(r) == asia_rk], pa.int64())
+    n5 = next(int(k) for k, v in zip(nat["n_nationkey"].to_pylist(),
+                                     nat["n_name"].to_pylist())
+              if v == "NATION_5")
+
+    def _part_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["p_type"], "PROMO")).select(
+            ["p_partkey"])
+
+    part = _tbl(sf_dir, "part").map_batches(
+        _part_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _li(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        fx = pc.cast(pc.round(
+            pc.multiply(rev, pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        snat = pc.take(snats, pc.index_in(batch["l_suppkey"],
+                                          value_set=skeys))
+        n5_fx = pc.if_else(pc.equal(snat, n5), fx, pa.scalar(0, pa.int64()))
+        return pa.table({"l_partkey": batch["l_partkey"],
+                         "l_orderkey": batch["l_orderkey"],
+                         "fx": fx, "n5_fx": n5_fx})
+
+    li = (_tbl(sf_dir, "lineitem")
+          .select_columns(["l_partkey", "l_orderkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"])
+          .map_batches(_li, batch_format="pyarrow", zero_copy_batch=True)
+          .join(part, join_type="inner", num_partitions=8,
+                on=("l_partkey",), right_on=("p_partkey",)))
+    orders = _tbl(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"])
+    jo = li.join(orders, join_type="inner", num_partitions=8,
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    cust = _tbl(sf_dir, "customer").select_columns(
+        ["c_custkey", "c_nationkey"])
+    jc = jo.join(cust, join_type="inner", num_partitions=8,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    def _year_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(batch["c_nationkey"], pa.int64()),
+                        value_set=asia)
+        t = batch.filter(keep)
+        g = pa.table({"o_year": pc.cast(pc.year(t["o_orderdate"]),
+                                        pa.int64()),
+                      "fx": t["fx"], "n5_fx": t["n5_fx"]})
+        return (pa.TableGroupBy(g, "o_year", use_threads=False)
+                .aggregate([("fx", "sum"), ("n5_fx", "sum")])
+                .rename_columns(["o_year", "fx", "n5_fx"]))
+
+    agg = (jc.map_batches(_year_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("o_year").sum(["fx", "n5_fx"]))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_year": batch["o_year"].cast(pa.int64()),
+            "mkt_share": pc.divide(_fx_f64(batch["sum(n5_fx)"]),
+                                   _fx_f64(batch["sum(fx)"])),
+            "revenue": pc.divide(_fx_f64(batch["sum(fx)"]),
+                                 pa.scalar(float(Q1_SCALE)))})
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (adapted: no partsupp => unit cost is 10% of
+    p_retailprice; parts named 'red %'): profit by supplier nation and
+    ship-year.  The part side prunes on the name prefix before the hash
+    join; profit is the DIFFERENCE of two independently-rounded
+    fixed-point terms (revenue minus cost) so engine and oracle round
+    identically at any scale; per-(nation, year) partials collapse
+    map-side right after the join."""
+    import pyarrow.compute as pc
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    skeys = supp["s_suppkey"].combine_chunks()
+    snats = pc.cast(supp["s_nationkey"].combine_chunks(), pa.int64())
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    nkeys = pc.cast(nat["n_nationkey"].combine_chunks(), pa.int64())
+    nnames = nat["n_name"].combine_chunks()
+
+    def _part_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.starts_with(batch["p_name"], "red ")).select(
+            ["p_partkey", "p_retailprice"])
+
+    part = _tbl(sf_dir, "part").map_batches(
+        _part_filter, batch_format="pyarrow", zero_copy_batch=True)
+    li = (_tbl(sf_dir, "lineitem")
+          .select_columns(["l_partkey", "l_suppkey", "l_shipdate",
+                           "l_quantity", "l_extendedprice", "l_discount"])
+          .join(part, join_type="inner", num_partitions=8,
+                on=("l_partkey",), right_on=("p_partkey",)))
+
+    def _profit_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        rev_fx = pc.cast(pc.round(
+            pc.multiply(rev, pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        cost = pc.multiply(pc.multiply(batch["l_quantity"],
+                                       batch["p_retailprice"]),
+                           pa.scalar(0.1))
+        cost_fx = pc.cast(pc.round(
+            pc.multiply(cost, pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        snat = pc.take(snats, pc.index_in(batch["l_suppkey"],
+                                          value_set=skeys))
+        g = pa.table({"supp_nat": snat,
+                      "o_year": pc.cast(pc.year(batch["l_shipdate"]),
+                                        pa.int64()),
+                      "profit_fx": pc.subtract(rev_fx, cost_fx)})
+        return (pa.TableGroupBy(g, ["supp_nat", "o_year"],
+                                use_threads=False)
+                .aggregate([("profit_fx", "sum")])
+                .rename_columns(["supp_nat", "o_year", "profit_fx"]))
+
+    agg = (li.map_batches(_profit_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["supp_nat", "o_year"]).sum("profit_fx"))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": pc.take(nnames, pc.index_in(batch["supp_nat"],
+                                                  value_set=nkeys)),
+            "o_year": batch["o_year"].cast(pa.int64()),
+            "sum_profit": pc.divide(_fx_f64(batch["sum(profit_fx)"]),
+                                    pa.scalar(float(Q1_SCALE)))})
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q12_late_priority(sf_dir: str):
+    """TPC-H Q12 shape (adapted: no l_shipmode/l_receiptdate in this
+    corpus => group by l_linestatus, late means shipped >60 days after
+    the order date): high- vs low-priority line counts among 1997's late
+    shipments.  The lineitem side prunes to the year window BEFORE the
+    big-big hash join; the priority CASE collapses to per-linestatus
+    partial counts map-side after it."""
+    from datetime import datetime, timedelta
+
+    import pyarrow.compute as pc
+
+    lo, hi = datetime(1997, 1, 1), datetime(1998, 1, 1)
+    grace = pa.scalar(timedelta(days=60))
+
+    def _li(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["l_shipdate"], pa.scalar(lo)),
+                       pc.less(batch["l_shipdate"], pa.scalar(hi)))
+        return batch.filter(keep).select(
+            ["l_orderkey", "l_shipdate", "l_linestatus"])
+
+    def _orders(batch: pa.Table) -> pa.Table:
+        high = pc.cast(pc.is_in(
+            batch["o_orderpriority"],
+            value_set=pa.array(["1-URGENT", "2-HIGH"])), pa.int64())
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_orderdate": batch["o_orderdate"],
+                         "high": high})
+
+    li = (_tbl(sf_dir, "lineitem")
+          .select_columns(["l_orderkey", "l_shipdate", "l_linestatus"])
+          .map_batches(_li, batch_format="pyarrow", zero_copy_batch=True))
+    orders = (_tbl(sf_dir, "orders")
+              .select_columns(["o_orderkey", "o_orderdate",
+                               "o_orderpriority"])
+              .map_batches(_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _late_partial(batch: pa.Table) -> pa.Table:
+        late = pc.greater(batch["l_shipdate"],
+                          pc.add(batch["o_orderdate"], grace))
+        t = batch.filter(late)
+        g = pa.table({"l_linestatus": t["l_linestatus"],
+                      "high_line_count": t["high"],
+                      "low_line_count": pc.subtract(
+                          pa.scalar(1, pa.int64()), t["high"])})
+        return (pa.TableGroupBy(g, "l_linestatus", use_threads=False)
+                .aggregate([("high_line_count", "sum"),
+                            ("low_line_count", "sum")])
+                .rename_columns(["l_linestatus", "high_line_count",
+                                 "low_line_count"]))
+
+    agg = (j.map_batches(_late_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .groupby("l_linestatus")
+           .sum(["high_line_count", "low_line_count"]))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_linestatus": batch["l_linestatus"],
+            "high_line_count":
+                batch["sum(high_line_count)"].cast(pa.int64()),
+            "low_line_count":
+                batch["sum(low_line_count)"].cast(pa.int64())})
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape (adapted: the comment NOT-LIKE exclusion becomes
+    o_orderpriority <> '1-URGENT'): distribution of order counts per
+    customer INCLUDING zero-order customers — the left-outer-join-count
+    surface.  Order counts collapse map-side per custkey before the
+    exchange; the outer join carries one row per customer; the final
+    histogram is a second tiny groupby."""
+    import pyarrow.compute as pc
+
+    def _ocnt_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["o_orderpriority"],
+                                      "1-URGENT"))
+        g = pa.table({"o_custkey": t["o_custkey"],
+                      "c_count": pa.array(np.ones(len(t), np.int64))})
+        return (pa.TableGroupBy(g, "o_custkey", use_threads=False)
+                .aggregate([("c_count", "sum")])
+                .rename_columns(["o_custkey", "c_count"]))
+
+    ocnt = (_tbl(sf_dir, "orders")
+            .select_columns(["o_custkey", "o_orderpriority"])
+            .map_batches(_ocnt_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("o_custkey").sum("c_count")
+            .rename_columns({"sum(c_count)": "c_count"}))
+    cust = _tbl(sf_dir, "customer").select_columns(["c_custkey"])
+    j = cust.join(ocnt, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def _hist_partial(batch: pa.Table) -> pa.Table:
+        cc = pc.fill_null(pc.cast(batch["c_count"], pa.int64()),
+                          pa.scalar(0, pa.int64()))
+        g = pa.table({"c_count": cc,
+                      "custdist": pa.array(np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(g, "c_count", use_threads=False)
+                .aggregate([("custdist", "sum")])
+                .rename_columns(["c_count", "custdist"]))
+
+    return (j.map_batches(_hist_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+            .groupby("c_count").sum("custdist")
+            .rename_columns({"sum(custdist)": "custdist"}))
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape (adapted: Brand#12 + p_type='SMALL' stands in for
+    brand+container): revenue from lineitems whose quantity is below 20%
+    of the part's average — the correlated-aggregate gate.  The qualifying
+    part set is spec-tiny (one brand x one type, pushed down to the
+    parquet read) and broadcast; the per-part (sum, count) gate table is
+    bounded by that set and broadcast back, so NO join exchange ever
+    happens — two pruned scans and an integer cross-multiplied gate
+    (qty*5*n < sum) that never materializes the float average."""
+    import pyarrow.compute as pc
+
+    pk = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey"],
+        filters=[("p_brand", "==", "Brand#12"),
+                 ("p_type", "==", "SMALL")])["p_partkey"].combine_chunks()
+
+    def _qty_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["l_partkey"], value_set=pk))
+        fx = pc.cast(pc.round(
+            pc.multiply(t["l_quantity"], pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        g = pa.table({"l_partkey": t["l_partkey"], "sum_fx": fx,
+                      "n": pa.array(np.ones(len(t), np.int64))})
+        return (pa.TableGroupBy(g, "l_partkey", use_threads=False)
+                .aggregate([("sum_fx", "sum"), ("n", "sum")])
+                .rename_columns(["l_partkey", "sum_fx", "n"]))
+
+    gate = (_tbl(sf_dir, "lineitem")
+            .select_columns(["l_partkey", "l_quantity"])
+            .map_batches(_qty_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("l_partkey").sum(["sum_fx", "n"]))
+    # the gate table is bounded by the pruned part set — driver-side
+    # materialization is O(|Brand#12 x SMALL|), not O(lineitem)
+    gt = pa.Table.from_pandas(gate.to_pandas())
+    gkeys = gt["l_partkey"].combine_chunks()
+    gsum = pc.cast(gt["sum(sum_fx)"].combine_chunks(), pa.int64())
+    gn = pc.cast(gt["sum(n)"].combine_chunks(), pa.int64())
+
+    def _gated_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["l_partkey"], value_set=pk))
+        idx = pc.index_in(t["l_partkey"], value_set=gkeys)
+        qfx = pc.cast(pc.round(
+            pc.multiply(t["l_quantity"], pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        lhs = pc.multiply(pc.multiply(qfx, pa.scalar(5, pa.int64())),
+                          pc.take(gn, idx))
+        keep = pc.less(lhs, pc.take(gsum, idx))
+        t = t.filter(keep)
+        efx = pc.cast(pc.round(
+            pc.multiply(t["l_extendedprice"], pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        s = pc.sum(efx).as_py() or 0
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "ext_fx": pa.array([s], pa.int64()),
+                         "n_lines": pa.array([len(t)], pa.int64())})
+
+    agg = (_tbl(sf_dir, "lineitem")
+           .select_columns(["l_partkey", "l_quantity", "l_extendedprice"])
+           .map_batches(_gated_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("k").sum(["ext_fx", "n_lines"]))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "avg_yearly": pc.divide(pc.divide(
+                _fx_f64(batch["sum(ext_fx)"]),
+                pa.scalar(float(Q1_SCALE))), pa.scalar(7.0)),
+            "n_lines": batch["sum(n_lines)"].cast(pa.int64())})
+
+    return agg.map_batches(_finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (adapted: late means shipped >90 days after the
+    order date; suppliers of NATION_3): suppliers who were the ONLY late
+    supplier on a multi-supplier finished order, counted by their late
+    lines.  The EXISTS / NOT-EXISTS pair becomes two cascaded groupbys:
+    per-(order, supplier) late-line counts, then per-order supplier /
+    late-supplier tallies — the unique late supplier is recovered as a
+    conditional SUM (exactly-one makes sum == the key), so no max
+    aggregate and no self-join of lineitem against itself ever runs."""
+    from datetime import timedelta
+
+    import pyarrow.compute as pc
+
+    grace = pa.scalar(timedelta(days=90))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey", "s_name"])
+    skeys = supp["s_suppkey"].combine_chunks()
+    snats = pc.cast(supp["s_nationkey"].combine_chunks(), pa.int64())
+    snames = supp["s_name"].combine_chunks()
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    n3 = next(int(k) for k, v in zip(nat["n_nationkey"].to_pylist(),
+                                     nat["n_name"].to_pylist())
+              if v == "NATION_3")
+
+    orders = (_tbl(sf_dir, "orders")
+              .filter(expr="o_orderstatus == 'F'")
+              .select_columns(["o_orderkey", "o_orderdate"]))
+    li = _tbl(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def _os_partial(batch: pa.Table) -> pa.Table:
+        late = pc.cast(pc.greater(batch["l_shipdate"],
+                                  pc.add(batch["o_orderdate"], grace)),
+                       pa.int64())
+        g = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "l_suppkey": batch["l_suppkey"], "late_ct": late})
+        return (pa.TableGroupBy(g, ["l_orderkey", "l_suppkey"],
+                                use_threads=False)
+                .aggregate([("late_ct", "sum")])
+                .rename_columns(["l_orderkey", "l_suppkey", "late_ct"]))
+
+    per_os = (j.map_batches(_os_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+              .groupby(["l_orderkey", "l_suppkey"]).sum("late_ct")
+              .rename_columns({"sum(late_ct)": "late_ct"}))
+
+    def _order_partial(batch: pa.Table) -> pa.Table:
+        is_late = pc.cast(pc.greater(batch["late_ct"],
+                                     pa.scalar(0, pa.int64())), pa.int64())
+        sk = pc.cast(batch["l_suppkey"], pa.int64())
+        g = pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "n_supp": pa.array(np.ones(len(batch), np.int64)),
+            "n_late": is_late,
+            # exactly-one-late filter downstream makes these sums THE
+            # late supplier's key and line count
+            "late_supp": pc.multiply(sk, is_late),
+            "late_lines": pc.multiply(pc.cast(batch["late_ct"],
+                                              pa.int64()), is_late)})
+        return (pa.TableGroupBy(g, "l_orderkey", use_threads=False)
+                .aggregate([("n_supp", "sum"), ("n_late", "sum"),
+                            ("late_supp", "sum"), ("late_lines", "sum")])
+                .rename_columns(["l_orderkey", "n_supp", "n_late",
+                                 "late_supp", "late_lines"]))
+
+    per_order = (per_os.map_batches(_order_partial, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                 .groupby("l_orderkey")
+                 .sum(["n_supp", "n_late", "late_supp", "late_lines"])
+                 .rename_columns({"sum(n_supp)": "n_supp",
+                                  "sum(n_late)": "n_late",
+                                  "sum(late_supp)": "late_supp",
+                                  "sum(late_lines)": "late_lines"})
+                 .filter(expr="n_supp >= 2 and n_late == 1"))
+
+    def _supp_partial(batch: pa.Table) -> pa.Table:
+        sk = batch["late_supp"]
+        snat = pc.take(snats, pc.index_in(sk, value_set=pc.cast(
+            skeys, pa.int64())))
+        t = pa.table({"s_suppkey": sk,
+                      "numwait": batch["late_lines"]}).filter(
+            pc.equal(snat, n3))
+        return (pa.TableGroupBy(t, "s_suppkey", use_threads=False)
+                .aggregate([("numwait", "sum")])
+                .rename_columns(["s_suppkey", "numwait"]))
+
+    agg = (per_order.map_batches(_supp_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+           .groupby("s_suppkey").sum("numwait")
+           .rename_columns({"sum(numwait)": "numwait"}))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "s_name": pc.take(snames, pc.index_in(
+                batch["s_suppkey"], value_set=pc.cast(skeys, pa.int64()))),
+            "numwait": batch["numwait"].cast(pa.int64())})
+
+    return (agg.map_batches(_shape, batch_format="pyarrow",
+                            zero_copy_batch=True)
+            .sort(["numwait", "s_name"], descending=[True, False])
+            .limit(100))
