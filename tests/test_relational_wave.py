@@ -23,7 +23,9 @@ WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "events_daily_dense", "embedding_outliers",
         "q7_volume_shipping", "q8_market_share", "q9_product_profit",
         "q12_late_priority", "q13_customer_distribution",
-        "q17_small_quantity_revenue", "q21_waiting_suppliers"]
+        "q17_small_quantity_revenue", "q21_waiting_suppliers",
+        "q2_min_cost_supplier", "q11_important_stock",
+        "q20_part_promotion", "refusal_hedge_profile", "kg_calibration"]
 
 
 @pytest.fixture(scope="module")

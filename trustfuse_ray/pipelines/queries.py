@@ -2971,6 +2971,11 @@ def _all_queries():
         "q13_customer_distribution": q13_customer_distribution,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_stock": q11_important_stock,
+        "q20_part_promotion": q20_part_promotion,
+        "refusal_hedge_profile": q_refusal_hedge_profile,
+        "kg_calibration": q_kg_calibration,
         "rollup_revenue": q_rollup_revenue,
         "events_pivot": q_events_pivot,
         "events_set_ops": q_events_set_ops,
@@ -5212,6 +5217,122 @@ WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
       AND l3.l_suppkey <> l1.l_suppkey
       AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
 GROUP BY 1 ORDER BY numwait DESC, s.s_name LIMIT 100""",
+        "q2_min_cost_supplier": """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
+           AS cost_c
+  FROM lineitem GROUP BY 1, 2),
+pw AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE p_size <= 15 AND p_type = 'STANDARD'),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+c AS (
+  SELECT ps.l_partkey, ps.l_suppkey, ps.cost_c, pw.p_name
+  FROM ps JOIN pw ON ps.l_partkey = pw.p_partkey
+  JOIN eu ON ps.l_suppkey = eu.s_suppkey),
+m AS (SELECT l_partkey AS pk, min(cost_c) AS min_c FROM c GROUP BY 1)
+SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+       CAST(c.l_partkey AS BIGINT) AS p_partkey, c.p_name,
+       c.cost_c / 100.0 AS supplycost
+FROM c JOIN m ON c.l_partkey = m.pk AND c.cost_c = m.min_c
+JOIN eu ON c.l_suppkey = eu.s_suppkey
+ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p_partkey LIMIT 100""",
+        "q11_important_stock": """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
+           AS cost_c,
+         sum(CAST(round(l_quantity) AS BIGINT)) AS availqty
+  FROM lineitem GROUP BY 1, 2),
+n18 AS (
+  SELECT s_suppkey FROM supplier JOIN nation
+    ON s_nationkey = n_nationkey WHERE n_name = 'NATION_18'),
+v AS (
+  SELECT l_partkey AS ps_partkey, sum(cost_c * availqty) AS value_c
+  FROM ps JOIN n18 ON l_suppkey = s_suppkey GROUP BY 1),
+t AS (SELECT sum(value_c) AS total_c FROM v)
+SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey,
+       CAST(value_c AS BIGINT) / 100.0 AS value
+FROM v, t WHERE value_c * 1000 > total_c""",
+        "q20_part_promotion": """
+WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'old %'),
+f AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                   AND l_shipdate < TIMESTAMP '1997-01-01'
+                  THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+           AS q96,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                   AND l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+           AS q97
+  FROM lineitem JOIN pp ON l_partkey = p_partkey GROUP BY 1, 2),
+q AS (SELECT DISTINCT l_suppkey FROM f
+      WHERE q97 > 0 AND q96 * 2 > q97)
+SELECT s.s_name FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+  AND n.n_name = 'NATION_18'
+JOIN q ON s.s_suppkey = q.l_suppkey
+ORDER BY s.s_name""",
+        "refusal_hedge_profile": f"""
+WITH a AS (
+  SELECT coalesce(tool, '') AS tool, lower(text) AS low
+  FROM read_parquet('{cache}/transcripts/*.parquet')
+  WHERE role = 'assistant'),
+f AS (
+  SELECT tool,
+         CASE WHEN regexp_matches(low,
+           '(i can''t|i cannot|i''m unable|i am unable|'
+           || 'cannot assist|can''t help with)') THEN 1 ELSE 0 END
+           AS refusal,
+         CASE WHEN regexp_matches(low, '(let me check|i will verify)')
+           THEN 1 ELSE 0 END AS hedge,
+         CASE WHEN regexp_matches(low,
+           '(here is what i found|that matches)')
+           THEN 1 ELSE 0 END AS asrt
+  FROM a)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(refusal) AS BIGINT) AS n_refusal,
+       CAST(sum(hedge) AS BIGINT) AS n_hedge,
+       CAST(sum(asrt) AS BIGINT) AS n_assert,
+       CAST(sum(refusal) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS refusal_rate,
+       CAST(sum(hedge) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS hedge_rate
+FROM f GROUP BY 1""",
+        "kg_calibration": f"""
+WITH {_claims_cte(cache)},
+ded AS (
+  SELECT DISTINCT entity, attr, value_str, source
+  FROM claims WHERE value_type <> 'quantity'),
+cnt AS (
+  SELECT entity, attr, value_str, count(*) AS n_votes
+  FROM ded GROUP BY 1, 2, 3),
+w AS (
+  SELECT entity, attr, value_str, n_votes,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY n_votes DESC, value_str ASC) AS rn
+  FROM cnt),
+tot AS (SELECT entity, attr, count(*) AS tot FROM ded GROUP BY 1, 2),
+g AS (
+  SELECT least((w.n_votes * 10) // tot.tot, 9) AS conf_bin,
+         CASE WHEN w.value_str = t.value_str THEN 1 ELSE 0 END AS correct
+  FROM w
+  JOIN tot ON w.entity = tot.entity AND w.attr = tot.attr
+  JOIN read_parquet('{cache}/truth.parquet') t
+    ON w.entity = t.entity AND w.attr = t.attr
+   AND t.value_type <> 'quantity'
+  WHERE w.rn = 1)
+SELECT CAST(conf_bin AS BIGINT) AS conf_bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(correct) AS BIGINT) AS n_correct,
+       CAST(sum(correct) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS accuracy
+FROM g GROUP BY 1""",
         "rollup_revenue": f"""
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -8486,3 +8607,355 @@ def q21_waiting_suppliers(sf_dir: str):
                             zero_copy_batch=True)
             .sort(["numwait", "s_name"], descending=[True, False])
             .limit(100))
+
+
+def _derived_partsupp(sf_dir: str, with_qty: bool = False):
+    """partsupp DERIVED from lineitem (this corpus carries no partsupp
+    table): one row per observed (partkey, suppkey) pair; supplycost is
+    the minimum observed unit price in exact integer cents; availqty
+    (optional) is the total integral quantity supplied by that pair.
+    Map-side partials collapse the pairs inside each block before the
+    single hash exchange, so the shuffle carries ≤ #pairs rows."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cost = pc.cast(pc.round(
+            pc.multiply(pc.divide(batch["l_extendedprice"],
+                                  batch["l_quantity"]),
+                        pa.scalar(100.0)),
+            round_mode="half_towards_infinity"), pa.int64())
+        cols = {"l_partkey": batch["l_partkey"],
+                "l_suppkey": batch["l_suppkey"], "cost_c": cost}
+        aggs = [("cost_c", "min")]
+        names = ["l_partkey", "l_suppkey", "cost_c"]
+        if with_qty:
+            cols["availqty"] = pc.cast(pc.round(
+                batch["l_quantity"],
+                round_mode="half_towards_infinity"), pa.int64())
+            aggs.append(("availqty", "sum"))
+            names.append("availqty")
+        t = pa.table(cols)
+        return (pa.TableGroupBy(t, ["l_partkey", "l_suppkey"],
+                                use_threads=False)
+                .aggregate(aggs).rename_columns(names))
+
+    ds = (_tbl(sf_dir, "lineitem")
+          .select_columns(["l_partkey", "l_suppkey", "l_extendedprice",
+                           "l_quantity"])
+          .map_batches(_partial, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    gb = ds.groupby(["l_partkey", "l_suppkey"])
+    if with_qty:
+        return (gb.aggregate(ray.data.aggregate.Min("cost_c"),
+                             ray.data.aggregate.Sum("availqty"))
+                .rename_columns({"min(cost_c)": "cost_c",
+                                 "sum(availqty)": "availqty"}))
+    return gb.min("cost_c").rename_columns({"min(cost_c)": "cost_c"})
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape over the derived partsupp (see _derived_partsupp;
+    region EUROPE, STANDARD parts of size <= 15): the correlated-min
+    surface — for each part, the European supplier(s) offering the
+    minimum supplycost.  The per-part min table shares the partitioning
+    key with the candidate table so the equality re-join is
+    co-partitioned; supplier attributes are spec-tiny closures attached
+    only to the surviving candidates; tie-break (acctbal desc, nation,
+    supplier, part) bounds the limit deterministically."""
+    import pyarrow.compute as pc
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    eu_rk = next(int(k) for k, v in zip(
+        reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())
+        if v == "EUROPE")
+    nname_of = dict(zip((int(k) for k in nat["n_nationkey"].to_pylist()),
+                        nat["n_name"].to_pylist()))
+    eu_nk = {int(k) for k, r in zip(nat["n_nationkey"].to_pylist(),
+                                    nat["n_regionkey"].to_pylist())
+             if int(r) == eu_rk}
+    mask = [int(nk) in eu_nk for nk in supp["s_nationkey"].to_pylist()]
+    eu = supp.filter(pa.array(mask))
+    eu_keys = eu["s_suppkey"].combine_chunks()
+    eu_names = eu["s_name"].combine_chunks()
+    eu_acct = eu["s_acctbal"].combine_chunks()
+    eu_nat = pa.array([nname_of[int(nk)]
+                       for nk in eu["s_nationkey"].to_pylist()])
+
+    def _part_filter(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.less_equal(pc.cast(batch["p_size"], pa.int64()),
+                                     pa.scalar(15, pa.int64())),
+                       pc.equal(batch["p_type"], "STANDARD"))
+        return batch.filter(keep).select(["p_partkey", "p_name"])
+
+    part = _tbl(sf_dir, "part").map_batches(
+        _part_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _eu_only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["l_suppkey"],
+                                     value_set=eu_keys))
+
+    cand = (_derived_partsupp(sf_dir)
+            .map_batches(_eu_only, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .join(part, join_type="inner", num_partitions=8,
+                  on=("l_partkey",), right_on=("p_partkey",)))
+    mins = (cand.groupby("l_partkey").min("cost_c")
+            .rename_columns({"l_partkey": "pk", "min(cost_c)": "min_c"}))
+    best = cand.join(mins, join_type="inner", num_partitions=8,
+                     on=("l_partkey",), right_on=("pk",))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["cost_c"], batch["min_c"]))
+        idx = pc.index_in(t["l_suppkey"], value_set=eu_keys)
+        return pa.table({
+            "s_acctbal": pc.take(eu_acct, idx),
+            "s_name": pc.take(eu_names, idx),
+            "n_name": pc.take(eu_nat, idx),
+            "p_partkey": t["l_partkey"].cast(pa.int64()),
+            "p_name": t["p_name"],
+            "supplycost": pc.divide(_fx_f64(t["cost_c"]),
+                                    pa.scalar(100.0))})
+
+    return (best.map_batches(_shape, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .sort(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                  descending=[True, False, False, False])
+            .limit(100))
+
+
+def q11_important_stock(sf_dir: str):
+    """TPC-H Q11 shape over the derived partsupp (NATION_18 suppliers,
+    threshold 0.001 of the national total): per-part inventory value
+    gated on a share of the GLOBAL sum.  The nation filter is a
+    spec-tiny closure applied map-side before any exchange; the grand
+    total is a scalar over the already-small per-part aggregate (the
+    integer cross-multiply value*1000 > total keeps the gate exact —
+    the float fraction never exists)."""
+    import pyarrow.compute as pc
+
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    n18 = next(int(k) for k, v in zip(nat["n_nationkey"].to_pylist(),
+                                      nat["n_name"].to_pylist())
+               if v == "NATION_18")
+    nk = pa.array([int(s) for s, n in zip(
+        supp["s_suppkey"].to_pylist(), supp["s_nationkey"].to_pylist())
+        if int(n) == n18], pa.int64())
+
+    def _value_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(pc.cast(batch["l_suppkey"], pa.int64()),
+                                  value_set=nk))
+        g = pa.table({"ps_partkey": t["l_partkey"],
+                      "value_c": pc.multiply(t["cost_c"], t["availqty"])})
+        return (pa.TableGroupBy(g, "ps_partkey", use_threads=False)
+                .aggregate([("value_c", "sum")])
+                .rename_columns(["ps_partkey", "value_c"]))
+
+    v = (_derived_partsupp(sf_dir, with_qty=True)
+         .map_batches(_value_partial, batch_format="pyarrow",
+                      zero_copy_batch=True)
+         .groupby("ps_partkey").sum("value_c")
+         .rename_columns({"sum(value_c)": "value_c"}))
+    total = v.sum("value_c")  # scalar over the per-part aggregate
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "ps_partkey": batch["ps_partkey"].cast(pa.int64()),
+            "value": pc.divide(_fx_f64(batch["value_c"]),
+                               pa.scalar(100.0))})
+
+    # value_c * 1000 > total  <=>  value_c >= total // 1000 + 1 (exact
+    # integer threshold — strictly-greater for both divisible and
+    # non-divisible totals, so the float fraction never exists)
+    thresh = int(total) // 1000 + 1
+    return (v.filter(expr=f"value_c >= {thresh}")
+            .map_batches(_shape, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+def q20_part_promotion(sf_dir: str):
+    """TPC-H Q20 shape (adapted: availqty proxy is 1996 shipped volume,
+    demand is 1997's; parts named 'old %'; NATION_18 suppliers): the
+    nested semi-join surface — suppliers with at least one promoted part
+    whose stock beat half the demand.  Lines prune to the two-year
+    window and collapse to per-(part, supplier) conditional sums
+    map-side BEFORE the part hash join; the supplier set dedups in one
+    tiny exchange; names attach from the spec-tiny closure."""
+    from datetime import datetime
+
+    import pyarrow.compute as pc
+
+    y96 = pa.scalar(datetime(1996, 1, 1))
+    y97 = pa.scalar(datetime(1997, 1, 1))
+    y98 = pa.scalar(datetime(1998, 1, 1))
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey", "s_name"])
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    n18 = next(int(k) for k, v in zip(nat["n_nationkey"].to_pylist(),
+                                      nat["n_name"].to_pylist())
+               if v == "NATION_18")
+    skeys = pc.cast(supp["s_suppkey"].combine_chunks(), pa.int64())
+    snats = pc.cast(supp["s_nationkey"].combine_chunks(), pa.int64())
+    snames = supp["s_name"].combine_chunks()
+
+    def _part_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.starts_with(batch["p_name"], "old ")).select(["p_partkey"])
+
+    part = _tbl(sf_dir, "part").map_batches(
+        _part_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _qty_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(batch["l_shipdate"], y96),
+                       pc.less(batch["l_shipdate"], y98))
+        t = batch.filter(keep)
+        q = pc.cast(pc.round(t["l_quantity"],
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        in96 = pc.less(t["l_shipdate"], y97)
+        zero = pa.scalar(0, pa.int64())
+        g = pa.table({"l_partkey": t["l_partkey"],
+                      "l_suppkey": t["l_suppkey"],
+                      "q96": pc.if_else(in96, q, zero),
+                      "q97": pc.if_else(in96, zero, q)})
+        return (pa.TableGroupBy(g, ["l_partkey", "l_suppkey"],
+                                use_threads=False)
+                .aggregate([("q96", "sum"), ("q97", "sum")])
+                .rename_columns(["l_partkey", "l_suppkey", "q96", "q97"]))
+
+    pairs = (_tbl(sf_dir, "lineitem")
+             .select_columns(["l_partkey", "l_suppkey", "l_shipdate",
+                              "l_quantity"])
+             .map_batches(_qty_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .join(part, join_type="inner", num_partitions=8,
+                   on=("l_partkey",), right_on=("p_partkey",))
+             .groupby(["l_partkey", "l_suppkey"]).sum(["q96", "q97"])
+             .rename_columns({"sum(q96)": "q96", "sum(q97)": "q97"}))
+
+    def _gate_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(batch["q97"], pa.scalar(0, pa.int64())),
+            pc.greater(pc.multiply(batch["q96"],
+                                   pa.scalar(2, pa.int64())),
+                       batch["q97"]))
+        t = batch.filter(keep)
+        g = pa.table({"l_suppkey": pc.cast(t["l_suppkey"], pa.int64())})
+        return pa.TableGroupBy(g, "l_suppkey",
+                               use_threads=False).aggregate([])
+
+    dsupp = (pairs.map_batches(_gate_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .groupby("l_suppkey").count().drop_columns(["count()"]))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch["l_suppkey"], value_set=skeys)
+        t = pa.table({"s_name": pc.take(snames, idx),
+                      "nk": pc.take(snats, idx)})
+        return t.filter(pc.equal(t["nk"], n18)).select(["s_name"])
+
+    return (dsupp.map_batches(_shape, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .sort("s_name"))
+
+
+def q_refusal_hedge_profile(sf_dir: str):
+    """Assistant refusal / hedging / assertive lead-in rates per tool —
+    the safety-filter + style-telemetry gate of an LLM data pipeline."""
+    from trustfuse_ray.stages.assemble import refusal_hedge_profile
+
+    data_dir = synth.generate(sf_dir)
+    return refusal_hedge_profile(read_transcripts(data_dir))
+
+
+def q_kg_calibration(sf_dir: str):
+    """Confidence calibration (reliability bins) of categorical voting
+    against the corpus's golden truth: the winner's vote share per fact,
+    bucketed into deciles with an EXACT integer bin (votes*10 // total,
+    capped at 9) so no float boundary ever decides a bin.  Winner and
+    total-vote tables co-partition on (entity, attr) — one hash join —
+    and the truth table joins on the same key; the 10-row reliability
+    table reduces map-side."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.fuse.voting import salted_categorical_voting
+
+    claims = cached_claims(sf_dir)
+    win = salted_categorical_voting(claims).select_columns(
+        ["entity", "attr", "value_str", "n_votes"])
+
+    def _cat_dedup(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["value_type"], "quantity"))
+        g = pa.table({"entity": t["entity"], "attr": t["attr"],
+                      "value_str": t["value_str"], "source": t["source"]})
+        return pa.TableGroupBy(
+            g, ["entity", "attr", "value_str", "source"],
+            use_threads=False).aggregate([])
+
+    ded = (claims.map_batches(_cat_dedup, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby(["entity", "attr", "value_str", "source"]).count()
+           .drop_columns(["count()"]))
+
+    def _tot_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table({"t_entity": batch["entity"],
+                      "t_attr": batch["attr"],
+                      "tot": pa.array(np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(g, ["t_entity", "t_attr"],
+                                use_threads=False)
+                .aggregate([("tot", "sum")])
+                .rename_columns(["t_entity", "t_attr", "tot"]))
+
+    tot = (ded.map_batches(_tot_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby(["t_entity", "t_attr"]).sum("tot")
+           .rename_columns({"sum(tot)": "tot"}))
+    wt = win.join(tot, join_type="inner", num_partitions=8,
+                  on=("entity", "attr"), right_on=("t_entity", "t_attr"))
+
+    cache = synth.generate(sf_dir)
+    truth = (ray.data.read_parquet(os.path.join(cache, "truth.parquet"),
+                                   columns=["entity", "attr", "value_str",
+                                            "value_type"])
+             .filter(expr="value_type != 'quantity'")
+             .rename_columns({"entity": "g_entity", "attr": "g_attr",
+                              "value_str": "gt_value"})
+             .drop_columns(["value_type"]))
+    j = wt.join(truth, join_type="inner", num_partitions=8,
+                on=("entity", "attr"), right_on=("g_entity", "g_attr"))
+
+    def _bin_partial(batch: pa.Table) -> pa.Table:
+        nv = pc.cast(batch["n_votes"], pa.int64())
+        tt = pc.cast(batch["tot"], pa.int64())
+        raw = pc.divide(pc.multiply(nv, pa.scalar(10, pa.int64())), tt)
+        conf_bin = pc.min_element_wise(raw, pa.scalar(9, pa.int64()))
+        correct = pc.cast(pc.equal(batch["value_str"],
+                                   batch["gt_value"]), pa.int64())
+        g = pa.table({"conf_bin": conf_bin,
+                      "n": pa.array(np.ones(len(batch), np.int64)),
+                      "n_correct": pc.fill_null(correct,
+                                                pa.scalar(0, pa.int64()))})
+        return (pa.TableGroupBy(g, "conf_bin", use_threads=False)
+                .aggregate([("n", "sum"), ("n_correct", "sum")])
+                .rename_columns(["conf_bin", "n", "n_correct"]))
+
+    agg = (j.map_batches(_bin_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+           .groupby("conf_bin").sum(["n", "n_correct"]))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["sum(n)"], pa.int64())
+        ncorr = pc.cast(batch["sum(n_correct)"], pa.int64())
+        return pa.table({
+            "conf_bin": batch["conf_bin"].cast(pa.int64()),
+            "n": n, "n_correct": ncorr,
+            "accuracy": pc.divide(pc.cast(ncorr, pa.float64()),
+                                  pc.cast(n, pa.float64()))})
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)

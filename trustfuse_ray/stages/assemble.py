@@ -605,3 +605,65 @@ def tool_transitions(transcripts, n_parts: int = 32):
                                  ("n", pa.int64())]))
     return (partials.groupby(["tool_from", "tool_to"]).sum("n")
             .rename_columns({"sum(n)": "n"}))
+
+
+_REFUSAL_PAT = (r"(i can't|i cannot|i'm unable|i am unable|"
+                r"cannot assist|can't help with)")
+_HEDGE_PAT = r"(let me check|i will verify)"
+_ASSERT_PAT = r"(here is what i found|that matches)"
+
+
+def refusal_hedge_profile(transcripts):
+    """Assistant response-style profile per tool: refusal, hedging and
+    assertive lead-in phrase rates — the standard training-data safety /
+    style gate (refusal filtering) plus corpus style telemetry.  One
+    vectorized RE2 pass per class per batch (patterns compile once in
+    Arrow), per-tool partial counts collapse map-side, one tiny exchange;
+    text never shuffles."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = batch.filter(pc.equal(batch["role"], "assistant"))
+        low = pc.utf8_lower(pc.cast(t["text"], pa.string()))
+        tool = pc.fill_null(pc.cast(t["tool"], pa.string()), "")
+        one = pa.scalar(1, pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        g = pa.table({
+            "tool": tool,
+            "n_turns": pa.array(np.ones(len(t), np.int64)),
+            "n_refusal": pc.if_else(
+                pc.match_substring_regex(low, _REFUSAL_PAT), one, zero),
+            "n_hedge": pc.if_else(
+                pc.match_substring_regex(low, _HEDGE_PAT), one, zero),
+            "n_assert": pc.if_else(
+                pc.match_substring_regex(low, _ASSERT_PAT), one, zero)})
+        return (pa.TableGroupBy(g, "tool", use_threads=False)
+                .aggregate([("n_turns", "sum"), ("n_refusal", "sum"),
+                            ("n_hedge", "sum"), ("n_assert", "sum")])
+                .rename_columns(["tool", "n_turns", "n_refusal",
+                                 "n_hedge", "n_assert"]))
+
+    agg = (transcripts
+           .map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("tool")
+           .sum(["n_turns", "n_refusal", "n_hedge", "n_assert"]))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        n = pc.cast(batch["sum(n_turns)"], pa.int64())
+        nr = pc.cast(batch["sum(n_refusal)"], pa.int64())
+        nh = pc.cast(batch["sum(n_hedge)"], pa.int64())
+        return pa.table({
+            "tool": batch["tool"],
+            "n_turns": n,
+            "n_refusal": nr,
+            "n_hedge": nh,
+            "n_assert": pc.cast(batch["sum(n_assert)"], pa.int64()),
+            "refusal_rate": pc.divide(pc.cast(nr, pa.float64()),
+                                      pc.cast(n, pa.float64())),
+            "hedge_rate": pc.divide(pc.cast(nh, pa.float64()),
+                                    pc.cast(n, pa.float64()))})
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
