@@ -2976,6 +2976,8 @@ def _all_queries():
         "q20_part_promotion": q20_part_promotion,
         "refusal_hedge_profile": q_refusal_hedge_profile,
         "kg_calibration": q_kg_calibration,
+        "customer_spend_ntile": q_customer_spend_ntile,
+        "customer_order_reconciliation": q_customer_order_reconciliation,
         "rollup_revenue": q_rollup_revenue,
         "events_pivot": q_events_pivot,
         "events_set_ops": q_events_set_ops,
@@ -5254,10 +5256,10 @@ n18 AS (
 v AS (
   SELECT l_partkey AS ps_partkey, sum(cost_c * availqty) AS value_c
   FROM ps JOIN n18 ON l_suppkey = s_suppkey GROUP BY 1),
-t AS (SELECT sum(value_c) AS total_c FROM v)
+t AS (SELECT sum(value_c) AS total_c, count(*) AS n FROM v)
 SELECT CAST(ps_partkey AS BIGINT) AS ps_partkey,
        CAST(value_c AS BIGINT) / 100.0 AS value
-FROM v, t WHERE value_c * 1000 > total_c""",
+FROM v, t WHERE value_c * n > 2 * total_c""",
         "q20_part_promotion": """
 WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'old %'),
 f AS (
@@ -5333,6 +5335,30 @@ SELECT CAST(conf_bin AS BIGINT) AS conf_bin,
        CAST(sum(correct) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          AS accuracy
 FROM g GROUP BY 1""",
+        "customer_spend_ntile": f"""
+WITH spend AS (
+  SELECT o_custkey AS c_custkey,
+         sum(CAST(round(o_totalprice * {Q1_SCALE}) AS BIGINT))
+           AS spend_fx
+  FROM orders GROUP BY 1)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       spend_fx / {Q1_SCALE}.0 AS spend,
+       CAST(ntile(4) OVER (ORDER BY spend_fx, c_custkey) AS BIGINT)
+         AS tile
+FROM spend""",
+        "customer_order_reconciliation": """
+WITH urgent AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_urgent
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+rich AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 4000.0)
+SELECT CAST(coalesce(u.o_custkey, r.c_custkey) AS BIGINT) AS custkey,
+       u.n_urgent, r.c_acctbal,
+       CASE WHEN u.o_custkey IS NOT NULL AND r.c_custkey IS NOT NULL
+            THEN 'both'
+            WHEN u.o_custkey IS NOT NULL THEN 'orders_only'
+            ELSE 'customers_only' END AS status
+FROM urgent u FULL OUTER JOIN rich r ON u.o_custkey = r.c_custkey""",
         "rollup_revenue": f"""
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -8727,12 +8753,14 @@ def q2_min_cost_supplier(sf_dir: str):
 
 def q11_important_stock(sf_dir: str):
     """TPC-H Q11 shape over the derived partsupp (NATION_18 suppliers,
-    threshold 0.001 of the national total): per-part inventory value
-    gated on a share of the GLOBAL sum.  The nation filter is a
-    spec-tiny closure applied map-side before any exchange; the grand
-    total is a scalar over the already-small per-part aggregate (the
-    integer cross-multiply value*1000 > total keeps the gate exact —
-    the float fraction never exists)."""
+    threshold 2x the average per-part value — scale-STABLE, unlike the
+    spec's fixed fraction which dilutes to an empty result as #parts
+    grows): per-part inventory value gated on a share of the GLOBAL
+    sum.  The nation filter is a spec-tiny closure applied map-side
+    before any exchange; grand total and part count are scalars over
+    the already-small per-part aggregate; the gate is an exact
+    precomputed integer threshold (value*n > 2*total) — the float
+    average never exists."""
     import pyarrow.compute as pc
 
     supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
@@ -8760,7 +8788,8 @@ def q11_important_stock(sf_dir: str):
                       zero_copy_batch=True)
          .groupby("ps_partkey").sum("value_c")
          .rename_columns({"sum(value_c)": "value_c"}))
-    total = v.sum("value_c")  # scalar over the per-part aggregate
+    vm = v.materialize()  # (partkey, int64) — tiny next to lineitem
+    total, n_parts = int(vm.sum("value_c")), int(vm.count())
 
     def _shape(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -8768,11 +8797,11 @@ def q11_important_stock(sf_dir: str):
             "value": pc.divide(_fx_f64(batch["value_c"]),
                                pa.scalar(100.0))})
 
-    # value_c * 1000 > total  <=>  value_c >= total // 1000 + 1 (exact
+    # value_c * n > 2 * total  <=>  value_c >= (2*total) // n + 1 (exact
     # integer threshold — strictly-greater for both divisible and
-    # non-divisible totals, so the float fraction never exists)
-    thresh = int(total) // 1000 + 1
-    return (v.filter(expr=f"value_c >= {thresh}")
+    # non-divisible totals, so the float average never exists)
+    thresh = (2 * total) // n_parts + 1
+    return (vm.filter(expr=f"value_c >= {thresh}")
             .map_batches(_shape, batch_format="pyarrow",
                          zero_copy_batch=True))
 
@@ -8883,11 +8912,9 @@ def q_kg_calibration(sf_dir: str):
     table reduces map-side."""
     import pyarrow.compute as pc
 
-    from trustfuse_ray.fuse.voting import salted_categorical_voting
+    from trustfuse_ray.stages.common import hash_group_apply
 
     claims = cached_claims(sf_dir)
-    win = salted_categorical_voting(claims).select_columns(
-        ["entity", "attr", "value_str", "n_votes"])
 
     def _cat_dedup(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.not_equal(batch["value_type"], "quantity"))
@@ -8897,22 +8924,38 @@ def q_kg_calibration(sf_dir: str):
             g, ["entity", "attr", "value_str", "source"],
             use_threads=False).aggregate([])
 
-    ded = (claims.map_batches(_cat_dedup, batch_format="pyarrow",
-                              zero_copy_batch=True)
-           .groupby(["entity", "attr", "value_str", "source"]).count()
-           .drop_columns(["count()"]))
+    # ONE distinct pass over claims feeds both the winner and the
+    # total-votes tables (counts is (fact, value) sized — tiny)
+    counts = (claims.map_batches(_cat_dedup, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+              .groupby(["entity", "attr", "value_str", "source"]).count()
+              .drop_columns(["count()"])
+              .groupby(["entity", "attr", "value_str"]).count()
+              .rename_columns({"count()": "n_votes"})
+              .materialize())
+
+    def _winner(group: pa.Table) -> pa.Table:
+        votes = group["n_votes"].to_pylist()
+        vals = group["value_str"].to_pylist()
+        m = max(votes)
+        cand = [i for i in range(len(vals)) if votes[i] == m]
+        return group.slice(min(cand, key=lambda i: vals[i]), 1)
+
+    win = hash_group_apply(counts, ["entity", "attr"], _winner,
+                           n_parts=64).select_columns(
+        ["entity", "attr", "value_str", "n_votes"])
 
     def _tot_partial(batch: pa.Table) -> pa.Table:
         g = pa.table({"t_entity": batch["entity"],
                       "t_attr": batch["attr"],
-                      "tot": pa.array(np.ones(len(batch), np.int64))})
+                      "tot": pc.cast(batch["n_votes"], pa.int64())})
         return (pa.TableGroupBy(g, ["t_entity", "t_attr"],
                                 use_threads=False)
                 .aggregate([("tot", "sum")])
                 .rename_columns(["t_entity", "t_attr", "tot"]))
 
-    tot = (ded.map_batches(_tot_partial, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    tot = (counts.map_batches(_tot_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
            .groupby(["t_entity", "t_attr"]).sum("tot")
            .rename_columns({"sum(tot)": "tot"}))
     wt = win.join(tot, join_type="inner", num_partitions=8,
@@ -8959,3 +9002,150 @@ def q_kg_calibration(sf_dir: str):
 
     return agg.map_batches(_shape, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def q_customer_spend_ntile(sf_dir: str):
+    """NTILE(4) over per-customer total spend — the GLOBAL-rank window
+    surface, made distributed-exact WITHOUT a global sort: the three
+    quartile boundary elements are order statistics found by a two-pass
+    histogram refine (coarse 2^16-bucket bincount of the spend key, then
+    an exact driver-side sort of ONLY the <= 3 boundary buckets' rows,
+    bounded by n / #buckets each), and the assignment pass is a
+    vectorized lexicographic compare against those three (spend, cust)
+    pairs.  Tie-break custkey asc matches the oracle's ORDER BY; NTILE's
+    uneven ceil/floor split falls out of the boundary RANKS, computed
+    exactly from n."""
+    import pyarrow.compute as pc
+
+    def _spend_partial(batch: pa.Table) -> pa.Table:
+        fx = pc.cast(pc.round(
+            pc.multiply(batch["o_totalprice"], pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
+        t = pa.table({"c_custkey": batch["o_custkey"], "spend_fx": fx})
+        return (pa.TableGroupBy(t, "c_custkey", use_threads=False)
+                .aggregate([("spend_fx", "sum")])
+                .rename_columns(["c_custkey", "spend_fx"]))
+
+    spend = (_tbl(sf_dir, "orders")
+             .select_columns(["o_custkey", "o_totalprice"])
+             .map_batches(_spend_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("c_custkey").sum("spend_fx")
+             .rename_columns({"sum(spend_fx)": "spend_fx"})
+             .materialize())  # (custkey, int64) — tiny next to orders
+
+    # pass 1: coarse histogram over the spend key (2^16 buckets by high
+    # bits) — per-block partials, one tiny global table
+    SHIFT = 30
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        b = pc.shift_right(batch["spend_fx"], pa.scalar(SHIFT, pa.int64()))
+        g = pa.table({"b": b, "hn": pa.array(np.ones(len(batch),
+                                                     np.int64))})
+        return (pa.TableGroupBy(g, "b", use_threads=False)
+                .aggregate([("hn", "sum")]).rename_columns(["b", "hn"]))
+
+    hist = (spend.map_batches(_hist, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("b").sum("hn").to_pandas())
+    n = int(hist["sum(hn)"].sum())
+    if n == 0:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "spend": pa.array([], pa.float64()),
+                         "tile": pa.array([], pa.int64())})
+    # NTILE boundary ranks: first n%4 tiles carry ceil(n/4) rows
+    size_small, n_big = n // 4, n % 4
+    sizes = [size_small + (1 if i < n_big else 0) for i in range(4)]
+    bounds = np.cumsum(sizes)[:3]  # ranks of the last row of tiles 1..3
+    hb = hist["b"].to_numpy()
+    order = np.argsort(hb)
+    hb, hc = hb[order], hist["sum(hn)"].to_numpy()[order]
+    cum = np.cumsum(hc)
+    # bucket index + rank offset before it, per boundary
+    bidx = np.searchsorted(cum, bounds)
+    need_buckets = sorted({int(hb[i]) for i in bidx})
+    offsets = {int(hb[i]): int(cum[i - 1]) if i > 0 else 0 for i in bidx}
+
+    # pass 2: exact sort of ONLY the boundary buckets' rows
+    def _in_buckets(batch: pa.Table) -> pa.Table:
+        b = pc.shift_right(batch["spend_fx"], pa.scalar(SHIFT, pa.int64()))
+        return batch.filter(pc.is_in(b, value_set=pa.array(
+            need_buckets, pa.int64())))
+
+    sub = (spend.map_batches(_in_buckets, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .to_pandas().sort_values(["spend_fx", "c_custkey"])
+           .reset_index(drop=True))
+    sub_b = (sub["spend_fx"].to_numpy() >> SHIFT)
+    boundary_pairs = []
+    for r, i in zip(bounds, bidx):
+        bk = int(hb[i])
+        rows = sub[sub_b == bk]
+        local = int(r) - offsets[bk] - 1  # 0-based rank inside the bucket
+        boundary_pairs.append((int(rows["spend_fx"].iloc[local]),
+                               int(rows["c_custkey"].iloc[local])))
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        s = batch["spend_fx"]
+        c = pc.cast(batch["c_custkey"], pa.int64())
+        tile = pa.array(np.full(len(batch), 4, np.int64))
+        # (s,c) <= P_t  =>  tile <= t ; assign highest-to-lowest
+        for t in (3, 2, 1):
+            ps, pk = boundary_pairs[t - 1]
+            le = pc.or_(pc.less(s, ps),
+                        pc.and_(pc.equal(s, ps), pc.less_equal(c, pk)))
+            tile = pc.if_else(le, pa.scalar(t, pa.int64()), tile)
+        return pa.table({
+            "c_custkey": c,
+            "spend": pc.divide(_fx_f64(s), pa.scalar(float(Q1_SCALE))),
+            "tile": tile})
+
+    return spend.map_batches(_assign, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def q_customer_order_reconciliation(sf_dir: str):
+    """FULL OUTER JOIN reconciliation — urgent-order activity vs
+    high-balance customers, classified both / orders_only /
+    customers_only.  Each side reduces map-side to one row per custkey
+    BEFORE the outer join (the exchange carries aggregates, not rows);
+    the status CASE is a vectorized null test."""
+    import pyarrow.compute as pc
+
+    def _ocnt(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+        g = pa.table({"o_custkey": t["o_custkey"],
+                      "n_urgent": pa.array(np.ones(len(t), np.int64))})
+        return (pa.TableGroupBy(g, "o_custkey", use_threads=False)
+                .aggregate([("n_urgent", "sum")])
+                .rename_columns(["o_custkey", "n_urgent"]))
+
+    urgent = (_tbl(sf_dir, "orders")
+              .select_columns(["o_custkey", "o_orderpriority"])
+              .map_batches(_ocnt, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("o_custkey").sum("n_urgent")
+              .rename_columns({"sum(n_urgent)": "n_urgent"}))
+    rich = (_tbl(sf_dir, "customer")
+            .filter(expr="c_acctbal > 4000.0")
+            .select_columns(["c_custkey", "c_acctbal"]))
+    j = urgent.join(rich, join_type="full_outer", num_partitions=8,
+                    on=("o_custkey",), right_on=("c_custkey",))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        # the outer join coalesces the key into one column; side
+        # membership comes from the sides' always-valid payload columns
+        has_o = pc.is_valid(batch["n_urgent"])
+        has_c = pc.is_valid(batch["c_acctbal"])
+        status = pc.if_else(
+            pc.and_(has_o, has_c), pa.scalar("both"),
+            pc.if_else(has_o, pa.scalar("orders_only"),
+                       pa.scalar("customers_only")))
+        return pa.table({
+            "custkey": pc.cast(batch["o_custkey"], pa.int64()),
+            "n_urgent": batch["n_urgent"],
+            "c_acctbal": batch["c_acctbal"],
+            "status": status})
+
+    return j.map_batches(_shape, batch_format="pyarrow",
+                         zero_copy_batch=True)
