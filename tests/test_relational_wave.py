@@ -26,7 +26,8 @@ WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "q17_small_quantity_revenue", "q21_waiting_suppliers",
         "q2_min_cost_supplier", "q11_important_stock",
         "q20_part_promotion", "refusal_hedge_profile", "kg_calibration",
-        "customer_spend_ntile", "customer_order_reconciliation"]
+        "customer_spend_ntile", "customer_order_reconciliation",
+        "transcripts_jsonl_profile", "claims_tsv_ingest"]
 
 
 @pytest.fixture(scope="module")

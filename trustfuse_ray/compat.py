@@ -22,6 +22,29 @@ Deterministic at tiny scale, a scheduling-order flake at ANY scale.
 
 The shim keeps the cheap early return but performs the schema fan-out
 first whenever this block is the designated schema broadcaster.
+
+Shim 2 — hash-shuffle aggregator CPU reservation (same Ray file):
+
+Join/shuffle aggregators are long-lived ACTORS that each reserve
+``min(1, (cluster_CPU/2)/num_partitions)`` CPUs.  A DAG with two or
+more concurrent 8-partition joins on a small session (4-CPU pytest, a
+shared host under load) can have its aggregator pools collectively
+reserve EVERY CPU; the upstream 1-CPU map tasks that feed them then
+never schedule, and the pipeline deadlocks — observed live: ``ray
+status`` shows 4.0/4.0 CPU all held by idle ``ray::HashShuffleAgg``
+actors with "9+ pending tasks/actors" demanding 1 CPU, forever.
+(The aggregator's own work — accumulating shards + one
+``pa.Table.join`` per partition — is bursty and brief; reserving whole
+cores for it starves the producers that keep it busy.)
+
+Fix: pin the per-partition CPU reservation to the small constant Ray
+itself uses as the single-node fallback (0.0625 = 4 CPUs per default
+64-partition pool) via the documented DataContext overrides, instead
+of the cluster-proportional formula.  An 8-partition pool then
+reserves 0.5 CPU total, so even several concurrent joins leave the
+map tasks room on any session size.  Multi-node semantics are
+unchanged — aggregator *memory* sizing (the real constraint at scale)
+is untouched.
 """
 
 from __future__ import annotations
@@ -32,6 +55,17 @@ import ray
 def install() -> None:
     """Install all shims (idempotent)."""
     _install_shuffle_schema_broadcast()
+    _install_aggregator_cpu_caps()
+
+
+def _install_aggregator_cpu_caps() -> None:
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    for field in ("hash_shuffle_operator_actor_num_cpus_per_partition_override",
+                  "join_operator_actor_num_cpus_per_partition_override"):
+        if getattr(ctx, field, 0) is None:
+            setattr(ctx, field, 0.0625)
 
 
 def _install_shuffle_schema_broadcast() -> None:

@@ -2978,6 +2978,8 @@ def _all_queries():
         "kg_calibration": q_kg_calibration,
         "customer_spend_ntile": q_customer_spend_ntile,
         "customer_order_reconciliation": q_customer_order_reconciliation,
+        "transcripts_jsonl_profile": q_transcripts_jsonl_profile,
+        "claims_tsv_ingest": q_claims_tsv_ingest,
         "rollup_revenue": q_rollup_revenue,
         "events_pivot": q_events_pivot,
         "events_set_ops": q_events_set_ops,
@@ -5359,6 +5361,42 @@ SELECT CAST(coalesce(u.o_custkey, r.c_custkey) AS BIGINT) AS custkey,
             WHEN u.o_custkey IS NOT NULL THEN 'orders_only'
             ELSE 'customers_only' END AS status
 FROM urgent u FULL OUTER JOIN rich r ON u.o_custkey = r.c_custkey""",
+        "transcripts_jsonl_profile": f"""
+SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(len(list_filter(
+         string_split_regex(trim(coalesce(text, '')), '\\s+'),
+         w -> w <> ''))) AS BIGINT) AS tokens
+FROM read_json('{synth.generate_jsonl(sf_dir)}/*.jsonl',
+               format='newline_delimited')
+GROUP BY 1""",
+        "claims_tsv_ingest": f"""
+WITH raw AS (
+  SELECT CAST(regexp_extract(filename, 'bucket-(\\d+)', 1) AS BIGINT)
+           AS bucket_id, * EXCLUDE (filename, junk)
+  FROM read_csv('{synth.generate_claims_tsv(sf_dir)}/*.tsv',
+       delim='\t', header=false,
+       columns={{'Source':'VARCHAR','Entity':'VARCHAR','color':'VARCHAR',
+                'capital':'VARCHAR','category':'VARCHAR','status':'VARCHAR',
+                'population':'VARCHAR','height':'VARCHAR','price':'VARCHAR',
+                'neighbor':'VARCHAR','junk':'VARCHAR'}},
+       filename=true)
+), long AS (
+  SELECT bucket_id, Source, Entity, attr, value
+  FROM raw UNPIVOT (value FOR attr IN (color, capital, category, status,
+                                       population, height, price, neighbor))
+), canon AS (
+  SELECT bucket_id, Source AS source, Entity AS entity, attr,
+         CASE WHEN attr IN ('population','height','price')
+              THEN replace(trim(value), ',', '') ELSE trim(value) END
+           AS value_str
+  FROM long
+)
+SELECT bucket_id, attr,
+       CAST(count(*) AS BIGINT) AS n_claims,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT entity) AS BIGINT) AS n_entities,
+       CAST(count(DISTINCT value_str) AS BIGINT) AS n_values
+FROM canon GROUP BY 1, 2""",
         "rollup_revenue": f"""
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -9008,7 +9046,8 @@ def q_customer_spend_ntile(sf_dir: str):
     """NTILE(4) over per-customer total spend — the GLOBAL-rank window
     surface, made distributed-exact WITHOUT a global sort: the three
     quartile boundary elements are order statistics found by a two-pass
-    histogram refine (coarse 2^16-bucket bincount of the spend key, then
+    histogram refine (coarse high-bits bucket histogram of the spend
+    key, then
     an exact driver-side sort of ONLY the <= 3 boundary buckets' rows,
     bounded by n / #buckets each), and the assignment pass is a
     vectorized lexicographic compare against those three (spend, cust)
@@ -9149,3 +9188,94 @@ def q_customer_order_reconciliation(sf_dir: str):
 
     return j.map_batches(_shape, batch_format="pyarrow",
                          zero_copy_batch=True)
+
+
+def q_transcripts_jsonl_profile(sf_dir: str):
+    """JSONL-source ingest (the common LLM data interchange format):
+    read newline-delimited JSON shards with ray.data.read_json and
+    profile per-role turn/token counts.  Token counting is ONE
+    vectorized RE2 pass (count of non-space runs — identical to the
+    oracle's split-and-filter length); per-role partials collapse
+    map-side, text never shuffles."""
+    import pyarrow.compute as pc
+
+    d = synth.generate_jsonl(sf_dir)
+    ds = ray.data.read_json(d)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.count_substring_regex(
+            pc.cast(batch["text"], pa.string()), r"\S+"), pa.int64())
+        g = pa.table({"role": pc.cast(batch["role"], pa.string()),
+                      "n_turns": pa.array(np.ones(len(batch), np.int64)),
+                      "tokens": pc.fill_null(toks,
+                                             pa.scalar(0, pa.int64()))})
+        return (pa.TableGroupBy(g, "role", use_threads=False)
+                .aggregate([("n_turns", "sum"), ("tokens", "sum")])
+                .rename_columns(["role", "n_turns", "tokens"]))
+
+    agg = (ds.select_columns(["role", "text"])
+           .map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("role").sum(["n_turns", "tokens"]))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "role": batch["role"],
+            "n_turns": batch["sum(n_turns)"].cast(pa.int64()),
+            "tokens": batch["sum(tokens)"].cast(pa.int64())})
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_claims_tsv_ingest(sf_dir: str):
+    """Reference-layout TSV folder ingest on the DISTRIBUTED Arrow
+    reader (StaticDataset parity, reference dataset.py:269-334):
+    headerless ISO-8859-1 bucket-per-file TSV with a junk trailing
+    column, read with ray.data.read_csv, melted wide→long into the
+    claim IR (melt_to_claims — the vectorized stand-in for
+    Model.transform_data), then profiled per (bucket_id, attr):
+    claims, distinct sources / entities / canonical values.  Map-side
+    distinct-with-count bounds the single (bucket, attr) exchange; the
+    melt canonicalizes value surfaces (trim, thousands separators)
+    exactly as the oracle's trim/replace does."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.sources.static import melt_to_claims, read_static_tsv
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    d = synth.generate_claims_tsv(sf_dir)
+    headers = ["Source", "Entity"] + list(synth.ATTRS)
+    wide = read_static_tsv(d, headers, engine="arrow")
+    claims = melt_to_claims(wide, entity_col="Entity",
+                            attrs=list(synth.ATTRS),
+                            attribute_types=synth.ATTR_TYPES)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cols = ["bucket_id", "attr", "source", "entity", "value_str"]
+        g = (batch.select(cols).group_by(cols, use_threads=False)
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(cols + ["cnt"])
+
+    def _group(g: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket_id": pc.cast(g["bucket_id"][:1], pa.int64()),
+            "attr": g["attr"][:1],
+            "n_claims": pa.array([int(np.asarray(g["cnt"]).sum())],
+                                 pa.int64()),
+            "n_sources": pa.array([len(set(g["source"].to_pylist()))],
+                                  pa.int64()),
+            "n_entities": pa.array([len(set(g["entity"].to_pylist()))],
+                                   pa.int64()),
+            "n_values": pa.array([len(set(g["value_str"].to_pylist()))],
+                                 pa.int64()),
+        })
+
+    part = claims.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hash_group_apply(
+        part, ["bucket_id", "attr"], _group, n_parts=8,
+        plasma_schema=pa.schema([
+            ("bucket_id", pa.int64()), ("attr", pa.string()),
+            ("n_claims", pa.int64()), ("n_sources", pa.int64()),
+            ("n_entities", pa.int64()), ("n_values", pa.int64())]))

@@ -374,3 +374,107 @@ def hash_conv(conv_id: str) -> int:
     for ch in conv_id.encode():
         h = ((h ^ ch) * 16777619) & 0xFFFFFFFF
     return h
+
+
+def generate_jsonl(sf_dir: str, root: str = "/tmp/trustfuse_ray_data") -> str:
+    """Materialize the transcripts as shard JSONL files — the common LLM
+    ingest format this engine must also read.  Deterministic
+    byte-for-byte from the parquet corpus (sorted keys, ISO timestamps),
+    one .jsonl per parquet shard so a JSONL read parallelizes exactly
+    like the parquet read."""
+    import json as _json
+
+    out = generate(sf_dir, root)
+    d = os.path.join(out, "transcripts_jsonl")
+    marker = os.path.join(out, "_JSONL_SUCCESS")
+    stamp = "v1 " + Path(os.path.join(out, "_SUCCESS")).read_text()
+    if os.path.exists(marker) and Path(marker).read_text() == stamp:
+        return d
+    os.makedirs(d, exist_ok=True)
+    src_dir = os.path.join(out, "transcripts")
+    for f in sorted(os.listdir(src_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(src_dir, f))
+        with open(os.path.join(d, f[:-8] + ".jsonl"), "w") as fh:
+            for r in t.to_pylist():
+                r["ts"] = r["ts"].isoformat()
+                fh.write(_json.dumps(r, sort_keys=True) + "\n")
+    Path(marker).write_text(stamp)
+    return d
+
+def generate_claims_tsv(sf_dir: str,
+                        root: str = "/tmp/trustfuse_ray_data") -> str:
+    """Materialize a reference-layout conflicting-claims TSV folder —
+    the StaticDataset input format
+    (`/root/reference/trustfuse/conflicting_dataset/dataset.py:269-334`):
+    headerless TSV, one temporal bucket per file (sorted-filename order),
+    columns ``Source  Entity  <ATTRS…>  junk`` with a junk trailing
+    column the reader must drop.  Deterministic (seed-derived coverage,
+    accuracy draws from the corpus's own per-source accuracies); value
+    surfaces reuse generate()'s quirks (thousands separators, stray
+    trailing spaces) so the canonicalization kernels are exercised on
+    the TSV path too.  Content is pure ASCII — valid ISO-8859-1 for the
+    reference-parity reader AND valid UTF-8 for the DuckDB oracle."""
+    out = generate(sf_dir, root)
+    d = os.path.join(out, "claims_tsv")
+    marker = os.path.join(out, "_TSV_SUCCESS")
+    stamp = "v1 " + Path(os.path.join(out, "_SUCCESS")).read_text()
+    if os.path.exists(marker) and Path(marker).read_text() == stamp:
+        return d
+    os.makedirs(d, exist_ok=True)
+
+    truth = pq.read_table(os.path.join(out, "truth.parquet"))
+    src_t = pq.read_table(os.path.join(out, "source_acc.parquet"))
+    sources = src_t["source"].to_pylist()
+    accs = np.asarray(src_t["acc"], dtype=np.float64)
+    ents = sorted(set(truth["entity"].to_pylist()))
+    tstr = {(e, a): v for e, a, v in zip(truth["entity"].to_pylist(),
+                                         truth["attr"].to_pylist(),
+                                         truth["value_str"].to_pylist())}
+
+    rng = np.random.default_rng(SEED + 7)
+    n_buckets = 4
+    for b in range(n_buckets):
+        lines = []
+        # per bucket each source covers a ~30% entity slice
+        cov = rng.random((len(sources), len(ents))) < 0.30
+        present = rng.random((len(sources), len(ents), len(ATTRS))) < 0.80
+        lie = rng.random((len(sources), len(ents), len(ATTRS)))
+        wrong = rng.integers(0, 3, size=(len(sources), len(ents),
+                                         len(ATTRS)))
+        spacey = rng.random((len(sources), len(ents), len(ATTRS))) < 0.10
+        for si, s in enumerate(sources):
+            for ei in np.flatnonzero(cov[si]):
+                e = ents[ei]
+                cells = []
+                for ai, a in enumerate(ATTRS):
+                    if not present[si, ei, ai]:
+                        cells.append("")
+                        continue
+                    tv = tstr[(e, a)]
+                    if lie[si, ei, ai] < accs[si]:
+                        v = tv
+                    else:
+                        k = int(wrong[si, ei, ai])
+                        if ATTR_TYPES[a] == "quantity":
+                            n = int(tv)
+                            v = str([max(1, n // 2), n * 2 + 1,
+                                     n * 10 + 3][k])
+                        elif ATTR_TYPES[a] == "entity":
+                            v = ents[(ei + k + 1) % len(ents)]
+                        else:
+                            pool = [f"{a}_v{j}" for j in range(6)
+                                    if f"{a}_v{j}" != tv]
+                            v = pool[k]
+                    if ATTR_TYPES[a] == "quantity" and len(v) > 3:
+                        v = f"{int(v):,}"
+                    if spacey[si, ei, ai]:
+                        v = v + " "
+                    cells.append(v)
+                lines.append("\t".join([s, e] + cells + ["x"]))
+        with open(os.path.join(d, f"bucket-{b:02d}.tsv"), "w",
+                  encoding="ISO-8859-1") as fh:
+            fh.write("\n".join(lines) + "\n")
+    Path(marker).write_text(stamp)
+    return d
