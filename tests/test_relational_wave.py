@@ -27,7 +27,8 @@ WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "q2_min_cost_supplier", "q11_important_stock",
         "q20_part_promotion", "refusal_hedge_profile", "kg_calibration",
         "customer_spend_ntile", "customer_order_reconciliation",
-        "transcripts_jsonl_profile", "claims_tsv_ingest"]
+        "transcripts_jsonl_profile", "claims_tsv_ingest",
+        "er_pair_quality", "corpus_shard_stats"]
 
 
 @pytest.fixture(scope="module")

@@ -2980,6 +2980,8 @@ def _all_queries():
         "customer_order_reconciliation": q_customer_order_reconciliation,
         "transcripts_jsonl_profile": q_transcripts_jsonl_profile,
         "claims_tsv_ingest": q_claims_tsv_ingest,
+        "er_pair_quality": q_er_pair_quality,
+        "corpus_shard_stats": q_corpus_shard_stats,
         "rollup_revenue": q_rollup_revenue,
         "events_pivot": q_events_pivot,
         "events_set_ops": q_events_set_ops,
@@ -5397,6 +5399,53 @@ SELECT bucket_id, attr,
        CAST(count(DISTINCT entity) AS BIGINT) AS n_entities,
        CAST(count(DISTINCT value_str) AS BIGINT) AS n_values
 FROM canon GROUP BY 1, 2""",
+        "er_pair_quality": f"""
+WITH RECURSIVE mset AS (
+  SELECT DISTINCT unnest(regexp_extract_all(text, '{SQL_PAT}', 2)) AS mention
+  FROM read_parquet('{cache}/transcripts/*.parquet')
+  WHERE role IN ('assistant','tool')
+),
+bl AS (SELECT mention, substr(mention, 1, 4) AS blk FROM mset),
+ok AS (SELECT blk FROM bl GROUP BY 1 HAVING count(*) BETWEEN 2 AND 500),
+e AS (SELECT x.mention AS a, y.mention AS b
+      FROM bl x JOIN bl y ON x.blk = y.blk AND x.mention < y.mention
+      JOIN ok ON ok.blk = x.blk
+      WHERE jaro_similarity(x.mention, y.mention) >= 0.9),
+sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b AS u, a AS v FROM e),
+reach(u, v) AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v WHERE s.v <> r.u
+),
+map AS (SELECT u AS mention, least(u, min(v)) AS canon FROM reach GROUP BY u),
+mm AS (
+  SELECT m.mention, coalesce(p.canon, m.mention) AS canon, a.entity AS truth
+  FROM mset m
+  LEFT JOIN map p ON p.mention = m.mention
+  JOIN read_parquet('{cache}/aliases.parquet') a ON a.alias = m.mention
+),
+pred AS (SELECT coalesce(sum(n*(n-1)//2), 0) AS p
+         FROM (SELECT count(*) AS n FROM mm GROUP BY canon)),
+tru AS (SELECT coalesce(sum(n*(n-1)//2), 0) AS t
+        FROM (SELECT count(*) AS n FROM mm GROUP BY truth)),
+corr AS (SELECT coalesce(sum(n*(n-1)//2), 0) AS c
+         FROM (SELECT count(*) AS n FROM mm GROUP BY canon, truth))
+SELECT CAST((SELECT count(*) FROM mm) AS BIGINT) AS n_mentions,
+       CAST(pred.p AS BIGINT) AS n_pred_pairs,
+       CAST(tru.t AS BIGINT) AS n_true_pairs,
+       CAST(corr.c AS BIGINT) AS n_correct_pairs,
+       CAST(corr.c AS DOUBLE) / nullif(CAST(pred.p AS DOUBLE), 0)
+         AS pair_precision,
+       CAST(corr.c AS DOUBLE) / nullif(CAST(tru.t AS DOUBLE), 0)
+         AS pair_recall
+FROM pred, tru, corr""",
+        "corpus_shard_stats": f"""
+SELECT CAST(regexp_extract(filename, 'part-(\\d+)', 1) AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(len(text)) AS BIGINT) AS text_chars
+FROM read_parquet('{cache}/transcripts/*.parquet', filename=true)
+GROUP BY 1""",
         "rollup_revenue": f"""
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -9279,3 +9328,72 @@ def q_claims_tsv_ingest(sf_dir: str):
             ("bucket_id", pa.int64()), ("attr", pa.string()),
             ("n_claims", pa.int64()), ("n_sources", pa.int64()),
             ("n_entities", pa.int64()), ("n_values", pa.int64())]))
+
+
+def q_er_pair_quality(sf_dir: str):
+    """Record-linkage evaluation: pairwise precision/recall of the ER
+    clustering (resolve_entities over DISTINCT mention strings) against
+    the alias ground truth.  Exact integer pair counts (sum C(n,2) per
+    canon / truth-entity / canon x entity group); the two divisions are
+    the BIGINT/DOUBLE casts DuckDB performs identically."""
+    from trustfuse_ray.stages.link import er_pair_quality
+
+    data_dir = synth.generate(sf_dir)
+    mentions = extract_triples(read_transcripts(data_dir))
+    alias_tbl = pq.read_table(os.path.join(data_dir, "aliases.parquet"))
+    return er_pair_quality(mentions, alias_tbl)
+
+
+def q_corpus_shard_stats(sf_dir: str):
+    """Resumable-ingest audit: per input parquet shard, rows /
+    distinct conversations / total text characters — the manifest a
+    restartable run checks before skipping a finished partition
+    (the engine's own stage-A bundles do exactly this,
+    pipelines/kg.py).  Shard id parses from the file path
+    (include_paths read); the one exchange carries (shard, conv_id)
+    partials, never text."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    data_dir = synth.generate(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(data_dir, "transcripts"),
+                               columns=["conv_id", "text"],
+                               include_paths=True)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        import re
+
+        shard = pa.array(
+            [int(re.search(r"part-(\d+)", p).group(1))
+             for p in batch["path"].to_pylist()], pa.int64())
+        g = pa.table({
+            "shard": shard,
+            "conv_id": pc.cast(batch["conv_id"], pa.string()),
+            "n_rows": pa.array(np.ones(len(batch), np.int64)),
+            "text_chars": pc.cast(pc.utf8_length(
+                pc.cast(batch["text"], pa.string())), pa.int64()),
+        })
+        return (pa.TableGroupBy(g, ["shard", "conv_id"], use_threads=False)
+                .aggregate([("n_rows", "sum"), ("text_chars", "sum")])
+                .rename_columns(["shard", "conv_id", "n_rows",
+                                 "text_chars"]))
+
+    def _roll(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "shard": group["shard"][:1],
+            "n_rows": pa.array([int(np.asarray(group["n_rows"]).sum())],
+                               pa.int64()),
+            "n_convs": pa.array([len(set(group["conv_id"].to_pylist()))],
+                                pa.int64()),
+            "text_chars": pa.array(
+                [int(np.asarray(group["text_chars"]).sum())], pa.int64()),
+        })
+
+    part = ds.map_batches(_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return hash_group_apply(
+        part, ["shard"], _roll, n_parts=8,
+        plasma_schema=pa.schema([
+            ("shard", pa.int64()), ("n_rows", pa.int64()),
+            ("n_convs", pa.int64()), ("text_chars", pa.int64())]))

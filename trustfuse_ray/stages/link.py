@@ -357,3 +357,87 @@ def alias_table(claims, threshold: float = 0.9, block_len: int = 4,
         plasma_schema=pa.schema([("canon", pa.string()),
                                  ("n_members", pa.int64()),
                                  ("members", pa.string())]))
+
+
+def er_pair_quality(mentions, alias_tbl: pa.Table, threshold: float = 0.9,
+                    block_len: int = 4, cap: int = 500, n_parts: int = 32):
+    """Record-linkage evaluation: pairwise precision/recall of the ER
+    clustering against the alias ground truth — the standard cluster
+    metric (a pair of distinct mention strings is predicted-same when ER
+    maps both to one canon; truth-same when the alias table maps both to
+    one entity).  All pair counts are exact integers (sum of C(n,2) per
+    group); precision/recall are the two BIGINT/BIGINT divisions DuckDB
+    performs identically.
+
+    Reference analog: the reference evaluates fusion with get_metrics
+    (`/root/reference/trustfuse/evaluation/evaluation.py:121-200`) but has
+    no linkage-quality metric; this closes that gap for the ER stage.
+
+    Shape: ER runs over DISTINCT mention strings (one groupby); the
+    mapping joins back mention-side (left-outer, unmapped mentions stay
+    singletons, i.e. canon = mention); truth labels attach via the
+    broadcast alias index (never re-shipped per batch); the three
+    group-size rollups (canon / entity / canon x entity) each reduce a
+    distinct-mention stream to counts map-side.  Nothing larger than the
+    distinct-mention table ever shuffles.
+
+    Returns a ONE-ROW pa.Table: n_mentions, n_pred_pairs, n_true_pairs,
+    n_correct_pairs, pair_precision, pair_recall.
+    """
+    import ray
+
+    alias_arr = alias_tbl["alias"].combine_chunks()
+    ent_arr = alias_tbl["entity"].combine_chunks()
+
+    distinct = (mentions.select_columns(["mention"])
+                .groupby("mention").count().drop_columns(["count()"]))
+
+    def _as_entity(batch: pa.Table) -> pa.Table:
+        return pa.table({"entity": pc.cast(batch["mention"], pa.string())})
+
+    mapping = resolve_entities(
+        distinct.map_batches(_as_entity, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        threshold=threshold, block_len=block_len, cap=cap, n_parts=n_parts)
+
+    joined = distinct.join(mapping, join_type="left_outer",
+                           num_partitions=8, on=("mention",),
+                           right_on=("entity",))
+
+    def _label(batch: pa.Table) -> pa.Table:
+        m = pc.cast(batch["mention"], pa.string())
+        canon = pc.coalesce(batch["canon"], m)
+        idx = pc.index_in(m, value_set=alias_arr)
+        return pa.table({"mention": m, "canon": canon,
+                         "truth": pc.take(ent_arr, idx)})
+
+    mm = joined.map_batches(_label, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        n = np.asarray(batch["count()"], dtype=np.int64)
+        return pa.table({"pairs": pa.array(n * (n - 1) // 2, pa.int64())})
+
+    def _pair_sum(keys: list[str]) -> int:
+        s = (mm.groupby(keys).count()
+             .map_batches(_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True).sum("pairs"))
+        return int(s or 0)
+
+    n_pred = _pair_sum(["canon"])
+    n_true = _pair_sum(["truth"])
+    n_corr = _pair_sum(["canon", "truth"])
+    n_mentions = mm.count()
+    return pa.table({
+        "n_mentions": pa.array([n_mentions], pa.int64()),
+        "n_pred_pairs": pa.array([n_pred], pa.int64()),
+        "n_true_pairs": pa.array([n_true], pa.int64()),
+        "n_correct_pairs": pa.array([n_corr], pa.int64()),
+        "pair_precision": pa.array(
+            [float(n_corr) / float(n_pred) if n_pred else None],
+            pa.float64()),
+        "pair_recall": pa.array(
+            [float(n_corr) / float(n_true) if n_true else None],
+            pa.float64()),
+    })
