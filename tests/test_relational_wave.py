@@ -28,7 +28,8 @@ WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "q20_part_promotion", "refusal_hedge_profile", "kg_calibration",
         "customer_spend_ntile", "customer_order_reconciliation",
         "transcripts_jsonl_profile", "claims_tsv_ingest",
-        "er_pair_quality", "corpus_shard_stats"]
+        "er_pair_quality", "corpus_shard_stats", "dedup_cluster_quality",
+        "kg_source_retraction"]
 
 
 @pytest.fixture(scope="module")

@@ -2982,6 +2982,8 @@ def _all_queries():
         "claims_tsv_ingest": q_claims_tsv_ingest,
         "er_pair_quality": q_er_pair_quality,
         "corpus_shard_stats": q_corpus_shard_stats,
+        "dedup_cluster_quality": q_dedup_cluster_quality,
+        "kg_source_retraction": q_kg_source_retraction,
         "rollup_revenue": q_rollup_revenue,
         "events_pivot": q_events_pivot,
         "events_set_ops": q_events_set_ops,
@@ -5446,6 +5448,72 @@ SELECT CAST(regexp_extract(filename, 'part-(\\d+)', 1) AS BIGINT) AS shard,
        CAST(sum(len(text)) AS BIGINT) AS text_chars
 FROM read_parquet('{cache}/transcripts/*.parquet', filename=true)
 GROUP BY 1""",
+        "dedup_cluster_quality": f"""
+WITH RECURSIVE {_minhash_sql(
+    f"read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')", 0.6)},
+nodes AS (SELECT DISTINCT doc_a AS node FROM mh_pairs
+          UNION SELECT DISTINCT doc_b FROM mh_pairs),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+          UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+lab AS (SELECT node, min(root) AS label FROM reach GROUP BY node),
+d AS (SELECT doc_id, dup_of
+      FROM read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')),
+chain(doc_id, anc) AS (
+  SELECT doc_id, CASE WHEN dup_of >= 0 THEN dup_of ELSE doc_id END FROM d
+  UNION
+  SELECT c.doc_id, dd.dup_of
+  FROM chain c JOIN d dd ON dd.doc_id = c.anc WHERE dd.dup_of >= 0),
+troot AS (SELECT doc_id, min(anc) AS truth FROM chain GROUP BY doc_id),
+mm AS (
+  SELECT d.doc_id, coalesce(l.label, d.doc_id) AS pred, t.truth
+  FROM d JOIN troot t USING (doc_id)
+  LEFT JOIN lab l ON l.node = d.doc_id),
+pred AS (SELECT coalesce(sum(n*(n-1)//2), 0) AS p
+         FROM (SELECT count(*) AS n FROM mm GROUP BY pred)),
+tru AS (SELECT coalesce(sum(n*(n-1)//2), 0) AS t
+        FROM (SELECT count(*) AS n FROM mm GROUP BY truth)),
+corr AS (SELECT coalesce(sum(n*(n-1)//2), 0) AS c
+         FROM (SELECT count(*) AS n FROM mm GROUP BY pred, truth))
+SELECT CAST((SELECT count(*) FROM mm) AS BIGINT) AS n_docs,
+       CAST(pred.p AS BIGINT) AS n_pred_pairs,
+       CAST(tru.t AS BIGINT) AS n_true_pairs,
+       CAST(corr.c AS BIGINT) AS n_correct_pairs,
+       CAST(corr.c AS DOUBLE) / nullif(CAST(pred.p AS DOUBLE), 0)
+         AS pair_precision,
+       CAST(corr.c AS DOUBLE) / nullif(CAST(tru.t AS DOUBLE), 0)
+         AS pair_recall
+FROM pred, tru, corr""",
+        "kg_source_retraction": f"""
+WITH {_claims_cte(cache)},
+dedup AS (
+  SELECT DISTINCT source, entity, attr, value_str
+  FROM claims WHERE value_type <> 'quantity'
+),
+ret AS (SELECT source FROM dedup GROUP BY source
+        ORDER BY count(*) DESC, source LIMIT 1),
+c1 AS (SELECT entity, attr, value_str, count(*) AS c
+       FROM dedup GROUP BY 1, 2, 3),
+w1 AS (SELECT entity, attr, value_str FROM (
+         SELECT *, row_number() OVER (PARTITION BY entity, attr
+                                      ORDER BY c DESC, value_str) AS rn
+         FROM c1) WHERE rn = 1),
+d2 AS (SELECT * FROM dedup
+       WHERE source <> (SELECT source FROM ret)),
+c2 AS (SELECT entity, attr, value_str, count(*) AS c
+       FROM d2 GROUP BY 1, 2, 3),
+w2 AS (SELECT entity, attr, value_str FROM (
+         SELECT *, row_number() OVER (PARTITION BY entity, attr
+                                      ORDER BY c DESC, value_str) AS rn
+         FROM c2) WHERE rn = 1)
+SELECT (SELECT source FROM ret) AS retracted_source,
+       w1.entity, w1.attr, w1.value_str AS value_before,
+       w2.value_str AS value_after
+FROM w1 LEFT JOIN w2 ON w2.entity = w1.entity AND w2.attr = w1.attr
+WHERE w2.value_str IS NULL OR w2.value_str <> w1.value_str""",
         "rollup_revenue": f"""
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -9397,3 +9465,68 @@ def q_corpus_shard_stats(sf_dir: str):
         plasma_schema=pa.schema([
             ("shard", pa.int64()), ("n_rows", pa.int64()),
             ("n_convs", pa.int64()), ("text_chars", pa.int64())]))
+
+
+def q_dedup_cluster_quality(sf_dir: str):
+    """Near-dup detector evaluation: pairwise precision/recall of the
+    MinHash+LSH clusters against the PLANTED duplicate families of the
+    synthetic corpus (truth = connected components of the dup_of parent
+    links).  Exact integer pair counts; the two divisions are
+    BIGINT→DOUBLE casts DuckDB replays bit-identically."""
+    path = synth.generate_documents(sf_dir)
+    return dedup.dedup_cluster_quality(
+        ray.data.read_parquet(path), threshold=0.6, hash_kind="md5")
+
+
+def q_kg_source_retraction(sf_dir: str):
+    """GDPR-style source retraction audit: retract the single
+    highest-volume source (most distinct categorical claim rows,
+    tie-break lexicographic) and report every categorical fact whose
+    majority-vote truth FLIPS or DISAPPEARS — the leave-one-out
+    counterfactual a provenance-aware KG must answer before deleting a
+    connector's data.  Both voting passes are the salted two-level
+    reduce (no fact's claims ever co-locate pre-reduction); the diff is
+    one co-partitioned left-outer join on (entity, attr)."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.fuse.voting import salted_categorical_voting
+
+    claims = cached_claims(sf_dir)
+
+    def _cat(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["value_type"], "quantity"))
+
+    cat = claims.map_batches(_cat, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    dd = cat.groupby(["source", "entity", "attr", "value_str"]).count()
+    sc = dd.groupby("source").count().take_all()  # bounded by #sources
+    retracted = sorted(sc, key=lambda r: (-r["count()"], r["source"])
+                       )[0]["source"]
+
+    def _drop(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["source"], retracted))
+
+    before = (salted_categorical_voting(claims)
+              .select_columns(["entity", "attr", "value_str"])
+              .rename_columns({"value_str": "value_before"}))
+    after = (salted_categorical_voting(
+        claims.map_batches(_drop, batch_format="pyarrow",
+                           zero_copy_batch=True))
+        .select_columns(["entity", "attr", "value_str"])
+        .rename_columns({"value_str": "value_after"}))
+    j = before.join(after, join_type="left_outer", num_partitions=8,
+                    on=("entity", "attr"))
+
+    def _diff(batch: pa.Table) -> pa.Table:
+        vb, va = batch["value_before"], batch["value_after"]
+        changed = pc.fill_null(
+            pc.or_kleene(pc.is_null(va), pc.not_equal(vb, va)), True)
+        t = batch.filter(changed)
+        return pa.table({
+            "retracted_source": pa.array([retracted] * len(t), pa.string()),
+            "entity": t["entity"], "attr": t["attr"],
+            "value_before": t["value_before"],
+            "value_after": t["value_after"]})
+
+    return j.map_batches(_diff, batch_format="pyarrow",
+                         zero_copy_batch=True)

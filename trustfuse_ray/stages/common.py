@@ -252,3 +252,51 @@ def plasma_exchange(inputs, fn, n_parts: int, part_col: str = "__p",
     out_refs = [_gather.remote([pl[p] for pl in piece_lists])
                 for p in range(n_parts)]
     return rd.from_arrow_refs(out_refs)
+
+
+def pairwise_cluster_metrics(labeled, pred_col: str, truth_col: str,
+                             count_name: str = "n_items"):
+    """Exact pairwise cluster-evaluation counts — the standard
+    record-linkage / dedup metric: over one row per item carrying a
+    predicted group label and a truth group label, a pair of items is
+    predicted-same when labels in ``pred_col`` match and truth-same when
+    labels in ``truth_col`` match.  Pair totals are sums of C(n,2) per
+    group (exact int64); precision/recall are the two BIGINT→DOUBLE
+    divisions DuckDB performs bit-identically.
+
+    Shape: the input materializes ONCE; each of the three rollups
+    (pred / truth / pred×truth) is a groupby-count whose map-side
+    combine reduces the item stream to group sizes, then a C(n,2) map
+    and a scalar sum — nothing larger than the item table shuffles, and
+    only counts reach the driver.
+
+    Returns a ONE-ROW pa.Table: <count_name>, n_pred_pairs,
+    n_true_pairs, n_correct_pairs, pair_precision, pair_recall."""
+    mm = labeled.materialize()
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["count()"], dtype=np.int64)
+        return pa.table({"pairs": pa.array(n * (n - 1) // 2, pa.int64())})
+
+    def _pair_sum(keys: list[str]) -> int:
+        s = (mm.groupby(keys).count()
+             .map_batches(_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True).sum("pairs"))
+        return int(s or 0)
+
+    n_pred = _pair_sum([pred_col])
+    n_true = _pair_sum([truth_col])
+    n_corr = _pair_sum([pred_col, truth_col])
+    n_items = mm.count()
+    return pa.table({
+        count_name: pa.array([n_items], pa.int64()),
+        "n_pred_pairs": pa.array([n_pred], pa.int64()),
+        "n_true_pairs": pa.array([n_true], pa.int64()),
+        "n_correct_pairs": pa.array([n_corr], pa.int64()),
+        "pair_precision": pa.array(
+            [float(n_corr) / float(n_pred) if n_pred else None],
+            pa.float64()),
+        "pair_recall": pa.array(
+            [float(n_corr) / float(n_true) if n_true else None],
+            pa.float64()),
+    })

@@ -962,3 +962,55 @@ def cluster_best_docs(docs, threshold: float = 0.6,
         plasma_schema=pa.schema([("label", pa.int64()),
                                  ("doc_id", pa.int64()),
                                  ("score_fp", pa.int64())]))
+
+
+def dedup_cluster_quality(docs, **kw):
+    """Dedup-detector evaluation against the PLANTED duplicate families
+    (docs carries the synthesis-time ``dup_of`` parent link): pairwise
+    precision/recall of the MinHash+LSH cluster labels, the standard way
+    near-dup detectors are scored.  Truth families are the connected
+    components of the parent links (a dup-of-a-dup chains to the same
+    family); predicted clusters come from :func:`minhash_cluster_labels`;
+    unclustered docs are singletons on both sides (label = own doc_id).
+
+    Shape: truth CC runs over the (doc, parent) edge list — a few percent
+    of the corpus — with the same distributed min-label rounds the
+    predicted side uses; the two label joins co-partition on doc_id; the
+    metric rollups reduce to group sizes map-side
+    (`common.pairwise_cluster_metrics`).
+
+    Returns a ONE-ROW pa.Table: n_docs, n_pred_pairs, n_true_pairs,
+    n_correct_pairs, pair_precision, pair_recall."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import pairwise_cluster_metrics
+    from trustfuse_ray.stages.graph import connected_components
+
+    pred = minhash_cluster_labels(docs, **kw)
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater_equal(batch["dup_of"],
+                                          pa.scalar(0, pa.int64())))
+        return pa.table({"src": pc.cast(t["doc_id"], pa.int64()),
+                         "dst": pc.cast(t["dup_of"], pa.int64())})
+
+    truth = (connected_components(
+        docs.select_columns(["doc_id", "dup_of"])
+        .map_batches(_edges, batch_format="pyarrow", zero_copy_batch=True))
+        .rename_columns({"node": "t_node", "label": "t_label"}))
+
+    ids = docs.select_columns(["doc_id"])
+    j = (ids.join(pred, join_type="left_outer", num_partitions=8,
+                  on=("doc_id",), right_on=("node",))
+         .join(truth, join_type="left_outer", num_partitions=8,
+               on=("doc_id",), right_on=("t_node",)))
+
+    def _lab(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["doc_id"], pa.int64())
+        return pa.table({
+            "pred": pc.coalesce(pc.cast(batch["label"], pa.int64()), d),
+            "truth": pc.coalesce(pc.cast(batch["t_label"], pa.int64()), d)})
+
+    mm = j.map_batches(_lab, batch_format="pyarrow", zero_copy_batch=True)
+    return pairwise_cluster_metrics(mm, "pred", "truth",
+                                    count_name="n_docs")

@@ -384,7 +384,6 @@ def er_pair_quality(mentions, alias_tbl: pa.Table, threshold: float = 0.9,
     Returns a ONE-ROW pa.Table: n_mentions, n_pred_pairs, n_true_pairs,
     n_correct_pairs, pair_precision, pair_recall.
     """
-    import ray
 
     alias_arr = alias_tbl["alias"].combine_chunks()
     ent_arr = alias_tbl["entity"].combine_chunks()
@@ -411,33 +410,9 @@ def er_pair_quality(mentions, alias_tbl: pa.Table, threshold: float = 0.9,
         return pa.table({"mention": m, "canon": canon,
                          "truth": pc.take(ent_arr, idx)})
 
+    from trustfuse_ray.stages.common import pairwise_cluster_metrics
+
     mm = joined.map_batches(_label, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
-
-    def _pairs(batch: pa.Table) -> pa.Table:
-        import numpy as np
-        n = np.asarray(batch["count()"], dtype=np.int64)
-        return pa.table({"pairs": pa.array(n * (n - 1) // 2, pa.int64())})
-
-    def _pair_sum(keys: list[str]) -> int:
-        s = (mm.groupby(keys).count()
-             .map_batches(_pairs, batch_format="pyarrow",
-                          zero_copy_batch=True).sum("pairs"))
-        return int(s or 0)
-
-    n_pred = _pair_sum(["canon"])
-    n_true = _pair_sum(["truth"])
-    n_corr = _pair_sum(["canon", "truth"])
-    n_mentions = mm.count()
-    return pa.table({
-        "n_mentions": pa.array([n_mentions], pa.int64()),
-        "n_pred_pairs": pa.array([n_pred], pa.int64()),
-        "n_true_pairs": pa.array([n_true], pa.int64()),
-        "n_correct_pairs": pa.array([n_corr], pa.int64()),
-        "pair_precision": pa.array(
-            [float(n_corr) / float(n_pred) if n_pred else None],
-            pa.float64()),
-        "pair_recall": pa.array(
-            [float(n_corr) / float(n_true) if n_true else None],
-            pa.float64()),
-    })
+                            zero_copy_batch=True)
+    return pairwise_cluster_metrics(mm, "canon", "truth",
+                                    count_name="n_mentions")
