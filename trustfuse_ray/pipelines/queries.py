@@ -2984,6 +2984,10 @@ def _all_queries():
         "corpus_shard_stats": q_corpus_shard_stats,
         "dedup_cluster_quality": q_dedup_cluster_quality,
         "kg_source_retraction": q_kg_source_retraction,
+        "er_blocking_quality": q_er_blocking_quality,
+        "ann_recall_at_k": q_ann_recall_at_k,
+        "events_late_profile": q_events_late_profile,
+        "conv_context_amplification": q_conv_context_amplification,
         "rollup_revenue": q_rollup_revenue,
         "events_pivot": q_events_pivot,
         "events_set_ops": q_events_set_ops,
@@ -5514,6 +5518,94 @@ SELECT (SELECT source FROM ret) AS retracted_source,
        w2.value_str AS value_after
 FROM w1 LEFT JOIN w2 ON w2.entity = w1.entity AND w2.attr = w1.attr
 WHERE w2.value_str IS NULL OR w2.value_str <> w1.value_str""",
+        "er_blocking_quality": f"""
+WITH mset AS (
+  SELECT DISTINCT unnest(regexp_extract_all(text, '{SQL_PAT}', 2)) AS mention
+  FROM read_parquet('{cache}/transcripts/*.parquet')
+  WHERE role IN ('assistant','tool')
+),
+blk AS (SELECT mention,
+               CAST(regexp_extract(mention, '([0-9]+)', 1) AS BIGINT) AS b
+        FROM mset),
+bs AS (SELECT b, count(*) AS n FROM blk GROUP BY 1),
+cand AS (SELECT coalesce(sum(n*(n-1)//2), 0) AS c
+         FROM bs WHERE n BETWEEN 2 AND 500),
+bstat AS (SELECT count(*) AS nb,
+                 coalesce(sum(CASE WHEN n > 500 THEN 1 ELSE 0 END), 0)
+                   AS nstop FROM bs),
+tot AS (SELECT count(*) AS n FROM mset),
+tm AS (SELECT k.mention, k.b, a.entity
+       FROM blk k JOIN read_parquet('{cache}/aliases.parquet') a
+         ON a.alias = k.mention),
+tp AS (SELECT coalesce(sum(n*(n-1)//2), 0) AS t
+       FROM (SELECT count(*) AS n FROM tm GROUP BY entity)),
+cov AS (SELECT coalesce(sum(k*(k-1)//2), 0) AS cv FROM (
+    SELECT count(*) AS k FROM tm JOIN bs ON bs.b = tm.b
+    WHERE bs.n BETWEEN 2 AND 500 GROUP BY tm.entity, tm.b))
+SELECT CAST(tot.n AS BIGINT) AS n_mentions,
+       CAST(bstat.nb AS BIGINT) AS n_blocks,
+       CAST(bstat.nstop AS BIGINT) AS n_stop_blocks,
+       CAST(cand.c AS BIGINT) AS n_candidate_pairs,
+       CAST(tot.n * (tot.n - 1) // 2 AS BIGINT) AS n_all_pairs,
+       CAST(tp.t AS BIGINT) AS n_true_pairs,
+       CAST(cov.cv AS BIGINT) AS n_true_covered,
+       1 - CAST(cand.c AS DOUBLE)
+           / nullif(CAST(tot.n * (tot.n - 1) // 2 AS DOUBLE), 0)
+         AS reduction_ratio,
+       CAST(cov.cv AS DOUBLE) / nullif(CAST(tp.t AS DOUBLE), 0)
+         AS pair_completeness
+FROM tot, bstat, cand, tp, cov""",
+        "ann_recall_at_k": f"""
+WITH b AS ({_ANN_TOPK_SQL}),
+l AS ({_lsh_topk_sql()}),
+hits AS (
+  SELECT b.query_id, count(*) AS n
+  FROM b JOIN l ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+  GROUP BY 1),
+qs AS (SELECT DISTINCT query_id FROM b)
+SELECT qs.query_id,
+       CAST(coalesce(hits.n, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(hits.n, 0) AS DOUBLE) / 10 AS recall_at_10
+FROM qs LEFT JOIN hits USING (query_id)""",
+        "events_late_profile": """
+WITH w AS (
+  SELECT event_type, ts,
+         max(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS wm
+  FROM events
+),
+f AS (
+  SELECT event_type,
+         CASE WHEN wm IS NOT NULL AND ts < wm - INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS late,
+         CASE WHEN wm IS NOT NULL AND ts < wm - INTERVAL 5 MINUTE
+              THEN epoch_us(wm) - epoch_us(ts) END AS late_us
+  FROM w
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(late) AS BIGINT) AS n_late,
+       CAST(max(late_us) AS BIGINT) AS max_late_us
+FROM f GROUP BY 1""",
+        "conv_context_amplification": f"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(
+           string_split_regex(trim(coalesce(text, '')), '\\s+'),
+           w -> w <> '')) AS BIGINT) AS tok
+  FROM read_parquet('{cache}/transcripts/*.parquet')
+),
+c AS (
+  SELECT conv_id, tok,
+         sum(tok) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pref
+  FROM t
+)
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(tok) AS BIGINT) AS tokens,
+       CAST(sum(pref) AS BIGINT) AS processed_tokens,
+       CAST(sum(pref) AS DOUBLE) / nullif(CAST(sum(tok) AS DOUBLE), 0)
+         AS amplification
+FROM c GROUP BY 1""",
         "rollup_revenue": f"""
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -9530,3 +9622,272 @@ def q_kg_source_retraction(sf_dir: str):
 
     return j.map_batches(_diff, batch_format="pyarrow",
                          zero_copy_batch=True)
+
+
+def q_er_blocking_quality(sf_dir: str):
+    """ER blocking-key evaluation: reduction ratio and pair completeness
+    of a numeric-normalized blocking key (first digit run of the mention
+    — 'E00005' / 'entity 5' / 'node 5 prime' all block together) against
+    the alias ground truth.  Candidate pairs follow the engine's
+    stop-block rule (blocks of 2..500 members generate pairs, larger are
+    skipped); all pair totals are exact sums of C(n,2); the two ratios
+    are the DOUBLE divisions DuckDB replays bit-identically."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    cap = 500
+    data_dir = synth.generate(sf_dir)
+    mentions = extract_triples(read_transcripts(data_dir))
+    alias_tbl = pq.read_table(os.path.join(data_dir, "aliases.parquet"))
+    alias_arr = alias_tbl["alias"].combine_chunks()
+    ent_arr = alias_tbl["entity"].combine_chunks()
+
+    distinct = (mentions.select_columns(["mention"])
+                .groupby("mention").count().drop_columns(["count()"]))
+
+    def _key(batch: pa.Table) -> pa.Table:
+        m = pc.cast(batch["mention"], pa.string())
+        d = pc.struct_field(
+            pc.extract_regex(m, r"(?P<d>[0-9]+)"), "d")
+        idx = pc.index_in(m, value_set=alias_arr)
+        return pa.table({"mention": m,
+                         "blk": pc.cast(d, pa.int64()),
+                         "entity": pc.take(ent_arr, idx)})
+
+    mm = distinct.map_batches(_key, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    bs = mm.groupby("blk").count().materialize()  # block sizes
+
+    def _pairs_capped(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["count()"], dtype=np.int64)
+        ok = (n >= 2) & (n <= cap)
+        return pa.table({
+            "pairs": pa.array(np.where(ok, n * (n - 1) // 2, 0), pa.int64()),
+            "stop": pa.array((n > cap).astype(np.int64), pa.int64())})
+
+    bstats = bs.map_batches(_pairs_capped, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+    n_cand = int(bstats.sum("pairs") or 0)
+    n_stop = int(bstats.sum("stop") or 0)
+    n_blocks = bs.count()
+    n_mentions = mm.count()
+    n_all = n_mentions * (n_mentions - 1) // 2
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["count()"], dtype=np.int64)
+        return pa.table({"pairs": pa.array(n * (n - 1) // 2, pa.int64())})
+
+    n_true = int(mm.groupby("entity").count()
+                 .map_batches(_pairs, batch_format="pyarrow",
+                              zero_copy_batch=True).sum("pairs") or 0)
+
+    # covered truth pairs: same entity AND same non-stop block
+    ok_bs = bs.rename_columns({"blk": "b2", "count()": "bn"})
+    jm = mm.join(ok_bs, join_type="inner", num_partitions=8,
+                 on=("blk",), right_on=("b2",))
+
+    def _keep_ok(batch: pa.Table) -> pa.Table:
+        n = batch["bn"]
+        keep = pc.and_(pc.greater_equal(n, pa.scalar(2, pa.int64())),
+                       pc.less_equal(n, pa.scalar(cap, pa.int64())))
+        return batch.filter(keep).select(["entity", "blk"])
+
+    n_cov = int(jm.map_batches(_keep_ok, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["entity", "blk"]).count()
+                .map_batches(_pairs, batch_format="pyarrow",
+                             zero_copy_batch=True).sum("pairs") or 0)
+
+    return pa.table({
+        "n_mentions": pa.array([n_mentions], pa.int64()),
+        "n_blocks": pa.array([n_blocks], pa.int64()),
+        "n_stop_blocks": pa.array([n_stop], pa.int64()),
+        "n_candidate_pairs": pa.array([n_cand], pa.int64()),
+        "n_all_pairs": pa.array([n_all], pa.int64()),
+        "n_true_pairs": pa.array([n_true], pa.int64()),
+        "n_true_covered": pa.array([n_cov], pa.int64()),
+        "reduction_ratio": pa.array(
+            [1.0 - float(n_cand) / float(n_all) if n_all else None],
+            pa.float64()),
+        "pair_completeness": pa.array(
+            [float(n_cov) / float(n_true) if n_true else None],
+            pa.float64()),
+    })
+
+
+def q_ann_recall_at_k(sf_dir: str):
+    """Retrieval-quality bridge between the exact and approximate
+    retrievers: recall@10 of the hyperplane-LSH ANN against the brute
+    cosine top-10, per query — the metric that justifies (or vetoes) an
+    approximate index at scale.  Hit counts are exact intersections of
+    the two top-k lists (one co-partitioned join); recall is the single
+    BIGINT/10 division DuckDB replays."""
+    import pyarrow.compute as pc
+
+    emb = _tbl(sf_dir, "embeddings")
+    queries = sorted(emb.filter(expr="vec_id < 5").take_all(),
+                     key=lambda r: r["vec_id"])
+    brute = ann.brute_topk(emb, queries, k=10).select_columns(
+        ["query_id", "vec_id"])
+    approx = (ann.lsh_topk(emb, queries, k=10)
+              .select_columns(["query_id", "vec_id"])
+              .rename_columns({"query_id": "a_qid", "vec_id": "a_vid"}))
+    hits = (brute.join(approx, join_type="inner", num_partitions=8,
+                       on=("query_id", "vec_id"),
+                       right_on=("a_qid", "a_vid"))
+            .groupby("query_id").count())
+    qids = pa.array(sorted({r["vec_id"] for r in queries}), pa.int64())
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(qids, value_set=pc.cast(batch["query_id"],
+                                                  pa.int64()))
+        n = pc.fill_null(pc.take(batch["count()"], idx),
+                         pa.scalar(0, pa.int64()))
+        return pa.table({
+            "query_id": qids,
+            "n_hits": pc.cast(n, pa.int64()),
+            "recall_at_10": pc.divide(pc.cast(n, pa.float64()),
+                                      pa.scalar(10.0))})
+
+    # 5 queries -> the hit table is tiny; close over it in one shaping pass
+    ht = hits.take_all()
+    tbl = pa.table({
+        "query_id": pa.array([r["query_id"] for r in ht], pa.int64()),
+        "count()": pa.array([r["count()"] for r in ht], pa.int64())})
+    return _shape(tbl)
+
+
+def q_events_late_profile(sf_dir: str):
+    """Streaming out-of-orderness profile — the measurement that sizes a
+    watermark grace: treating event_id as the INGESTION sequence, an
+    event is late when its event time trails the running max event time
+    of everything ingested before it by more than 5 minutes.  The prefix
+    max is exact WITHOUT a global sort: per-id-bucket maxima (one tiny
+    exchange) prefix-scan on the driver (<= 64 scalars); each bucket then
+    computes its rows' running max seeded by the buckets before it.
+    Per event type: events, late events, worst lateness (µs)."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    grace_us = 5 * 60 * 1_000_000
+    n_buckets = 64
+    ev = _tbl(sf_dir, "events").select_columns(
+        ["event_id", "ts", "event_type"])
+    max_id = int(ev.max("event_id"))
+    width = max_id // n_buckets + 1
+
+    def _keyed(batch: pa.Table) -> pa.Table:
+        eid = pc.cast(batch["event_id"], pa.int64())
+        return pa.table({
+            "b": pc.divide(eid, pa.scalar(width, pa.int64())),
+            "event_id": eid,
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": pc.cast(batch["event_type"], pa.string())})
+
+    keyed = ev.map_batches(_keyed, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+
+    bmax = keyed.groupby("b").max("ts_us").take_all()  # <= 64 rows
+    bmax.sort(key=lambda r: r["b"])
+    seed, seeds = -(1 << 62), {}
+    for r in bmax:
+        seeds[r["b"]] = seed
+        seed = max(seed, r["max(ts_us)"])
+
+    def _late(group: pa.Table) -> pa.Table:
+        b = int(group["b"][0].as_py())
+        order = np.argsort(np.asarray(group["event_id"], dtype=np.int64),
+                           kind="stable")
+        ts = np.asarray(group["ts_us"], dtype=np.int64)[order]
+        run = np.maximum.accumulate(ts)
+        wm = np.empty_like(run)
+        wm[0] = seeds[b]
+        wm[1:] = np.maximum(run[:-1], seeds[b])
+        late = ts < wm - grace_us
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)[order]
+        lateness = np.where(late, wm - ts, 0)
+        g = pa.table({
+            "event_type": pa.array(et, pa.string()),
+            "n_events": pa.array(np.ones(len(ts), np.int64)),
+            "n_late": pa.array(late.astype(np.int64)),
+            "late_us": pa.array(lateness, pa.int64())})
+        return (pa.TableGroupBy(g, "event_type", use_threads=False)
+                .aggregate([("n_events", "sum"), ("n_late", "sum"),
+                            ("late_us", "max")])
+                .rename_columns(["event_type", "n_events", "n_late",
+                                 "late_us"]))
+
+    part = hash_group_apply(
+        keyed, ["b"], _late, n_parts=16,
+        plasma_schema=pa.schema([
+            ("event_type", pa.string()), ("n_events", pa.int64()),
+            ("n_late", pa.int64()), ("late_us", pa.int64())]))
+    agg = part.groupby("event_type").aggregate(
+        ray.data.aggregate.Sum("n_events"), ray.data.aggregate.Sum("n_late"),
+        ray.data.aggregate.Max("late_us"))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        n_late = batch["sum(n_late)"].cast(pa.int64())
+        worst = batch["max(late_us)"].cast(pa.int64())
+        return pa.table({
+            "event_type": batch["event_type"],
+            "n_events": batch["sum(n_events)"].cast(pa.int64()),
+            "n_late": n_late,
+            "max_late_us": pc.if_else(
+                pc.greater(n_late, pa.scalar(0, pa.int64())), worst,
+                pa.nulls(len(batch), pa.int64()))})
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_conv_context_amplification(sf_dir: str):
+    """LLM-serving cost profile: per conversation, the token volume a
+    server would process WITHOUT prefix caching (every turn re-processes
+    its full running context — the quadratic sum of per-turn prefix
+    totals) vs the corpus tokens processed once under a perfect prefix
+    cache; the ratio is the cache's value for that conversation.  Tokens
+    count in ONE vectorized RE2 pass map-side; the single conv_id
+    exchange carries (conv_id, turn_idx, tok) ints, never text."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    data_dir = synth.generate(sf_dir)
+    ds = read_transcripts(data_dir).select_columns(
+        ["conv_id", "turn_idx", "text"])
+
+    def _tok(batch: pa.Table) -> pa.Table:
+        toks = pc.fill_null(pc.cast(pc.count_substring_regex(
+            pc.cast(batch["text"], pa.string()), r"\S+"), pa.int64()),
+            pa.scalar(0, pa.int64()))
+        return pa.table({"conv_id": pc.cast(batch["conv_id"], pa.string()),
+                         "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+                         "tok": toks})
+
+    def _amp(group: pa.Table) -> pa.Table:
+        order = np.argsort(np.asarray(group["turn_idx"], dtype=np.int64),
+                           kind="stable")
+        tok = np.asarray(group["tok"], dtype=np.int64)[order]
+        pref = np.cumsum(tok)
+        tokens = int(pref[-1])
+        processed = int(pref.sum())
+        return pa.table({
+            "conv_id": group["conv_id"][:1],
+            "n_turns": pa.array([len(tok)], pa.int64()),
+            "tokens": pa.array([tokens], pa.int64()),
+            "processed_tokens": pa.array([processed], pa.int64()),
+            "amplification": pa.array(
+                [float(processed) / float(tokens) if tokens else None],
+                pa.float64())})
+
+    return hash_group_apply(
+        ds.map_batches(_tok, batch_format="pyarrow", zero_copy_batch=True),
+        ["conv_id"], _amp, n_parts=32,
+        plasma_schema=pa.schema([
+            ("conv_id", pa.string()), ("n_turns", pa.int64()),
+            ("tokens", pa.int64()), ("processed_tokens", pa.int64()),
+            ("amplification", pa.float64())]))

@@ -45,6 +45,11 @@ def _topk_partial(batch: pa.Table, *, query_ref, k: int) -> pa.Table:
         "score": pa.array(sims[rows, part].ravel(), pa.float64())})
 
 
+_TOPK_SCHEMA = pa.schema([
+    ("query_id", pa.int64()), ("vec_id", pa.int64()),
+    ("rank", pa.int64()), ("score", pa.float64())])
+
+
 def _topk_merge(batch: pa.Table, *, k: int) -> pa.Table:
     qid = batch["query_id"][0].as_py()
     vid = np.asarray(batch["vec_id"], dtype=np.int64)
@@ -66,8 +71,15 @@ def brute_topk(embeddings, queries, k: int = 10, batch_size: int = 4096):
     partial = embeddings.map_batches(
         functools.partial(_topk_partial, query_ref=query_ref, k=k),
         batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
-    return partial.groupby("query_id").map_groups(
-        functools.partial(_topk_merge, k=k), batch_format="pyarrow")
+    # hash_group_apply (not groupby.map_groups): Ray's sort-based
+    # map_groups leaves ZERO-COLUMN empties on group-less output
+    # partitions — map_batches never calls its UDF on an empty block, so
+    # they are untypable downstream and poison hash-shuffle joins with an
+    # empty-schema broadcast; the plasma exchange types every partition.
+    from trustfuse_ray.stages.common import hash_group_apply
+    return hash_group_apply(
+        partial, ["query_id"], functools.partial(_topk_merge, k=k),
+        n_parts=8, plasma_schema=_TOPK_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -231,8 +243,11 @@ def lsh_topk(embeddings, queries, k: int = 10, n_planes: int = 8,
 
     partial = bucketed.groupby("bucket").map_groups(
         _score_bucket, batch_format="pyarrow")
-    return partial.groupby("query_id").map_groups(
-        functools.partial(_topk_merge, k=k), batch_format="pyarrow")
+    # see brute_topk: plasma group apply types group-less partitions
+    from trustfuse_ray.stages.common import hash_group_apply
+    return hash_group_apply(
+        partial, ["query_id"], functools.partial(_topk_merge, k=k),
+        n_parts=8, plasma_schema=_TOPK_SCHEMA)
 
 
 def embedding_centroids(emb, label_col: str = "label",

@@ -300,3 +300,4 @@ def pairwise_cluster_metrics(labeled, pred_col: str, truth_col: str,
             [float(n_corr) / float(n_true) if n_true else None],
             pa.float64()),
     })
+
