@@ -30,7 +30,8 @@ WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "transcripts_jsonl_profile", "claims_tsv_ingest",
         "er_pair_quality", "corpus_shard_stats", "dedup_cluster_quality",
         "kg_source_retraction", "er_blocking_quality", "ann_recall_at_k",
-        "events_late_profile", "conv_context_amplification"]
+        "events_late_profile", "conv_context_amplification",
+        "boolean_retrieval", "q1_incremental", "claims_tsv_fuse_voting"]
 
 
 @pytest.fixture(scope="module")

@@ -526,56 +526,56 @@ Q1_SCALE = 1_000_000  # fixed-point micro-units: float sums are order-
 def q1_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped aggregate over lineitem (groupby + multi-agg)."""
     li = _tbl(sf_dir, "lineitem")
-
-    def _derive(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        disc = pc.multiply(batch["l_extendedprice"],
-                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        charge = pc.multiply(disc, pc.add(pa.scalar(1.0), batch["l_tax"]))
-
-        def fx(col):
-            return pc.cast(pc.round(
-                pc.multiply(col, pa.scalar(float(Q1_SCALE))),
-                round_mode="half_towards_infinity"), pa.int64())
-
-        t = pa.table({
-            "l_returnflag": batch["l_returnflag"],
-            "l_linestatus": batch["l_linestatus"],
-            "qty_fx": fx(batch["l_quantity"]),
-            "price_fx": fx(batch["l_extendedprice"]),
-            "disc_fx": fx(disc),
-            "charge_fx": fx(charge),
-        })
-        # map-side partial combine (exact: fixed-point ints) — the wide
-        # exchange carries ≤ #groups rows per block, not #lineitems
-        g = pa.TableGroupBy(
-            t, ["l_returnflag", "l_linestatus"], use_threads=False
-        ).aggregate([("qty_fx", "sum"), ("price_fx", "sum"),
-                     ("disc_fx", "sum"), ("charge_fx", "sum")])
-        return g.rename_columns(
-            [c.removesuffix("_sum") for c in g.column_names])
-
-    agg = (li.map_batches(_derive, batch_format="pyarrow")
+    agg = (li.map_batches(_q1_derive, batch_format="pyarrow")
            .groupby(["l_returnflag", "l_linestatus"])
            .sum(["qty_fx", "price_fx", "disc_fx", "charge_fx"]))
+    return agg.map_batches(_q1_finish, batch_format="pyarrow")
 
-    def _finish(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        s = pa.scalar(float(Q1_SCALE))
 
-        def un(c):
-            return pc.divide(_fx_f64(batch[c]), s)
+def _q1_derive(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    disc = pc.multiply(batch["l_extendedprice"],
+                       pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+    charge = pc.multiply(disc, pc.add(pa.scalar(1.0), batch["l_tax"]))
 
-        return pa.table({
-            "l_returnflag": batch["l_returnflag"],
-            "l_linestatus": batch["l_linestatus"],
-            "sum_qty": un("sum(qty_fx)"),
-            "sum_base_price": un("sum(price_fx)"),
-            "sum_disc_price": un("sum(disc_fx)"),
-            "sum_charge": un("sum(charge_fx)"),
-        })
+    def fx(col):
+        return pc.cast(pc.round(
+            pc.multiply(col, pa.scalar(float(Q1_SCALE))),
+            round_mode="half_towards_infinity"), pa.int64())
 
-    return agg.map_batches(_finish, batch_format="pyarrow")
+    t = pa.table({
+        "l_returnflag": batch["l_returnflag"],
+        "l_linestatus": batch["l_linestatus"],
+        "qty_fx": fx(batch["l_quantity"]),
+        "price_fx": fx(batch["l_extendedprice"]),
+        "disc_fx": fx(disc),
+        "charge_fx": fx(charge),
+    })
+    # map-side partial combine (exact: fixed-point ints) — the wide
+    # exchange carries ≤ #groups rows per block, not #lineitems
+    g = pa.TableGroupBy(
+        t, ["l_returnflag", "l_linestatus"], use_threads=False
+    ).aggregate([("qty_fx", "sum"), ("price_fx", "sum"),
+                 ("disc_fx", "sum"), ("charge_fx", "sum")])
+    return g.rename_columns(
+        [c.removesuffix("_sum") for c in g.column_names])
+
+
+def _q1_finish(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    s = pa.scalar(float(Q1_SCALE))
+
+    def un(c):
+        return pc.divide(_fx_f64(batch[c]), s)
+
+    return pa.table({
+        "l_returnflag": batch["l_returnflag"],
+        "l_linestatus": batch["l_linestatus"],
+        "sum_qty": un("sum(qty_fx)"),
+        "sum_base_price": un("sum(price_fx)"),
+        "sum_disc_price": un("sum(disc_fx)"),
+        "sum_charge": un("sum(charge_fx)"),
+    })
 
 
 def q_top_customers(sf_dir: str):
@@ -1172,6 +1172,19 @@ def q_multimodal_png_features(sf_dir: str):
 
     media = synth_png_media_from_docs(_tbl(sf_dir, "documents"))
     return png_features(media)
+
+
+def q_multimodal_wav_features(sf_dir: str):
+    """REAL audio decode gate: documents → deterministic PCM WAVs
+    (pure-stdlib RIFF encoder, functions/wav.py) → actor-pool chunk-walk
+    decode → integer sample statistics (amplitude sum, peak, zero
+    crossings).  The oracle recomputes them straight from the generating
+    text, so a hash match proves the WAV encode→decode path bit-exact."""
+    from trustfuse_ray.stages.multimodal import (synth_wav_media_from_docs,
+                                                 wav_features)
+
+    media = synth_wav_media_from_docs(_tbl(sf_dir, "documents"))
+    return wav_features(media)
 
 
 def q_multimodal_dedup(sf_dir: str):
@@ -2943,6 +2956,7 @@ def _all_queries():
         "kg_truth_timeline": q_kg_truth_timeline,
         "multimodal_dedup": q_multimodal_dedup,
         "multimodal_png_features": q_multimodal_png_features,
+        "multimodal_wav_features": q_multimodal_wav_features,
         "conversation_near_dups": q_conversation_near_dups,
         "kg_degree_histogram": q_kg_degree_histogram,
         "source_divergence": q_source_divergence,
@@ -2988,6 +3002,9 @@ def _all_queries():
         "ann_recall_at_k": q_ann_recall_at_k,
         "events_late_profile": q_events_late_profile,
         "conv_context_amplification": q_conv_context_amplification,
+        "boolean_retrieval": q_boolean_retrieval,
+        "q1_incremental": q1_incremental,
+        "claims_tsv_fuse_voting": q_claims_tsv_fuse_voting,
         "rollup_revenue": q_rollup_revenue,
         "events_pivot": q_events_pivot,
         "events_set_ops": q_events_set_ops,
@@ -4279,6 +4296,18 @@ SELECT l_returnflag, l_linestatus,
                       * {Q1_SCALE}) AS BIGINT)) / {Q1_SCALE}.0 AS sum_charge
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus""",
+        "q1_incremental": f"""
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * {Q1_SCALE}) AS BIGINT))
+         / {Q1_SCALE}.0 AS sum_qty,
+       sum(CAST(round(l_extendedprice * {Q1_SCALE}) AS BIGINT))
+         / {Q1_SCALE}.0 AS sum_base_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
+                AS BIGINT)) / {Q1_SCALE}.0 AS sum_disc_price,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                      * {Q1_SCALE}) AS BIGINT)) / {Q1_SCALE}.0 AS sum_charge
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus""",
         "q5_local_supplier_volume": f"""
 SELECT n_name,
        sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
@@ -4400,6 +4429,29 @@ SELECT doc_id AS media_id,
             AS BIGINT) AS px_sum,
        CAST(least(len, w * h) AS BIGINT) AS px_nonzero
 FROM g""",
+        "multimodal_wav_features": """
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS t,
+         CAST(length(coalesce(text, '')) AS BIGINT) AS len
+  FROM documents),
+s AS (
+  SELECT doc_id, len,
+         list_transform(range(1, len + 1),
+           i -> ((ascii(substr(t, CAST(i AS BIGINT), 1)) * 37
+                  + (i - 1) * 11) % 256 - 128) * 256) AS v
+  FROM d)
+SELECT doc_id AS media_id,
+       len AS n_samples,
+       CAST(8000 + (len % 4) * 2000 AS BIGINT) AS sample_rate,
+       CAST(coalesce(list_sum(list_transform(v, x -> abs(x))), 0)
+            AS BIGINT) AS amp_sum,
+       CAST(coalesce(list_max(list_transform(v, x -> abs(x))), 0)
+            AS BIGINT) AS peak,
+       CAST(coalesce(list_sum(list_transform(range(2, len + 1),
+             i -> CASE WHEN v[CAST(i - 1 AS BIGINT)]
+                            * v[CAST(i AS BIGINT)] < 0
+                       THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
+FROM s""",
         "multimodal_dedup": """
 WITH a AS (
   SELECT doc_id AS media_id, md5(coalesce(text, '')) AS fp
@@ -5405,6 +5457,53 @@ SELECT bucket_id, attr,
        CAST(count(DISTINCT entity) AS BIGINT) AS n_entities,
        CAST(count(DISTINCT value_str) AS BIGINT) AS n_values
 FROM canon GROUP BY 1, 2""",
+        "claims_tsv_fuse_voting": f"""
+WITH raw AS (
+  SELECT CAST(regexp_extract(filename, 'bucket-(\\d+)', 1) AS BIGINT)
+           AS bucket_id, * EXCLUDE (filename, junk)
+  FROM read_csv('{synth.generate_claims_tsv(sf_dir)}/*.tsv',
+       delim='\t', header=false,
+       columns={{'Source':'VARCHAR','Entity':'VARCHAR','color':'VARCHAR',
+                'capital':'VARCHAR','category':'VARCHAR','status':'VARCHAR',
+                'population':'VARCHAR','height':'VARCHAR','price':'VARCHAR',
+                'neighbor':'VARCHAR','junk':'VARCHAR'}},
+       filename=true)
+), long AS (
+  SELECT bucket_id, Source, Entity, attr, value
+  FROM raw UNPIVOT (value FOR attr IN (color, capital, category, status,
+                                       population, height, price, neighbor))
+), canon AS (
+  SELECT bucket_id, Source AS source, Entity AS entity, attr,
+         CASE WHEN attr IN ('population','height','price')
+              THEN replace(trim(value), ',', '') ELSE trim(value) END
+           AS value_str,
+         CASE WHEN attr IN ('population','height','price')
+              THEN CAST(replace(trim(value), ',', '') AS DOUBLE) END
+           AS value_num,
+         CASE WHEN attr IN ('population','height','price')
+              THEN 'quantity' ELSE 'other' END AS value_type
+  FROM long
+), dedup AS (
+  SELECT DISTINCT bucket_id, source, entity, attr, value_str, value_num,
+                  value_type
+  FROM canon
+), cat AS (
+  SELECT bucket_id, entity, attr, value_str, count(*) AS c
+  FROM dedup WHERE value_type <> 'quantity' GROUP BY 1, 2, 3, 4
+), catw AS (
+  SELECT bucket_id, entity, attr, value_str,
+         row_number() OVER (PARTITION BY bucket_id, entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM cat
+)
+SELECT bucket_id, entity, attr, value_str,
+       CAST(NULL AS DOUBLE) AS value_num
+FROM catw WHERE rn = 1
+UNION ALL
+SELECT bucket_id, entity, attr, CAST(NULL AS VARCHAR) AS value_str,
+       median(value_num) AS value_num
+FROM dedup WHERE value_type = 'quantity'
+GROUP BY 1, 2, 3""",
         "er_pair_quality": f"""
 WITH RECURSIVE mset AS (
   SELECT DISTINCT unnest(regexp_extract_all(text, '{SQL_PAT}', 2)) AS mention
@@ -5606,6 +5705,26 @@ SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
        CAST(sum(pref) AS DOUBLE) / nullif(CAST(sum(tok) AS DOUBLE), 0)
          AS amplification
 FROM c GROUP BY 1""",
+        "boolean_retrieval": r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+  FROM documents
+),
+c AS (SELECT token, count(*) AS n FROM toks GROUP BY 1),
+t2 AS (
+  SELECT min(CASE WHEN rn = 1 THEN token END) AS ta,
+         min(CASE WHEN rn = 2 THEN token END) AS tb
+  FROM (SELECT token,
+               row_number() OVER (ORDER BY n DESC, token) AS rn
+        FROM c) WHERE rn <= 2
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       t2.ta AS term_a, t2.tb AS term_b
+FROM documents d, t2
+WHERE list_contains(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
+                    t2.ta)
+  AND list_contains(string_split_regex(trim(coalesce(d.text, '')), '\s+'),
+                    t2.tb)""",
         "rollup_revenue": f"""
 SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
        coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -9891,3 +10010,122 @@ def q_conv_context_amplification(sf_dir: str):
             ("conv_id", pa.string()), ("n_turns", pa.int64()),
             ("tokens", pa.int64()), ("processed_tokens", pa.int64()),
             ("amplification", pa.float64())]))
+
+
+def q_boolean_retrieval(sf_dir: str):
+    """Boolean AND retrieval over the inverted index: documents
+    containing BOTH of the corpus's two most frequent tokens (count
+    desc, token asc — the heavy-hitter pick is deterministic).  The
+    token-count pass is the bounded map-side vocabulary combine
+    (profile.top_tokens); the match pass is one streaming regex scan per
+    term — no postings materialization, no text exchange."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.profile import top_tokens
+
+    docs = _tbl(sf_dir, "documents")
+    top2 = top_tokens(docs, k=2).take_all()
+    term_a, term_b = top2[0]["token"], top2[1]["token"]
+
+    def _match(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(
+            pc.cast(batch["text"], pa.string()))
+        import re as _re
+        pat_a = rf"(?:^|\s){_re.escape(term_a)}(?:\s|$)"
+        pat_b = rf"(?:^|\s){_re.escape(term_b)}(?:\s|$)"
+        has = pc.and_(
+            pc.greater(pc.count_substring_regex(txt, pat_a), 0),
+            pc.greater(pc.count_substring_regex(txt, pat_b), 0))
+        t = batch.filter(pc.fill_null(has, False))
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "term_a": pa.array([term_a] * len(t), pa.string()),
+            "term_b": pa.array([term_b] * len(t), pa.string())})
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _match, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q1_incremental(sf_dir: str):
+    """Incremental view maintenance of the Q1 pricing summary: the base
+    partition (9/10 of lineitem by order-key digit) materializes its
+    fixed-point partial-aggregate VIEW once; the arriving delta batch
+    (digit 7) folds in by pure additive merge — no base rescan, the
+    merge exchange carries ≤ #groups rows per side.  Final figures are
+    bit-identical to Q1 over the full table (the oracle), which is the
+    IVM correctness property."""
+    import pyarrow.compute as pc
+
+    li = _tbl(sf_dir, "lineitem")
+
+    def _side(batch: pa.Table, want_delta: bool) -> pa.Table:
+        # digit split (the expr DSL has no %): orderkey mod 10 == 7
+        d = pc.subtract(
+            pc.cast(batch["l_orderkey"], pa.int64()),
+            pc.multiply(pc.divide(pc.cast(batch["l_orderkey"], pa.int64()),
+                                  pa.scalar(10, pa.int64())),
+                        pa.scalar(10, pa.int64())))
+        m = pc.equal(d, pa.scalar(7, pa.int64()))
+        return batch.filter(m if want_delta else pc.invert(m))
+
+    base_view = (li.map_batches(lambda b: _side(b, False),
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .map_batches(_q1_derive, batch_format="pyarrow")
+                 .groupby(["l_returnflag", "l_linestatus"])
+                 .sum(["qty_fx", "price_fx", "disc_fx", "charge_fx"])
+                 .materialize())  # the stored view: tiny (#groups rows)
+
+    delta = (li.map_batches(lambda b: _side(b, True),
+                            batch_format="pyarrow", zero_copy_batch=True)
+             .map_batches(_q1_derive, batch_format="pyarrow")
+             .groupby(["l_returnflag", "l_linestatus"])
+             .sum(["qty_fx", "price_fx", "disc_fx", "charge_fx"]))
+
+    def _strip(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            [c.removeprefix("sum(").removesuffix(")")
+             for c in batch.column_names])
+
+    merged = (base_view.map_batches(_strip, batch_format="pyarrow")
+              .union(delta.map_batches(_strip, batch_format="pyarrow"))
+              .groupby(["l_returnflag", "l_linestatus"])
+              .sum(["qty_fx", "price_fx", "disc_fx", "charge_fx"]))
+    return merged.map_batches(_q1_finish, batch_format="pyarrow")
+
+
+def _tsv_claims(sf_dir: str):
+    from trustfuse_ray.sources.static import melt_to_claims, read_static_tsv
+
+    d = synth.generate_claims_tsv(sf_dir)
+    headers = ["Source", "Entity"] + list(synth.ATTRS)
+    wide = read_static_tsv(d, headers, engine="arrow")
+    return melt_to_claims(wide, entity_col="Entity",
+                          attrs=list(synth.ATTRS),
+                          attribute_types=synth.ATTR_TYPES)
+
+
+def q_claims_tsv_fuse_voting(sf_dir: str):
+    """END-TO-END reference-format parity: the StaticDataset TSV folder
+    (headerless ISO-8859-1 bucket-per-file) read distributed, melted to
+    the claim IR, and FUSED per bucket with Voting — the engine's full
+    ingestion-to-truth path over the reference's actual input layout.
+    Categorical facts take the majority value (tie → lexicographically
+    smallest), quantity facts the median; the SQL oracle unpivots the
+    same CSV and replays both rules."""
+    triples, _ = run_fusion(_tsv_claims(sf_dir), make_model("Voting"))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_q = pc.equal(batch["value_type"], "quantity")
+        return pa.table({
+            "bucket_id": pc.cast(batch["bucket_id"], pa.int64()),
+            "entity": batch["entity"],
+            "attr": batch["attr"],
+            "value_str": pc.if_else(is_q,
+                                    pa.nulls(len(batch), pa.string()),
+                                    batch["value_str"]),
+            "value_num": batch["value_num"],
+        })
+
+    return triples.map_batches(_shape, batch_format="pyarrow")

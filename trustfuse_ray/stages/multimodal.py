@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool map_batches stages.
 
-Codecs: PNG decode is REAL — a pure-stdlib implementation of the public
-PNG spec (functions/png.py, zlib DEFLATE + all five scanline filters)
-drives :func:`png_features` end-to-end, with a full DuckDB oracle
-recomputing the expected pixel statistics from the generating text.
-JPEG/audio/video codecs are not available in this container, so
-``DecoderPool(codec="real")`` still raises NotImplementedError for those;
-``codec="fake"`` (default) applies a deterministic header-parse decode.
+Codecs: PNG and WAV decode are REAL — pure-stdlib implementations of the
+public specs (functions/png.py: zlib DEFLATE + all five scanline filters;
+functions/wav.py: RIFF chunk walker, PCM 16-bit mono) drive
+:func:`png_features` and :func:`wav_features` end-to-end, each with a full
+DuckDB oracle recomputing the expected pixel/sample statistics from the
+generating text.  JPEG/video codecs are not available in this container,
+so ``DecoderPool(codec="real")`` still raises NotImplementedError for
+those; ``codec="fake"`` (default) applies a deterministic header-parse
+decode.
 Everything around the codecs — Arrow binary schema, per-actor setup,
 batch sizing for large payloads, struct/list outputs — is real and tested.
 """
@@ -81,8 +83,10 @@ class DecoderPool:
         the exact values in SQL (`multimodal_features_long`)."""
         if self.codec == "real":
             raise NotImplementedError(
-                "real image/audio decode requires codec libraries not "
-                "present in this environment; use codec='fake'")
+                "DecoderPool's generic payloads have no real codec; use "
+                "png_features / wav_features for the REAL stdlib PNG/WAV "
+                "decode paths, or codec='fake' here (JPEG/video codecs "
+                "are not present in this environment)")
         tag, w, h = struct.unpack("<4sII", payload[:12])
         body = payload[12:]
         dg = b""
@@ -183,6 +187,80 @@ class PngFeaturePool:
 def png_features(media, concurrency=(1, 4), batch_size: int = 256):
     return media.map_batches(
         PngFeaturePool, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency)
+
+
+def synth_wav_media_from_docs(docs):
+    """Deterministic REAL-WAV media table from a documents table: each
+    doc's utf-8 bytes become int16 PCM samples via the SQL-replayable rule
+    ``s_i = ((byte_i*37 + (i-1)*11) % 256 - 128) * 256`` (varied signs so
+    zero-crossing stats are non-trivial), mono at
+    ``8000 + (len % 4) * 2000`` Hz, encoded with the pure-stdlib RIFF
+    encoder.  Downstream decode correctness therefore has a full oracle."""
+    from trustfuse_ray.functions.wav import encode_wav
+
+    def _b(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        payloads, rates, durs = [], [], []
+        for t in texts:
+            data = np.frombuffer((t or "").encode(), np.uint8)
+            idx = np.arange(len(data), dtype=np.int64)
+            s = ((data.astype(np.int64) * 37 + idx * 11) % 256 - 128) * 256
+            rate = 8000 + (len(data) % 4) * 2000
+            payloads.append(encode_wav(s.astype(np.int16), rate))
+            rates.append(rate)
+            durs.append(int(len(data) * 1000 / rate))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["audio"] * len(ids), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([0] * len(ids), pa.int32()),
+            "height": pa.array([0] * len(ids), pa.int32()),
+            "duration_ms": pa.array(durs, pa.int32()),
+        })
+
+    return docs.map_batches(_b, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class WavFeaturePool:
+    """Actor-pool REAL-decode stage: payload → PCM samples via the stdlib
+    RIFF/WAVE chunk walker (once-per-actor import in ``__init__``), then
+    integer sample statistics — amplitude sum, peak, zero crossings —
+    exactly recomputable by the SQL oracle from the generating text."""
+
+    def __init__(self):
+        from trustfuse_ray.functions.wav import decode_wav
+        self._decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids = batch["media_id"].to_pylist()
+        out = {"media_id": [], "n_samples": [], "sample_rate": [],
+               "amp_sum": [], "peak": [], "zero_cross": []}
+        for mid, p in zip(mids, batch["payload"].to_pylist()):
+            s, rate = self._decode(p)
+            a = np.abs(s.astype(np.int64))
+            out["media_id"].append(mid)
+            out["n_samples"].append(len(s))
+            out["sample_rate"].append(rate)
+            out["amp_sum"].append(int(a.sum()))
+            out["peak"].append(int(a.max()) if len(s) else 0)
+            out["zero_cross"].append(
+                int((s[:-1].astype(np.int64) * s[1:] < 0).sum())
+                if len(s) > 1 else 0)
+        return pa.table({
+            "media_id": pa.array(out["media_id"], pa.int64()),
+            "n_samples": pa.array(out["n_samples"], pa.int64()),
+            "sample_rate": pa.array(out["sample_rate"], pa.int64()),
+            "amp_sum": pa.array(out["amp_sum"], pa.int64()),
+            "peak": pa.array(out["peak"], pa.int64()),
+            "zero_cross": pa.array(out["zero_cross"], pa.int64()),
+        })
+
+
+def wav_features(media, concurrency=(1, 4), batch_size: int = 256):
+    return media.map_batches(
+        WavFeaturePool, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency)
 
 
