@@ -2261,6 +2261,17 @@ def q_embedding_centroids(sf_dir: str):
     return embedding_centroids(_tbl(sf_dir, "embeddings"))
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means (k=8, 2 update rounds) over the
+    embeddings table in exact int64 fixed point: broadcast centroids,
+    O(k×dim) partial sums per block, one tiny reduce per round — the
+    embeddings themselves never shuffle.  Bit-deterministic, so the SQL
+    oracle replays the identical Lloyd trajectory."""
+    from trustfuse_ray.stages.ann import kmeans_embeddings
+
+    return kmeans_embeddings(_tbl(sf_dir, "embeddings"), k=8, iters=2)
+
+
 def q_bottomk_sample(sf_dir: str):
     """Deterministic 10-doc uniform sample per source (bottom-k by
     md5(doc_id); block-level combiner)."""
@@ -2957,6 +2968,7 @@ def _all_queries():
         "multimodal_dedup": q_multimodal_dedup,
         "multimodal_png_features": q_multimodal_png_features,
         "multimodal_wav_features": q_multimodal_wav_features,
+        "kmeans_clusters": q_kmeans_clusters,
         "conversation_near_dups": q_conversation_near_dups,
         "kg_degree_histogram": q_kg_degree_histogram,
         "source_divergence": q_source_divergence,
@@ -4452,6 +4464,58 @@ SELECT doc_id AS media_id,
                             * v[CAST(i AS BIGINT)] < 0
                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
 FROM s""",
+        "kmeans_clusters": """
+WITH e AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(CASE WHEN el >= 0 THEN floor(el * 1000000 + 0.5)
+                   ELSE -floor(-el * 1000000 + 0.5) END AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS el,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+c0 AS (
+  SELECT t.cid, e.dim, e.q AS cq
+  FROM (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT DISTINCT vec_id FROM embeddings)) t
+  JOIN e USING (vec_id) WHERE t.cid < 8
+),
+d1 AS (SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS d
+       FROM e JOIN c0 c USING (dim) GROUP BY 1, 2),
+a1 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cid) AS rn
+         FROM d1) WHERE rn = 1),
+m1 AS (SELECT a1.cid, e.dim,
+              CAST(sum(e.q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS r
+       FROM a1 JOIN e USING (vec_id) GROUP BY 1, 2),
+c1 AS (SELECT c0.cid, c0.dim,
+              coalesce(CAST(CASE WHEN m1.r >= 0 THEN floor(m1.r + 0.5)
+                            ELSE -floor(-m1.r + 0.5) END AS BIGINT),
+                       c0.cq) AS cq
+       FROM c0 LEFT JOIN m1 ON m1.cid = c0.cid AND m1.dim = c0.dim),
+d2 AS (SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS d
+       FROM e JOIN c1 c USING (dim) GROUP BY 1, 2),
+a2 AS (SELECT vec_id, cid FROM (
+         SELECT vec_id, cid,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d, cid) AS rn
+         FROM d2) WHERE rn = 1),
+m2 AS (SELECT a2.cid, e.dim,
+              CAST(sum(e.q) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS r
+       FROM a2 JOIN e USING (vec_id) GROUP BY 1, 2),
+c2 AS (SELECT c1.cid, c1.dim,
+              coalesce(CAST(CASE WHEN m2.r >= 0 THEN floor(m2.r + 0.5)
+                            ELSE -floor(-m2.r + 0.5) END AS BIGINT),
+                       c1.cq) AS cq
+       FROM c1 LEFT JOIN m2 ON m2.cid = c1.cid AND m2.dim = c1.dim),
+d3 AS (SELECT e.vec_id, c.cid, sum((e.q - c.cq) * (e.q - c.cq)) AS d
+       FROM e JOIN c2 c USING (dim) GROUP BY 1, 2)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster
+FROM (SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cid) AS rn
+      FROM d3) WHERE rn = 1""",
         "multimodal_dedup": """
 WITH a AS (
   SELECT doc_id AS media_id, md5(coalesce(text, '')) AS fp

@@ -589,3 +589,92 @@ def rrf_fuse(ranked_lists, k: int = 10, c: int = 60):
                                  ("vec_id", pa.int64()),
                                  ("rank", pa.int64()),
                                  ("score_fx", pa.int64())]))
+
+
+def _quant_fx(mat: np.ndarray, scale: int) -> np.ndarray:
+    """float matrix → int64 fixed point, half-away-from-zero (matches
+    DuckDB round() and pc.round half_towards_infinity)."""
+    v = mat.astype(np.float64) * scale
+    return np.where(v >= 0, np.floor(v + 0.5),
+                    -np.floor(-v + 0.5)).astype(np.int64)
+
+
+def kmeans_embeddings(emb, k: int = 8, iters: int = 2,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      scale: int = 1_000_000):
+    """Distributed Lloyd k-means over an embedding column, exact and
+    bit-deterministic: embeddings and centroids live in int64 fixed point
+    (half-away-from-zero, the q1 parity pattern), so squared distances,
+    argmin assignment (ties → lowest cluster id) and the dim-wise cluster
+    sums are all integer-exact — no float-summation-order dependence
+    between block layouts, cluster topologies, or the SQL oracle.
+
+    Per iteration: centroids are broadcast in the task closure (k × dim
+    ints — KB-scale), each block emits O(k × dim) partial sums, one tiny
+    groupby reduces them, and the driver re-derives centroids
+    (``round(sum/count)`` — empty clusters keep their previous centroid).
+    Init = the k lowest-id embeddings (at corpus scale seed from a
+    sample instead; k rows either way).  Returns (vec_id, cluster)."""
+    import pyarrow.compute as pc
+
+    k = int(k)
+    init = emb.select_columns([id_col, vec_col]).sort(id_col).limit(k) \
+              .take_all()
+    cent = _quant_fx(np.stack([np.asarray(r[vec_col], np.float64)
+                               for r in init]), scale)
+
+    def _assign_fx(q: np.ndarray, c: np.ndarray) -> np.ndarray:
+        # |q - c|² expanded with int64 matmuls: exact, no n×k×dim blowup
+        d = (np.einsum("nd,nd->n", q, q)[:, None]
+             - 2 * q @ c.T + np.einsum("kd,kd->k", c, c)[None, :])
+        return np.argmin(d, axis=1)            # ties → first (lowest cid)
+
+    for _ in range(iters):
+        def _partial(batch: pa.Table, cent=cent) -> pa.Table:
+            q = _quant_fx(list_matrix(batch[vec_col]), scale)
+            a = _assign_fx(q, cent)
+            dim = q.shape[1]
+            sums = np.zeros((k, dim), np.int64)
+            np.add.at(sums, a, q)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            # carry counts on dim 0 only so the (cluster, dim) groupby
+            # sums them exactly once per block
+            cnt_col = np.zeros((k, dim), np.int64)
+            cnt_col[:, 0] = cnt
+            return pa.table({
+                "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64),
+                                              dim), pa.int64()),
+                "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                            k), pa.int64()),
+                "s": pa.array(sums.ravel(), pa.int64()),
+                "cnt": pa.array(cnt_col.ravel(), pa.int64()),
+            })
+
+        rows = (emb.select_columns([vec_col]).map_batches(
+                    _partial, batch_format="pyarrow", zero_copy_batch=True)
+                .groupby(["cluster", "dim_idx"]).sum(["s", "cnt"])
+                .take_all())                   # k × dim rows — tiny
+        dim = cent.shape[1]
+        sums = np.zeros((k, dim), np.int64)
+        cnt = np.zeros(k, np.int64)
+        for r in rows:
+            sums[r["cluster"], r["dim_idx"]] = r["sum(s)"]
+            if r["dim_idx"] == 0:
+                cnt[r["cluster"]] = r["sum(cnt)"]
+        new = cent.copy()
+        nz = cnt > 0
+        ratio = sums[nz].astype(np.float64) / cnt[nz, None].astype(np.float64)
+        new[nz] = np.where(ratio >= 0, np.floor(ratio + 0.5),
+                           -np.floor(-ratio + 0.5)).astype(np.int64)
+        cent = new
+
+    def _final(batch: pa.Table, cent=cent) -> pa.Table:
+        q = _quant_fx(list_matrix(batch[vec_col]), scale)
+        a = _assign_fx(q, cent)
+        return pa.table({
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+        })
+
+    return emb.select_columns([id_col, vec_col]).map_batches(
+        _final, batch_format="pyarrow", zero_copy_batch=True)
