@@ -31,7 +31,8 @@ WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "er_pair_quality", "corpus_shard_stats", "dedup_cluster_quality",
         "kg_source_retraction", "er_blocking_quality", "ann_recall_at_k",
         "events_late_profile", "conv_context_amplification",
-        "boolean_retrieval", "q1_incremental", "claims_tsv_fuse_voting"]
+        "boolean_retrieval", "q1_incremental", "claims_tsv_fuse_voting",
+        "multimodal_wav_features", "kmeans_clusters", "mmr_diverse"]
 
 
 @pytest.fixture(scope="module")

@@ -2272,6 +2272,79 @@ def q_kmeans_clusters(sf_dir: str):
     return kmeans_embeddings(_tbl(sf_dir, "embeddings"), k=8, iters=2)
 
 
+def _mmr_oracle_sql(k: int = 5) -> str:
+    """Unrolled greedy MMR in SQL: step i scores every non-selected
+    shortlist member as rel − max(pairwise sim to sel_{i−1}) and picks
+    the (score desc, vec_id asc) winner — the same exact-integer
+    trajectory the engine walks."""
+    head = """
+WITH e AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(CASE WHEN el >= 0 THEN floor(el * 1000000 + 0.5)
+                   ELSE -floor(-el * 1000000 + 0.5) END AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS el,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+rel AS (SELECT qv.vec_id AS query_id, d.vec_id, sum(qv.q * d.q) AS rel
+        FROM e qv JOIN e d USING (dim)
+        WHERE qv.vec_id < 5 GROUP BY 1, 2),
+short AS (SELECT query_id, vec_id, rel FROM (
+            SELECT query_id, vec_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, vec_id) AS rn
+            FROM rel) WHERE rn <= 50),
+pairs AS (SELECT s1.query_id, s1.vec_id AS a, s2.vec_id AS b,
+                 sum(e1.q * e2.q) AS sim
+          FROM short s1 JOIN short s2 USING (query_id)
+          JOIN e e1 ON e1.vec_id = s1.vec_id
+          JOIN e e2 ON e2.vec_id = s2.vec_id AND e2.dim = e1.dim
+          WHERE s1.vec_id <> s2.vec_id
+          GROUP BY 1, 2, 3),
+s1 AS (SELECT query_id, vec_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rel DESC, vec_id) AS rn
+         FROM short) WHERE rn = 1),
+sel1 AS (SELECT query_id, vec_id FROM s1)"""
+    steps, prev = [], "sel1"
+    for i in range(2, k + 1):
+        steps.append(f""",
+c{i} AS (SELECT sh.query_id, sh.vec_id, sh.rel - max(p.sim) AS sc
+       FROM short sh
+       JOIN {prev} t ON t.query_id = sh.query_id
+       JOIN pairs p ON p.query_id = sh.query_id
+                   AND p.a = sh.vec_id AND p.b = t.vec_id
+       LEFT JOIN {prev} x ON x.query_id = sh.query_id
+                         AND x.vec_id = sh.vec_id
+       WHERE x.vec_id IS NULL
+       GROUP BY 1, 2, sh.rel),
+s{i} AS (SELECT query_id, vec_id FROM (
+         SELECT query_id, vec_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sc DESC, vec_id) AS rn
+         FROM c{i}) WHERE rn = 1),
+sel{i} AS (SELECT * FROM {prev} UNION ALL SELECT * FROM s{i})""")
+        prev = f"sel{i}"
+    tail = "\nUNION ALL\n".join(
+        f"SELECT query_id, CAST(vec_id AS BIGINT) AS vec_id, "
+        f"CAST({i} AS BIGINT) AS pick FROM s{i}" for i in range(1, k + 1))
+    return head + "".join(steps) + "\n" + tail
+
+
+def q_mmr_diverse(sf_dir: str):
+    """Diversity-aware retrieval: MMR (λ=0.5) greedy top-5 per query over
+    a relevance top-50 shortlist — exact integer inner products, tie →
+    lowest vec_id.  One streaming corpus pass + a KB-scale driver greedy;
+    the oracle unrolls the same 5 greedy steps in SQL."""
+    from trustfuse_ray.stages.ann import mmr_diverse_topk
+
+    emb = _tbl(sf_dir, "embeddings")
+    queries = sorted(emb.filter(expr="vec_id < 5").take_all(),
+                     key=lambda r: r["vec_id"])
+    return mmr_diverse_topk(emb, queries, k=5, shortlist=50)
+
+
 def q_bottomk_sample(sf_dir: str):
     """Deterministic 10-doc uniform sample per source (bottom-k by
     md5(doc_id); block-level combiner)."""
@@ -2969,6 +3042,7 @@ def _all_queries():
         "multimodal_png_features": q_multimodal_png_features,
         "multimodal_wav_features": q_multimodal_wav_features,
         "kmeans_clusters": q_kmeans_clusters,
+        "mmr_diverse": q_mmr_diverse,
         "conversation_near_dups": q_conversation_near_dups,
         "kg_degree_histogram": q_kg_degree_histogram,
         "source_divergence": q_source_divergence,
@@ -4464,6 +4538,7 @@ SELECT doc_id AS media_id,
                             * v[CAST(i AS BIGINT)] < 0
                        THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_cross
 FROM s""",
+        "mmr_diverse": _mmr_oracle_sql(),
         "kmeans_clusters": """
 WITH e AS (
   SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,

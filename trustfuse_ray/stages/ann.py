@@ -678,3 +678,94 @@ def kmeans_embeddings(emb, k: int = 8, iters: int = 2,
 
     return emb.select_columns([id_col, vec_col]).map_batches(
         _final, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mmr_diverse_topk(emb, queries, k: int = 5, shortlist: int = 50,
+                     vec_col: str = "embedding", scale: int = 1_000_000):
+    """Maximal-marginal-relevance diverse top-k (λ=0.5): greedy picks
+    maximize ``rel(q, d) − max_{s∈selected} sim(d, s)`` (both inner
+    products of int64 fixed-point vectors — exact, tie → lowest vec_id).
+
+    Scale shape: one streaming pass scores every candidate against the
+    broadcast query matrix and keeps a per-block top-``shortlist`` per
+    query; a tiny per-query merge caps the global shortlist; the greedy
+    selection then runs on the driver over shortlist×dim ints (KB-scale).
+    The full corpus is never shuffled and never visited more than once.
+
+    Returns (query_id, vec_id, pick) with pick = 1..k selection order."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
+    qmat = _quant_fx(np.stack([np.asarray(r[vec_col], np.float64)
+                               for r in queries]), scale)
+    ref = ray.put((qids, qmat))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        d = _quant_fx(list_matrix(batch[vec_col]), scale)      # n × dim
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        rel = d @ qm.T                                         # n × nq
+        out_q, out_v, out_r, out_vecs = [], [], [], []
+        m = min(len(ids), shortlist)
+        for j in range(len(qi)):
+            # block-local top-m by (rel desc, vec_id asc)
+            order = np.lexsort((ids, -rel[:, j]))[:m]
+            out_q.append(np.full(m, qi[j], np.int64))
+            out_v.append(ids[order])
+            out_r.append(rel[order, j])
+            out_vecs.append(d[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "rel": pa.array(np.concatenate(out_r), pa.int64()),
+            "vec": pa.array(list(np.concatenate(out_vecs)),
+                            pa.list_(pa.int64())),
+        })
+
+    partial = emb.select_columns(["vec_id", vec_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _merge(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("rel", "descending"),
+                                                  ("vec_id", "ascending")])
+        return group.take(order[:shortlist])
+
+    sl_schema = pa.schema([("query_id", pa.int64()),
+                           ("vec_id", pa.int64()), ("rel", pa.int64()),
+                           ("vec", pa.list_(pa.int64()))])
+    short = hash_group_apply(partial, ["query_id"], _merge, n_parts=8,
+                             plasma_schema=sl_schema).take_all()
+
+    by_q: dict[int, list] = {}
+    for r in short:
+        by_q.setdefault(int(r["query_id"]), []).append(r)
+    out_q, out_v, out_p = [], [], []
+    for qid in sorted(by_q):
+        rows = sorted(by_q[qid],
+                      key=lambda r: (-int(r["rel"]), int(r["vec_id"])))
+        ids = np.array([r["vec_id"] for r in rows], np.int64)
+        rel = np.array([r["rel"] for r in rows], np.int64)
+        vecs = np.stack([np.asarray(r["vec"], np.int64) for r in rows])
+        pair = vecs @ vecs.T                                    # m × m
+        picked: list[int] = []
+        remaining = np.ones(len(ids), bool)
+        for step in range(min(k, len(ids))):
+            if step == 0:
+                score = rel.copy()
+            else:
+                score = rel - pair[:, picked].max(axis=1)
+            cand = np.flatnonzero(remaining)
+            best = int(cand[np.lexsort((ids[cand], -score[cand]))[0]])
+            picked.append(best)
+            remaining[best] = False
+            out_q.append(qid)
+            out_v.append(int(ids[best]))
+            out_p.append(step + 1)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "vec_id": pa.array(out_v, pa.int64()),
+        "pick": pa.array(out_p, pa.int64()),
+    }))
