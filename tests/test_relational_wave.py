@@ -32,7 +32,8 @@ WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "kg_source_retraction", "er_blocking_quality", "ann_recall_at_k",
         "events_late_profile", "conv_context_amplification",
         "boolean_retrieval", "q1_incremental", "claims_tsv_fuse_voting",
-        "multimodal_wav_features", "kmeans_clusters", "mmr_diverse"]
+        "multimodal_wav_features", "kmeans_clusters", "mmr_diverse",
+        "kg_hits"]
 
 
 @pytest.fixture(scope="module")

@@ -2525,7 +2525,7 @@ def q_token_chunks(sf_dir: str):
 
 # Fused property graph (undirected, string nodes) as SQL — shared by the
 # kg_khop and kg_pagerank oracles; mirrors property_graph_edges + _und.
-_PG_EDGES_CTE = """
+_PG_FUSED_CTE = """
 dedup AS (
   SELECT DISTINCT source, entity, attr, value_str, value_num, value_type
   FROM claims
@@ -2547,7 +2547,9 @@ fused AS (
   SELECT entity, attr, CAST(NULL AS VARCHAR) AS value_str
   FROM dedup WHERE value_type = 'quantity'
   GROUP BY 1, 2
-),
+)"""
+
+_PG_EDGES_CTE = _PG_FUSED_CTE + """,
 ed AS (
   SELECT entity AS src, entity || '#' || attr AS dst FROM fused
   UNION ALL
@@ -2557,6 +2559,15 @@ ed AS (
   WHERE value_str IS NOT NULL
   UNION ALL
   SELECT value_str, entity || '#' || attr FROM fused
+  WHERE value_str IS NOT NULL
+)"""
+
+# directed property edges (entity → entity#attr → value) for HITS
+_PG_DIRECTED_CTE = _PG_FUSED_CTE + """,
+edd AS (
+  SELECT entity AS src, entity || '#' || attr AS dst FROM fused
+  UNION ALL
+  SELECT entity || '#' || attr, value_str FROM fused
   WHERE value_str IS NOT NULL
 )"""
 
@@ -2664,6 +2675,27 @@ def q_kg_pagerank(sf_dir: str):
 
     _, und = _und_property_edges(sf_dir)
     return pagerank(und, rounds=5)
+
+
+def q_kg_hits(sf_dir: str):
+    """HITS hubs & authorities (2 full rounds) over the DIRECTED fused
+    property graph (entity → entity#attr → value): one plasma exchange
+    per half-round alternating partition key, exact int64 normalization
+    by the global max (tiny driver reduce), SQL-unrolled oracle."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.graph import hits, property_graph_edges
+
+    triples, _ = _und_property_edges(sf_dir)
+
+    def _directed(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["dst_str"]))
+        return pa.table({"src": batch["src"].cast(pa.string()),
+                         "dst": batch["dst_str"].cast(pa.string())})
+
+    edges = property_graph_edges(triples).map_batches(
+        _directed, batch_format="pyarrow", zero_copy_batch=True)
+    return hits(edges, rounds=2)
 
 
 def q_entity_fuzzy_pairs(sf_dir: str):
@@ -3149,6 +3181,7 @@ def _all_queries():
         "semantic_dedup": q_semantic_dedup,
         "kg_khop": q_kg_khop,
         "kg_pagerank": q_kg_pagerank,
+        "kg_hits": q_kg_hits,
         "kg_kcore": q_kg_kcore,
         "kg_link_candidates": q_kg_link_candidates,
         "kg_rule_inference": q_kg_rule_inference,
@@ -6654,6 +6687,22 @@ WITH {_claims_cte(cache)},
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},
 {_pagerank_rounds_sql(rounds=5)}""",
+        "kg_hits": f"""
+WITH {_claims_cte(cache)},
+{_PG_DIRECTED_CTE},
+a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) * 1000000 AS v
+       FROM edd GROUP BY 1),
+a1m AS (SELECT max(v) AS m FROM a1),
+h2 AS (SELECT e.src AS node, sum(a1.v * 1000000 // a1m.m) AS v
+       FROM edd e JOIN a1 ON a1.node = e.dst CROSS JOIN a1m GROUP BY 1),
+h2m AS (SELECT max(v) AS m FROM h2),
+a2 AS (SELECT e.dst AS node, sum(h2.v * 1000000 // h2m.m) AS v
+       FROM edd e JOIN h2 ON h2.node = e.src CROSS JOIN h2m GROUP BY 1),
+a2m AS (SELECT max(v) AS m FROM a2)
+SELECT coalesce(h.node, a.node) AS node,
+       coalesce(h.v * 1000000 // (SELECT m FROM h2m), 0) AS hub_fx,
+       coalesce(a.v * 1000000 // (SELECT m FROM a2m), 0) AS auth_fx
+FROM h2 h FULL OUTER JOIN a2 a ON a.node = h.node""",
         "kg_pagerank_pers": f"""
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},

@@ -1112,3 +1112,210 @@ def rule_inference_2hop(triples, attr: str = "neighbor",
                                  ("n", pa.int64())]))
     return (pairs.groupby(["x", "z"]).sum("n")
             .rename_columns({"sum(n)": "n_witnesses"}))
+
+
+# --------------------------------------------------------------------------
+# HITS (hubs & authorities) — alternating co-partitioned exchanges
+# --------------------------------------------------------------------------
+
+_HK_EOUT, _HK_HUB, _HK_AUTH, _HK_CONTRIB, _HK_EIN = 0, 1, 2, 3, 4
+
+
+def _hits_empty(n_parts: int) -> pa.Table:
+    return _pr_empty(n_parts)
+
+
+def _hits_init(batch: pa.Table, *, src: str, dst: str,
+               n_parts: int) -> pa.Table:
+    if len(batch) == 0:
+        return _hits_empty(n_parts)
+    s = batch[src].cast(pa.string())
+    d = batch[dst].cast(pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    if isinstance(d, pa.ChunkedArray):
+        d = d.combine_chunks()
+    n = len(s)
+    zero = pa.array(np.zeros(n, np.int64))
+    eo = pa.table({"node": s, "other": d, "value": zero,
+                   "kind": pa.array(np.full(n, _HK_EOUT, np.int8))})
+    ei = pa.table({"node": d, "other": s, "value": zero,
+                   "kind": pa.array(np.full(n, _HK_EIN, np.int8))})
+    t = pa.concat_tables([eo, ei]).combine_chunks()
+    return _pr_state(t["node"], t["other"], t["value"], t["kind"], n_parts)
+
+
+def _node_sums(node: pa.Array, value: np.ndarray):
+    """(unique nodes, per-node int64 sums) — dictionary-encode + reduceat."""
+    import pyarrow.compute as pc
+
+    enc = pc.dictionary_encode(node)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = len(enc.dictionary)
+    sums = np.zeros(nk, np.int64)
+    np.add.at(sums, codes, value)
+    return enc.dictionary, sums, codes
+
+
+def _hits_half(part: pa.Table, *, n_parts: int, scale: int,
+               edge_kind: int, score_kind: int, first: bool,
+               norm_max: int) -> pa.Table:
+    """One HITS half-round over one hash partition: sum the incoming
+    contributions (each normalized ``v·scale // norm_max``) into this
+    side's new score, emit the opposite side's contributions (one per
+    resident edge, carrying the raw new score), re-emit the resident
+    edges, and pass the other side's rows through untouched.  All
+    arithmetic is int64 floor division — partition-invariant and
+    SQL-replayable."""
+    import pyarrow.compute as pc
+
+    if "__part" in part.column_names:
+        part = part.drop_columns(["__part"])
+    if len(part) == 0:
+        return _hits_empty(n_parts)
+    kind = np.asarray(part["kind"], dtype=np.int8)
+
+    keep = (kind != score_kind) & (kind != _HK_CONTRIB) & (kind != edge_kind)
+    through = part.filter(pa.array(keep))
+
+    edges = part.filter(pa.array(kind == edge_kind))
+    if len(edges) == 0:
+        t = through.combine_chunks()
+        return _pr_state(t["node"], t["other"], t["value"], t["kind"],
+                         n_parts)
+    enode = edges["node"].combine_chunks()
+
+    if first:
+        nodes, _, codes = _node_sums(enode, np.zeros(len(enode), np.int64))
+        new = np.full(len(nodes), scale, np.int64)
+    else:
+        contribs = part.filter(pa.array(kind == _HK_CONTRIB))
+        cval = (np.asarray(contribs["value"], np.int64) * scale
+                // max(norm_max, 1))
+        cn, csum, _ = _node_sums(contribs["node"].combine_chunks(), cval)
+        # map each edge's node to its summed score; every edge-owning
+        # node received exactly one contribution per resident edge, so a
+        # miss is a correctness bug — fail loudly
+        nodes, _, codes = _node_sums(enode, np.zeros(len(enode), np.int64))
+        ix = pc.index_in(nodes, value_set=cn).to_numpy(
+            zero_copy_only=False)
+        if np.any(np.isnan(ix.astype(np.float64))):
+            raise ValueError("hits: edge node missing its contributions")
+        new = csum[ix.astype(np.int64)]
+
+    n_e = len(enode)
+    score_rows = pa.table({
+        "node": nodes,
+        "other": pa.array([""] * len(nodes), pa.string()),
+        "value": pa.array(new, pa.int64()),
+        "kind": pa.array(np.full(len(nodes), score_kind, np.int8))})
+    contrib_rows = pa.table({
+        "node": edges["other"].combine_chunks(),
+        "other": pa.array([""] * n_e, pa.string()),
+        "value": pa.array(new[codes], pa.int64()),
+        "kind": pa.array(np.full(n_e, _HK_CONTRIB, np.int8))})
+    edge_rows = edges.select(["node", "other", "value", "kind"])
+    t = pa.concat_tables([
+        through.combine_chunks(), edge_rows.combine_chunks(),
+        score_rows, contrib_rows]).combine_chunks()
+    return _pr_state(t["node"], t["other"], t["value"], t["kind"], n_parts)
+
+
+def _hits_finish(part: pa.Table, *, scale: int, h_max: int,
+                 a_max: int) -> pa.Table:
+    import pyarrow.compute as pc
+
+    kind = np.asarray(part["kind"], dtype=np.int8) if len(part) else \
+        np.zeros(0, np.int8)
+    out_schema = pa.schema([("node", pa.string()),
+                            ("hub_fx", pa.int64()),
+                            ("auth_fx", pa.int64())])
+    if len(part) == 0:
+        return out_schema.empty_table()
+    scores = part.filter(pa.array((kind == _HK_HUB) | (kind == _HK_AUTH)))
+    if len(scores) == 0:
+        return out_schema.empty_table()
+    node = scores["node"].combine_chunks()
+    k = np.asarray(scores["kind"], np.int8)
+    v = np.asarray(scores["value"], np.int64)
+    hub = np.where(k == _HK_HUB, v * scale // max(h_max, 1), 0)
+    auth = np.where(k == _HK_AUTH, v * scale // max(a_max, 1), 0)
+    enc = pc.dictionary_encode(node)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = len(enc.dictionary)
+    hsum = np.zeros(nk, np.int64)
+    asum = np.zeros(nk, np.int64)
+    np.add.at(hsum, codes, hub)
+    np.add.at(asum, codes, auth)
+    return pa.table({"node": enc.dictionary,
+                     "hub_fx": pa.array(hsum, pa.int64()),
+                     "auth_fx": pa.array(asum, pa.int64())})
+
+
+def _kind_max(state, kind: int) -> int:
+    import pyarrow.compute as pc
+
+    def _m(b: pa.Table) -> pa.Table:
+        vals = b["value"].filter(pc.equal(b["kind"],
+                                          pa.scalar(kind, pa.int8())))
+        m = pc.max(vals).as_py() if len(vals) else None
+        return pa.table({"m": pa.array([m if m is not None else 0],
+                                       pa.int64())})
+
+    rows = state.map_batches(_m, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    return max((r["m"] for r in rows), default=0)
+
+
+def hits(edges, rounds: int = 2, src: str = "src", dst: str = "dst",
+         scale: int = 1_000_000, n_parts: int = 32):
+    """Distributed HITS (Kleinberg hubs & authorities) over a DIRECTED
+    edge Dataset, ``rounds`` full hub↔authority iterations in exact int64
+    fixed point: per round, auth(v) = Σ_{u→v} hub_norm(u) then hub(u) =
+    Σ_{u→v} auth_norm(v), where ``x_norm = x·scale // max(x)`` (global
+    max — one tiny driver reduce per half-round; floor division keeps
+    every value partition-invariant and lets the oracle unroll the rounds
+    in SQL).
+
+    Shape mirrors :func:`pagerank`: edge rows live co-partitioned on
+    hash(src) (hub side) and hash(dst) (auth side); each half-round is ONE
+    plasma exchange carrying O(edges) rows, alternating partition key;
+    nothing but the per-half max scalar touches the driver.  Returns
+    (node, hub_fx, auth_fx) — 0 where a node has no out-/in-edges."""
+    from trustfuse_ray.stages.common import plasma_exchange
+
+    state_schema = pa.schema([("node", pa.string()),
+                              ("other", pa.string()),
+                              ("value", pa.int64()), ("kind", pa.int8()),
+                              ("__part", pa.int32())])
+    state = edges.map_batches(
+        functools.partial(_hits_init, src=src, dst=dst, n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True)
+    a_max = scale
+    h_max = scale
+    for r in range(rounds):
+        state = plasma_exchange(
+            [state.materialize()],
+            functools.partial(_hits_half, n_parts=n_parts, scale=scale,
+                              edge_kind=_HK_EOUT, score_kind=_HK_HUB,
+                              first=(r == 0), norm_max=a_max),
+            n_parts, part_col="__part", empty_schema=state_schema
+        ).materialize()
+        h_max = _kind_max(state, _HK_HUB)
+        state = plasma_exchange(
+            [state],
+            functools.partial(_hits_half, n_parts=n_parts, scale=scale,
+                              edge_kind=_HK_EIN, score_kind=_HK_AUTH,
+                              first=False, norm_max=h_max),
+            n_parts, part_col="__part", empty_schema=state_schema
+        ).materialize()
+        a_max = _kind_max(state, _HK_AUTH)
+    return plasma_exchange(
+        [state],
+        functools.partial(_hits_finish, scale=scale, h_max=h_max,
+                          a_max=a_max),
+        n_parts, part_col="__part", empty_schema=state_schema)
