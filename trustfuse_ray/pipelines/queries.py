@@ -1318,6 +1318,17 @@ def q_kg_provenance(sf_dir: str):
     return fused_provenance(cached_claims(sf_dir))
 
 
+def q_kg_triple_lineage(sf_dir: str):
+    """Record-level lineage rollup: for each categorical voting-fused
+    triple, how many raw claims support the winning value, from how many
+    conversations, and the earliest (conv_id, ts) they trace to — the
+    turn-grain end of the north rule's per-partition lineage, in one
+    (entity, attr) exchange over pruned claim columns."""
+    from trustfuse_ray.reverse import fused_lineage
+
+    return fused_lineage(cached_claims(sf_dir))
+
+
 def _claims_slice(sf_dir: str, keep_new: bool):
     """Deterministic corpus slice for the incremental / versioning
     queries: md5(conv_id) % 5 == 0 is the 'new bucket', the rest is the
@@ -3182,6 +3193,7 @@ def _all_queries():
         "kg_khop": q_kg_khop,
         "kg_pagerank": q_kg_pagerank,
         "kg_hits": q_kg_hits,
+        "kg_triple_lineage": q_kg_triple_lineage,
         "kg_kcore": q_kg_kcore,
         "kg_link_candidates": q_kg_link_candidates,
         "kg_rule_inference": q_kg_rule_inference,
@@ -6687,6 +6699,33 @@ WITH {_claims_cte(cache)},
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},
 {_pagerank_rounds_sql(rounds=5)}""",
+        "kg_triple_lineage": f"""
+WITH {_claims_cte(cache)},
+dd AS (
+  SELECT DISTINCT source, entity, attr, value_str
+  FROM claims WHERE value_type <> 'quantity' AND value_str IS NOT NULL
+),
+cat AS (
+  SELECT entity, attr, value_str, count(*) AS c
+  FROM dd GROUP BY 1, 2, 3
+),
+win AS (
+  SELECT entity, attr, value_str FROM (
+    SELECT entity, attr, value_str,
+           row_number() OVER (PARTITION BY entity, attr
+                              ORDER BY c DESC, value_str ASC) AS rn
+    FROM cat) WHERE rn = 1
+)
+SELECT w.entity, w.attr, w.value_str,
+       CAST(count(DISTINCT c.claim_id) AS BIGINT) AS n_claims,
+       CAST(count(DISTINCT c.conv_id) AS BIGINT) AS n_convs,
+       min(c.conv_id) AS first_conv,
+       CAST(min(epoch_us(c.ts)) AS BIGINT) AS first_ts_us
+FROM win w
+JOIN claims c ON c.entity = w.entity AND c.attr = w.attr
+             AND c.value_str = w.value_str
+WHERE c.value_type <> 'quantity'
+GROUP BY 1, 2, 3""",
         "kg_hits": f"""
 WITH {_claims_cte(cache)},
 {_PG_DIRECTED_CTE},

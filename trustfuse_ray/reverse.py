@@ -1232,3 +1232,59 @@ def source_specialization(claims, n_parts: int = 32):
                                  ("n_claims", pa.int64()),
                                  ("n_attrs", pa.int64()),
                                  ("entropy_fx", pa.int64())]))
+
+
+def fused_lineage(claims, n_parts: int = 32):
+    """Per-fused-triple RECORD lineage: for every categorical fused
+    triple (majority over distinct (source, value) pairs, ties to the
+    lexicographically smallest — voting semantics), the rollup of the raw
+    claim records that assert the winning value: how many claims, from
+    how many conversations, and the earliest (conv_id, ts) they trace to.
+    Complements :func:`fused_provenance` (source-level) with the
+    turn-level lineage the north rule's "per-partition lineage" is about.
+
+    Shape: one (entity, attr) hash exchange over the pruned categorical
+    claim columns; winner selection and the bounded rollup (counts + min)
+    happen inside the group — no unbounded aggregates leave it.  Returns
+    (entity, attr, value_str, n_claims, n_convs, first_conv,
+    first_ts_us)."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _prune(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(batch["value_type"], "quantity"),
+                       pc.is_valid(batch["value_str"]))
+        return batch.filter(keep).select(
+            ["source", "entity", "attr", "value_str", "claim_id",
+             "conv_id", "ts"])
+
+    def _lin(group: pa.Table) -> pa.Table:
+        pairs = set(zip(group["source"].to_pylist(),
+                        group["value_str"].to_pylist()))
+        counts: dict[str, int] = {}
+        for _, v in pairs:
+            counts[v] = counts.get(v, 0) + 1
+        win = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        sup = group.filter(pc.equal(group["value_str"], win))
+        ts_us = pc.cast(sup["ts"], pa.int64())
+        return pa.table({
+            "entity": group["entity"][:1],
+            "attr": group["attr"][:1],
+            "value_str": pa.array([win], pa.string()),
+            "n_claims": pa.array(
+                [pc.count_distinct(sup["claim_id"]).as_py()], pa.int64()),
+            "n_convs": pa.array(
+                [pc.count_distinct(sup["conv_id"]).as_py()], pa.int64()),
+            "first_conv": pa.array([pc.min(sup["conv_id"]).as_py()],
+                                   pa.string()),
+            "first_ts_us": pa.array([pc.min(ts_us).as_py()], pa.int64()),
+        })
+
+    lin_schema = pa.schema([
+        ("entity", pa.string()), ("attr", pa.string()),
+        ("value_str", pa.string()), ("n_claims", pa.int64()),
+        ("n_convs", pa.int64()), ("first_conv", pa.string()),
+        ("first_ts_us", pa.int64())])
+    pruned = claims.map_batches(_prune, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    return hash_group_apply(pruned, ["entity", "attr"], _lin,
+                            n_parts=n_parts, plasma_schema=lin_schema)
