@@ -87,3 +87,38 @@ def test_wav_features_stage(ray_session):
         assert row["peak"] == (int(np.abs(v).max()) if len(v) else 0)
         assert row["zero_cross"] == (int((v[:-1] * v[1:] < 0).sum())
                                      if len(v) > 1 else 0)
+
+
+def test_round_trip_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @settings(max_examples=60, deadline=None)
+    @given(arrays(np.int16, st.integers(0, 300)),
+           st.integers(1, 192_000))
+    def _prop(s, rate):
+        out, r = decode_wav(encode_wav(s, rate))
+        assert r == rate
+        assert np.array_equal(out, s)
+
+    _prop()
+
+
+def test_quantization_matches_duckdb_round():
+    """The engine's half-away-from-zero _quant_fx must agree with DuckDB
+    round() on adversarial values (exact .5 boundaries, negatives)."""
+    import duckdb
+
+    from trustfuse_ray.stages.ann import _quant_fx
+
+    vals = np.array([0.0000005, -0.0000005, 0.0000015, -0.0000015,
+                     0.1234565, -0.1234565, 0.5, -0.5, 1e-7, -1e-7,
+                     0.9999995, -0.9999995], np.float64)
+    ours = _quant_fx(vals.reshape(1, -1), 1_000_000).ravel()
+    con = duckdb.connect()
+    theirs = [con.execute(
+        "SELECT CAST(CASE WHEN ? >= 0 THEN floor(? * 1000000 + 0.5) "
+        "ELSE -floor(-? * 1000000 + 0.5) END AS BIGINT)",
+        [float(v)] * 3).fetchone()[0] for v in vals]
+    assert ours.tolist() == theirs
