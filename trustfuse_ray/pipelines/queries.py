@@ -1318,6 +1318,59 @@ def q_kg_provenance(sf_dir: str):
     return fused_provenance(cached_claims(sf_dir))
 
 
+def q_shard_overlap_matrix(sf_dir: str):
+    """Cross-shard contamination matrix: for every pair of corpus shards
+    (deterministic ``doc_id % 6`` assignment), how many distinct
+    boilerplate fingerprints (the doc's first-3-token prefix — the shared
+    -template proxy) they share — the pre-training audit that decides
+    whether shards can be deduped independently.  Only (shard, fp) rows
+    shuffle (block-level distinct combiner); per-fp pair expansion is
+    bounded by C(6,2); text never moves."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    docs = _tbl(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(
+                pc.cast(batch["text"], pa.string()), "")), r"\s+")
+        fp = pc.binary_join(pc.list_slice(toks, 0, 3), " ")
+        did = pc.cast(batch["doc_id"], pa.int64())
+        shard = pc.subtract(did, pc.multiply(
+            pc.divide(did, pa.scalar(6, pa.int64())),
+            pa.scalar(6, pa.int64())))
+        out = pa.table({"shard": shard, "fp": fp})
+        return pa.TableGroupBy(out, ["shard", "fp"],
+                               use_threads=False).aggregate([])
+
+    fps = docs.map_batches(_fp, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        shards = sorted(set(group["shard"].to_pylist()))
+        a = [x for i, x in enumerate(shards) for _ in shards[i + 1:]]
+        b = [y for i, x in enumerate(shards) for y in shards[i + 1:]]
+        return pa.table({"shard_a": pa.array(a, pa.int64()),
+                         "shard_b": pa.array(b, pa.int64()),
+                         "n": pa.array([1] * len(a), pa.int64())})
+
+    pairs = hash_group_apply(
+        fps, ["fp"], _pairs, n_parts=16,
+        plasma_schema=pa.schema([("shard_a", pa.int64()),
+                                 ("shard_b", pa.int64()),
+                                 ("n", pa.int64())]))
+    agg = pairs.groupby(["shard_a", "shard_b"]).sum(["n"])
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        return pa.table({"shard_a": batch["shard_a"],
+                         "shard_b": batch["shard_b"],
+                         "n_common": batch["sum(n)"]})
+
+    return agg.map_batches(_fin, batch_format="pyarrow")
+
+
 def q_kg_triple_lineage(sf_dir: str):
     """Record-level lineage rollup: for each categorical voting-fused
     triple, how many raw claims support the winning value, from how many
@@ -3194,6 +3247,7 @@ def _all_queries():
         "kg_pagerank": q_kg_pagerank,
         "kg_hits": q_kg_hits,
         "kg_triple_lineage": q_kg_triple_lineage,
+        "shard_overlap_matrix": q_shard_overlap_matrix,
         "kg_kcore": q_kg_kcore,
         "kg_link_candidates": q_kg_link_candidates,
         "kg_rule_inference": q_kg_rule_inference,
@@ -6699,6 +6753,22 @@ WITH {_claims_cte(cache)},
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},
 {_pagerank_rounds_sql(rounds=5)}""",
+        "shard_overlap_matrix": r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\s+') AS t
+  FROM documents
+),
+f AS (
+  SELECT DISTINCT doc_id % 6 AS shard,
+         concat_ws(' ', t[1], t[2], t[3]) AS fp
+  FROM w
+)
+SELECT CAST(a.shard AS BIGINT) AS shard_a,
+       CAST(b.shard AS BIGINT) AS shard_b,
+       CAST(count(*) AS BIGINT) AS n_common
+FROM f a JOIN f b ON a.fp = b.fp AND a.shard < b.shard
+GROUP BY 1, 2""",
         "kg_triple_lineage": f"""
 WITH {_claims_cte(cache)},
 dd AS (
