@@ -1371,6 +1371,29 @@ def q_shard_overlap_matrix(sf_dir: str):
     return agg.map_batches(_fin, batch_format="pyarrow")
 
 
+def q_export_jsonl_manifest(sf_dir: str):
+    """JSONL export sink gate: hash-shard the documents table to
+    ``shard=K/part.jsonl`` files with per-shard manifests, return the
+    (shard, n_rows) manifest — the oracle recomputes the md5 shard
+    assignment; byte-level determinism across block layouts is covered
+    by tests/test_jsonl_sink.py."""
+    import tempfile
+
+    from trustfuse_ray.sources.jsonl import export_jsonl_sharded
+
+    out = os.path.join(tempfile.gettempdir(),
+                       f"tf_jsonl_export_{os.path.basename(sf_dir)}")
+    man = export_jsonl_sharded(
+        _tbl(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        out, "doc_id", n_shards=4)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({"shard": batch["shard"],
+                         "n_rows": batch["rows"]})
+
+    return man.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_kg_triple_lineage(sf_dir: str):
     """Record-level lineage rollup: for each categorical voting-fused
     triple, how many raw claims support the winning value, from how many
@@ -3248,6 +3271,7 @@ def _all_queries():
         "kg_hits": q_kg_hits,
         "kg_triple_lineage": q_kg_triple_lineage,
         "shard_overlap_matrix": q_shard_overlap_matrix,
+        "export_jsonl_manifest": q_export_jsonl_manifest,
         "kg_kcore": q_kg_kcore,
         "kg_link_candidates": q_kg_link_candidates,
         "kg_rule_inference": q_kg_rule_inference,
@@ -6753,6 +6777,11 @@ WITH {_claims_cte(cache)},
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},
 {_pagerank_rounds_sql(rounds=5)}""",
+        "export_jsonl_manifest": """
+SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 4 AS BIGINT)
+         AS shard,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY 1""",
         "shard_overlap_matrix": r"""
 WITH w AS (
   SELECT doc_id,
