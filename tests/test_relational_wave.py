@@ -34,7 +34,7 @@ WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "boolean_retrieval", "q1_incremental", "claims_tsv_fuse_voting",
         "multimodal_wav_features", "kmeans_clusters", "mmr_diverse",
         "kg_hits", "kg_triple_lineage", "shard_overlap_matrix",
-        "export_jsonl_manifest"]
+        "export_jsonl_manifest", "claims_tsv_roundtrip"]
 
 
 @pytest.fixture(scope="module")

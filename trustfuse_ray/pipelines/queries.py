@@ -1394,6 +1394,30 @@ def q_export_jsonl_manifest(sf_dir: str):
     return man.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_claims_tsv_roundtrip(sf_dir: str):
+    """Reference-layout TSV WRITER gate: read the StaticDataset folder,
+    melt to the claim IR, write it back with
+    ``sources/static.py::write_static_tsv``, and return the per-bucket
+    manifest (rows + file md5).  The oracle reconstructs each output
+    file's exact bytes in SQL (same cell surfaces, same (Source, Entity)
+    sort, same separator/junk column) and md5s them — a hash match proves
+    the writer byte-faithful to the reference format."""
+    import tempfile
+
+    from trustfuse_ray.sources.static import write_static_tsv
+
+    out = os.path.join(tempfile.gettempdir(),
+                       f"tf_tsv_writer_{os.path.basename(sf_dir)}")
+    man = write_static_tsv(_tsv_claims(sf_dir), out, list(synth.ATTRS))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({"bucket_id": batch["bucket_id"],
+                         "n_rows": batch["rows"],
+                         "md5": batch["md5"]})
+
+    return man.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_kg_triple_lineage(sf_dir: str):
     """Record-level lineage rollup: for each categorical voting-fused
     triple, how many raw claims support the winning value, from how many
@@ -3272,6 +3296,7 @@ def _all_queries():
         "kg_triple_lineage": q_kg_triple_lineage,
         "shard_overlap_matrix": q_shard_overlap_matrix,
         "export_jsonl_manifest": q_export_jsonl_manifest,
+        "claims_tsv_roundtrip": q_claims_tsv_roundtrip,
         "kg_kcore": q_kg_kcore,
         "kg_link_candidates": q_kg_link_candidates,
         "kg_rule_inference": q_kg_rule_inference,
@@ -5719,6 +5744,36 @@ SELECT bucket_id, attr,
        CAST(count(DISTINCT entity) AS BIGINT) AS n_entities,
        CAST(count(DISTINCT value_str) AS BIGINT) AS n_values
 FROM canon GROUP BY 1, 2""",
+        "claims_tsv_roundtrip": f"""
+WITH raw AS (
+  SELECT CAST(regexp_extract(filename, 'bucket-(\\d+)', 1) AS BIGINT)
+           AS bucket_id, * EXCLUDE (filename, junk)
+  FROM read_csv('{synth.generate_claims_tsv(sf_dir)}/*.tsv',
+       delim='\t', header=false,
+       columns={{'Source':'VARCHAR','Entity':'VARCHAR','color':'VARCHAR',
+                'capital':'VARCHAR','category':'VARCHAR','status':'VARCHAR',
+                'population':'VARCHAR','height':'VARCHAR','price':'VARCHAR',
+                'neighbor':'VARCHAR','junk':'VARCHAR'}},
+       filename=true)
+), nz AS (
+  SELECT * FROM raw
+  WHERE color IS NOT NULL OR capital IS NOT NULL OR category IS NOT NULL
+     OR status IS NOT NULL OR population IS NOT NULL
+     OR height IS NOT NULL OR price IS NOT NULL OR neighbor IS NOT NULL
+), lines AS (
+  SELECT bucket_id, Source, Entity,
+         Source || chr(9) || Entity || chr(9) ||
+         coalesce(color, '') || chr(9) || coalesce(capital, '') || chr(9)
+         || coalesce(category, '') || chr(9) || coalesce(status, '')
+         || chr(9) || coalesce(population, '') || chr(9)
+         || coalesce(height, '') || chr(9) || coalesce(price, '')
+         || chr(9) || coalesce(neighbor, '') || chr(9) || 'x' AS line
+  FROM nz
+)
+SELECT bucket_id, CAST(count(*) AS BIGINT) AS n_rows,
+       md5(string_agg(line, chr(10) ORDER BY Source, Entity) || chr(10))
+         AS md5
+FROM lines GROUP BY bucket_id""",
         "claims_tsv_fuse_voting": f"""
 WITH raw AS (
   SELECT CAST(regexp_extract(filename, 'bucket-(\\d+)', 1) AS BIGINT)

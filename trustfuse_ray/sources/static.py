@@ -186,3 +186,65 @@ def cumulative_bucket_view(claims, up_to_bucket: int):
 
     return claims.map_batches(_f, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def write_static_tsv(claims, out_dir: str, attrs: list[str],
+                     sep: str = "\t", encoding: str = "ISO-8859-1",
+                     n_parts: int = 16):
+    """Writer half of :func:`read_static_tsv` — long claim IR back to the
+    reference's StaticDataset folder layout
+    (`/root/reference/trustfuse/conflicting_dataset/dataset.py:269-334`):
+    one headerless TSV per bucket named ``bucket-<k>.tsv`` (zero-padded so
+    sorted filename order = bucket order), columns
+    ``Source  Entity  <attrs…>  junk``, ISO-8859-1.  Cells carry each
+    claim's original surface (``raw_value``); missing (source, entity,
+    attr) cells are empty, which the reader round-trips to null.  Rows are
+    (source, entity)-sorted, so file bytes are deterministic under any
+    block layout.  One (bucket_id) exchange; ``out_dir`` must be shared
+    storage on a multi-node cluster.  Values must not contain the
+    separator or newlines (true of the reference corpora).
+
+    Returns the manifest Dataset (bucket_id, rows, md5)."""
+    import hashlib
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    os.makedirs(out_dir, exist_ok=True)
+    aidx = {a: i for i, a in enumerate(attrs)}
+
+    def _write(group: pa.Table) -> pa.Table:
+        b = int(group["bucket_id"][0].as_py())
+        cells: dict[tuple, list] = {}
+        for s, e, a, raw, cid in zip(group["source"].to_pylist(),
+                                     group["entity"].to_pylist(),
+                                     group["attr"].to_pylist(),
+                                     group["raw_value"].to_pylist(),
+                                     group["claim_id"].to_pylist()):
+            if a not in aidx:
+                continue
+            row = cells.setdefault((s, e), [None] * (len(attrs) + 1))
+            j = aidx[a]
+            # duplicate claims for one cell: keep the lowest claim_id
+            # (deterministic; the reader only ever saw one cell anyway)
+            if row[j] is None or cid < row[j][1]:
+                row[j] = (raw, cid)
+        lines = []
+        for (s, e) in sorted(cells):
+            row = cells[(s, e)]
+            vals = ["" if c is None else c[0] for c in row[:len(attrs)]]
+            lines.append(sep.join([s, e] + vals + ["x"]))
+        body = ("\n".join(lines) + "\n" if lines else "").encode(encoding)
+        with open(os.path.join(out_dir, f"bucket-{b:02d}.tsv"), "wb") as f:
+            f.write(body)
+        return pa.table({
+            "bucket_id": pa.array([b], pa.int64()),
+            "rows": pa.array([len(lines)], pa.int64()),
+            "md5": pa.array([hashlib.md5(body).hexdigest()], pa.string())})
+
+    pruned = claims.select_columns(
+        ["bucket_id", "source", "entity", "attr", "raw_value", "claim_id"])
+    return hash_group_apply(
+        pruned, ["bucket_id"], _write, n_parts=n_parts,
+        plasma_schema=pa.schema([("bucket_id", pa.int64()),
+                                 ("rows", pa.int64()),
+                                 ("md5", pa.string())]))
