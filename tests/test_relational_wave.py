@@ -34,7 +34,8 @@ WAVE = ["q6_forecast_revenue", "q15_top_supplier", "q16_supplier_cnt",
         "boolean_retrieval", "q1_incremental", "claims_tsv_fuse_voting",
         "multimodal_wav_features", "kmeans_clusters", "mmr_diverse",
         "kg_hits", "kg_triple_lineage", "shard_overlap_matrix",
-        "export_jsonl_manifest", "claims_tsv_roundtrip"]
+        "export_jsonl_manifest", "claims_tsv_roundtrip",
+        "kg_model_agreement"]
 
 
 @pytest.fixture(scope="module")

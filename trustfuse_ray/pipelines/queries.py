@@ -1418,6 +1418,42 @@ def q_claims_tsv_roundtrip(sf_dir: str):
     return man.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_kg_model_agreement(sf_dir: str):
+    """Ensemble-uncertainty triage: CRH's full 10-round fixed point vs
+    Voting, both over the single-value projection, categorical facts —
+    one row per fact with both truths and an agreement flag.
+    Disagreement marks the low-confidence facts a KG curator reviews
+    first.  Both fusions are individually oracle-green; the join is one
+    co-partitioned (entity, attr) hash join."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.fuse import make_model
+    from trustfuse_ray.fuse.base import run_fusion
+
+    crh, _ = _crhn(sf_dir, 10)
+    vot, _ = run_fusion(_single_value_claims(cached_claims(sf_dir)),
+                        make_model("Voting"))
+
+    def _cat(batch: pa.Table, name: str) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["value_type"], "quantity"))
+        return pa.table({"entity": t["entity"], "attr": t["attr"],
+                         name: t["value_str"]})
+
+    a = crh.map_batches(functools.partial(_cat, name="crh_value"),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    b = vot.map_batches(functools.partial(_cat, name="voting_value"),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    joined = a.join(b, join_type="inner", num_partitions=16,
+                    on=("entity", "attr"))
+
+    def _flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "agree", pc.cast(pc.equal(batch["crh_value"],
+                                      batch["voting_value"]), pa.int64()))
+
+    return joined.map_batches(_flag, batch_format="pyarrow")
+
+
 def q_kg_triple_lineage(sf_dir: str):
     """Record-level lineage rollup: for each categorical voting-fused
     triple, how many raw claims support the winning value, from how many
@@ -3297,6 +3333,7 @@ def _all_queries():
         "shard_overlap_matrix": q_shard_overlap_matrix,
         "export_jsonl_manifest": q_export_jsonl_manifest,
         "claims_tsv_roundtrip": q_claims_tsv_roundtrip,
+        "kg_model_agreement": q_kg_model_agreement,
         "kg_kcore": q_kg_kcore,
         "kg_link_candidates": q_kg_link_candidates,
         "kg_rule_inference": q_kg_rule_inference,
@@ -5338,6 +5375,21 @@ ORDER BY round(weight, 6) DESC, source LIMIT 10""",
 WITH {_crh_cte(cache, 1)},{_crh_metrics_tail(cache)}""",
         "kg_metrics_crh": f"""
 WITH {_crh_cte(cache, 10)},{_crh_metrics_tail(cache)}""",
+        "kg_model_agreement": f"""
+WITH {_crh_cte(cache, 10)},{_CRH_CAT_TAIL},
+vcat AS (
+  SELECT f.entity, f.attr, f.value_str, count(*) AS c
+  FROM f JOIN fact fa USING (entity, attr)
+  WHERE NOT fa.isnum GROUP BY 1, 2, 3),
+vwin AS (SELECT entity, attr, value_str FROM (
+  SELECT entity, attr, value_str,
+         row_number() OVER (PARTITION BY entity, attr
+                            ORDER BY c DESC, value_str ASC) AS rn
+  FROM vcat) WHERE rn = 1)
+SELECT c1.entity, c1.attr, c1.value_str AS crh_value,
+       v.value_str AS voting_value,
+       CAST(c1.value_str = v.value_str AS BIGINT) AS agree
+FROM cat1 c1 JOIN vwin v USING (entity, attr)""",
         "kg_weights_tf1": f"""
 WITH {_tf_cte(cache, 1)}
 SELECT source, round(weight, 6) AS weight FROM w""",
