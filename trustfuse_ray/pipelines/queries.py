@@ -3339,6 +3339,11 @@ def _all_queries():
         "kg_rule_inference": q_kg_rule_inference,
         "kg_pagerank_pers": q_kg_pagerank_pers,
         "kg_triangles": q_kg_triangles,
+        "kg_reachability": q_kg_reachability,
+        "kg_communities_lp": q_kg_communities_lp,
+        "kg_entity_completeness": q_kg_entity_completeness,
+        "kg_entity_type_profile": q_kg_entity_type_profile,
+        "curriculum_schedule": q_curriculum_schedule,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -4431,6 +4436,114 @@ mh_pairs AS (
     JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
     GROUP BY c.doc_a, c.doc_b)
   WHERE sim >= {threshold})"""
+
+
+def _distinct_cooccurrence(sf_dir: str):
+    """DISTINCT undirected co-occurrence edges (both directions) — the
+    shared input of kg_reachability / kg_communities_lp; the blocking rule
+    (stop-value cap) lives in _cooccurrence_pairs."""
+    pairs = (_cooccurrence_pairs(sf_dir).groupby(["a", "b"]).count()
+             .drop_columns(["count()"]))
+
+    def _sym(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([
+                batch["a"].combine_chunks() if isinstance(
+                    batch["a"], pa.ChunkedArray) else batch["a"],
+                batch["b"].combine_chunks() if isinstance(
+                    batch["b"], pa.ChunkedArray) else batch["b"]]),
+            "dst": pa.concat_arrays([
+                batch["b"].combine_chunks() if isinstance(
+                    batch["b"], pa.ChunkedArray) else batch["b"],
+                batch["a"].combine_chunks() if isinstance(
+                    batch["a"], pa.ChunkedArray) else batch["a"]]),
+        })
+
+    return pairs.map_batches(_sym, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def q_kg_reachability(sf_dir: str):
+    """Depth-2 transitive closure (min-hop pairs) over the fused entity
+    co-occurrence graph — all roots expand in the same semi-naive
+    exchanges; no driver-side frontier."""
+    from trustfuse_ray.stages.graph import reachability
+
+    return reachability(_distinct_cooccurrence(sf_dir), k=2)
+
+
+def q_kg_communities_lp(sf_dir: str):
+    """3 rounds of deterministic synchronous label propagation (mode of
+    neighbour labels, ties to the smallest label) over the fused entity
+    co-occurrence graph."""
+    from trustfuse_ray.stages.graph import label_propagation
+
+    return label_propagation(_distinct_cooccurrence(sf_dir), rounds=3)
+
+
+def q_kg_entity_completeness(sf_dir: str):
+    """Per-entity KG completeness: distinct attributes claimed for the
+    entity vs the global attribute universe, as an exact integer
+    permille (1000·n // total) — the standard KG fill-rate audit."""
+    import pyarrow.compute as pc
+
+    claims = cached_claims(sf_dir)
+    ea = (claims.select_columns(["entity", "attr"])
+          .groupby(["entity", "attr"]).count().drop_columns(["count()"]))
+    total = len(ea.unique("attr"))
+
+    def _ratio(batch: pa.Table) -> pa.Table:
+        n = batch["count()"].cast(pa.int64())
+        return pa.table({
+            "entity": batch["entity"],
+            "n_attrs": n,
+            "completeness_permille": pc.divide(
+                pc.multiply(n, pa.scalar(1000, pa.int64())),
+                pa.scalar(total, pa.int64())),
+        })
+
+    return (ea.groupby("entity").count()
+            .map_batches(_ratio, batch_format="pyarrow"))
+
+
+def q_kg_entity_type_profile(sf_dir: str):
+    """Per-entity value-type signature: the dominant claim value_type
+    (mode, ties to the lexicographically smallest type), its claim count,
+    and how many distinct types the entity's claims span."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    claims = cached_claims(sf_dir)
+    tc = (claims.select_columns(["entity", "value_type"])
+          .groupby(["entity", "value_type"]).count()
+          .rename_columns({"count()": "c"}))
+
+    def _top(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("c", "descending"),
+                                                ("value_type", "ascending")])
+        top = group.take(idx[:1])
+        return pa.table({
+            "entity": top["entity"],
+            "dominant_type": top["value_type"],
+            "n_dominant": top["c"].cast(pa.int64()),
+            "n_types": pa.array([len(group)], pa.int64()),
+        })
+
+    return hash_group_apply(
+        tc, ["entity"], _top, n_parts=32,
+        plasma_schema=pa.schema([("entity", pa.string()),
+                                 ("dominant_type", pa.string()),
+                                 ("n_dominant", pa.int64()),
+                                 ("n_types", pa.int64())]))
+
+
+def q_curriculum_schedule(sf_dir: str):
+    """Length-curriculum phases over the documents table (NTILE(4) by
+    whitespace token count, deterministic in-phase positions)."""
+    from trustfuse_ray.stages.curation import curriculum_schedule
+
+    return curriculum_schedule(_tbl(sf_dir, "documents"), n_phases=4)
 
 
 def oracle_sql_map(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
@@ -8011,6 +8124,104 @@ walk(node, hops) AS (
   WHERE w.hops < 3
 )
 SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM walk GROUP BY node""",
+        "kg_reachability": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+grp AS (
+  SELECT attr, value_str FROM fused WHERE value_str IS NOT NULL
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 20
+),
+co AS (
+  SELECT DISTINCT f1.entity AS a, f2.entity AS b
+  FROM fused f1
+  JOIN fused f2 ON f1.attr = f2.attr AND f1.value_str = f2.value_str
+               AND f1.entity < f2.entity
+  JOIN grp g ON g.attr = f1.attr AND g.value_str = f1.value_str
+),
+sym AS (SELECT a AS u, b AS v FROM co UNION ALL SELECT b, a FROM co),
+n0 AS (SELECT DISTINCT u AS node FROM sym),
+c1 AS (SELECT r.node AS root, s.v AS node, 1 AS h
+       FROM n0 r JOIN sym s ON s.u = r.node),
+r1 AS (SELECT root, node, min(h) AS h FROM (
+         SELECT node AS root, node, 0 AS h FROM n0
+         UNION ALL SELECT root, node, h FROM c1) GROUP BY 1, 2),
+c2 AS (SELECT f.root, s.v AS node, 2 AS h
+       FROM (SELECT root, node FROM r1 WHERE h = 1) f
+       JOIN sym s ON s.u = f.node),
+r2 AS (SELECT root, node, min(h) AS h FROM (
+         SELECT root, node, h FROM r1
+         UNION ALL SELECT root, node, h FROM c2) GROUP BY 1, 2)
+SELECT root, node, CAST(h AS BIGINT) AS hops FROM r2 WHERE h >= 1""",
+        "kg_communities_lp": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+grp AS (
+  SELECT attr, value_str FROM fused WHERE value_str IS NOT NULL
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 20
+),
+co AS (
+  SELECT DISTINCT f1.entity AS a, f2.entity AS b
+  FROM fused f1
+  JOIN fused f2 ON f1.attr = f2.attr AND f1.value_str = f2.value_str
+               AND f1.entity < f2.entity
+  JOIN grp g ON g.attr = f1.attr AND g.value_str = f1.value_str
+),
+sym AS (SELECT a AS u, b AS v FROM co UNION ALL SELECT b, a FROM co),
+l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+v1 AS (SELECT s.v AS node, l.label, count(*) AS c
+       FROM sym s JOIN l0 l ON l.node = s.u GROUP BY 1, 2),
+l1 AS (SELECT node, label FROM (
+         SELECT node, label, row_number() OVER (
+           PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM v1)
+       WHERE rn = 1),
+v2 AS (SELECT s.v AS node, l.label, count(*) AS c
+       FROM sym s JOIN l1 l ON l.node = s.u GROUP BY 1, 2),
+l2 AS (SELECT node, label FROM (
+         SELECT node, label, row_number() OVER (
+           PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM v2)
+       WHERE rn = 1),
+v3 AS (SELECT s.v AS node, l.label, count(*) AS c
+       FROM sym s JOIN l2 l ON l.node = s.u GROUP BY 1, 2),
+l3 AS (SELECT node, label FROM (
+         SELECT node, label, row_number() OVER (
+           PARTITION BY node ORDER BY c DESC, label ASC) AS rn FROM v3)
+       WHERE rn = 1)
+SELECT node, label FROM l3""",
+        "kg_entity_completeness": f"""
+WITH {_claims_cte(cache)},
+ea AS (SELECT DISTINCT entity, attr FROM claims),
+tot AS (SELECT count(DISTINCT attr) AS t FROM claims)
+SELECT entity, CAST(count(*) AS BIGINT) AS n_attrs,
+       CAST((count(*) * 1000) // min(t) AS BIGINT)
+         AS completeness_permille
+FROM ea, tot GROUP BY entity""",
+        "kg_entity_type_profile": f"""
+WITH {_claims_cte(cache)},
+tc AS (SELECT entity, value_type, count(*) AS c
+       FROM claims GROUP BY 1, 2),
+w AS (SELECT entity, value_type, c,
+             row_number() OVER (PARTITION BY entity
+                                ORDER BY c DESC, value_type ASC) AS rn,
+             count(*) OVER (PARTITION BY entity) AS nt
+      FROM tc)
+SELECT entity, value_type AS dominant_type, CAST(c AS BIGINT) AS n_dominant,
+       CAST(nt AS BIGINT) AS n_types
+FROM w WHERE rn = 1""",
+        "curriculum_schedule": r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           string_split_regex(trim(coalesce(text, '')), '\s+'),
+           w -> w <> '')) AS BIGINT) AS n_tok
+  FROM documents),
+w AS (SELECT doc_id, n_tok,
+             ntile(4) OVER (ORDER BY n_tok, doc_id) AS phase
+      FROM t)
+SELECT doc_id, n_tok, CAST(phase AS BIGINT) AS phase,
+       CAST(row_number() OVER (PARTITION BY phase
+                               ORDER BY n_tok, doc_id) - 1 AS BIGINT)
+         AS phase_pos
+FROM w""",
         "token_chunks": r"""
 WITH t AS (
   SELECT doc_id,

@@ -1319,3 +1319,252 @@ def hits(edges, rounds: int = 2, src: str = "src", dst: str = "dst",
         functools.partial(_hits_finish, scale=scale, h_max=h_max,
                           a_max=a_max),
         n_parts, part_col="__part", empty_schema=state_schema)
+
+
+# ---------------------------------------------------------------------------
+# Depth-bounded all-pairs reachability (transitive closure up to k hops)
+# ---------------------------------------------------------------------------
+
+_RCH_SCHEMA = pa.schema([("node", pa.string()), ("other", pa.string()),
+                         ("root", pa.string()), ("hops", pa.int64()),
+                         ("side", pa.int8()), ("__part", pa.int32())])
+_RCH_CAND = pa.schema([("root", pa.string()), ("node", pa.string()),
+                       ("hops", pa.int64())])
+
+
+def reachability(edges, k: int = 2, src: str = "src", dst: str = "dst",
+                 n_parts: int = 16):
+    """Depth-bounded transitive closure: every ``(root, node, hops)`` with
+    ``1 <= hops <= k`` and hops = the MINIMUM path length, over a directed
+    string-node edge Dataset (union reversed edges first for undirected
+    closure).  Semi-naive: round r expands only the hop-(r-1) frontier.
+
+    Scale shape: like :func:`bfs_hops`, but the frontier carries a
+    ``root`` column so ALL sources expand in the same exchanges — per
+    round one plasma exchange co-partitions frontier and adjacency on the
+    node key, and the per-partition expansion is a vectorized run
+    cross-product (each frontier row x its node's adjacency rows; no
+    per-node Python).  Output size is sum-over-nodes |N_k(v)| — callers
+    must bound it with k and a degree-capped edge set (the co-occurrence
+    graph's stop-value cap does this).  The closure itself never touches
+    the driver."""
+    import ray.data as rd
+
+    from trustfuse_ray.stages.common import _add_part, plasma_exchange
+
+    def _tag_edges(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "node": batch[src].cast(pa.string()),
+            "other": batch[dst].cast(pa.string()),
+            "root": pa.array([""] * n, pa.string()),
+            "hops": pa.array(np.full(n, -1, np.int64)),
+            "side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def _frontier_rows(tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        return pa.table({
+            "node": tbl["node"].cast(pa.string()),
+            "other": pa.array([""] * n, pa.string()),
+            "root": tbl["root"].cast(pa.string()),
+            "hops": tbl["hops"].cast(pa.int64()),
+            "side": pa.array(np.ones(n, np.int8)),
+        })
+
+    def _expand_part(tbl: pa.Table) -> pa.Table:
+        if len(tbl) == 0:
+            return _RCH_CAND.empty_table()
+        node = tbl["node"].to_pandas().to_numpy(dtype=object)
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        order = np.lexsort((side, node))      # adjacency (side 0) first
+        ns, ss = node[order], side[order]
+        n = len(ns)
+        head = np.ones(n, dtype=bool)
+        head[1:] = ns[1:] != ns[:-1]
+        run_id = np.cumsum(head) - 1
+        nruns = int(run_id[-1]) + 1
+        run_start = np.flatnonzero(head)
+        na = np.zeros(nruns, np.int64)        # adjacency rows per run
+        np.add.at(na, run_id[ss == 0], 1)
+        f_mask = ss == 1
+        f_pos = np.flatnonzero(f_mask)        # frontier rows, sorted order
+        rep = na[run_id[f_pos]]               # pair count per frontier row
+        keep = rep > 0
+        f_pos, rep = f_pos[keep], rep[keep]
+        if len(f_pos) == 0:
+            return _RCH_CAND.empty_table()
+        total = int(rep.sum())
+        out_f = np.repeat(f_pos, rep)         # sorted-order frontier index
+        starts = np.concatenate(([0], np.cumsum(rep)[:-1]))
+        within = np.arange(total) - np.repeat(starts, rep)
+        out_a = run_start[run_id[out_f]] + within   # adjacency rows lead
+        sel_f = order[out_f]
+        sel_a = order[out_a]
+        return pa.table({
+            "root": tbl["root"].take(pa.array(sel_f)),
+            "node": tbl["other"].take(pa.array(sel_a)),
+            "hops": pa.array(
+                np.asarray(tbl["hops"], np.int64)[sel_f] + 1, pa.int64()),
+        })
+
+    keyed_edges = edges.map_batches(
+        _tag_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        functools.partial(_add_part, keys=["node"], n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def _roots(batch: pa.Table) -> pa.Table:
+        nodes = pc_unique_str(batch[src], batch[dst])
+        return pa.table({"root": nodes, "node": nodes,
+                         "hops": pa.array(np.zeros(len(nodes), np.int64))})
+
+    dist = (edges.map_batches(_roots, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby(["root", "node"]).min("hops")
+            .rename_columns({"min(hops)": "hops"}).materialize())
+    frontier = dist
+    for r in range(1, k + 1):
+        keyed_frontier = frontier.map_batches(
+            _frontier_rows, batch_format="pyarrow").map_batches(
+            functools.partial(_add_part, keys=["node"], n_parts=n_parts),
+            batch_format="pyarrow", zero_copy_batch=True)
+        cand = plasma_exchange([keyed_edges, keyed_frontier],
+                               _expand_part, n_parts,
+                               part_col="__part", empty_schema=_RCH_SCHEMA)
+        dist = (dist.union(cand).groupby(["root", "node"]).min("hops")
+                .rename_columns({"min(hops)": "hops"}).materialize())
+        frontier = dist.filter(expr=f"hops == {r}").materialize()
+        if frontier.count() == 0:
+            break
+    return dist.filter(expr="hops >= 1")
+
+
+def pc_unique_str(*cols) -> pa.Array:
+    """Distinct union of string columns within one batch (map-side dedup;
+    the cross-block dedup is the caller's groupby)."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in cols:
+        a = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        parts.append(a.cast(pa.string()))
+    return pc.unique(pa.concat_arrays(parts))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synchronous label propagation (community detection)
+# ---------------------------------------------------------------------------
+
+_LP_SCHEMA = pa.schema([("node", pa.string()), ("other", pa.string()),
+                        ("label", pa.string()), ("side", pa.int8()),
+                        ("__part", pa.int32())])
+_LP_VOTE = pa.schema([("node", pa.string()), ("label", pa.string()),
+                      ("c", pa.int64())])
+
+
+def label_propagation(edges, rounds: int = 3, src: str = "src",
+                      dst: str = "dst", n_parts: int = 16):
+    """Synchronous label propagation over a directed string-node edge
+    Dataset (union reversed edges first for the usual undirected variant):
+    labels start as the node id; each round every node adopts the MODE of
+    its in-neighbours' labels, ties broken by the lexicographically
+    smallest label — fully deterministic, unlike classic async LP.
+
+    Scale shape: per round, one plasma exchange co-partitions the label
+    table with the (once-keyed) adjacency on the source node and emits
+    ``(dst, label)`` votes map-side pre-counted per partition; the global
+    mode is a ``groupby(node, label).sum`` followed by a per-node argmax
+    inside a hash_group_apply.  Per-round traffic is O(edges) vote rows;
+    isolated nodes (no in-edges) keep their current label."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import (_add_part, hash_group_apply,
+                                             plasma_exchange)
+
+    def _tag_edges(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({
+            "node": batch[src].cast(pa.string()),
+            "other": batch[dst].cast(pa.string()),
+            "label": pa.array([""] * n, pa.string()),
+            "side": pa.array(np.zeros(n, np.int8)),
+        })
+
+    def _label_rows(tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        return pa.table({
+            "node": tbl["node"].cast(pa.string()),
+            "other": pa.array([""] * n, pa.string()),
+            "label": tbl["label"].cast(pa.string()),
+            "side": pa.array(np.ones(n, np.int8)),
+        })
+
+    def _vote_part(tbl: pa.Table) -> pa.Table:
+        # each adjacency row inherits its source node's (single) label row
+        if len(tbl) == 0:
+            return _LP_VOTE.empty_table()
+        node = tbl["node"].to_pandas().to_numpy(dtype=object)
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        order = np.lexsort((side, node))      # adjacency first, label last
+        ns, ss = node[order], side[order]
+        n = len(ns)
+        head = np.ones(n, dtype=bool)
+        head[1:] = ns[1:] != ns[:-1]
+        run_id = np.cumsum(head) - 1
+        nruns = int(run_id[-1]) + 1
+        lab_row = np.full(nruns, -1, np.int64)
+        lmask = ss == 1
+        lab_row[run_id[lmask]] = np.flatnonzero(lmask)
+        adj = (ss == 0) & (lab_row[run_id] >= 0)
+        if not adj.any():
+            return _LP_VOTE.empty_table()
+        sel_a = order[np.flatnonzero(adj)]
+        sel_l = order[lab_row[run_id[adj]]]
+        votes = pa.table({
+            "node": tbl["other"].take(pa.array(sel_a)),
+            "label": tbl["label"].take(pa.array(sel_l)),
+        })
+        # map-side pre-count: collapse duplicate (node, label) votes
+        return (pa.TableGroupBy(votes, ["node", "label"],
+                                use_threads=False)
+                .aggregate([([], "count_all")])
+                .rename_columns(["node", "label", "c"]))
+
+    def _mode_group(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("c", "descending"),
+                                                ("label", "ascending")])
+        top = group.take(idx[:1])
+        return pa.table({"node": top["node"], "label": top["label"]})
+
+    keyed_edges = edges.map_batches(
+        _tag_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        functools.partial(_add_part, keys=["node"], n_parts=n_parts),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def _init_labels(batch: pa.Table) -> pa.Table:
+        nodes = pc_unique_str(batch[src], batch[dst])
+        return pa.table({"node": nodes, "label": nodes})
+
+    labels = (edges.map_batches(_init_labels, batch_format="pyarrow",
+                                zero_copy_batch=True)
+              .groupby("node").min("label")
+              .rename_columns({"min(label)": "label"}).materialize())
+    vote_out = pa.schema([("node", pa.string()), ("label", pa.string()),
+                          ("c", pa.int64()), ("__part", pa.int32())])
+    for _ in range(rounds):
+        keyed_labels = labels.map_batches(
+            _label_rows, batch_format="pyarrow").map_batches(
+            functools.partial(_add_part, keys=["node"], n_parts=n_parts),
+            batch_format="pyarrow", zero_copy_batch=True)
+        votes = plasma_exchange([keyed_edges, keyed_labels], _vote_part,
+                                n_parts, part_col="__part",
+                                empty_schema=_LP_SCHEMA)
+        counted = (votes.groupby(["node", "label"]).sum("c")
+                   .rename_columns({"sum(c)": "c"}))
+        labels = hash_group_apply(
+            counted, ["node"], _mode_group, n_parts=n_parts,
+            plasma_schema=pa.schema([("node", pa.string()),
+                                     ("label", pa.string())])).materialize()
+    return labels
