@@ -1,0 +1,144 @@
+"""Round-5 graph wave: depth-bounded reachability closure and
+deterministic synchronous label propagation (stages/graph.py), plus the
+length-curriculum schedule (stages/curation.py).  Each distributed result
+is checked against a sequential mirror and for partitioning invariance."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _edge_ds(edges, parts=None):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([s for s, _ in edges], pa.string()),
+        "dst": pa.array([d for _, d in edges], pa.string())}))
+    return ds.repartition(parts) if parts else ds
+
+
+# undirected diamond + pendant chain, expressed as both directions
+_UND = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+EDGES = _UND + [(y, x) for x, y in _UND]
+
+
+def _seq_reach(edges, k):
+    adj: dict = {}
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        nodes.update((s, d))
+    out = {}
+    for r in sorted(nodes):
+        dist = {r: 0}
+        frontier = [r]
+        for h in range(1, k + 1):
+            nxt = []
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.append(v)
+            frontier = nxt
+        for n, h in dist.items():
+            if h >= 1:
+                out[(r, n)] = h
+    return out
+
+
+def test_reachability_matches_sequential(ray_session):
+    from trustfuse_ray.stages.graph import reachability
+
+    got = {(r["root"], r["node"]): r["hops"]
+           for _, r in reachability(_edge_ds(EDGES), k=2,
+                                    n_parts=4).to_pandas().iterrows()}
+    assert got == _seq_reach(EDGES, 2)
+
+
+def test_reachability_min_hops_and_depth_cap(ray_session):
+    from trustfuse_ray.stages.graph import reachability
+
+    got = {(r["root"], r["node"]): r["hops"]
+           for _, r in reachability(_edge_ds(EDGES), k=2,
+                                    n_parts=3).to_pandas().iterrows()}
+    # a→c has a 2-hop path via b but hops must record the direct edge
+    assert got[("a", "c")] == 1
+    # e is 3 hops from a: outside the k=2 horizon
+    assert ("a", "e") not in got
+    assert got[("a", "d")] == 2
+
+
+def test_reachability_partitioning_invariance(ray_session):
+    from trustfuse_ray.stages.graph import reachability
+
+    a = reachability(_edge_ds(EDGES), k=2, n_parts=2).to_pandas()
+    b = reachability(_edge_ds(EDGES, parts=5), k=2, n_parts=7).to_pandas()
+    key = ["root", "node", "hops"]
+    assert (a[key].sort_values(key).reset_index(drop=True)
+            .equals(b[key].sort_values(key).reset_index(drop=True)))
+
+
+def _seq_lp(edges, rounds):
+    adj: dict = {}   # node -> in-neighbour list
+    nodes = set()
+    for s, d in edges:
+        adj.setdefault(d, []).append(s)
+        nodes.update((s, d))
+    lab = {n: n for n in nodes}
+    for _ in range(rounds):
+        new = {}
+        for n in nodes:
+            votes: dict = {}
+            for u in adj.get(n, ()):
+                votes[lab[u]] = votes.get(lab[u], 0) + 1
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], ),
+                           default=None)
+                top_c = max(votes.values())
+                new[n] = min(l for l, c in votes.items() if c == top_c)
+            else:
+                new[n] = lab[n]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_sequential(ray_session):
+    from trustfuse_ray.stages.graph import label_propagation
+
+    for rounds in (1, 3):
+        got = {r["node"]: r["label"]
+               for _, r in label_propagation(
+                   _edge_ds(EDGES), rounds=rounds,
+                   n_parts=4).to_pandas().iterrows()}
+        assert got == _seq_lp(EDGES, rounds)
+
+
+def test_label_propagation_two_cliques_converge(ray_session):
+    from trustfuse_ray.stages.graph import label_propagation
+
+    und = ([("a%d" % i, "a%d" % j) for i in range(4) for j in range(4)
+            if i != j] +
+           [("b%d" % i, "b%d" % j) for i in range(4) for j in range(4)
+            if i != j] + [("a0", "b0"), ("b0", "a0")])
+    got = {r["node"]: r["label"]
+           for _, r in label_propagation(_edge_ds(und), rounds=3,
+                                         n_parts=3).to_pandas().iterrows()}
+    assert got == _seq_lp(und, 3)
+    # each clique collapses onto its smallest member's label
+    assert {got["a1"], got["a2"], got["a3"]} == {"a0"}
+    assert {got["b1"], got["b2"], got["b3"]} == {"b0"}
+
+
+def test_curriculum_schedule_ntile(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.curation import curriculum_schedule
+
+    texts = ["w " * n for n in [5, 1, 9, 3, 7, 2, 8, 4, 6, 0]]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([f"d{i}" for i in range(10)], pa.string()),
+        "text": pa.array(texts, pa.string())})).repartition(3)
+    out = curriculum_schedule(docs, n_phases=3).to_pandas()
+    out = out.sort_values(["phase", "phase_pos"]).reset_index(drop=True)
+    # 10 rows over 3 phases -> sizes 4,3,3 (NTILE); order easy->hard
+    assert out.groupby("phase").size().tolist() == [4, 3, 3]
+    assert out["n_tok"].tolist() == sorted(range(10))
+    assert out["phase_pos"].tolist() == [0, 1, 2, 3, 0, 1, 2, 0, 1, 2]
