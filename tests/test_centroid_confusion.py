@@ -1,0 +1,85 @@
+"""centroid_confusion (stages/ann.py) vs a sequential int-exact mirror;
+normalized_dedup (stages/text.py) collapsing case/whitespace/NFC variants."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def _emb_ds(vecs, labels, parts=3):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })).repartition(parts)
+
+
+def _seq_confusion(vecs, labels, scale=10_000):
+    q = np.where(np.asarray(vecs, np.float64) * scale >= 0,
+                 np.floor(np.asarray(vecs, np.float64) * scale + 0.5),
+                 -np.floor(-np.asarray(vecs, np.float64) * scale + 0.5)
+                 ).astype(np.int64)
+    labs = sorted(set(labels))
+    cent = np.stack([
+        np.floor_divide(q[[i for i, l in enumerate(labels) if l == lab]]
+                        .sum(axis=0),
+                        sum(1 for l in labels if l == lab))
+        for lab in labs])
+    out: dict = {}
+    for i, lab in enumerate(labels):
+        d = ((q[i][None, :] - cent) ** 2).sum(axis=1)
+        pred = labs[int(np.argmin(d))]
+        out[(lab, pred)] = out.get((lab, pred), 0) + 1
+    return out
+
+
+def test_confusion_matches_sequential(ray_session):
+    from trustfuse_ray.stages.ann import centroid_confusion
+
+    rng = np.random.default_rng(7)
+    labels = [int(x) for x in rng.integers(0, 3, 40)]
+    # clusters around (label, label) with noise so some rows cross over
+    vecs = [rng.normal(loc=l, scale=0.9, size=4) for l in labels]
+    got = {(r["label"], r["pred_label"]): r["n"]
+           for _, r in centroid_confusion(
+               _emb_ds(vecs, labels)).to_pandas().iterrows()}
+    assert got == _seq_confusion(vecs, labels)
+    assert sum(got.values()) == len(labels)
+
+
+def test_confusion_tight_clusters_diagonal(ray_session):
+    from trustfuse_ray.stages.ann import centroid_confusion
+
+    labels = [0] * 5 + [1] * 5
+    vecs = [[0.0, 0.0]] * 5 + [[5.0, 5.0]] * 5
+    got = centroid_confusion(_emb_ds(vecs, labels)).to_pandas()
+    assert set(zip(got["label"], got["pred_label"])) == {(0, 0), (1, 1)}
+    assert got["n"].tolist() == [5, 5] or sorted(got["n"]) == [5, 5]
+
+
+def test_confusion_empty(ray_session):
+    from trustfuse_ray.stages.ann import centroid_confusion
+
+    out = centroid_confusion(_emb_ds([], [], parts=1))
+    assert out.count() == 0
+
+
+def test_normalized_dedup_variants_collide(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.text import normalized_dedup
+
+    texts = ["Hello   World", "  hello world ", "hello\tworld",
+             "café", "café",        # NFC: composed == combining
+             "something else"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(2)
+    out = normalized_dedup(docs).to_pandas().sort_values(
+        "keep_id").reset_index(drop=True)
+    assert len(out) == 3
+    assert out["keep_id"].tolist() == [0, 3, 5]
+    assert out["n"].tolist() == [3, 2, 1]
+    assert out.loc[0, "norm_fp"] == hashlib.md5(b"hello world").hexdigest()

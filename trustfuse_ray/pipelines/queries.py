@@ -3344,6 +3344,8 @@ def _all_queries():
         "kg_entity_completeness": q_kg_entity_completeness,
         "kg_entity_type_profile": q_kg_entity_type_profile,
         "curriculum_schedule": q_curriculum_schedule,
+        "centroid_confusion": q_centroid_confusion,
+        "normalized_dedup": q_normalized_dedup,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -4544,6 +4546,22 @@ def q_curriculum_schedule(sf_dir: str):
     from trustfuse_ray.stages.curation import curriculum_schedule
 
     return curriculum_schedule(_tbl(sf_dir, "documents"), n_phases=4)
+
+
+def q_centroid_confusion(sf_dir: str):
+    """Nearest-centroid confusion matrix over the embeddings table
+    (exact int64 fixed point; ties → lowest label)."""
+    from trustfuse_ray.stages.ann import centroid_confusion
+
+    return centroid_confusion(_tbl(sf_dir, "embeddings"))
+
+
+def q_normalized_dedup(sf_dir: str):
+    """Unicode-normalized (collapse→trim→lower→NFC) exact dedup keys
+    over the documents table."""
+    from trustfuse_ray.stages.text import normalized_dedup
+
+    return normalized_dedup(_tbl(sf_dir, "documents"))
 
 
 def oracle_sql_map(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
@@ -8222,6 +8240,41 @@ SELECT doc_id, n_tok, CAST(phase AS BIGINT) AS phase,
                                ORDER BY n_tok, doc_id) - 1 AS BIGINT)
          AS phase_pos
 FROM w""",
+        "centroid_confusion": """
+WITH e AS (
+  SELECT vec_id, label,
+         CAST(CASE WHEN x >= 0 THEN floor(x * 10000 + 0.5)
+                   ELSE -floor(-x * 10000 + 0.5) END AS BIGINT) AS q,
+         CAST(i - 1 AS BIGINT) AS dim
+  FROM (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+),
+cs AS (
+  SELECT label AS clab, dim,
+         CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2
+),
+d AS (
+  SELECT e.vec_id, e.label, cs.clab,
+         sum((e.q - cs.c) * (e.q - cs.c)) AS dist
+  FROM e JOIN cs ON cs.dim = e.dim
+  GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT vec_id, label, clab,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, clab ASC) AS rn
+  FROM d
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(clab AS BIGINT) AS pred_label,
+       CAST(count(*) AS BIGINT) AS n
+FROM p WHERE rn = 1 GROUP BY 1, 2""",
+        "normalized_dedup": r"""
+SELECT md5(nfc_normalize(lower(trim(
+         regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))))) AS norm_fp,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1""",
         "token_chunks": r"""
 WITH t AS (
   SELECT doc_id,

@@ -769,3 +769,73 @@ def mmr_diverse_topk(emb, queries, k: int = 5, shortlist: int = 50,
         "vec_id": pa.array(out_v, pa.int64()),
         "pick": pa.array(out_p, pa.int64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid confusion matrix (embedding-space label coherence)
+# ---------------------------------------------------------------------------
+
+def centroid_confusion(emb, label_col: str = "label",
+                       vec_col: str = "embedding", scale: int = 10_000):
+    """Confusion matrix of a nearest-centroid classifier trained on the
+    label column itself — the standard embedding-space label-coherence
+    audit (a diagonal-heavy matrix means labels form tight clusters;
+    off-diagonal mass flags label noise or entangled classes).  Returns
+    ``(label, pred_label, n)``.
+
+    Exact fixed point end to end: embeddings quantize half-away-from-zero
+    (the q1 parity pattern), centroid coordinates are FLOOR-divided
+    integer means (``sum_fx // n``), and squared distances / argmin (ties
+    → lowest label) are int64 arithmetic — bit-deterministic across block
+    layouts and replayable by the SQL oracle.
+
+    Scale shape: pass 1 is :func:`embedding_centroids` (O(labels × dim)
+    partial state per block, one tiny reduce — the only driver
+    materialization is the labels × dim centroid table); pass 2
+    broadcasts that KB-scale matrix in the task closure and each block
+    emits map-side pre-counted (label, pred) pairs, so the final groupby
+    moves at most labels² rows per block."""
+    import ray.data as rd
+
+    out_schema = pa.schema([("label", pa.int64()),
+                            ("pred_label", pa.int64()),
+                            ("n", pa.int64())])
+    cents = (embedding_centroids(emb, label_col=label_col, vec_col=vec_col,
+                                 scale=scale)
+             .select_columns([label_col, "dim_idx", "sum_fx", "n"])
+             .take_all())                       # O(labels × dim) rows
+    if not cents:
+        return rd.from_arrow(out_schema.empty_table())
+    by_label: dict = {}
+    for r in cents:
+        by_label.setdefault(int(r[label_col]), {})[int(r["dim_idx"])] = \
+            (int(r["sum_fx"]), int(r["n"]))
+    labels_sorted = np.array(sorted(by_label), np.int64)
+    dim = 1 + max(d for dims in by_label.values() for d in dims)
+    cent = np.zeros((len(labels_sorted), dim), np.int64)
+    for i, lab in enumerate(labels_sorted):
+        for dx, (s, n) in by_label[int(lab)].items():
+            cent[i, dx] = s // n                # floor div, matches oracle
+    nk = len(labels_sorted)
+    c_sq = np.einsum("kd,kd->k", cent, cent)
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        q = _quant_fx(list_matrix(batch[vec_col]), scale)
+        d = (np.einsum("nd,nd->n", q, q)[:, None]
+             - 2 * q @ cent.T + c_sq[None, :])
+        pred = np.argmin(d, axis=1)             # ties → lowest label
+        true_ix = np.searchsorted(
+            labels_sorted,
+            np.asarray(batch[label_col], dtype=np.int64))
+        cnt = np.bincount(true_ix * nk + pred, minlength=nk * nk)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "label": pa.array(labels_sorted[nz // nk], pa.int64()),
+            "pred_label": pa.array(labels_sorted[nz % nk], pa.int64()),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    pairs = emb.select_columns([label_col, vec_col]).map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True)
+    return (pairs.groupby(["label", "pred_label"]).sum("n")
+            .rename_columns({"sum(n)": "n"}))

@@ -334,3 +334,36 @@ def conv_lang_switches(transcripts, n_parts: int = 32,
                                  ("n_turns", pa.int64()),
                                  ("n_langs", pa.int64()),
                                  ("n_switches", pa.int64())]))
+
+
+def normalized_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Unicode-normalized exact dedup: docs collide when they agree after
+    whitespace collapse → trim → casefold → NFC normalization — catching
+    near-identical pages that differ only in spacing, case, or Unicode
+    composition form (the step plain ``lower(trim())`` fingerprinting
+    misses).  Returns one row per normalized key:
+    ``(norm_fp, keep_id, n)`` with ``keep_id = min(doc_id)``.
+
+    Scale shape: the md5 key is computed per block and pre-aggregated
+    map-side (min id + count per key inside the batch), so only
+    fingerprint-sized partials shuffle — text never leaves the block."""
+    from ray.data.aggregate import Min, Sum
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_normalize(pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.coalesce(batch[text_col].cast(pa.string()), ""),
+                r"\s+", " "))), form="NFC")
+        fps = [hashlib.md5(s.encode()).hexdigest() for s in t.to_pylist()]
+        tbl = pa.table({
+            "norm_fp": pa.array(fps, pa.string()),
+            "keep_id": batch[id_col].cast(pa.int64()),
+        })
+        return (pa.TableGroupBy(tbl, "norm_fp", use_threads=False)
+                .aggregate([("keep_id", "min"), ([], "count_all")])
+                .rename_columns(["norm_fp", "keep_id", "n"]))
+
+    part = docs.select_columns([id_col, text_col]).map_batches(
+        _fp, batch_format="pyarrow", zero_copy_batch=True)
+    out = part.groupby("norm_fp").aggregate(Min("keep_id"), Sum("n"))
+    return out.rename_columns({"min(keep_id)": "keep_id", "sum(n)": "n"})
