@@ -83,3 +83,38 @@ def test_normalized_dedup_variants_collide(ray_session):
     assert out["keep_id"].tolist() == [0, 3, 5]
     assert out["n"].tolist() == [3, 2, 1]
     assert out.loc[0, "norm_fp"] == hashlib.md5(b"hello world").hexdigest()
+
+
+def _seq_cohesion(vecs, labels, scale=10_000):
+    q = np.where(np.asarray(vecs, np.float64) * scale >= 0,
+                 np.floor(np.asarray(vecs, np.float64) * scale + 0.5),
+                 -np.floor(-np.asarray(vecs, np.float64) * scale + 0.5)
+                 ).astype(np.int64)
+    out = {}
+    for lab in sorted(set(labels)):
+        rows = q[[i for i, l in enumerate(labels) if l == lab]]
+        n = len(rows)
+        num = sum(int(((rows[i] - rows[j]) ** 2).sum())
+                  for i in range(n) for j in range(n))
+        out[lab] = (n, num, n * (n - 1))
+    return out
+
+
+def test_cohesion_matches_bruteforce(ray_session):
+    from trustfuse_ray.stages.ann import label_cohesion
+
+    rng = np.random.default_rng(11)
+    labels = [int(x) for x in rng.integers(0, 3, 30)]
+    vecs = [rng.normal(loc=l, scale=0.7, size=5) for l in labels]
+    got = {r["label"]: (r["n"], r["pair_num"], r["pairs"])
+           for _, r in label_cohesion(
+               _emb_ds(vecs, labels)).to_pandas().iterrows()}
+    assert got == _seq_cohesion(vecs, labels)
+
+
+def test_cohesion_identical_vectors_zero(ray_session):
+    from trustfuse_ray.stages.ann import label_cohesion
+
+    got = label_cohesion(_emb_ds([[1.0, 2.0]] * 6, [0] * 6)).to_pandas()
+    assert got["pair_num"].tolist() == [0]
+    assert got["pairs"].tolist() == [30]

@@ -3346,6 +3346,7 @@ def _all_queries():
         "curriculum_schedule": q_curriculum_schedule,
         "centroid_confusion": q_centroid_confusion,
         "normalized_dedup": q_normalized_dedup,
+        "label_cohesion": q_label_cohesion,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -4554,6 +4555,15 @@ def q_centroid_confusion(sf_dir: str):
     from trustfuse_ray.stages.ann import centroid_confusion
 
     return centroid_confusion(_tbl(sf_dir, "embeddings"))
+
+
+def q_label_cohesion(sf_dir: str):
+    """Per-label intra-cluster cohesion as an exact integer fraction
+    (sum-of-squared-pairwise-distances via the 2(n·Σ|q|² − |Σq|²)
+    identity — no pairwise pass)."""
+    from trustfuse_ray.stages.ann import label_cohesion
+
+    return label_cohesion(_tbl(sf_dir, "embeddings"))
 
 
 def q_normalized_dedup(sf_dir: str):
@@ -8269,6 +8279,26 @@ p AS (
 SELECT CAST(label AS BIGINT) AS label, CAST(clab AS BIGINT) AS pred_label,
        CAST(count(*) AS BIGINT) AS n
 FROM p WHERE rn = 1 GROUP BY 1, 2""",
+        "label_cohesion": """
+WITH e AS (
+  SELECT vec_id, label,
+         CAST(CASE WHEN x >= 0 THEN floor(x * 10000 + 0.5)
+                   ELSE -floor(-x * 10000 + 0.5) END AS BIGINT) AS q,
+         CAST(i - 1 AS BIGINT) AS dim
+  FROM (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+),
+per AS (SELECT label, dim, CAST(sum(q) AS BIGINT) AS s
+        FROM e GROUP BY 1, 2),
+s2t AS (SELECT label, CAST(sum(s * s) AS BIGINT) AS s2
+        FROM per GROUP BY 1),
+st AS (SELECT label, CAST(sum(q * q) AS BIGINT) AS ssq,
+              CAST(count(*) FILTER (WHERE dim = 0) AS BIGINT) AS n
+       FROM e GROUP BY 1)
+SELECT CAST(st.label AS BIGINT) AS label, n,
+       CAST(2 * (n * ssq - s2) AS BIGINT) AS pair_num,
+       CAST(n * (n - 1) AS BIGINT) AS pairs
+FROM st JOIN s2t ON s2t.label = st.label""",
         "normalized_dedup": r"""
 SELECT md5(nfc_normalize(lower(trim(
          regexp_replace(coalesce(text, ''), '\s+', ' ', 'g'))))) AS norm_fp,

@@ -839,3 +839,80 @@ def centroid_confusion(emb, label_col: str = "label",
         _pairs, batch_format="pyarrow", zero_copy_batch=True)
     return (pairs.groupby(["label", "pred_label"]).sum("n")
             .rename_columns({"sum(n)": "n"}))
+
+
+def label_cohesion(emb, label_col: str = "label",
+                   vec_col: str = "embedding", scale: int = 10_000):
+    """Per-label cluster cohesion WITHOUT a pairwise pass: the sum of
+    squared distances over all ordered intra-label pairs satisfies
+    ``Σ_{i,j} |q_i − q_j|² = 2·(n·Σ|q_i|² − |Σ q_i|²)``, so it reduces to
+    the same O(labels × dim) partial sums the centroid op ships.  Returns
+    ``(label, n, pair_num, pairs)`` with ``pair_num`` the exact integer
+    Σ-of-squared-distances over ordered pairs and ``pairs = n·(n−1)`` its
+    denominator — callers divide for the mean; keeping the fraction
+    integer keeps the audit bit-deterministic.
+
+    Scale shape: one map_batches emitting per-label (n, Σ|q|², per-dim
+    Σq) partials, one tiny groupby, then per-label arithmetic on rows
+    bounded by the label universe.  Embeddings never shuffle."""
+    import pyarrow.compute as pc_
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        q = _quant_fx(list_matrix(batch[vec_col]), scale)
+        labels = batch[label_col]
+        enc = (labels.combine_chunks()
+               if isinstance(labels, pa.ChunkedArray) else labels)
+        enc = enc.dictionary_encode() if not pa.types.is_dictionary(
+            enc.type) else enc
+        kidx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nk, dim = len(enc.dictionary), q.shape[1]
+        sums = np.zeros((nk, dim), np.int64)
+        np.add.at(sums, kidx, q)
+        ssq = np.zeros(nk, np.int64)
+        np.add.at(ssq, kidx, np.einsum("nd,nd->n", q, q))
+        cnt = np.bincount(kidx, minlength=nk).astype(np.int64)
+        return pa.table({
+            "label": enc.dictionary.take(
+                pa.array(np.repeat(np.arange(nk), dim))).cast(pa.int64()),
+            "dim_idx": pa.array(np.tile(np.arange(dim, dtype=np.int64),
+                                        nk), pa.int64()),
+            "s": pa.array(sums.ravel(), pa.int64()),
+            # carry the scalar per-label stats on dim 0 only so the
+            # (label, dim) groupby reduces them exactly once per block
+            "ssq": pa.array((ssq[:, None] * (np.arange(dim) == 0)
+                             ).ravel(), pa.int64()),
+            "n": pa.array((cnt[:, None] * (np.arange(dim) == 0)
+                           ).ravel(), pa.int64()),
+        })
+
+    agg = (emb.select_columns([label_col, vec_col])
+           .map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(["label", "dim_idx"]).sum(["s", "ssq", "n"]))
+
+    def _per_dim_sq(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["sum(s)"], dtype=np.int64)
+        return pa.table({
+            "label": batch["label"],
+            "s2": pa.array(s * s, pa.int64()),
+            "ssq": batch["sum(ssq)"],
+            "n": batch["sum(n)"],
+        })
+
+    tot = (agg.map_batches(_per_dim_sq, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby("label").sum(["s2", "ssq", "n"]))
+
+    def _finish(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["sum(n)"], dtype=np.int64)
+        ssq = np.asarray(batch["sum(ssq)"], dtype=np.int64)
+        s2 = np.asarray(batch["sum(s2)"], dtype=np.int64)
+        return pa.table({
+            "label": batch["label"],
+            "n": pa.array(n, pa.int64()),
+            "pair_num": pa.array(2 * (n * ssq - s2), pa.int64()),
+            "pairs": pa.array(n * (n - 1), pa.int64()),
+        })
+
+    return tot.map_batches(_finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
