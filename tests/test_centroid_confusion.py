@@ -118,3 +118,27 @@ def test_cohesion_identical_vectors_zero(ray_session):
     got = label_cohesion(_emb_ds([[1.0, 2.0]] * 6, [0] * 6)).to_pandas()
     assert got["pair_num"].tolist() == [0]
     assert got["pairs"].tolist() == [30]
+
+
+def test_separation_matches_bruteforce(ray_session):
+    from trustfuse_ray.stages.ann import centroid_separation
+
+    rng = np.random.default_rng(13)
+    labels = [int(x) for x in rng.integers(0, 4, 40)]
+    vecs = [rng.normal(loc=2 * l, scale=0.5, size=3) for l in labels]
+    q = np.where(np.asarray(vecs, np.float64) * 10_000 >= 0,
+                 np.floor(np.asarray(vecs, np.float64) * 10_000 + 0.5),
+                 -np.floor(-np.asarray(vecs, np.float64) * 10_000 + 0.5)
+                 ).astype(np.int64)
+    labs = sorted(set(labels))
+    cent = np.stack([
+        np.floor_divide(q[[i for i, l in enumerate(labels) if l == lab]]
+                        .sum(axis=0),
+                        sum(1 for l in labels if l == lab))
+        for lab in labs])
+    want = {(labs[i], labs[j]): int(((cent[i] - cent[j]) ** 2).sum())
+            for i in range(len(labs)) for j in range(i + 1, len(labs))}
+    got = {(r["label_a"], r["label_b"]): r["dist2"]
+           for _, r in centroid_separation(
+               _emb_ds(vecs, labels)).to_pandas().iterrows()}
+    assert got == want

@@ -3347,6 +3347,7 @@ def _all_queries():
         "centroid_confusion": q_centroid_confusion,
         "normalized_dedup": q_normalized_dedup,
         "label_cohesion": q_label_cohesion,
+        "centroid_separation": q_centroid_separation,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -4564,6 +4565,14 @@ def q_label_cohesion(sf_dir: str):
     from trustfuse_ray.stages.ann import label_cohesion
 
     return label_cohesion(_tbl(sf_dir, "embeddings"))
+
+
+def q_centroid_separation(sf_dir: str):
+    """Pairwise inter-centroid squared distances (exact int fixed point,
+    floor-divided integer centroid coordinates)."""
+    from trustfuse_ray.stages.ann import centroid_separation
+
+    return centroid_separation(_tbl(sf_dir, "embeddings"))
 
 
 def q_normalized_dedup(sf_dir: str):
@@ -8279,6 +8288,24 @@ p AS (
 SELECT CAST(label AS BIGINT) AS label, CAST(clab AS BIGINT) AS pred_label,
        CAST(count(*) AS BIGINT) AS n
 FROM p WHERE rn = 1 GROUP BY 1, 2""",
+        "centroid_separation": """
+WITH e AS (
+  SELECT vec_id, label,
+         CAST(CASE WHEN x >= 0 THEN floor(x * 10000 + 0.5)
+                   ELSE -floor(-x * 10000 + 0.5) END AS BIGINT) AS q,
+         CAST(i - 1 AS BIGINT) AS dim
+  FROM (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS x,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+),
+cs AS (
+  SELECT label, dim,
+         CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2
+)
+SELECT CAST(a.label AS BIGINT) AS label_a, CAST(b.label AS BIGINT) AS label_b,
+       CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist2
+FROM cs a JOIN cs b ON a.dim = b.dim AND a.label < b.label
+GROUP BY 1, 2""",
         "label_cohesion": """
 WITH e AS (
   SELECT vec_id, label,

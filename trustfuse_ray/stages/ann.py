@@ -916,3 +916,46 @@ def label_cohesion(emb, label_col: str = "label",
 
     return tot.map_batches(_finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def centroid_separation(emb, label_col: str = "label",
+                        vec_col: str = "embedding", scale: int = 10_000):
+    """Pairwise inter-centroid squared distances
+    ``(label_a < label_b, dist2)`` in exact int64 fixed point — the
+    between-cluster half of the cohesion/confusion audit trio (a
+    Davies-Bouldin-style ratio is cohesion ÷ separation, computed by the
+    caller from the two integer tables).
+
+    Centroid coordinates are the same floor-divided integer means
+    :func:`centroid_confusion` uses, so the two audits agree bit-exactly.
+    Scale shape: everything after the O(labels × dim) centroid reduce is
+    driver-local arithmetic on a labels² table — KB-scale."""
+    import ray.data as rd
+
+    out_schema = pa.schema([("label_a", pa.int64()),
+                            ("label_b", pa.int64()),
+                            ("dist2", pa.int64())])
+    cents = (embedding_centroids(emb, label_col=label_col, vec_col=vec_col,
+                                 scale=scale)
+             .select_columns([label_col, "dim_idx", "sum_fx", "n"])
+             .take_all())                       # O(labels × dim) rows
+    if not cents:
+        return rd.from_arrow(out_schema.empty_table())
+    by_label: dict = {}
+    for r in cents:
+        by_label.setdefault(int(r[label_col]), {})[int(r["dim_idx"])] = \
+            (int(r["sum_fx"]), int(r["n"]))
+    labels_sorted = sorted(by_label)
+    dim = 1 + max(d for dims in by_label.values() for d in dims)
+    cent = np.zeros((len(labels_sorted), dim), np.int64)
+    for i, lab in enumerate(labels_sorted):
+        for dx, (s, n) in by_label[lab].items():
+            cent[i, dx] = s // n
+    a_ix, b_ix = np.triu_indices(len(labels_sorted), k=1)
+    d2 = ((cent[a_ix] - cent[b_ix]) ** 2).sum(axis=1)
+    labs = np.asarray(labels_sorted, np.int64)
+    return rd.from_arrow(pa.table({
+        "label_a": pa.array(labs[a_ix], pa.int64()),
+        "label_b": pa.array(labs[b_ix], pa.int64()),
+        "dist2": pa.array(d2.astype(np.int64), pa.int64()),
+    }))
