@@ -142,3 +142,26 @@ def test_curriculum_schedule_ntile(ray_session):
     assert out.groupby("phase").size().tolist() == [4, 3, 3]
     assert out["n_tok"].tolist() == sorted(range(10))
     assert out["phase_pos"].tolist() == [0, 1, 2, 3, 0, 1, 2, 0, 1, 2]
+
+
+def test_user_gap_median_lower_orderstat(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.windows import user_gap_median
+
+    # user 1: ts 0,10,30,70 -> gaps [10,20,40], median 20 (odd)
+    # user 2: ts 0,5,15,40,41 -> gaps [5,10,25,1] sorted [1,5,10,25],
+    #         lower median rank (4-1)//2 = 1 -> 5 (even)
+    # user 3: single event -> omitted
+    rows = [(1, t) for t in [0, 10, 30, 70]] + \
+           [(2, t) for t in [0, 5, 15, 40, 41]] + [(3, 99)]
+    ev = rd.from_arrow(pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "ts": pa.array([t for _, t in rows],
+                       pa.timestamp("us")),
+    })).repartition(3)
+    out = user_gap_median(ev, n_parts=2).to_pandas().sort_values(
+        "user_id").reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_gaps"].tolist() == [3, 4]
+    assert out["med_gap_us"].tolist() == [20, 5]

@@ -3348,6 +3348,7 @@ def _all_queries():
         "normalized_dedup": q_normalized_dedup,
         "label_cohesion": q_label_cohesion,
         "centroid_separation": q_centroid_separation,
+        "user_gap_median": q_user_gap_median,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -4573,6 +4574,15 @@ def q_centroid_separation(sf_dir: str):
     from trustfuse_ray.stages.ann import centroid_separation
 
     return centroid_separation(_tbl(sf_dir, "embeddings"))
+
+
+def q_user_gap_median(sf_dir: str):
+    """Per-user exact lower-median inter-arrival gap (µs): one user
+    co-partition, in-group sort + order-stat pick, one row out per
+    user."""
+    from trustfuse_ray.stages.windows import user_gap_median
+
+    return user_gap_median(_tbl(sf_dir, "events"))
 
 
 def q_normalized_dedup(sf_dir: str):
@@ -8288,6 +8298,21 @@ p AS (
 SELECT CAST(label AS BIGINT) AS label, CAST(clab AS BIGINT) AS pred_label,
        CAST(count(*) AS BIGINT) AS n
 FROM p WHERE rn = 1 GROUP BY 1, 2""",
+        "user_gap_median": """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events
+),
+f AS (SELECT user_id, gap FROM g WHERE gap IS NOT NULL),
+r AS (SELECT user_id, gap,
+             row_number() OVER (PARTITION BY user_id ORDER BY gap) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM f)
+SELECT CAST(user_id AS BIGINT) AS user_id, CAST(n AS BIGINT) AS n_gaps,
+       CAST(gap AS BIGINT) AS med_gap_us
+FROM r WHERE rn = (n - 1) // 2 + 1""",
         "centroid_separation": """
 WITH e AS (
   SELECT vec_id, label,

@@ -952,3 +952,44 @@ def peak_windows(events, window_s: int = 3600,
         plasma_schema=pa.schema([(type_col, pa.string()),
                                  ("peak_window", pa.int64()),
                                  ("n_events", pa.int64())]))
+
+
+def user_gap_median(events, user_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id", n_parts: int = 16):
+    """Per-user exact inter-arrival median: gaps (µs) between a user's
+    consecutive events ordered by (ts, id), reduced to the LOWER
+    order-statistic median (0-based rank ``(n−1)//2`` of the sorted
+    gaps) — deterministic, no interpolation, so the audit is
+    bit-replayable by SQL.  Users with fewer than two events are
+    omitted.  Returns ``(user_id, n_gaps, med_gap_us)``.
+
+    Scale shape: ONE user co-partition; gap derivation, gap sort and the
+    order-stat pick all happen inside the group (vectorized diff +
+    np.partition), and the exchange out is one row per user."""
+    def _med(group: pa.Table) -> pa.Table:
+        empty = pa.schema([(user_col, pa.int64()),
+                           ("n_gaps", pa.int64()),
+                           ("med_gap_us", pa.int64())]).empty_table()
+        if len(group) < 2:
+            return empty
+        order = pc.sort_indices(group, sort_keys=[
+            (ts_col, "ascending"), (id_col, "ascending")])
+        g = group.take(order)
+        ts = np.asarray(g[ts_col].cast(pa.int64()), dtype=np.int64)
+        gaps = ts[1:] - ts[:-1]
+        k = (len(gaps) - 1) // 2
+        med = int(np.partition(gaps, k)[k])
+        return pa.table({
+            user_col: g[user_col][:1].cast(pa.int64()),
+            "n_gaps": pa.array([len(gaps)], pa.int64()),
+            "med_gap_us": pa.array([med], pa.int64()),
+        })
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    return hash_group_apply(
+        events.select_columns([user_col, ts_col, id_col]),
+        [user_col], _med, n_parts=n_parts,
+        plasma_schema=pa.schema([(user_col, pa.int64()),
+                                 ("n_gaps", pa.int64()),
+                                 ("med_gap_us", pa.int64())]))
