@@ -142,3 +142,30 @@ def test_separation_matches_bruteforce(ray_session):
            for _, r in centroid_separation(
                _emb_ds(vecs, labels)).to_pandas().iterrows()}
     assert got == want
+
+
+def test_dedup_keep_best_prefers_quality(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.text import QualityClassifier, dedup_keep_best
+
+    # doc 0 and doc 2 collide after lower/trim; doc 2 has more "the"
+    # tokens -> higher score, so the winner must be 2, not min-id 0.
+    texts = ["  THE CAT  ", "other doc", "the cat",
+             "the the the unique", "the cat"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(2)
+    out = dedup_keep_best(docs).to_pandas().sort_values(
+        "keep_id").reset_index(drop=True)
+    scores = QualityClassifier()(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string())}))["score_fp"].to_pylist()
+    assert len(out) == 3
+    grp = out.set_index("keep_id")
+    # "the cat" group: ids 0,2,4 -> scores equal for 2 and 4 (identical
+    # text), 0 has extra whitespace chars -> lower score; tie -> min id 2
+    assert scores[2] == scores[4] and scores[0] < scores[2]
+    assert 2 in grp.index and grp.loc[2, "n"] == 3
+    assert grp.loc[2, "score_fp"] == scores[2]
+    assert 1 in grp.index and grp.loc[1, "n"] == 1
+    assert 3 in grp.index and grp.loc[3, "n"] == 1

@@ -3349,6 +3349,7 @@ def _all_queries():
         "label_cohesion": q_label_cohesion,
         "centroid_separation": q_centroid_separation,
         "user_gap_median": q_user_gap_median,
+        "dedup_keep_best": q_dedup_keep_best,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -4583,6 +4584,14 @@ def q_user_gap_median(sf_dir: str):
     from trustfuse_ray.stages.windows import user_gap_median
 
     return user_gap_median(_tbl(sf_dir, "events"))
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Quality-aware exact dedup winner (classifier score desc, ties to
+    lowest doc_id) per lower(trim(text)) md5 group."""
+    from trustfuse_ray.stages.text import dedup_keep_best
+
+    return dedup_keep_best(_tbl(sf_dir, "documents"))
 
 
 def q_normalized_dedup(sf_dir: str):
@@ -8298,6 +8307,27 @@ p AS (
 SELECT CAST(label AS BIGINT) AS label, CAST(clab AS BIGINT) AS pred_label,
        CAST(count(*) AS BIGINT) AS n
 FROM p WHERE rn = 1 GROUP BY 1, 2""",
+        "dedup_keep_best": r"""
+WITH s AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp,
+         3 * CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+           - CAST(length(text) AS BIGINT)
+           + 50 * CAST((length(lower(text))
+                        - length(replace(lower(text), 'the', ''))) / 3
+                       AS BIGINT)
+           + 100 AS score_fp
+  FROM documents
+),
+r AS (
+  SELECT fp, doc_id, score_fp,
+         row_number() OVER (PARTITION BY fp
+                            ORDER BY score_fp DESC, doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY fp) AS n
+  FROM s
+)
+SELECT fp, CAST(doc_id AS BIGINT) AS keep_id, score_fp,
+       CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1""",
         "user_gap_median": """
 WITH g AS (
   SELECT user_id,

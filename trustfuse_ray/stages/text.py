@@ -367,3 +367,64 @@ def normalized_dedup(docs, text_col: str = "text", id_col: str = "doc_id"):
         _fp, batch_format="pyarrow", zero_copy_batch=True)
     out = part.groupby("norm_fp").aggregate(Min("keep_id"), Sum("n"))
     return out.rename_columns({"min(keep_id)": "keep_id", "sum(n)": "n"})
+
+
+def dedup_keep_best(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Quality-aware exact dedup: documents group on the
+    ``lower(trim(text))`` md5 fingerprint and the KEPT copy is the
+    highest-quality one (classifier ``score_fp`` desc, ties → lowest
+    doc_id) instead of the blind min-id winner — the selection rule a
+    production dedup actually wants when duplicates differ in upstream
+    cleanup state.  Returns ``(fp, keep_id, score_fp, n)``.
+
+    Scale shape: one map_batches computes fingerprint + integer quality
+    score and pre-reduces map-side to one candidate row per fingerprint
+    per block (sorted run heads — no per-row Python), so the fp exchange
+    carries candidates + counts, never text; the global winner is a
+    per-fp group head."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    clf = QualityClassifier()
+
+    def _cand(batch: pa.Table) -> pa.Table:
+        fp = fingerprint_batch(batch, text_col=text_col,
+                               id_col=id_col)["fp"]
+        sc = clf(batch)["score_fp"]
+        t = pa.table({"fp": fp,
+                      "keep_id": batch[id_col].cast(pa.int64()),
+                      "score_fp": sc})
+        order = pc.sort_indices(t, sort_keys=[
+            ("fp", "ascending"), ("score_fp", "descending"),
+            ("keep_id", "ascending")])
+        s = t.take(order)
+        fps = np.asarray(s["fp"].cast(pa.large_string())
+                         .combine_chunks().to_numpy(zero_copy_only=False),
+                         dtype=object)
+        head = np.ones(len(s), dtype=bool)
+        head[1:] = fps[1:] != fps[:-1]
+        counts = np.diff(np.append(np.flatnonzero(head), len(s)))
+        return (s.filter(pa.array(head))
+                .append_column("n", pa.array(counts, pa.int64())))
+
+    cand = docs.select_columns([id_col, text_col]).map_batches(
+        _cand, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _winner(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[
+            ("score_fp", "descending"), ("keep_id", "ascending")])
+        top = group.take(idx[:1])
+        return pa.table({
+            "fp": top["fp"],
+            "keep_id": top["keep_id"],
+            "score_fp": top["score_fp"],
+            "n": pa.array([int(np.asarray(group["n"],
+                                          dtype=np.int64).sum())],
+                          pa.int64()),
+        })
+
+    return hash_group_apply(
+        cand, ["fp"], _winner, n_parts=16,
+        plasma_schema=pa.schema([("fp", pa.string()),
+                                 ("keep_id", pa.int64()),
+                                 ("score_fp", pa.int64()),
+                                 ("n", pa.int64())]))
