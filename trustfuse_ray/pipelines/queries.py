@@ -4494,8 +4494,12 @@ def q_kg_entity_completeness(sf_dir: str):
     import pyarrow.compute as pc
 
     claims = cached_claims(sf_dir)
+    # materialize the distinct (entity, attr) table (bounded by
+    # entities × attr-universe, far smaller than claims) so the attr
+    # count and the per-entity rollup share ONE claims pass
     ea = (claims.select_columns(["entity", "attr"])
-          .groupby(["entity", "attr"]).count().drop_columns(["count()"]))
+          .groupby(["entity", "attr"]).count().drop_columns(["count()"])
+          .materialize())
     total = len(ea.unique("attr"))
 
     def _ratio(batch: pa.Table) -> pa.Table:
