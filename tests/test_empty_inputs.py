@@ -177,3 +177,31 @@ def test_round4_transcript_ops_null_text():
     assert rt == {("user", "assistant"): 1, ("assistant", ""): 1}
     ls = conv_lang_switches(turns, n_parts=2).take_all()
     assert ls[0]["n_turns"] == 3
+
+
+def test_wave3_ops_empty():
+    from trustfuse_ray.stages.ann import (centroid_confusion,
+                                          centroid_separation,
+                                          label_cohesion)
+    from trustfuse_ray.stages.curation import curriculum_schedule
+    from trustfuse_ray.stages.graph import label_propagation, reachability
+    from trustfuse_ray.stages.text import dedup_keep_best, normalized_dedup
+    from trustfuse_ray.stages.windows import user_gap_median
+
+    d, ev = _empty_docs(), _empty_events()
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([], pa.string()),
+        "dst": pa.array([], pa.string())}))
+    emb = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32())}))
+    assert reachability(edges, k=2, n_parts=2).take_all() == []
+    assert label_propagation(edges, rounds=2, n_parts=2).take_all() == []
+    assert curriculum_schedule(d).take_all() == []
+    assert centroid_confusion(emb).take_all() == []
+    assert centroid_separation(emb).take_all() == []
+    assert label_cohesion(emb).take_all() == []
+    assert normalized_dedup(d).take_all() == []
+    assert dedup_keep_best(d).take_all() == []
+    assert user_gap_median(ev, n_parts=2).take_all() == []
