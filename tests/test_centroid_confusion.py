@@ -169,3 +169,33 @@ def test_dedup_keep_best_prefers_quality(ray_session):
     assert grp.loc[2, "score_fp"] == scores[2]
     assert 1 in grp.index and grp.loc[1, "n"] == 1
     assert 3 in grp.index and grp.loc[3, "n"] == 1
+
+
+def test_cluster_safe_split_no_leakage(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.dedup import cluster_safe_split
+
+    base = ("the quick brown fox jumps over the lazy dog again and "
+            "again while the band plays on " * 3)
+    texts = [base, base + "extra", base + "extra word",
+             "completely different text about other things entirely",
+             "another unrelated document with its own content"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(2)
+    out = cluster_safe_split(docs, threshold=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2, 3, 4]
+    grp = out.set_index("doc_id")
+    # the near-dup family 0/1/2 shares one label -> one split
+    fam = grp.loc[[0, 1, 2]]
+    assert fam["label"].nunique() == 1
+    assert fam["split"].nunique() == 1
+    # singletons are their own label
+    assert grp.loc[3, "label"] == 3 and grp.loc[4, "label"] == 4
+    assert set(out["split"]) <= {"train", "eval"}
+    # partitioning invariance
+    out2 = cluster_safe_split(docs.repartition(4),
+                              threshold=0.5).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = out2.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)

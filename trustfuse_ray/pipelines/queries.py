@@ -1059,6 +1059,15 @@ def q_cluster_best_docs(sf_dir: str):
         ray.data.read_parquet(path), threshold=0.6, hash_kind="md5")
 
 
+def q_cluster_safe_split(sf_dir: str):
+    """Leakage-safe train/eval split over the planted-dup corpus: fold
+    decided by the MinHash cluster label so near-dups never straddle
+    the boundary."""
+    path = synth.generate_documents(sf_dir)
+    return dedup.cluster_safe_split(ray.data.read_parquet(path),
+                                    threshold=0.6, hash_kind="md5")
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -3350,6 +3359,7 @@ def _all_queries():
         "centroid_separation": q_centroid_separation,
         "user_gap_median": q_user_gap_median,
         "dedup_keep_best": q_dedup_keep_best,
+        "cluster_safe_split": q_cluster_safe_split,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -6601,6 +6611,26 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY label
        FROM al)
 SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
 FROM rk WHERE rn = 1""",
+        "cluster_safe_split": f"""
+WITH RECURSIVE {_minhash_sql(
+    f"read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')", 0.6)},
+nodes AS (SELECT DISTINCT doc_a AS node FROM mh_pairs
+          UNION SELECT DISTINCT doc_b FROM mh_pairs),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+          UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+reach(node, root) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.node),
+lab AS (SELECT node, min(root) AS label FROM reach GROUP BY node),
+alldocs AS (SELECT doc_id FROM read_parquet(
+    '{synth.generate_documents(sf_dir)}/*.parquet')),
+j AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS label
+      FROM alldocs d LEFT JOIN lab l ON l.node = d.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(label AS BIGINT) AS label,
+       CASE WHEN substr(md5(CAST(label AS VARCHAR)), 1, 1) IN ('0', '1')
+            THEN 'eval' ELSE 'train' END AS split
+FROM j""",
         "minhash_clusters_synth": f"""
 WITH RECURSIVE {_minhash_sql(
     f"read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')", 0.6)},

@@ -1014,3 +1014,73 @@ def dedup_cluster_quality(docs, **kw):
     mm = j.map_batches(_lab, batch_format="pyarrow", zero_copy_batch=True)
     return pairwise_cluster_metrics(mm, "pred", "truth",
                                     count_name="n_docs")
+
+
+def cluster_safe_split(docs, threshold: float = 0.6,
+                       hash_kind: str = "md5", n_parts: int = 32,
+                       eval_nibbles: tuple = ("0", "1")):
+    """Leakage-safe train/eval split: the fold is decided by the doc's
+    MinHash-LSH CLUSTER label, not the doc itself, so near-duplicates can
+    never straddle the boundary (the classic eval-contamination failure
+    of per-doc hashing).  Docs outside every cluster are their own
+    singleton label.  ``split = 'eval'`` when the first hex nibble of
+    ``md5(str(label))`` is in ``eval_nibbles`` (default 2/16 = 12.5%),
+    else ``'train'`` — deterministic under any block layout.  Returns
+    ``(doc_id, label, split)``.
+
+    Shape: cluster labels stay a Dataset; label attachment is one
+    (doc_id)-keyed co-partition carrying ints only; the md5 fold rule
+    runs map-side on the attached rows."""
+    import hashlib
+
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    labels = minhash_cluster_labels(docs, threshold=threshold,
+                                    hash_kind=hash_kind)
+
+    def _doc_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "label": pa.array(np.full(n, -1, np.int64)),
+                         "side": pa.array(np.zeros(n, np.int8))})
+
+    def _label_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table({"doc_id": batch["node"].cast(pa.int64()),
+                         "label": batch["label"].cast(pa.int64()),
+                         "side": pa.array(np.ones(n, np.int8))})
+
+    tagged = docs.select_columns(["doc_id"]).map_batches(
+        _doc_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        labels.map_batches(_label_rows, batch_format="pyarrow"))
+
+    def _attach(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"], dtype=np.int8)
+        if not (side == 0).any():       # label row without a doc row
+            return pa.schema([("doc_id", pa.int64()),
+                              ("label", pa.int64())]).empty_table()
+        did = int(group["doc_id"][0].as_py())
+        lab = did
+        lmask = side == 1
+        if lmask.any():
+            lab = int(np.asarray(group["label"],
+                                 dtype=np.int64)[lmask][0])
+        return pa.table({"doc_id": pa.array([did], pa.int64()),
+                         "label": pa.array([lab], pa.int64())})
+
+    attached = hash_group_apply(
+        tagged, ["doc_id"], _attach, n_parts=n_parts,
+        plasma_schema=pa.schema([("doc_id", pa.int64()),
+                                 ("label", pa.int64())]))
+
+    def _fold(batch: pa.Table) -> pa.Table:
+        labs = np.asarray(batch["label"], dtype=np.int64)
+        ev = np.array([hashlib.md5(str(int(x)).encode())
+                       .hexdigest()[0] in eval_nibbles for x in labs])
+        return batch.append_column(
+            "split", pa.array(np.where(ev, "eval", "train"), pa.string()))
+
+    return attached.map_batches(_fold, batch_format="pyarrow",
+                                zero_copy_batch=True)
