@@ -199,3 +199,41 @@ def test_cluster_safe_split_no_leakage(ray_session):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = out2.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_doc_continuations_planted(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.curation import doc_continuations
+
+    mid = " ".join(f"t{i}" for i in range(8))          # shared boundary
+    texts = [
+        "a b c d e f g h " + mid,                      # 0: ends with mid
+        mid + " x y z w v u s r",                      # 1: starts with mid
+        mid + " q p o n m l k j",                      # 2: also starts
+        "unrelated " * 10,                             # 3: no match
+        "short doc",                                   # 4: < k tokens
+    ]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string())})).repartition(2)
+    out = doc_continuations(docs, k=8, cap=64).to_pandas()
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert got == {(0, 1), (0, 2)}
+    assert set(out["gram"]) == {mid}
+
+
+def test_doc_continuations_boilerplate_cap(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.curation import doc_continuations
+
+    footer = " ".join(f"f{i}" for i in range(8))
+    # 3 docs END with the footer, 3 START with it; cap=2 kills the gram
+    texts = [f"body {j} filler words here now " + footer for j in range(3)]
+    texts += [footer + f" tail {j} more words beyond this" for j in range(3)]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(texts, pa.string())}))
+    assert doc_continuations(docs, k=8, cap=2).take_all() == []
+    # with a permissive cap the 3x3 cross product appears
+    out = doc_continuations(docs, k=8, cap=16).to_pandas()
+    assert len(out) == 9

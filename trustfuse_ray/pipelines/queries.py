@@ -1068,6 +1068,14 @@ def q_cluster_safe_split(sf_dir: str):
                                     threshold=0.6, hash_kind="md5")
 
 
+def q_doc_continuations(sf_dir: str):
+    """Document-stitching pairs: doc_a's last 8 tokens == doc_b's first
+    8, boilerplate-capped on both sides."""
+    from trustfuse_ray.stages.curation import doc_continuations
+
+    return doc_continuations(_tbl(sf_dir, "documents"), k=8, cap=64)
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -3360,6 +3368,7 @@ def _all_queries():
         "user_gap_median": q_user_gap_median,
         "dedup_keep_best": q_dedup_keep_best,
         "cluster_safe_split": q_cluster_safe_split,
+        "doc_continuations": q_doc_continuations,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -6611,6 +6620,25 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY label
        FROM al)
 SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
 FROM rk WHERE rn = 1""",
+        "doc_continuations": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(coalesce(text, '')), '\s+'),
+                     w -> w <> '') AS toks
+  FROM documents
+),
+b AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 8),
+f AS (SELECT doc_id, array_to_string(toks[1:8], ' ') AS gram FROM b),
+l AS (SELECT doc_id,
+             array_to_string(toks[len(toks) - 7:len(toks)], ' ') AS gram
+      FROM b),
+fc AS (SELECT gram FROM f GROUP BY 1 HAVING count(*) <= 64),
+lc AS (SELECT gram FROM l GROUP BY 1 HAVING count(*) <= 64)
+SELECT l.doc_id AS doc_a, f.doc_id AS doc_b, l.gram
+FROM l
+JOIN f ON f.gram = l.gram AND f.doc_id <> l.doc_id
+JOIN fc ON fc.gram = f.gram
+JOIN lc ON lc.gram = l.gram""",
         "cluster_safe_split": f"""
 WITH RECURSIVE {_minhash_sql(
     f"read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')", 0.6)},

@@ -1422,3 +1422,86 @@ def curriculum_schedule(docs, n_phases: int = 4, text_col: str = "text",
 
     return ordered.map_batches(_phase, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def doc_continuations(docs, k: int = 8, cap: int = 64,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      n_parts: int = 32):
+    """Document-stitching candidates: pairs ``(doc_a, doc_b, gram)``
+    where doc_a's LAST ``k`` whitespace tokens equal doc_b's FIRST ``k``
+    — the boundary join a corpus-reconstruction pass runs to reassemble
+    chunked documents.  Grams shared by more than ``cap`` docs on either
+    side are dropped (the boilerplate stop rule: a template footer/header
+    is not a continuation signal).  Docs with fewer than ``k`` tokens
+    are skipped.
+
+    Scale shape: both boundary grams come from vectorized Arrow kernels
+    (the last-gram via the reverse-split-reverse trick — no per-row
+    Python); the ONE exchange is keyed by the gram and carries
+    ``(gram, doc_id, side)`` rows only; the per-gram group emits the
+    side-capped cross product."""
+    import pyarrow.compute as pc_
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _grams(batch: pa.Table) -> pa.Table:
+        t = pc_.utf8_trim_whitespace(
+            pc_.coalesce(batch[text_col].cast(pa.string()), ""))
+        toks = pc_.split_pattern_regex(t, _SPLIT_RX)
+        nt = pc_.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ok = (nt >= k) & (pc_.not_equal(t, "")
+                          .to_numpy(zero_copy_only=False))
+        keep = pa.array(np.flatnonzero(ok))
+        toks_k = toks.take(keep) if isinstance(toks, pa.Array) else \
+            toks.combine_chunks().take(keep)
+        ids = batch[id_col].cast(pa.int64()).take(keep)
+        first = pc_.binary_join(pc_.list_slice(toks_k, 0, k), " ")
+        # last k tokens, original order: reverse the string, take the
+        # FIRST k reversed tokens, join, reverse back
+        rev = pc_.utf8_reverse(t).take(keep)
+        rtoks = pc_.split_pattern_regex(rev, _SPLIT_RX)
+        last = pc_.utf8_reverse(
+            pc_.binary_join(pc_.list_slice(rtoks, 0, k), " "))
+        n = len(ids)
+        return pa.table({
+            "gram": pa.concat_arrays([
+                last.combine_chunks() if isinstance(
+                    last, pa.ChunkedArray) else last,
+                first.combine_chunks() if isinstance(
+                    first, pa.ChunkedArray) else first]),
+            "doc_id": pa.concat_arrays([ids.combine_chunks()
+                                        if isinstance(ids, pa.ChunkedArray)
+                                        else ids] * 2),
+            "side": pa.array(np.concatenate([
+                np.zeros(n, np.int8), np.ones(n, np.int8)])),
+        })
+
+    rows = docs.select_columns([id_col, text_col]).map_batches(
+        _grams, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        empty = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                           ("gram", pa.string())]).empty_table()
+        side = np.asarray(group["side"], dtype=np.int8)
+        ids = np.asarray(group["doc_id"], dtype=np.int64)
+        a = ids[side == 0]          # docs whose LAST gram is this
+        b = ids[side == 1]          # docs whose FIRST gram is this
+        if len(a) == 0 or len(b) == 0 or len(a) > cap or len(b) > cap:
+            return empty
+        aa = np.repeat(a, len(b))
+        bb = np.tile(b, len(a))
+        m = aa != bb
+        if not m.any():
+            return empty
+        return pa.table({
+            "doc_a": pa.array(aa[m], pa.int64()),
+            "doc_b": pa.array(bb[m], pa.int64()),
+            "gram": pa.array([group["gram"][0].as_py()] * int(m.sum()),
+                             pa.string()),
+        })
+
+    return hash_group_apply(
+        rows, ["gram"], _pairs, n_parts=n_parts,
+        plasma_schema=pa.schema([("doc_a", pa.int64()),
+                                 ("doc_b", pa.int64()),
+                                 ("gram", pa.string())]))
