@@ -237,3 +237,26 @@ def test_doc_continuations_boilerplate_cap(ray_session):
     # with a permissive cap the 3x3 cross product appears
     out = doc_continuations(docs, k=8, cap=16).to_pandas()
     assert len(out) == 9
+
+
+def test_lang_fertility_exact(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.text import lang_fertility
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "lang": pa.array(["en", "en", "fr", "fr"], pa.string()),
+        # en: "don't stop" -> pieces [don,',t,stop]=4 tok / 2 words
+        #     "a b"        -> 2 tok / 2 words  => en: 6/4 = 1500
+        # fr: "c'est bon!" -> [c,',est,bon,!]=5 tok / 2 words
+        #     ""           -> 0 tok / 0 words  => fr: 5/2 = 2500
+        "text": pa.array(["don't stop", "a b", "c'est bon!", ""],
+                         pa.string())})).repartition(2)
+    out = lang_fertility(docs).to_pandas().set_index("lang")
+    assert out.loc["en", "n_tokens"] == 6
+    assert out.loc["en", "n_words"] == 4
+    assert out.loc["en", "fertility_permille"] == 1500
+    assert out.loc["fr", "n_tokens"] == 5
+    assert out.loc["fr", "n_words"] == 2
+    assert out.loc["fr", "fertility_permille"] == 2500
+    assert out["n_docs"].tolist() == [2, 2]

@@ -1076,6 +1076,14 @@ def q_doc_continuations(sf_dir: str):
     return doc_continuations(_tbl(sf_dir, "documents"), k=8, cap=64)
 
 
+def q_lang_fertility(sf_dir: str):
+    """Per-language tokenizer fertility (BPE-ish tokens per whitespace
+    word, exact integer permille)."""
+    from trustfuse_ray.stages.text import lang_fertility
+
+    return lang_fertility(_tbl(sf_dir, "documents"))
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -3369,6 +3377,7 @@ def _all_queries():
         "dedup_keep_best": q_dedup_keep_best,
         "cluster_safe_split": q_cluster_safe_split,
         "doc_continuations": q_doc_continuations,
+        "lang_fertility": q_lang_fertility,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -6620,6 +6629,21 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY label
        FROM al)
 SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
 FROM rk WHERE rn = 1""",
+        "lang_fertility": r"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(regexp_extract_all(coalesce(text, ''), '\w+|[^\w\s]'))
+              AS BIGINT) AS n_tok,
+         CAST(len(list_filter(
+           string_split_regex(trim(coalesce(text, '')), '\s+'),
+           w -> w <> '')) AS BIGINT) AS n_w
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_w) AS BIGINT) AS n_words,
+       CAST(sum(n_tok) * 1000 // greatest(sum(n_w), 1) AS BIGINT)
+         AS fertility_permille
+FROM t GROUP BY 1""",
         "doc_continuations": r"""
 WITH t AS (
   SELECT doc_id,

@@ -428,3 +428,57 @@ def dedup_keep_best(docs, text_col: str = "text", id_col: str = "doc_id"):
                                  ("keep_id", pa.int64()),
                                  ("score_fp", pa.int64()),
                                  ("n", pa.int64())]))
+
+
+def lang_fertility(docs, text_col: str = "text", lang_col: str = "lang"):
+    """Tokenizer-fairness audit: per language, total BPE-ish tokens vs
+    total whitespace words as exact integers plus their ratio —
+    languages whose fertility (tokens per word) runs high pay more
+    compute per sentence, the standard multilingual tokenizer check.
+    Returns ``(lang, n_docs, n_tokens, n_words, fertility_permille)``
+    with the permille an exact integer division.
+
+    Scale shape: both counts are vectorized Arrow kernels inside one
+    map_batches emitting per-lang partials; the exchange is the
+    lang-cardinality-bounded groupby sum."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pc.coalesce(batch[text_col].cast(pa.string()), "")
+        # count_substring_regex counts non-overlapping matches — the
+        # same pieces re.findall returns for this alternation
+        ntok = pc.count_substring_regex(
+            t, r"\w+|[^\w\s]").cast(pa.int64())
+        trimmed = pc.utf8_trim_whitespace(t)
+        nw = pc.list_value_length(pc.split_pattern_regex(
+            trimmed, r"\s+")).cast(pa.int64()).to_numpy(
+            zero_copy_only=False).copy()
+        nw[pc.equal(trimmed, "").to_numpy(zero_copy_only=False)] = 0
+        tbl = pa.table({
+            "lang": batch[lang_col].cast(pa.string()),
+            "n_docs": pa.array(np.ones(len(t), np.int64)),
+            "n_tokens": ntok,
+            "n_words": pa.array(nw, pa.int64()),
+        })
+        return (pa.TableGroupBy(tbl, "lang", use_threads=False)
+                .aggregate([("n_docs", "sum"), ("n_tokens", "sum"),
+                            ("n_words", "sum")])
+                .rename_columns(["lang", "n_docs", "n_tokens", "n_words"]))
+
+    agg = (docs.select_columns([lang_col, text_col])
+           .map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("lang").sum(["n_docs", "n_tokens", "n_words"]))
+
+    def _ratio(batch: pa.Table) -> pa.Table:
+        nt = np.asarray(batch["sum(n_tokens)"], dtype=np.int64)
+        nw = np.asarray(batch["sum(n_words)"], dtype=np.int64)
+        return pa.table({
+            "lang": batch["lang"],
+            "n_docs": batch["sum(n_docs)"],
+            "n_tokens": pa.array(nt, pa.int64()),
+            "n_words": pa.array(nw, pa.int64()),
+            "fertility_permille": pa.array(
+                nt * 1000 // np.maximum(nw, 1), pa.int64()),
+        })
+
+    return agg.map_batches(_ratio, batch_format="pyarrow",
+                           zero_copy_batch=True)
