@@ -260,3 +260,22 @@ def test_lang_fertility_exact(ray_session):
     assert out.loc["fr", "n_words"] == 2
     assert out.loc["fr", "fertility_permille"] == 2500
     assert out["n_docs"].tolist() == [2, 2]
+
+
+def test_source_dup_matrix_planted(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.text import source_dup_matrix
+
+    texts = ["same doc", "same doc", "Same Doc  ",   # canon-collide
+             "other doc", "other doc", "unique to c"]
+    srcs = ["a", "b", "c", "a", "c", "c"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "source": pa.array(srcs, pa.string()),
+        "text": pa.array(texts, pa.string())})).repartition(2)
+    out = source_dup_matrix(docs).to_pandas()
+    got = {(r["source_a"], r["source_b"]): r["n_shared_fps"]
+           for _, r in out.iterrows()}
+    # fp1 "same doc" in a,b,c -> pairs ab, ac, bc; fp2 "other doc" in
+    # a,c -> pair ac again
+    assert got == {("a", "b"): 1, ("a", "c"): 2, ("b", "c"): 1}

@@ -1084,6 +1084,14 @@ def q_lang_fertility(sf_dir: str):
     return lang_fertility(_tbl(sf_dir, "documents"))
 
 
+def q_source_dup_matrix(sf_dir: str):
+    """Cross-source syndication matrix: exact-dedup fingerprints shared
+    between each source pair."""
+    from trustfuse_ray.stages.text import source_dup_matrix
+
+    return source_dup_matrix(_tbl(sf_dir, "documents"))
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -3378,6 +3386,7 @@ def _all_queries():
         "cluster_safe_split": q_cluster_safe_split,
         "doc_continuations": q_doc_continuations,
         "lang_fertility": q_lang_fertility,
+        "source_dup_matrix": q_source_dup_matrix,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -6629,6 +6638,13 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY label
        FROM al)
 SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
 FROM rk WHERE rn = 1""",
+        "source_dup_matrix": """
+WITH fs AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2""",
         "lang_fertility": r"""
 WITH t AS (
   SELECT lang,

@@ -482,3 +482,65 @@ def lang_fertility(docs, text_col: str = "text", lang_col: str = "lang"):
 
     return agg.map_batches(_ratio, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def source_dup_matrix(docs, text_col: str = "text",
+                      source_col: str = "source", n_parts: int = 16):
+    """Cross-source syndication matrix: for every source pair
+    ``(source_a < source_b)``, how many exact-dedup fingerprints have at
+    least one copy in BOTH sources — the audit that catches one feed
+    republishing another's documents.  Returns
+    ``(source_a, source_b, n_shared_fps)``.
+
+    Scale shape: map-side distinct (fp, source) partials per block, one
+    fp-keyed exchange of fingerprints+source only (never text), a
+    per-fp C(s,2) pair expansion bounded by the source universe, and a
+    tiny pair groupby."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _fp_src(batch: pa.Table) -> pa.Table:
+        canon = canonical_text(batch[text_col]).to_pylist()
+        fps = [hashlib.md5((t or "").encode()).hexdigest() for t in canon]
+        tbl = pa.table({"fp": pa.array(fps, pa.string()),
+                        "source": batch[source_col].cast(pa.string())})
+        return (pa.TableGroupBy(tbl, ["fp", "source"], use_threads=False)
+                .aggregate([([], "count_all")])
+                .drop_columns(["count_all"]))
+
+    rows = docs.select_columns([source_col, text_col]).map_batches(
+        _fp_src, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        empty = pa.schema([("source_a", pa.string()),
+                           ("source_b", pa.string()),
+                           ("n_shared_fps", pa.int64())]).empty_table()
+        srcs = sorted(set(group["source"].to_pylist()))
+        if len(srcs) < 2:
+            return empty
+        a, b = zip(*[(srcs[i], srcs[j]) for i in range(len(srcs))
+                     for j in range(i + 1, len(srcs))])
+        return pa.table({
+            "source_a": pa.array(list(a), pa.string()),
+            "source_b": pa.array(list(b), pa.string()),
+            "n_shared_fps": pa.array([1] * len(a), pa.int64()),
+        })
+
+    pair_schema = pa.schema([("source_a", pa.string()),
+                             ("source_b", pa.string()),
+                             ("n_shared_fps", pa.int64())])
+    pairs = hash_group_apply(rows, ["fp"], _pairs, n_parts=n_parts,
+                             plasma_schema=pair_schema)
+
+    def _sum(group: pa.Table) -> pa.Table:
+        return pa.table({
+            "source_a": group["source_a"][:1],
+            "source_b": group["source_b"][:1],
+            "n_shared_fps": pa.array(
+                [int(np.asarray(group["n_shared_fps"],
+                                dtype=np.int64).sum())], pa.int64()),
+        })
+
+    # typed group apply (not Dataset.groupby) so an all-empty pair set
+    # still carries the schema through to the driver
+    return hash_group_apply(pairs, ["source_a", "source_b"], _sum,
+                            n_parts=4, plasma_schema=pair_schema)
