@@ -279,3 +279,38 @@ def test_source_dup_matrix_planted(ray_session):
     # fp1 "same doc" in a,b,c -> pairs ab, ac, bc; fp2 "other doc" in
     # a,c -> pair ac again
     assert got == {("a", "b"): 1, ("a", "c"): 2, ("b", "c"): 1}
+
+
+def test_customer_rfm_segments(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.pipelines.queries import q_customer_rfm  # noqa: F401
+
+    # drive the stage logic through a hand corpus via the same kernel
+    import trustfuse_ray.pipelines.queries as Q
+    day = 86_400_000_000
+    mx = 10_000 * day
+    rows = []          # (cust, ts, price)
+    rows += [(1, mx - i * 30 * day, 10.0) for i in range(9)]   # champion
+    rows += [(2, mx - 100 * day, 5.0)]                          # active
+    rows += [(3, mx - (366 + i) * day, 1.0) for i in range(8)]  # lapsing
+    rows += [(4, mx - 400 * day, 2.505)]                        # dormant
+    tbl = pa.table({
+        "o_custkey": pa.array([c for c, _, _ in rows], pa.int64()),
+        "o_orderdate": pa.array([t for _, t, _ in rows],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([p for _, _, p in rows], pa.float64()),
+    })
+    orig = Q._tbl
+    try:
+        Q._tbl = lambda sf, name: rd.from_arrow(tbl).repartition(2)
+        out = q_customer_rfm("unused").to_pandas().set_index("custkey")
+    finally:
+        Q._tbl = orig
+    assert out.loc[1, "segment"] == "champion"
+    assert out.loc[2, "segment"] == "active"
+    assert out.loc[3, "segment"] == "lapsing_loyal"
+    assert out.loc[4, "segment"] == "dormant"
+    assert out.loc[2, "recency_days"] == 100
+    assert out.loc[1, "n_orders"] == 9
+    # 2.505 * 100 rounds half-away to 251 cents
+    assert out.loc[4, "monetary_cents"] == 251

@@ -1092,6 +1092,64 @@ def q_source_dup_matrix(sf_dir: str):
     return source_dup_matrix(_tbl(sf_dir, "documents"))
 
 
+def q_customer_rfm(sf_dir: str):
+    """RFM segmentation: per customer, recency (days since last order vs
+    the corpus max date), frequency (orders) and monetary (exact cents),
+    plus a deterministic CASE segment — all integer-exact.  One per-cust
+    partial pass; the corpus max date is a scalar reduce of the same
+    partials."""
+    import pyarrow.compute as pc
+
+    orders = _tbl(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+        v = np.asarray(batch["o_totalprice"], dtype=np.float64) * 100.0
+        cents = np.where(v >= 0, np.floor(v + 0.5),
+                         -np.floor(-v + 0.5)).astype(np.int64)
+        t = pa.table({"custkey": batch["o_custkey"].cast(pa.int64()),
+                      "last_ts": ts,
+                      "n_orders": pa.array(
+                          np.ones(len(batch), np.int64)),
+                      "cents": pa.array(cents, pa.int64())})
+        return (pa.TableGroupBy(t, "custkey", use_threads=False)
+                .aggregate([("last_ts", "max"), ("n_orders", "sum"),
+                            ("cents", "sum")])
+                .rename_columns(["custkey", "last_ts", "n_orders",
+                                 "cents"]))
+
+    part = orders.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    from ray.data.aggregate import Max, Sum
+    agg = (part.groupby("custkey")
+           .aggregate(Max("last_ts"), Sum("n_orders"), Sum("cents"))
+           .rename_columns({"max(last_ts)": "last_ts",
+                            "sum(n_orders)": "n_orders",
+                            "sum(cents)": "cents"}).materialize())
+    gmax = int(agg.max("last_ts"))
+    day_us = 86_400_000_000
+
+    def _seg(batch: pa.Table) -> pa.Table:
+        rec = (gmax - np.asarray(batch["last_ts"],
+                                 dtype=np.int64)) // day_us
+        n = np.asarray(batch["n_orders"], dtype=np.int64)
+        seg = np.where(
+            (rec <= 365) & (n >= 8), "champion",
+            np.where(rec <= 365, "active",
+                     np.where(n >= 8, "lapsing_loyal", "dormant")))
+        return pa.table({
+            "custkey": batch["custkey"],
+            "recency_days": pa.array(rec, pa.int64()),
+            "n_orders": batch["n_orders"],
+            "monetary_cents": batch["cents"],
+            "segment": pa.array(seg, pa.string()),
+        })
+
+    return agg.map_batches(_seg, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -3387,6 +3445,7 @@ def _all_queries():
         "doc_continuations": q_doc_continuations,
         "lang_fertility": q_lang_fertility,
         "source_dup_matrix": q_source_dup_matrix,
+        "customer_rfm": q_customer_rfm,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -6638,6 +6697,25 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY label
        FROM al)
 SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
 FROM rk WHERE rn = 1""",
+        "customer_rfm": """
+WITH g AS (SELECT max(o_orderdate) AS mx FROM orders),
+c AS (SELECT o_custkey,
+             max(o_orderdate) AS last_o,
+             count(*) AS n_orders,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1)
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST((epoch_us(mx) - epoch_us(last_o)) // 86400000000 AS BIGINT)
+         AS recency_days,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(cents AS BIGINT) AS monetary_cents,
+       CASE WHEN (epoch_us(mx) - epoch_us(last_o)) // 86400000000 <= 365
+                 AND n_orders >= 8 THEN 'champion'
+            WHEN (epoch_us(mx) - epoch_us(last_o)) // 86400000000 <= 365
+                 THEN 'active'
+            WHEN n_orders >= 8 THEN 'lapsing_loyal'
+            ELSE 'dormant' END AS segment
+FROM c, g""",
         "source_dup_matrix": """
 WITH fs AS (
   SELECT DISTINCT md5(lower(trim(text))) AS fp, source FROM documents)
