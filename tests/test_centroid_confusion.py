@@ -314,3 +314,25 @@ def test_customer_rfm_segments(ray_session):
     assert out.loc[1, "n_orders"] == 9
     # 2.505 * 100 rounds half-away to 251 cents
     assert out.loc[4, "monetary_cents"] == 251
+
+
+def test_part_copurchase_planted(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.joins import part_copurchase
+
+    # orders: 1 -> {10,20,30}, 2 -> {10,20}, 3 -> {10,20} (dup rows),
+    # 4 -> {30}
+    rows = [(1, 10), (1, 20), (1, 30), (2, 10), (2, 20),
+            (3, 10), (3, 20), (3, 20), (4, 30)]
+    li = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+        "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+    })).repartition(3)
+    out = part_copurchase(li, min_support=2, n_parts=2).to_pandas()
+    got = {(r["part_a"], r["part_b"]): r["n"] for _, r in out.iterrows()}
+    # (10,20) in orders 1,2,3 = 3; (10,30)/(20,30) only order 1 -> cut
+    assert got == {(10, 20): 3}
+    all_pairs = part_copurchase(li, min_support=1, n_parts=2).to_pandas()
+    got1 = {(r["part_a"], r["part_b"]): r["n"]
+            for _, r in all_pairs.iterrows()}
+    assert got1 == {(10, 20): 3, (10, 30): 1, (20, 30): 1}

@@ -1150,6 +1150,14 @@ def q_customer_rfm(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_part_copurchase(sf_dir: str):
+    """Within-order part co-purchase pairs with support >= 2 (market
+    basket over lineitem)."""
+    from trustfuse_ray.stages.joins import part_copurchase
+
+    return part_copurchase(_tbl(sf_dir, "lineitem"), min_support=2)
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -3446,6 +3454,7 @@ def _all_queries():
         "lang_fertility": q_lang_fertility,
         "source_dup_matrix": q_source_dup_matrix,
         "customer_rfm": q_customer_rfm,
+        "part_copurchase": q_part_copurchase,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -6697,6 +6706,14 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY label
        FROM al)
 SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
 FROM rk WHERE rn = 1""",
+        "part_copurchase": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT CAST(a.l_partkey AS BIGINT) AS part_a,
+       CAST(b.l_partkey AS BIGINT) AS part_b,
+       CAST(count(*) AS BIGINT) AS n
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2""",
         "customer_rfm": """
 WITH g AS (SELECT max(o_orderdate) AS mx FROM orders),
 c AS (SELECT o_custkey,
