@@ -336,3 +336,21 @@ def test_part_copurchase_planted(ray_session):
     got1 = {(r["part_a"], r["part_b"]): r["n"]
             for _, r in all_pairs.iterrows()}
     assert got1 == {(10, 20): 3, (10, 30): 1, (20, 30): 1}
+
+
+def test_part_rules_confidence(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.joins import part_rules
+
+    # part 10 in 4 orders, part 20 in 3, together in 3
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20),
+            (4, 10)]
+    li = rd.from_arrow(pa.table({
+        "l_orderkey": pa.array([o for o, _ in rows], pa.int64()),
+        "l_partkey": pa.array([p for _, p in rows], pa.int64()),
+    })).repartition(2)
+    out = part_rules(li, min_support=2, n_parts=2).to_pandas()
+    got = {(r["antecedent"], r["consequent"]):
+           (r["n_both"], r["n_ant"], r["confidence_permille"])
+           for _, r in out.iterrows()}
+    assert got == {(10, 20): (3, 4, 750), (20, 10): (3, 3, 1000)}

@@ -1158,6 +1158,14 @@ def q_part_copurchase(sf_dir: str):
     return part_copurchase(_tbl(sf_dir, "lineitem"), min_support=2)
 
 
+def q_part_rules(sf_dir: str):
+    """Directed association rules (support >= 2 pairs, confidence as
+    exact integer permille) over lineitem co-purchases."""
+    from trustfuse_ray.stages.joins import part_rules
+
+    return part_rules(_tbl(sf_dir, "lineitem"), min_support=2)
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -3455,6 +3463,7 @@ def _all_queries():
         "source_dup_matrix": q_source_dup_matrix,
         "customer_rfm": q_customer_rfm,
         "part_copurchase": q_part_copurchase,
+        "part_rules": q_part_rules,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -6706,6 +6715,22 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY label
        FROM al)
 SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
 FROM rk WHERE rn = 1""",
+        "part_rules": """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+p AS (SELECT a.l_partkey AS pa_, b.l_partkey AS pb, count(*) AS n
+      FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2),
+r AS (SELECT pa_ AS ant, pb AS cons, n FROM p
+      UNION ALL SELECT pb, pa_, n FROM p),
+c AS (SELECT l_partkey AS ant, count(*) AS n_ant FROM d GROUP BY 1)
+SELECT CAST(r.ant AS BIGINT) AS antecedent,
+       CAST(r.cons AS BIGINT) AS consequent,
+       CAST(r.n AS BIGINT) AS n_both,
+       CAST(c.n_ant AS BIGINT) AS n_ant,
+       CAST(r.n * 1000 // greatest(c.n_ant, 1) AS BIGINT)
+         AS confidence_permille
+FROM r JOIN c ON c.ant = r.ant""",
         "part_copurchase": """
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 SELECT CAST(a.l_partkey AS BIGINT) AS part_a,

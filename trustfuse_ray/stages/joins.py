@@ -549,3 +549,108 @@ def part_copurchase(lineitem, min_support: int = 2,
     agg = (pairs.groupby(["part_a", "part_b"]).sum("n")
            .rename_columns({"sum(n)": "n"}))
     return agg.filter(expr=f"n >= {min_support}")
+
+
+def part_rules(lineitem, min_support: int = 2,
+               order_col: str = "l_orderkey",
+               part_col_: str = "l_partkey", n_parts: int = 32):
+    """Directed association rules from the co-purchase table:
+    ``antecedent → consequent`` with exact integer support counts and
+    confidence as a permille (``1000·n_both // n_antecedent``).  Rules
+    are emitted in BOTH directions for each surviving pair (support
+    filter applies to the pair).
+
+    Scale shape: reuses :func:`part_copurchase`'s one order-keyed
+    exchange; the per-part order counts are a second tiny reduce, and
+    the confidence join co-partitions the two small tables on the
+    antecedent part id — items, not orders, bound every exchange."""
+    import functools
+
+    from trustfuse_ray.stages.common import _add_part, plasma_exchange
+
+    pairs = part_copurchase(lineitem, min_support=min_support,
+                            order_col=order_col, part_col_=part_col_,
+                            n_parts=n_parts)
+
+    def _project(batch: pa.Table) -> pa.Table:
+        return pa.table({"okey": batch[order_col].cast(pa.int64()),
+                         "pkey": batch[part_col_].cast(pa.int64())})
+
+    counts = (lineitem.select_columns([order_col, part_col_])
+              .map_batches(_project, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["okey", "pkey"]).count()
+              .drop_columns(["count()"])
+              .groupby("pkey").count()
+              .rename_columns({"count()": "n_ant"}))
+
+    rule_in = pa.schema([("ant", pa.int64()), ("cons", pa.int64()),
+                         ("n_both", pa.int64()), ("n_ant", pa.int64()),
+                         ("side", pa.int8()), ("__part", pa.int32())])
+
+    def _both_dirs(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["part_a"], dtype=np.int64)
+        b = np.asarray(batch["part_b"], dtype=np.int64)
+        n = np.asarray(batch["n"], dtype=np.int64)
+        m = len(a)
+        return pa.table({
+            "ant": pa.array(np.concatenate([a, b]), pa.int64()),
+            "cons": pa.array(np.concatenate([b, a]), pa.int64()),
+            "n_both": pa.array(np.concatenate([n, n]), pa.int64()),
+            "n_ant": pa.array(np.zeros(2 * m, np.int64)),
+            "side": pa.array(np.zeros(2 * m, np.int8)),
+        })
+
+    def _count_rows(batch: pa.Table) -> pa.Table:
+        k = len(batch)
+        return pa.table({
+            "ant": batch["pkey"].cast(pa.int64()),
+            "cons": pa.array(np.zeros(k, np.int64)),
+            "n_both": pa.array(np.zeros(k, np.int64)),
+            "n_ant": batch["n_ant"].cast(pa.int64()),
+            "side": pa.array(np.ones(k, np.int8)),
+        })
+
+    keyed_rules = pairs.map_batches(
+        _both_dirs, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(functools.partial(_add_part, keys=["ant"],
+                                    n_parts=n_parts),
+                  batch_format="pyarrow", zero_copy_batch=True)
+    keyed_counts = counts.map_batches(
+        _count_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(functools.partial(_add_part, keys=["ant"],
+                                    n_parts=n_parts),
+                  batch_format="pyarrow", zero_copy_batch=True)
+
+    def _join(tbl: pa.Table) -> pa.Table:
+        empty = pa.schema([
+            ("antecedent", pa.int64()), ("consequent", pa.int64()),
+            ("n_both", pa.int64()), ("n_ant", pa.int64()),
+            ("confidence_permille", pa.int64())]).empty_table()
+        if len(tbl) == 0:
+            return empty
+        side = np.asarray(tbl["side"], dtype=np.int8)
+        ant = np.asarray(tbl["ant"], dtype=np.int64)
+        cmask = side == 1
+        lut = dict(zip(ant[cmask].tolist(),
+                       np.asarray(tbl["n_ant"],
+                                  dtype=np.int64)[cmask].tolist()))
+        rmask = side == 0
+        if not rmask.any():
+            return empty
+        r_ant = ant[rmask]
+        n_ant = np.array([lut.get(int(x), 0) for x in r_ant], np.int64)
+        n_both = np.asarray(tbl["n_both"], dtype=np.int64)[rmask]
+        return pa.table({
+            "antecedent": pa.array(r_ant, pa.int64()),
+            "consequent": pa.array(
+                np.asarray(tbl["cons"], dtype=np.int64)[rmask],
+                pa.int64()),
+            "n_both": pa.array(n_both, pa.int64()),
+            "n_ant": pa.array(n_ant, pa.int64()),
+            "confidence_permille": pa.array(
+                n_both * 1000 // np.maximum(n_ant, 1), pa.int64()),
+        })
+
+    return plasma_exchange([keyed_rules, keyed_counts], _join, n_parts,
+                           part_col="__part", empty_schema=rule_in)
