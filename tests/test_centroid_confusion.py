@@ -354,3 +354,21 @@ def test_part_rules_confidence(ray_session):
            (r["n_both"], r["n_ant"], r["confidence_permille"])
            for _, r in out.iterrows()}
     assert got == {(10, 20): (3, 4, 750), (20, 10): (3, 3, 1000)}
+
+
+def test_policy_flag_rates_planted(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.text import policy_flag_rates
+
+    texts = ["an ATTACK happened", "counterattack story",  # \b blocks #2
+             "weapon, cached", "clean doc", "Fraud!", "benign"]
+    srcs = ["a", "a", "a", "b", "b", "b"]
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "source": pa.array(srcs, pa.string()),
+        "text": pa.array(texts, pa.string())})).repartition(2)
+    out = policy_flag_rates(docs).to_pandas().set_index("source")
+    assert out.loc["a", "n_flagged"] == 2      # ATTACK + weapon
+    assert out.loc["a", "flag_permille"] == 666
+    assert out.loc["b", "n_flagged"] == 1      # Fraud!
+    assert out.loc["b", "flag_permille"] == 333

@@ -1166,6 +1166,14 @@ def q_part_rules(sf_dir: str):
     return part_rules(_tbl(sf_dir, "lineitem"), min_support=2)
 
 
+def q_policy_flag_rates(sf_dir: str):
+    """Per-source content-policy flag rates (marker-term RE2 scan,
+    exact integer permille)."""
+    from trustfuse_ray.stages.text import policy_flag_rates
+
+    return policy_flag_rates(_tbl(sf_dir, "documents"))
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -3464,6 +3472,7 @@ def _all_queries():
         "customer_rfm": q_customer_rfm,
         "part_copurchase": q_part_copurchase,
         "part_rules": q_part_rules,
+        "policy_flag_rates": q_policy_flag_rates,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -6715,6 +6724,18 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY label
        FROM al)
 SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
 FROM rk WHERE rn = 1""",
+        "policy_flag_rates": r"""
+WITH t AS (
+  SELECT source,
+         CASE WHEN regexp_matches(coalesce(text, ''),
+                '\b(attack|exploit|weapon|fraud)\b', 'i')
+              THEN 1 ELSE 0 END AS flagged
+  FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(flagged) AS BIGINT) AS n_flagged,
+       CAST(sum(flagged) * 1000 // greatest(count(*), 1) AS BIGINT)
+         AS flag_permille
+FROM t GROUP BY 1""",
         "part_rules": """
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 p AS (SELECT a.l_partkey AS pa_, b.l_partkey AS pb, count(*) AS n

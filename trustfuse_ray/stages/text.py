@@ -544,3 +544,53 @@ def source_dup_matrix(docs, text_col: str = "text",
     # still carries the schema through to the driver
     return hash_group_apply(pairs, ["source_a", "source_b"], _sum,
                             n_parts=4, plasma_schema=pair_schema)
+
+
+#: fixed marker list for the policy-flag audit (swap for a real lexicon)
+_POLICY_MARKERS = ("attack", "exploit", "weapon", "fraud")
+
+
+def policy_flag_rates(docs, markers: tuple = _POLICY_MARKERS,
+                      text_col: str = "text", source_col: str = "source"):
+    """Safety-filter audit: per source, how many documents contain any
+    of a fixed marker-term list (word-boundary, case-insensitive) and
+    the flag rate as an exact integer permille — the pre-filter report a
+    content-policy pass produces before dropping documents.  A real
+    lexicon or classifier drops in by swapping ``markers``.
+
+    Scale shape: ONE vectorized RE2 scan per batch (single alternation,
+    compiled by Arrow), per-source map-side partials, and a
+    source-bounded groupby."""
+    rx = r"(?i)\b(" + "|".join(markers) + r")\b"
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pc.coalesce(batch[text_col].cast(pa.string()), "")
+        hit = pc.match_substring_regex(t, rx)
+        tbl = pa.table({
+            "source": batch[source_col].cast(pa.string()),
+            "n_docs": pa.array(np.ones(len(t), np.int64)),
+            "n_flagged": pa.array(
+                hit.to_numpy(zero_copy_only=False).astype(np.int64)),
+        })
+        return (pa.TableGroupBy(tbl, "source", use_threads=False)
+                .aggregate([("n_docs", "sum"), ("n_flagged", "sum")])
+                .rename_columns(["source", "n_docs", "n_flagged"]))
+
+    agg = (docs.select_columns([source_col, text_col])
+           .map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("source").sum(["n_docs", "n_flagged"]))
+
+    def _rate(batch: pa.Table) -> pa.Table:
+        nd = np.asarray(batch["sum(n_docs)"], dtype=np.int64)
+        nf = np.asarray(batch["sum(n_flagged)"], dtype=np.int64)
+        return pa.table({
+            "source": batch["source"],
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_flagged": pa.array(nf, pa.int64()),
+            "flag_permille": pa.array(nf * 1000 // np.maximum(nd, 1),
+                                      pa.int64()),
+        })
+
+    return agg.map_batches(_rate, batch_format="pyarrow",
+                           zero_copy_batch=True)
