@@ -372,3 +372,21 @@ def test_policy_flag_rates_planted(ray_session):
     assert out.loc["a", "flag_permille"] == 666
     assert out.loc["b", "n_flagged"] == 1      # Fraud!
     assert out.loc["b", "flag_permille"] == 333
+
+
+def test_k_anonymity_audit(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.profile import k_anonymity_audit
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(7), pa.int64()),
+        "lang": pa.array(["en"] * 6 + ["fr"], pa.string()),
+        "source": pa.array(["s"] * 7, pa.string()),
+        "n_chars": pa.array([50, 90, 120, 130, 140, 150, 10], pa.int64()),
+    })).repartition(2)
+    out = k_anonymity_audit(docs, k=3).to_pandas()
+    got = {(r["lang"], r["source"], r["len_bucket"]):
+           (r["group_n"], r["at_risk"]) for _, r in out.iterrows()}
+    assert got == {("en", "s", 0): (2, True),
+                   ("en", "s", 1): (4, False),
+                   ("fr", "s", 0): (1, True)}

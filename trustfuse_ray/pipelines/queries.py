@@ -1174,6 +1174,14 @@ def q_policy_flag_rates(sf_dir: str):
     return policy_flag_rates(_tbl(sf_dir, "documents"))
 
 
+def q_k_anonymity_audit(sf_dir: str):
+    """k-anonymity audit over (lang, source, n_chars//100) quasi-
+    identifier groups (k=5)."""
+    from trustfuse_ray.stages.profile import k_anonymity_audit
+
+    return k_anonymity_audit(_tbl(sf_dir, "documents"), k=5)
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -3473,6 +3481,7 @@ def _all_queries():
         "part_copurchase": q_part_copurchase,
         "part_rules": q_part_rules,
         "policy_flag_rates": q_policy_flag_rates,
+        "k_anonymity_audit": q_k_anonymity_audit,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -6724,6 +6733,12 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY label
        FROM al)
 SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
 FROM rk WHERE rn = 1""",
+        "k_anonymity_audit": """
+SELECT lang, source,
+       CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS group_n,
+       count(*) < 5 AS at_risk
+FROM documents GROUP BY 1, 2, 3""",
         "policy_flag_rates": r"""
 WITH t AS (
   SELECT source,

@@ -1576,3 +1576,41 @@ def lang_distribution(docs, text_col: str = "text"):
         .groupby("lang").sum(["n_docs", "n_words"])
         .rename_columns({"sum(n_docs)": "n_docs",
                          "sum(n_words)": "n_words"}))
+
+
+def k_anonymity_audit(docs, k: int = 5, cols: tuple = ("lang", "source"),
+                      len_col: str = "n_chars", len_bucket: int = 100):
+    """Privacy audit over quasi-identifiers: group documents by the
+    quasi-identifier tuple (the categorical ``cols`` plus the length
+    bucket ``n_chars // len_bucket``) and report each group's size and
+    whether it violates k-anonymity (``group_n < k``) — the re-identification
+    risk report a release pipeline runs before publishing metadata.
+
+    Scale shape: map-side pre-counted quasi-tuples per block, then one
+    groupby bounded by the quasi-identifier cardinality — document text
+    never enters the pipeline."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        data = {c: batch[c].cast(pa.string()) for c in cols}
+        data["len_bucket"] = pa.array(
+            np.asarray(batch[len_col], dtype=np.int64) // len_bucket,
+            pa.int64())
+        data["n"] = pa.array(np.ones(len(batch), np.int64))
+        tbl = pa.table(data)
+        keys = list(cols) + ["len_bucket"]
+        return (pa.TableGroupBy(tbl, keys, use_threads=False)
+                .aggregate([("n", "sum")])
+                .rename_columns(keys + ["n"]))
+
+    keys = list(cols) + ["len_bucket"]
+    agg = (docs.select_columns(list(cols) + [len_col])
+           .map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(keys).sum("n").rename_columns({"sum(n)": "group_n"}))
+
+    def _risk(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["group_n"], dtype=np.int64)
+        return batch.append_column(
+            "at_risk", pa.array(n < k))
+
+    return agg.map_batches(_risk, batch_format="pyarrow",
+                           zero_copy_batch=True)
