@@ -390,3 +390,16 @@ def test_k_anonymity_audit(ray_session):
     assert got == {("en", "s", 0): (2, True),
                    ("en", "s", 1): (4, False),
                    ("fr", "s", 0): (1, True)}
+
+
+def test_fk_violation_counting(ray_session):
+    import ray.data as rd
+    from trustfuse_ray.stages.joins import semi_join
+
+    child = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 3, 9], pa.int64())})).repartition(2)
+    parent = rd.from_arrow(pa.table({
+        "p": pa.array([1, 2, 3], pa.int64())}))
+    orphans = semi_join(child, parent, "k", "p", payload_cols=[],
+                        anti=True)
+    assert orphans.count() == 1          # only key 9 is orphaned

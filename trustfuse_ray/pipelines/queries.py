@@ -1182,6 +1182,37 @@ def q_k_anonymity_audit(sf_dir: str):
     return k_anonymity_audit(_tbl(sf_dir, "documents"), k=5)
 
 
+def q_fk_violations(sf_dir: str):
+    """Referential-integrity audit: orphan counts for the four core
+    TPC-H foreign keys (child rows whose key is absent from the parent),
+    via the distributed anti join — one row per FK edge."""
+    import ray.data as rd
+
+    from trustfuse_ray.stages.joins import semi_join
+
+    pairs = [
+        ("lineitem->orders", _tbl(sf_dir, "lineitem"), "l_orderkey",
+         _tbl(sf_dir, "orders"), "o_orderkey"),
+        ("lineitem->part", _tbl(sf_dir, "lineitem"), "l_partkey",
+         _tbl(sf_dir, "part"), "p_partkey"),
+        ("orders->customer", _tbl(sf_dir, "orders"), "o_custkey",
+         _tbl(sf_dir, "customer"), "c_custkey"),
+        ("customer->nation", _tbl(sf_dir, "customer"), "c_nationkey",
+         _tbl(sf_dir, "nation"), "n_nationkey"),
+    ]
+    rows = []
+    for fk, child, ck, parent, pk in pairs:
+        orphans = semi_join(child.select_columns([ck]), parent, ck, pk,
+                            payload_cols=[], anti=True)
+        rows.append({"fk": fk, "n_child": child.count(),
+                     "n_orphans": orphans.count()})
+    return pa.table({
+        "fk": pa.array([r["fk"] for r in rows], pa.string()),
+        "n_child": pa.array([r["n_child"] for r in rows], pa.int64()),
+        "n_orphans": pa.array([r["n_orphans"] for r in rows], pa.int64()),
+    })
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -3482,6 +3513,7 @@ def _all_queries():
         "part_rules": q_part_rules,
         "policy_flag_rates": q_policy_flag_rates,
         "k_anonymity_audit": q_k_anonymity_audit,
+        "fk_violations": q_fk_violations,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -6733,6 +6765,34 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY label
        FROM al)
 SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
 FROM rk WHERE rn = 1""",
+        "fk_violations": """
+SELECT 'lineitem->orders' AS fk,
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+            AS BIGINT) AS n_orphans
+UNION ALL
+SELECT 'lineitem->part',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM part p
+                               WHERE p.p_partkey = l.l_partkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'orders->customer',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey))
+            AS BIGINT)
+UNION ALL
+SELECT 'customer->nation',
+       CAST((SELECT count(*) FROM customer) AS BIGINT),
+       CAST((SELECT count(*) FROM customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nation n
+                               WHERE n.n_nationkey = c.c_nationkey))
+            AS BIGINT)""",
         "k_anonymity_audit": """
 SELECT lang, source,
        CAST(n_chars // 100 AS BIGINT) AS len_bucket,
