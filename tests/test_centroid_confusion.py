@@ -403,3 +403,21 @@ def test_fk_violation_counting(ray_session):
     orphans = semi_join(child, parent, "k", "p", payload_cols=[],
                         anti=True)
     assert orphans.count() == 1          # only key 9 is orphaned
+
+
+def test_events_csv_gz_roundtrip(ray_session):
+    import ray.data as rd
+    from trustfuse_ray import synth
+
+    d = synth.generate_events_csv_gz("/root/testdata/sf0.001")
+    ds = rd.read_csv(d, arrow_open_stream_args={"compression": "gzip"},
+                     file_extensions=["gz"])
+    import pyarrow.parquet as pq
+    ref = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    assert ds.count() == ref.num_rows
+    # values round-trip exactly through repr() -> csv -> arrow double
+    got = sorted(ds.select_columns(["event_id", "value"]).take_all(),
+                 key=lambda r: r["event_id"])
+    want = sorted(ref.select(["event_id", "value"]).to_pylist(),
+                  key=lambda r: r["event_id"])
+    assert all(g["value"] == w["value"] for g, w in zip(got, want))

@@ -1213,6 +1213,57 @@ def q_fk_violations(sf_dir: str):
     })
 
 
+def q_events_csv_gz_profile(sf_dir: str):
+    """Gzip-CSV ingest surface: distributed compressed-text read of the
+    events dump, then a per-type profile (count, distinct users, exact
+    value cents) — proving the compressed-shard ingestion path end to
+    end.  The cents quantization (half-away) keeps the sum oracle-exact."""
+    import ray.data as rd
+
+    d = synth.generate_events_csv_gz(sf_dir)
+    ds = rd.read_csv(d, arrow_open_stream_args={"compression": "gzip"},
+                     file_extensions=["gz"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"], dtype=np.float64) * 100.0
+        cents = np.where(v >= 0, np.floor(v + 0.5),
+                         -np.floor(-v + 0.5)).astype(np.int64)
+        t = pa.table({
+            "event_type": batch["event_type"].cast(pa.string()),
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "n": pa.array(np.ones(len(batch), np.int64)),
+            "cents": pa.array(cents, pa.int64()),
+        })
+        return (pa.TableGroupBy(t, ["event_type", "user_id"],
+                                use_threads=False)
+                .aggregate([("n", "sum"), ("cents", "sum")])
+                .rename_columns(["event_type", "user_id", "n", "cents"]))
+
+    part = ds.select_columns(["event_type", "user_id", "value"])         .map_batches(_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)         .groupby(["event_type", "user_id"]).sum(["n", "cents"])
+
+    def _final(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "users": pa.array(np.ones(len(batch), np.int64)),
+            "n": batch["sum(n)"].cast(pa.int64()),
+            "cents": batch["sum(cents)"].cast(pa.int64()),
+        })
+        return (pa.TableGroupBy(t, "event_type", use_threads=False)
+                .aggregate([("users", "sum"), ("n", "sum"),
+                            ("cents", "sum")])
+                .rename_columns(["event_type", "n_users", "n_events",
+                                 "value_cents"]))
+
+    return (part.map_batches(_final, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("event_type").sum(["n_users", "n_events",
+                                        "value_cents"])
+            .rename_columns({"sum(n_users)": "n_users",
+                             "sum(n_events)": "n_events",
+                             "sum(value_cents)": "value_cents"}))
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -3514,6 +3565,7 @@ def _all_queries():
         "policy_flag_rates": q_policy_flag_rates,
         "k_anonymity_audit": q_k_anonymity_audit,
         "fk_violations": q_fk_violations,
+        "events_csv_gz_profile": q_events_csv_gz_profile,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -6765,6 +6817,15 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY label
        FROM al)
 SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
 FROM rk WHERE rn = 1""",
+        "events_csv_gz_profile": f"""
+WITH e AS (SELECT * FROM read_csv(
+    '{synth.generate_events_csv_gz(sf_dir)}/*.csv.gz', header=true))
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM e GROUP BY 1""",
         "fk_violations": """
 SELECT 'lineitem->orders' AS fk,
        CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_child,

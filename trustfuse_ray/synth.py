@@ -478,3 +478,39 @@ def generate_claims_tsv(sf_dir: str,
             fh.write("\n".join(lines) + "\n")
     Path(marker).write_text(stamp)
     return d
+
+
+def generate_events_csv_gz(sf_dir: str,
+                           root: str = "/tmp/trustfuse_ray_data") -> str:
+    """Materialize the events table as gzip-compressed CSV shards — the
+    compressed-text dump format web-scale ingestion commonly starts
+    from.  Deterministic byte-for-byte (sorted by event_id, ISO
+    timestamps, fixed header), 4 shards by ``event_id % 4`` so the read
+    parallelizes."""
+    import csv
+    import gzip
+
+    out = cache_dir(sf_dir, root)
+    d = os.path.join(out, "events_csv_gz")
+    marker = os.path.join(out, "_EVENTS_CSV_SUCCESS")
+    stamp = "v1 " + sf_name(sf_dir)
+    if os.path.exists(marker) and Path(marker).read_text() == stamp:
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    rows = sorted(t.to_pylist(), key=lambda r: r["event_id"])
+    shards = [[] for _ in range(4)]
+    for r in rows:
+        shards[r["event_id"] % 4].append(r)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, shard in enumerate(shards):
+        path = os.path.join(d, f"events-{i:02d}.csv.gz")
+        with gzip.open(path, "wt", newline="") as fh:
+            w = csv.writer(fh)
+            w.writerow(cols)
+            for r in shard:
+                w.writerow([r["event_id"], r["ts"].isoformat(sep=" "),
+                            r["user_id"], r["event_type"],
+                            repr(r["value"]), r["props"]])
+    Path(marker).write_text(stamp)
+    return d
