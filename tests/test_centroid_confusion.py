@@ -421,3 +421,20 @@ def test_events_csv_gz_roundtrip(ray_session):
     want = sorted(ref.select(["event_id", "value"]).to_pylist(),
                   key=lambda r: r["event_id"])
     assert all(g["value"] == w["value"] for g, w in zip(got, want))
+
+
+def test_events_orc_roundtrip(ray_session):
+    import pyarrow.parquet as pq
+    from pyarrow import orc
+
+    from trustfuse_ray import synth
+
+    d = synth.generate_events_orc("/root/testdata/sf0.001")
+    import glob
+    tables = [orc.read_table(p) for p in sorted(glob.glob(d + "/*.orc"))]
+    got = pa.concat_tables(tables)
+    ref = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    assert got.num_rows == ref.num_rows
+    g = sorted(got.column("event_id").to_pylist())
+    r = sorted(ref.column("event_id").to_pylist())
+    assert g == r

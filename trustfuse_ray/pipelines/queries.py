@@ -1264,6 +1264,52 @@ def q_events_csv_gz_profile(sf_dir: str):
                              "sum(value_cents)": "value_cents"}))
 
 
+def q_events_orc_profile(sf_dir: str):
+    """Custom-datasource ingest: Ray Data has no ORC reader, so the ORC
+    shards stream through read_binary_files and decode per block with
+    pyarrow.orc (one vectorized decode per file — the standard pattern
+    for any format Ray lacks).  Profile: per event_type, count plus
+    exact min/max value cents."""
+    import ray.data as rd
+
+    d = synth.generate_events_orc(sf_dir)
+    raw = rd.read_binary_files(d, file_extensions=["orc"])
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        from pyarrow import orc as _orc
+
+        outs = []
+        for buf in batch["bytes"]:
+            t = _orc.read_table(pa.BufferReader(buf.as_py()),
+                                columns=["event_type", "value"])
+            v = np.asarray(t["value"], dtype=np.float64) * 100.0
+            cents = np.where(v >= 0, np.floor(v + 0.5),
+                             -np.floor(-v + 0.5)).astype(np.int64)
+            g = pa.table({
+                "event_type": t["event_type"].combine_chunks()
+                if isinstance(t["event_type"], pa.ChunkedArray)
+                else t["event_type"],
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "min_cents": pa.array(cents, pa.int64()),
+                "max_cents": pa.array(cents, pa.int64()),
+            })
+            outs.append(
+                pa.TableGroupBy(g, "event_type", use_threads=False)
+                .aggregate([("n", "sum"), ("min_cents", "min"),
+                            ("max_cents", "max")])
+                .rename_columns(["event_type", "n", "min_cents",
+                                 "max_cents"]))
+        return pa.concat_tables(outs)
+
+    from ray.data.aggregate import Max, Min, Sum
+    return (raw.map_batches(_decode, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n"), Min("min_cents"), Max("max_cents"))
+            .rename_columns({"sum(n)": "n_events",
+                             "min(min_cents)": "min_cents",
+                             "max(max_cents)": "max_cents"}))
+
+
 def q_dedup_exact_synth(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     fps = text.doc_fingerprints(ray.data.read_parquet(path))
@@ -3566,6 +3612,7 @@ def _all_queries():
         "k_anonymity_audit": q_k_anonymity_audit,
         "fk_violations": q_fk_violations,
         "events_csv_gz_profile": q_events_csv_gz_profile,
+        "events_orc_profile": q_events_orc_profile,
         "entity_fuzzy_pairs": q_entity_fuzzy_pairs,
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
@@ -6817,6 +6864,13 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY label
        FROM al)
 SELECT label, doc_id, CAST(score AS BIGINT) AS score_fp
 FROM rk WHERE rn = 1""",
+        "events_orc_profile": """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM events GROUP BY 1""",
         "events_csv_gz_profile": f"""
 WITH e AS (SELECT * FROM read_csv(
     '{synth.generate_events_csv_gz(sf_dir)}/*.csv.gz', header=true))

@@ -514,3 +514,31 @@ def generate_events_csv_gz(sf_dir: str,
                             repr(r["value"]), r["props"]])
     Path(marker).write_text(stamp)
     return d
+
+
+def generate_events_orc(sf_dir: str,
+                        root: str = "/tmp/trustfuse_ray_data") -> str:
+    """Materialize the events table as ORC shards (4 files by
+    ``event_id % 4``, rows sorted by event_id) — a columnar format Ray
+    Data has no native reader for, exercising the custom-datasource
+    ingestion pattern (binary file → Arrow decode per block)."""
+    from pyarrow import orc as _orc
+
+    out = cache_dir(sf_dir, root)
+    d = os.path.join(out, "events_orc")
+    marker = os.path.join(out, "_EVENTS_ORC_SUCCESS")
+    stamp = "v1 " + sf_name(sf_dir)
+    if os.path.exists(marker) and Path(marker).read_text() == stamp:
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    import pyarrow.compute as _pc
+    order = _pc.sort_indices(t, sort_keys=[("event_id", "ascending")])
+    t = t.take(order)
+    part = _pc.bit_wise_and(t["event_id"], 3)
+    for i in range(4):
+        mask = _pc.equal(part, i)
+        _orc.write_table(t.filter(mask),
+                         os.path.join(d, f"events-{i:02d}.orc"))
+    Path(marker).write_text(stamp)
+    return d
