@@ -165,3 +165,18 @@ def test_user_gap_median_lower_orderstat(ray_session):
     assert out["user_id"].tolist() == [1, 2]
     assert out["n_gaps"].tolist() == [3, 4]
     assert out["med_gap_us"].tolist() == [20, 5]
+
+
+def test_closeness_rollup_matches_sequential(ray_session):
+    from trustfuse_ray.stages.graph import reachability
+
+    got = reachability(_edge_ds(EDGES), k=2, n_parts=3).to_pandas()
+    want = _seq_reach(EDGES, 2)
+    # rollup: per root, n reached + sum hops (what kg_closeness reports)
+    roll = {}
+    for (r, _n), h in want.items():
+        n, s = roll.get(r, (0, 0))
+        roll[r] = (n + 1, s + h)
+    g = got.groupby("root").agg(n=("node", "size"), s=("hops", "sum"))
+    assert {r: (int(row["n"]), int(row["s"]))
+            for r, row in g.iterrows()} == roll

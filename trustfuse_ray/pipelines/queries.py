@@ -3592,6 +3592,7 @@ def _all_queries():
         "kg_triangles": q_kg_triangles,
         "kg_reachability": q_kg_reachability,
         "kg_communities_lp": q_kg_communities_lp,
+        "kg_closeness": q_kg_closeness,
         "kg_entity_completeness": q_kg_entity_completeness,
         "kg_entity_type_profile": q_kg_entity_type_profile,
         "curriculum_schedule": q_curriculum_schedule,
@@ -4748,6 +4749,42 @@ def q_kg_communities_lp(sf_dir: str):
     from trustfuse_ray.stages.graph import label_propagation
 
     return label_propagation(_distinct_cooccurrence(sf_dir), rounds=3)
+
+
+def q_kg_closeness(sf_dir: str):
+    """k-bounded closeness centrality over the co-occurrence graph:
+    per root, nodes reached within 2 hops, total hop count, and mean
+    distance as exact permille — the rollup of the reachability
+    closure."""
+    from trustfuse_ray.stages.graph import reachability
+
+    closure = reachability(_distinct_cooccurrence(sf_dir), k=2)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"root": batch["root"],
+                      "n_reached": pa.array(
+                          np.ones(len(batch), np.int64)),
+                      "sum_hops": batch["hops"].cast(pa.int64())})
+        return (pa.TableGroupBy(t, "root", use_threads=False)
+                .aggregate([("n_reached", "sum"), ("sum_hops", "sum")])
+                .rename_columns(["root", "n_reached", "sum_hops"]))
+
+    agg = (closure.map_batches(_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+           .groupby("root").sum(["n_reached", "sum_hops"]))
+
+    def _mean(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["sum(n_reached)"], dtype=np.int64)
+        s = np.asarray(batch["sum(sum_hops)"], dtype=np.int64)
+        return pa.table({
+            "root": batch["root"],
+            "n_reached": pa.array(n, pa.int64()),
+            "sum_hops": pa.array(s, pa.int64()),
+            "mean_dist_permille": pa.array(s * 1000 // n, pa.int64()),
+        })
+
+    return agg.map_batches(_mean, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def q_kg_entity_completeness(sf_dir: str):
@@ -8641,6 +8678,37 @@ r2 AS (SELECT root, node, min(h) AS h FROM (
          SELECT root, node, h FROM r1
          UNION ALL SELECT root, node, h FROM c2) GROUP BY 1, 2)
 SELECT root, node, CAST(h AS BIGINT) AS hops FROM r2 WHERE h >= 1""",
+        "kg_closeness": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+grp AS (
+  SELECT attr, value_str FROM fused WHERE value_str IS NOT NULL
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 20
+),
+co AS (
+  SELECT DISTINCT f1.entity AS a, f2.entity AS b
+  FROM fused f1
+  JOIN fused f2 ON f1.attr = f2.attr AND f1.value_str = f2.value_str
+               AND f1.entity < f2.entity
+  JOIN grp g ON g.attr = f1.attr AND g.value_str = f1.value_str
+),
+sym AS (SELECT a AS u, b AS v FROM co UNION ALL SELECT b, a FROM co),
+n0 AS (SELECT DISTINCT u AS node FROM sym),
+c1 AS (SELECT r.node AS root, s.v AS node, 1 AS h
+       FROM n0 r JOIN sym s ON s.u = r.node),
+r1 AS (SELECT root, node, min(h) AS h FROM (
+         SELECT node AS root, node, 0 AS h FROM n0
+         UNION ALL SELECT root, node, h FROM c1) GROUP BY 1, 2),
+c2 AS (SELECT f.root, s.v AS node, 2 AS h
+       FROM (SELECT root, node FROM r1 WHERE h = 1) f
+       JOIN sym s ON s.u = f.node),
+r2 AS (SELECT root, node, min(h) AS h FROM (
+         SELECT root, node, h FROM r1
+         UNION ALL SELECT root, node, h FROM c2) GROUP BY 1, 2)
+SELECT root, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(h) AS BIGINT) AS sum_hops,
+       CAST(sum(h) * 1000 // count(*) AS BIGINT) AS mean_dist_permille
+FROM r2 WHERE h >= 1 GROUP BY 1""",
         "kg_communities_lp": f"""
 WITH {_claims_cte(cache)},
 {_PG_EDGES_CTE},
