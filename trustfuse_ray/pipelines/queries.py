@@ -3618,6 +3618,11 @@ def _all_queries():
         "kg_entity_resolution": q_kg_entity_resolution,
         "kg_alias_table": q_kg_alias_table,
         "token_chunks": q_token_chunks,
+        "spend_gini": q_spend_gini,
+        "benford_orders": q_benford_orders,
+        "l_diversity_audit": q_l_diversity_audit,
+        "kg_resource_allocation": q_kg_resource_allocation,
+        "events_feather_profile": q_events_feather_profile,
     }
 
 
@@ -8913,6 +8918,73 @@ SELECT doc_id, CAST(g.i AS BIGINT) AS win_idx,
          AS win_text
 FROM t, unnest(generate_series(
     0, (greatest(len(toks) - 64, 0) + 47) // 48)) g(i)""",
+        "spend_gini": """
+WITH s AS (SELECT o_custkey,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+c AS (SELECT c_custkey, n_name AS nation,
+             coalesce(s.cents, 0) AS cents
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+      LEFT JOIN s ON s.o_custkey = c_custkey),
+r AS (SELECT nation, c_custkey, cents,
+             row_number() OVER (PARTITION BY nation
+                                ORDER BY cents, c_custkey) AS rk,
+             count(*) OVER (PARTITION BY nation) AS n,
+             sum(cents) OVER (PARTITION BY nation) AS tot
+      FROM c)
+SELECT nation, CAST(max(n) AS BIGINT) AS n_members,
+       CAST(max(tot) AS BIGINT) AS total,
+       CAST(CASE WHEN max(tot) <= 0 THEN 0 ELSE
+            (2 * sum(rk * cents) - (max(n) + 1) * max(tot)) * 1000
+            // (max(n) * max(tot)) END AS BIGINT) AS gini_permille
+FROM r GROUP BY 1""",
+        "benford_orders": """
+WITH t AS (SELECT o_orderpriority AS grp,
+                  CAST(substr(CAST(abs(CAST(round(o_totalprice * 100)
+                       AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM orders),
+d AS (SELECT grp, digit, count(*) AS n FROM t WHERE digit > 0
+      GROUP BY 1, 2),
+tot AS (SELECT grp, sum(n) AS total FROM d GROUP BY 1),
+b(digit, bp) AS (VALUES (1, 301), (2, 176), (3, 124), (4, 96), (5, 79),
+                        (6, 66), (7, 57), (8, 51), (9, 45))
+SELECT d.grp, CAST(d.digit AS BIGINT) AS digit, CAST(d.n AS BIGINT) AS n,
+       CAST(d.n * 1000 // greatest(tot.total, 1) AS BIGINT)
+         AS obs_permille,
+       CAST(b.bp AS BIGINT) AS benford_permille,
+       CAST(abs(d.n * 1000 // greatest(tot.total, 1) - b.bp) AS BIGINT)
+         AS dev_permille
+FROM d JOIN tot USING (grp) JOIN b USING (digit)""",
+        "l_diversity_audit": """
+SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS group_n,
+       CAST(count(DISTINCT lang) AS BIGINT) AS l_distinct,
+       count(DISTINCT lang) < 2 AS at_risk
+FROM documents GROUP BY 1, 2""",
+        "kg_resource_allocation": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+b AS (
+  SELECT DISTINCT entity, attr || chr(31) || value_str AS val
+  FROM fused WHERE value_str IS NOT NULL
+),
+deg AS (SELECT val, count(*) AS d FROM b GROUP BY 1),
+cn AS (SELECT b1.entity AS x, b2.entity AS y, b1.val AS z
+       FROM b b1 JOIN b b2 ON b1.val = b2.val
+                          AND b1.entity < b2.entity
+       JOIN deg dz ON dz.val = b1.val AND dz.d BETWEEN 2 AND 20)
+SELECT x AS entity_a, y AS entity_b,
+       CAST(count(*) AS BIGINT) AS n_common,
+       CAST(sum(1000000 // dz2.d) AS BIGINT) AS ra_score
+FROM cn JOIN deg dz2 ON dz2.val = cn.z
+GROUP BY 1, 2""",
+        "events_feather_profile": """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events GROUP BY 1""",
     }
 
 
@@ -11439,3 +11511,210 @@ def q_claims_tsv_fuse_voting(sf_dir: str):
         })
 
     return triples.map_batches(_shape, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# round-5 wave 5: inequality/fraud/privacy audits, weighted link
+# prediction, Arrow-IPC ingest
+# ---------------------------------------------------------------------------
+
+
+def q_spend_gini(sf_dir: str):
+    """Per-nation Gini coefficient (exact permille) of per-customer
+    order spend — the inequality/concentration audit.  Customers with
+    no orders count as zero-spend members.  Sorted-rank identity in
+    int64 cents; nation dim (25 rows by spec) rides as a broadcast
+    lookup, spend aggregates before the one customer-side join."""
+    from trustfuse_ray.stages.profile import gini_by_group
+
+    orders = _tbl(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_totalprice"])
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["o_totalprice"], dtype=np.float64) * 100.0
+        cents = np.where(v >= 0, np.floor(v + 0.5),
+                         -np.floor(-v + 0.5)).astype(np.int64)
+        t = pa.table({"custkey": batch["o_custkey"].cast(pa.int64()),
+                      "cents": pa.array(cents, pa.int64())})
+        return (pa.TableGroupBy(t, "custkey", use_threads=False)
+                .aggregate([("cents", "sum")])
+                .rename_columns(["custkey", "cents"]))
+
+    spend = (orders.map_batches(_cents, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("custkey").sum("cents")
+             .rename_columns({"sum(cents)": "cents"}))
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    keys = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    names = np.empty(int(keys.max()) + 1, dtype=object)
+    names[keys] = nat["n_name"].to_pylist()
+
+    def _nat(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch["c_nationkey"], dtype=np.int64)
+        return pa.table({
+            "c_custkey": batch["c_custkey"].cast(pa.int64()),
+            "nation": pa.array(list(names[nk]), pa.string())})
+
+    cust = (_tbl(sf_dir, "customer")
+            .select_columns(["c_custkey", "c_nationkey"])
+            .map_batches(_nat, batch_format="pyarrow",
+                         zero_copy_batch=True))
+    joined = cust.join(spend, join_type="left_outer", num_partitions=8,
+                       on=("c_custkey",), right_on=("custkey",))
+
+    import pyarrow.compute as pc
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": batch["nation"],
+            "custkey": batch["c_custkey"].cast(pa.int64()),
+            "cents": pc.fill_null(batch["cents"], 0).cast(pa.int64())})
+
+    members = joined.map_batches(_fill, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return gini_by_group(members, "nation", "custkey", "cents")
+
+
+def q_benford_orders(sf_dir: str):
+    """First-significant-digit Benford screen over order totals per
+    order priority (exact permille vs the shared literal expectation
+    table)."""
+    from trustfuse_ray.stages.profile import benford_audit
+
+    return benford_audit(_tbl(sf_dir, "orders"))
+
+
+def q_l_diversity_audit(sf_dir: str):
+    """l-diversity privacy audit: distinct sensitive-attribute (lang)
+    count per (source, length-bucket) quasi-identifier group."""
+    from trustfuse_ray.stages.profile import l_diversity_audit
+
+    return l_diversity_audit(_tbl(sf_dir, "documents"), l=2)
+
+
+def q_kg_resource_allocation(sf_dir: str):
+    """Resource-Allocation weighted link prediction over the fused
+    entity–value BIPARTITE graph: entity pairs scored by Σ 1e6//deg(v)
+    over shared fused (attr, value) facts v — rare shared facts count
+    more than common ones (the weighted refinement of
+    kg_entity_cooccurrence; deg caps double as the stop-value block).
+    The unipartite co-occurrence graph is a union of per-value cliques
+    (every wedge closed), so the bipartite projection is where RA
+    actually ranks candidates."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.graph import resource_allocation
+
+    triples = q_fuse_voting_sqlable(sf_dir)
+
+    def _nonnull(batch: pa.Table) -> pa.Table:
+        return (batch.select(["entity", "attr", "value_str"])
+                .filter(pc.is_valid(batch["value_str"])))
+
+    b = (triples.map_batches(_nonnull, batch_format="pyarrow",
+                             zero_copy_batch=True)
+         .groupby(["entity", "attr", "value_str"]).count())
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        ent = pc.binary_join_element_wise(
+            pa.array(["e"] * len(batch)), batch["entity"], "\x1f")
+        val = pc.binary_join_element_wise(
+            pa.array(["v"] * len(batch)), batch["attr"],
+            batch["value_str"], "\x1f")
+        return pa.table({
+            "src": pa.concat_arrays([ent.combine_chunks()
+                                     if isinstance(ent, pa.ChunkedArray)
+                                     else ent,
+                                     val.combine_chunks()
+                                     if isinstance(val, pa.ChunkedArray)
+                                     else val]),
+            "dst": pa.concat_arrays([val.combine_chunks()
+                                     if isinstance(val, pa.ChunkedArray)
+                                     else val,
+                                     ent.combine_chunks()
+                                     if isinstance(ent, pa.ChunkedArray)
+                                     else ent]),
+        })
+
+    edges = b.map_batches(_edges, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    ra = resource_allocation(edges, min_common=1, hub_cap=20)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        keep = pc.starts_with(batch["a"], "e\x1f")
+        t = batch.filter(keep)
+        return pa.table({
+            "entity_a": pc.utf8_slice_codeunits(t["a"], 2, 2**30),
+            "entity_b": pc.utf8_slice_codeunits(t["b"], 2, 2**30),
+            "n_common": t["n_common"],
+            "ra_score": t["ra_score"],
+        })
+
+    return ra.map_batches(_shape, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_events_feather_profile(sf_dir: str):
+    """Custom-datasource ingest #3: Arrow IPC (Feather v2) shards
+    stream through read_binary_files and decode per block — same
+    pattern as ORC/gzip-CSV.  Profile: per event_type, distinct users,
+    row count, exact value cents."""
+    import ray.data as rd
+
+    d = synth.generate_events_feather(sf_dir)
+    raw = rd.read_binary_files(d, file_extensions=["feather"])
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        from pyarrow import feather as _feather
+
+        outs = []
+        for buf in batch["bytes"]:
+            t = _feather.read_table(
+                pa.BufferReader(buf.as_py()),
+                columns=["event_type", "user_id", "value"])
+            v = np.asarray(t["value"], dtype=np.float64) * 100.0
+            cents = np.where(v >= 0, np.floor(v + 0.5),
+                             -np.floor(-v + 0.5)).astype(np.int64)
+            g = pa.table({
+                "event_type": t["event_type"].combine_chunks()
+                if isinstance(t["event_type"], pa.ChunkedArray)
+                else t["event_type"],
+                "user_id": t["user_id"].combine_chunks()
+                if isinstance(t["user_id"], pa.ChunkedArray)
+                else t["user_id"],
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "cents": pa.array(cents, pa.int64()),
+            })
+            outs.append(
+                pa.TableGroupBy(g, ["event_type", "user_id"],
+                                use_threads=False)
+                .aggregate([("n", "sum"), ("cents", "sum")])
+                .rename_columns(["event_type", "user_id", "n",
+                                 "cents"]))
+        return pa.concat_tables(outs)
+
+    per_user = (raw.map_batches(_decode, batch_format="pyarrow")
+                .groupby(["event_type", "user_id"]).sum(["n", "cents"]))
+
+    def _final(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n_users": pa.array(np.ones(len(batch), np.int64)),
+            "n_events": batch["sum(n)"].cast(pa.int64()),
+            "value_cents": batch["sum(cents)"].cast(pa.int64()),
+        })
+        return (pa.TableGroupBy(t, "event_type", use_threads=False)
+                .aggregate([("n_users", "sum"), ("n_events", "sum"),
+                            ("value_cents", "sum")])
+                .rename_columns(["event_type", "n_users", "n_events",
+                                 "value_cents"]))
+
+    return (per_user.map_batches(_final, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("event_type").sum(["n_users", "n_events",
+                                        "value_cents"])
+            .rename_columns({"sum(n_users)": "n_users",
+                             "sum(n_events)": "n_events",
+                             "sum(value_cents)": "value_cents"}))

@@ -1568,3 +1568,88 @@ def label_propagation(edges, rounds: int = 3, src: str = "src",
             plasma_schema=pa.schema([("node", pa.string()),
                                      ("label", pa.string())])).materialize()
     return labels
+
+
+def resource_allocation(edges, min_common: int = 2, hub_cap: int = 64,
+                        src: str = "src", dst: str = "dst",
+                        n_parts: int = 32):
+    """Weighted link prediction: Resource-Allocation index (Zhou/Lü/Zhang
+    2009) over unordered non-adjacent node pairs — each common neighbour
+    z contributes 1/deg(z), so promiscuous connectors count less than
+    exclusive ones.  Exact fixed point: the contribution is the integer
+    ``1_000_000 // deg(z)``, identical in the SQL oracle.
+
+    Same two-exchange shape as :func:`link_candidates` (which this
+    refines): co-partition on the shared neighbour emits its
+    O(min(deg, cap)²) weighted pair partials; a second (a, b)
+    co-partition sums scores and anti-joins the tagged existing-edge
+    stream.  Nodes above ``hub_cap`` neighbours are skipped both as the
+    O(deg²) stop-cap and because their 1/deg weight is noise anyway.
+    Input must carry both directions of each undirected edge."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _node_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch[src].cast(pa.string()),
+                         "other": batch[dst].cast(pa.string())})
+
+    part_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                             ("n", pa.int64()), ("ra", pa.int64()),
+                             ("side", pa.int8())])
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        nbrs = sorted(set(group["other"].to_pylist()))
+        deg = len(nbrs)
+        if deg < 2 or deg > hub_cap:
+            return part_schema.empty_table()
+        w = 1_000_000 // deg
+        a, b = [], []
+        for i, x in enumerate(nbrs):
+            for y in nbrs[i + 1:]:
+                a.append(x)
+                b.append(y)
+        n = len(a)
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string()),
+                         "n": pa.array(np.ones(n, np.int64)),
+                         "ra": pa.array(np.full(n, w, np.int64)),
+                         "side": pa.array(np.zeros(n, np.int8))})
+
+    partials = hash_group_apply(
+        edges.map_batches(_node_rows, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["node"], _pairs, n_parts=n_parts, plasma_schema=part_schema)
+
+    def _edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch[src].cast(pa.string())
+        d = batch[dst].cast(pa.string())
+        n = len(batch)
+        z = pa.array(np.zeros(n, np.int64))
+        return pa.table({"a": pc.min_element_wise(s, d),
+                         "b": pc.max_element_wise(s, d),
+                         "n": z, "ra": z,
+                         "side": pa.array(np.ones(n, np.int8))})
+
+    tagged = partials.union(edges.map_batches(
+        _edge_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    out_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("n_common", pa.int64()),
+                            ("ra_score", pa.int64())])
+
+    def _reduce(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"], dtype=np.int8)
+        if (side == 1).any():  # already connected
+            return out_schema.empty_table()
+        n = np.asarray(group["n"], dtype=np.int64)
+        total = int(n.sum())
+        if total < min_common:
+            return out_schema.empty_table()
+        ra = int(np.asarray(group["ra"], dtype=np.int64).sum())
+        return pa.table({"a": group["a"][:1], "b": group["b"][:1],
+                         "n_common": pa.array([total], pa.int64()),
+                         "ra_score": pa.array([ra], pa.int64())})
+
+    return hash_group_apply(tagged, ["a", "b"], _reduce,
+                            n_parts=n_parts, plasma_schema=out_schema)

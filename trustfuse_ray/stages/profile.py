@@ -1614,3 +1614,166 @@ def k_anonymity_audit(docs, k: int = 5, cols: tuple = ("lang", "source"),
 
     return agg.map_batches(_risk, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def l_diversity_audit(docs, l: int = 2, qi_cols: tuple = ("source",),
+                      sensitive: str = "lang", len_col: str = "n_chars",
+                      len_bucket: int = 100):
+    """Privacy audit complementing :func:`k_anonymity_audit`: for each
+    quasi-identifier group (the categorical ``qi_cols`` plus the length
+    bucket) count DISTINCT values of the ``sensitive`` attribute — a
+    group where everyone shares one sensitive value leaks it even when
+    the group itself is large (l-diversity, Machanavajjhala et al.).
+
+    Scale shape: map-side pre-count of (QI, sensitive) tuples, one
+    groupby bounded by QI × sensitive cardinality, then an arrow-side
+    rollup to one row per QI group — no text, no row-level shuffle."""
+    keys = list(qi_cols) + ["len_bucket"]
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        data = {c: batch[c].cast(pa.string()) for c in qi_cols}
+        data["len_bucket"] = pa.array(
+            np.asarray(batch[len_col], dtype=np.int64) // len_bucket,
+            pa.int64())
+        data[sensitive] = batch[sensitive].cast(pa.string())
+        data["n"] = pa.array(np.ones(len(batch), np.int64))
+        tbl = pa.table(data)
+        return (pa.TableGroupBy(tbl, keys + [sensitive],
+                                use_threads=False)
+                .aggregate([("n", "sum")])
+                .rename_columns(keys + [sensitive, "n"]))
+
+    tuples = (docs.select_columns(list(qi_cols) + [len_col, sensitive])
+              .map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(keys + [sensitive]).sum("n"))
+
+    def _roll(batch: pa.Table) -> pa.Table:
+        t = pa.table({**{c: batch[c] for c in keys},
+                      "group_n": batch["sum(n)"].cast(pa.int64()),
+                      "l_distinct": pa.array(
+                          np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(t, keys, use_threads=False)
+                .aggregate([("group_n", "sum"), ("l_distinct", "sum")])
+                .rename_columns(keys + ["group_n", "l_distinct"]))
+
+    agg = (tuples.map_batches(_roll, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby(keys).sum(["group_n", "l_distinct"])
+           .rename_columns({"sum(group_n)": "group_n",
+                            "sum(l_distinct)": "l_distinct"}))
+
+    def _risk(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["l_distinct"], dtype=np.int64)
+        return batch.append_column("at_risk", pa.array(d < l))
+
+    return agg.map_batches(_risk, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+# observed Benford first-digit expectation, permille (floor(log10(1+1/d)
+# * 1000)) — shared literal constants with the SQL oracle so the
+# comparison is exact integer math on both sides
+BENFORD_PERMILLE = (301, 176, 124, 96, 79, 66, 57, 51, 45)
+
+
+def benford_audit(orders, amount_col: str = "o_totalprice",
+                  group_col: str = "o_orderpriority"):
+    """Fraud/quality screen: first-significant-digit distribution of a
+    monetary column per group vs the Benford expectation, as exact
+    permille integers.  Natural spending data tracks Benford closely;
+    synthetic or manipulated partitions drift.
+
+    Scale shape: digit extraction is one vectorized string slice per
+    block; the groupby is bounded by groups × 9 digits."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[amount_col], dtype=np.float64) * 100.0
+        cents = np.where(v >= 0, np.floor(v + 0.5),
+                         -np.floor(-v + 0.5)).astype(np.int64)
+        digit = pc.utf8_slice_codeunits(
+            pa.array(np.abs(cents).astype(str)), 0, 1)
+        t = pa.table({
+            "grp": batch[group_col].cast(pa.string()),
+            "digit": pc.cast(digit, pa.int64()),
+            "n": pa.array(np.ones(len(batch), np.int64)),
+        }).filter(pc.greater(pc.field("digit"), 0))
+        return (pa.TableGroupBy(t, ["grp", "digit"], use_threads=False)
+                .aggregate([("n", "sum")])
+                .rename_columns(["grp", "digit", "n"]))
+
+    agg = (orders.select_columns([group_col, amount_col])
+           .map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(["grp", "digit"]).sum("n")
+           .rename_columns({"sum(n)": "n"}))
+
+    def _tot(batch: pa.Table) -> pa.Table:
+        t = pa.table({"grp": batch["grp"],
+                      "total": batch["n"].cast(pa.int64())})
+        return (pa.TableGroupBy(t, "grp", use_threads=False)
+                .aggregate([("total", "sum")])
+                .rename_columns(["grp", "total"]))
+
+    totals = (agg.map_batches(_tot, batch_format="pyarrow",
+                              zero_copy_batch=True)
+              .groupby("grp").sum("total")
+              .rename_columns({"sum(total)": "total"}))
+    tot_map = {r["grp"]: r["total"] for r in totals.take_all()}
+
+    def _final(batch: pa.Table) -> pa.Table:
+        g = batch["grp"].to_pylist()
+        d = np.asarray(batch["digit"], dtype=np.int64)
+        n = np.asarray(batch["n"], dtype=np.int64)
+        tot = np.array([tot_map[x] for x in g], dtype=np.int64)
+        obs = n * 1000 // np.maximum(tot, 1)
+        exp = np.array(BENFORD_PERMILLE, dtype=np.int64)[d - 1]
+        return pa.table({
+            "grp": batch["grp"], "digit": batch["digit"],
+            "n": batch["n"],
+            "obs_permille": pa.array(obs, pa.int64()),
+            "benford_permille": pa.array(exp, pa.int64()),
+            "dev_permille": pa.array(np.abs(obs - exp), pa.int64()),
+        })
+
+    return agg.map_batches(_final, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def gini_by_group(ds, group_col: str, id_col: str, amount_col: str,
+                  n_parts: int = 32):
+    """Per-group Gini coefficient (exact permille) of an integer amount
+    per member — the inequality audit (spend concentration per nation,
+    token share per source, ...).  Uses the sorted-rank identity
+    G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) with a deterministic total
+    order (amount, then member id), all int64.
+
+    Scale shape: one hash co-partition on the group key; each group
+    sorts only its own members (numpy argsort) — no global sort, no
+    driver materialization."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    out_schema = pa.schema([(group_col, pa.string()),
+                            ("n_members", pa.int64()),
+                            ("total", pa.int64()),
+                            ("gini_permille", pa.int64())])
+
+    def _gini(group: pa.Table) -> pa.Table:
+        x = np.asarray(group[amount_col], dtype=np.int64)
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        order = np.lexsort((ids, x))
+        xs = x[order]
+        n = len(xs)
+        s = int(xs.sum())
+        if s <= 0:
+            g = 0
+        else:
+            i = np.arange(1, n + 1, dtype=np.int64)
+            num = 2 * int((i * xs).sum()) - (n + 1) * s
+            g = num * 1000 // (n * s)
+        return pa.table({group_col: group[group_col][:1],
+                         "n_members": pa.array([n], pa.int64()),
+                         "total": pa.array([s], pa.int64()),
+                         "gini_permille": pa.array([g], pa.int64())})
+
+    return hash_group_apply(ds, [group_col], _gini, n_parts=n_parts,
+                            plasma_schema=out_schema)

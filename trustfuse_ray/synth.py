@@ -542,3 +542,32 @@ def generate_events_orc(sf_dir: str,
                          os.path.join(d, f"events-{i:02d}.orc"))
     Path(marker).write_text(stamp)
     return d
+
+
+def generate_events_feather(sf_dir: str,
+                            root: str = "/tmp/trustfuse_ray_data") -> str:
+    """Materialize the events table as Arrow IPC (Feather v2) shards —
+    the zero-copy interchange format analytics tools hand off in; Ray
+    Data has no native reader, so ingestion goes through the same
+    custom-datasource pattern as ORC (binary file → per-block decode)."""
+    from pyarrow import feather as _feather
+
+    out = cache_dir(sf_dir, root)
+    d = os.path.join(out, "events_feather")
+    marker = os.path.join(out, "_EVENTS_FEATHER_SUCCESS")
+    stamp = "v1 " + sf_name(sf_dir)
+    if os.path.exists(marker) and Path(marker).read_text() == stamp:
+        return d
+    os.makedirs(d, exist_ok=True)
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    import pyarrow.compute as _pc
+    order = _pc.sort_indices(t, sort_keys=[("event_id", "ascending")])
+    t = t.take(order)
+    part = _pc.bit_wise_and(t["event_id"], 3)
+    for i in range(4):
+        mask = _pc.equal(part, i)
+        _feather.write_feather(
+            t.filter(mask), os.path.join(d, f"events-{i:02d}.feather"),
+            compression="zstd")
+    Path(marker).write_text(stamp)
+    return d
