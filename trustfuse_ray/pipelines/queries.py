@@ -3623,6 +3623,10 @@ def _all_queries():
         "l_diversity_audit": q_l_diversity_audit,
         "kg_resource_allocation": q_kg_resource_allocation,
         "events_feather_profile": q_events_feather_profile,
+        "retrieval_mrr": q_retrieval_mrr,
+        "rocchio_topk": q_rocchio_topk,
+        "kg_trust_decay": q_kg_trust_decay,
+        "kg_type_induction": q_kg_type_induction,
     }
 
 
@@ -8985,6 +8989,115 @@ SELECT event_type,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
          AS value_cents
 FROM events GROUP BY 1""",
+        "retrieval_mrr": """
+WITH e AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(CASE WHEN el >= 0 THEN floor(el * 1000000 + 0.5)
+                   ELSE -floor(-el * 1000000 + 0.5) END AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS el,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+rel AS (SELECT qv.vec_id AS query_id, d.vec_id, sum(qv.q * d.q) AS rel
+        FROM e qv JOIN e d USING (dim)
+        WHERE qv.vec_id < 5 AND d.vec_id <> qv.vec_id
+        GROUP BY 1, 2),
+r AS (SELECT query_id, vec_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, vec_id) AS rank
+      FROM rel),
+hit AS (SELECT r.query_id, min(r.rank) AS frr
+        FROM r
+        JOIN embeddings d ON d.vec_id = r.vec_id
+        JOIN embeddings q ON q.vec_id = r.query_id
+                         AND q.label = d.label
+        WHERE r.rank <= 10 GROUP BY 1)
+SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS q_label,
+       CAST(coalesce(frr, 0) AS BIGINT) AS first_rel_rank,
+       CAST(CASE WHEN frr IS NULL THEN 0
+                 ELSE 1000000 // frr END AS BIGINT) AS rr_fixed
+FROM embeddings q LEFT JOIN hit ON hit.query_id = q.vec_id
+WHERE q.vec_id < 5""",
+        "rocchio_topk": """
+WITH e AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(CASE WHEN el >= 0 THEN floor(el * 1000000 + 0.5)
+                   ELSE -floor(-el * 1000000 + 0.5) END AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS el,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+),
+rel1 AS (SELECT qv.vec_id AS query_id, d.vec_id, sum(qv.q * d.q) AS rel
+         FROM e qv JOIN e d USING (dim)
+         WHERE qv.vec_id < 5 AND d.vec_id <> qv.vec_id
+         GROUP BY 1, 2),
+fbv AS (SELECT query_id, vec_id FROM (
+          SELECT query_id, vec_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY rel DESC, vec_id) AS rn
+          FROM rel1) WHERE rn <= 3),
+fbsum AS (SELECT f.query_id, ef.dim, sum(ef.q) AS s
+          FROM fbv f JOIN e ef ON ef.vec_id = f.vec_id
+          GROUP BY 1, 2),
+q2 AS (SELECT qv.vec_id AS query_id, qv.dim,
+              qv.q + coalesce(fs.s, 0) AS q
+       FROM e qv LEFT JOIN fbsum fs ON fs.query_id = qv.vec_id
+                                   AND fs.dim = qv.dim
+       WHERE qv.vec_id < 5),
+rel2 AS (SELECT q2.query_id, d.vec_id, sum(q2.q * d.q) AS sc
+         FROM q2 JOIN e d ON d.dim = q2.dim
+         WHERE d.vec_id <> q2.query_id GROUP BY 1, 2)
+SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+       CAST(sc AS BIGINT) AS score_fx
+FROM (SELECT query_id, vec_id, sc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sc DESC, vec_id) AS rank
+      FROM rel2)
+WHERE rank <= 5""",
+        "kg_trust_decay": f"""
+WITH {_claims_cte(cache)},
+ref AS (SELECT max(epoch_us(ts)) // 86400000000 AS rd FROM claims),
+dd AS (
+  SELECT DISTINCT source, entity, attr, value_str,
+         epoch_us(ts) // 86400000000 AS day
+  FROM claims WHERE value_type <> 'quantity' AND value_str IS NOT NULL),
+votes AS (SELECT entity, attr, value_str,
+                 count(DISTINCT source) AS n
+          FROM dd GROUP BY 1, 2, 3),
+win AS (SELECT entity, attr, value_str FROM (
+          SELECT entity, attr, value_str,
+                 row_number() OVER (PARTITION BY entity, attr
+                                    ORDER BY n DESC, value_str) AS rn
+          FROM votes) WHERE rn = 1),
+w AS (SELECT dd.source, dd.entity, dd.attr, dd.value_str,
+             1000000 >> least(ref.rd - dd.day, 40) AS wt
+      FROM dd, ref),
+per AS (SELECT w.source, count(*) AS n_votes,
+               sum(wt) AS w_total,
+               sum(CASE WHEN win.value_str IS NOT NULL THEN wt
+                        ELSE 0 END) AS w_agree
+        FROM w LEFT JOIN win ON win.entity = w.entity
+                            AND win.attr = w.attr
+                            AND win.value_str = w.value_str
+        GROUP BY 1)
+SELECT source, CAST(n_votes AS BIGINT) AS n_votes,
+       CAST(w_total AS BIGINT) AS w_total,
+       CAST(w_agree AS BIGINT) AS w_agree,
+       CAST(w_agree * 1000 // greatest(w_total, 1) AS BIGINT)
+         AS trust_permille
+FROM per""",
+        "kg_type_induction": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+da AS (SELECT entity, attr FROM fused GROUP BY 1, 2),
+sig AS (SELECT entity,
+               string_agg(attr, ',' ORDER BY attr) AS type_sig,
+               count(*) AS n_attrs
+        FROM da GROUP BY 1)
+SELECT type_sig, CAST(max(n_attrs) AS BIGINT) AS n_attrs,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       min(entity) AS rep_entity
+FROM sig GROUP BY 1""",
     }
 
 
@@ -11718,3 +11831,48 @@ def q_events_feather_profile(sf_dir: str):
             .rename_columns({"sum(n_users)": "n_users",
                              "sum(n_events)": "n_events",
                              "sum(value_cents)": "value_cents"}))
+
+
+def q_retrieval_mrr(sf_dir: str):
+    """MRR@10 retrieval evaluation with same-label relevance: exact
+    int64 fixed-point ranking, reciprocal rank as 1e6//rank (0 = no
+    relevant doc in the top-10)."""
+    emb = _tbl(sf_dir, "embeddings")
+    queries = sorted(emb.filter(expr="vec_id < 5").take_all(),
+                     key=lambda r: r["vec_id"])
+    return ann.retrieval_mrr(emb, queries, k=10)
+
+
+def q_rocchio_topk(sf_dir: str):
+    """Pseudo-relevance-feedback retrieval: Rocchio-expanded queries
+    (α=β=1, integer vector sums over the top-3 feedback docs) re-rank
+    the corpus for an exact top-5."""
+    emb = _tbl(sf_dir, "embeddings")
+    queries = sorted(emb.filter(expr="vec_id < 5").take_all(),
+                     key=lambda r: r["vec_id"])
+    return ann.rocchio_topk(emb, queries, k=5, fb=3)
+
+
+def q_kg_trust_decay(sf_dir: str):
+    """Per-source exponentially-decayed trust (weight 1e6 >> age_days
+    vs the corpus's newest claim; majority agreement) — the audit that
+    catches decayed mirrors whose agreement is all stale."""
+    from datetime import datetime
+
+    from trustfuse_ray.reverse import source_trust_decay
+
+    claims = cached_claims(sf_dir)
+    mx = claims.max("ts")
+    delta = mx - datetime(1970, 1, 1)
+    ref_us = (delta.days * 86_400_000_000 + delta.seconds * 1_000_000
+              + delta.microseconds)
+    return source_trust_decay(claims, ref_day=ref_us // 86_400_000_000)
+
+
+def q_kg_type_induction(sf_dir: str):
+    """Ontology bootstrap: induced entity types = distinct-attribute-set
+    signatures over the fused graph, with member counts and the
+    smallest entity as class representative."""
+    from trustfuse_ray.reverse import type_induction
+
+    return type_induction(q_fuse_voting_sqlable(sf_dir))

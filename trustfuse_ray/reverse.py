@@ -1288,3 +1288,137 @@ def fused_lineage(claims, n_parts: int = 32):
                                 zero_copy_batch=True)
     return hash_group_apply(pruned, ["entity", "attr"], _lin,
                             n_parts=n_parts, plasma_schema=lin_schema)
+
+
+def source_trust_decay(claims, ref_day: int,
+                       day_us: int = 86_400_000_000, max_shift: int = 40,
+                       n_parts: int = 32):
+    """Per-source exponentially-decayed trust: each distinct categorical
+    assertion (source, entity, attr, value, day) carries integer weight
+    ``1_000_000 >> min(ref_day − day, max_shift)`` (half-life = one day
+    relative to the corpus's newest claim), and a source's trust is the
+    permille share of its decayed weight that lands on the fact's
+    majority value (distinct-source vote, tie → smallest value).  Stale
+    agreement stops propping up a source — the audit that catches
+    decayed mirrors.
+
+    Shape: map-side distinct bounds the exchange to assertion tuples;
+    winner + per-source weight partials compute inside ONE
+    (entity, attr) co-partition; the per-source rollup is a tiny second
+    groupby.  Integer arithmetic throughout — DuckDB replays it."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(batch["value_type"], "quantity"),
+                       pc.is_valid(batch["value_str"]))
+        t = batch.filter(keep)
+        day = pc.divide(t["ts"].cast(pa.int64()),
+                        pa.scalar(day_us, pa.int64()))
+        t = pa.table({"source": t["source"], "entity": t["entity"],
+                      "attr": t["attr"], "value_str": t["value_str"],
+                      "day": day})
+        return t.group_by(
+            ["source", "entity", "attr", "value_str", "day"]).aggregate([])
+
+    part_schema = pa.schema([("source", pa.string()), ("n", pa.int64()),
+                             ("w_total", pa.int64()),
+                             ("w_agree", pa.int64())])
+
+    def _fact(group: pa.Table) -> pa.Table:
+        rows = set(zip(group["source"].to_pylist(),
+                       group["value_str"].to_pylist(),
+                       np.asarray(group["day"], dtype=np.int64).tolist()))
+        voters: dict[str, set] = {}
+        for s, v, _ in rows:
+            voters.setdefault(v, set()).add(s)
+        win = sorted(voters.items(),
+                     key=lambda kv: (-len(kv[1]), kv[0]))[0][0]
+        per: dict[str, list] = {}
+        for s, v, d in rows:
+            w = 1_000_000 >> min(ref_day - d, max_shift)
+            acc = per.setdefault(s, [0, 0, 0])
+            acc[0] += 1
+            acc[1] += w
+            if v == win:
+                acc[2] += w
+        srcs = sorted(per)
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "n": pa.array([per[s][0] for s in srcs], pa.int64()),
+            "w_total": pa.array([per[s][1] for s in srcs], pa.int64()),
+            "w_agree": pa.array([per[s][2] for s in srcs], pa.int64())})
+
+    partials = hash_group_apply(
+        claims.map_batches(_distinct, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity", "attr"], _fact, n_parts=n_parts,
+        plasma_schema=part_schema)
+
+    agg = (partials.groupby("source").sum(["n", "w_total", "w_agree"])
+           .rename_columns({"sum(n)": "n_votes",
+                            "sum(w_total)": "w_total",
+                            "sum(w_agree)": "w_agree"}))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        wt = np.asarray(batch["w_total"], dtype=np.int64)
+        wa = np.asarray(batch["w_agree"], dtype=np.int64)
+        return batch.append_column(
+            "trust_permille",
+            pa.array(wa * 1000 // np.maximum(wt, 1), pa.int64()))
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def type_induction(fused, n_parts: int = 32):
+    """Schema/type induction over the fused graph: an entity's TYPE is
+    the signature of its distinct attribute set (sorted, comma-joined) —
+    entities described by the same predicates cluster into one induced
+    class, with the lexicographically smallest entity as representative.
+    The ontology-bootstrap step of KG construction.
+
+    Shape: distinct (entity, attr) → per-entity signature inside one
+    entity co-partition → signature-keyed rollup (bounded by the number
+    of distinct predicate sets)."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        return pa.table({"entity": batch["entity"],
+                         "attr": batch["attr"]}).group_by(
+            ["entity", "attr"]).aggregate([])
+
+    sig_schema = pa.schema([("type_sig", pa.string()),
+                            ("n_attrs", pa.int64()),
+                            ("entity", pa.string())])
+
+    def _sig(group: pa.Table) -> pa.Table:
+        attrs = sorted(set(group["attr"].to_pylist()))
+        return pa.table({
+            "type_sig": pa.array([",".join(attrs)], pa.string()),
+            "n_attrs": pa.array([len(attrs)], pa.int64()),
+            "entity": group["entity"][:1]})
+
+    sigs = hash_group_apply(
+        fused.map_batches(_distinct, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["entity"], _sig, n_parts=n_parts, plasma_schema=sig_schema)
+
+    out_schema = pa.schema([("type_sig", pa.string()),
+                            ("n_attrs", pa.int64()),
+                            ("n_entities", pa.int64()),
+                            ("rep_entity", pa.string())])
+
+    def _roll(group: pa.Table) -> pa.Table:
+        ents = group["entity"].to_pylist()
+        return pa.table({
+            "type_sig": group["type_sig"][:1],
+            "n_attrs": group["n_attrs"][:1],
+            "n_entities": pa.array([len(ents)], pa.int64()),
+            "rep_entity": pa.array([min(ents)], pa.string())})
+
+    return hash_group_apply(sigs, ["type_sig"], _roll, n_parts=n_parts,
+                            plasma_schema=out_schema)

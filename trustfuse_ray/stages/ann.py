@@ -959,3 +959,176 @@ def centroid_separation(emb, label_col: str = "label",
         "label_b": pa.array(labs[b_ix], pa.int64()),
         "dist2": pa.array(d2.astype(np.int64), pa.int64()),
     }))
+
+
+def retrieval_mrr(emb, queries, k: int = 10, vec_col: str = "embedding",
+                  scale: int = 1_000_000):
+    """Retrieval evaluation with planted relevance: rank the corpus per
+    query by exact int64 fixed-point inner product (self excluded, tie →
+    lowest vec_id) and report the rank of the first SAME-LABEL hit inside
+    the top-``k`` — MRR as the exact integer ``1e6 // rank`` (0 = miss).
+
+    Scale shape: one streaming corpus pass keeps a per-block top-k per
+    query; a tiny per-query merge finds the first relevant rank.  The
+    corpus never shuffles; per-query state is k rows."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
+    qmat = _quant_fx(np.stack([np.asarray(r[vec_col], np.float64)
+                               for r in queries]), scale)
+    qlab = {int(r["vec_id"]): int(r["label"]) for r in queries}
+    ref = ray.put((qids, qmat))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        d = _quant_fx(list_matrix(batch[vec_col]), scale)
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        labs = np.asarray(batch["label"], dtype=np.int64)
+        rel = d @ qm.T
+        out_q, out_v, out_r, out_l = [], [], [], []
+        for j in range(len(qi)):
+            keep = ids != qi[j]
+            bi, br, bl = ids[keep], rel[keep, j], labs[keep]
+            m = min(len(bi), k)
+            order = np.lexsort((bi, -br))[:m]
+            out_q.append(np.full(m, qi[j], np.int64))
+            out_v.append(bi[order])
+            out_r.append(br[order])
+            out_l.append(bl[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "rel": pa.array(np.concatenate(out_r), pa.int64()),
+            "label": pa.array(np.concatenate(out_l), pa.int64())})
+
+    partial = emb.select_columns(["vec_id", vec_col, "label"]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("q_label", pa.int64()),
+                            ("first_rel_rank", pa.int64()),
+                            ("rr_fixed", pa.int64())])
+
+    def _merge(group: pa.Table) -> pa.Table:
+        qid = int(group["query_id"][0].as_py())
+        order = pc.sort_indices(group, sort_keys=[("rel", "descending"),
+                                                  ("vec_id", "ascending")])
+        top = group.take(order[:k])
+        want = qlab[qid]
+        labs = np.asarray(top["label"], dtype=np.int64)
+        hits = np.nonzero(labs == want)[0]
+        rank = int(hits[0]) + 1 if len(hits) else 0
+        rr = 1_000_000 // rank if rank else 0
+        return pa.table({"query_id": pa.array([qid], pa.int64()),
+                         "q_label": pa.array([want], pa.int64()),
+                         "first_rel_rank": pa.array([rank], pa.int64()),
+                         "rr_fixed": pa.array([rr], pa.int64())})
+
+    return hash_group_apply(partial, ["query_id"], _merge, n_parts=8,
+                            plasma_schema=out_schema)
+
+
+def rocchio_topk(emb, queries, k: int = 5, fb: int = 3,
+                 vec_col: str = "embedding", scale: int = 1_000_000):
+    """Pseudo-relevance-feedback retrieval (Rocchio, α=β=1): round 1
+    takes the top-``fb`` docs per query by exact int64 inner product
+    (self excluded); the expanded query is the integer sum of the
+    original vector and the feedback vectors; round 2 re-ranks the
+    corpus against the expanded queries.  Tie → lowest vec_id, exact
+    fixed point end-to-end.
+
+    Scale shape: two streaming corpus passes against KB-scale broadcast
+    query matrices with per-block top-m partials — the corpus never
+    shuffles and the driver only ever holds fb × dim ints per query."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    qids = np.array([r["vec_id"] for r in queries], dtype=np.int64)
+    qmat = _quant_fx(np.stack([np.asarray(r[vec_col], np.float64)
+                               for r in queries]), scale)
+    ref = ray.put((qids, qmat))
+
+    def _partial1(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref)
+        d = _quant_fx(list_matrix(batch[vec_col]), scale)
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        rel = d @ qm.T
+        out_q, out_v, out_r, out_vecs = [], [], [], []
+        for j in range(len(qi)):
+            keep = ids != qi[j]
+            bi, br, bd = ids[keep], rel[keep, j], d[keep]
+            m = min(len(bi), fb)
+            order = np.lexsort((bi, -br))[:m]
+            out_q.append(np.full(m, qi[j], np.int64))
+            out_v.append(bi[order])
+            out_r.append(br[order])
+            out_vecs.append(bd[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "rel": pa.array(np.concatenate(out_r), pa.int64()),
+            "vec": pa.array(list(np.concatenate(out_vecs)),
+                            pa.list_(pa.int64()))})
+
+    p1 = emb.select_columns(["vec_id", vec_col]).map_batches(
+        _partial1, batch_format="pyarrow", zero_copy_batch=True)
+
+    fb_schema = pa.schema([("query_id", pa.int64()),
+                           ("vec_id", pa.int64()), ("rel", pa.int64()),
+                           ("vec", pa.list_(pa.int64()))])
+
+    def _fb_merge(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("rel", "descending"),
+                                                  ("vec_id", "ascending")])
+        return group.take(order[:fb])
+
+    fb_rows = hash_group_apply(p1, ["query_id"], _fb_merge, n_parts=8,
+                               plasma_schema=fb_schema).take_all()
+    q2 = {int(q): v.copy() for q, v in zip(qids, qmat)}
+    for r in fb_rows:
+        q2[int(r["query_id"])] += np.asarray(r["vec"], dtype=np.int64)
+    q2mat = np.stack([q2[int(q)] for q in qids])
+    ref2 = ray.put((qids, q2mat))
+
+    def _partial2(batch: pa.Table) -> pa.Table:
+        qi, qm = ray.get(ref2)
+        d = _quant_fx(list_matrix(batch[vec_col]), scale)
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        rel = d @ qm.T
+        out_q, out_v, out_r = [], [], []
+        for j in range(len(qi)):
+            keep = ids != qi[j]
+            bi, br = ids[keep], rel[keep, j]
+            m = min(len(bi), k)
+            order = np.lexsort((bi, -br))[:m]
+            out_q.append(np.full(m, qi[j], np.int64))
+            out_v.append(bi[order])
+            out_r.append(br[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "score_fx": pa.array(np.concatenate(out_r), pa.int64())})
+
+    p2 = emb.select_columns(["vec_id", vec_col]).map_batches(
+        _partial2, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema([("query_id", pa.int64()),
+                            ("vec_id", pa.int64()), ("rank", pa.int64()),
+                            ("score_fx", pa.int64())])
+
+    def _final(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group,
+                                sort_keys=[("score_fx", "descending"),
+                                           ("vec_id", "ascending")])
+        top = group.take(order[:k])
+        return pa.table({
+            "query_id": top["query_id"],
+            "vec_id": top["vec_id"],
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            "score_fx": top["score_fx"]})
+
+    return hash_group_apply(p2, ["query_id"], _final, n_parts=8,
+                            plasma_schema=out_schema)
