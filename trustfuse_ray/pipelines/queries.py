@@ -3627,6 +3627,9 @@ def _all_queries():
         "rocchio_topk": q_rocchio_topk,
         "kg_trust_decay": q_kg_trust_decay,
         "kg_type_induction": q_kg_type_induction,
+        "doc_keywords": q_doc_keywords,
+        "tool_scc": q_tool_scc,
+        "events_mad_outliers": q_events_mad_outliers,
     }
 
 
@@ -9098,6 +9101,91 @@ SELECT type_sig, CAST(max(n_attrs) AS BIGINT) AS n_attrs,
        CAST(count(*) AS BIGINT) AS n_entities,
        min(entity) AS rep_entity
 FROM sig GROUP BY 1""",
+        "doc_keywords": r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+           AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+ng AS (SELECT count(DISTINCT doc_id) AS ng FROM tf),
+s AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * CAST(round(ln(CAST(ng.ng AS DOUBLE) / df.df) * 1e9)
+                      AS BIGINT) AS score
+  FROM tf JOIN df USING (token) CROSS JOIN ng
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, token, tf, df, score FROM s
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, token) <= 3""",
+        "tool_scc": f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, tool
+  FROM read_parquet('{cache}/transcripts/*.parquet')
+  WHERE coalesce(tool, '') <> ''),
+p AS (
+  SELECT tool AS u,
+         lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS v
+  FROM t),
+ed AS (SELECT DISTINCT u, v FROM p
+       WHERE v IS NOT NULL AND u <> v),
+n0 AS (SELECT DISTINCT u AS node FROM ed),
+c1 AS (SELECT r.node AS root, e.v AS node, 1 AS h
+       FROM n0 r JOIN ed e ON e.u = r.node),
+r1 AS (SELECT root, node, min(h) AS h FROM (
+         SELECT node AS root, node, 0 AS h FROM n0
+         UNION ALL SELECT root, node, h FROM c1) GROUP BY 1, 2),
+c2 AS (SELECT f.root, e.v AS node, 2 AS h
+       FROM (SELECT root, node FROM r1 WHERE h = 1) f
+       JOIN ed e ON e.u = f.node),
+r2 AS (SELECT root, node, min(h) AS h FROM (
+         SELECT root, node, h FROM r1
+         UNION ALL SELECT root, node, h FROM c2) GROUP BY 1, 2),
+c3 AS (SELECT f.root, e.v AS node, 3 AS h
+       FROM (SELECT root, node FROM r2 WHERE h = 2) f
+       JOIN ed e ON e.u = f.node),
+r3 AS (SELECT root, node, min(h) AS h FROM (
+         SELECT root, node, h FROM r2
+         UNION ALL SELECT root, node, h FROM c3) GROUP BY 1, 2),
+cl AS (SELECT root, node, h FROM r3 WHERE h >= 1)
+SELECT f.root AS tool_a, f.node AS tool_b,
+       CAST(f.h AS BIGINT) AS hops_ab, CAST(b.h AS BIGINT) AS hops_ba
+FROM cl f JOIN cl b ON b.root = f.node AND b.node = f.root
+WHERE f.root < f.node""",
+        "events_mad_outliers": """
+WITH c AS (SELECT user_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+r1 AS (SELECT user_id, cents,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY cents) AS rn,
+              count(*) OVER (PARTITION BY user_id) AS n
+       FROM c),
+med AS (SELECT user_id, cents AS med, n FROM r1
+        WHERE rn = (n - 1) // 2 + 1),
+d AS (SELECT c.user_id, abs(c.cents - med.med) AS dev
+      FROM c JOIN med USING (user_id)),
+r2 AS (SELECT user_id, dev,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY dev) AS rn,
+              count(*) OVER (PARTITION BY user_id) AS n
+       FROM d),
+mad AS (SELECT user_id, dev AS mad FROM r2
+        WHERE rn = (n - 1) // 2 + 1),
+o AS (SELECT c.user_id,
+             sum(CASE WHEN abs(c.cents - med.med) > 3 * mad.mad
+                      THEN 1 ELSE 0 END) AS n_outliers
+      FROM c JOIN med USING (user_id) JOIN mad USING (user_id)
+      GROUP BY 1)
+SELECT CAST(med.user_id AS BIGINT) AS user_id,
+       CAST(med.n AS BIGINT) AS n_events,
+       CAST(med.med AS BIGINT) AS med_cents,
+       CAST(mad.mad AS BIGINT) AS mad_cents,
+       CAST(o.n_outliers AS BIGINT) AS n_outliers
+FROM med JOIN mad USING (user_id) JOIN o USING (user_id)""",
     }
 
 
@@ -11876,3 +11964,84 @@ def q_kg_type_induction(sf_dir: str):
     from trustfuse_ray.reverse import type_induction
 
     return type_induction(q_fuse_voting_sqlable(sf_dir))
+
+
+def q_doc_keywords(sf_dir: str):
+    """Per-document keyword extraction: top-3 whitespace tokens by exact
+    integer tf-idf (idf over the document universe) — the per-doc
+    refinement of tfidf_terms, same inverted-index exchange shape with
+    doc_id as the group key."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.profile import tfidf_top_terms
+
+    docs = _tbl(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def _key(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc": batch["doc_id"].cast(pa.string()),
+                         "text": batch["text"]})
+
+    kw = tfidf_top_terms(docs.map_batches(_key, batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                         group_col="doc", k=3)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch["doc"], pa.int64()),
+            "token": batch["token"], "tf": batch["tf"],
+            "df": batch["df"], "score": batch["score"]})
+
+    return kw.map_batches(_shape, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_tool_scc(sf_dir: str):
+    """Mutually-reachable tool pairs within 3 hops over the DIRECTED
+    tool-transition graph — the bounded-SCC audit of agent tool routing
+    (pairs the conversation flow can cycle between).  The directed
+    closure reuses the semi-naive reachability frontier; mutuality is
+    one (pair)-keyed hash join of the closure with its transpose."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.assemble import tool_transitions
+    from trustfuse_ray.stages.graph import reachability
+
+    data_dir = synth.generate(sf_dir)
+    tt = tool_transitions(read_transcripts(data_dir))
+
+    def _edges(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.not_equal(batch["tool_from"],
+                                      batch["tool_to"]))
+        return pa.table({"src": t["tool_from"], "dst": t["tool_to"]})
+
+    closure = reachability(
+        tt.map_batches(_edges, batch_format="pyarrow",
+                       zero_copy_batch=True), k=3)
+
+    fwd = closure.rename_columns({"root": "tool_a", "node": "tool_b",
+                                  "hops": "hops_ab"})
+    bwd = closure.map_batches(
+        lambda b: pa.table({"a2": b["node"], "b2": b["root"],
+                            "hops_ba": b["hops"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    mutual = fwd.join(bwd, join_type="inner", num_partitions=8,
+                      on=("tool_a", "tool_b"), right_on=("a2", "b2"))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        keep = pc.less(batch["tool_a"], batch["tool_b"])
+        t = batch.filter(keep)
+        return pa.table({"tool_a": t["tool_a"], "tool_b": t["tool_b"],
+                         "hops_ab": t["hops_ab"].cast(pa.int64()),
+                         "hops_ba": t["hops_ba"].cast(pa.int64())})
+
+    return mutual.map_batches(_shape, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def q_events_mad_outliers(sf_dir: str):
+    """Per-user robust anomaly profile: lower-median / lower-MAD of the
+    value stream in exact cents and the count of events beyond
+    3·MAD."""
+    from trustfuse_ray.stages.windows import user_mad_outliers
+
+    return user_mad_outliers(_tbl(sf_dir, "events"), k=3)

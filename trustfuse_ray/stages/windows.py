@@ -993,3 +993,50 @@ def user_gap_median(events, user_col: str = "user_id", ts_col: str = "ts",
         plasma_schema=pa.schema([(user_col, pa.int64()),
                                  ("n_gaps", pa.int64()),
                                  ("med_gap_us", pa.int64())]))
+
+
+def user_mad_outliers(events, user_col: str = "user_id",
+                      value_col: str = "value", k: int = 3,
+                      n_parts: int = 32):
+    """Robust per-user anomaly profile: lower-median and lower-MAD of
+    the user's value stream in exact int64 cents, plus how many of the
+    user's events sit more than ``k``·MAD from the median — the
+    outlier screen that, unlike z-scores, one whale event cannot
+    poison.
+
+    Shape: one (user) co-partition of (user, cents); both order
+    statistics and the outlier count compute in-group with one numpy
+    sort — no global sort, one row out per user."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _cents(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col], dtype=np.float64) * 100.0
+        cents = np.where(v >= 0, np.floor(v + 0.5),
+                         -np.floor(-v + 0.5)).astype(np.int64)
+        return pa.table({user_col: batch[user_col].cast(pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    out_schema = pa.schema([(user_col, pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("med_cents", pa.int64()),
+                            ("mad_cents", pa.int64()),
+                            ("n_outliers", pa.int64())])
+
+    def _stats(group: pa.Table) -> pa.Table:
+        x = np.sort(np.asarray(group["cents"], dtype=np.int64))
+        n = len(x)
+        med = int(x[(n - 1) // 2])
+        dev = np.sort(np.abs(x - med))
+        mad = int(dev[(n - 1) // 2])
+        n_out = int((np.abs(x - med) > k * mad).sum())
+        return pa.table({
+            user_col: group[user_col][:1],
+            "n_events": pa.array([n], pa.int64()),
+            "med_cents": pa.array([med], pa.int64()),
+            "mad_cents": pa.array([mad], pa.int64()),
+            "n_outliers": pa.array([n_out], pa.int64())})
+
+    return hash_group_apply(
+        events.select_columns([user_col, value_col]).map_batches(
+            _cents, batch_format="pyarrow", zero_copy_batch=True),
+        [user_col], _stats, n_parts=n_parts, plasma_schema=out_schema)
