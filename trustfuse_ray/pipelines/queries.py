@@ -3630,6 +3630,9 @@ def _all_queries():
         "doc_keywords": q_doc_keywords,
         "tool_scc": q_tool_scc,
         "events_mad_outliers": q_events_mad_outliers,
+        "events_attribution": q_events_attribution,
+        "kg_clustering_coeff": q_kg_clustering_coeff,
+        "kg_schema_drift": q_kg_schema_drift,
     }
 
 
@@ -9186,6 +9189,83 @@ SELECT CAST(med.user_id AS BIGINT) AS user_id,
        CAST(mad.mad AS BIGINT) AS mad_cents,
        CAST(o.n_outliers AS BIGINT) AS n_outliers
 FROM med JOIN mad USING (user_id) JOIN o USING (user_id)""",
+        "events_attribution": """
+WITH p AS (SELECT event_id AS pid, user_id, ts FROM events
+           WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS cid, user_id, ts FROM events
+      WHERE event_type = 'click'),
+j AS (SELECT p.pid, c.cid, c.ts
+      FROM p JOIN c ON c.user_id = p.user_id
+                   AND epoch_us(c.ts) <= epoch_us(p.ts)
+                   AND epoch_us(c.ts) >= epoch_us(p.ts) - 604800000000),
+r AS (SELECT pid, cid,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY ts, cid) AS rn,
+             row_number() OVER (PARTITION BY pid
+                                ORDER BY ts DESC, cid DESC) AS rd,
+             count(*) OVER (PARTITION BY pid) AS n
+      FROM j),
+f AS (SELECT pid, max(CASE WHEN rn = 1 THEN cid END) AS first_id,
+             max(CASE WHEN rd = 1 THEN cid END) AS last_id,
+             max(n) AS n
+      FROM r GROUP BY 1)
+SELECT CAST(p.pid AS BIGINT) AS purchase_id,
+       CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(coalesce(f.n, 0) AS BIGINT) AS n_touches,
+       CAST(coalesce(f.first_id, -1) AS BIGINT) AS first_touch_id,
+       CAST(coalesce(f.last_id, -1) AS BIGINT) AS last_touch_id
+FROM p LEFT JOIN f ON f.pid = p.pid""",
+        "kg_clustering_coeff": f"""
+WITH {_claims_cte(cache)},
+{_PG_EDGES_CTE},
+grp AS (
+  SELECT attr, value_str FROM fused WHERE value_str IS NOT NULL
+  GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 20
+),
+co AS (
+  SELECT DISTINCT f1.entity AS a, f2.entity AS b
+  FROM fused f1
+  JOIN fused f2 ON f1.attr = f2.attr AND f1.value_str = f2.value_str
+               AND f1.entity < f2.entity
+  JOIN grp g ON g.attr = f1.attr AND g.value_str = f1.value_str
+),
+sym AS (SELECT a AS u, b AS v FROM co UNION ALL SELECT b, a FROM co),
+deg AS (SELECT u AS node, count(DISTINCT v) AS d FROM sym GROUP BY 1),
+w AS (SELECT s1.v AS x, s2.v AS y, s1.u AS z
+      FROM sym s1 JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+      JOIN deg dz ON dz.node = s1.u AND dz.d BETWEEN 2 AND 64),
+cls AS (SELECT z, count(*) AS closed
+        FROM w JOIN co ON co.a = w.x AND co.b = w.y GROUP BY 1)
+SELECT deg.node AS node, CAST(deg.d AS BIGINT) AS deg,
+       CAST(coalesce(cls.closed, 0) AS BIGINT) AS closed_wedges,
+       CAST(2000 * coalesce(cls.closed, 0)
+            // (deg.d * (deg.d - 1)) AS BIGINT) AS coeff_permille
+FROM deg LEFT JOIN cls ON cls.z = deg.node
+WHERE deg.d BETWEEN 2 AND 64""",
+        "kg_schema_drift": f"""
+WITH {_claims_cte(cache)},
+rng AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+        FROM claims),
+t AS (SELECT attr, value_type,
+             CASE WHEN epoch_us(ts) > (rng.lo + rng.hi) // 2
+                  THEN 1 ELSE 0 END AS late
+      FROM claims, rng),
+g AS (SELECT attr, value_type,
+             sum(1 - late) AS n_early, sum(late) AS n_late
+      FROM t GROUP BY 1, 2),
+tot AS (SELECT attr, sum(n_early) AS te, sum(n_late) AS tl
+        FROM g GROUP BY 1)
+SELECT g.attr, g.value_type,
+       CAST(n_early AS BIGINT) AS n_early,
+       CAST(n_late AS BIGINT) AS n_late,
+       CAST(n_early * 1000 // greatest(te, 1) AS BIGINT)
+         AS share_early_permille,
+       CAST(n_late * 1000 // greatest(tl, 1) AS BIGINT)
+         AS share_late_permille,
+       CAST(abs(n_early * 1000 // greatest(te, 1)
+                - n_late * 1000 // greatest(tl, 1)) AS BIGINT)
+         AS drift_permille
+FROM g JOIN tot USING (attr)""",
     }
 
 
@@ -12045,3 +12125,99 @@ def q_events_mad_outliers(sf_dir: str):
     from trustfuse_ray.stages.windows import user_mad_outliers
 
     return user_mad_outliers(_tbl(sf_dir, "events"), k=3)
+
+
+def q_events_attribution(sf_dir: str):
+    """First/last-touch attribution: every purchase credits the first
+    and last click by the same user in a 7-day lookback (ties by
+    event_id; -1 = no touch)."""
+    from trustfuse_ray.stages.windows import purchase_attribution
+
+    return purchase_attribution(_tbl(sf_dir, "events"))
+
+
+def q_kg_clustering_coeff(sf_dir: str):
+    """Per-entity local clustering coefficient over the fused
+    co-occurrence graph (exact permille): clique members score 1000,
+    cluster-bridging entities lower — the neighbourhood-cohesion audit
+    complementing kg_kcore."""
+    from trustfuse_ray.stages.graph import clustering_coefficient
+
+    return clustering_coefficient(_distinct_cooccurrence(sf_dir),
+                                  hub_cap=64)
+
+
+def q_kg_schema_drift(sf_dir: str):
+    """Schema-drift audit: per (attr, value_type), claim counts and
+    permille shares in the early vs late half of the corpus (split at
+    the midpoint of the claim time range) — the alarm for a predicate
+    changing type under a live extraction pipeline."""
+    import pyarrow.compute as pc
+
+    from datetime import datetime
+
+    claims = cached_claims(sf_dir)
+
+    def _us(dt) -> int:
+        d = dt - datetime(1970, 1, 1)
+        return (d.days * 86_400_000_000 + d.seconds * 1_000_000
+                + d.microseconds)
+
+    lo, hi = _us(claims.min("ts")), _us(claims.max("ts"))
+    mid = (lo + hi) // 2
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        late = pc.greater(batch["ts"].cast(pa.int64()),
+                          pa.scalar(mid, pa.int64()))
+        t = pa.table({
+            "attr": batch["attr"],
+            "value_type": batch["value_type"],
+            "n_early": pc.cast(pc.invert(late), pa.int64()),
+            "n_late": pc.cast(late, pa.int64())})
+        return (pa.TableGroupBy(t, ["attr", "value_type"],
+                                use_threads=False)
+                .aggregate([("n_early", "sum"), ("n_late", "sum")])
+                .rename_columns(["attr", "value_type", "n_early",
+                                 "n_late"]))
+
+    agg = (claims.select_columns(["attr", "value_type", "ts"])
+           .map_batches(_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(["attr", "value_type"]).sum(["n_early", "n_late"])
+           .rename_columns({"sum(n_early)": "n_early",
+                            "sum(n_late)": "n_late"}))
+
+    def _tot(batch: pa.Table) -> pa.Table:
+        t = pa.table({"attr": batch["attr"],
+                      "t_early": batch["n_early"].cast(pa.int64()),
+                      "t_late": batch["n_late"].cast(pa.int64())})
+        return (pa.TableGroupBy(t, "attr", use_threads=False)
+                .aggregate([("t_early", "sum"), ("t_late", "sum")])
+                .rename_columns(["attr", "t_early", "t_late"]))
+
+    totals = (agg.map_batches(_tot, batch_format="pyarrow",
+                              zero_copy_batch=True)
+              .groupby("attr").sum(["t_early", "t_late"])
+              .rename_columns({"sum(t_early)": "t_early",
+                               "sum(t_late)": "t_late"}))
+    tmap = {r["attr"]: (r["t_early"], r["t_late"])
+            for r in totals.take_all()}
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        attrs = batch["attr"].to_pylist()
+        ne = np.asarray(batch["n_early"], dtype=np.int64)
+        nl = np.asarray(batch["n_late"], dtype=np.int64)
+        te = np.array([tmap[a][0] for a in attrs], dtype=np.int64)
+        tl = np.array([tmap[a][1] for a in attrs], dtype=np.int64)
+        se = ne * 1000 // np.maximum(te, 1)
+        sl = nl * 1000 // np.maximum(tl, 1)
+        return pa.table({
+            "attr": batch["attr"], "value_type": batch["value_type"],
+            "n_early": pa.array(ne, pa.int64()),
+            "n_late": pa.array(nl, pa.int64()),
+            "share_early_permille": pa.array(se, pa.int64()),
+            "share_late_permille": pa.array(sl, pa.int64()),
+            "drift_permille": pa.array(np.abs(se - sl), pa.int64())})
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -1653,3 +1653,128 @@ def resource_allocation(edges, min_common: int = 2, hub_cap: int = 64,
 
     return hash_group_apply(tagged, ["a", "b"], _reduce,
                             n_parts=n_parts, plasma_schema=out_schema)
+
+
+def clustering_coefficient(edges, hub_cap: int = 64,
+                           src: str = "src", dst: str = "dst",
+                           n_parts: int = 32):
+    """Per-node local clustering coefficient (exact permille): the share
+    of a node's neighbour pairs that are themselves connected —
+    coeff = 2·closed_wedges // (deg·(deg−1)).  The bridge-vs-clique
+    audit: pure-clique members score 1000, entities spanning clusters
+    score lower.  Nodes above ``hub_cap`` neighbours are skipped (the
+    O(deg²) wedge stop-cap, same rule as link_candidates; documented in
+    the SQL oracle).
+
+    Shape: wedge partials per center on a neighbour co-partition, closed
+    against the tagged canonical edge stream on the (a, b) pair key,
+    per-center closed counts re-keyed once, degree joined by one more
+    co-partition — all exchanges bounded by capped wedges + edges."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _node_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch[src].cast(pa.string()),
+                         "other": batch[dst].cast(pa.string())})
+
+    nodes = edges.map_batches(_node_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    wedge_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                              ("center", pa.string()),
+                              ("side", pa.int8())])
+
+    def _wedges(group: pa.Table) -> pa.Table:
+        nbrs = sorted(set(group["other"].to_pylist()))
+        deg = len(nbrs)
+        if deg < 2 or deg > hub_cap:
+            return wedge_schema.empty_table()
+        center = group["node"][0].as_py()
+        a, b = [], []
+        for i, x in enumerate(nbrs):
+            for y in nbrs[i + 1:]:
+                a.append(x)
+                b.append(y)
+        n = len(a)
+        return pa.table({"a": pa.array(a, pa.string()),
+                         "b": pa.array(b, pa.string()),
+                         "center": pa.array([center] * n, pa.string()),
+                         "side": pa.array(np.zeros(n, np.int8))})
+
+    wedges = hash_group_apply(nodes, ["node"], _wedges, n_parts=n_parts,
+                              plasma_schema=wedge_schema)
+
+    def _edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch[src].cast(pa.string())
+        d = batch[dst].cast(pa.string())
+        return pa.table({"a": pc.min_element_wise(s, d),
+                         "b": pc.max_element_wise(s, d),
+                         "center": pa.nulls(len(batch), pa.string()),
+                         "side": pa.array(np.ones(len(batch), np.int8))})
+
+    tagged = wedges.union(edges.map_batches(
+        _edge_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    closed_schema = pa.schema([("center", pa.string()),
+                               ("closed", pa.int64())])
+
+    def _close(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"], dtype=np.int8)
+        if not (side == 1).any():
+            return closed_schema.empty_table()
+        centers = [c for c, s in zip(group["center"].to_pylist(), side)
+                   if s == 0]
+        if not centers:
+            return closed_schema.empty_table()
+        return pa.table({"center": pa.array(centers, pa.string()),
+                         "closed": pa.array(
+                             np.ones(len(centers), np.int64))})
+
+    closed = hash_group_apply(tagged, ["a", "b"], _close,
+                              n_parts=n_parts,
+                              plasma_schema=closed_schema)
+
+    deg_schema = pa.schema([("center", pa.string()),
+                            ("deg", pa.int64()), ("closed", pa.int64())])
+
+    def _deg(group: pa.Table) -> pa.Table:
+        nbrs = set(group["other"].to_pylist())
+        deg = len(nbrs)
+        if deg < 2 or deg > hub_cap:
+            return deg_schema.empty_table()
+        return pa.table({"center": group["node"][:1],
+                         "deg": pa.array([deg], pa.int64()),
+                         "closed": pa.array([0], pa.int64())})
+
+    degs = hash_group_apply(nodes, ["node"], _deg, n_parts=n_parts,
+                            plasma_schema=deg_schema)
+
+    # join-free combine: deg rows carry closed=0, closed partials carry
+    # deg=0 — one groupby sums both sides (every closed center has a deg
+    # row because wedges only ever come from cap-passing centers)
+    def _closed_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"center": batch["center"],
+                         "deg": pa.array(
+                             np.zeros(len(batch), np.int64)),
+                         "closed": batch["closed"]})
+
+    both = degs.union(closed.map_batches(
+        _closed_rows, batch_format="pyarrow", zero_copy_batch=True))
+    agg = (both.groupby("center").sum(["deg", "closed"])
+           .rename_columns({"sum(deg)": "deg",
+                            "sum(closed)": "closed"}))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        deg = np.asarray(batch["deg"], dtype=np.int64)
+        cl = np.asarray(batch["closed"], dtype=np.int64)
+        keep = deg > 1
+        deg, cl = deg[keep], cl[keep]
+        coeff = 2000 * cl // (deg * (deg - 1))
+        return pa.table({"node": batch["center"].filter(pa.array(keep)),
+                         "deg": pa.array(deg, pa.int64()),
+                         "closed_wedges": pa.array(cl, pa.int64()),
+                         "coeff_permille": pa.array(coeff, pa.int64())})
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)

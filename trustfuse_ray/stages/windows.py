@@ -1040,3 +1040,73 @@ def user_mad_outliers(events, user_col: str = "user_id",
         events.select_columns([user_col, value_col]).map_batches(
             _cents, batch_format="pyarrow", zero_copy_batch=True),
         [user_col], _stats, n_parts=n_parts, plasma_schema=out_schema)
+
+
+def purchase_attribution(events, window_us: int = 7 * 86_400_000_000,
+                         conv_type: str = "purchase",
+                         touch_type: str = "click", n_parts: int = 32):
+    """First/last-touch attribution: for every conversion event, the
+    first and last touch event by the same user inside the lookback
+    window (ties on ts break by event_id) plus the touch count — the
+    credit-assignment join behind funnel ROI reports.
+
+    Shape: one user co-partition; in-group the touches sort once by
+    (ts, id) and every conversion finds its window with two
+    searchsorted probes — no per-(conversion, touch) blowup leaves the
+    group.  Conversions with no touch keep -1 sentinels."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array([conv_type, touch_type]))
+        t = batch.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "ts_us": t["ts"].cast(pa.int64()),
+            "is_conv": pc.equal(t["event_type"], conv_type)})
+
+    out_schema = pa.schema([("purchase_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("n_touches", pa.int64()),
+                            ("first_touch_id", pa.int64()),
+                            ("last_touch_id", pa.int64())])
+
+    def _attr(group: pa.Table) -> pa.Table:
+        conv = np.asarray(group["is_conv"], dtype=bool)
+        ids = np.asarray(group["event_id"], dtype=np.int64)
+        ts = np.asarray(group["ts_us"], dtype=np.int64)
+        if not conv.any():
+            return out_schema.empty_table()
+        cts, cid = ts[conv], ids[conv]
+        tts, tid = ts[~conv], ids[~conv]
+        order = np.lexsort((tid, tts))
+        tts, tid = tts[order], tid[order]
+        if len(tid):
+            lo = np.searchsorted(tts, cts - window_us, side="left")
+            hi = np.searchsorted(tts, cts, side="right")
+            n = (hi - lo).astype(np.int64)
+            has = n > 0
+            first = np.where(has, tid[np.minimum(lo, len(tid) - 1)], -1)
+            last = np.where(has, tid[np.maximum(hi - 1, 0)], -1)
+        else:
+            n = np.zeros(len(cid), np.int64)
+            first = np.full(len(cid), -1, np.int64)
+            last = np.full(len(cid), -1, np.int64)
+        corder = np.lexsort((cid,))
+        return pa.table({
+            "purchase_id": pa.array(cid[corder], pa.int64()),
+            "user_id": pa.array(
+                np.full(len(cid), int(group["user_id"][0].as_py()),
+                        np.int64)),
+            "n_touches": pa.array(n[corder], pa.int64()),
+            "first_touch_id": pa.array(first[corder], pa.int64()),
+            "last_touch_id": pa.array(last[corder], pa.int64())})
+
+    return hash_group_apply(
+        events.select_columns(["user_id", "event_id", "ts",
+                               "event_type"]).map_batches(
+            _slim, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], _attr, n_parts=n_parts, plasma_schema=out_schema)
