@@ -3633,6 +3633,10 @@ def _all_queries():
         "events_attribution": q_events_attribution,
         "kg_clustering_coeff": q_kg_clustering_coeff,
         "kg_schema_drift": q_kg_schema_drift,
+        "passage_topk": q_passage_topk,
+        "trending_tokens": q_trending_tokens,
+        "erasure_cascade": q_erasure_cascade,
+        "conv_extract_summary": q_conv_extract_summary,
     }
 
 
@@ -9266,6 +9270,76 @@ SELECT g.attr, g.value_type,
                 - n_late * 1000 // greatest(tl, 1)) AS BIGINT)
          AS drift_permille
 FROM g JOIN tot USING (attr)""",
+        "passage_topk": r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(coalesce(text, '')), '\s+') AS t
+  FROM documents),
+w AS (
+  SELECT doc_id, g.i AS win_idx,
+         len(list_filter(list_slice(t, g.i * 16 + 1, g.i * 16 + 32),
+             x -> x IN ('the', 'table', 'value'))) AS hits
+  FROM toks,
+       unnest(generate_series(0, (greatest(len(t) - 32, 0) + 15) // 16))
+         g(i)),
+best AS (
+  SELECT doc_id, win_idx, hits FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY hits DESC, win_idx) AS rn
+    FROM w) WHERE rn = 1 AND hits > 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(win_idx AS BIGINT) AS win_idx,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(row_number() OVER (ORDER BY hits DESC, doc_id) AS BIGINT)
+         AS rank
+FROM best ORDER BY hits DESC, doc_id LIMIT 10""",
+        "trending_tokens": f"""
+WITH toks AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+         unnest(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+           AS token
+  FROM read_parquet('{cache}/transcripts/*.parquet')),
+c AS (SELECT day, token, count(*) AS n FROM toks
+      WHERE token <> '' GROUP BY 1, 2)
+SELECT CAST(day AS BIGINT) AS day, token, CAST(n AS BIGINT) AS n
+FROM (SELECT *, row_number() OVER (PARTITION BY day
+                                   ORDER BY n DESC, token) AS rn
+      FROM c)
+WHERE rn <= 5""",
+        "erasure_cascade": """
+WITH dels AS (SELECT c_custkey FROM customer WHERE c_acctbal < -900.0),
+do_ AS (SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM dels)),
+dl AS (SELECT 1 FROM lineitem
+       WHERE l_orderkey IN (SELECT o_orderkey FROM do_))
+SELECT 'customer' AS tbl,
+       CAST((SELECT count(*) FROM customer) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM dels) AS BIGINT) AS n_cascade
+UNION ALL
+SELECT 'orders',
+       CAST((SELECT count(*) FROM orders) AS BIGINT),
+       CAST((SELECT count(*) FROM do_) AS BIGINT)
+UNION ALL
+SELECT 'lineitem',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT count(*) FROM dl) AS BIGINT)""",
+        "conv_extract_summary": f"""
+WITH a AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+              AS BIGINT) AS n_tokens
+  FROM read_parquet('{cache}/transcripts/*.parquet')
+  WHERE role = 'assistant'),
+s AS (SELECT conv_id, turn_idx, n_tokens,
+             n_tokens * 1000 - turn_idx AS salience
+      FROM a)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, n_tokens,
+       CAST(salience AS BIGINT) AS salience,
+       CAST(row_number() OVER (PARTITION BY conv_id
+                               ORDER BY salience DESC, turn_idx)
+            AS BIGINT) AS rank
+FROM s
+QUALIFY rank <= 2""",
     }
 
 
@@ -12221,3 +12295,97 @@ def q_kg_schema_drift(sf_dir: str):
 
     return agg.map_batches(_shape, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def q_passage_topk(sf_dir: str):
+    """Passage ranking: best 32-token window per document for the
+    standing query terms, global top-10 docs by window hit count."""
+    from trustfuse_ray.stages.profile import passage_best_windows
+
+    return passage_best_windows(_tbl(sf_dir, "documents"),
+                                terms=("the", "table", "value"),
+                                window=32, stride=16, k=10)
+
+
+def q_trending_tokens(sf_dir: str):
+    """Top-5 tokens per UTC day over the transcript stream (topic
+    monitoring rollup; bounded (day, token) exchange)."""
+    from trustfuse_ray.stages.profile import trending_tokens
+
+    data_dir = synth.generate(sf_dir)
+    return trending_tokens(read_transcripts(data_dir), k=5)
+
+
+def q_erasure_cascade(sf_dir: str):
+    """Right-to-be-forgotten cascade audit: for the deletion set
+    (customers with acctbal < -900), the per-table row counts a
+    cascading erasure would remove — customer directly, orders by
+    custkey semi-join, lineitem by the orders' keys (two-level
+    cascade, distributed semi-joins)."""
+    from trustfuse_ray.stages.joins import semi_join
+
+    cust = _tbl(sf_dir, "customer")
+    dels = cust.filter(expr="c_acctbal < -900.0")
+    orders = _tbl(sf_dir, "orders")
+    del_orders = semi_join(
+        orders.select_columns(["o_orderkey", "o_custkey"]), dels,
+        "o_custkey", "c_custkey", payload_cols=[])
+    li = _tbl(sf_dir, "lineitem")
+    del_li = semi_join(li.select_columns(["l_orderkey"]), del_orders,
+                       "l_orderkey", "o_orderkey", payload_cols=[])
+    rows = [("customer", cust.count(), dels.count()),
+            ("orders", orders.count(), del_orders.count()),
+            ("lineitem", li.count(), del_li.count())]
+    return pa.table({
+        "tbl": pa.array([r[0] for r in rows], pa.string()),
+        "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+        "n_cascade": pa.array([r[2] for r in rows], pa.int64())})
+
+
+def q_conv_extract_summary(sf_dir: str):
+    """Deterministic extractive conversation summary: the top-2
+    assistant turns per conversation by integer salience
+    (token_count·1000 − turn_idx: longest wins, earlier breaks
+    ties)."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    data_dir = synth.generate(sf_dir)
+    tr = read_transcripts(data_dir)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["role"], "assistant"))
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(t["text"], "")),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        ntok = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ti = np.asarray(t["turn_idx"], dtype=np.int64)
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": pa.array(ti, pa.int64()),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "salience": pa.array(ntok * 1000 - ti, pa.int64())})
+
+    scored = tr.select_columns(["conv_id", "turn_idx", "role", "text"])\
+        .map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+
+    out_schema = pa.schema([("conv_id", pa.string()),
+                            ("turn_idx", pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("salience", pa.int64()),
+                            ("rank", pa.int64())])
+
+    def _top2(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group,
+                                sort_keys=[("salience", "descending"),
+                                           ("turn_idx", "ascending")])
+        top = group.take(order[:2])
+        return top.append_column(
+            "rank", pa.array(np.arange(1, len(top) + 1, dtype=np.int64)))
+
+    return hash_group_apply(scored, ["conv_id"], _top2, n_parts=16,
+                            plasma_schema=out_schema)

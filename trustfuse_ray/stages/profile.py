@@ -1777,3 +1777,120 @@ def gini_by_group(ds, group_col: str, id_col: str, amount_col: str,
 
     return hash_group_apply(ds, [group_col], _gini, n_parts=n_parts,
                             plasma_schema=out_schema)
+
+
+def passage_best_windows(docs, terms: tuple, window: int = 32,
+                         stride: int = 16, k: int = 10,
+                         id_col: str = "doc_id", text_col: str = "text"):
+    """Passage ranking: per document, the best ``window``-token span
+    (stride ``stride``) by query-term hit count; globally the top-``k``
+    documents by (hits desc, doc_id) — the passage-selection step
+    between retrieval and reading.
+
+    Shape: one streaming pass — split, term-hit mask, cumulative-sum
+    window scores via run-index arithmetic (no per-doc Python), per-doc
+    argmax in-block; the global top-k is a sort+limit on the one-row-
+    per-matching-doc table."""
+    terms = list(terms)
+
+    def _best(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = toks.flatten()
+        hit = pc.is_in(flat, value_set=pa.array(terms)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cs = np.concatenate(([0], np.cumsum(hit)))
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        ends = starts + lens
+        nw = (np.maximum(lens - window, 0) + stride - 1) // stride + 1
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), nw)
+        woff = np.arange(int(nw.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(nw)))[:-1], nw)
+        ws = starts[doc_of] + woff * stride
+        we = np.minimum(ws + window, ends[doc_of])
+        hits = cs[we] - cs[ws]
+        # per-doc argmax by (hits desc, win_idx asc): windows are emitted
+        # in ascending win_idx per doc, so a stable max-scan suffices
+        order = np.lexsort((woff, -hits, doc_of))
+        head = np.ones(len(order), dtype=bool)
+        head[1:] = doc_of[order][1:] != doc_of[order][:-1]
+        sel = order[head]
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        keep = hits[sel] > 0
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of[sel][keep]], pa.int64()),
+            "win_idx": pa.array(woff[sel][keep], pa.int64()),
+            "hits": pa.array(hits[sel][keep], pa.int64())})
+
+    best = docs.select_columns([id_col, text_col]).map_batches(
+        _best, batch_format="pyarrow", zero_copy_batch=True)
+    top = best.sort(["hits", "doc_id"],
+                    descending=[True, False]).limit(k).take_all()
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in top], pa.int64()),
+        "win_idx": pa.array([r["win_idx"] for r in top], pa.int64()),
+        "hits": pa.array([r["hits"] for r in top], pa.int64()),
+        "rank": pa.array(range(1, len(top) + 1), pa.int64())})
+
+
+def trending_tokens(transcripts, k: int = 5,
+                    day_us: int = 86_400_000_000,
+                    text_col: str = "text", ts_col: str = "ts",
+                    n_parts: int = 16):
+    """Trending terms per day: top-``k`` whitespace tokens by count for
+    every UTC day of the transcript stream (empty tokens dropped,
+    ties → token asc) — the streaming-analytics rollup behind topic
+    monitoring.
+
+    Shape: per-block (day, token) bincount partials (dictionary-encode,
+    one row per distinct pair per block), one bounded exchange, per-day
+    top-k in a day co-partition."""
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        day = (batch[ts_col].cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // day_us)
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        drep = np.repeat(day, lens)
+        nv = len(enc.dictionary)
+        dmin = drep.min() if len(drep) else 0
+        key = (drep - dmin) * nv + code
+        key = key[keep]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "day": pa.array(uk // nv + dmin, pa.int64()),
+            "token": enc.dictionary.take(pa.array(uk % nv)),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    agg = (transcripts.select_columns([ts_col, text_col]).map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "token"]).sum("n")
+        .rename_columns({"sum(n)": "n"}))
+
+    out_schema = pa.schema([("day", pa.int64()), ("token", pa.string()),
+                            ("n", pa.int64())])
+
+    def _topk(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("n", "descending"),
+                                                  ("token", "ascending")])
+        return group.take(order[:k]).select(["day", "token", "n"])
+
+    return hash_group_apply(agg, ["day"], _topk, n_parts=n_parts,
+                            plasma_schema=out_schema)
