@@ -3637,7 +3637,34 @@ def _all_queries():
         "trending_tokens": q_trending_tokens,
         "erasure_cascade": q_erasure_cascade,
         "conv_extract_summary": q_conv_extract_summary,
+        "embedding_standardize": q_embedding_standardize,
+        "lsh_bucket_profile": q_lsh_bucket_profile,
+        "session_bounce": q_session_bounce,
     }
+
+
+def _lsh_bucket_sql(dim: int = 64, n_planes: int = 8,
+                    seed: int = 11) -> str:
+    """SQL mirror of lsh_bucket_profile: the seeded projection matrix
+    inlined as literals, bucket = sign pattern, occupancy + permille."""
+    lsh = ann.HyperplaneLSH(dim, n_planes, seed)
+    rows = ", ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in lsh.planes[j])}]"
+        "::DOUBLE[])"
+        for j in range(n_planes))
+    return f"""
+WITH planes(j, p) AS (VALUES {rows}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id,
+             CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+                           THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+      FROM e CROSS JOIN planes GROUP BY vec_id),
+c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+tot AS (SELECT count(*) AS t FROM b)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(n AS BIGINT) AS n_vectors,
+       CAST(n * 1000 // greatest(t, 1) AS BIGINT) AS share_permille
+FROM c, tot"""
 
 
 _BM25_SQL = r"""
@@ -9340,6 +9367,49 @@ SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, n_tokens,
             AS BIGINT) AS rank
 FROM s
 QUALIFY rank <= 2""",
+        "embedding_standardize": """
+WITH e AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(CASE WHEN el >= 0 THEN floor(el * 1000000 + 0.5)
+                   ELSE -floor(-el * 1000000 + 0.5) END AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS el,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)
+)
+SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS sum_q,
+       CAST(sum(q * q) AS BIGINT) AS sumsq_q,
+       CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS mean_fx
+FROM e GROUP BY 1""",
+        "lsh_bucket_profile": _lsh_bucket_sql(),
+        "session_bounce": """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT user_id, ts,
+         CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+g AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM f
+),
+s AS (SELECT user_id, sid, count(*) AS n FROM g GROUP BY 1, 2),
+u AS (SELECT user_id, count(*) AS n_sessions,
+             sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_bounce
+      FROM s GROUP BY 1)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_bounce AS BIGINT) AS n_bounce,
+       CAST(n_bounce * 1000 // greatest(n_sessions, 1) AS BIGINT)
+         AS bounce_permille
+FROM u""",
     }
 
 
@@ -12389,3 +12459,55 @@ def q_conv_extract_summary(sf_dir: str):
 
     return hash_group_apply(scored, ["conv_id"], _top2, n_parts=16,
                             plasma_schema=out_schema)
+
+
+def q_embedding_standardize(sf_dir: str):
+    """Per-dimension standardization stats (n, Σq, Σq², truncated mean)
+    in exact int64 fixed point — whitening prep / drift monitor."""
+    from trustfuse_ray.stages.ann import embedding_standardize_stats
+
+    return embedding_standardize_stats(_tbl(sf_dir, "embeddings"))
+
+
+def q_lsh_bucket_profile(sf_dir: str):
+    """Hyperplane-LSH index occupancy: vectors and permille share per
+    bucket (the pre-deployment skew report)."""
+    from trustfuse_ray.stages.ann import lsh_bucket_profile
+
+    return lsh_bucket_profile(_tbl(sf_dir, "embeddings"), n_planes=8)
+
+
+def q_session_bounce(sf_dir: str):
+    """Per-user bounce profile over 30-minute sessions: session count,
+    single-event sessions, bounce permille."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.windows import sessionize
+
+    sess = sessionize(_tbl(sf_dir, "events"))
+
+    def _roll(batch: pa.Table) -> pa.Table:
+        one = pc.equal(batch["n_events"], 1)
+        t = pa.table({
+            "user_id": batch["user_id"].cast(pa.int64()),
+            "n_sessions": pa.array(np.ones(len(batch), np.int64)),
+            "n_bounce": pc.cast(one, pa.int64())})
+        return (pa.TableGroupBy(t, "user_id", use_threads=False)
+                .aggregate([("n_sessions", "sum"), ("n_bounce", "sum")])
+                .rename_columns(["user_id", "n_sessions", "n_bounce"]))
+
+    agg = (sess.map_batches(_roll, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("user_id").sum(["n_sessions", "n_bounce"])
+           .rename_columns({"sum(n_sessions)": "n_sessions",
+                            "sum(n_bounce)": "n_bounce"}))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        ns = np.asarray(batch["n_sessions"], dtype=np.int64)
+        nb = np.asarray(batch["n_bounce"], dtype=np.int64)
+        return batch.append_column(
+            "bounce_permille",
+            pa.array(nb * 1000 // np.maximum(ns, 1), pa.int64()))
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)

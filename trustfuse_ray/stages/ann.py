@@ -1132,3 +1132,73 @@ def rocchio_topk(emb, queries, k: int = 5, fb: int = 3,
 
     return hash_group_apply(p2, ["query_id"], _final, n_parts=8,
                             plasma_schema=out_schema)
+
+
+def embedding_standardize_stats(emb, vec_col: str = "embedding",
+                                scale: int = 1_000_000):
+    """Per-dimension standardization statistics over the embedding
+    column in exact int64 fixed point: n, Σq, Σq² and the truncated
+    mean — the whitening-prep pass (and drift monitor) for any
+    downstream scorer.  Division truncates toward zero on both engine
+    and SQL sides (DuckDB ``//`` semantics).
+
+    Scale shape: each block emits O(dim) partial-sum rows; one
+    dim-bounded groupby; embeddings never shuffle."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        q = _quant_fx(list_matrix(batch[vec_col]), scale)
+        n, dim = q.shape
+        return pa.table({
+            "dim": pa.array(np.arange(dim, dtype=np.int64)),
+            "n": pa.array(np.full(dim, n, np.int64)),
+            "sum_q": pa.array(q.sum(axis=0, dtype=np.int64)),
+            "sumsq_q": pa.array((q * q).sum(axis=0, dtype=np.int64))})
+
+    agg = (emb.select_columns([vec_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim").sum(["n", "sum_q", "sumsq_q"])
+        .rename_columns({"sum(n)": "n", "sum(sum_q)": "sum_q",
+                         "sum(sumsq_q)": "sumsq_q"}))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["sum_q"], dtype=np.int64)
+        n = np.asarray(batch["n"], dtype=np.int64)
+        mean = np.where(s >= 0, s // np.maximum(n, 1),
+                        -((-s) // np.maximum(n, 1)))
+        return batch.append_column("mean_fx",
+                                   pa.array(mean, pa.int64()))
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def lsh_bucket_profile(emb, n_planes: int = 8, seed: int = 11,
+                       vec_col: str = "embedding"):
+    """Occupancy profile of the hyperplane-LSH index: vectors and
+    permille share per bucket — the skew report that decides whether an
+    LSH index needs more planes or multi-probe before deployment.
+
+    Scale shape: bucket assignment is the float64 projection per block
+    (same kernel as lsh_topk); per-block bincount partials bound the
+    exchange to ≤ 2^planes rows per block."""
+    def _partial(batch: pa.Table) -> pa.Table:
+        dim = len(batch[vec_col][0].as_py())
+        lsh = HyperplaneLSH(dim, n_planes, seed)
+        b = lsh.bucket_of(list_matrix(batch[vec_col])).astype(np.int64)
+        uk, cnt = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(uk, pa.int64()),
+                         "n_vectors": pa.array(cnt.astype(np.int64),
+                                               pa.int64())})
+
+    agg = (emb.select_columns([vec_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").sum("n_vectors")
+        .rename_columns({"sum(n_vectors)": "n_vectors"}))
+    rows = agg.take_all()          # ≤ 2^n_planes rows
+    total = sum(r["n_vectors"] for r in rows) or 1
+    rows.sort(key=lambda r: r["bucket"])
+    return pa.table({
+        "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
+        "n_vectors": pa.array([r["n_vectors"] for r in rows],
+                              pa.int64()),
+        "share_permille": pa.array(
+            [r["n_vectors"] * 1000 // total for r in rows], pa.int64())})
