@@ -1137,12 +1137,24 @@ def heavy_hitter_postings(docs, k: int = 20, text_col: str = "text",
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
         ids = np.repeat(np.asarray(batch[id_col], dtype=np.int64),
                         lens.astype(np.int64))
-        flat = toks.flatten().to_pylist()
-        pairs = sorted({(t, int(d)) for t, d in zip(flat, ids)
-                        if t in vs})
-        return pa.table({
-            "token": pa.array([p[0] for p in pairs], pa.string()),
-            id_col: pa.array([p[1] for p in pairs], pa.int64())})
+        flat = toks.flatten()
+        # vocab filter + (token, doc) dedup fully in Arrow/numpy: is_in
+        # mask, dictionary-encode survivors, unique on the packed key
+        keep = pc.is_in(flat, value_set=pa.array(sorted(vs))).to_numpy(
+            zero_copy_only=False)
+        enc = pc.dictionary_encode(flat.filter(pa.array(keep)))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        d = ids[keep]
+        nv = max(len(enc.dictionary), 1)
+        uk = np.unique(d * nv + code)
+        tok_arr = enc.dictionary.take(pa.array(uk % nv))
+        out = pa.table({"token": tok_arr,
+                        id_col: pa.array(uk // nv, pa.int64())})
+        order = pc.sort_indices(out, sort_keys=[("token", "ascending"),
+                                                (id_col, "ascending")])
+        return out.take(order)
 
     posts = docs.select_columns([id_col, text_col]).map_batches(
         _post, batch_format="pyarrow", zero_copy_batch=True)
@@ -1230,16 +1242,23 @@ def bpe_merges(docs, n_merges: int = 4, text_col: str = "text"):
     import ray.data as rd
 
     def _word_counts(batch: pa.Table) -> pa.Table:
-        words: list[str] = []
-        for t in batch[text_col].to_pylist():
-            if t:
-                words.extend(w for w in re.split(r"\s+", t.strip()) if w)
-        if not words:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(
+                pc.fill_null(batch[text_col].cast(pa.string()), "")),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        if len(flat) == 0:
             return pa.table({"word": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
-        arr = np.array(words)
-        uniq, cnt = np.unique(arr, return_counts=True)
-        return pa.table({"word": pa.array(uniq.tolist(), pa.string()),
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(idx, minlength=len(enc.dictionary))
+        return pa.table({"word": enc.dictionary,
                          "n": pa.array(cnt.astype(np.int64), pa.int64())})
 
     vocab = docs.select_columns([text_col]).map_batches(
