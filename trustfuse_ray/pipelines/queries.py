@@ -3640,6 +3640,9 @@ def _all_queries():
         "embedding_standardize": q_embedding_standardize,
         "lsh_bucket_profile": q_lsh_bucket_profile,
         "session_bounce": q_session_bounce,
+        "conversion_latency": q_conversion_latency,
+        "order_seasonality": q_order_seasonality,
+        "order_gap_median": q_order_gap_median,
     }
 
 
@@ -9410,6 +9413,46 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(n_bounce * 1000 // greatest(n_sessions, 1) AS BIGINT)
          AS bounce_permille
 FROM u""",
+        "conversion_latency": """
+WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, epoch_us(ts) AS cus FROM events
+      WHERE event_type = 'click'),
+j AS (SELECT p.pid, min(c.cus) AS first_us, p.pus
+      FROM p JOIN c ON c.user_id = p.user_id
+                   AND c.cus <= p.pus
+                   AND c.cus >= p.pus - 604800000000
+      GROUP BY 1, 3),
+b AS (SELECT CAST(length(bin((pus - first_us) // 1000000 + 1))
+                  AS BIGINT) AS bucket FROM j)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1""",
+        "order_seasonality": """
+WITH m AS (SELECT year(o_orderdate) AS y, month(o_orderdate) AS mo,
+                  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1, 2),
+t AS (SELECT y, sum(cents) AS tot FROM m GROUP BY 1)
+SELECT CAST(y AS BIGINT) AS year, CAST(mo AS BIGINT) AS month,
+       CAST(cents AS BIGINT) AS revenue_cents,
+       CAST(cents * 1000 // greatest(tot, 1) AS BIGINT)
+         AS share_permille
+FROM m JOIN t USING (y)""",
+        "order_gap_median": """
+WITH g AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) - lag(epoch_us(o_orderdate)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS gap
+  FROM orders
+),
+f AS (SELECT o_custkey, gap FROM g WHERE gap IS NOT NULL),
+r AS (SELECT o_custkey, gap,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY gap) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+      FROM f)
+SELECT CAST(o_custkey AS BIGINT) AS custkey,
+       CAST(n AS BIGINT) AS n_gaps, CAST(gap AS BIGINT) AS med_gap_us
+FROM r WHERE rn = (n - 1) // 2 + 1""",
     }
 
 
@@ -12510,4 +12553,133 @@ def q_session_bounce(sf_dir: str):
             pa.array(nb * 1000 // np.maximum(ns, 1), pa.int64()))
 
     return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_conversion_latency(sf_dir: str):
+    """Click-to-purchase latency histogram: for every purchase with a
+    click in the 7-day lookback, the gap to the FIRST such click,
+    log2-bucketed (bucket = bit_length(gap_seconds + 1)); tiny
+    (bucket, n) table out of one user co-partition."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    window_us = 7 * 86_400_000_000
+    events = _tbl(sf_dir, "events")
+
+    def _slim(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"],
+                        value_set=pa.array(["purchase", "click"]))
+        t = batch.filter(keep)
+        return pa.table({
+            "user_id": t["user_id"].cast(pa.int64()),
+            "event_id": t["event_id"].cast(pa.int64()),
+            "ts_us": t["ts"].cast(pa.int64()),
+            "is_conv": pc.equal(t["event_type"], "purchase")})
+
+    part_schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
+
+    def _gaps(group: pa.Table) -> pa.Table:
+        conv = np.asarray(group["is_conv"], dtype=bool)
+        ids = np.asarray(group["event_id"], dtype=np.int64)
+        ts = np.asarray(group["ts_us"], dtype=np.int64)
+        cts = ts[conv]
+        tts, tid = ts[~conv], ids[~conv]
+        if not len(cts) or not len(tts):
+            return part_schema.empty_table()
+        order = np.lexsort((tid, tts))
+        tts = tts[order]
+        lo = np.searchsorted(tts, cts - window_us, side="left")
+        hi = np.searchsorted(tts, cts, side="right")
+        has = hi > lo
+        gaps_s = (cts[has] - tts[np.minimum(lo[has],
+                                            len(tts) - 1)]) // 1_000_000
+        buckets = np.array([int(g + 1).bit_length() for g in gaps_s],
+                           dtype=np.int64)
+        uk, cnt = np.unique(buckets, return_counts=True)
+        return pa.table({"bucket": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    partials = hash_group_apply(
+        events.select_columns(["user_id", "event_id", "ts",
+                               "event_type"]).map_batches(
+            _slim, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], _gaps, n_parts=16, plasma_schema=part_schema)
+    return (partials.groupby("bucket").sum("n")
+            .rename_columns({"sum(n)": "n"}))
+
+
+def q_order_seasonality(sf_dir: str):
+    """Revenue seasonality: exact cents per (year, month) plus the
+    month's permille share of its year — map-side partials bounded by
+    the calendar."""
+    orders = _tbl(sf_dir, "orders").select_columns(
+        ["o_orderdate", "o_totalprice"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        us = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        days = us // 86_400_000_000
+        dt = (days.astype("datetime64[D]"))
+        y = dt.astype("datetime64[Y]").astype(np.int64) + 1970
+        m = (dt.astype("datetime64[M]").astype(np.int64) % 12) + 1
+        v = np.asarray(batch["o_totalprice"], dtype=np.float64) * 100.0
+        cents = np.where(v >= 0, np.floor(v + 0.5),
+                         -np.floor(-v + 0.5)).astype(np.int64)
+        t = pa.table({"year": pa.array(y, pa.int64()),
+                      "month": pa.array(m, pa.int64()),
+                      "cents": pa.array(cents, pa.int64())})
+        return (pa.TableGroupBy(t, ["year", "month"], use_threads=False)
+                .aggregate([("cents", "sum")])
+                .rename_columns(["year", "month", "cents"]))
+
+    agg = (orders.map_batches(_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby(["year", "month"]).sum("cents")
+           .rename_columns({"sum(cents)": "revenue_cents"}))
+
+    def _tot(batch: pa.Table) -> pa.Table:
+        t = pa.table({"year": batch["year"],
+                      "tot": batch["revenue_cents"].cast(pa.int64())})
+        return (pa.TableGroupBy(t, "year", use_threads=False)
+                .aggregate([("tot", "sum")])
+                .rename_columns(["year", "tot"]))
+
+    totals = {r["year"]: r["tot"] for r in
+              agg.map_batches(_tot, batch_format="pyarrow",
+                              zero_copy_batch=True)
+              .groupby("year").sum("tot")
+              .rename_columns({"sum(tot)": "tot"}).take_all()}
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        y = batch["year"].to_pylist()
+        rc = np.asarray(batch["revenue_cents"], dtype=np.int64)
+        tot = np.array([totals[v] for v in y], dtype=np.int64)
+        return batch.append_column(
+            "share_permille",
+            pa.array(rc * 1000 // np.maximum(tot, 1), pa.int64()))
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def q_order_gap_median(sf_dir: str):
+    """Per-customer repeat-purchase cadence: exact lower-median gap (µs)
+    between consecutive orders — user_gap_median re-keyed onto the
+    orders stream."""
+    from trustfuse_ray.stages.windows import user_gap_median
+
+    out = user_gap_median(_tbl(sf_dir, "orders"),
+                          user_col="o_custkey", ts_col="o_orderdate",
+                          id_col="o_orderkey")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "custkey": batch["o_custkey"].cast(pa.int64()),
+            "n_gaps": batch["n_gaps"],
+            "med_gap_us": batch["med_gap_us"]})
+
+    return out.map_batches(_shape, batch_format="pyarrow",
                            zero_copy_batch=True)
