@@ -3643,6 +3643,8 @@ def _all_queries():
         "conversion_latency": q_conversion_latency,
         "order_seasonality": q_order_seasonality,
         "order_gap_median": q_order_gap_median,
+        "kg_source_influence": q_kg_source_influence,
+        "quality_percentile": q_quality_percentile,
     }
 
 
@@ -9453,6 +9455,47 @@ r AS (SELECT o_custkey, gap,
 SELECT CAST(o_custkey AS BIGINT) AS custkey,
        CAST(n AS BIGINT) AS n_gaps, CAST(gap AS BIGINT) AS med_gap_us
 FROM r WHERE rn = (n - 1) // 2 + 1""",
+        "kg_source_influence": f"""
+WITH {_claims_cte(cache)},
+dd AS (SELECT DISTINCT source, entity, attr, value_str FROM claims
+       WHERE value_type <> 'quantity' AND value_str IS NOT NULL),
+votes AS (SELECT entity, attr, value_str, count(*) AS n
+          FROM dd GROUP BY 1, 2, 3),
+w1 AS (SELECT entity, attr, value_str AS win FROM (
+         SELECT entity, attr, value_str,
+                row_number() OVER (PARTITION BY entity, attr
+                                   ORDER BY n DESC, value_str) AS rn
+         FROM votes) WHERE rn = 1),
+srcs AS (SELECT DISTINCT source, entity, attr FROM dd),
+adj AS (SELECT s.source, v.entity, v.attr, v.value_str,
+               v.n - CASE WHEN d2.source IS NOT NULL
+                          THEN 1 ELSE 0 END AS n2
+        FROM srcs s
+        JOIN votes v ON v.entity = s.entity AND v.attr = s.attr
+        LEFT JOIN dd d2 ON d2.entity = v.entity AND d2.attr = v.attr
+                       AND d2.value_str = v.value_str
+                       AND d2.source = s.source),
+w2 AS (SELECT source, entity, attr, value_str AS win2 FROM (
+         SELECT *, row_number() OVER (
+                     PARTITION BY source, entity, attr
+                     ORDER BY n2 DESC, value_str) AS rn
+         FROM adj) WHERE rn = 1),
+per AS (SELECT w2.source, count(*) AS n_facts,
+               sum(CASE WHEN w2.win2 <> w1.win THEN 1 ELSE 0 END)
+                 AS n_flips
+        FROM w2 JOIN w1 USING (entity, attr) GROUP BY 1)
+SELECT source, CAST(n_facts AS BIGINT) AS n_facts,
+       CAST(n_flips AS BIGINT) AS n_flips,
+       CAST(n_flips * 1000 // greatest(n_facts, 1) AS BIGINT)
+         AS influence_permille
+FROM per""",
+        "quality_percentile": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_chars AS BIGINT) AS score,
+       CAST((rank() OVER (ORDER BY n_chars) - 1) * 1000
+            // greatest((SELECT count(*) FROM documents) - 1, 1)
+            AS BIGINT) AS pr_permille
+FROM documents""",
     }
 
 
@@ -12683,3 +12726,50 @@ def q_order_gap_median(sf_dir: str):
 
     return out.map_batches(_shape, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def q_kg_source_influence(sf_dir: str):
+    """Source criticality: leave-one-out voting flips per source — how
+    many facts each feed single-handedly decides."""
+    from trustfuse_ray.reverse import source_influence
+
+    return source_influence(cached_claims(sf_dir))
+
+
+def q_quality_percentile(sf_dir: str):
+    """Percentile-rank normalization of an integer quality score
+    (n_chars): strictly-less permille per document via a
+    score-range-bounded histogram broadcast — no global row sort."""
+    docs = _tbl(sf_dir, "documents").select_columns(
+        ["doc_id", "n_chars"])
+
+    def _hist(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["n_chars"], dtype=np.int64)
+        uk, cnt = np.unique(s, return_counts=True)
+        return pa.table({"score": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64),
+                                       pa.int64())})
+
+    hist = sorted(docs.map_batches(_hist, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                  .groupby("score").sum("n")
+                  .rename_columns({"sum(n)": "n"}).take_all(),
+                  key=lambda r: r["score"])
+    scores = np.array([r["score"] for r in hist], dtype=np.int64)
+    counts = np.array([r["n"] for r in hist], dtype=np.int64)
+    less = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    total = int(counts.sum())
+    ref = ray.put((scores, less))
+
+    def _rank(batch: pa.Table) -> pa.Table:
+        sc, ls = ray.get(ref)
+        s = np.asarray(batch["n_chars"], dtype=np.int64)
+        idx = np.searchsorted(sc, s)
+        pr = ls[idx] * 1000 // max(total - 1, 1)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "score": pa.array(s, pa.int64()),
+            "pr_permille": pa.array(pr, pa.int64())})
+
+    return docs.map_batches(_rank, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -1422,3 +1422,77 @@ def type_induction(fused, n_parts: int = 32):
 
     return hash_group_apply(sigs, ["type_sig"], _roll, n_parts=n_parts,
                             plasma_schema=out_schema)
+
+
+def source_influence(claims, n_parts: int = 32):
+    """Source criticality by leave-one-out voting: for every categorical
+    fact a source participates in, recompute the majority winner with
+    that source's votes removed — facts whose winner CHANGES are the
+    facts this source single-handedly decides.  High flip counts mean
+    the graph depends on one feed (re-crawl priority / trust risk).
+
+    Winner rule everywhere: distinct-source votes, count desc, value
+    asc — including after removal, over the fact's original value set
+    (counts may drop to 0; the rule still picks deterministically, so
+    DuckDB replays it).  One (entity, attr) co-partition; per fact the
+    in-group work is O(sources × values); one tiny per-source rollup."""
+    import numpy as np
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _distinct(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(batch["value_type"], "quantity"),
+                       pc.is_valid(batch["value_str"]))
+        t = batch.filter(keep)
+        t = pa.table({"source": t["source"], "entity": t["entity"],
+                      "attr": t["attr"], "value_str": t["value_str"]})
+        return t.group_by(
+            ["source", "entity", "attr", "value_str"]).aggregate([])
+
+    part_schema = pa.schema([("source", pa.string()),
+                             ("n_facts", pa.int64()),
+                             ("n_flips", pa.int64())])
+
+    def _fact(group: pa.Table) -> pa.Table:
+        rows = set(zip(group["source"].to_pylist(),
+                       group["value_str"].to_pylist()))
+        counts: dict[str, int] = {}
+        by_src: dict[str, set] = {}
+        for s, v in rows:
+            counts[v] = counts.get(v, 0) + 1
+            by_src.setdefault(s, set()).add(v)
+        vals = sorted(counts)
+        win = min(vals, key=lambda v: (-counts[v], v))
+        out: dict[str, list] = {}
+        for s, voted in by_src.items():
+            adj = {v: counts[v] - (1 if v in voted else 0) for v in vals}
+            win2 = min(vals, key=lambda v: (-adj[v], v))
+            acc = out.setdefault(s, [0, 0])
+            acc[0] += 1
+            if win2 != win:
+                acc[1] += 1
+        srcs = sorted(out)
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "n_facts": pa.array([out[s][0] for s in srcs], pa.int64()),
+            "n_flips": pa.array([out[s][1] for s in srcs], pa.int64())})
+
+    partials = hash_group_apply(
+        claims.map_batches(_distinct, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["entity", "attr"], _fact, n_parts=n_parts,
+        plasma_schema=part_schema)
+
+    agg = (partials.groupby("source").sum(["n_facts", "n_flips"])
+           .rename_columns({"sum(n_facts)": "n_facts",
+                            "sum(n_flips)": "n_flips"}))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        nf = np.asarray(batch["n_facts"], dtype=np.int64)
+        fl = np.asarray(batch["n_flips"], dtype=np.int64)
+        return batch.append_column(
+            "influence_permille",
+            pa.array(fl * 1000 // np.maximum(nf, 1), pa.int64()))
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
