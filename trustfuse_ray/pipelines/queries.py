@@ -3645,6 +3645,9 @@ def _all_queries():
         "order_gap_median": q_order_gap_median,
         "kg_source_influence": q_kg_source_influence,
         "quality_percentile": q_quality_percentile,
+        "cube_revenue": q_cube_revenue,
+        "user_churn": q_user_churn,
+        "sentence_stats": q_sentence_stats,
     }
 
 
@@ -9496,6 +9499,53 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
             // greatest((SELECT count(*) FROM documents) - 1, 1)
             AS BIGINT) AS pr_permille
 FROM documents""",
+        "cube_revenue": f"""
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * {Q1_SCALE})
+                AS BIGINT)) / {Q1_SCALE}.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)""",
+        "user_churn": """
+WITH rng AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+             FROM events),
+h AS (SELECT event_type, user_id,
+             max(CASE WHEN epoch_us(ts) > (rng.lo + rng.hi) // 2
+                      THEN 0 ELSE 1 END) AS early,
+             max(CASE WHEN epoch_us(ts) > (rng.lo + rng.hi) // 2
+                      THEN 1 ELSE 0 END) AS late
+      FROM events, rng GROUP BY 1, 2)
+SELECT event_type,
+       CAST(sum(CASE WHEN early = 1 AND late = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_churned,
+       CAST(sum(CASE WHEN early = 1 AND late = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained,
+       CAST(sum(CASE WHEN early = 0 AND late = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new
+FROM h GROUP BY 1""",
+        "sentence_stats": r"""
+WITH d AS (
+  SELECT source, doc_id,
+         string_split_regex(trim(coalesce(text, '')), '[.!?]+') AS sents
+  FROM documents),
+u AS (SELECT source, doc_id, trim(t.s) AS sent
+      FROM d, unnest(sents) t(s)),
+per AS (SELECT source, doc_id,
+               sum(CASE WHEN sent <> '' THEN 1 ELSE 0 END) AS n_sents,
+               sum(CASE WHEN sent <> ''
+                        THEN len(string_split_regex(sent, '\s+'))
+                        ELSE 0 END) AS n_toks
+        FROM u GROUP BY 1, 2),
+g AS (SELECT source, count(*) AS n_docs, sum(n_sents) AS n_sents,
+             sum(n_toks) AS n_toks
+      FROM per GROUP BY 1)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_sents AS BIGINT) AS n_sents,
+       CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(n_toks * 1000 // greatest(n_sents, 1) AS BIGINT)
+         AS mean_sent_len_permille
+FROM g""",
     }
 
 
@@ -12773,3 +12823,189 @@ def q_quality_percentile(sf_dir: str):
 
     return docs.map_batches(_rank, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def q_cube_revenue(sf_dir: str):
+    """GROUP BY CUBE over lineitem (returnflag × linestatus): all four
+    grouping levels, derived from the ONE distributed finest aggregate
+    (bounded |R|×|S| rows) in a single-block pass — same 100-TB plan as
+    rollup_revenue, plus the (ALL, linestatus) slice ROLLUP lacks."""
+    import pyarrow.compute as pc
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+
+        def fx(col):
+            return pc.cast(pc.round(
+                pc.multiply(col, pa.scalar(float(Q1_SCALE))),
+                round_mode="half_towards_infinity"), pa.int64())
+
+        t = pa.table({"l_returnflag": batch["l_returnflag"],
+                      "l_linestatus": batch["l_linestatus"],
+                      "rev_fx": fx(rev),
+                      "n_lines": pa.array(np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"],
+                                use_threads=False)
+                .aggregate([("rev_fx", "sum"), ("n_lines", "sum")])
+                .rename_columns(["l_returnflag", "l_linestatus",
+                                 "rev_fx", "n_lines"]))
+
+    finest = (_tbl(sf_dir, "lineitem")
+              .select_columns(["l_returnflag", "l_linestatus",
+                               "l_extendedprice", "l_discount"])
+              .map_batches(_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby(["l_returnflag", "l_linestatus"])
+              .sum(["rev_fx", "n_lines"]))
+
+    def _cube(batch: pa.Table) -> pa.Table:
+        t = batch.rename_columns(["l_returnflag", "l_linestatus",
+                                  "rev_fx", "n_lines"])
+
+        def lvl(keys: list[str]):
+            if keys:
+                g = (pa.TableGroupBy(t, keys, use_threads=False)
+                     .aggregate([("rev_fx", "sum"), ("n_lines", "sum")])
+                     .rename_columns(keys + ["rev_fx", "n_lines"]))
+            else:
+                g = pa.table({
+                    "rev_fx": pa.array(
+                        [pc.sum(t["rev_fx"]).as_py() or 0], pa.int64()),
+                    "n_lines": pa.array(
+                        [pc.sum(t["n_lines"]).as_py() or 0], pa.int64())})
+            n = len(g)
+            return pa.table({
+                "l_returnflag": (g["l_returnflag"]
+                                 if "l_returnflag" in keys
+                                 else pa.array(["ALL"] * n)),
+                "l_linestatus": (g["l_linestatus"]
+                                 if "l_linestatus" in keys
+                                 else pa.array(["ALL"] * n)),
+                "rev_fx": g["rev_fx"], "n_lines": g["n_lines"]})
+
+        out = pa.concat_tables([
+            lvl(["l_returnflag", "l_linestatus"]),
+            lvl(["l_returnflag"]), lvl(["l_linestatus"]), lvl([])])
+        return pa.table({
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "revenue": pc.divide(_fx_f64(out["rev_fx"]),
+                                 pa.scalar(float(Q1_SCALE))),
+            "n_lines": out["n_lines"].cast(pa.int64())})
+
+    return finest.repartition(1).map_batches(
+        _cube, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_user_churn(sf_dir: str):
+    """Churn audit: per event_type, users active in the first half of
+    the time range but silent in the second (plus retained/new counts)
+    — distinct-user set algebra with a midpoint split, all map-side
+    pre-distinct."""
+    import pyarrow.compute as pc
+
+    events = _tbl(sf_dir, "events")
+    lo = events.min("ts")
+    hi = events.max("ts")
+    lo_us = int(pa.scalar(lo, pa.timestamp("us")).cast(pa.int64())
+                .as_py())
+    hi_us = int(pa.scalar(hi, pa.timestamp("us")).cast(pa.int64())
+                .as_py())
+    mid = (lo_us + hi_us) // 2
+
+    def _halves(batch: pa.Table) -> pa.Table:
+        late = pc.greater(batch["ts"].cast(pa.int64()),
+                          pa.scalar(mid, pa.int64()))
+        t = pa.table({"event_type": batch["event_type"],
+                      "user_id": batch["user_id"].cast(pa.int64()),
+                      "early": pc.cast(pc.invert(late), pa.int64()),
+                      "late": pc.cast(late, pa.int64())})
+        return (pa.TableGroupBy(t, ["event_type", "user_id"],
+                                use_threads=False)
+                .aggregate([("early", "max"), ("late", "max")])
+                .rename_columns(["event_type", "user_id", "early",
+                                 "late"]))
+
+    per_user = (events.select_columns(["event_type", "user_id", "ts"])
+                .map_batches(_halves, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby(["event_type", "user_id"])
+                .max(["early", "late"]))
+
+    def _roll(batch: pa.Table) -> pa.Table:
+        e = np.asarray(batch["max(early)"], dtype=np.int64) > 0
+        l = np.asarray(batch["max(late)"], dtype=np.int64) > 0
+        t = pa.table({
+            "event_type": batch["event_type"],
+            "n_churned": pa.array((e & ~l).astype(np.int64)),
+            "n_retained": pa.array((e & l).astype(np.int64)),
+            "n_new": pa.array((~e & l).astype(np.int64))})
+        return (pa.TableGroupBy(t, "event_type", use_threads=False)
+                .aggregate([("n_churned", "sum"), ("n_retained", "sum"),
+                            ("n_new", "sum")])
+                .rename_columns(["event_type", "n_churned",
+                                 "n_retained", "n_new"]))
+
+    return (per_user.map_batches(_roll, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+            .groupby("event_type").sum(["n_churned", "n_retained",
+                                        "n_new"])
+            .rename_columns({"sum(n_churned)": "n_churned",
+                             "sum(n_retained)": "n_retained",
+                             "sum(n_new)": "n_new"}))
+
+
+def q_sentence_stats(sf_dir: str):
+    """Per-source sentence segmentation profile: sentences per doc and
+    mean sentence length (whitespace tokens, exact permille) — the
+    readability screen before chunking."""
+    import pyarrow.compute as pc
+
+    docs = _tbl(sf_dir, "documents").select_columns(["source", "text"])
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        txt = pc.utf8_trim_whitespace(pc.fill_null(batch["text"], ""))
+        sents = pc.split_pattern_regex(txt, r"[.!?]+")
+        if isinstance(sents, pa.ChunkedArray):
+            sents = sents.combine_chunks()
+        flat = sents.flatten()
+        nonempty = pc.not_equal(pc.utf8_trim_whitespace(flat), "")
+        n_sent_tok = pc.list_value_length(pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(flat), r"\s+")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ne = nonempty.to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(sents).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        docix = np.repeat(np.arange(len(sents), dtype=np.int64), lens)
+        n_sents_per_doc = np.bincount(docix[ne], minlength=len(sents))
+        tok_per_doc = np.bincount(docix[ne],
+                                  weights=n_sent_tok[ne],
+                                  minlength=len(sents)).astype(np.int64)
+        t = pa.table({
+            "source": batch["source"],
+            "n_docs": pa.array(np.ones(len(sents), np.int64)),
+            "n_sents": pa.array(n_sents_per_doc.astype(np.int64)),
+            "n_toks": pa.array(tok_per_doc)})
+        return (pa.TableGroupBy(t, "source", use_threads=False)
+                .aggregate([("n_docs", "sum"), ("n_sents", "sum"),
+                            ("n_toks", "sum")])
+                .rename_columns(["source", "n_docs", "n_sents",
+                                 "n_toks"]))
+
+    agg = (docs.map_batches(_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("source").sum(["n_docs", "n_sents", "n_toks"])
+           .rename_columns({"sum(n_docs)": "n_docs",
+                            "sum(n_sents)": "n_sents",
+                            "sum(n_toks)": "n_toks"}))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch["n_sents"], dtype=np.int64)
+        tk = np.asarray(batch["n_toks"], dtype=np.int64)
+        return batch.append_column(
+            "mean_sent_len_permille",
+            pa.array(tk * 1000 // np.maximum(s, 1), pa.int64()))
+
+    return agg.map_batches(_shape, batch_format="pyarrow",
+                           zero_copy_batch=True)
