@@ -3648,6 +3648,9 @@ def _all_queries():
         "cube_revenue": q_cube_revenue,
         "user_churn": q_user_churn,
         "sentence_stats": q_sentence_stats,
+        "vocab_richness": q_vocab_richness,
+        "quantity_iqr": q_quantity_iqr,
+        "minhash_exact_verify": q_minhash_exact_verify,
     }
 
 
@@ -9546,6 +9549,66 @@ SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
        CAST(n_toks * 1000 // greatest(n_sents, 1) AS BIGINT)
          AS mean_sent_len_permille
 FROM g""",
+        "vocab_richness": r"""
+WITH t AS (
+  SELECT source,
+         unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+           AS token
+  FROM documents),
+c AS (SELECT source, token FROM t WHERE token <> '')
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT token) AS BIGINT) AS vocab_size,
+       CAST(count(DISTINCT token) * 1000 // greatest(count(*), 1)
+            AS BIGINT) AS ttr_permille
+FROM c GROUP BY 1""",
+        "quantity_iqr": """
+WITH v AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_quantity * 100) AS BIGINT) AS q
+           FROM lineitem),
+c AS (SELECT flag, q, count(*) AS n FROM v GROUP BY 1, 2),
+t AS (SELECT flag, q, n,
+             sum(n) OVER (PARTITION BY flag ORDER BY q) AS cum,
+             sum(n) OVER (PARTITION BY flag) AS tot
+      FROM c),
+qs AS (SELECT flag, max(tot) AS n_rows,
+              min(CASE WHEN cum >= (tot + 3) // 4 THEN q END) AS q1,
+              min(CASE WHEN cum >= (3 * tot + 3) // 4 THEN q END) AS q3
+       FROM t GROUP BY 1),
+f AS (SELECT flag, n_rows, q1, q3,
+             2 * q1 - 3 * (q3 - q1) AS lo2,
+             2 * q3 + 3 * (q3 - q1) AS hi2
+      FROM qs)
+SELECT f.flag AS l_returnflag,
+       CAST(f.n_rows AS BIGINT) AS n_rows,
+       CAST(f.q1 AS BIGINT) AS q1_cents,
+       CAST(f.q3 AS BIGINT) AS q3_cents,
+       CAST(f.q3 - f.q1 AS BIGINT) AS iqr_cents,
+       CAST(coalesce(sum(CASE WHEN 2 * c.q < f.lo2 THEN c.n END), 0)
+            AS BIGINT) AS n_out_low,
+       CAST(coalesce(sum(CASE WHEN 2 * c.q > f.hi2 THEN c.n END), 0)
+            AS BIGINT) AS n_out_high
+FROM f JOIN c ON c.flag = f.flag
+GROUP BY 1, 2, 3, 4, 5""",
+        "minhash_exact_verify": f"""
+WITH {_minhash_sql(
+    f"read_parquet('{synth.generate_documents(sf_dir)}/*.parquet')", 0.6)},
+db AS (SELECT DISTINCT doc_id, h FROM base),
+sz AS (SELECT doc_id, count(*) AS n FROM db GROUP BY 1),
+xi AS (SELECT p.doc_a, p.doc_b, count(*) AS ni
+       FROM mh_pairs p
+       JOIN db a ON a.doc_id = p.doc_a
+       JOIN db b ON b.doc_id = p.doc_b AND b.h = a.h
+       GROUP BY 1, 2)
+SELECT p.doc_a, p.doc_b, p.jaccard_est,
+       CAST(coalesce(x.ni, 0) AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - coalesce(x.ni, 0) AS BIGINT) AS n_union,
+       CAST(coalesce(x.ni, 0) * 1000
+            // greatest(sa.n + sb.n - coalesce(x.ni, 0), 1)
+            AS BIGINT) AS jaccard_exact_permille
+FROM mh_pairs p
+JOIN sz sa ON sa.doc_id = p.doc_a
+JOIN sz sb ON sb.doc_id = p.doc_b
+LEFT JOIN xi x ON x.doc_a = p.doc_a AND x.doc_b = p.doc_b""",
     }
 
 
@@ -13009,3 +13072,83 @@ def q_sentence_stats(sf_dir: str):
 
     return agg.map_batches(_shape, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def q_vocab_richness(sf_dir: str):
+    """Per-source vocabulary richness (type-token ratio): block-local
+    (source, token) partials → ONE vocab-bounded exchange → tiny
+    per-source rollup.  The corpus text never shuffles."""
+    from trustfuse_ray.stages.profile import vocab_richness
+
+    return vocab_richness(_tbl(sf_dir, "documents"))
+
+
+def q_quantity_iqr(sf_dir: str):
+    """IQR outlier fences per returnflag over l_quantity: the bounded
+    value domain makes the quartiles histogram-exact (DSIR's cutoff
+    trick) — per-block (flag, cents) count partials, one domain-bounded
+    groupby, and the quartile/fence walk on the resulting tiny table in a
+    single block.  Fences at 1.5×IQR, held in doubled units so the
+    arithmetic stays integer-exact."""
+    import pyarrow.compute as pc
+
+    def _part(batch: pa.Table) -> pa.Table:
+        q = pc.cast(pc.round(pc.multiply(batch["l_quantity"],
+                                         pa.scalar(100.0)),
+                             round_mode="half_towards_infinity"),
+                    pa.int64())
+        t = pa.table({"flag": batch["l_returnflag"], "q_cents": q,
+                      "n": pa.array(np.ones(len(batch), np.int64))})
+        return (pa.TableGroupBy(t, ["flag", "q_cents"], use_threads=False)
+                .aggregate([("n", "sum")])
+                .rename_columns(["flag", "q_cents", "n"]))
+
+    hist = (_tbl(sf_dir, "lineitem")
+            .select_columns(["l_returnflag", "l_quantity"])
+            .map_batches(_part, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["flag", "q_cents"]).sum("n")
+            .rename_columns({"sum(n)": "n"}))
+
+    def _fences(tbl: pa.Table) -> pa.Table:
+        flags = tbl["flag"].to_numpy(zero_copy_only=False)
+        qv = tbl["q_cents"].to_numpy(zero_copy_only=False)
+        nv = tbl["n"].to_numpy(zero_copy_only=False)
+        out = {"l_returnflag": [], "n_rows": [], "q1_cents": [],
+               "q3_cents": [], "iqr_cents": [], "n_out_low": [],
+               "n_out_high": []}
+        for f in sorted(set(flags.tolist())):
+            m = flags == f
+            order = np.argsort(qv[m], kind="stable")
+            q, n = qv[m][order], nv[m][order]
+            cum = np.cumsum(n)
+            tot = int(cum[-1])
+            q1 = int(q[np.searchsorted(cum, (tot + 3) // 4)])
+            q3 = int(q[np.searchsorted(cum, (3 * tot + 3) // 4)])
+            iqr = q3 - q1
+            lo2, hi2 = 2 * q1 - 3 * iqr, 2 * q3 + 3 * iqr
+            out["l_returnflag"].append(f)
+            out["n_rows"].append(tot)
+            out["q1_cents"].append(q1)
+            out["q3_cents"].append(q3)
+            out["iqr_cents"].append(iqr)
+            out["n_out_low"].append(int(n[2 * q < lo2].sum()))
+            out["n_out_high"].append(int(n[2 * q > hi2].sum()))
+        return pa.table({k: pa.array(v, pa.string() if
+                                     k == "l_returnflag" else pa.int64())
+                         for k, v in out.items()})
+
+    # domain-bounded final table (|flags| × |distinct cents|): one block
+    return (hist.repartition(1)
+            .map_batches(_fences, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None))
+
+
+def q_minhash_exact_verify(sf_dir: str):
+    """Exact distinct-shingle Jaccard audit of every MinHash pair over
+    the planted-duplicate synthetic corpus — the estimate-vs-truth
+    surface for band-geometry tuning.  Corpus streams; only pair members'
+    shingle-hash sets (near-dup-bounded) are exchanged."""
+    path = synth.generate_documents(sf_dir)
+    return dedup.minhash_exact_jaccard(
+        ray.data.read_parquet(path), threshold=0.6, hash_kind="md5")

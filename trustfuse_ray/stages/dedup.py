@@ -595,6 +595,94 @@ def minhash_clusters(docs, **kw):
             for r in minhash_cluster_labels(docs, **kw).take_all()}
 
 
+def minhash_exact_jaccard(docs, threshold: float = 0.6,
+                          num_hashes: int = 64, bands: int = 16,
+                          shingle_k: int = 3, hash_kind: str = "md5"):
+    """Exact-Jaccard verification of the MinHash candidate pairs: every
+    surviving LSH pair gets its TRUE distinct-shingle Jaccard (integer
+    permille) next to the signature estimate — the audit surface for
+    tuning ``threshold`` / band geometry.
+
+    Scale shape: the corpus never leaves :func:`minhash_lsh_pairs`'s
+    distributed path; the exact pass streams the corpus ONCE more,
+    filtering map-side (``pc.is_in`` on the broadcast pair-member id
+    array) so only pair members' distinct shingle-hash sets — bounded by
+    the near-dup population, not the corpus — are collected and
+    broadcast back to the (equally bounded) pair table."""
+    import ray
+    import pyarrow.compute as pc
+
+    pairs = minhash_lsh_pairs(
+        docs, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        shingle_k=shingle_k, hash_kind=hash_kind).materialize()
+
+    out_schema = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("jaccard_est", pa.float64()),
+        ("n_inter", pa.int64()), ("n_union", pa.int64()),
+        ("jaccard_exact_permille", pa.int64())])
+    member_ids: set = set()
+    for b in pairs.iter_batches(batch_format="pyarrow"):
+        member_ids.update(b["doc_a"].to_pylist())
+        member_ids.update(b["doc_b"].to_pylist())
+    if not member_ids:
+        return ray.data.from_arrow(out_schema.empty_table())
+    id_ref = ray.put(pa.array(sorted(member_ids), pa.int64()))
+    mh = MinHasher(num_hashes, shingle_k, hash_kind=hash_kind)
+
+    def _sets(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(batch["doc_id"], pa.int64()),
+                        value_set=ray.get(id_ref))
+        batch = batch.filter(keep)
+        ct = canonical_text(pc.fill_null(batch["text"], ""))
+        ids, sets = [], []
+        for did, txt in zip(batch["doc_id"].to_pylist(), ct.to_pylist()):
+            sh = shingles(txt or "", shingle_k)
+            if sh:
+                base = np.unique(mh._base_hashes(
+                    [s.decode() for s in sh])).astype(np.int64)
+                ids.append(did)
+                sets.append(base)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "hset": pa.array(sets, pa.list_(pa.int64()))})
+
+    collected = docs.select_columns(["doc_id", "text"]).map_batches(
+        _sets, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    set_ref = ray.put({r["doc_id"]: np.asarray(r["hset"], dtype=np.int64)
+                       for r in collected})
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        smap = ray.get(set_ref)  # zero-copy local plasma read
+        da = batch["doc_a"].to_pylist()
+        db = batch["doc_b"].to_pylist()
+        est = batch["jaccard_est"].to_pylist()
+        oa, ob, oe, ni, nu, jp = [], [], [], [], [], []
+        for a, b, e in zip(da, db, est):
+            sa, sb = smap.get(a), smap.get(b)
+            if sa is None or sb is None:
+                continue  # zero-shingle doc: no exact set (mirrors oracle)
+            inter = int(np.intersect1d(sa, sb,
+                                       assume_unique=True).size)
+            union = int(sa.size + sb.size - inter)
+            oa.append(a)
+            ob.append(b)
+            oe.append(e)
+            ni.append(inter)
+            nu.append(union)
+            jp.append(inter * 1000 // max(union, 1))
+        return pa.table({
+            "doc_a": pa.array(oa, pa.int64()),
+            "doc_b": pa.array(ob, pa.int64()),
+            "jaccard_est": pa.array(oe, pa.float64()),
+            "n_inter": pa.array(ni, pa.int64()),
+            "n_union": pa.array(nu, pa.int64()),
+            "jaccard_exact_permille": pa.array(jp, pa.int64())})
+
+    return pairs.map_batches(_verify, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -1913,3 +1913,85 @@ def trending_tokens(transcripts, k: int = 5,
 
     return hash_group_apply(agg, ["day"], _topk, n_parts=n_parts,
                             plasma_schema=out_schema)
+
+
+def vocab_richness(docs, text_col: str = "text",
+                   key_col: str = "source"):
+    """Per-source vocabulary richness: total whitespace tokens, distinct
+    vocabulary size, and the integer-permille type-token ratio.
+
+    100-TB shape: tokens are reduced to per-block (source, token, n)
+    partials (dictionary-encode + bincount — no Python token loop), so the
+    one exchange carries the block-vocabulary-bounded distinct pairs, never
+    the corpus; the second rollup ships only per-block (source, vocab_n,
+    tok_n) partials."""
+    import functools
+
+    agg = (docs.select_columns([key_col, text_col]).map_batches(
+        functools.partial(_key_token_partial, text_col=text_col,
+                          key_col=key_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "token"]).sum("n")
+        .rename_columns({"sum(n)": "n"}))
+
+    def _per_key(batch: pa.Table) -> pa.Table:
+        t = pa.table({key_col: batch[key_col],
+                      "vocab_part": pa.array(
+                          np.ones(len(batch), np.int64)),
+                      "tok_part": batch["n"]})
+        return (pa.TableGroupBy(t, key_col, use_threads=False)
+                .aggregate([("vocab_part", "sum"), ("tok_part", "sum")])
+                .rename_columns([key_col, "vocab_part", "tok_part"]))
+
+    rolled = (agg.map_batches(_per_key, batch_format="pyarrow",
+                              zero_copy_batch=True)
+              .groupby(key_col)
+              .sum(["vocab_part", "tok_part"]))
+
+    def _fin(batch: pa.Table) -> pa.Table:
+        vocab = batch["sum(vocab_part)"].to_numpy(zero_copy_only=False)
+        toks = batch["sum(tok_part)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            key_col: batch[key_col],
+            "n_tokens": pa.array(toks.astype(np.int64), pa.int64()),
+            "vocab_size": pa.array(vocab.astype(np.int64), pa.int64()),
+            "ttr_permille": pa.array(
+                vocab * 1000 // np.maximum(toks, 1), pa.int64())})
+
+    return rolled.map_batches(_fin, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def _key_token_partial(batch: pa.Table, *, text_col: str,
+                       key_col: str) -> pa.Table:
+    """Block-level (key, token, n) partial counts — the vocab_richness
+    map side (same kernel family as the trending_tokens day pairs)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+        r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = toks.flatten()
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    tenc = pc.dictionary_encode(flat)
+    if isinstance(tenc, pa.ChunkedArray):
+        tenc = tenc.combine_chunks()
+    kenc = pc.dictionary_encode(batch[key_col].combine_chunks()
+                                if isinstance(batch[key_col],
+                                              pa.ChunkedArray)
+                                else batch[key_col])
+    if isinstance(kenc, pa.ChunkedArray):
+        kenc = kenc.combine_chunks()
+    kcode = np.repeat(
+        kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64),
+        lens)
+    tcode = tenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nv = len(tenc.dictionary)
+    key = (kcode * nv + tcode)[keep]
+    uk, cnt = np.unique(key, return_counts=True)
+    return pa.table({
+        key_col: kenc.dictionary.take(pa.array(uk // nv)),
+        "token": tenc.dictionary.take(pa.array(uk % nv)),
+        "n": pa.array(cnt.astype(np.int64), pa.int64())})
