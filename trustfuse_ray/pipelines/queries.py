@@ -3651,6 +3651,7 @@ def _all_queries():
         "vocab_richness": q_vocab_richness,
         "quantity_iqr": q_quantity_iqr,
         "minhash_exact_verify": q_minhash_exact_verify,
+        "part_skyline": q_part_skyline,
     }
 
 
@@ -9609,6 +9610,16 @@ FROM mh_pairs p
 JOIN sz sa ON sa.doc_id = p.doc_a
 JOIN sz sb ON sb.doc_id = p.doc_b
 LEFT JOIN xi x ON x.doc_a = p.doc_a AND x.doc_b = p.doc_b""",
+        "part_skyline": """
+WITH v AS (SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+                  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+           FROM part)
+SELECT v.p_partkey, v.p_size, v.price_cents
+FROM v
+WHERE NOT EXISTS (
+  SELECT 1 FROM v o
+  WHERE o.p_size >= v.p_size AND o.price_cents <= v.price_cents
+    AND (o.p_size > v.p_size OR o.price_cents < v.price_cents))""",
     }
 
 
@@ -13152,3 +13163,57 @@ def q_minhash_exact_verify(sf_dir: str):
     path = synth.generate_documents(sf_dir)
     return dedup.minhash_exact_jaccard(
         ray.data.read_parquet(path), threshold=0.6, hash_kind="md5")
+
+
+def _skyline_block(batch: pa.Table) -> pa.Table:
+    """Block-local Pareto frontier (maximize p_size, minimize price).
+
+    Dominance is transitive, so any point dominated inside one block is
+    dominated globally — local pruning is lossless and shrinks each block
+    to its O(|distinct sizes|) frontier before the tiny global merge.
+    Vectorized: per-size min price, exclusive running min over strictly
+    larger sizes, keep points at their size's min price that beat it.
+    """
+    if len(batch) == 0:
+        return batch
+    size = np.asarray(batch["p_size"], dtype=np.int64)
+    price = np.asarray(batch["price_cents"], dtype=np.int64)
+    sizes, inv = np.unique(size, return_inverse=True)       # ascending
+    gmin = np.full(len(sizes), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(gmin, inv, price)
+    # best (lowest) price among strictly larger sizes, per size rank
+    best_gt = np.empty(len(sizes), np.int64)
+    best_gt[-1] = np.iinfo(np.int64).max
+    if len(sizes) > 1:
+        best_gt[:-1] = np.minimum.accumulate(gmin[::-1])[::-1][1:]
+    keep = (price == gmin[inv]) & (price < best_gt[inv])
+    return batch.filter(pa.array(keep))
+
+
+def q_part_skyline(sf_dir: str):
+    """Distributed Pareto skyline over part (maximize p_size, minimize
+    retail price): per-block local frontiers (lossless pruning — a
+    locally dominated point has its dominator in the same block), then
+    one global frontier pass over the tiny candidate union.  Ties on
+    (size, price) all survive; prices held in integer cents."""
+    import pyarrow.compute as pc
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(batch["p_retailprice"],
+                                             pa.scalar(100.0)),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        return pa.table({"p_partkey": batch["p_partkey"],
+                         "p_size": batch["p_size"].cast(pa.int64()),
+                         "price_cents": cents})
+
+    local = (_tbl(sf_dir, "part")
+             .select_columns(["p_partkey", "p_size", "p_retailprice"])
+             .map_batches(_prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .map_batches(_skyline_block, batch_format="pyarrow",
+                          zero_copy_batch=True))
+    # candidate union is O(blocks × frontier) — KB-scale; one-block merge
+    return local.repartition(1).map_batches(
+        _skyline_block, batch_format="pyarrow",
+        zero_copy_batch=True, batch_size=None)
