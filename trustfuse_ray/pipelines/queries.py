@@ -3652,6 +3652,7 @@ def _all_queries():
         "quantity_iqr": q_quantity_iqr,
         "minhash_exact_verify": q_minhash_exact_verify,
         "part_skyline": q_part_skyline,
+        "rank_correlation": q_rank_correlation,
     }
 
 
@@ -9620,6 +9621,39 @@ WHERE NOT EXISTS (
   SELECT 1 FROM v o
   WHERE o.p_size >= v.p_size AND o.price_cents <= v.price_cents
     AND (o.p_size > v.p_size OR o.price_cents < v.price_cents))""",
+        "rank_correlation": f"""
+WITH lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score_fx DESC, doc_id)
+           AS rl
+  FROM ({_BM25_SQL.replace("LIMIT 20", "LIMIT 50")})),
+ev AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(CASE WHEN el >= 0 THEN floor(el * 1000000 + 0.5)
+                   ELSE -floor(-el * 1000000 + 0.5) END AS BIGINT) AS q
+  FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS el,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings)),
+rel AS (SELECT d.vec_id AS doc_id, sum(qv.q * d.q) AS rel
+        FROM ev qv JOIN ev d USING (dim)
+        WHERE qv.vec_id = 0 GROUP BY 1),
+den AS (
+  SELECT doc_id, rd FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY rel DESC, doc_id) AS rd
+    FROM rel) WHERE rd <= 50),
+c AS (SELECT l.doc_id, l.rl, d.rd FROM lex l JOIN den d USING (doc_id)),
+p AS (SELECT CASE WHEN (a.rl - b.rl) * (a.rd - b.rd) > 0
+                  THEN 1 ELSE 0 END AS conc
+      FROM c a JOIN c b ON a.doc_id < b.doc_id)
+SELECT CAST(0 AS BIGINT) AS query_id,
+       (SELECT count(*) FROM c) AS n_common,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(coalesce(sum(conc), 0) AS BIGINT) AS concordant,
+       CAST(count(*) - coalesce(sum(conc), 0) AS BIGINT) AS discordant,
+       CAST(CASE WHEN count(*) = 0 THEN 0
+                 ELSE floor((2 * coalesce(sum(conc), 0) - count(*))
+                            * 1000.0 / count(*)) END AS BIGINT)
+         AS tau_permille
+FROM p""",
     }
 
 
@@ -13217,3 +13251,97 @@ def q_part_skyline(sf_dir: str):
     return local.repartition(1).map_batches(
         _skyline_block, batch_format="pyarrow",
         zero_copy_batch=True, batch_size=None)
+
+
+def q_rank_correlation(sf_dir: str):
+    """Kendall tau between the lexical (BM25) and dense (fixed-point
+    inner-product) top-50 rankings for one query, over the docs BOTH
+    retrievers return (doc ids and vec ids share the 0..N-1 space).
+    Both rankings are integer-exact so every pair sign is deterministic;
+    tau_permille = floor(1000·(C−D)/pairs).  Scale shape: each retriever
+    is one streaming corpus pass with block-local top-k partials; the
+    tau itself runs over two ≤50-row lists in a single final block."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import list_matrix
+    from trustfuse_ray.stages.profile import bm25_topk
+
+    K = 50
+    emb = _tbl(sf_dir, "embeddings")
+    q0 = emb.filter(expr="vec_id < 1").take_all()
+    qvec = ann._quant_fx(
+        np.asarray(q0[0]["embedding"], np.float64)[None, :], 1_000_000)[0]
+    qref = ray.put(qvec)
+
+    def _dense_part(batch: pa.Table) -> pa.Table:
+        d = ann._quant_fx(list_matrix(batch["embedding"]), 1_000_000)
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        rel = d @ ray.get(qref)
+        order = np.lexsort((ids, -rel))[:K]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "rel": pa.array(rel[order], pa.int64())})
+
+    dense = (emb.select_columns(["vec_id", "embedding"])
+             .map_batches(_dense_part, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def _dense_rank(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(tbl, sort_keys=[("rel", "descending"),
+                                                ("doc_id", "ascending")])
+        top = tbl.take(order[:K])
+        return pa.table({
+            "doc_id": top["doc_id"],
+            "rk": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            "tag": pa.array(np.ones(len(top), np.int64))})
+
+    dense_r = dense.repartition(1).map_batches(
+        _dense_rank, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+
+    lex = bm25_topk(_tbl(sf_dir, "documents"),
+                    terms=("the", "table", "value"), k=K)
+
+    def _lex_rank(tbl: pa.Table) -> pa.Table:
+        order = pc.sort_indices(tbl, sort_keys=[("score_fx", "descending"),
+                                                ("doc_id", "ascending")])
+        top = tbl.take(order[:K])
+        return pa.table({
+            "doc_id": top["doc_id"].cast(pa.int64()),
+            "rk": pa.array(np.arange(1, len(top) + 1, dtype=np.int64)),
+            "tag": pa.array(np.zeros(len(top), np.int64))})
+
+    lex_r = lex.repartition(1).map_batches(
+        _lex_rank, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
+
+    def _tau(tbl: pa.Table) -> pa.Table:
+        ids = np.asarray(tbl["doc_id"], dtype=np.int64)
+        rk = np.asarray(tbl["rk"], dtype=np.int64)
+        tag = np.asarray(tbl["tag"], dtype=np.int64)
+        lexm = {int(i): int(r) for i, r in zip(ids[tag == 0], rk[tag == 0])}
+        denm = {int(i): int(r) for i, r in zip(ids[tag == 1], rk[tag == 1])}
+        common = sorted(set(lexm) & set(denm))
+        rl = np.array([lexm[i] for i in common], np.int64)
+        rd = np.array([denm[i] for i in common], np.int64)
+        n = len(common)
+        iu = np.triu_indices(n, k=1)
+        sign = ((rl[:, None] - rl[None, :]) *
+                (rd[:, None] - rd[None, :]))[iu]
+        n_pairs = len(sign)
+        conc = int((sign > 0).sum())
+        disc = n_pairs - conc
+        tau = (math.floor((conc - disc) * 1000.0 / n_pairs)
+               if n_pairs else 0)
+        return pa.table({
+            "query_id": pa.array([0], pa.int64()),
+            "n_common": pa.array([n], pa.int64()),
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+            "concordant": pa.array([conc], pa.int64()),
+            "discordant": pa.array([disc], pa.int64()),
+            "tau_permille": pa.array([tau], pa.int64())})
+
+    return (dense_r.union(lex_r).repartition(1)
+            .map_batches(_tau, batch_format="pyarrow",
+                         zero_copy_batch=True, batch_size=None))
