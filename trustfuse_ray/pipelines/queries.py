@@ -3653,6 +3653,7 @@ def _all_queries():
         "minhash_exact_verify": q_minhash_exact_verify,
         "part_skyline": q_part_skyline,
         "rank_correlation": q_rank_correlation,
+        "set_similarity_join": q_set_similarity_join,
     }
 
 
@@ -9654,6 +9655,39 @@ SELECT CAST(0 AS BIGINT) AS query_id,
                             * 1000.0 / count(*)) END AS BIGINT)
          AS tau_permille
 FROM p""",
+        "set_similarity_join": r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(coalesce(text, '')), '\s+'))
+             AS token
+    FROM documents) WHERE token <> ''),
+sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY 1),
+df AS (SELECT token, count(*) AS df FROM tok GROUP BY 1),
+r AS (SELECT t.doc_id, t.token, s.n,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY f.df, t.token) AS rk
+      FROM tok t JOIN df f USING (token) JOIN sz s USING (doc_id)),
+pre AS (SELECT doc_id, token FROM r
+        WHERE rk <= n - (3 * n + 4) // 5 + 1),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM pre a JOIN pre b
+           ON a.token = b.token AND a.doc_id < b.doc_id),
+xi AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       FROM cand c
+       JOIN tok ta ON ta.doc_id = c.doc_a
+       JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+       GROUP BY 1, 2)
+SELECT x.doc_a, x.doc_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(x.n_inter AS BIGINT) AS n_inter,
+       CAST(x.n_inter * 1000 //
+            greatest(sa.n + sb.n - x.n_inter, 1) AS BIGINT)
+         AS jaccard_permille
+FROM xi x
+JOIN sz sa ON sa.doc_id = x.doc_a
+JOIN sz sb ON sb.doc_id = x.doc_b
+WHERE 5 * x.n_inter >= 3 * (sa.n + sb.n - x.n_inter)""",
     }
 
 
@@ -13345,3 +13379,12 @@ def q_rank_correlation(sf_dir: str):
     return (dense_r.union(lex_r).repartition(1)
             .map_batches(_tau, batch_format="pyarrow",
                          zero_copy_batch=True, batch_size=None))
+
+
+def q_set_similarity_join(sf_dir: str):
+    """Exact-Jaccard set-similarity self-join (τ = 3/5) over per-doc
+    distinct whitespace-token sets with lossless PPJoin prefix filtering
+    — candidates only from (df asc, token asc)-ordered prefixes, every
+    survivor verified with its true integer intersection."""
+    return dedup.set_similarity_join(_tbl(sf_dir, "documents"),
+                                     sim_num=3, sim_den=5)

@@ -1172,3 +1172,161 @@ def cluster_safe_split(docs, threshold: float = 0.6,
 
     return attached.map_batches(_fold, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (PPJoin-style prefix filtering)
+# ---------------------------------------------------------------------------
+
+
+def set_similarity_join(docs, sim_num: int = 3, sim_den: int = 5,
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Exact-Jaccard self-join over per-doc distinct whitespace-token sets:
+    all pairs (doc_a < doc_b) with ``|A∩B|/|A∪B| ≥ sim_num/sim_den``
+    (default 3/5 = 0.6), integer-exact on both sides of the oracle.
+
+    PPJoin-style prefix filter (lossless): under a global token order —
+    here (document frequency asc, token asc) — two sets with Jaccard ≥ τ
+    MUST share a token among each one's first ``n − ceil(τ·n) + 1``
+    tokens, so candidate pairs are generated only inside per-token groups
+    of the (rare-by-construction) prefix tokens; every candidate is then
+    verified with its true intersection.
+
+    Scale shape: corpus → distinct (doc, token) rows (one vectorized
+    block pass, text never shuffles); ONE token exchange annotates df =
+    group size; ONE doc exchange cuts prefixes; ONE prefix-token exchange
+    emits candidates; verification streams the corpus once more,
+    map-side-filtered to pair members (candidate-bounded, the
+    minhash_exact_jaccard pattern).  Degenerate corpora (everything
+    near-identical) are quadratic in the TRUE result size, not pruned."""
+    import ray
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    out_schema = pa.schema([
+        ("doc_a", pa.int64()), ("doc_b", pa.int64()),
+        ("n_a", pa.int64()), ("n_b", pa.int64()),
+        ("n_inter", pa.int64()), ("jaccard_permille", pa.int64())])
+
+    def _toks(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch[text_col], "")),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nlist = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        nlist = np.nan_to_num(nlist.astype(np.float64)).astype(np.int64)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        docix = np.repeat(ids, nlist)
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        t = pa.table({"doc_id": pa.array(docix[keep], pa.int64()),
+                      "token": flat.filter(pa.array(keep))})
+        # distinct per doc (docs are row-contained, so block-local is exact)
+        d = (pa.TableGroupBy(t, ["doc_id", "token"], use_threads=False)
+             .aggregate([]))
+        # per-doc distinct count
+        u, inv = np.unique(np.asarray(d["doc_id"], np.int64),
+                           return_inverse=True)
+        n = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return d.append_column("n", pa.array(n[inv], pa.int64()))
+
+    toks = docs.select_columns([id_col, text_col]).map_batches(
+        _toks, batch_format="pyarrow", zero_copy_batch=True)
+
+    tok_schema = pa.schema([("doc_id", pa.int64()), ("token", pa.string()),
+                            ("n", pa.int64()), ("df", pa.int64())])
+
+    def _annot_df(group: pa.Table) -> pa.Table:
+        return group.append_column(
+            "df", pa.array(np.full(len(group), len(group), np.int64)))
+
+    with_df = hash_group_apply(toks, ["token"], _annot_df, n_parts=64,
+                               plasma_schema=tok_schema)
+
+    def _prefix(group: pa.Table) -> pa.Table:
+        n = int(group["n"][0].as_py())
+        p = n - (sim_num * n + sim_den - 1) // sim_den + 1
+        order = pc.sort_indices(group, sort_keys=[("df", "ascending"),
+                                                  ("token", "ascending")])
+        return group.take(order[:p]).select(["doc_id", "token"])
+
+    pre_schema = pa.schema([("doc_id", pa.int64()), ("token", pa.string())])
+    prefix = hash_group_apply(with_df, ["doc_id"], _prefix, n_parts=64,
+                              plasma_schema=pre_schema)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(group["doc_id"], np.int64))
+        if len(ids) < 2:
+            return None
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table({"doc_a": pa.array(ids[a], pa.int64()),
+                         "doc_b": pa.array(ids[b], pa.int64())})
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    cand = hash_group_apply(prefix, ["token"], _pairs, n_parts=64,
+                            min_group_size=2, plasma_schema=pair_schema)
+    # same pair can arise from several shared prefix tokens — dedup
+    cand = (hash_group_apply(
+        cand, ["doc_a", "doc_b"],
+        lambda g: g.slice(0, 1), n_parts=64, plasma_schema=pair_schema)
+        .materialize())
+
+    member_ids: set = set()
+    for b in cand.iter_batches(batch_format="pyarrow"):
+        member_ids.update(b["doc_a"].to_pylist())
+        member_ids.update(b["doc_b"].to_pylist())
+    if not member_ids:
+        return rd.from_arrow(out_schema.empty_table())
+    id_ref = ray.put(pa.array(sorted(member_ids), pa.int64()))
+
+    def _sets(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(pc.cast(batch[id_col], pa.int64()),
+                        value_set=ray.get(id_ref))
+        batch = batch.filter(keep)
+        sub = _toks(batch)   # reads id_col/text_col from the closure
+        ids, sets = [], []
+        if len(sub):
+            d = np.asarray(sub["doc_id"], np.int64)
+            tk = sub["token"].to_pylist()
+            order = np.argsort(d, kind="stable")
+            bounds = np.flatnonzero(np.diff(d[order])) + 1
+            for seg in np.split(order, bounds):
+                ids.append(int(d[seg[0]]))
+                sets.append({tk[i] for i in seg})
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "tset": pa.array([sorted(s) for s in sets],
+                             pa.list_(pa.string()))})
+
+    collected = docs.select_columns([id_col, text_col]).map_batches(
+        _sets, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    set_ref = ray.put({r["doc_id"]: set(r["tset"]) for r in collected})
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        smap = ray.get(set_ref)
+        oa, ob, na, nb, ni, jp = [], [], [], [], [], []
+        for a, b in zip(batch["doc_a"].to_pylist(),
+                        batch["doc_b"].to_pylist()):
+            sa, sb = smap.get(a), smap.get(b)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if sim_den * inter >= sim_num * union:
+                oa.append(a)
+                ob.append(b)
+                na.append(len(sa))
+                nb.append(len(sb))
+                ni.append(inter)
+                jp.append(inter * 1000 // max(union, 1))
+        return pa.table({
+            "doc_a": pa.array(oa, pa.int64()),
+            "doc_b": pa.array(ob, pa.int64()),
+            "n_a": pa.array(na, pa.int64()),
+            "n_b": pa.array(nb, pa.int64()),
+            "n_inter": pa.array(ni, pa.int64()),
+            "jaccard_permille": pa.array(jp, pa.int64())})
+
+    return cand.map_batches(_verify, batch_format="pyarrow",
+                            zero_copy_batch=True)
