@@ -3654,6 +3654,7 @@ def _all_queries():
         "part_skyline": q_part_skyline,
         "rank_correlation": q_rank_correlation,
         "set_similarity_join": q_set_similarity_join,
+        "price_quantity_ols": q_price_quantity_ols,
     }
 
 
@@ -9688,6 +9689,32 @@ FROM xi x
 JOIN sz sa ON sa.doc_id = x.doc_a
 JOIN sz sb ON sb.doc_id = x.doc_b
 WHERE 5 * x.n_inter >= 3 * (sa.n + sb.n - x.n_inter)""",
+        "price_quantity_ols": """
+WITH v AS (SELECT l_returnflag AS flag,
+                  CAST(round(l_quantity * 100) AS BIGINT) AS x,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+           FROM lineitem),
+s AS (SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * y) AS sxy
+      FROM v GROUP BY 1),
+c AS (SELECT flag, n, sx, sy,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den,
+             1000000 * (CAST(n AS HUGEINT) * sxy
+                        - CAST(sx AS HUGEINT) * sy) AS snum,
+             1000000 * (CAST(sy AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sxy) AS inum
+      FROM s)
+SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       CAST(sx AS BIGINT) AS sum_qty_cents,
+       CAST(sy AS BIGINT) AS sum_price_cents,
+       CAST(CASE WHEN den = 0 THEN 0
+                 ELSE (snum - (((snum % den) + den) % den)) // den END
+            AS BIGINT) AS slope_ppm,
+       CAST(CASE WHEN den = 0 THEN 0
+                 ELSE (inum - (((inum % den) + den) % den)) // den END
+            AS BIGINT) AS intercept_microcents
+FROM c""",
     }
 
 
@@ -13388,3 +13415,77 @@ def q_set_similarity_join(sf_dir: str):
     survivor verified with its true integer intersection."""
     return dedup.set_similarity_join(_tbl(sf_dir, "documents"),
                                      sim_num=3, sim_den=5)
+
+
+def q_price_quantity_ols(sf_dir: str):
+    """Distributed closed-form least squares: regress extended price on
+    quantity per returnflag from the five sufficient statistics
+    (n, Σx, Σy, Σxx, Σxy) — map-side integer partials per block, one
+    tiny (flag)-keyed reduce, coefficients derived exactly with
+    arbitrary-precision ints in a final single-block pass.  slope/
+    intercept emitted as floor-divided fixed point (ppm / micro-cents);
+    the oracle replays the identical floor semantics via a remainder
+    correction over HUGEINT."""
+    import pyarrow.compute as pc
+
+    def _part(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(batch["l_quantity"],
+                                         pa.scalar(100.0)),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"],
+                                         pa.scalar(100.0)),
+                             round_mode="half_towards_infinity"),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        flags, inv = np.unique(
+            np.asarray(batch["l_returnflag"]).astype(str),
+            return_inverse=True)
+        # int64 segmented sums (reduceat), NOT bincount(weights=…) whose
+        # float64 accumulator loses exactness past 2^53 per block
+        order = np.argsort(inv, kind="stable")
+        starts = np.searchsorted(inv[order], np.arange(len(flags)))
+        seg = lambda a: np.add.reduceat(a[order], starts)  # noqa: E731
+        return pa.table({
+            "flag": pa.array(flags, pa.string()),
+            "n": pa.array(np.bincount(inv, minlength=len(flags)),
+                          pa.int64()),
+            "sx": pa.array(seg(x), pa.int64()),
+            "sy": pa.array(seg(y), pa.int64()),
+            "sxx": pa.array(seg(x * x), pa.int64()),
+            "sxy": pa.array(seg(x * y), pa.int64())})
+
+    agg = (_tbl(sf_dir, "lineitem")
+           .select_columns(["l_returnflag", "l_quantity",
+                            "l_extendedprice"])
+           .map_batches(_part, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("flag").sum(["n", "sx", "sy", "sxx", "sxy"]))
+
+    def _fit(tbl: pa.Table) -> pa.Table:
+        rows = {"l_returnflag": [], "n_rows": [], "sum_qty_cents": [],
+                "sum_price_cents": [], "slope_ppm": [],
+                "intercept_microcents": []}
+        order = np.argsort(np.asarray(tbl["flag"]).astype(str),
+                           kind="stable")
+        for i in order.tolist():
+            n = int(tbl["sum(n)"][i].as_py())
+            sx = int(tbl["sum(sx)"][i].as_py())
+            sy = int(tbl["sum(sy)"][i].as_py())
+            sxx = int(tbl["sum(sxx)"][i].as_py())
+            sxy = int(tbl["sum(sxy)"][i].as_py())
+            den = n * sxx - sx * sx          # Python ints: no overflow
+            slope = (1_000_000 * (n * sxy - sx * sy)) // den if den else 0
+            icept = (1_000_000 * (sy * sxx - sx * sxy)) // den if den else 0
+            rows["l_returnflag"].append(tbl["flag"][i].as_py())
+            rows["n_rows"].append(n)
+            rows["sum_qty_cents"].append(sx)
+            rows["sum_price_cents"].append(sy)
+            rows["slope_ppm"].append(slope)
+            rows["intercept_microcents"].append(icept)
+        return pa.table({k: pa.array(v, pa.string() if
+                                     k == "l_returnflag" else pa.int64())
+                         for k, v in rows.items()})
+
+    return agg.repartition(1).map_batches(
+        _fit, batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=None)
