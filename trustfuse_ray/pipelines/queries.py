@@ -3655,6 +3655,7 @@ def _all_queries():
         "rank_correlation": q_rank_correlation,
         "set_similarity_join": q_set_similarity_join,
         "price_quantity_ols": q_price_quantity_ols,
+        "bigram_surprisal": q_bigram_surprisal,
     }
 
 
@@ -9715,6 +9716,30 @@ SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n_rows,
                  ELSE (inum - (((inum % den) + den) % den)) // den END
             AS BIGINT) AS intercept_microcents
 FROM c""",
+        "bigram_surprisal": r"""
+WITH tok AS (
+  SELECT doc_id, i, token FROM (
+    SELECT doc_id,
+           unnest(list_filter(
+             string_split_regex(trim(coalesce(text, '')), '\s+'),
+             w -> w <> '')) AS token,
+           generate_subscripts(list_filter(
+             string_split_regex(trim(coalesce(text, '')), '\s+'),
+             w -> w <> ''), 1) AS i
+    FROM documents)),
+big AS (SELECT a.doc_id, a.token AS w1, b.token AS w2
+        FROM tok a JOIN tok b
+          ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+sc AS (SELECT g.doc_id,
+              CAST(length(bin(c1.c1 // c2.c2)) AS BIGINT) AS bits
+       FROM big g JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+SELECT doc_id, CAST(sum(bits) AS BIGINT) AS total_bits,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(bits) * 1000 // greatest(count(*), 1) AS BIGINT)
+         AS avg_millibits
+FROM sc GROUP BY 1""",
     }
 
 
@@ -13489,3 +13514,83 @@ def q_price_quantity_ols(sf_dir: str):
     return agg.repartition(1).map_batches(
         _fit, batch_format="pyarrow", zero_copy_batch=True,
         batch_size=None)
+
+
+def q_bigram_surprisal(sf_dir: str):
+    """Bigram language-model surprisal per document (the CCNet-style
+    LM-quality gate, integer-exact): model = corpus bigram counts; the
+    per-bigram surprisal surrogate is bit_length(c(w1)//c(w1,w2)) —
+    an integer log2 of the inverse conditional probability — summed per
+    doc, with avg_millibits = total·1000 // n_bigrams.
+
+    Scale shape: both model counts are GROUP SIZES of the scoring rows
+    themselves (c2 = |(w1,w2) group|, c1 = |w1 group|), so the operator
+    is three bounded hash exchanges — (w1,w2), then w1, then doc_id —
+    and the text never shuffles; docs with <2 tokens drop out naturally."""
+    import pyarrow.compute as pc
+
+    from trustfuse_ray.stages.common import hash_group_apply
+
+    def _bigrams(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.fill_null(batch["text"], "")),
+            r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        nlist = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        nlist = np.nan_to_num(nlist.astype(np.float64)).astype(np.int64)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        docix = np.repeat(ids, nlist)
+        flat = toks.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        docix, flat = docix[keep], flat.filter(pa.array(keep))
+        if len(flat) < 2:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string())})
+        same = docix[:-1] == docix[1:]
+        m = pa.array(same)
+        return pa.table({
+            "doc_id": pa.array(docix[:-1][same], pa.int64()),
+            "w1": flat.slice(0, len(flat) - 1).filter(m),
+            "w2": flat.slice(1).filter(m)})
+
+    grams = (_tbl(sf_dir, "documents")
+             .select_columns(["doc_id", "text"])
+             .map_batches(_bigrams, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    s2 = pa.schema([("doc_id", pa.int64()), ("w1", pa.string()),
+                    ("w2", pa.string()), ("c2", pa.int64())])
+    with_c2 = hash_group_apply(
+        grams, ["w1", "w2"],
+        lambda g: g.append_column(
+            "c2", pa.array(np.full(len(g), len(g), np.int64))),
+        n_parts=64, plasma_schema=s2)
+
+    s1 = pa.schema([("doc_id", pa.int64()), ("bits", pa.int64()),
+                    ("n", pa.int64())])
+
+    def _bits(g: pa.Table) -> pa.Table:
+        c2 = np.asarray(g["c2"], np.int64)
+        q = (len(g) // c2).astype(np.float64)      # c1 // c2, < 2^53
+        bits = np.frexp(q)[1].astype(np.int64)     # exact bit_length
+        return pa.table({"doc_id": g["doc_id"],
+                         "bits": pa.array(bits, pa.int64()),
+                         "n": pa.array(np.ones(len(g), np.int64))})
+
+    scored = hash_group_apply(with_c2, ["w1"], _bits, n_parts=64,
+                              plasma_schema=s1)
+    agg = (scored.groupby("doc_id").sum(["bits", "n"])
+           .rename_columns({"sum(bits)": "total_bits",
+                            "sum(n)": "n_bigrams"}))
+
+    def _avg(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["total_bits"], np.int64)
+        n = np.asarray(batch["n_bigrams"], np.int64)
+        return batch.append_column(
+            "avg_millibits",
+            pa.array(t * 1000 // np.maximum(n, 1), pa.int64()))
+
+    return agg.map_batches(_avg, batch_format="pyarrow",
+                           zero_copy_batch=True)
